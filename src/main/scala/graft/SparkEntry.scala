@@ -88,6 +88,86 @@ object SparkEntry {
           col("before"),
           col("after"))
         .orderBy("event_id")
+    }),
+
+    // S5/S6: snapshot (backfill) source with projection pushdown —
+    // full-table partitioned scan, the scale path
+    // (reference/src/main.rs:305-387,326,331).
+    "q_cdc_backfill" -> ((s, dir) => {
+      Backfill.snapshot(T(s, dir, "customer"), "db0", "customer",
+          "c_custkey", Seq("c_custkey", "c_name", "c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // F2/O1: one keyset page — `pkey > last ORDER BY pkey LIMIT n`
+    // (reference/src/main.rs:325-349), batch size 1000
+    // (reference/src/main.rs:42-43).
+    "q_cdc_backfill_page" -> ((s, dir) => {
+      Backfill.page(
+          Backfill.snapshot(T(s, dir, "customer"), "db0", "customer",
+            "c_custkey", Seq("c_custkey", "c_name", "c_acctbal")),
+          "c_custkey", lastKey = 100, batch = 1000)
+        .orderBy("c_custkey")
+    }),
+
+    // M1/M2: backfill ⊎ live-change LWW merge
+    // (reference/src/main.rs:71-121) — live events patch a customer
+    // snapshot; Delete tombstones win over Backfill.
+    "q_cdc_lww_merge" -> ((s, dir) => {
+      val bf = T(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("key"),
+        lit(ChangeOp.Backfill).as("op"),
+        col("c_acctbal").as("bal"),
+        lit(Backfill.PlaceholderTs).as("ts_sec"),
+        lit(-1L).as("seq"),
+        col("c_custkey").as("custkey"))
+      val ev = T(s, dir, "events")
+      val live = ev.select(
+        (col("user_id") % 150 + 1).cast("string").as("key"),
+        ChangeSource.opCol.as("op"),
+        col("value").as("bal"),
+        col("ts").cast("long").as("ts_sec"),
+        col("event_id").as("seq"),
+        (col("user_id") % 150 + 1).as("custkey"))
+      Merge.lww(bf, live)
+        .select(col("custkey"), col("op"), col("bal"), col("ts_sec"),
+          when(col("precedence") === 1, "live").otherwise("backfill").as("src"))
+        .orderBy("custkey")
+    }),
+
+    // §2.6: the MySQL wire-value → string type-mapping library
+    // (reference/src/main.rs:442-507): DATE/DATETIME(+micros)
+    // formatting, signed 3-digit-hour TIME, uppercase-hex bytes.
+    "q_cdc_typemap" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val secs = col("event_id") % 500000 - 250000
+      ev.select(
+          col("event_id"),
+          TypeMap.mysqlDate(col("ts")).as("my_date"),
+          TypeMap.mysqlDateTime(col("ts")).as("my_dt"),
+          TypeMap.mysqlDateTimeMicros(col("ts")).as("my_dt_us"),
+          TypeMap.mysqlTime(secs).as("my_time"),
+          TypeMap.mysqlTimeMicros(secs, col("event_id") % 1000000).as("my_time_us"),
+          TypeMap.bytesHex(col("props")).as("my_hex"))
+        .orderBy("event_id")
+    }),
+
+    // A1: per-replica binlog resume offset — max(4, pos) guard +
+    // per-server upsert (reference/src/main.rs:204-218,240-254).
+    "q_cdc_offsets" -> ((s, dir) => {
+      Offsets.logPos(
+          ChangeSource.fromEvents(T(s, dir, "events")).withColumn(
+            "event_id", col("event_id")))
+        .orderBy("server_id")
+    }),
+
+    // A2/A3: backfill job-queue status + last-key extraction
+    // (reference/src/main.rs:340-367).
+    "q_cdc_jobqueue" -> ((s, dir) => {
+      Offsets.jobQueue(ChangeSource.fromEvents(T(s, dir, "events")))
+        .select(col("db"), col("relation"), col("position"),
+          col("n_rows"), col("status"))
+        .orderBy("db", "relation")
     })
   )
 
@@ -126,7 +206,66 @@ object SparkEntry {
          |       WHEN $opSql = 'Update' THEN 'u' ELSE 'd' END AS payload_op,
          |  $dbSql AS source_db, $tableSql AS source_table,
          |  epoch_ms(ts) AS ts_ms, $beforeSql AS before, $afterSql AS after
-         |FROM events ORDER BY event_id""".stripMargin
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_cdc_backfill" ->
+      """SELECT 'Backfill' AS op, 'db0' AS db, 'customer' AS "table",
+        |  1::BIGINT AS ts_sec, 'c_custkey' AS pkey,
+        |  c_custkey, c_name, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_cdc_backfill_page" ->
+      """SELECT 'Backfill' AS op, 'db0' AS db, 'customer' AS "table",
+        |  1::BIGINT AS ts_sec, 'c_custkey' AS pkey,
+        |  c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_custkey > 100
+        |ORDER BY c_custkey LIMIT 1000""".stripMargin,
+
+    "q_cdc_lww_merge" ->
+      s"""WITH b AS (
+         |  SELECT c_custkey AS custkey, 'Backfill' AS op, c_acctbal AS bal,
+         |         1::BIGINT AS ts_sec, -1::BIGINT AS seq, 0 AS prec
+         |  FROM customer),
+         |l AS (
+         |  SELECT (user_id % 150 + 1) AS custkey, $opSql AS op, value AS bal,
+         |         epoch_ns(ts) // 1000000000 AS ts_sec, event_id AS seq, 1 AS prec
+         |  FROM events),
+         |u AS (SELECT * FROM b UNION ALL SELECT * FROM l),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY custkey
+         |        ORDER BY ts_sec DESC, prec DESC, seq DESC) AS rn FROM u)
+         |SELECT custkey, op, bal, ts_sec,
+         |  CASE WHEN prec = 1 THEN 'live' ELSE 'backfill' END AS src
+         |FROM r WHERE rn = 1 AND op <> 'Delete' ORDER BY custkey""".stripMargin,
+
+    "q_cdc_typemap" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d') AS my_date,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS my_dt,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS my_dt_us,
+        |  CASE WHEN (event_id % 500000 - 250000) < 0 THEN '-' ELSE '' END
+        |    || lpad((abs(event_id % 500000 - 250000) // 3600)::VARCHAR, 3, '0')
+        |    || ':' || lpad(((abs(event_id % 500000 - 250000) % 3600) // 60)::VARCHAR, 2, '0')
+        |    || ':' || lpad((abs(event_id % 500000 - 250000) % 60)::VARCHAR, 2, '0') AS my_time,
+        |  CASE WHEN (event_id % 500000 - 250000) < 0 THEN '-' ELSE '' END
+        |    || lpad((abs(event_id % 500000 - 250000) // 3600)::VARCHAR, 3, '0')
+        |    || ':' || lpad(((abs(event_id % 500000 - 250000) % 3600) // 60)::VARCHAR, 2, '0')
+        |    || ':' || lpad((abs(event_id % 500000 - 250000) % 60)::VARCHAR, 2, '0')
+        |    || '.' || lpad((event_id % 1000000)::VARCHAR, 6, '0') AS my_time_us,
+        |  hex(props) AS my_hex
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_cdc_offsets" ->
+      s"""SELECT $dbSql AS server_id,
+         |  greatest(4, max(event_id))::BIGINT AS pos,
+         |  count(*)::BIGINT AS n_events
+         |FROM events GROUP BY 1 ORDER BY server_id""".stripMargin,
+
+    "q_cdc_jobqueue" ->
+      s"""SELECT $dbSql AS db, $tableSql AS relation,
+         |  max(event_id)::BIGINT AS position, count(*)::BIGINT AS n_rows,
+         |  'done' AS status
+         |FROM events GROUP BY 1, 2 ORDER BY db, relation""".stripMargin
   )
 
   // --- shared oracle fragments: the events → Change envelope mapping,
