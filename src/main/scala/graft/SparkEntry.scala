@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cdc._
+import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -168,7 +169,80 @@ object SparkEntry {
         .select(col("db"), col("relation"), col("position"),
           col("n_rows"), col("status"))
         .orderBy("db", "relation")
-    })
+    }),
+
+    // ---- LLM-data-pipeline extensions (builder brief; SURVEY §7.4) ----
+
+    // Text analysis: token/piece counts, language ID, quality score,
+    // md5 + rolling fingerprints — one codegen'd narrow pass.
+    "q_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      T(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(t).as("n_tokens"),
+          TextAnalysis.pieceCount(t).as("n_pieces"),
+          TextAnalysis.langId(t).as("lang_pred"),
+          TextAnalysis.qualityMicros(t).as("quality_micros"),
+          TextAnalysis.md5Fingerprint(t).as("fp_md5"),
+          TextAnalysis.rollingFingerprint(t).as("fp_roll"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup: hash-groupBy on the content fingerprint.
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents"), "doc_id", "text").orderBy("fp")),
+
+    // MinHash(32) + LSH(8 bands × 4 rows) near-dup pairs, exact-Jaccard
+    // verified at ≥ 0.2 on 3-word shingles.
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)
+        .orderBy("id1", "id2")),
+
+    // SimHash(60-bit) near-dup pairs, hamming ≤ 5 via the full-recall
+    // pigeonhole chunk join (6 chunks of 10 bits).
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text",
+        chunks = 6, maxDist = 5)
+        .orderBy("id1", "id2")),
+
+    // Exact 3-gram Jaccard near-dup, blocked by `source`.
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+        "source", k = 3, threshold = 0.2)
+        .orderBy("id1", "id2")),
+
+    // Embedding-cosine near-dup, IVF-style blocked by cluster label.
+    "q_dedup_embed" -> ((s, dir) =>
+      Dedup.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", threshold = 0.35)
+        .orderBy("id1", "id2")),
+
+    // Brute-force cosine top-5 for 8 broadcast query vectors.
+    "q_sim_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(T(s, dir, "embeddings"), "vec_id",
+        "embedding", col("vec_id") < 8, k = 5)
+        .orderBy("qid", "rank")),
+
+    // IVF top-5: label-seeded centroids, corpus broadcast-assigned,
+    // queries probe the 2 nearest lists.
+    "q_sim_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", col("vec_id") < 8, k = 5, nprobe = 2)
+        .orderBy("qid", "rank")),
+
+    // Multimodal: binary media column + typed per-partition decode
+    // (stub codec — see ops.Multimodal.StubCodec).
+    "q_mm_decode" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.mediaFromDocuments(T(s, dir, "documents")))
+        .toDF().orderBy("media_id")),
+
+    // Multimodal: frame sampling over the video modality.
+    "q_mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(T(s, dir, "documents")),
+        stride = 16, maxFrames = 4)
+        .toDF().orderBy("media_id", "frame_idx"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -265,7 +339,57 @@ object SparkEntry {
       s"""SELECT $dbSql AS db, $tableSql AS relation,
          |  max(event_id)::BIGINT AS position, count(*)::BIGINT AS n_rows,
          |  'done' AS status
-         |FROM events GROUP BY 1, 2 ORDER BY db, relation""".stripMargin
+         |FROM events GROUP BY 1, 2 ORDER BY db, relation""".stripMargin,
+
+    // ---- LLM-data-pipeline extensions: oracles generated from the
+    // same Scala constants as the Spark pipelines ----
+
+    "q_text_stats" -> {
+      val t = "text"
+      s"""SELECT doc_id,
+         |  ${TextAnalysis.tokenCountSql(t)} AS n_tokens,
+         |  ${TextAnalysis.pieceCountSql(t)} AS n_pieces,
+         |  ${TextAnalysis.langIdSql(t)} AS lang_pred,
+         |  ${TextAnalysis.qualityMicrosSql(t)} AS quality_micros,
+         |  ${TextAnalysis.md5FingerprintSql(t)} AS fp_md5,
+         |  ${TextAnalysis.rollingFingerprintSql(t)} AS fp_roll
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_exact" ->
+      (Dedup.exactSql("doc_id", "text", "documents") + " ORDER BY fp"),
+
+    "q_dedup_minhash" ->
+      (Dedup.minhashPairsSql("doc_id", "text", "documents",
+        k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)
+        + " ORDER BY id1, id2"),
+
+    "q_dedup_simhash" ->
+      (Dedup.simhashPairsSql("doc_id", "text", "documents", maxDist = 5)
+        + " ORDER BY id1, id2"),
+
+    "q_dedup_ngram" ->
+      (Dedup.ngramJaccardPairsSql("doc_id", "text", "source", "documents",
+        k = 3, threshold = 0.2) + " ORDER BY id1, id2"),
+
+    "q_dedup_embed" ->
+      (Dedup.cosinePairsSql("vec_id", "embedding", "label", "embeddings",
+        threshold = 0.35) + " ORDER BY id1, id2"),
+
+    "q_sim_topk" ->
+      (Similarity.bruteForceTopKSql("vec_id", "embedding", "embeddings",
+        "id < 8", k = 5) + " ORDER BY qid, rank"),
+
+    "q_sim_ivf" ->
+      (Similarity.ivfTopKSql("vec_id", "embedding", "label", "embeddings",
+        "id < 8", k = 5, nprobe = 2) + " ORDER BY qid, rank"),
+
+    "q_mm_decode" ->
+      (Multimodal.decodeSql("documents") + " ORDER BY media_id"),
+
+    "q_mm_frames" ->
+      (Multimodal.framesSql("documents", stride = 16, maxFrames = 4)
+        + " ORDER BY media_id, frame_idx")
   )
 
   // --- shared oracle fragments: the events → Change envelope mapping,

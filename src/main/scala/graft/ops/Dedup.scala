@@ -1,0 +1,294 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-data-pipeline surface (builder
+  * brief; beyond-reference extensions per SURVEY §2.9/§7.4): exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (the point of each op at 100 TB):
+  *  - exact: one hash-groupBy — a single shuffle on a 16-byte key.
+  *  - MinHash+LSH: signatures are a narrow per-row map; the only wide
+  *    op is the band-bucket self-join, whose key cardinality makes
+  *    bucket sizes tiny (collisions ≈ near-dups only), so the join
+  *    output is ~linear in the number of true duplicate pairs, never
+  *    O(n²). Exact Jaccard runs only on surviving candidates.
+  *  - SimHash: 60-bit signature per doc; candidate pairs via the
+  *    pigeonhole chunk-join (hamming ≤ d guarantees an equal chunk
+  *    when chunks > d), then exact popcount verify — full recall,
+  *    not probabilistic, so the oracle is the plain hamming filter.
+  *  - n-gram Jaccard / cosine near-dup: the exact quadratic baselines,
+  *    blocked by a coarse key (source / cluster label) so each block's
+  *    pairwise stays bounded — the pattern used to verify the
+  *    probabilistic paths on samples.
+  *
+  * All hash math is the cross-engine [[Hashing]] family, so the DuckDB
+  * oracle reproduces signatures, buckets and pairs bit-for-bit.
+  */
+object Dedup {
+
+  import Hashing.{P, hash60, hash60Sql}
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: group by content fingerprint, keep the smallest id
+    * as representative. One shuffle on the md5 key.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.md5Fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).cast("long").as("n_copies"))
+
+  def exactSql(id: String, text: String, table: String): String =
+    s"""SELECT ${TextAnalysis.md5FingerprintSql(text)} AS fp,
+       |  min($id) AS rep_id, count(*)::BIGINT AS n_copies
+       |FROM $table GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct k-word shingles of a token array (short docs degrade to
+    * one truncated shingle; concat_ws skips past-the-end NULLs the
+    * same way on both engines).
+    */
+  def shingles(words: Column, k: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
+        i => concat_ws(" ", (0 until k).map(o => element_at(words, i + o)): _*)))
+
+  def shinglesSql(words: String, k: Int): String = {
+    val parts = (0 until k).map(o => s"$words[i + $o]")
+    s"list_distinct([concat_ws(' ', ${parts.mkString(", ")}) " +
+      s"for i in range(1, greatest(len($words) - ${k - 2}, 2))])"
+  }
+
+  // ------------------------------------------------------- MinHash + LSH
+
+  /** MinHash signature from a precomputed `hash60(shingle) mod P`
+    * array: per permutation j, min over (a_j·x + b_j) mod P. Products
+    * stay < 2^62 — no overflow on either engine.
+    */
+  def minhashSignature(hm: Column, numHashes: Int): Column = {
+    val ss = Hashing.seeds(numHashes)
+    array((0 until numHashes).map { j =>
+      val (a, b) = ss(j)
+      array_min(transform(hm, x => (x * a + b) % P))
+    }: _*)
+  }
+
+  def minhashSignatureSqlParts(hm: String, numHashes: Int): Seq[String] = {
+    val ss = Hashing.seeds(numHashes)
+    (0 until numHashes).map { j =>
+      val (a, b) = ss(j)
+      s"list_min([(x * $a + $b) % $P for x in $hm])"
+    }
+  }
+
+  /** LSH band keys: signature → `bands` strings, each joining `rows`
+    * consecutive signature values. Docs sharing any band key are
+    * candidate pairs.
+    */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws("_", (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
+    }: _*)
+
+  /** Full MinHash-LSH near-dup pipeline: docs → signatures → band
+    * explode → bucket self-join → exact-Jaccard verify ≥ threshold.
+    * Returns (id1, id2, jacc_micros) with id1 < id2.
+    *
+    * The band join shuffles on (band_idx, band_key) — high cardinality,
+    * uniformly hash-distributed, so no hot buckets; AQE splits any
+    * residual skew. The verify join ships only candidate ids back to
+    * the (id → shingles) map: compact keys, ~linear in true dup pairs.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int, rows: Int,
+      threshold: Double): DataFrame = {
+    require(bands * rows == numHashes)
+    val sigs = docs
+      .select(
+        col(idCol).as("id"),
+        shingles(TextAnalysis.tokens(col(textCol)), k).as("sh"))
+      .withColumn("hm", transform(col("sh"), s => hash60(s) % P))
+      .withColumn("sig", minhashSignature(col("hm"), numHashes))
+      .select(col("id"), col("sh"), col("sig"))
+    val buckets = sigs.select(
+      col("id"),
+      posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+    val cands = buckets.as("l")
+      .join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+    val sh = sigs.select(col("id"), col("sh"))
+    cands
+      .join(sh.as("s1"), col("id1") === col("s1.id"))
+      .join(sh.as("s2"), col("id2") === col("s2.id"))
+      .select(col("id1"), col("id2"),
+        jaccardMicros(col("s1.sh"), col("s2.sh")).as("jacc_micros"))
+      .filter(col("jacc_micros") >= (threshold * 1e6).toLong)
+  }
+
+  /** Exact set-Jaccard of two distinct-element arrays, in micros. */
+  def jaccardMicros(s1: Column, s2: Column): Column = {
+    val i = size(array_intersect(s1, s2)).cast("double")
+    val u = size(s1).cast("double") + size(s2).cast("double") - i
+    round(i / u * 1e6).cast("long")
+  }
+
+  def jaccardMicrosSql(s1: String, s2: String): String =
+    s"round(len(list_intersect($s1, $s2))::DOUBLE / " +
+      s"(len($s1) + len($s2) - len(list_intersect($s1, $s2)))::DOUBLE * 1e6)::BIGINT"
+
+  /** DuckDB twin of [[minhashPairs]] — same signatures, same bands,
+    * same verify, so the result set is identical (the LSH is
+    * deterministic given the hash family; no sampling anywhere).
+    */
+  def minhashPairsSql(id: String, text: String, table: String,
+      k: Int, numHashes: Int, bands: Int, rows: Int,
+      threshold: Double): String = {
+    val words = TextAnalysis.tokensSql(text)
+    val sigParts = minhashSignatureSqlParts("hm", numHashes)
+    val bandRows = (0 until bands).map { b =>
+      val vals = (0 until rows).map(r => s"sig[${b * rows + r + 1}]")
+      s"SELECT id, $b AS band, concat_ws('_', ${vals.mkString(", ")}) AS key FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT $id AS id, ${shinglesSql(words, k)} AS sh FROM $table),
+       |hashed AS (
+       |  SELECT id, sh, [${hash60Sql("s")} % $P for s in sh] AS hm FROM base),
+       |sigs AS (
+       |  SELECT id, sh, [${sigParts.mkString(", ")}] AS sig FROM hashed),
+       |buckets AS ($bandRows),
+       |cands AS (
+       |  SELECT DISTINCT l.id AS id1, r.id AS id2
+       |  FROM buckets l JOIN buckets r
+       |    ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+       |pairs AS (
+       |  SELECT id1, id2, ${jaccardMicrosSql("s1.sh", "s2.sh")} AS jacc_micros
+       |  FROM cands JOIN sigs s1 ON id1 = s1.id JOIN sigs s2 ON id2 = s2.id)
+       |SELECT id1, id2, jacc_micros FROM pairs
+       |WHERE jacc_micros >= ${(threshold * 1e6).toLong}""".stripMargin
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 60-bit SimHash from a precomputed token-hash array: bit b is set
+    * iff more than half of the tokens have bit b set. The 60 per-bit
+    * folds are unrolled at plan-build time (b is a Scala constant), so
+    * shift amounts are literals and the whole thing codegens.
+    */
+  def simhash(hs: Column): Column = {
+    val n = size(hs)
+    (0 until 60).map { b =>
+      val ones = aggregate(hs, lit(0L), (s, h) => s + shiftright(h, b) % 2L)
+      when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist, found via
+    * the pigeonhole chunk join: split the 60-bit signature into
+    * `chunks` equal pieces; any pair within maxDist ≤ chunks−1 shares
+    * at least one identical chunk, so the chunk-bucket join has FULL
+    * recall. Verify = popcount(xor) ≤ maxDist.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      chunks: Int, maxDist: Int): DataFrame = {
+    require(maxDist < chunks && 60 % chunks == 0)
+    val bitsPer = 60 / chunks
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        transform(TextAnalysis.tokens(col(textCol)), w => hash60(w)).as("hs"))
+      .select(col("id"), simhash(col("hs")).as("sig"))
+    val buckets = sigs.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col("sig"), c * bitsPer) % (1L << bitsPer)
+      }: _*)).as(Seq("chunk", "key")))
+    buckets.as("l")
+      .join(buckets.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Oracle: plain pairwise hamming — exact thanks to the pigeonhole
+    * full recall of [[simhashPairs]].
+    */
+  def simhashPairsSql(id: String, text: String, table: String,
+      maxDist: Int): String = {
+    val words = TextAnalysis.tokensSql(text)
+    s"""WITH sigs AS (
+       |  SELECT id,
+       |    list_sum([CASE WHEN 2 * list_sum([(h >> b) & 1 for h in hs]) > len(hs)
+       |      THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 60)])::BIGINT AS sig
+       |  FROM (SELECT $id AS id, [${hash60Sql("w")} for w in $words] AS hs FROM $table))
+       |SELECT l.id AS id1, r.id AS id2, bit_count(xor(l.sig, r.sig))::BIGINT AS dist
+       |FROM sigs l JOIN sigs r ON l.id < r.id
+       |WHERE bit_count(xor(l.sig, r.sig)) <= $maxDist""".stripMargin
+  }
+
+  // ------------------------------------------- n-gram Jaccard (blocked)
+
+  /** Exact n-gram-Jaccard near-dup within blocks: pairwise only inside
+    * a coarse blocking key (e.g. `source`), keeping each block's
+    * quadratic bounded. The exact-verify baseline for the LSH path.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, k: Int, threshold: Double): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("id"), col(blockCol).as("blk"),
+      shingles(TextAnalysis.tokens(col(textCol)), k).as("sh"))
+    base.as("l")
+      .join(base.as("r"), col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        jaccardMicros(col("l.sh"), col("r.sh")).as("jacc_micros"))
+      .filter(col("jacc_micros") >= (threshold * 1e6).toLong)
+  }
+
+  def ngramJaccardPairsSql(id: String, text: String, block: String,
+      table: String, k: Int, threshold: Double): String = {
+    val words = TextAnalysis.tokensSql(text)
+    s"""WITH base AS (
+       |  SELECT $id AS id, $block AS blk, ${shinglesSql(words, k)} AS sh FROM $table)
+       |SELECT l.id AS id1, r.id AS id2,
+       |  ${jaccardMicrosSql("l.sh", "r.sh")} AS jacc_micros
+       |FROM base l JOIN base r ON l.blk = r.blk AND l.id < r.id
+       |WHERE ${jaccardMicrosSql("l.sh", "r.sh")} >= ${(threshold * 1e6).toLong}""".stripMargin
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold, blocked by a
+    * coarse cluster key (IVF-style — recall is bounded by the blocking,
+    * exactly like production ANN dedup).
+    */
+  def cosinePairs(embs: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val base = embs.select(
+      col(idCol).as("id"), col(blockCol).as("blk"),
+      Vectors.toDouble(col(vecCol)).as("v"))
+    base.as("l")
+      .join(base.as("r"), col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        Vectors.cosineMicros(col("l.v"), col("r.v")).as("cos_micros"))
+      .filter(col("cos_micros") >= (threshold * 1e6).toLong)
+  }
+
+  def cosinePairsSql(id: String, vec: String, block: String, table: String,
+      threshold: Double): String = {
+    s"""WITH base AS (
+       |  SELECT $id AS id, $block AS blk, ${Vectors.toDoubleSql(vec)} AS v FROM $table)
+       |SELECT l.id AS id1, r.id AS id2,
+       |  ${Vectors.cosineMicrosSql("l.v", "r.v")} AS cos_micros
+       |FROM base l JOIN base r ON l.blk = r.blk AND l.id < r.id
+       |WHERE ${Vectors.cosineMicrosSql("l.v", "r.v")} >= ${(threshold * 1e6).toLong}""".stripMargin
+  }
+}

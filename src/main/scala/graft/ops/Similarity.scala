@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (builder brief; beyond-reference extension per SURVEY §2.9/§7.4).
+  *
+  * Two paths, both pure DataFrame/Catalyst (no MLlib, no UDF):
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness
+  *    baseline. The (small) query set is broadcast against the corpus,
+  *    so the scan stays embarrassingly parallel: no shuffle of the
+  *    100 TB side at all; only the per-query top-k window shuffles, and
+  *    it shuffles score rows (q × corpus), pre-prunable per partition.
+  *
+  *  - [[ivfTopK]]: the scale path — an IVF (inverted-file) index:
+  *    k-means-style centroids (here: per-label means, i.e. one Lloyd
+  *    iteration seeded by labels), every corpus vector assigned to its
+  *    nearest centroid (broadcast join — the corpus never shuffles),
+  *    queries probe only the `nprobe` nearest centroid lists. At 1000
+  *    executors the probe join hits ~nprobe/nlist of the data —
+  *    partition-prunable when the corpus is written bucketed/
+  *    partitioned by cluster id, which is exactly how this would be
+  *    laid out at 100 TB.
+  *
+  * Centroid components are quantized to micros before use so the
+  * (order-sensitive) float averaging can never disagree with the
+  * oracle's; all downstream cosine math follows the [[Vectors]]
+  * sequential-fold contract.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query row (queryPred selects the
+    * query subset; neighbors exclude self).
+    * Output: (qid, rank, neighbor_id, cos_micros).
+    */
+  def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val base = embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+    val queries = base.filter(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val scored = base.join(broadcast(queries), col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("neighbor_id"),
+        Vectors.cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        round(col("cos") * 1e6).cast("long").as("cos_micros"))
+  }
+
+  def bruteForceTopKSql(id: String, vec: String, table: String,
+      queryPredSql: String, k: Int): String =
+    s"""WITH e AS (SELECT $id AS id, ${Vectors.toDoubleSql(vec)} AS v FROM $table),
+       |q AS (SELECT id AS qid, v AS qv FROM e WHERE $queryPredSql),
+       |scored AS (
+       |  SELECT qid, e.id AS neighbor_id, ${Vectors.cosineSql("qv", "e.v")} AS cos
+       |  FROM q JOIN e ON e.id <> qid),
+       |r AS (SELECT qid, neighbor_id, cos, row_number() OVER (
+       |        PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM scored)
+       |SELECT qid, rank::BIGINT AS rank, neighbor_id,
+       |  round(cos * 1e6)::BIGINT AS cos_micros
+       |FROM r WHERE rank <= $k""".stripMargin
+
+  /** Per-cluster centroids: mean of each dimension, quantized to
+    * micros. Seeded by the given cluster column (one Lloyd step; a
+    * full k-means is this same dataflow iterated).
+    * Output: (cl, cent: array<double>).
+    */
+  def centroids(embs: DataFrame, clusterCol: String, vecCol: String): DataFrame =
+    embs
+      .select(col(clusterCol).as("cl"),
+        posexplode(Vectors.toDouble(col(vecCol))).as(Seq("d", "x")))
+      .groupBy(col("cl"), col("d"))
+      .agg((round(avg(col("x")) * 1e6) / 1e6).as("cx"))
+      .groupBy(col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+        s => s.getField("cx")).as("cent"))
+
+  def centroidsSql(cluster: String, vec: String, table: String): String =
+    s"""SELECT $cluster AS cl, list(cx ORDER BY d) AS cent FROM (
+       |  SELECT $cluster, d, round(avg(v[d + 1]) * 1e6) / 1e6 AS cx
+       |  FROM (SELECT $cluster, ${Vectors.toDoubleSql(vec)} AS v FROM $table)
+       |    CROSS JOIN range(0, 64) t(d)
+       |  GROUP BY 1, 2) GROUP BY 1""".stripMargin
+
+  /** IVF search: corpus assigned to nearest centroid; each query
+    * probes its `nprobe` nearest centroid lists and ranks only those
+    * vectors. Output: (qid, rank, neighbor_id, cos_micros).
+    */
+  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+    val base = embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+    val cents = centroids(embs, clusterCol, vecCol)
+
+    // corpus → nearest centroid. Broadcast join (the big side never
+    // shuffles for the join) + argmax via max_by, which partial-
+    // aggregates map-side: the nlist-way fan-out collapses back to one
+    // row per vector BEFORE the exchange — unlike a row_number window,
+    // which would shuffle the whole fan-out.
+    val assigned = base.join(broadcast(cents))
+      .select(col("id"), col("cl"), Vectors.cosine(col("v"), col("cent")).as("ccos"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cl"), struct(col("ccos"), -col("cl"))).as("cl"))
+
+    // queries → nprobe nearest centroids
+    val queries = base.filter(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cl").asc)
+    val probes = queries.join(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cl"),
+        Vectors.cosine(col("qv"), col("cent")).as("pcos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cl"))
+
+    // rank within probed lists only
+    val candidates = probes
+      .join(assigned, "cl")
+      .join(base, "id")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("neighbor_id"),
+        Vectors.cosine(col("qv"), col("v")).as("cos"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        round(col("cos") * 1e6).cast("long").as("cos_micros"))
+  }
+
+  def ivfTopKSql(id: String, vec: String, cluster: String, table: String,
+      queryPredSql: String, k: Int, nprobe: Int): String =
+    s"""WITH e AS (SELECT $id AS id, $cluster AS lab, ${Vectors.toDoubleSql(vec)} AS v
+       |  FROM $table),
+       |cents AS (${centroidsSql(cluster, vec, table)}),
+       |assigned AS (
+       |  SELECT id, cl FROM (
+       |    SELECT e.id, c.cl, row_number() OVER (PARTITION BY e.id
+       |      ORDER BY ${Vectors.cosineSql("e.v", "c.cent")} DESC, c.cl) AS arn
+       |    FROM e CROSS JOIN cents c) WHERE arn = 1),
+       |q AS (SELECT id AS qid, v AS qv FROM e WHERE $queryPredSql),
+       |probes AS (
+       |  SELECT qid, qv, cl FROM (
+       |    SELECT q.qid, q.qv, c.cl, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${Vectors.cosineSql("q.qv", "c.cent")} DESC, c.cl) AS prn
+       |    FROM q CROSS JOIN cents c) WHERE prn <= $nprobe),
+       |cands AS (
+       |  SELECT p.qid, e.id AS neighbor_id, ${Vectors.cosineSql("p.qv", "e.v")} AS cos
+       |  FROM probes p JOIN assigned a ON a.cl = p.cl
+       |  JOIN e ON e.id = a.id WHERE e.id <> p.qid),
+       |r AS (SELECT qid, neighbor_id, cos, row_number() OVER (
+       |        PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM cands)
+       |SELECT qid, rank::BIGINT AS rank, neighbor_id,
+       |  round(cos * 1e6)::BIGINT AS cos_micros
+       |FROM r WHERE rank <= $k""".stripMargin
+}

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface (builder
+  * brief; extensions beyond the reference per SURVEY §2.9/§7.4): token
+  * counting, language ID, quality scoring, document fingerprinting.
+  *
+  * All operators are pure Catalyst `Column` pipelines over the
+  * `documents` table — no UDFs, fully inside whole-stage codegen, no
+  * shuffle (per-row narrow transforms). At 100 TB these run at scan
+  * speed; the only wide ops downstream are whatever aggregation the
+  * caller adds.
+  *
+  * Each operator has a DuckDB-SQL twin (same constants, generated
+  * here) used by the driver's oracle; floating-point outputs are
+  * quantized to integer micro-units on both sides so the hash compare
+  * is exact.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Docs are single-space word streams; split on
+    * runs of whitespace keeps this robust to real corpora.
+    */
+  def tokens(text: Column): Column = split(text, "\\s+")
+  def tokensSql(e: String): String = s"string_split_regex($e, '\\s+')"
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  def tokenCountSql(e: String): String = s"len(${tokensSql(e)})::BIGINT"
+
+  /** BPE-ish subword pieces: letter runs, digit runs, single other
+    * non-space chars — the standard pre-tokenizer regex shape.
+    */
+  val PiecePattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def pieceCount(text: Column): Column =
+    regexp_count(text, lit(PiecePattern)).cast("long")
+  def pieceCountSql(e: String): String =
+    s"len(regexp_extract_all($e, '$PiecePattern'))::BIGINT"
+
+  /** Language-ID: stopword-profile hit counts, argmax with a fixed
+    * tie-break order (first in [[LangProfiles]] wins), 'und' when no
+    * profile hits. A real system swaps the profiles for char-n-gram
+    * models; the operator shape (per-row scoring + argmax) is the same.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "la", "y", "los", "de", "es"))
+
+  def langHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isInCollection(words))).cast("long")
+
+  def langHitsSql(e: String, words: Seq[String]): String = {
+    val inList = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(${tokensSql(e)}, w -> w IN ($inList)))::BIGINT"
+  }
+
+  /** Predicted language: the profile with the strictly highest hit
+    * count in declaration order; 'und' when every profile scores 0.
+    */
+  def langId(text: Column): Column = {
+    val hits = LangProfiles.map { case (lang, ws) => lang -> langHits(text, ws) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldLeft(when(best === 0, "und")) { case (acc, (lang, h)) =>
+      acc.when(h === best, lang)
+    }.otherwise("und")
+  }
+
+  def langIdSql(e: String): String = {
+    val hits = LangProfiles.map { case (l, ws) => l -> langHitsSql(e, ws) }
+    val best = hits.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+    val whens = hits.map { case (l, h) => s"WHEN $h = $best THEN '$l'" }
+    s"(CASE WHEN $best = 0 THEN 'und' ${whens.mkString(" ")} ELSE 'und' END)"
+  }
+
+  /** Quality score in [0, 1], emitted as integer micros:
+    * 0.3·min(tokens/100, 1) + 0.4·(1 − stopword_ratio) + 0.3·alpha_ratio.
+    * The components are the classic cheap heuristics (length prior,
+    * boilerplate via stopword excess, symbol soup via alpha ratio).
+    */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def qualityMicros(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val stopRatio = langHits(text, StopWords).cast("double") / n
+    val alphaRatio =
+      regexp_count(text, lit("[a-zA-Z]")).cast("double") / length(text).cast("double")
+    round(
+      (least(n / 100.0, lit(1.0)) * 0.3 + (lit(1.0) - stopRatio) * 0.4 +
+        alphaRatio * 0.3) * 1e6).cast("long")
+  }
+
+  def qualityMicrosSql(e: String): String = {
+    val n = s"(${tokenCountSql(e)}::DOUBLE)"
+    val stop = s"(${langHitsSql(e, StopWords)}::DOUBLE / $n)"
+    val alpha = s"(len(regexp_extract_all($e, '[a-zA-Z]'))::DOUBLE / length($e)::DOUBLE)"
+    s"round((least($n / 100.0, 1.0) * 0.3 + (1.0 - $stop) * 0.4 + $alpha * 0.3) * 1e6)::BIGINT"
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — the exact-dedup key.
+    */
+  def md5Fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")).cast("binary"))
+  def md5FingerprintSql(e: String): String =
+    s"md5(lower(regexp_replace(trim($e), '\\s+', ' ', 'g')))"
+
+  /** Rolling (Karp-Rabin-style) fingerprint over token hashes:
+    * fold h ← (h·B + hash60(w) mod P) mod P, left to right. Order
+    * sensitive (unlike a bag-of-words hash); both engines fold
+    * sequentially so values match exactly.
+    */
+  val RollB = 1000003L
+
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, w) => (acc * RollB + Hashing.hash60(w) % Hashing.P) % Hashing.P)
+
+  def rollingFingerprintSql(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, [${Hashing.hash60Sql("w")} % ${Hashing.P} " +
+      s"for w in ${tokensSql(e)}]), (acc, h) -> (acc * $RollB + h) % ${Hashing.P})"
+}
