@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{ChangeOp, Merge}
+
+/** M2 race semantics (SURVEY §2.3, §7.4): live supersedes stale
+  * backfill, Delete tombstones beat Backfill (the reference's
+  * resurrect bug is deliberately fixed — reference/src/main.rs:84),
+  * plus order-invariance properties.
+  */
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(rows: Seq[(String, String, String, Long, Long)]): DataFrame =
+    rows.toDF("key", "op", "bal", "ts_sec", "seq")
+
+  private def result(bf: DataFrame, live: DataFrame): Map[String, (String, String)] =
+    Merge.lww(bf, live).select("key", "op", "bal").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+
+  test("live change supersedes stale backfill row of same key (main.rs:81)") {
+    val bf = df(Seq(("k1", ChangeOp.Backfill, "old", 1L, -1L)))
+    val live = df(Seq(("k1", ChangeOp.Update, "new", 100L, 1L)))
+    assert(result(bf, live) == Map("k1" -> (ChangeOp.Update, "new")))
+  }
+
+  test("backfill-only keys survive (main.rs:86)") {
+    val bf = df(Seq(("k1", ChangeOp.Backfill, "snap", 1L, -1L)))
+    val live = df(Seq(("k2", ChangeOp.Insert, "x", 100L, 1L)))
+    assert(result(bf, live) ==
+      Map("k1" -> (ChangeOp.Backfill, "snap"), "k2" -> (ChangeOp.Insert, "x")))
+  }
+
+  test("Delete tombstone wins over Backfill — no resurrection (fixes main.rs:84)") {
+    val bf = df(Seq(("k1", ChangeOp.Backfill, "ghost", 1L, -1L)))
+    val live = df(Seq(("k1", ChangeOp.Delete, "gone", 50L, 1L)))
+    assert(result(bf, live) == Map.empty)
+  }
+
+  test("ties on ts: live precedence beats backfill") {
+    val bf = df(Seq(("k1", ChangeOp.Backfill, "snap", 7L, -1L)))
+    val live = df(Seq(("k1", ChangeOp.Update, "live", 7L, 1L)))
+    assert(result(bf, live) == Map("k1" -> (ChangeOp.Update, "live")))
+  }
+
+  test("within live: highest (ts, seq) wins") {
+    val bf = df(Nil)
+    val live = df(Seq(
+      ("k1", ChangeOp.Insert, "v1", 10L, 1L),
+      ("k1", ChangeOp.Update, "v2", 20L, 2L),
+      ("k1", ChangeOp.Update, "v2b", 20L, 3L)))
+    assert(result(bf, live) == Map("k1" -> (ChangeOp.Update, "v2b")))
+  }
+
+  /** Seeded random change batches (deterministic — no scalacheck
+    * bridge artifact in the offline cache).
+    */
+  private def randomBatches(seed: Long, n: Int): Seq[Seq[(String, String, String, Long, Long)]] = {
+    val rnd = new scala.util.Random(seed)
+    val ops = Seq(ChangeOp.Insert, ChangeOp.Update, ChangeOp.Delete)
+    (0 until n).map { _ =>
+      (0 until 8).map { i =>
+        val k = s"k${rnd.nextInt(3)}"
+        val o = ops(rnd.nextInt(3))
+        val ts = 1L + rnd.nextInt(5)
+        (k, o, s"$o-$ts", ts, i.toLong)
+      }
+    }
+  }
+
+  test("property: merge result is invariant to input order") {
+    for (rows <- randomBatches(seed = 42, n = 10)) {
+      val bf = df(Seq(("k0", ChangeOp.Backfill, "snap", 1L, -1L)))
+      val expected = result(bf, df(rows))
+      val shuffled = new scala.util.Random(7).shuffle(rows)
+      assert(result(bf, df(shuffled)) == expected)
+    }
+  }
+
+  test("property: re-merging the winners is a fixpoint") {
+    for (rows <- randomBatches(seed = 11, n = 10)) {
+      val bf = df(Seq(("k1", ChangeOp.Backfill, "snap", 1L, -1L)))
+      val winners = Merge.lww(bf, df(rows))
+        .select("key", "op", "bal", "ts_sec", "seq")
+        .as[(String, String, String, Long, Long)].collect().toSeq
+      val twice = result(df(Nil), df(winners))
+      assert(twice == winners.map(w => w._1 -> (w._2, w._3)).toMap)
+    }
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+/** Unit coverage for the LLM-pipeline operators on hand-built corpora
+  * (the driver's oracle covers them end-to-end on testdata; these pin
+  * the semantics on known inputs).
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "s0"),
+    (1L, "the quick brown fox jumps over the lazy cat", "s0"), // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog", "s1"), // exact dup of 0
+    (3L, "completely different words about spark engines here", "s1"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("rep_id").select("rep_id", "n_copies")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L), (1L, 1L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds the exact and near pair, not the unrelated one") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L))) // identical → always caught
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // the exact pair's verified jaccard is 1.0
+    val j = Dedup.minhashPairs(docs, "doc_id", "text", 3, 32, 8, 4, 0.2)
+      .filter(col("id1") === 0 && col("id2") === 2)
+      .select("jacc_micros").as[Long].head()
+    assert(j == 1000000L)
+  }
+
+  test("simhash: identical docs at distance 0, unrelated docs far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", chunks = 6, maxDist = 5)
+      .select("id1", "id2", "dist").as[(Long, Long, Long)].collect()
+    val d02 = pairs.find(p => p._1 == 0L && p._2 == 2L)
+    assert(d02.exists(_._3 == 0L))
+    assert(!pairs.exists(p => (p._1 == 3L || p._2 == 3L) && p._3 <= 5))
+  }
+
+  test("blocked ngram jaccard only pairs within a block") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+        k = 3, threshold = 0.2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L))) // 0-2 are cross-block; 3 unrelated
+  }
+
+  test("cosine: orthogonal 0, identical 1e6 micros, known angle") {
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(0f, 1f, 0f), 0),
+      (2L, Seq(1f, 0f, 0f), 0),
+      (3L, Seq(1f, 1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.cosinePairs(embs, "vec_id", "embedding", "label", 0.9)
+      .select("id1", "id2", "cos_micros").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 2L, 1000000L)))
+    val all = Dedup.cosinePairs(embs, "vec_id", "embedding", "label", -1.0)
+      .select("id1", "id2", "cos_micros").as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(all((0L, 1L)) == 0L)
+    assert(all((0L, 3L)) == 707107L) // 1/sqrt(2)
+  }
+
+  test("brute-force top-k ranks by cosine desc") {
+    val embs = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(1f, 0.1f), 0),
+      (2L, Seq(0.5f, 0.5f), 0),
+      (3L, Seq(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 3)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("token/piece counts and fingerprints") {
+    val t = Seq("ab cd3 e!").toDF("text")
+    val row = t.select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.pieceCount(col("text"))).head
+    assert(row.getLong(0) == 3L)
+    assert(row.getLong(1) == 5L) // ab | cd | 3 | e | !
+
+    // rolling fingerprint is order-sensitive, md5 fp is whitespace-robust
+    val fps = Seq("a b c", "c b a", " a  b c ").toDF("text")
+      .select(TextAnalysis.rollingFingerprint(col("text")),
+        TextAnalysis.md5Fingerprint(col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(fps(0)._1 != fps(1)._1)
+    assert(fps(0)._2 == fps(2)._2)
+    assert(fps(0)._2 != fps(1)._2)
+  }
+
+  test("langId picks the dominant stopword profile, und on none") {
+    val out = Seq(
+      "the cat sat on the mat and the dog",
+      "der hund und die katze und das haus",
+      "xyzzy plugh qwerty")
+      .toDF("text")
+      .select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "und"))
+  }
+
+  test("multimodal stub decode is deterministic and kind-routed") {
+    val media = Multimodal.mediaFromDocuments(
+      Seq((0L, "hello world frame data here ok!!", "s0"))
+        .toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text"))))
+    val dec = Multimodal.decode(media).collect().head
+    assert(dec.kind == "image") // doc_id 0 → kind[1]
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world frame data here ok!!".getBytes)
+      .map(b => f"$b%02x").mkString
+    assert(dec.content_md5 == hex)
+    assert(dec.width == 1 + java.lang.Long.parseLong(hex.substring(0, 4), 16) % 1024)
+
+    val frames = Multimodal.sampleFrames(media, stride = 16, maxFrames = 4).collect()
+    assert(frames.isEmpty) // kind image → no frames
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc._
+import graft.streaming.LwwMerge
+import graft.streaming.LwwMerge.KeyedChange
+
+/** Streaming parity (SURVEY §5.4): the flatMapGroupsWithState LWW twin
+  * agrees with the batch window merge, and the end-to-end pipeline
+  * resumes from its checkpoint (S3 offset-persistence parity).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming LWW state matches the batch merge winners") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedChange]
+    val q = LwwMerge.merge(input.toDS())
+      .writeStream.format("memory").queryName("lww_out")
+      .outputMode("update").start()
+
+    // batch 1: backfill snapshot
+    input.addData(
+      KeyedChange("k1", ChangeOp.Backfill, 1L, -1L, 0, "snap1"),
+      KeyedChange("k2", ChangeOp.Backfill, 1L, -2L, 0, "snap2"))
+    q.processAllAvailable()
+    // batch 2: live updates — k1 updated, k2 deleted, k3 inserted
+    input.addData(
+      KeyedChange("k1", ChangeOp.Update, 10L, 1L, 1, "live1"),
+      KeyedChange("k2", ChangeOp.Delete, 11L, 2L, 1, ""),
+      KeyedChange("k3", ChangeOp.Insert, 12L, 3L, 1, "new3"))
+    q.processAllAvailable()
+    // batch 3: stale late backfill for k1/k2 must NOT win
+    input.addData(
+      KeyedChange("k1", ChangeOp.Backfill, 1L, -3L, 0, "stale"),
+      KeyedChange("k2", ChangeOp.Backfill, 1L, -4L, 0, "ghost"))
+    q.processAllAvailable()
+    q.stop()
+
+    // last emitted winner per key = streaming materialization
+    val emitted = spark.table("lww_out").as[KeyedChange].collect()
+    val streamed = emitted.groupBy(_.key).map { case (k, ws) =>
+      k -> ws.maxBy(w => (w.ts_sec, w.precedence, w.seq))
+    }
+
+    // batch equivalent over the full union (tombstones filtered there)
+    val all = emitted // emitted ⊆ input, but state winners == input winners
+    val bf = Seq(
+      ("k1", ChangeOp.Backfill, "snap1", 1L, -1L), ("k2", ChangeOp.Backfill, "snap2", 1L, -2L),
+      ("k1", ChangeOp.Backfill, "stale", 1L, -3L), ("k2", ChangeOp.Backfill, "ghost", 1L, -4L))
+      .toDF("key", "op", "bal", "ts_sec", "seq")
+    val live = Seq(
+      ("k1", ChangeOp.Update, "live1", 10L, 1L),
+      ("k2", ChangeOp.Delete, "", 11L, 2L),
+      ("k3", ChangeOp.Insert, "new3", 12L, 3L))
+      .toDF("key", "op", "bal", "ts_sec", "seq")
+    val batch = Merge.lww(bf, live).select("key", "op", "bal")
+      .as[(String, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    val streamedLive = streamed.collect {
+      case (k, w) if w.op != ChangeOp.Delete => k -> (w.op, w.payload)
+    }.toMap
+    assert(streamedLive == batch)
+    // tombstone was emitted for the sink to act on
+    assert(streamed("k2").op == ChangeOp.Delete)
+  }
+
+  test("pipeline: file stream → envelope → debezium → topic sink, checkpoint resume") {
+    val root = Files.createTempDirectory("graft_stream").toFile
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val ckp = new java.io.File(root, "ckp").getAbsolutePath
+
+    def writeEvents(ids: Seq[Long], path: String): Unit =
+      ids.map(i => (i, i % 7, if (i % 2 == 0) "signup" else "purchase",
+          s"""{"id":"$i"}""", new java.sql.Timestamp(1700000000000L + i * 1000)))
+        .toDF("event_id", "user_id", "event_type", "props", "ts")
+        .write.mode("append").parquet(path)
+
+    writeEvents(0L until 10L, src.getAbsolutePath)
+    val schema = spark.read.parquet(src.getAbsolutePath).schema
+
+    def runOnce(): Unit = {
+      val changes = ChangeSource.fromEvents(
+        spark.readStream.schema(schema).parquet(src.getAbsolutePath))
+      val q = graft.streaming.Pipeline.transformed(changes, regex = "^db.\\.(users|orders)$")
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").partitionBy("topic").parquet(out)
+        }.start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == 10L)
+
+    // new files arrive; resume must process ONLY them (offset parity)
+    writeEvents(10L until 15L, src.getAbsolutePath)
+    runOnce()
+    val df2 = spark.read.parquet(out)
+    assert(df2.count() == 15L) // no reprocessing of the first 10
+    val topics = df2.select("topic").distinct().as[String].collect().toSet
+    assert(topics == Set(
+      "projects/my-project-id/topics/all_pims.users",
+      "projects/my-project-id/topics/all_pims.orders"))
+    val payload = df2.filter(col("payload").contains(""""id":"3"""))
+      .select("payload").as[String].head()
+    assert(payload.contains(""""op":"c""""))
+  }
+}
