@@ -206,10 +206,10 @@ object SparkEntry {
         chunks = 6, maxDist = 5)
         .orderBy("id1", "id2")),
 
-    // Exact 3-gram Jaccard near-dup, blocked by `source`.
+    // Exact global 3-gram Jaccard near-dup via posting-list join.
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
-        "source", k = 3, threshold = 0.2)
+        k = 3, threshold = 0.2)
         .orderBy("id1", "id2")),
 
     // Embedding-cosine near-dup, IVF-style blocked by cluster label.
@@ -369,7 +369,7 @@ object SparkEntry {
         + " ORDER BY id1, id2"),
 
     "q_dedup_ngram" ->
-      (Dedup.ngramJaccardPairsSql("doc_id", "text", "source", "documents",
+      (Dedup.ngramJaccardPairsSql("doc_id", "text", "documents",
         k = 3, threshold = 0.2) + " ORDER BY id1, id2"),
 
     "q_dedup_embed" ->

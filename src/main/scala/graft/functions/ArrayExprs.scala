@@ -1,0 +1,247 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths where Spark's
+  * higher-order functions (transform/aggregate/zip_with) are too slow:
+  * HOFs evaluate their lambda INTERPRETED per element (they are not
+  * part of whole-stage codegen), which makes array-heavy inner loops
+  * (shingling every document, dot products on every candidate pair)
+  * dominate the runtime. These expressions run the inner loop as a
+  * tight compiled loop instead; [[DotProduct]] additionally generates
+  * Java via doGenCode so pair scoring stays inside whole-stage
+  * codegen.
+  *
+  * Semantics are bit-compatible with the HOF formulations they
+  * replace (same iteration order, same fold association), so the
+  * DuckDB oracle twins in graft.ops are unchanged.
+  */
+object ArrayExprs {
+
+  /** Distinct k-word shingles — fast path of ops.Dedup.shingles. */
+  def wordShingles(words: Column, k: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(words), k))
+
+  /** Sequential-fold dot product — fast path of ops.Vectors.dot. */
+  def dotProduct(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** MinHash signature — fast path of ops.Dedup.minhashSignature. */
+  def minhashSig(shingles: Column, seeds: IndexedSeq[(Long, Long)]): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shingles),
+      seeds.map(_._1).toArray, seeds.map(_._2).toArray))
+
+  /** 60-bit SimHash — fast path of ops.Dedup.simhash. */
+  def simhash60(words: Column): Column =
+    Bridge.column(SimHash60(Bridge.expression(words)))
+
+  /** Karp-Rabin rolling hash — fast path of
+    * ops.TextAnalysis.rollingFingerprint.
+    */
+  def rollingHash(words: Column, b: Long, p: Long): Column =
+    Bridge.column(RollingHash(Bridge.expression(words), b, p))
+
+  /** The cross-engine 60-bit md5 hash (ops.Hashing.hash60) computed
+    * JVM-side: low 60 bits = first 15 hex chars of the md5 of the
+    * UTF-8 bytes — identical to `conv(substring(md5(x),1,15),16,10)`
+    * and to DuckDB's `('0x'||substring(md5(x),1,15))::BIGINT`.
+    */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def hash60(s: UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    // first 15 hex chars = 7.5 bytes: 7 full bytes + high nibble of the 8th
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+}
+
+/** `array<string>` → distinct k-grams joined by single spaces.
+  * Matches `array_distinct(transform(sequence(1, greatest(n-k+1, 1)),
+  * i => concat_ws(" ", words[i..i+k-1])))` exactly: short arrays
+  * degrade to one truncated shingle (concat_ws skips past-the-end),
+  * first-occurrence order preserved.
+  *
+  * Eval is one compiled loop per row (CodegenFallback costs one
+  * virtual call per ROW, not per element).
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = math.max(n - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + k, n)
+      val parts = new Array[UTF8String](end - i)
+      var j = i
+      while (j < end) { parts(j - i) = arr.getUTF8String(j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(Array.empty[AnyRef]))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Sequential dot product of two `array<double>` columns: exactly
+  * `Σ a(i)·b(i)` accumulated left-to-right — the association the
+  * oracle's `list_reduce(list_prepend(0.0, …))` uses. Codegen'd.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature of a shingle array: per permutation j,
+  * min over shingles of (a_j·(hash60(s) mod P) + b_j) mod P — each
+  * shingle md5-hashed exactly ONCE for all permutations, no
+  * explode/shuffle. Values identical to the HOF/SQL formulations.
+  */
+case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = graft.ops.Hashing.P
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = ArrayExprs.hash60(arr.getUTF8String(i)) % P
+      var j = 0
+      while (j < k) {
+        val h = (x * as(j) + bs(j)) % P
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash of a token array: bit b set iff more than half of
+  * the tokens have bit b set in hash60(token). One md5 per token, one
+  * pass, no explode/aggregate.
+  */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ones = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = ArrayExprs.hash60(arr.getUTF8String(i))
+      var b = 0
+      while (b < 60) {
+        ones(b) += ((h >> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (2 * ones(b) > n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** Karp-Rabin rolling hash over token hashes: left fold of
+  * h ← (h·B + hash60(w) mod P) mod P. Order-sensitive; matches the
+  * `aggregate` HOF and the oracle's `list_reduce` exactly.
+  */
+case class RollingHash(child: Expression, b: Long, p: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = (acc * b + ArrayExprs.hash60(arr.getUTF8String(i)) % p) % p
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}

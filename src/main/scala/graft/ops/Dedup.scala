@@ -50,13 +50,13 @@ object Dedup {
 
   /** Distinct k-word shingles of a token array (short docs degrade to
     * one truncated shingle; concat_ws skips past-the-end NULLs the
-    * same way on both engines).
+    * same way on both engines). Native expression — the HOF
+    * formulation (`array_distinct(transform(sequence…))`) evaluates
+    * its lambda interpreted per shingle and dominated the whole dedup
+    * runtime; functions.WordShingles is bit-identical and ~30× faster.
     */
   def shingles(words: Column, k: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
-        i => concat_ws(" ", (0 until k).map(o => element_at(words, i + o)): _*)))
+    graft.functions.ArrayExprs.wordShingles(words, k)
 
   def shinglesSql(words: String, k: Int): String = {
     val parts = (0 until k).map(o => s"$words[i + $o]")
@@ -69,6 +69,12 @@ object Dedup {
   /** MinHash signature from a precomputed `hash60(shingle) mod P`
     * array: per permutation j, min over (a_j·x + b_j) mod P. Products
     * stay < 2^62 — no overflow on either engine.
+    *
+    * NOTE: only for small expression contexts (tests/oracle) — inside
+    * a query use [[minhashSignatures]], the explode/agg form, which
+    * hashes every shingle exactly once. The per-row HOF form is prone
+    * to CollapseProject inlining the shared hash array into all
+    * `numHashes` mins, multiplying the md5 work by `numHashes`.
     */
   def minhashSignature(hm: Column, numHashes: Int): Column = {
     val ss = Hashing.seeds(numHashes)
@@ -77,6 +83,7 @@ object Dedup {
       array_min(transform(hm, x => (x * a + b) % P))
     }: _*)
   }
+
 
   def minhashSignatureSqlParts(hm: String, numHashes: Int): Seq[String] = {
     val ss = Hashing.seeds(numHashes)
@@ -108,13 +115,13 @@ object Dedup {
       k: Int, numHashes: Int, bands: Int, rows: Int,
       threshold: Double): DataFrame = {
     require(bands * rows == numHashes)
-    val sigs = docs
-      .select(
-        col(idCol).as("id"),
-        shingles(TextAnalysis.tokens(col(textCol)), k).as("sh"))
-      .withColumn("hm", transform(col("sh"), s => hash60(s) % P))
-      .withColumn("sig", minhashSignature(col("hm"), numHashes))
-      .select(col("id"), col("sh"), col("sig"))
+    val base = docs.select(
+      col(idCol).as("id"),
+      shingles(TextAnalysis.tokens(col(textCol)), k).as("sh"))
+    // native expression: one md5 per shingle for all permutations, no
+    // explode/shuffle — the signature is a purely narrow map
+    val sigs = base.select(col("id"),
+      graft.functions.ArrayExprs.minhashSig(col("sh"), Hashing.seeds(numHashes)).as("sig"))
     val buckets = sigs.select(
       col("id"),
       posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
@@ -124,7 +131,7 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .distinct()
-    val sh = sigs.select(col("id"), col("sh"))
+    val sh = base
     cands
       .join(sh.as("s1"), col("id1") === col("s1.id"))
       .join(sh.as("s2"), col("id2") === col("s2.id"))
@@ -190,6 +197,14 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** SimHash signatures per doc — native one-pass expression (one md5
+    * per token, narrow map, no explode/aggregate). Returns (id, sig).
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.ArrayExprs.simhash60(
+        TextAnalysis.tokens(col(textCol))).as("sig"))
+
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, found via
     * the pigeonhole chunk join: split the 60-bit signature into
     * `chunks` equal pieces; any pair within maxDist ≤ chunks−1 shares
@@ -200,10 +215,7 @@ object Dedup {
       chunks: Int, maxDist: Int): DataFrame = {
     require(maxDist < chunks && 60 % chunks == 0)
     val bitsPer = 60 / chunks
-    val sigs = docs
-      .select(col(idCol).as("id"),
-        transform(TextAnalysis.tokens(col(textCol)), w => hash60(w)).as("hs"))
-      .select(col("id"), simhash(col("hs")).as("sig"))
+    val sigs = simhashSignatures(docs, idCol, textCol)
     val buckets = sigs.select(
       col("id"), col("sig"),
       posexplode(array((0 until chunks).map { c =>
@@ -235,32 +247,48 @@ object Dedup {
        |WHERE bit_count(xor(l.sig, r.sig)) <= $maxDist""".stripMargin
   }
 
-  // ------------------------------------------- n-gram Jaccard (blocked)
+  // ---------------------------------- n-gram Jaccard (posting-list join)
 
-  /** Exact n-gram-Jaccard near-dup within blocks: pairwise only inside
-    * a coarse blocking key (e.g. `source`), keeping each block's
-    * quadratic bounded. The exact-verify baseline for the LSH path.
+  /** EXACT global n-gram-Jaccard near-dup via an inverted index: post
+    * (shingle → id) lists, self-join on the shingle, count common
+    * shingles per pair, jaccard = common / (n1 + n2 − common).
+    *
+    * This is the scalable exact algorithm: no O(n²) block cross — cost
+    * is Σ df(s)² over shingles, i.e. proportional to actually-shared
+    * content. A pair below threshold that shares no shingle is never
+    * materialized (jaccard 0 — correctly absent). The count groupBy
+    * partial-aggregates map-side; hot shingles are the skew source and
+    * AQE's skew-join split handles them (at 100 TB one adds the
+    * prefix-filter refinement: only post each doc's rarest shingles).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, k: Int, threshold: Double): DataFrame = {
+      k: Int, threshold: Double): DataFrame = {
     val base = docs.select(
-      col(idCol).as("id"), col(blockCol).as("blk"),
+      col(idCol).as("id"),
       shingles(TextAnalysis.tokens(col(textCol)), k).as("sh"))
-    base.as("l")
-      .join(base.as("r"), col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        jaccardMicros(col("l.sh"), col("r.sh")).as("jacc_micros"))
+    val posts = base.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val common = posts.as("l")
+      .join(posts.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.n").as("n1"), col("r.n").as("n2"))
+      .agg(count(lit(1)).cast("double").as("common"))
+    common
+      .select(col("id1"), col("id2"),
+        round(col("common") /
+          (col("n1").cast("double") + col("n2").cast("double") - col("common")) * 1e6)
+          .cast("long").as("jacc_micros"))
       .filter(col("jacc_micros") >= (threshold * 1e6).toLong)
   }
 
-  def ngramJaccardPairsSql(id: String, text: String, block: String,
-      table: String, k: Int, threshold: Double): String = {
+  def ngramJaccardPairsSql(id: String, text: String, table: String,
+      k: Int, threshold: Double): String = {
     val words = TextAnalysis.tokensSql(text)
     s"""WITH base AS (
-       |  SELECT $id AS id, $block AS blk, ${shinglesSql(words, k)} AS sh FROM $table)
+       |  SELECT $id AS id, ${shinglesSql(words, k)} AS sh FROM $table)
        |SELECT l.id AS id1, r.id AS id2,
        |  ${jaccardMicrosSql("l.sh", "r.sh")} AS jacc_micros
-       |FROM base l JOIN base r ON l.blk = r.blk AND l.id < r.id
+       |FROM base l JOIN base r ON l.id < r.id
        |WHERE ${jaccardMicrosSql("l.sh", "r.sh")} >= ${(threshold * 1e6).toLong}""".stripMargin
   }
 
@@ -272,13 +300,17 @@ object Dedup {
     */
   def cosinePairs(embs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
+    // norms once per row (identical fold order as inline cosine, so
+    // values — and the oracle — are unchanged), not once per pair
     val base = embs.select(
       col(idCol).as("id"), col(blockCol).as("blk"),
       Vectors.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
     base.as("l")
       .join(base.as("r"), col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        Vectors.cosineMicros(col("l.v"), col("r.v")).as("cos_micros"))
+        round(Vectors.dot(col("l.v"), col("r.v")) /
+          (col("l.nrm") * col("r.nrm")) * 1e6).cast("long").as("cos_micros"))
       .filter(col("cos_micros") >= (threshold * 1e6).toLong)
   }
 

@@ -38,12 +38,15 @@ object Similarity {
     */
   def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int): DataFrame = {
+    // norms once per row, not once per (query, row) pair — identical
+    // fold order, so cosine values (and the oracle) are unchanged
     val base = embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
     val queries = base.filter(queryPred)
-      .select(col("id").as("qid"), col("v").as("qv"))
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = base.join(broadcast(queries), col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("neighbor_id"),
-        Vectors.cosine(col("qv"), col("v")).as("cos"))
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -95,7 +98,9 @@ object Similarity {
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, queryPred: Column, k: Int, nprobe: Int): DataFrame = {
     val base = embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
     val cents = centroids(embs, clusterCol, vecCol)
+      .withColumn("cnrm", Vectors.norm(col("cent")))
 
     // corpus → nearest centroid. Broadcast join (the big side never
     // shuffles for the join) + argmax via max_by, which partial-
@@ -103,21 +108,22 @@ object Similarity {
     // row per vector BEFORE the exchange — unlike a row_number window,
     // which would shuffle the whole fan-out.
     val assigned = base.join(broadcast(cents))
-      .select(col("id"), col("cl"), Vectors.cosine(col("v"), col("cent")).as("ccos"))
+      .select(col("id"), col("cl"),
+        (Vectors.dot(col("v"), col("cent")) / (col("nrm") * col("cnrm"))).as("ccos"))
       .groupBy(col("id"))
       .agg(max_by(col("cl"), struct(col("ccos"), -col("cl"))).as("cl"))
 
     // queries → nprobe nearest centroids
     val queries = base.filter(queryPred)
-      .select(col("id").as("qid"), col("v").as("qv"))
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("pcos").desc, col("cl").asc)
     val probes = queries.join(broadcast(cents))
-      .select(col("qid"), col("qv"), col("cl"),
-        Vectors.cosine(col("qv"), col("cent")).as("pcos"))
+      .select(col("qid"), col("qv"), col("qnrm"), col("cl"),
+        (Vectors.dot(col("qv"), col("cent")) / (col("qnrm") * col("cnrm"))).as("pcos"))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cl"))
+      .select(col("qid"), col("qv"), col("qnrm"), col("cl"))
 
     // rank within probed lists only
     val candidates = probes
@@ -125,7 +131,7 @@ object Similarity {
       .join(base, "id")
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("neighbor_id"),
-        Vectors.cosine(col("qv"), col("v")).as("cos"))
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     candidates.withColumn("rank", row_number().over(wTop).cast("long"))

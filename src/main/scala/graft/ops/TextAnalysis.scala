@@ -115,10 +115,7 @@ object TextAnalysis {
   val RollB = 1000003L
 
   def rollingFingerprint(text: Column): Column =
-    aggregate(
-      tokens(text),
-      lit(0L),
-      (acc, w) => (acc * RollB + Hashing.hash60(w) % Hashing.P) % Hashing.P)
+    graft.functions.ArrayExprs.rollingHash(tokens(text), RollB, Hashing.P)
 
   def rollingFingerprintSql(e: String): String =
     s"list_reduce(list_prepend(0::BIGINT, [${Hashing.hash60Sql("w")} % ${Hashing.P} " +

@@ -23,11 +23,16 @@ object Vectors {
   def seqSumSql(v: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, $v), (acc, x) -> acc + x)"
 
-  def dot(a: Column, b: Column): Column = seqSum(zip_with(a, b, (x, y) => x * y))
+  /** Native codegen'd expression — the `zip_with`+`aggregate` HOF
+    * form evaluates interpreted per element; same left-to-right
+    * association, so oracle values are unchanged.
+    */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.ArrayExprs.dotProduct(a, b)
   def dotSql(a: String, b: String): String =
     seqSumSql(s"[$a[i] * $b[i] for i in range(1, len($a) + 1)]")
 
-  def norm(a: Column): Column = sqrt(seqSum(transform(a, x => x * x)))
+  def norm(a: Column): Column = sqrt(dot(a, a))
   def normSql(a: String): String = s"sqrt(${seqSumSql(s"[x * x for x in $a]")})"
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

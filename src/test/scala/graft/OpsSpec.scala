@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops._
+import graft.functions.ArrayExprs
 
 /** Unit coverage for the LLM-pipeline operators on hand-built corpora
   * (the driver's oracle covers them end-to-end on testdata; these pin
@@ -48,11 +49,13 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => (p._1 == 3L || p._2 == 3L) && p._3 <= 5))
   }
 
-  test("blocked ngram jaccard only pairs within a block") {
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+  test("posting-list ngram jaccard finds exact and near pairs globally") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         k = 3, threshold = 0.2)
-      .select("id1", "id2").as[(Long, Long)].collect().toSet
-    assert(pairs == Set((0L, 1L))) // 0-2 are cross-block; 3 unrelated
+      .select("id1", "id2", "jacc_micros").as[(Long, Long, Long)].collect()
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(out.find(p => p._1 == 0L && p._2 == 2L).get._3 == 1000000L)
   }
 
   test("cosine: orthogonal 0, identical 1e6 micros, known angle") {
@@ -101,6 +104,51 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(0)._1 != fps(1)._1)
     assert(fps(0)._2 == fps(2)._2)
     assert(fps(0)._2 != fps(1)._2)
+  }
+
+  test("native expressions match their HOF/built-in formulations") {
+    // This pins the cross-engine contract: the fast native exprs must
+    // produce bit-identical values to the declarative forms the DuckDB
+    // oracle mirrors.
+    val t = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+
+    // hash60: JVM md5 == conv(substring(md5,1,15),16,10)
+    val h = t.select(explode(col("w")).as("s"))
+      .select(Hashing.hash60(col("s")).as("builtin"), col("s")).distinct()
+      .collect()
+    h.foreach { r =>
+      assert(r.getLong(0) == ArrayExprs.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1))))
+    }
+
+    // shingles: native == array_distinct(transform(sequence...))
+    val k = 3
+    val hofShingles = array_distinct(transform(
+      sequence(lit(1), greatest(size(col("w")) - (k - 1), lit(1))),
+      i => concat_ws(" ", (0 until k).map(o => element_at(col("w"), i + o)): _*)))
+    assert(t.filter(ArrayExprs.wordShingles(col("w"), k) =!= hofShingles).count() == 0)
+
+    // minhash signature: native == per-permutation array_min(transform)
+    val hm = transform(ArrayExprs.wordShingles(col("w"), k),
+      s => Hashing.hash60(s) % Hashing.P)
+    assert(t.filter(ArrayExprs.minhashSig(ArrayExprs.wordShingles(col("w"), k),
+      Hashing.seeds(8)) =!= Dedup.minhashSignature(hm, 8)).count() == 0)
+
+    // simhash: native == 60-fold HOF aggregate
+    val hs = transform(col("w"), w => Hashing.hash60(w))
+    assert(t.filter(ArrayExprs.simhash60(col("w")) =!= Dedup.simhash(hs)).count() == 0)
+
+    // rolling hash: native == sequential aggregate fold
+    val hofRoll = aggregate(col("w"), lit(0L),
+      (acc, w) => (acc * TextAnalysis.RollB + Hashing.hash60(w) % Hashing.P) % Hashing.P)
+    assert(t.filter(ArrayExprs.rollingHash(col("w"), TextAnalysis.RollB,
+      Hashing.P) =!= hofRoll).count() == 0)
+
+    // dot product: native == zip_with + sequential aggregate
+    val vecs = Seq((Seq(1.5, -2.25, 3.0), Seq(0.5, 4.0, -1.25))).toDF("a", "b")
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    assert(vecs.filter(ArrayExprs.dotProduct(col("a"), col("b")) =!= hofDot).count() == 0)
   }
 
   test("langId picks the dominant stopword profile, und on none") {
