@@ -1,0 +1,255 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.JavaConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A DataSource V2 change-log source — the Spark-native shape of the
+  * reference's MySQL binlog reader (SURVEY §2.1 S1-S4;
+  * reference/src/main.rs:202-303).
+  *
+  * The log is a directory of immutable, lexicographically-ordered
+  * JSON-lines files of change envelopes. The streaming offset is
+  * `(file index, rows consumed in that file)` — exactly the binlog's
+  * `(filename, pos)` pair (reference/src/main.rs:137-141): advancing
+  * to the next file is the RotateEvent (S2, main.rs:233-237), and
+  * Structured Streaming's checkpoint persists the offset with the same
+  * at-least-once contract as the reference's SQLite upsert-per-
+  * table-map (S3, main.rs:238-255) — no bespoke state store needed.
+  *
+  * Admission control: `maxRowsPerTrigger` bounds each micro-batch the
+  * way `--backfill-batch-size` bounds the reference's pages.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft.sources.ChangeLogSource")
+  *     .option("path", dir).option("maxRowsPerTrigger", "1000").load()
+  * }}}
+  *
+  * Scale notes: one replication stream is inherently serial (the
+  * reference runs one process per source DB — flake.nix:125-152), so
+  * each micro-batch plans one partition per file slice; horizontal
+  * scale comes from many sources feeding one unioned stream, and from
+  * everything downstream being ordinary distributed DataFrames.
+  */
+class ChangeLogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeLog.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new ChangeLogTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object ChangeLog {
+  /** Envelope schema: the reference's `Change` (main.rs:55-63) plus
+    * `seq`, the per-log monotonic sequence (binlog pos analog).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("op", StringType, nullable = false),
+    StructField("db", StringType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("before", StringType, nullable = true),
+    StructField("after", StringType, nullable = true),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("pkey", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false)))
+
+  def listLogFiles(dir: String): Seq[java.io.File] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".jsonl"))
+      .sortBy(_.getName).toSeq
+  }
+
+  /** One JSON line → InternalRow. Field absence/null → SQL null for
+    * before/after; ts is epoch seconds in the log (u32 in the
+    * reference, main.rs:285).
+    */
+  def parseLine(mapper: ObjectMapper, line: String, seq: Long): InternalRow = {
+    val node = mapper.readTree(line)
+    def str(f: String): UTF8String =
+      if (node.hasNonNull(f)) {
+        val v = node.get(f)
+        // row images are nested JSON objects — keep them as JSON text
+        // (the envelope carries rows as JSON strings, SURVEY §1.4)
+        UTF8String.fromString(if (v.isTextual) v.asText else v.toString)
+      } else null
+    InternalRow(
+      str("op"), str("db"), str("table"), str("before"), str("after"),
+      node.get("ts").asLong * 1000000L, // epoch sec → micros
+      if (node.hasNonNull("pkey")) str("pkey") else UTF8String.EMPTY_UTF8,
+      seq)
+  }
+}
+
+/** Offset = (index of current file, rows already consumed in it) —
+  * the (filename, pos) pair, totally ordered.
+  */
+case class ChangeLogOffset(fileIdx: Int, row: Long) extends Offset {
+  override def json(): String = s"""{"fileIdx":$fileIdx,"row":$row}"""
+}
+
+object ChangeLogOffset {
+  def fromJson(s: String): ChangeLogOffset = {
+    val n = new ObjectMapper().readTree(s)
+    ChangeLogOffset(n.get("fileIdx").asInt, n.get("row").asLong)
+  }
+}
+
+class ChangeLogTable(path: String) extends Table with SupportsRead {
+  require(path != null, "path option is required")
+  override def name(): String = s"changelog(`$path`)"
+  override def schema(): StructType = ChangeLog.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ChangeLogScan(path,
+        Option(options.get("maxRowsPerTrigger")).map(_.toLong))
+    }
+}
+
+class ChangeLogScan(path: String, maxRowsPerTrigger: Option[Long]) extends Scan {
+  override def readSchema(): StructType = ChangeLog.schema
+  override def description(): String = s"ChangeLogScan($path)"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      ChangeLog.listLogFiles(path).map(f =>
+        ChangeLogPartition(f.getAbsolutePath, 0L, Long.MaxValue, 0L)
+          .asInstanceOf[InputPartition]).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new ChangeLogReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChangeLogMicroBatchStream(path, maxRowsPerTrigger)
+}
+
+class ChangeLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+
+  // driver-side listing; files are immutable once written (log segments)
+  private def files = ChangeLog.listLogFiles(path)
+  private def countRows(f: java.io.File): Long = {
+    val src = scala.io.Source.fromFile(f)
+    try src.getLines().count(_.nonEmpty) finally src.close()
+  }
+
+  /** End-of-log snapshot taken when Trigger.AvailableNow starts: the
+    * query drains up to here (possibly over several admission-limited
+    * micro-batches), then stops — the snapshot-then-stop half of the
+    * reference's snapshot-then-stream flow.
+    */
+  private var availableNowEnd: Option[ChangeLogOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(trueEnd())
+
+  private def trueEnd(): ChangeLogOffset = {
+    val fs = files
+    if (fs.isEmpty) ChangeLogOffset(0, 0L)
+    else ChangeLogOffset(fs.size - 1, countRows(fs.last))
+  }
+
+  override def initialOffset(): Offset = ChangeLogOffset(0, 0L)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  /** Admission-controlled end offset: advance from `start` by at most
+    * the row limit — the reference's page-size bound
+    * (--backfill-batch-size, main.rs:42-43) applied to the log.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ChangeLogOffset]
+    val fs = files
+    if (fs.isEmpty) return s
+    val budget: Long = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => Long.MaxValue
+    }
+    val cap = availableNowEnd.getOrElse(ChangeLogOffset(Int.MaxValue, Long.MaxValue))
+    var idx = math.min(s.fileIdx, fs.size - 1)
+    var row = if (idx == s.fileIdx) s.row else 0L
+    var left = budget
+    var done = false
+    while (!done) {
+      val fileCap = if (idx == cap.fileIdx) cap.row
+        else if (idx > cap.fileIdx) 0L else Long.MaxValue
+      val n = math.min(countRows(fs(idx)), fileCap)
+      val take = math.max(math.min(n - row, left), 0L)
+      row += take
+      left -= take
+      if (left <= 0 || idx >= fs.size - 1 || idx >= cap.fileIdx) done = true
+      else if (row >= n) { idx += 1; row = 0L }
+    }
+    ChangeLogOffset(idx, row)
+  }
+
+  override def reportLatestOffset(): Offset = trueEnd()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ChangeLogOffset]
+    val e = end.asInstanceOf[ChangeLogOffset]
+    val fs = files
+    (s.fileIdx to math.min(e.fileIdx, fs.size - 1)).flatMap { i =>
+      val from = if (i == s.fileIdx) s.row else 0L
+      val until = if (i == e.fileIdx) e.row else Long.MaxValue
+      // seq base: file index in the high bits — a monotone log position
+      if (until > from)
+        Some(ChangeLogPartition(fs(i).getAbsolutePath, from, until,
+          i.toLong << 40).asInstanceOf[InputPartition])
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangeLogReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def deserializeOffset(json: String): Offset =
+    ChangeLogOffset.fromJson(json)
+}
+
+case class ChangeLogPartition(file: String, from: Long, until: Long,
+    seqBase: Long) extends InputPartition
+
+class ChangeLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ChangeLogPartition]
+    new PartitionReader[InternalRow] {
+      private val mapper = new ObjectMapper()
+      private val src = scala.io.Source.fromFile(p.file)
+      private val it = src.getLines().filter(_.nonEmpty).zipWithIndex
+        .filter { case (_, i) => i >= p.from && i < p.until }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val (line, i) = it.next()
+          current = ChangeLog.parseLine(mapper, line, p.seqBase + i)
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = src.close()
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 change-log source (SURVEY §2.1 S1-S3): (file,row) offsets ≙
+  * binlog (filename,pos); rotation ≙ next file; checkpoint resume ≙
+  * the SQLite log_pos upsert; maxRowsPerTrigger ≙ page-size bound.
+  */
+class ChangeLogSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.ChangeLogSource"
+
+  private def writeLog(dir: String, name: String, from: Int, until: Int): Unit = {
+    val lines = (from until until).map { i =>
+      val op = Seq("Insert", "Update", "Delete")(i % 3)
+      val before = if (op == "Insert") "null" else s"""{"id":"$i","v":"old$i"}"""
+      val after = if (op == "Delete") "null" else s"""{"id":"$i","v":"new$i"}"""
+      s"""{"op":"$op","db":"db${i % 2}","table":"users","before":$before,"after":$after,"ts":${1700000000 + i},"pkey":"id"}"""
+    }
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes)
+  }
+
+  test("batch read: whole log, schema + null/ts semantics") {
+    val dir = Files.createTempDirectory("cl_batch").toString
+    writeLog(dir, "log.000001.jsonl", 0, 6)
+    val df = spark.read.format(Fmt).option("path", dir).load()
+    assert(df.count() == 6)
+    val r = df.filter(col("seq") === 0).head()
+    assert(r.getAs[String]("op") == "Insert")
+    assert(r.getAs[String]("before") == null)
+    assert(r.getAs[String]("after").contains(""""v":"new0""""))
+    assert(r.getAs[java.sql.Timestamp]("ts").getTime == 1700000000000L)
+    // Delete rows carry only the before image
+    assert(df.filter(col("op") === "Delete" && col("after").isNotNull).count() == 0)
+  }
+
+  test("micro-batch: offsets resume across file rotation, no reprocessing") {
+    val dir = Files.createTempDirectory("cl_stream").toString
+    val ckp = Files.createTempDirectory("cl_ckp").toString
+    val out = Files.createTempDirectory("cl_sink").toString + "/out"
+    writeLog(dir, "log.000001.jsonl", 0, 10)
+
+    def drain(): Long = {
+      val q = spark.readStream.format(Fmt).option("path", dir).load()
+        .writeStream
+        .option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }.start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+
+    assert(drain() == 10L)
+    // rotation: a second log file appears
+    writeLog(dir, "log.000002.jsonl", 10, 15)
+    assert(drain() == 15L) // only 5 new rows processed
+    val seqs = spark.read.parquet(out).select("seq").as[Long].collect().toSet
+    assert(seqs.size == 15) // distinct positions: no duplicates
+  }
+
+  test("maxRowsPerTrigger bounds each micro-batch (admission control)") {
+    val dir = Files.createTempDirectory("cl_limit").toString
+    val ckp = Files.createTempDirectory("cl_limit_ckp").toString
+    writeLog(dir, "log.000001.jsonl", 0, 9)
+    var batchSizes = Vector.empty[Long]
+    val q = spark.readStream.format(Fmt).option("path", dir)
+      .option("maxRowsPerTrigger", "4").load()
+      .writeStream
+      .option("checkpointLocation", ckp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes = batchSizes :+ b.count()
+      }.start()
+    q.awaitTermination()
+    assert(batchSizes.sum == 9L)
+    assert(batchSizes.forall(_ <= 4L))
+    assert(batchSizes.size >= 3)
+  }
+}
