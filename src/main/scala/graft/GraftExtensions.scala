@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so the whole operator surface is
+  * reachable from plain `spark.sql(...)` too:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  *   SELECT word_shingles(split(text, ' '), 3), simhash60(split(text, ' ')) FROM docs
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "word_shingles", "word_shingles(words, k) - distinct k-word shingles",
+      args => WordShingles(args.head, intArg(args(1), "k")))
+    register(ext, "dot_product", "dot_product(a, b) - sequential dot product of two double arrays",
+      args => DotProduct(args.head, args(1)))
+    register(ext, "simhash60", "simhash60(words) - 60-bit SimHash of a token array",
+      args => SimHash60(args.head))
+    register(ext, "minhash_sig", "minhash_sig(shingles, k) - MinHash signature with k deterministic permutations",
+      args => {
+        val seeds = graft.ops.Hashing.seeds(intArg(args(1), "numHashes"))
+        MinHashSig(args.head, seeds.map(_._1).toArray, seeds.map(_._2).toArray)
+      })
+    register(ext, "rolling_hash", "rolling_hash(words) - Karp-Rabin rolling fingerprint",
+      args => RollingHash(args.head, graft.ops.TextAnalysis.RollB, graft.ops.Hashing.P))
+  }
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private def register(ext: SparkSessionExtensions, name: String, usage: String,
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      (args: Seq[Expression]) => builder(args)))
+}

@@ -2,6 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** MySQL wire-value → string mappings (SURVEY §2.6) — the reference's
   * entire scalar-function library (`row_to_map`,
@@ -51,4 +52,16 @@ object TypeMap {
     * Spark's `hex` is uppercase — an exact match.
     */
   def bytesHex(c: Column): Column = hex(c)
+
+  /** MySQL BIGINT UNSIGNED (u64, reference/src/main.rs:454): no exact
+    * Spark integral type — map to DecimalType(20,0), which holds the
+    * full 0..2^64-1 range (SURVEY §1.4/§2.6). Input is the raw 64-bit
+    * pattern as a signed long; negative longs are re-interpreted as
+    * the high half.
+    */
+  def mysqlUnsignedBigInt(raw: Column): Column = {
+    val dec = raw.cast(DecimalType(20, 0))
+    when(raw < 0, dec + lit(BigDecimal(2).pow(64).bigDecimal).cast(DecimalType(21, 0)))
+      .otherwise(dec).cast(DecimalType(20, 0))
+  }
 }

@@ -42,7 +42,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * scale comes from many sources feeding one unioned stream, and from
   * everything downstream being ordinary distributed DataFrames.
   */
-class ChangeLogSource extends TableProvider {
+class ChangeLogSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-changelog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ChangeLog.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],

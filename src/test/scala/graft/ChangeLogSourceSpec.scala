@@ -29,7 +29,8 @@ class ChangeLogSourceSpec extends AnyFunSuite {
   test("batch read: whole log, schema + null/ts semantics") {
     val dir = Files.createTempDirectory("cl_batch").toString
     writeLog(dir, "log.000001.jsonl", 0, 6)
-    val df = spark.read.format(Fmt).option("path", dir).load()
+    // short name resolves via DataSourceRegister
+    val df = spark.read.format("graft-changelog").option("path", dir).load()
     assert(df.count() == 6)
     val r = df.filter(col("seq") === 0).head()
     assert(r.getAs[String]("op") == "Insert")

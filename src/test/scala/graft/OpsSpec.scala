@@ -151,6 +151,25 @@ class OpsSpec extends AnyFunSuite {
     assert(vecs.filter(ArrayExprs.dotProduct(col("a"), col("b")) =!= hofDot).count() == 0)
   }
 
+  test("GraftExtensions: native functions callable from plain SQL") {
+    docs.createOrReplaceTempView("ext_docs")
+    val row = spark.sql(
+      """SELECT simhash60(split(text, ' ')) AS sh,
+        |  size(word_shingles(split(text, ' '), 3)) AS n,
+        |  rolling_hash(split(text, ' ')) AS rh,
+        |  minhash_sig(word_shingles(split(text, ' '), 3), 8)[0] AS m0,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        |FROM ext_docs WHERE doc_id = 0""".stripMargin).head()
+    val expected = docs.filter(col("doc_id") === 0).select(
+      ArrayExprs.simhash60(TextAnalysis.tokens(col("text"))),
+      size(Dedup.shingles(TextAnalysis.tokens(col("text")), 3)),
+      TextAnalysis.rollingFingerprint(col("text"))).head()
+    assert(row.getLong(0) == expected.getLong(0))
+    assert(row.getInt(1) == expected.getInt(1))
+    assert(row.getLong(2) == expected.getLong(2))
+    assert(row.getDouble(4) == 11.0)
+  }
+
   test("langId picks the dominant stopword profile, und on none") {
     val out = Seq(
       "the cat sat on the mat and the dog",

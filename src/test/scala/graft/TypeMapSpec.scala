@@ -39,4 +39,12 @@ class TypeMapSpec extends AnyFunSuite {
     assert(one(TypeMap.bytesHex(lit("AB".getBytes))) == "4142")
     assert(one(TypeMap.bytesHex(lit(Array[Byte](0, 127, -1)))) == "007FFF")
   }
+
+  test("u64 → DecimalType(20,0), full unsigned range (main.rs:454)") {
+    assert(one(TypeMap.mysqlUnsignedBigInt(lit(42L))) == "42")
+    assert(one(TypeMap.mysqlUnsignedBigInt(lit(Long.MaxValue))) == "9223372036854775807")
+    // -1 as a raw bit pattern is 2^64-1
+    assert(one(TypeMap.mysqlUnsignedBigInt(lit(-1L))) == "18446744073709551615")
+    assert(one(TypeMap.mysqlUnsignedBigInt(lit(Long.MinValue))) == "9223372036854775808")
+  }
 }
