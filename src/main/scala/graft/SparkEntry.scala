@@ -171,6 +171,19 @@ object SparkEntry {
         .orderBy("db", "relation")
     }),
 
+    // Event-time tumbling-window change rates — the batch twin of
+    // streaming.Pipeline.windowedCounts (same groupBy(window(...))
+    // plan; streaming adds only the watermark).
+    "q_cdc_windowed" -> ((s, dir) => {
+      ChangeSource.fromEvents(T(s, dir, "events"))
+        .groupBy(window(col("ts"), "1 hour"), col("db"), col("table"))
+        .agg(count(lit(1)).cast("long").as("n_changes"))
+        .select(
+          unix_timestamp(col("window.start")).as("win_start"),
+          col("db"), col("table"), col("n_changes"))
+        .orderBy("win_start", "db", "table")
+    }),
+
     // ---- LLM-data-pipeline extensions (builder brief; SURVEY §7.4) ----
 
     // Text analysis: token/piece counts, language ID, quality score,
@@ -212,6 +225,14 @@ object SparkEntry {
         k = 3, threshold = 0.2)
         .orderBy("id1", "id2")),
 
+    // Prefix-filtered exact Jaccard (All-Pairs): provably identical
+    // output to full pairwise at the threshold, posting only each
+    // doc's rare-first prefix — the 100 TB refinement.
+    "q_dedup_ngram_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsPrefix(T(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.8)
+        .orderBy("id1", "id2")),
+
     // Embedding-cosine near-dup, IVF-style blocked by cluster label.
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
@@ -223,6 +244,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(T(s, dir, "embeddings"), "vec_id",
         "embedding", col("vec_id") < 8, k = 5)
         .orderBy("qid", "rank")),
+
+    // Random-hyperplane LSH near-neighbor pairs: 4 tables × 4 sign
+    // bits, candidates verified at cosine ≥ 0.4.
+    "q_sim_rplsh" -> ((s, dir) =>
+      Similarity.rpLshPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
+        tables = 4, bits = 4, dim = 64, threshold = 0.4)
+        .orderBy("id1", "id2")),
 
     // IVF top-5: label-seeded centroids, corpus broadcast-assigned,
     // queries probe the 2 nearest lists.
@@ -341,6 +369,11 @@ object SparkEntry {
          |  'done' AS status
          |FROM events GROUP BY 1, 2 ORDER BY db, relation""".stripMargin,
 
+    "q_cdc_windowed" ->
+      s"""SELECT epoch(date_trunc('hour', ts))::BIGINT AS win_start,
+         |  $dbSql AS db, $tableSql AS "table", count(*)::BIGINT AS n_changes
+         |FROM events GROUP BY 1, 2, 3 ORDER BY win_start, db, "table"""".stripMargin,
+
     // ---- LLM-data-pipeline extensions: oracles generated from the
     // same Scala constants as the Spark pipelines ----
 
@@ -372,9 +405,19 @@ object SparkEntry {
       (Dedup.ngramJaccardPairsSql("doc_id", "text", "documents",
         k = 3, threshold = 0.2) + " ORDER BY id1, id2"),
 
+    // oracle: plain full-pairwise threshold — the prefix filter is
+    // provably exact, so the outputs must be identical
+    "q_dedup_ngram_prefix" ->
+      (Dedup.ngramJaccardPairsSql("doc_id", "text", "documents",
+        k = 3, threshold = 0.8) + " ORDER BY id1, id2"),
+
     "q_dedup_embed" ->
       (Dedup.cosinePairsSql("vec_id", "embedding", "label", "embeddings",
         threshold = 0.35) + " ORDER BY id1, id2"),
+
+    "q_sim_rplsh" ->
+      (Similarity.rpLshPairsSql("vec_id", "embedding", "embeddings",
+        tables = 4, bits = 4, dim = 64, threshold = 0.4) + " ORDER BY id1, id2"),
 
     "q_sim_topk" ->
       (Similarity.bruteForceTopKSql("vec_id", "embedding", "embeddings",

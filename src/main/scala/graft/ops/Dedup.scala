@@ -292,6 +292,44 @@ object Dedup {
        |WHERE ${jaccardMicrosSql("l.sh", "r.sh")} >= ${(threshold * 1e6).toLong}""".stripMargin
   }
 
+  /** Prefix-filtered exact Jaccard (All-Pairs style) — the 100 TB
+    * refinement of [[ngramJaccardPairs]]: under a global canonical
+    * shingle order (ascending document frequency, then shingle — rare
+    * first), any pair with Jaccard ≥ t must share a shingle within
+    * each doc's first `|d| − ⌈t·|d|⌉ + 1` shingles, so only that
+    * prefix is posted to the join. EXACT: J ≥ t ⟹ the pair overlap
+    * is ≥ ⌈t·|x|⌉ for both docs (a partner smaller than t·|x| can't
+    * reach t), and the pigeonhole on the canonical order guarantees a
+    * shared prefix element — the verify step then applies the exact
+    * threshold. At t=0.8 the posted volume drops ~5×, and the rare-
+    * first order makes bucket sizes tiny.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("id"),
+      shingles(TextAnalysis.tokens(col(textCol)), k).as("sh"))
+    val posts = base.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val dfreq = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+    val prefix = posts.join(dfreq, "s")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("s"))
+    val cands = prefix.as("l")
+      .join(prefix.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+    cands
+      .join(base.as("b1"), col("id1") === col("b1.id"))
+      .join(base.as("b2"), col("id2") === col("b2.id"))
+      .select(col("id1"), col("id2"),
+        jaccardMicros(col("b1.sh"), col("b2.sh")).as("jacc_micros"))
+      .filter(col("jacc_micros") >= (threshold * 1e6).toLong)
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, blocked by a

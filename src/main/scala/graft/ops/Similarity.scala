@@ -140,6 +140,78 @@ object Similarity {
         round(col("cos") * 1e6).cast("long").as("cos_micros"))
   }
 
+  /** Deterministic random hyperplanes for the RP-LSH path: component
+    * d of plane (table, bit) = hash60("rp_{table}_{bit}_{d}") mod P,
+    * centered to (h/P − 0.5). Generated JVM-side with the SAME hash
+    * as the engines use, and inlined as integer literals into both
+    * the Spark plan and the oracle SQL — so bucket keys match exactly.
+    */
+  def hyperplanes(tables: Int, bits: Int, dim: Int): Seq[Seq[Seq[Long]]] =
+    (0 until tables).map(t => (0 until bits).map(b => (0 until dim).map(d =>
+      graft.functions.ArrayExprs.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"rp_${t}_${b}_$d"))
+        % graft.ops.Hashing.P)))
+
+  private def planeVec(ws: Seq[Long]): Column =
+    typedLit(ws.map(h => h.toDouble / graft.ops.Hashing.P - 0.5))
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH near-neighbor pairs:
+    * `tables` independent hash tables of `bits` sign-bits each;
+    * vectors sharing a bucket in ANY table are candidates, verified
+    * at cosine ≥ threshold. Probabilistic recall (tune tables × bits
+    * to the target cosine); candidates ~linear, never O(n²). The
+    * bucket keys are deterministic, so the oracle reproduces the
+    * candidate set bit-for-bit.
+    */
+  def rpLshPairs(embs: DataFrame, idCol: String, vecCol: String,
+      tables: Int, bits: Int, dim: Int, threshold: Double): DataFrame = {
+    val planes = hyperplanes(tables, bits, dim)
+    val base = embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val keys = array(planes.map { tablePlanes =>
+      tablePlanes.zipWithIndex.map { case (ws, b) =>
+        when(Vectors.dot(col("v"), planeVec(ws)) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val buckets = base.select(col("id"), col("v"), col("nrm"),
+      posexplode(keys).as(Seq("tbl", "key")))
+    buckets.as("l")
+      .join(buckets.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        round(Vectors.dot(col("l.v"), col("r.v")) /
+          (col("l.nrm") * col("r.nrm")) * 1e6).cast("long").as("cos_micros"))
+      .distinct()
+      .filter(col("cos_micros") >= (threshold * 1e6).toLong)
+  }
+
+  def rpLshPairsSql(id: String, vec: String, table: String,
+      tables: Int, bits: Int, dim: Int, threshold: Double): String = {
+    val planes = hyperplanes(tables, bits, dim)
+    val P = graft.ops.Hashing.P
+    val keyExprs = planes.zipWithIndex.map { case (tablePlanes, t) =>
+      val bitSum = tablePlanes.zipWithIndex.map { case (ws, b) =>
+        val lits = ws.mkString("[", ", ", "]")
+        val wvec = s"[x::DOUBLE / $P - 0.5 for x in $lits]"
+        s"CASE WHEN ${Vectors.dotSql("v", wvec)} > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT id, v, nrm, $t AS tbl, ($bitSum)::BIGINT AS key FROM base"
+    }.mkString(" UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT $id AS id, ${Vectors.toDoubleSql(vec)} AS v,
+       |    ${Vectors.normSql(Vectors.toDoubleSql(vec))} AS nrm
+       |  FROM $table),
+       |buckets AS ($keyExprs),
+       |pairs AS (
+       |  SELECT DISTINCT l.id AS id1, r.id AS id2,
+       |    round(${Vectors.dotSql("l.v", "r.v")} / (l.nrm * r.nrm) * 1e6)::BIGINT AS cos_micros
+       |  FROM buckets l JOIN buckets r
+       |    ON l.tbl = r.tbl AND l.key = r.key AND l.id < r.id)
+       |SELECT id1, id2, cos_micros FROM pairs
+       |WHERE cos_micros >= ${(threshold * 1e6).toLong}""".stripMargin
+  }
+
   def ivfTopKSql(id: String, vec: String, cluster: String, table: String,
       queryPredSql: String, k: Int, nprobe: Int): String =
     s"""WITH e AS (SELECT $id AS id, $cluster AS lab, ${Vectors.toDoubleSql(vec)} AS v

@@ -72,6 +72,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed("k2").op == ChangeOp.Delete)
   }
 
+  test("full reference flow on the DSv2 source: snapshot log + live log → LWW state") {
+    // the reference's snapshot-then-stream: log segment 1 is the
+    // backfill (op=Backfill, ts=1 placeholder, main.rs:375), segment 2
+    // the live binlog tail; the merge must let live rows supersede
+    // stale snapshot rows and tombstones delete.
+    val dir = Files.createTempDirectory("cl_e2e").toString
+    def row(id: Int, v: String) = s"""{"id":"$id","v":"$v"}"""
+    def line(op: String, before: String, after: String, ts: Long): String =
+      s"""{"op":"$op","db":"d","table":"t","before":$before,"after":$after,"ts":$ts,"pkey":"id"}"""
+    Files.write(java.nio.file.Paths.get(dir, "log.000001.jsonl"),
+      (1 to 5).map(i => line("Backfill", "null", row(i, s"snap$i"), 1L))
+        .mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "log.000002.jsonl"),
+      Seq(
+        line("Update", row(2, "snap2"), row(2, "live2"), 100L),
+        line("Delete", row(3, "snap3"), "null", 101L),
+        line("Insert", "null", row(9, "new9"), 102L)).mkString("\n").getBytes)
+
+    val changes = spark.readStream.format("graft-changelog").option("path", dir).load()
+    val keyed = changes.select(
+      coalesce(get_json_object(col("after"), "$.id"),
+        get_json_object(col("before"), "$.id")).as("key"),
+      col("op"), unix_timestamp(col("ts")).as("ts_sec"), col("seq"),
+      when(col("op") === ChangeOp.Backfill, 0).otherwise(1).as("precedence"),
+      coalesce(col("after"), lit("")).as("payload")).as[LwwMerge.KeyedChange]
+
+    val q = LwwMerge.merge(keyed)
+      .writeStream.format("memory").queryName("e2e_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val finalState = spark.table("e2e_out").as[KeyedChange].collect()
+      .groupBy(_.key).map { case (k, ws) =>
+        k -> ws.maxBy(w => (w.ts_sec, w.precedence, w.seq))
+      }.collect { case (k, w) if w.op != ChangeOp.Delete => k -> w.payload }
+
+    assert(finalState == Map(
+      "1" -> """{"id":"1","v":"snap1"}""",
+      "2" -> """{"id":"2","v":"live2"}""",
+      "4" -> """{"id":"4","v":"snap4"}""",
+      "5" -> """{"id":"5","v":"snap5"}""",
+      "9" -> """{"id":"9","v":"new9"}"""))
+  }
+
   test("pipeline: file stream → envelope → debezium → topic sink, checkpoint resume") {
     val root = Files.createTempDirectory("graft_stream").toFile
     val src = new java.io.File(root, "src"); src.mkdirs()
