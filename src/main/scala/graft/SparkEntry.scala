@@ -270,7 +270,19 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.mediaFromDocuments(T(s, dir, "documents")),
         stride = 16, maxFrames = 4)
-        .toDF().orderBy("media_id", "frame_idx"))
+        .toDF().orderBy("media_id", "frame_idx")),
+
+    // Multimodal: aspect-preserving resize over the image modality.
+    "q_mm_resize" -> ((s, dir) =>
+      Multimodal.resize(
+        Multimodal.mediaFromDocuments(T(s, dir, "documents")), maxDim = 256)
+        .toDF().orderBy("media_id")),
+
+    // Multimodal: feature extraction, one row per vector component.
+    "q_mm_features" -> ((s, dir) =>
+      Multimodal.features(
+        Multimodal.mediaFromDocuments(T(s, dir, "documents")), dim = 8)
+        .toDF().orderBy("media_id", "feat_idx"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -432,7 +444,14 @@ object SparkEntry {
 
     "q_mm_frames" ->
       (Multimodal.framesSql("documents", stride = 16, maxFrames = 4)
-        + " ORDER BY media_id, frame_idx")
+        + " ORDER BY media_id, frame_idx"),
+
+    "q_mm_resize" ->
+      (Multimodal.resizeSql("documents", maxDim = 256) + " ORDER BY media_id"),
+
+    "q_mm_features" ->
+      (Multimodal.featuresSql("documents", dim = 8)
+        + " ORDER BY media_id, feat_idx")
   )
 
   // --- shared oracle fragments: the events → Change envelope mapping,

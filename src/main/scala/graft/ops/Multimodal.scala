@@ -33,6 +33,16 @@ object Multimodal {
   /** One sampled video frame. */
   case class Frame(media_id: Long, frame_idx: Long, frame_md5: String)
 
+  /** Resize output: original + target dims, resized-content fingerprint. */
+  case class ResizedMedia(media_id: Long, width: Long, height: Long,
+      out_width: Long, out_height: Long, resized_md5: String)
+
+  /** One extracted feature component (exploded layout — join-friendly
+    * and oracle-comparable without array-ordering concerns).
+    */
+  case class MediaFeature(media_id: Long, kind: String, feat_idx: Long,
+      feat_val: Long)
+
   // ------------------------------------------------------------- codec stub
 
   /** THE swap point: a real implementation wraps ImageIO / ffmpeg /
@@ -63,6 +73,31 @@ object Multimodal {
         channels = 1 + hexField(hex, 8, 2) % 4,
         brightness_micros = hexField(hex, 10, 6) % 1000000,
         content_md5 = hex)
+    }
+
+    /** Aspect-preserving resize to `maxDim` on the longest side —
+      * real codec: an actual rescale; stub: integer-math target dims
+      * from the decoded (fake) dims, resized payload fingerprinted as
+      * md5 of the source md5 + target geometry.
+      */
+    def resize(m: MediaRow, maxDim: Int): ResizedMedia = {
+      val d = decode(m)
+      val longest = math.max(d.width, d.height)
+      val ow = math.max(1L, d.width * maxDim / longest)
+      val oh = math.max(1L, d.height * maxDim / longest)
+      ResizedMedia(m.media_id, d.width, d.height, ow, oh,
+        md5Hex(s"${d.content_md5}_${ow}x$oh".getBytes("UTF-8")))
+    }
+
+    /** Feature extraction: a `dim`-component vector — real codec: a
+      * vision/audio embedding model; stub: dim equal hex slices of the
+      * content md5 (dim must divide 32).
+      */
+    def features(m: MediaRow, dim: Int): Iterator[MediaFeature] = {
+      val hex = md5Hex(m.content)
+      val w = 32 / dim
+      (0 until dim).iterator.map(j =>
+        MediaFeature(m.media_id, m.kind, j.toLong, hexField(hex, j * w, w)))
     }
 
     /** Frame sampling: every `stride` bytes, up to `maxFrames` —
@@ -107,6 +142,31 @@ object Multimodal {
     }
   }
 
+  /** Aspect-preserving resize over the image modality only (filter →
+    * partition pruning on a kind-partitioned layout), per-partition
+    * codec lifecycle as [[decode]].
+    */
+  def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image").mapPartitions { it =>
+      val codec = new StubCodec
+      it.map(m => codec.resize(m, maxDim))
+    }
+  }
+
+  /** Feature extraction for every modality, exploded to one row per
+    * vector component.
+    */
+  def features(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val codec = new StubCodec
+      it.flatMap(m => codec.features(m, dim))
+    }
+  }
+
   /** Frame sampling over the video modality only — the filter prunes
     * before any decode work (partition pruning when the table is laid
     * out partitioned by kind).
@@ -136,6 +196,29 @@ object Multimodal {
        |  ${hexFieldSql("md5(text)", 10, 6)} % 1000000 AS brightness_micros,
        |  md5(text) AS content_md5
        |FROM $table""".stripMargin
+
+  def resizeSql(table: String, maxDim: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id,
+       |    1 + ${hexFieldSql("md5(text)", 0, 4)} % 1024 AS width,
+       |    1 + ${hexFieldSql("md5(text)", 4, 4)} % 1024 AS height,
+       |    md5(text) AS content_md5
+       |  FROM $table WHERE $KindSql = 'image'),
+       |r AS (
+       |  SELECT *, greatest(width, height) AS longest,
+       |    greatest(1, width * $maxDim // greatest(width, height)) AS out_width,
+       |    greatest(1, height * $maxDim // greatest(width, height)) AS out_height
+       |  FROM d)
+       |SELECT media_id, width, height, out_width, out_height,
+       |  md5(content_md5 || '_' || out_width || 'x' || out_height) AS resized_md5
+       |FROM r""".stripMargin
+
+  def featuresSql(table: String, dim: Int): String = {
+    val w = 32 / dim
+    s"""SELECT doc_id AS media_id, $KindSql AS kind, j AS feat_idx,
+       |  ('0x' || substring(md5(text), (j * $w + 1)::INT, $w))::BIGINT AS feat_val
+       |FROM $table CROSS JOIN range(0, $dim) t(j)""".stripMargin
+  }
 
   def framesSql(table: String, stride: Int, maxFrames: Int): String =
     s"""SELECT doc_id AS media_id, i AS frame_idx,

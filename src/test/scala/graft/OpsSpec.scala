@@ -196,4 +196,29 @@ class OpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, stride = 16, maxFrames = 4).collect()
     assert(frames.isEmpty) // kind image → no frames
   }
+
+  test("multimodal resize preserves aspect ratio; features slice the md5") {
+    val media = Multimodal.mediaFromDocuments(
+      Seq((0L, "hello world frame data here ok!!", "s0"))
+        .toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text"))))
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world frame data here ok!!".getBytes)
+      .map(b => f"$b%02x").mkString
+    val w = 1 + java.lang.Long.parseLong(hex.substring(0, 4), 16) % 1024
+    val h = 1 + java.lang.Long.parseLong(hex.substring(4, 8), 16) % 1024
+
+    val rz = Multimodal.resize(media, maxDim = 256).collect().head
+    assert(rz.width == w && rz.height == h)
+    val longest = math.max(w, h)
+    assert(rz.out_width == math.max(1L, w * 256 / longest))
+    assert(rz.out_height == math.max(1L, h * 256 / longest))
+    assert(math.max(rz.out_width, rz.out_height) == 256)
+
+    val feats = Multimodal.features(media, dim = 8).collect()
+      .sortBy(_.feat_idx)
+    assert(feats.length == 8)
+    assert(feats.map(_.feat_val).toSeq == (0 until 8).map(j =>
+      java.lang.Long.parseLong(hex.substring(j * 4, j * 4 + 4), 16)))
+  }
 }
