@@ -48,6 +48,28 @@ object ArrayExprs {
   def rollingHash(words: Column, b: Long, p: Long): Column =
     Bridge.column(RollingHash(Bridge.expression(words), b, p))
 
+  /** Per-element hash60 of a string array, de-duplicated — fast path
+    * of `array_distinct(transform(xs, ops.Hashing.hash60))`.
+    */
+  def hash60Array(ss: Column): Column =
+    Bridge.column(Hash60Array(Bridge.expression(ss)))
+
+  /** Exact set-Jaccard (in micros) of two distinct-element long
+    * arrays — fast path of ops.Dedup.jaccardMicros over hashed
+    * shingles (array_intersect is interpreted and gets inlined twice
+    * by CollapseProject; this is one sort-merge pass per row).
+    */
+  def jaccardMicros60(a: Column, b: Column): Column =
+    Bridge.column(JaccardMicros60(Bridge.expression(a), Bridge.expression(b)))
+
+  /** MinHash signature from pre-hashed shingles — same values as
+    * [[minhashSig]] when fed `hash60Array` of the same shingles
+    * (dedup cannot change a min).
+    */
+  def minhashSigFromHashes(hs: Column, seeds: IndexedSeq[(Long, Long)]): Column =
+    Bridge.column(MinHashSigFromHashes(Bridge.expression(hs),
+      seeds.map(_._1).toArray, seeds.map(_._2).toArray))
+
   /** The cross-engine 60-bit md5 hash (ops.Hashing.hash60) computed
     * JVM-side: low 60 bits = first 15 hex chars of the md5 of the
     * UTF-8 bytes — identical to `conv(substring(md5(x),1,15),16,10)`
@@ -107,6 +129,67 @@ case class WordShingles(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
+}
+
+/** `array<string>` → `array<long>`: hash60 of every element,
+  * de-duplicated preserving first-occurrence order. One compiled loop
+  * per row; used to move posting-list join keys from ~30-byte shingle
+  * strings onto 8-byte longs (collisions merge universe elements, so
+  * set-similarity can only grow — safe wherever an exact verify
+  * follows).
+  */
+case class Hash60Array(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash60_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { seen.add(ArrayExprs.hash60(arr.getUTF8String(i))); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Hash60Array =
+    copy(child = newChild)
+}
+
+/** Set-Jaccard in micros of two distinct-element `array<long>`s:
+  * `round(|a∩b| / |a∪b| * 1e6)` with the same double math as the
+  * `size(array_intersect)` formulation and the DuckDB
+  * `list_intersect` oracle. Sort + two-pointer merge per row.
+  */
+case class JaccardMicros60(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "jaccard_micros60"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val ys = b.asInstanceOf[ArrayData].toLongArray()
+    java.util.Arrays.sort(xs)
+    java.util.Arrays.sort(ys)
+    var i = 0; var j = 0; var common = 0
+    while (i < xs.length && j < ys.length) {
+      if (xs(i) == ys(j)) { common += 1; i += 1; j += 1 }
+      else if (xs(i) < ys(j)) i += 1
+      else j += 1
+    }
+    val u = (xs.length + ys.length - common).toDouble
+    Math.round(common.toDouble / u * 1e6)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JaccardMicros60 =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Sequential dot product of two `array<double>` columns: exactly
@@ -180,6 +263,43 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** [[MinHashSig]] taking pre-hashed (hash60) shingles: per
+  * permutation j, min over (a_j·(h mod P) + b_j) mod P. Identical
+  * values to MinHashSig on the original strings — hashing first and
+  * de-duplicating cannot change any min.
+  */
+case class MinHashSigFromHashes(child: Expression, as: Array[Long], bs: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = graft.ops.Hashing.P
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_from_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i) % P
+      var j = 0
+      while (j < k) {
+        val h = (x * as(j) + bs(j)) % P
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigFromHashes =
     copy(child = newChild)
 }
 

@@ -64,6 +64,21 @@ object Dedup {
       s"for i in range(1, greatest(len($words) - ${k - 2}, 2))])"
   }
 
+  /** The hashed shingle universe: distinct hash60 values of the
+    * k-shingles. All set-similarity (ngram/minhash verify) is defined
+    * over THIS universe on both engines — joins, doc frequencies and
+    * intersections run on 8-byte longs instead of ~30-byte strings.
+    * (A 60-bit collision merges two universe elements for every doc
+    * equally; both engines hash identically, so results still match
+    * bit-for-bit.)
+    */
+  def hashedShingles(textCol: Column, k: Int): Column =
+    graft.functions.ArrayExprs.hash60Array(
+      shingles(TextAnalysis.tokens(textCol), k))
+
+  def hashedShinglesSql(text: String, k: Int): String =
+    s"list_distinct([${hash60Sql("s")} for s in ${shinglesSql(TextAnalysis.tokensSql(text), k)}])"
+
   // ------------------------------------------------------- MinHash + LSH
 
   /** MinHash signature from a precomputed `hash60(shingle) mod P`
@@ -115,13 +130,14 @@ object Dedup {
       k: Int, numHashes: Int, bands: Int, rows: Int,
       threshold: Double): DataFrame = {
     require(bands * rows == numHashes)
+    // one md5 per shingle TOTAL: signatures and the exact verify both
+    // derive from the hashed universe — a purely narrow map
     val base = docs.select(
       col(idCol).as("id"),
-      shingles(TextAnalysis.tokens(col(textCol)), k).as("sh"))
-    // native expression: one md5 per shingle for all permutations, no
-    // explode/shuffle — the signature is a purely narrow map
+      hashedShingles(col(textCol), k).as("hs"))
     val sigs = base.select(col("id"),
-      graft.functions.ArrayExprs.minhashSig(col("sh"), Hashing.seeds(numHashes)).as("sig"))
+      graft.functions.ArrayExprs.minhashSigFromHashes(
+        col("hs"), Hashing.seeds(numHashes)).as("sig"))
     val buckets = sigs.select(
       col("id"),
       posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
@@ -131,12 +147,12 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .distinct()
-    val sh = base
     cands
-      .join(sh.as("s1"), col("id1") === col("s1.id"))
-      .join(sh.as("s2"), col("id2") === col("s2.id"))
+      .join(base.as("s1"), col("id1") === col("s1.id"))
+      .join(base.as("s2"), col("id2") === col("s2.id"))
       .select(col("id1"), col("id2"),
-        jaccardMicros(col("s1.sh"), col("s2.sh")).as("jacc_micros"))
+        graft.functions.ArrayExprs.jaccardMicros60(
+          col("s1.hs"), col("s2.hs")).as("jacc_micros"))
       .filter(col("jacc_micros") >= (threshold * 1e6).toLong)
   }
 
@@ -158,25 +174,22 @@ object Dedup {
   def minhashPairsSql(id: String, text: String, table: String,
       k: Int, numHashes: Int, bands: Int, rows: Int,
       threshold: Double): String = {
-    val words = TextAnalysis.tokensSql(text)
-    val sigParts = minhashSignatureSqlParts("hm", numHashes)
+    val sigParts = minhashSignatureSqlParts(s"[h % $P for h in hs]", numHashes)
     val bandRows = (0 until bands).map { b =>
       val vals = (0 until rows).map(r => s"sig[${b * rows + r + 1}]")
       s"SELECT id, $b AS band, concat_ws('_', ${vals.mkString(", ")}) AS key FROM sigs"
     }.mkString(" UNION ALL ")
     s"""WITH base AS (
-       |  SELECT $id AS id, ${shinglesSql(words, k)} AS sh FROM $table),
-       |hashed AS (
-       |  SELECT id, sh, [${hash60Sql("s")} % $P for s in sh] AS hm FROM base),
+       |  SELECT $id AS id, ${hashedShinglesSql(text, k)} AS hs FROM $table),
        |sigs AS (
-       |  SELECT id, sh, [${sigParts.mkString(", ")}] AS sig FROM hashed),
+       |  SELECT id, hs, [${sigParts.mkString(", ")}] AS sig FROM base),
        |buckets AS ($bandRows),
        |cands AS (
        |  SELECT DISTINCT l.id AS id1, r.id AS id2
        |  FROM buckets l JOIN buckets r
        |    ON l.band = r.band AND l.key = r.key AND l.id < r.id),
        |pairs AS (
-       |  SELECT id1, id2, ${jaccardMicrosSql("s1.sh", "s2.sh")} AS jacc_micros
+       |  SELECT id1, id2, ${jaccardMicrosSql("s1.hs", "s2.hs")} AS jacc_micros
        |  FROM cands JOIN sigs s1 ON id1 = s1.id JOIN sigs s2 ON id2 = s2.id)
        |SELECT id1, id2, jacc_micros FROM pairs
        |WHERE jacc_micros >= ${(threshold * 1e6).toLong}""".stripMargin
@@ -265,11 +278,11 @@ object Dedup {
       k: Int, threshold: Double): DataFrame = {
     val base = docs.select(
       col(idCol).as("id"),
-      shingles(TextAnalysis.tokens(col(textCol)), k).as("sh"))
-    val posts = base.select(col("id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("s"))
+      hashedShingles(col(textCol), k).as("hs"))
+    val posts = base.select(col("id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
     val common = posts.as("l")
-      .join(posts.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .join(posts.as("r"), col("l.h") === col("r.h") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id1"), col("r.id").as("id2"),
         col("l.n").as("n1"), col("r.n").as("n2"))
       .agg(count(lit(1)).cast("double").as("common"))
@@ -283,13 +296,12 @@ object Dedup {
 
   def ngramJaccardPairsSql(id: String, text: String, table: String,
       k: Int, threshold: Double): String = {
-    val words = TextAnalysis.tokensSql(text)
     s"""WITH base AS (
-       |  SELECT $id AS id, ${shinglesSql(words, k)} AS sh FROM $table)
+       |  SELECT $id AS id, ${hashedShinglesSql(text, k)} AS hs FROM $table)
        |SELECT l.id AS id1, r.id AS id2,
-       |  ${jaccardMicrosSql("l.sh", "r.sh")} AS jacc_micros
+       |  ${jaccardMicrosSql("l.hs", "r.hs")} AS jacc_micros
        |FROM base l JOIN base r ON l.id < r.id
-       |WHERE ${jaccardMicrosSql("l.sh", "r.sh")} >= ${(threshold * 1e6).toLong}""".stripMargin
+       |WHERE ${jaccardMicrosSql("l.hs", "r.hs")} >= ${(threshold * 1e6).toLong}""".stripMargin
   }
 
   /** Prefix-filtered exact Jaccard (All-Pairs style) — the 100 TB
@@ -308,26 +320,36 @@ object Dedup {
       k: Int, threshold: Double): DataFrame = {
     val base = docs.select(
       col(idCol).as("id"),
-      shingles(TextAnalysis.tokens(col(textCol)), k).as("sh"))
-    val posts = base.select(col("id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("s"))
-    val dfreq = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
-    val prefix = posts.join(dfreq, "s")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("id"), col("s"))
-    val cands = prefix.as("l")
-      .join(prefix.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"))
-      .distinct()
-    cands
-      .join(base.as("b1"), col("id1") === col("b1.id"))
-      .join(base.as("b2"), col("id2") === col("b2.id"))
-      .select(col("id1"), col("id2"),
-        jaccardMicros(col("b1.sh"), col("b2.sh")).as("jacc_micros"))
+      hashedShingles(col(textCol), k).as("hs"))
+    val posts = base.select(col("id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
+    val dfreq = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // Per-doc prefix under the global (df, h) rare-first order, via a
+    // hash aggregate sorting ≤|hs| structs per doc — no window
+    // shuffle+sort. Both join inputs are already hash-partitioned by
+    // `h` from the dfreq aggregation, so the join adds no exchange.
+    val prefixIds = posts.join(dfreq, "h")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"),
+        first(col("n")).as("n"))
+      .select(col("id"),
+        transform(
+          slice(col("ord"), lit(1),
+            (col("n") - ceil(col("n") * threshold) + 1).cast("int")),
+          x => x.getField("h")).as("pref"))
+    // Attach the (long) shingle-hash array once, explode the prefix,
+    // self-join on the hashed key, verify per matched posting with the
+    // one-pass native Jaccard, dedup identical pair rows at the end —
+    // no separate candidate materialization or re-join back to base.
+    val prefix = prefixIds.join(base, "id")
+      .select(col("id"), col("hs"), explode(col("pref")).as("h"))
+    prefix.as("l")
+      .join(prefix.as("r"), col("l.h") === col("r.h") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        graft.functions.ArrayExprs.jaccardMicros60(
+          col("l.hs"), col("r.hs")).as("jacc_micros"))
       .filter(col("jacc_micros") >= (threshold * 1e6).toLong)
+      .distinct()
   }
 
   // ------------------------------------------- embedding cosine near-dup

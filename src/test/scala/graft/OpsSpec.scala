@@ -149,6 +149,32 @@ class OpsSpec extends AnyFunSuite {
     val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
     assert(vecs.filter(ArrayExprs.dotProduct(col("a"), col("b")) =!= hofDot).count() == 0)
+
+    // hash60Array: native == array_distinct(transform(xs, hash60))
+    val sh3 = ArrayExprs.wordShingles(col("w"), k)
+    assert(t.filter(ArrayExprs.hash60Array(sh3) =!=
+      array_distinct(transform(sh3, s => Hashing.hash60(s)))).count() == 0)
+
+    // minhash from pre-hashed shingles == minhash from the strings
+    assert(t.filter(ArrayExprs.minhashSigFromHashes(
+      ArrayExprs.hash60Array(sh3), Hashing.seeds(8)) =!=
+      ArrayExprs.minhashSig(sh3, Hashing.seeds(8))).count() == 0)
+
+    // jaccardMicros60: native == size(array_intersect) formulation
+    val hsDocs = docs.select(Dedup.hashedShingles(col("text"), 3).as("hs"))
+    val hsPairs = hsDocs.as("l").crossJoin(hsDocs.as("r"))
+    assert(hsPairs.filter(ArrayExprs.jaccardMicros60(col("l.hs"), col("r.hs")) =!=
+      Dedup.jaccardMicros(col("l.hs"), col("r.hs"))).count() == 0)
+  }
+
+  test("prefix-filtered jaccard equals full posting-list jaccard at any threshold") {
+    for (th <- Seq(0.2, 0.5, 0.8)) {
+      val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, th)
+        .select("id1", "id2", "jacc_micros").as[(Long, Long, Long)].collect().toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, th)
+        .select("id1", "id2", "jacc_micros").as[(Long, Long, Long)].collect().toSet
+      assert(pref == full, s"threshold $th")
+    }
   }
 
   test("GraftExtensions: native functions callable from plain SQL") {
