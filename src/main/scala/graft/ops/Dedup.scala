@@ -281,8 +281,12 @@ object Dedup {
       hashedShingles(col(textCol), k).as("hs"))
     val posts = base.select(col("id"), size(col("hs")).as("n"),
       explode(col("hs")).as("h"))
+    // length-ratio pruning is exact: J ≥ t forces t·n1 ≤ n2 and
+    // t·n2 ≤ n1 (intersection ≤ min, union ≥ max), so mismatched
+    // sizes drop before the aggregation ever sees their postings
     val common = posts.as("l")
-      .join(posts.as("r"), col("l.h") === col("r.h") && col("l.id") < col("r.id"))
+      .join(posts.as("r"), col("l.h") === col("r.h") && col("l.id") < col("r.id") &&
+        col("l.n") * threshold <= col("r.n") && col("r.n") * threshold <= col("l.n"))
       .groupBy(col("l.id").as("id1"), col("r.id").as("id2"),
         col("l.n").as("n1"), col("r.n").as("n2"))
       .agg(count(lit(1)).cast("double").as("common"))
