@@ -184,6 +184,21 @@ object SparkEntry {
         .orderBy("win_start", "db", "table")
     }),
 
+    // Event-time sessionization (gap 30 min) — batch twin of
+    // streaming.Pipeline.sessionizedCounts (same session_window
+    // groupBy; streaming adds only the watermark). Bounds are epoch
+    // MICROS: Spark session end = last event + gap.
+    "q_cdc_sessions" -> ((s, dir) =>
+      ChangeSource.fromEvents(T(s, dir, "events"))
+        .groupBy(col("db"), col("table"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).cast("long").as("n_changes"))
+        .select(col("db"), col("table"),
+          unix_micros(col("w.start")).as("sess_start_us"),
+          unix_micros(col("w.end")).as("sess_end_us"),
+          col("n_changes"))
+        .orderBy("db", "table", "sess_start_us")),
+
     // ---- LLM-data-pipeline extensions (builder brief; SURVEY §7.4) ----
 
     // Text analysis: token/piece counts, language ID, quality score,
@@ -385,6 +400,27 @@ object SparkEntry {
       s"""SELECT epoch(date_trunc('hour', ts))::BIGINT AS win_start,
          |  $dbSql AS db, $tableSql AS "table", count(*)::BIGINT AS n_changes
          |FROM events GROUP BY 1, 2, 3 ORDER BY win_start, db, "table"""".stripMargin,
+
+    // gaps-and-islands sessionization in epoch micros; a session
+    // breaks when the gap is >= 30 min (Spark merges while
+    // next.ts < prev.ts + gap), session end = last event + gap
+    "q_cdc_sessions" ->
+      s"""WITH c AS (
+         |  SELECT $dbSql AS db, $tableSql AS "table",
+         |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |m AS (
+         |  SELECT db, "table", ts_us,
+         |    CASE WHEN lag(ts_us) OVER w IS NULL
+         |      OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM c WINDOW w AS (PARTITION BY db, "table" ORDER BY ts_us)),
+         |g AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY db, "table" ORDER BY ts_us
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         |SELECT db, "table", min(ts_us)::BIGINT AS sess_start_us,
+         |  (max(ts_us) + 1800000000)::BIGINT AS sess_end_us,
+         |  count(*)::BIGINT AS n_changes
+         |FROM g GROUP BY db, "table", sid
+         |ORDER BY db, "table", sess_start_us""".stripMargin,
 
     // ---- LLM-data-pipeline extensions: oracles generated from the
     // same Scala constants as the Spark pipelines ----

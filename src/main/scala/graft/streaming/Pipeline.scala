@@ -60,4 +60,16 @@ object Pipeline {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("db"), col("table"))
       .agg(count(lit(1)).as("n_changes"))
+
+  /** Event-time sessionization: gap-merged activity sessions per
+    * (db, table). Streaming session_window needs the watermark to
+    * close sessions; the batch twin (SparkEntry q_cdc_sessions) runs
+    * the same groupBy without one.
+    */
+  def sessionizedCounts(changes: DataFrame, watermark: String,
+      gap: String): DataFrame =
+    changes
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("db"), col("table"))
+      .agg(count(lit(1)).as("n_changes"))
 }

@@ -72,6 +72,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed("k2").op == ChangeOp.Delete)
   }
 
+  test("streaming sessionization matches the batch session_window twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    def ts(min: Long) = new java.sql.Timestamp(base + min * 60000)
+    // two groups; gap 10 min → (d1,t1): {0,5,9}, {25,28}; (d2,t2): {7}
+    val real = Seq(
+      (ts(0), "d1", "t1"), (ts(5), "d1", "t1"), (ts(9), "d1", "t1"),
+      (ts(25), "d1", "t1"), (ts(28), "d1", "t1"),
+      (ts(7), "d2", "t2"))
+
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val q = graft.streaming.Pipeline.sessionizedCounts(
+        input.toDF().toDF("ts", "db", "table"), "0 seconds", "10 minutes")
+      .selectExpr("db", "table", "unix_micros(session_window.start) AS s",
+        "unix_micros(session_window.end) AS e", "n_changes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    input.addData(real: _*)
+    q.processAllAvailable()
+    // sentinel a day later pushes the watermark past every real
+    // session; its own still-open session is withheld by append mode
+    input.addData((ts(60 * 24), "d9", "t9"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess_out")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val batch = real.toDF("ts", "db", "table")
+      .groupBy(col("db"), col("table"),
+        expr("session_window(ts, '10 minutes')").as("w"))
+      .agg(count(lit(1)).as("n_changes"))
+      .selectExpr("db", "table", "unix_micros(w.start) AS s",
+        "unix_micros(w.end) AS e", "n_changes")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.map(r => (r._1, r._5)) == Set(("d1", 3L), ("d1", 2L), ("d2", 1L)))
+  }
+
   test("full reference flow on the DSv2 source: snapshot log + live log → LWW state") {
     // the reference's snapshot-then-stream: log segment 1 is the
     // backfill (op=Backfill, ts=1 placeholder, main.rs:375), segment 2
