@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -11,13 +10,14 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot paths where Spark's
   * higher-order functions (transform/aggregate/zip_with) are too slow:
-  * HOFs evaluate their lambda INTERPRETED per element (they are not
-  * part of whole-stage codegen), which makes array-heavy inner loops
-  * (shingling every document, dot products on every candidate pair)
-  * dominate the runtime. These expressions run the inner loop as a
-  * tight compiled loop instead; [[DotProduct]] additionally generates
-  * Java via doGenCode so pair scoring stays inside whole-stage
-  * codegen.
+  * HOFs evaluate their lambda INTERPRETED per element, and — worse —
+  * any `CodegenFallback` expression anywhere in an operator kicks the
+  * WHOLE operator out of whole-stage codegen (CollapseCodegenStages
+  * rejects plans containing one). So every expression here implements
+  * a real `doGenCode`: [[DotProduct]] and [[StopwordHits]] emit their
+  * inner loop as Java; the rest emit a single delegate call to their
+  * `compute` method — one virtual call per ROW with the loop compiled
+  * in this class, while the surrounding stage stays fused.
   *
   * Semantics are bit-compatible with the HOF formulations they
   * replace (same iteration order, same fold association), so the
@@ -70,6 +70,13 @@ object ArrayExprs {
     Bridge.column(MinHashSigFromHashes(Bridge.expression(hs),
       seeds.map(_._1).toArray, seeds.map(_._2).toArray))
 
+  /** Count of array elements contained in a fixed word set — fast
+    * path of `size(filter(xs, x => x.isInCollection(words)))`, with
+    * the membership loop emitted directly into generated code.
+    */
+  def stopwordHits(ss: Column, words: Seq[String]): Column =
+    Bridge.column(StopwordHits(Bridge.expression(ss), words))
+
   /** The cross-engine 60-bit md5 hash (ops.Hashing.hash60) computed
     * JVM-side: low 60 bits = first 15 hex chars of the md5 of the
     * UTF-8 bytes — identical to `conv(substring(md5(x),1,15),16,10)`
@@ -98,11 +105,11 @@ object ArrayExprs {
   * degrade to one truncated shingle (concat_ws skips past-the-end),
   * first-occurrence order preserved.
   *
-  * Eval is one compiled loop per row (CodegenFallback costs one
-  * virtual call per ROW, not per element).
+  * Eval is one compiled loop per row; doGenCode delegates to
+  * [[compute]] so the enclosing stage stays in whole-stage codegen.
   */
 case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -110,8 +117,7 @@ case class WordShingles(child: Expression, k: Int)
 
   private val sep = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val m = math.max(n - k + 1, 1)
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -127,6 +133,14 @@ case class WordShingles(child: Expression, k: Int)
     new GenericArrayData(seen.toArray(Array.empty[AnyRef]))
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 }
@@ -139,13 +153,12 @@ case class WordShingles(child: Expression, k: Int)
   * follows).
   */
 case class Hash60Array(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hash60_array"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
@@ -155,6 +168,14 @@ case class Hash60Array(child: Expression)
     var j = 0
     while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hash60Array", this, classOf[Hash60Array].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Hash60Array =
@@ -167,14 +188,14 @@ case class Hash60Array(child: Expression)
   * `list_intersect` oracle. Sort + two-pointer merge per row.
   */
 case class JaccardMicros60(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "jaccard_micros60"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toLongArray()
-    val ys = b.asInstanceOf[ArrayData].toLongArray()
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
     java.util.Arrays.sort(xs)
     java.util.Arrays.sort(ys)
     var i = 0; var j = 0; var common = 0
@@ -185,6 +206,14 @@ case class JaccardMicros60(left: Expression, right: Expression)
     }
     val u = (xs.length + ys.length - common).toDouble
     Math.round(common.toDouble / u * 1e6)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaccard60", this, classOf[JaccardMicros60].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -235,15 +264,15 @@ case class DotProduct(left: Expression, right: Expression)
   * explode/shuffle. Values identical to the HOF/SQL formulations.
   */
 case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val P = graft.ops.Hashing.P
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  override def nullable: Boolean = true // empty input → null signature
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
     val k = as.length
@@ -262,6 +291,16 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
     new GenericArrayData(mins)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
@@ -272,15 +311,15 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
   * de-duplicating cannot change any min.
   */
 case class MinHashSigFromHashes(child: Expression, as: Array[Long], bs: Array[Long])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val P = graft.ops.Hashing.P
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig_from_hashes"
+  override def nullable: Boolean = true // empty input → null signature
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
     val k = as.length
@@ -299,6 +338,17 @@ case class MinHashSigFromHashes(child: Expression, as: Array[Long], bs: Array[Lo
     new GenericArrayData(mins)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigH", this,
+      classOf[MinHashSigFromHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): MinHashSigFromHashes =
     copy(child = newChild)
 }
@@ -308,13 +358,12 @@ case class MinHashSigFromHashes(child: Expression, as: Array[Long], bs: Array[Lo
   * pass, no explode/aggregate.
   */
 case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash60"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val ones = new Array[Int](60)
     var i = 0
@@ -336,6 +385,14 @@ case class SimHash60(child: Expression)
     sig
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash60", this, classOf[SimHash60].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
 }
@@ -345,13 +402,12 @@ case class SimHash60(child: Expression)
   * `aggregate` HOF and the oracle's `list_reduce` exactly.
   */
 case class RollingHash(child: Expression, b: Long, p: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     var acc = 0L
     var i = 0
@@ -362,6 +418,64 @@ case class RollingHash(child: Expression, b: Long, p: Long)
     acc
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollingHash", this, classOf[RollingHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** Count of elements of an `array<string>` that are members of a
+  * fixed word set — `size(filter(xs, x => x IN words))` without the
+  * interpreted lambda. The membership loop is emitted straight into
+  * whole-stage codegen; the set lives in the references array.
+  */
+case class StopwordHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "stopword_hits"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  def wordSet: java.util.HashSet[UTF8String] = set
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopset", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $c.numElements();
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($setRef.contains($c.getUTF8String($i))) ${ev.value}++;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
     copy(child = newChild)
 }

@@ -50,7 +50,7 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "y", "los", "de", "es"))
 
   def langHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), w => w.isInCollection(words))).cast("long")
+    graft.functions.ArrayExprs.stopwordHits(tokens(text), words)
 
   def langHitsSql(e: String, words: Seq[String]): String = {
     val inList = words.map(w => s"'$w'").mkString(", ")

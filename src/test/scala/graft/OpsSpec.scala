@@ -160,6 +160,11 @@ class OpsSpec extends AnyFunSuite {
       ArrayExprs.hash60Array(sh3), Hashing.seeds(8)) =!=
       ArrayExprs.minhashSig(sh3, Hashing.seeds(8))).count() == 0)
 
+    // stopword hits: native == size(filter(xs, isInCollection))
+    val ws = TextAnalysis.LangProfiles.head._2
+    assert(t.filter(ArrayExprs.stopwordHits(col("w"), ws) =!=
+      size(filter(col("w"), x => x.isInCollection(ws))).cast("long")).count() == 0)
+
     // jaccardMicros60: native == size(array_intersect) formulation
     val hsDocs = docs.select(Dedup.hashedShingles(col("text"), 3).as("hs"))
     val hsPairs = hsDocs.as("l").crossJoin(hsDocs.as("r"))

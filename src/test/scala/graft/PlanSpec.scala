@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan hygiene: the properties that make these operators
+  * scale are asserted here, so a regression in pruning / pushdown /
+  * broadcast / partial aggregation fails CI rather than only showing
+  * up as a 100 TB slowdown.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  private def plan(name: String): String =
+    plan(SparkEntry.queries(name)(spark, sf))
+
+  test("CDC envelope prunes the events scan to referenced columns") {
+    val p = plan("q_cdc_changes")
+    // `value` (DOUBLE) is never referenced — it must not be read
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("value"), "unreferenced events column was scanned")
+  }
+
+  test("regex filter reaches the scan as a pushed/early filter, not post-decode") {
+    val p = plan("q_cdc_regex_filter")
+    // the rlike filter must sit directly on the scan (deeper in the
+    // printed tree = earlier in execution), never after the envelope
+    // projection — reference parity with the pre-decode regex prune
+    // (main.rs:260-262)
+    val filterIdx = p.indexOf("Filter")
+    val projectIdx = p.indexOf("Project")
+    assert(filterIdx >= 0 && (projectIdx < 0 || filterIdx > projectIdx),
+      s"filter not ahead of projection:\n$p")
+  }
+
+  test("brute-force top-k broadcasts the query side; corpus never shuffles") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("BroadcastExchange"), s"no broadcast in:\n$p")
+    // the only non-broadcast exchanges allowed are for the final
+    // top-k window + output ordering, both AFTER the join
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin") max p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0)
+  }
+
+  test("IVF assignment broadcasts the centroid table") {
+    assert(plan("q_sim_ivf").contains("BroadcastExchange"))
+  }
+
+  test("exact dedup partial-aggregates map-side before its single shuffle") {
+    val p = plan("q_dedup_exact")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
+  test("narrow passes stay shuffle-free and inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    val media = ops.Multimodal.mediaFromDocuments(
+      cdc.Io.table(spark, sf, "documents"))
+    val p = plan(ops.Multimodal.decode(media).toDF())
+    assert(!p.contains("Exchange"), s"narrow decode plan shuffles:\n$p")
+
+    // the text-stats projection itself (q_text_stats minus its output
+    // ordering) is a single codegen'd stage with no exchange — incl.
+    // the native exprs (a CodegenFallback anywhere would kick the
+    // whole Project out of WholeStageCodegen)
+    val t = col("text")
+    val stats = cdc.Io.table(spark, sf, "documents").select(
+      ops.TextAnalysis.tokenCount(t).as("n_tokens"),
+      ops.TextAnalysis.langId(t).as("lang_pred"),
+      ops.TextAnalysis.qualityMicros(t).as("quality_micros"),
+      ops.TextAnalysis.rollingFingerprint(t).as("fp_roll"))
+    assert(!plan(stats).contains("Exchange"))
+    assert(stats.queryExecution.executedPlan.toString.contains("*(1) Project"),
+      "text-stats projection fell out of whole-stage codegen")
+
+    // same for the dedup signature maps
+    val sigs = cdc.Io.table(spark, sf, "documents").select(
+      ops.Dedup.hashedShingles(col("text"), 3).as("hs"),
+      graft.functions.ArrayExprs.simhash60(
+        ops.TextAnalysis.tokens(col("text"))).as("sig"))
+    assert(sigs.queryExecution.executedPlan.toString.contains("*(1) Project"),
+      "signature map fell out of whole-stage codegen")
+  }
+
+  test("posting-list join keys are longs, not shingle strings") {
+    val df = ops.Dedup.ngramJaccardPairs(
+      cdc.Io.table(spark, sf, "documents"), "doc_id", "text", 3, 0.2)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    val keyTypes = joins.flatMap(_.condition).flatMap(_.collect {
+      case eq: org.apache.spark.sql.catalyst.expressions.EqualTo => eq.left.dataType
+    })
+    assert(keyTypes.forall(_ == org.apache.spark.sql.types.LongType ||
+      keyTypes.isEmpty), s"non-long join keys: $keyTypes")
+  }
+}
