@@ -248,6 +248,14 @@ object SparkEntry {
         k = 3, threshold = 0.8)
         .orderBy("id1", "id2")),
 
+    // Duplicate clusters: connected components (min-label propagation)
+    // over the MinHash near-dup pairs → one representative per cluster.
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
+          k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2))
+        .orderBy("id")),
+
     // Embedding-cosine near-dup, IVF-style blocked by cluster label.
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
@@ -458,6 +466,11 @@ object SparkEntry {
     "q_dedup_ngram_prefix" ->
       (Dedup.ngramJaccardPairsSql("doc_id", "text", "documents",
         k = 3, threshold = 0.8) + " ORDER BY id1, id2"),
+
+    "q_dedup_clusters" ->
+      (Dedup.dupClustersSql(Dedup.minhashPairsSql("doc_id", "text", "documents",
+        k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2))
+        + " ORDER BY id"),
 
     "q_dedup_embed" ->
       (Dedup.cosinePairsSql("vec_id", "embedding", "label", "embeddings",

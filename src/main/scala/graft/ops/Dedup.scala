@@ -356,6 +356,59 @@ object Dedup {
       .distinct()
   }
 
+  // --------------------------------------- duplicate clusters (conn comp)
+
+  /** Connected components over near-dup pairs → (id, rep_id) with
+    * rep = min id of the component. This is the step that turns
+    * pairwise near-dup output into an actionable dedup decision (keep
+    * one representative per cluster).
+    *
+    * Algorithm: distributed min-label propagation to fixpoint — each
+    * round joins the (symmetrized) edge list against current labels,
+    * takes the neighborhood min, and re-labels. Rounds = graph
+    * diameter; `localCheckpoint` truncates the growing lineage each
+    * round. At 100 TB the drop-in upgrade is the large-star/small-star
+    * variant (Kiveris et al., "Connected Components in MapReduce"),
+    * which converges in O(log n) rounds on skewed components — same
+    * join/agg primitives, so the plan shape below is the right one to
+    * grow from.
+    */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbrMin = sym.join(labels.select(col("id").as("b"), col("lbl")), "b")
+        .groupBy(col("a")).agg(min(col("lbl")).as("nmin"))
+      val next = labels.as("o")
+        .join(nbrMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels = next
+    }
+    labels.select(col("id"), col("lbl").as("rep_id"))
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the same pair
+    * set, component rep = min reachable id. `pairsSql` must be a
+    * complete SELECT returning (id1, id2, …).
+    */
+  def dupClustersSql(pairsSql: String): String =
+    s"""WITH RECURSIVE pr AS ($pairsSql),
+       |sym AS (SELECT id1 AS a, id2 AS b FROM pr
+       |        UNION ALL SELECT id2, id1 FROM pr),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+       |SELECT src AS id, least(src, min(dst))::BIGINT AS rep_id
+       |FROM reach GROUP BY src""".stripMargin
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, blocked by a

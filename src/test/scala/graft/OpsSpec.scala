@@ -172,6 +172,15 @@ class OpsSpec extends AnyFunSuite {
       Dedup.jaccardMicros(col("l.hs"), col("r.hs"))).count() == 0)
   }
 
+  test("dup clusters: min-label propagation finds component reps") {
+    // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,7}, {8,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L), (8L, 11L))
+      .toDF("id1", "id2")
+    val out = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 7L -> 5L, 8L -> 8L, 11L -> 8L))
+  }
+
   test("prefix-filtered jaccard equals full posting-list jaccard at any threshold") {
     for (th <- Seq(0.2, 0.5, 0.8)) {
       val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, th)
