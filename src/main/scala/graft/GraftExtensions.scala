@@ -34,6 +34,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       })
     register(ext, "rolling_hash", "rolling_hash(words) - Karp-Rabin rolling fingerprint",
       args => RollingHash(args.head, graft.ops.TextAnalysis.RollB, graft.ops.Hashing.P))
+    register(ext, "hash60_array", "hash60_array(strings) - de-duplicated 60-bit md5 hash per element",
+      args => Hash60Array(args.head))
+    register(ext, "jaccard_micros60", "jaccard_micros60(a, b) - set Jaccard of two long arrays, in micros",
+      args => JaccardMicros60(args.head, args(1)))
+    register(ext, "minhash_sig_from_hashes", "minhash_sig_from_hashes(hashes, k) - MinHash signature from pre-hashed shingles",
+      args => {
+        val seeds = graft.ops.Hashing.seeds(intArg(args(1), "numHashes"))
+        MinHashSigFromHashes(args.head, seeds.map(_._1).toArray, seeds.map(_._2).toArray)
+      })
+    register(ext, "stopword_hits", "stopword_hits(words, 'w1,w2,...') - count of elements in the fixed word set",
+      args => StopwordHits(args.head, stringArg(args(1), "words").split(",").toSeq))
+  }
+
+  private def stringArg(e: Expression, name: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
   }
 
   private def intArg(e: Expression, name: String): Int = e match {

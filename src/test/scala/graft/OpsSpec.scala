@@ -198,7 +198,11 @@ class OpsSpec extends AnyFunSuite {
         |  size(word_shingles(split(text, ' '), 3)) AS n,
         |  rolling_hash(split(text, ' ')) AS rh,
         |  minhash_sig(word_shingles(split(text, ' '), 3), 8)[0] AS m0,
-        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  jaccard_micros60(hash60_array(split(text, ' ')),
+        |                   hash60_array(split(text, ' '))) AS selfj,
+        |  minhash_sig_from_hashes(hash60_array(word_shingles(split(text, ' '), 3)), 8)[0] AS mh0,
+        |  stopword_hits(split(text, ' '), 'the,a,of') AS hits
         |FROM ext_docs WHERE doc_id = 0""".stripMargin).head()
     val expected = docs.filter(col("doc_id") === 0).select(
       ArrayExprs.simhash60(TextAnalysis.tokens(col("text"))),
@@ -208,6 +212,9 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getInt(1) == expected.getInt(1))
     assert(row.getLong(2) == expected.getLong(2))
     assert(row.getDouble(4) == 11.0)
+    assert(row.getLong(5) == 1000000L) // self-jaccard
+    assert(row.getLong(6) == row.getLong(3)) // from-hashes == from-strings
+    assert(row.getLong(7) == 2L) // 'the' occurs twice in doc 0
   }
 
   test("langId picks the dominant stopword profile, und on none") {
