@@ -447,10 +447,7 @@ case class StopwordHits(child: Expression, words: Seq[String])
     s
   }
 
-  def wordSet: java.util.HashSet[UTF8String] = set
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     var c = 0L
     var i = 0
@@ -460,6 +457,9 @@ case class StopwordHits(child: Expression, words: Seq[String])
     }
     c
   }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setRef = ctx.addReferenceObj("stopset", set, "java.util.HashSet")

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc._
+import graft.functions._
+
+/** Property tests (SURVEY §5.3): merge order-independence, op-recode
+  * totality, and algebraic laws of the native expressions. Expression
+  * laws run JVM-side via `compute` (no Spark job per case); the Spark
+  * properties use a reduced case count.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(p: Prop, cases: Int = 100): Unit = {
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(cases), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private def longArray(xs: Seq[Long]) = new GenericArrayData(xs.distinct.toArray)
+  private def strArray(xs: Seq[String]) =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  test("jaccardMicros60: symmetric, bounded, identity, disjoint-zero") {
+    val j = JaccardMicros60(null, null)
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L))
+    check(Prop.forAll(gen, gen) { (a, b) =>
+      val ab = j.compute(longArray(a), longArray(b))
+      val ba = j.compute(longArray(b), longArray(a))
+      val self = j.compute(longArray(a), longArray(a))
+      val disjoint = j.compute(longArray(a.map(_ + 1000)), longArray(b))
+      ab == ba && ab >= 0L && ab <= 1000000L && self == 1000000L && disjoint == 0L
+    })
+  }
+
+  test("minhash from pre-hashed shingles == minhash from strings, for any tokens") {
+    val seeds = graft.ops.Hashing.seeds(16)
+    val as = seeds.map(_._1).toArray
+    val bs = seeds.map(_._2).toArray
+    val fromStr = MinHashSig(null, as, bs)
+    val h60 = Hash60Array(null)
+    val fromHash = MinHashSigFromHashes(null, as, bs)
+    val gen = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    check(Prop.forAll(gen) { words =>
+      val direct = fromStr.compute(strArray(words)).toLongArray().toSeq
+      val viaHash = fromHash.compute(h60.compute(strArray(words))).toLongArray().toSeq
+      direct == viaHash
+    })
+  }
+
+  test("word shingles: distinct, at most n-k+1 of them, each with <= k words") {
+    val gen = Gen.nonEmptyListOf(Gen.identifier.suchThat(_.nonEmpty))
+    check(Prop.forAll(gen, Gen.chooseNum(1, 5)) { (words, k) =>
+      val sh = WordShingles(null, k).compute(strArray(words))
+      val out = (0 until sh.numElements()).map(sh.getUTF8String(_).toString)
+      out.distinct == out &&
+        out.size <= math.max(words.size - k + 1, 1) &&
+        out.forall(_.split(" ").length <= k)
+    })
+  }
+
+  test("stopword hits == brute-force count, for any tokens and set") {
+    val wordGen = Gen.oneOf("the", "a", "fox", "und", "la", "xyz")
+    check(Prop.forAll(Gen.listOf(wordGen), Gen.someOf(Seq("the", "a", "und"))) {
+      (words, set) =>
+        val hits = StopwordHits(null, set.toSeq).compute(strArray(words))
+        hits == words.count(set.contains)
+    })
+  }
+
+  test("LWW merge is independent of arrival order and of backfill/live split order") {
+    val rowGen = for {
+      key <- Gen.oneOf("k1", "k2", "k3")
+      ts <- Gen.chooseNum(0L, 5L)
+      op <- Gen.oneOf(ChangeOp.Insert, ChangeOp.Update, ChangeOp.Delete)
+    } yield (key, op, ts)
+    val casesGen = Gen.listOfN(12, rowGen)
+    check(Prop.forAll(casesGen) { rows =>
+      // seq is a globally unique tie-break: fix it per logical row so
+      // permutations are true reorderings of the SAME input
+      val live = rows.zipWithIndex.map { case ((k, op, ts), i) =>
+        (k, op, ts, i.toLong, s"v$i")
+      }
+      def winners(xs: Seq[(String, String, Long, Long, String)]) = {
+        val df = xs.toDF("key", "op", "ts_sec", "seq", "payload")
+        Merge.lww(df.limit(0), df) // empty backfill; all rows live
+          .select("key", "payload").as[(String, String)].collect().toMap
+      }
+      winners(live) == winners(scala.util.Random.shuffle(live))
+    }, cases = 10)
+  }
+
+  test("op recodes are total over the ChangeOp domain") {
+    val ops = Seq(ChangeOp.Insert, ChangeOp.Update, ChangeOp.Delete,
+      ChangeOp.Backfill)
+    val col = org.apache.spark.sql.functions.col("op")
+    val out = ops.toDF("op")
+      .select(Transforms.debeziumOp(col), Transforms.bigqueryChangeType(col))
+      .as[(String, String)].collect()
+    assert(out.map(_._1).toSet.subsetOf(Set("c", "u", "d")))
+    assert(out.map(_._2).toSet.subsetOf(Set("UPSERT", "DELETE")))
+  }
+}
