@@ -216,6 +216,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary heavy hitters: top-50 tokens by document frequency,
+    // deterministic tie-break. Partial agg map-side, then
+    // TakeOrderedAndProject — the driver never materializes the full
+    // sorted vocab.
+    "q_text_vocab" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("tok")).limit(50)),
+
+    // Composite curation pipeline — the end-to-end point of the
+    // extension surface: quality gate + language ID + exact-dup
+    // representative selection, in ONE shuffle (window on the
+    // fingerprint; no join back to the corpus).
+    "q_curate" -> ((s, dir) => {
+      val t = col("text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.md5Fingerprint(t).as("fp"),
+          TextAnalysis.langId(t).as("lang_pred"),
+          TextAnalysis.qualityMicros(t).as("quality_micros"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("quality_micros") >= 550000)
+        .select(col("doc_id"), col("lang_pred"), col("quality_micros"))
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup: hash-groupBy on the content fingerprint.
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(T(s, dir, "documents"), "doc_id", "text").orderBy("fp")),
@@ -443,6 +472,23 @@ object SparkEntry {
          |  ${TextAnalysis.md5FingerprintSql(t)} AS fp_md5,
          |  ${TextAnalysis.rollingFingerprintSql(t)} AS fp_roll
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_vocab" ->
+      s"""SELECT tok, count(*)::BIGINT AS n
+         |FROM (SELECT unnest(${TextAnalysis.tokensSql("text")}) AS tok FROM documents)
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    "q_curate" -> {
+      val t = "text"
+      s"""WITH s AS (
+         |  SELECT doc_id, ${TextAnalysis.md5FingerprintSql(t)} AS fp,
+         |    ${TextAnalysis.langIdSql(t)} AS lang_pred,
+         |    ${TextAnalysis.qualityMicrosSql(t)} AS quality_micros
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM s)
+         |SELECT doc_id, lang_pred, quality_micros FROM r
+         |WHERE rn = 1 AND quality_micros >= 550000 ORDER BY doc_id""".stripMargin
     },
 
     "q_dedup_exact" ->
