@@ -375,7 +375,10 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+    // materialize the edge list ONCE — `pairs` is usually a whole
+    // LSH pipeline, and every propagation round references sym twice
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
     var converged = false
