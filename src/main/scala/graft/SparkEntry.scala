@@ -21,9 +21,21 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Io.table(s, dir, name)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q_cdc_changes")(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full reference drive loop in one plan: change source
+    * → envelope → regex filter → BigQuery-CDC transform → topic
+    * routing (source/filter/transform/route, SURVEY §3.1).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val changes = ChangeSource.batch(spark, "/root/testdata/sf0.001")
+    Routing.withTopic(Filters.regexFilter(changes, "^db[0-3]\\..*"))
+      .select(
+        col("topic"),
+        when(col("op") === ChangeOp.Delete, col("before"))
+          .otherwise(col("after")).as("fields"),
+        Transforms.bigqueryChangeType(col("op")).as("_CHANGE_TYPE"),
+        col("db").as("tenant"))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
