@@ -61,6 +61,19 @@ object Pipeline {
       .groupBy(window(col("ts"), windowLen), col("db"), col("table"))
       .agg(count(lit(1)).as("n_changes"))
 
+  /** Streaming exact dedup: drop records whose content fingerprint
+    * was already seen within the watermark horizon — the streaming
+    * twin of ops.Dedup.exact, with state bounded by the watermark
+    * (unbounded exact dedup on an infinite stream is impossible; the
+    * horizon IS the scale knob).
+    */
+  def dedupedByFingerprint(changes: DataFrame, payloadCol: String,
+      watermark: String): DataFrame =
+    changes
+      .withColumn("fp", graft.ops.TextAnalysis.md5Fingerprint(col(payloadCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Event-time sessionization: gap-merged activity sessions per
     * (db, table). Streaming session_window needs the watermark to
     * close sessions; the batch twin (SparkEntry q_cdc_sessions) runs

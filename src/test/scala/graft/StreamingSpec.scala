@@ -72,6 +72,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed("k2").op == ChangeOp.Delete)
   }
 
+  test("streaming exact dedup drops repeated fingerprints within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def ts(min: Long) = new java.sql.Timestamp(base + min * 60000)
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.streaming.Pipeline.dedupedByFingerprint(
+        input.toDF().toDF("ts", "payload"), "payload", "1 hour")
+      .select("payload")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData((ts(0), "aaa"), (ts(1), "bbb"), (ts(2), "aaa"))
+    q.processAllAvailable()
+    input.addData((ts(3), "aaa"), (ts(4), "ccc"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").as[String].collect().toSeq
+    assert(out.sorted == Seq("aaa", "bbb", "ccc"))
+  }
+
   test("streaming sessionization matches the batch session_window twin") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1704067200000L // 2024-01-01T00:00Z
