@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  // array-level Cast, not transform(x => x.cast): identical values
+  // (float→double widening), but Cast is codegen'd while the HOF's
+  // CodegenFallback would kick the whole stage out of codegen
+  def toDouble(v: Column): Column = v.cast("array<double>")
   def toDoubleSql(v: String): String = s"[x::DOUBLE for x in $v]"
 
   /** Sequential left fold sum of an array<double>. */
