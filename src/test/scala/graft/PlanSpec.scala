@@ -86,6 +86,21 @@ class PlanSpec extends AnyFunSuite {
       "signature map fell out of whole-stage codegen")
   }
 
+  test("backfill: selection prunes the scan; keyset page plans TakeOrdered") {
+    // S6 projection pushdown: only the 3 selected customer columns
+    // may reach the parquet read
+    val p = plan("q_cdc_backfill")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("c_address") && !p.contains("c_phone"),
+      "unselected backfill columns were scanned")
+
+    // O1: ORDER BY pkey LIMIT n must become TakeOrderedAndProject,
+    // never a global sort
+    val page = SparkEntry.queries("q_cdc_backfill_page")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(page.contains("TakeOrderedAndProject"), s"no top-k plan:\n$page")
+  }
+
   test("posting-list join keys are longs, not shingle strings") {
     val df = ops.Dedup.ngramJaccardPairs(
       cdc.Io.table(spark, sf, "documents"), "doc_id", "text", 3, 0.2)
