@@ -211,6 +211,25 @@ object SparkEntry {
           col("n_changes"))
         .orderBy("db", "table", "sess_start_us")),
 
+    // As-of join (union + one window pass; ops.AsOf): each change
+    // event attached to the start of its containing session — the
+    // temporal-join operator Spark lacks natively, vs DuckDB's native
+    // ASOF JOIN as the oracle.
+    "q_cdc_asof" -> ((s, dir) => {
+      val ch = ChangeSource.fromEvents(T(s, dir, "events"))
+        .select(col("event_id"), col("db"), col("table"),
+          unix_micros(col("ts")).as("ts_us"))
+      val sessions = ChangeSource.fromEvents(T(s, dir, "events"))
+        .groupBy(col("db"), col("table"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("db"), col("table"), unix_micros(col("w.start")).as("ts_us"))
+      AsOf.joinTs(ch, sessions, Seq("db", "table"), "ts_us")
+        .select(col("event_id"), col("db"), col("table"), col("ts_us"),
+          col("asof_ts").as("sess_start_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- LLM-data-pipeline extensions (builder brief; SURVEY §7.4) ----
 
     // Text analysis: token/piece counts, language ID, quality score,
@@ -470,6 +489,28 @@ object SparkEntry {
          |  count(*)::BIGINT AS n_changes
          |FROM g GROUP BY db, "table", sid
          |ORDER BY db, "table", sess_start_us""".stripMargin,
+
+    // native ASOF JOIN against the gaps-and-islands session starts
+    "q_cdc_asof" ->
+      s"""WITH c AS (
+         |  SELECT event_id, $dbSql AS db, $tableSql AS "table",
+         |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |m AS (
+         |  SELECT db, "table", ts_us,
+         |    CASE WHEN lag(ts_us) OVER w IS NULL
+         |      OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM c WINDOW w AS (PARTITION BY db, "table" ORDER BY ts_us)),
+         |g AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY db, "table" ORDER BY ts_us
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+         |sess AS (
+         |  SELECT db, "table", min(ts_us)::BIGINT AS sess_start_us
+         |  FROM g GROUP BY db, "table", sid)
+         |SELECT c.event_id, c.db, c."table", c.ts_us::BIGINT AS ts_us,
+         |  s.sess_start_us
+         |FROM c ASOF JOIN sess s
+         |  ON c.db = s.db AND c."table" = s."table" AND c.ts_us >= s.sess_start_us
+         |ORDER BY event_id""".stripMargin,
 
     // ---- LLM-data-pipeline extensions: oracles generated from the
     // same Scala constants as the Spark pipelines ----

@@ -172,6 +172,17 @@ class OpsSpec extends AnyFunSuite {
       Dedup.jaccardMicros(col("l.hs"), col("r.hs"))).count() == 0)
   }
 
+  test("as-of join: greatest right ts <= left ts per key, ties match, none -> null") {
+    val left = Seq(("k", 5L, "e1"), ("k", 10L, "e2"), ("k", 15L, "e3"),
+      ("k", 25L, "e4"), ("z", 7L, "e5"))
+      .toDF("key", "ts_us", "name")
+    val right = Seq(("k", 10L), ("k", 20L)).toDF("key", "ts_us")
+    val out = AsOf.joinTs(left, right, Seq("key"), "ts_us")
+      .select("name", "asof_ts").as[(String, Option[Long])].collect().toMap
+    assert(out == Map("e1" -> None, "e2" -> Some(10L), "e3" -> Some(10L),
+      "e4" -> Some(20L), "e5" -> None))
+  }
+
   test("dup clusters: min-label propagation finds component reps") {
     // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,7}, {8,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L), (8L, 11L))
