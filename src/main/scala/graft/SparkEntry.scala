@@ -211,6 +211,33 @@ object SparkEntry {
           col("n_changes"))
         .orderBy("db", "table", "sess_start_us")),
 
+    // Hierarchical rollup of change counts (grouping-sets class,
+    // absent from the reference per SURVEY §2.9 — free from Spark).
+    "q_cdc_rollup" -> ((s, dir) =>
+      ChangeSource.fromEvents(T(s, dir, "events"))
+        .rollup(col("db"), col("table"), col("op"))
+        .agg(count(lit(1)).as("n_changes"))
+        .orderBy(col("db").asc_nulls_first, col("table").asc_nulls_first,
+          col("op").asc_nulls_first)),
+
+    // Exact distinct cardinality per routing target.
+    "q_cdc_distinct_users" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(ChangeSource.dbCol.as("db"), ChangeSource.tableCol.as("table"),
+          col("user_id"))
+        .groupBy(col("db"), col("table"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("db", "table")),
+
+    // Set difference: users only ever backfilled, never deleted.
+    "q_cdc_except" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      e.filter(ChangeSource.opCol === ChangeOp.Backfill).select(col("user_id"))
+        .except(
+          e.filter(ChangeSource.opCol === ChangeOp.Delete).select(col("user_id")))
+        .orderBy("user_id")
+    }),
+
     // As-of join (union + one window pass; ops.AsOf): each change
     // event attached to the start of its containing session — the
     // temporal-join operator Spark lacks natively, vs DuckDB's native
@@ -489,6 +516,22 @@ object SparkEntry {
          |  count(*)::BIGINT AS n_changes
          |FROM g GROUP BY db, "table", sid
          |ORDER BY db, "table", sess_start_us""".stripMargin,
+
+    "q_cdc_rollup" ->
+      s"""SELECT db, "table", op, count(*)::BIGINT AS n_changes
+         |FROM (SELECT $dbSql AS db, $tableSql AS "table", $opSql AS op FROM events)
+         |GROUP BY ROLLUP(db, "table", op)
+         |ORDER BY db NULLS FIRST, "table" NULLS FIRST, op NULLS FIRST""".stripMargin,
+
+    "q_cdc_distinct_users" ->
+      s"""SELECT $dbSql AS db, $tableSql AS "table",
+         |  count(DISTINCT user_id)::BIGINT AS n_users
+         |FROM events GROUP BY 1, 2 ORDER BY db, "table"""".stripMargin,
+
+    "q_cdc_except" ->
+      s"""SELECT user_id FROM events WHERE $opSql = 'Backfill'
+         |EXCEPT SELECT user_id FROM events WHERE $opSql = 'Delete'
+         |ORDER BY user_id""".stripMargin,
 
     // native ASOF JOIN against the gaps-and-islands session starts
     "q_cdc_asof" ->
