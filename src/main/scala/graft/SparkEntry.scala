@@ -211,6 +211,24 @@ object SparkEntry {
           col("n_changes"))
         .orderBy("db", "table", "sess_start_us")),
 
+    // Multi-way join + aggregation over the TPC-H-ish tables: revenue
+    // per nation. Dims broadcast explicitly; money in integer cents
+    // (round once per row, then BIGINT arithmetic) so the distributed
+    // sum is associative and bit-identical to the single-node oracle.
+    "q_olap_revenue" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val discPct = round(col("l_discount") * 100).cast("long")
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents * (lit(100L) - discPct)).as("revenue_c100"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
     // Hierarchical rollup of change counts (grouping-sets class,
     // absent from the reference per SURVEY §2.9 — free from Spark).
     "q_cdc_rollup" -> ((s, dir) =>
@@ -516,6 +534,17 @@ object SparkEntry {
          |  count(*)::BIGINT AS n_changes
          |FROM g GROUP BY db, "table", sid
          |ORDER BY db, "table", sess_start_us""".stripMargin,
+
+    "q_olap_revenue" ->
+      """SELECT n_name,
+        |  sum(round(l_extendedprice * 100)::BIGINT
+        |      * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_c100,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_cdc_rollup" ->
       s"""SELECT db, "table", op, count(*)::BIGINT AS n_changes

@@ -50,6 +50,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_sim_ivf").contains("BroadcastExchange"))
   }
 
+  test("multi-way revenue join broadcasts the dim and never goes cartesian") {
+    val p = plan("q_olap_revenue")
+    assert(p.contains("BroadcastExchange"), s"nation dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("exact dedup partial-aggregates map-side before its single shuffle") {
     val p = plan("q_dedup_exact")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
