@@ -211,6 +211,19 @@ object SparkEntry {
           col("n_changes"))
         .orderBy("db", "table", "sess_start_us")),
 
+    // Window-function class: per-target inter-arrival gap via lag
+    // (deterministic tie-break on the unique event_id).
+    "q_cdc_lag" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("db"), col("table"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ChangeSource.fromEvents(T(s, dir, "events"))
+        .select(col("event_id"), col("db"), col("table"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .orderBy("event_id")
+    }),
+
     // Multi-way join + aggregation over the TPC-H-ish tables: revenue
     // per nation. Dims broadcast explicitly; money in integer cents
     // (round once per row, then BIGINT arithmetic) so the distributed
@@ -534,6 +547,15 @@ object SparkEntry {
          |  count(*)::BIGINT AS n_changes
          |FROM g GROUP BY db, "table", sid
          |ORDER BY db, "table", sess_start_us""".stripMargin,
+
+    "q_cdc_lag" ->
+      s"""WITH c AS (
+         |  SELECT event_id, $dbSql AS db, $tableSql AS "table",
+         |    epoch_ns(ts) // 1000 AS ts_us FROM events)
+         |SELECT event_id, db, "table", ts_us::BIGINT AS ts_us,
+         |  (ts_us - lag(ts_us) OVER (PARTITION BY db, "table"
+         |    ORDER BY ts_us, event_id))::BIGINT AS gap_us
+         |FROM c ORDER BY event_id""".stripMargin,
 
     "q_olap_revenue" ->
       """SELECT n_name,
