@@ -107,6 +107,34 @@ class PlanSpec extends AnyFunSuite {
     assert(page.contains("TakeOrderedAndProject"), s"no top-k plan:\n$page")
   }
 
+  test("bucketed co-located join runs with zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    val orders = cdc.Io.table(spark, sf, "orders")
+    val lineitem = cdc.Io.table(spark, sf, "lineitem")
+    ops.Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 4)
+    ops.Bucketing.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 4)
+    // tiny test tables would auto-broadcast; force the join shape the
+    // bucketing exists for at scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), "o_orderkey")
+        .groupBy(col("o_orderkey"))
+        .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("q"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles:\n$p")
+      // and the result is still correct vs the unbucketed plan
+      val direct = lineitem.join(orders,
+          lineitem("l_orderkey") === orders("o_orderkey"))
+        .groupBy(orders("o_orderkey")).count().count()
+      assert(joined.count() == direct)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("posting-list join keys are longs, not shingle strings") {
     val df = ops.Dedup.ngramJaccardPairs(
       cdc.Io.table(spark, sf, "documents"), "doc_id", "text", 3, 0.2)
