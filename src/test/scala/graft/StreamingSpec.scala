@@ -72,6 +72,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed("k2").op == ChangeOp.Delete)
   }
 
+  test("LWW state runs on the RocksDB state store (big-state deployment path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[KeyedChange]
+      val q = LwwMerge.merge(input.toDS())
+        .writeStream.format("memory").queryName("lww_rocks")
+        .outputMode("update").start()
+      input.addData(
+        KeyedChange("k1", ChangeOp.Backfill, 1L, -1L, 0, "snap1"),
+        KeyedChange("k2", ChangeOp.Backfill, 1L, -2L, 0, "snap2"))
+      q.processAllAvailable()
+      input.addData(
+        KeyedChange("k1", ChangeOp.Update, 10L, 1L, 1, "live1"),
+        KeyedChange("k1", ChangeOp.Backfill, 1L, -3L, 0, "stale"))
+      q.processAllAvailable()
+      q.stop()
+      val winners = spark.table("lww_rocks").as[KeyedChange].collect()
+        .groupBy(_.key).map { case (k, ws) =>
+          k -> ws.maxBy(w => (w.ts_sec, w.precedence, w.seq)).payload
+        }
+      assert(winners == Map("k1" -> "live1", "k2" -> "snap2"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming exact dedup drops repeated fingerprints within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1704067200000L
