@@ -260,6 +260,20 @@ object SparkEntry {
         .agg(count_distinct(col("user_id")).as("n_users"))
         .orderBy("db", "table")),
 
+    // Sketch class: HLL distinct + approximate quantiles. By design
+    // not bit-reproducible in another engine → NO SQL oracle; the
+    // driver applies its rows-only check. At 100 TB these replace
+    // the exact twins (q_cdc_distinct_users / sorted percentiles):
+    // fixed-size state, one shuffle, mergeable partials.
+    "q_cdc_approx_stats" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(ChangeSource.dbCol.as("db"), ChangeSource.tableCol.as("table"),
+          col("user_id"), col("value"))
+        .groupBy(col("db"), col("table"))
+        .agg(approx_count_distinct(col("user_id")).as("n_users_hll"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("value_p95"))
+        .orderBy("db", "table")),
+
     // Set difference: users only ever backfilled, never deleted.
     "q_cdc_except" -> ((s, dir) => {
       val e = T(s, dir, "events")
