@@ -29,16 +29,28 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
-  /** M1+M2 in batch form. Returns the materialized post-merge state:
-    * per key the winning record, with tombstoned keys removed.
+  /** Winner per key by (ts_sec, precedence, seq) over an already-
+    * unioned frame — tombstones KEPT (they must be remembered so a
+    * stale late backfill cannot resurrect a deleted key; filter with
+    * [[current]] when reading).
     */
-  def lww(backfill: DataFrame, live: DataFrame): DataFrame = {
-    val u = backfill.withColumn("precedence", lit(0))
-      .unionByName(live.withColumn("precedence", lit(1)))
+  def winners(u: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("key"))
       .orderBy(col("ts_sec").desc, col("precedence").desc, col("seq").desc)
     u.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") =!= ChangeOp.Delete)
+      .filter(col("rn") === 1)
       .drop("rn")
   }
+
+  /** The live rows of a winners table (tombstones dropped). */
+  def current(winners: DataFrame): DataFrame =
+    winners.filter(col("op") =!= ChangeOp.Delete)
+
+  /** M1+M2 in batch form. Returns the materialized post-merge state:
+    * per key the winning record, with tombstoned keys removed.
+    */
+  def lww(backfill: DataFrame, live: DataFrame): DataFrame =
+    current(winners(
+      backfill.withColumn("precedence", lit(0))
+        .unionByName(live.withColumn("precedence", lit(1)))))
 }

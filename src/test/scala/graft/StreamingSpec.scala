@@ -72,6 +72,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed("k2").op == ChangeOp.Delete)
   }
 
+  test("state table: current-state materialization and tombstone memory") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_state").toString
+    val tableDir = s"$root/table"
+    val ckpDir = s"$root/ckp"
+
+    val input = MemoryStream[KeyedChange]
+    val q1 = graft.streaming.StateTable.maintain(input.toDS(), tableDir, ckpDir)
+    input.addData(
+      KeyedChange("k1", ChangeOp.Backfill, 1L, -1L, 0, "snap1"),
+      KeyedChange("k2", ChangeOp.Backfill, 1L, -2L, 0, "snap2"))
+    q1.processAllAvailable()
+    input.addData(
+      KeyedChange("k1", ChangeOp.Update, 10L, 1L, 1, "live1"),
+      KeyedChange("k2", ChangeOp.Delete, 11L, 2L, 1, ""))
+    q1.processAllAvailable()
+    q1.stop()
+
+    def currentRows() = Merge.current(spark.read.parquet(tableDir))
+      .select("key", "payload").as[(String, String)].collect().toMap
+    assert(currentRows() == Map("k1" -> "live1"))
+
+    // a later maintenance run over the SAME table (fresh stream; the
+    // stream-checkpoint resume itself is covered by the pipeline
+    // test): a stale backfill for the DELETED key must not resurrect
+    // it — the tombstone was remembered in the table
+    val input2 = MemoryStream[KeyedChange]
+    val q2 = graft.streaming.StateTable.maintain(input2.toDS(), tableDir, s"$root/ckp2")
+    input2.addData(
+      KeyedChange("k2", ChangeOp.Backfill, 1L, -5L, 0, "ghost"),
+      KeyedChange("k3", ChangeOp.Insert, 20L, 3L, 1, "new3"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(currentRows() == Map("k1" -> "live1", "k3" -> "new3"))
+  }
+
   test("LWW state runs on the RocksDB state store (big-state deployment path)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
