@@ -56,6 +56,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("LWW merge costs exactly one key shuffle (plus the output sort)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val shuffles = SparkEntry.queries("q_cdc_lww_merge")(spark, sf)
+        .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      // one hashpartitioning(key) for the window + one rangepartitioning
+      // for the deterministic output order — nothing else
+      assert(shuffles.length == 2, shuffles.mkString("\n"))
+      assert(shuffles.count(_.outputPartitioning.toString.contains("hashpartitioning")) == 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("exact dedup partial-aggregates map-side before its single shuffle") {
     val p = plan("q_dedup_exact")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
