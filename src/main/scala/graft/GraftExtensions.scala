@@ -30,7 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "minhash_sig", "minhash_sig(shingles, k) - MinHash signature with k deterministic permutations",
       args => {
         val seeds = graft.ops.Hashing.seeds(intArg(args(1), "numHashes"))
-        MinHashSig(args.head, seeds.map(_._1).toArray, seeds.map(_._2).toArray)
+        MinHashSig(args.head, seeds.map(_._1), seeds.map(_._2))
       })
     register(ext, "rolling_hash", "rolling_hash(words) - Karp-Rabin rolling fingerprint",
       args => RollingHash(args.head, graft.ops.TextAnalysis.RollB, graft.ops.Hashing.P))
@@ -41,7 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "minhash_sig_from_hashes", "minhash_sig_from_hashes(hashes, k) - MinHash signature from pre-hashed shingles",
       args => {
         val seeds = graft.ops.Hashing.seeds(intArg(args(1), "numHashes"))
-        MinHashSigFromHashes(args.head, seeds.map(_._1).toArray, seeds.map(_._2).toArray)
+        MinHashSigFromHashes(args.head, seeds.map(_._1), seeds.map(_._2))
       })
     register(ext, "stopword_hits", "stopword_hits(words, 'w1,w2,...') - count of elements in the fixed word set",
       args => StopwordHits(args.head, stringArg(args(1), "words").split(",").toSeq))

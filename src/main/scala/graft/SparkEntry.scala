@@ -175,9 +175,15 @@ object SparkEntry {
     }),
 
     // A2/A3: backfill job-queue status + last-key extraction
-    // (reference/src/main.rs:340-367).
+    // (reference/src/main.rs:340-367). The queue is seeded with one
+    // job ('db9'.users) whose relation never produces rows, so the
+    // todo→done transition is actually exercised: it stays 'todo'.
     "q_cdc_jobqueue" -> ((s, dir) => {
-      Offsets.jobQueue(ChangeSource.fromEvents(T(s, dir, "events")))
+      val ch = ChangeSource.fromEvents(T(s, dir, "events"))
+      val jobs = ch.select(col("db"), col("table").as("relation")).distinct()
+        .unionByName(s.range(1)
+          .select(lit("db9").as("db"), lit("users").as("relation")))
+      Offsets.jobQueue(ch, jobs)
         .select(col("db"), col("relation"), col("position"),
           col("n_rows"), col("status"))
         .orderBy("db", "relation")
@@ -531,10 +537,18 @@ object SparkEntry {
          |FROM events GROUP BY 1 ORDER BY server_id""".stripMargin,
 
     "q_cdc_jobqueue" ->
-      s"""SELECT $dbSql AS db, $tableSql AS relation,
-         |  max(event_id)::BIGINT AS position, count(*)::BIGINT AS n_rows,
-         |  'done' AS status
-         |FROM events GROUP BY 1, 2 ORDER BY db, relation""".stripMargin,
+      s"""WITH c AS (SELECT $dbSql AS db, $tableSql AS relation, event_id FROM events),
+         |seen AS (
+         |  SELECT db, relation, max(event_id)::BIGINT AS position,
+         |    count(*)::BIGINT AS n_rows
+         |  FROM c GROUP BY 1, 2),
+         |jobs AS (SELECT DISTINCT db, relation FROM c
+         |         UNION SELECT 'db9', 'users')
+         |SELECT j.db, j.relation, s.position,
+         |  coalesce(s.n_rows, 0)::BIGINT AS n_rows,
+         |  CASE WHEN s.n_rows IS NOT NULL THEN 'done' ELSE 'todo' END AS status
+         |FROM jobs j LEFT JOIN seen s ON j.db = s.db AND j.relation = s.relation
+         |ORDER BY j.db, j.relation""".stripMargin,
 
     "q_cdc_windowed" ->
       s"""SELECT epoch(date_trunc('hour', ts))::BIGINT AS win_start,

@@ -28,13 +28,20 @@ object Offsets {
     * 'done' when its page comes back empty
     * (reference/src/main.rs:350-367), and the last-seen key per page
     * drives the next keyset bound (reference/src/main.rs:340-349).
-    * Batch shape: per (db, relation) the max key and a status.
+    *
+    * The queue is user-seeded (README.md:39): `jobs` is the expected
+    * (db, relation) list, outer-joined against the observed rows so a
+    * job whose relation produced nothing surfaces as 'todo' — the
+    * reference's initial state — instead of silently disappearing.
     */
-  def jobQueue(changes: DataFrame): DataFrame =
-    changes.groupBy(col("db"), col("table").as("relation"))
+  def jobQueue(changes: DataFrame, jobs: DataFrame): DataFrame = {
+    val seen = changes.groupBy(col("db"), col("table").as("relation"))
       .agg(
         max(col("event_id")).as("position"),
         count(lit(1)).cast("long").as("n_rows"))
-      .withColumn("status",
-        when(col("n_rows") > 0, "done").otherwise("todo"))
+    jobs.join(seen, Seq("db", "relation"), "left")
+      .select(col("db"), col("relation"), col("position"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        when(col("n_rows").isNotNull, "done").otherwise("todo").as("status"))
+  }
 }

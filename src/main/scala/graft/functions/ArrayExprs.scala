@@ -36,7 +36,7 @@ object ArrayExprs {
   /** MinHash signature — fast path of ops.Dedup.minhashSignature. */
   def minhashSig(shingles: Column, seeds: IndexedSeq[(Long, Long)]): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles),
-      seeds.map(_._1).toArray, seeds.map(_._2).toArray))
+      seeds.map(_._1), seeds.map(_._2)))
 
   /** 60-bit SimHash — fast path of ops.Dedup.simhash. */
   def simhash60(words: Column): Column =
@@ -68,7 +68,7 @@ object ArrayExprs {
     */
   def minhashSigFromHashes(hs: Column, seeds: IndexedSeq[(Long, Long)]): Column =
     Bridge.column(MinHashSigFromHashes(Bridge.expression(hs),
-      seeds.map(_._1).toArray, seeds.map(_._2).toArray))
+      seeds.map(_._1), seeds.map(_._2)))
 
   /** Count of array elements contained in a fixed word set — fast
     * path of `size(filter(xs, x => x.isInCollection(words)))`, with
@@ -263,10 +263,15 @@ case class DotProduct(left: Expression, right: Expression)
   * shingle md5-hashed exactly ONCE for all permutations, no
   * explode/shuffle. Values identical to the HOF/SQL formulations.
   */
-case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
+case class MinHashSig(child: Expression, as: IndexedSeq[Long], bs: IndexedSeq[Long])
     extends UnaryExpression {
 
   private val P = graft.ops.Hashing.P
+  // seeds kept as IndexedSeq in the case-class parameters so structural
+  // equality (semanticEquals / canonicalization) works; copied to flat
+  // arrays once per plan for the per-row loop
+  @transient private lazy val asArr = as.toArray
+  @transient private lazy val bsArr = bs.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -275,14 +280,14 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
-    val k = as.length
+    val k = asArr.length
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
       val x = ArrayExprs.hash60(arr.getUTF8String(i)) % P
       var j = 0
       while (j < k) {
-        val h = (x * as(j) + bs(j)) % P
+        val h = (x * asArr(j) + bsArr(j)) % P
         if (h < mins(j)) mins(j) = h
         j += 1
       }
@@ -310,10 +315,12 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
   * values to MinHashSig on the original strings — hashing first and
   * de-duplicating cannot change any min.
   */
-case class MinHashSigFromHashes(child: Expression, as: Array[Long], bs: Array[Long])
+case class MinHashSigFromHashes(child: Expression, as: IndexedSeq[Long], bs: IndexedSeq[Long])
     extends UnaryExpression {
 
   private val P = graft.ops.Hashing.P
+  @transient private lazy val asArr = as.toArray
+  @transient private lazy val bsArr = bs.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig_from_hashes"
@@ -322,14 +329,14 @@ case class MinHashSigFromHashes(child: Expression, as: Array[Long], bs: Array[Lo
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
-    val k = as.length
+    val k = asArr.length
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
       val x = arr.getLong(i) % P
       var j = 0
       while (j < k) {
-        val h = (x * as(j) + bs(j)) % P
+        val h = (x * asArr(j) + bsArr(j)) % P
         if (h < mins(j)) mins(j) = h
         j += 1
       }

@@ -220,6 +220,15 @@ object Multimodal {
        |FROM $table CROSS JOIN range(0, $dim) t(j)""".stripMargin
   }
 
+  /** NOTE (oracle contract): Spark slices `content` BYTE-wise (it is a
+    * binary column) while DuckDB's substring()/length() here are
+    * CHARACTER-based — the two agree only because the staged
+    * `documents.text` payload is ASCII (the sandbox DuckDB has no
+    * md5(BLOB)/blob-slice functions to express the byte-wise form).
+    * Real media payloads are opaque bytes and never go through a
+    * varchar oracle; this ASCII assumption is a property of the test
+    * staging only, not of the Spark pipeline.
+    */
   def framesSql(table: String, stride: Int, maxFrames: Int): String =
     s"""SELECT doc_id AS media_id, i AS frame_idx,
        |  md5(substring(text, (i * $stride + 1)::INT, $stride)) AS frame_md5

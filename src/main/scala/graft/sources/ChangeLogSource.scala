@@ -67,6 +67,12 @@ object ChangeLog {
     StructField("pkey", StringType, nullable = false),
     StructField("seq", LongType, nullable = false)))
 
+  /** Diagnostic: number of driver-side full-file row-count scans ever
+    * performed (specs assert one per sealed segment, not one per
+    * trigger).
+    */
+  val scansPerformed = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def listLogFiles(dir: String): Seq[java.io.File] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).getOrElse(Array.empty)
@@ -127,10 +133,15 @@ class ChangeLogScan(path: String, maxRowsPerTrigger: Option[Long]) extends Scan 
   override def description(): String = s"ChangeLogScan($path)"
 
   override def toBatch: Batch = new Batch {
+    // seq base = file index in the high bits, exactly as the streaming
+    // path plans it — seq is the per-log monotonic position and the
+    // LWW tie-break, so a batch read of the same log must yield the
+    // same seq values as streaming reads
     override def planInputPartitions(): Array[InputPartition] =
-      ChangeLog.listLogFiles(path).map(f =>
-        ChangeLogPartition(f.getAbsolutePath, 0L, Long.MaxValue, 0L)
-          .asInstanceOf[InputPartition]).toArray
+      ChangeLog.listLogFiles(path).zipWithIndex.map { case (f, i) =>
+        ChangeLogPartition(f.getAbsolutePath, 0L, Long.MaxValue, i.toLong << 40)
+          .asInstanceOf[InputPartition]
+      }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new ChangeLogReaderFactory
   }
@@ -147,9 +158,20 @@ class ChangeLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long])
 
   // driver-side listing; files are immutable once written (log segments)
   private def files = ChangeLog.listLogFiles(path)
-  private def countRows(f: java.io.File): Long = {
-    val src = scala.io.Source.fromFile(f)
-    try src.getLines().count(_.nonEmpty) finally src.close()
+
+  /** Row counts memoized per (path, size): sealed segments are scanned
+    * at most once per query lifetime instead of once per file per
+    * trigger; a still-growing active segment changes size and is
+    * recounted. Driver-side only, bounded by the segment count.
+    */
+  private val rowCounts =
+    scala.collection.mutable.HashMap.empty[(String, Long), Long]
+  private def countRows(f: java.io.File): Long = synchronized {
+    rowCounts.getOrElseUpdate((f.getAbsolutePath, f.length()), {
+      ChangeLog.scansPerformed.incrementAndGet()
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().count(_.nonEmpty) finally src.close()
+    })
   }
 
   /** End-of-log snapshot taken when Trigger.AvailableNow starts: the
