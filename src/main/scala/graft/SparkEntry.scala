@@ -53,7 +53,6 @@ object SparkEntry {
           col("after"),
           col("ts").cast("long").as("ts_sec"),
           col("pkey"))
-        .orderBy("event_id")
     }),
 
     // F1: regex stream filter on "{db}.{table}"
@@ -63,7 +62,6 @@ object SparkEntry {
           ChangeSource.fromEvents(T(s, dir, "events")),
           """^db[0-2]\.(users|orders)$""")
         .select(col("event_id"), col("db"), col("table"))
-        .orderBy("event_id")
     }),
 
     // T3: dynamic topic routing (reference/src/main.rs:424-434,
@@ -71,7 +69,6 @@ object SparkEntry {
     "q_cdc_topic_route" -> ((s, dir) => {
       Routing.withTopic(ChangeSource.fromEvents(T(s, dir, "events")))
         .groupBy("topic").agg(count(lit(1)).cast("long").as("n"))
-        .orderBy("topic")
     }),
 
     // T5: BigQuery-CDC projection (reference/test.rhai:25-36):
@@ -84,7 +81,6 @@ object SparkEntry {
             .otherwise(col("after")).as("fields"),
           Transforms.bigqueryChangeType(col("op")).as("_CHANGE_TYPE"),
           col("db").as("tenant"))
-        .orderBy("event_id")
     }),
 
     // T4: Debezium envelope (reference/test.rhai:1-23), flattened to
@@ -100,7 +96,6 @@ object SparkEntry {
           unix_millis(col("ts")).as("ts_ms"),
           col("before"),
           col("after"))
-        .orderBy("event_id")
     }),
 
     // S5/S6: snapshot (backfill) source with projection pushdown —
@@ -109,7 +104,6 @@ object SparkEntry {
     "q_cdc_backfill" -> ((s, dir) => {
       Backfill.snapshot(T(s, dir, "customer"), "db0", "customer",
           "c_custkey", Seq("c_custkey", "c_name", "c_acctbal"))
-        .orderBy("c_custkey")
     }),
 
     // F2/O1: one keyset page — `pkey > last ORDER BY pkey LIMIT n`
@@ -120,7 +114,6 @@ object SparkEntry {
           Backfill.snapshot(T(s, dir, "customer"), "db0", "customer",
             "c_custkey", Seq("c_custkey", "c_name", "c_acctbal")),
           "c_custkey", lastKey = 100, batch = 1000)
-        .orderBy("c_custkey")
     }),
 
     // M1/M2: backfill ⊎ live-change LWW merge
@@ -145,7 +138,6 @@ object SparkEntry {
       Merge.lww(bf, live)
         .select(col("custkey"), col("op"), col("bal"), col("ts_sec"),
           when(col("precedence") === 1, "live").otherwise("backfill").as("src"))
-        .orderBy("custkey")
     }),
 
     // §2.6: the MySQL wire-value → string type-mapping library
@@ -162,7 +154,6 @@ object SparkEntry {
           TypeMap.mysqlTime(secs).as("my_time"),
           TypeMap.mysqlTimeMicros(secs, col("event_id") % 1000000).as("my_time_us"),
           TypeMap.bytesHex(col("props")).as("my_hex"))
-        .orderBy("event_id")
     }),
 
     // A1: per-replica binlog resume offset — max(4, pos) guard +
@@ -171,7 +162,6 @@ object SparkEntry {
       Offsets.logPos(
           ChangeSource.fromEvents(T(s, dir, "events")).withColumn(
             "event_id", col("event_id")))
-        .orderBy("server_id")
     }),
 
     // A2/A3: backfill job-queue status + last-key extraction
@@ -186,7 +176,6 @@ object SparkEntry {
       Offsets.jobQueue(ch, jobs)
         .select(col("db"), col("relation"), col("position"),
           col("n_rows"), col("status"))
-        .orderBy("db", "relation")
     }),
 
     // Event-time tumbling-window change rates — the batch twin of
@@ -199,7 +188,6 @@ object SparkEntry {
         .select(
           unix_timestamp(col("window.start")).as("win_start"),
           col("db"), col("table"), col("n_changes"))
-        .orderBy("win_start", "db", "table")
     }),
 
     // Event-time sessionization (gap 30 min) — batch twin of
@@ -215,7 +203,7 @@ object SparkEntry {
           unix_micros(col("w.start")).as("sess_start_us"),
           unix_micros(col("w.end")).as("sess_end_us"),
           col("n_changes"))
-        .orderBy("db", "table", "sess_start_us")),
+        ),
 
     // Window-function class: per-target inter-arrival gap via lag
     // (deterministic tie-break on the unique event_id).
@@ -227,7 +215,6 @@ object SparkEntry {
         .select(col("event_id"), col("db"), col("table"),
           unix_micros(col("ts")).as("ts_us"))
         .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
-        .orderBy("event_id")
     }),
 
     // Multi-way join + aggregation over the TPC-H-ish tables: revenue
@@ -245,7 +232,6 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum(cents * (lit(100L) - discPct)).as("revenue_c100"),
           count(lit(1)).as("n_items"))
-        .orderBy("n_name")
     }),
 
     // Hierarchical rollup of change counts (grouping-sets class,
@@ -254,8 +240,7 @@ object SparkEntry {
       ChangeSource.fromEvents(T(s, dir, "events"))
         .rollup(col("db"), col("table"), col("op"))
         .agg(count(lit(1)).as("n_changes"))
-        .orderBy(col("db").asc_nulls_first, col("table").asc_nulls_first,
-          col("op").asc_nulls_first)),
+        ),
 
     // Exact distinct cardinality per routing target.
     "q_cdc_distinct_users" -> ((s, dir) =>
@@ -264,7 +249,7 @@ object SparkEntry {
           col("user_id"))
         .groupBy(col("db"), col("table"))
         .agg(count_distinct(col("user_id")).as("n_users"))
-        .orderBy("db", "table")),
+        ),
 
     // Sketch class: HLL distinct + approximate quantiles. By design
     // not bit-reproducible in another engine → NO SQL oracle; the
@@ -278,7 +263,7 @@ object SparkEntry {
         .groupBy(col("db"), col("table"))
         .agg(approx_count_distinct(col("user_id")).as("n_users_hll"),
           percentile_approx(col("value"), lit(0.95), lit(1000)).as("value_p95"))
-        .orderBy("db", "table")),
+        ),
 
     // Set difference: users only ever backfilled, never deleted.
     "q_cdc_except" -> ((s, dir) => {
@@ -286,7 +271,6 @@ object SparkEntry {
       e.filter(ChangeSource.opCol === ChangeOp.Backfill).select(col("user_id"))
         .except(
           e.filter(ChangeSource.opCol === ChangeOp.Delete).select(col("user_id")))
-        .orderBy("user_id")
     }),
 
     // As-of join (union + one window pass; ops.AsOf): each change
@@ -294,10 +278,14 @@ object SparkEntry {
     // temporal-join operator Spark lacks natively, vs DuckDB's native
     // ASOF JOIN as the oracle.
     "q_cdc_asof" -> ((s, dir) => {
-      val ch = ChangeSource.fromEvents(T(s, dir, "events"))
-        .select(col("event_id"), col("db"), col("table"),
-          unix_micros(col("ts")).as("ts_us"))
-      val sessions = ChangeSource.fromEvents(T(s, dir, "events"))
+      // the envelope feeds both the left side and the session
+      // derivation — cached so the events scan + envelope runs once
+      val env = ChangeSource.fromEvents(T(s, dir, "events"))
+        .select(col("event_id"), col("db"), col("table"), col("ts"))
+        .persist()
+      val ch = env.select(col("event_id"), col("db"), col("table"),
+        unix_micros(col("ts")).as("ts_us"))
+      val sessions = env
         .groupBy(col("db"), col("table"),
           session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n"))
@@ -305,7 +293,6 @@ object SparkEntry {
       AsOf.joinTs(ch, sessions, Seq("db", "table"), "ts_us")
         .select(col("event_id"), col("db"), col("table"), col("ts_us"),
           col("asof_ts").as("sess_start_us"))
-        .orderBy("event_id")
     }),
 
     // ---- LLM-data-pipeline extensions (builder brief; SURVEY §7.4) ----
@@ -322,7 +309,6 @@ object SparkEntry {
           TextAnalysis.qualityMicros(t).as("quality_micros"),
           TextAnalysis.md5Fingerprint(t).as("fp_md5"),
           TextAnalysis.rollingFingerprint(t).as("fp_roll"))
-        .orderBy("doc_id")
     }),
 
     // Vocabulary heavy hitters: top-50 tokens by document frequency,
@@ -351,32 +337,31 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1 && col("quality_micros") >= 550000)
         .select(col("doc_id"), col("lang_pred"), col("quality_micros"))
-        .orderBy("doc_id")
     }),
 
     // Exact dedup: hash-groupBy on the content fingerprint.
     "q_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(T(s, dir, "documents"), "doc_id", "text").orderBy("fp")),
+      Dedup.exact(T(s, dir, "documents"), "doc_id", "text")),
 
     // MinHash(32) + LSH(8 bands × 4 rows) near-dup pairs, exact-Jaccard
     // verified at ≥ 0.2 on 3-word shingles.
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
         k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)
-        .orderBy("id1", "id2")),
+        ),
 
     // SimHash(60-bit) near-dup pairs, hamming ≤ 5 via the full-recall
     // pigeonhole chunk join (6 chunks of 10 bits).
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text",
         chunks = 6, maxDist = 5)
-        .orderBy("id1", "id2")),
+        ),
 
     // Exact global 3-gram Jaccard near-dup via posting-list join.
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
         k = 3, threshold = 0.2)
-        .orderBy("id1", "id2")),
+        ),
 
     // Prefix-filtered exact Jaccard (All-Pairs): provably identical
     // output to full pairwise at the threshold, posting only each
@@ -384,7 +369,7 @@ object SparkEntry {
     "q_dedup_ngram_prefix" -> ((s, dir) =>
       Dedup.ngramJaccardPairsPrefix(T(s, dir, "documents"), "doc_id", "text",
         k = 3, threshold = 0.8)
-        .orderBy("id1", "id2")),
+        ),
 
     // Duplicate clusters: connected components (min-label propagation)
     // over the MinHash near-dup pairs → one representative per cluster.
@@ -392,58 +377,58 @@ object SparkEntry {
       Dedup.dupClusters(
         Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
           k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2))
-        .orderBy("id")),
+        ),
 
     // Embedding-cosine near-dup, IVF-style blocked by cluster label.
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
         "label", threshold = 0.35)
-        .orderBy("id1", "id2")),
+        ),
 
     // Brute-force cosine top-5 for 8 broadcast query vectors.
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(T(s, dir, "embeddings"), "vec_id",
         "embedding", col("vec_id") < 8, k = 5)
-        .orderBy("qid", "rank")),
+        ),
 
     // Random-hyperplane LSH near-neighbor pairs: 4 tables × 4 sign
     // bits, candidates verified at cosine ≥ 0.4.
     "q_sim_rplsh" -> ((s, dir) =>
       Similarity.rpLshPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
         tables = 4, bits = 4, dim = 64, threshold = 0.4)
-        .orderBy("id1", "id2")),
+        ),
 
     // IVF top-5: label-seeded centroids, corpus broadcast-assigned,
     // queries probe the 2 nearest lists.
     "q_sim_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
         "label", col("vec_id") < 8, k = 5, nprobe = 2)
-        .orderBy("qid", "rank")),
+        ),
 
     // Multimodal: binary media column + typed per-partition decode
     // (stub codec — see ops.Multimodal.StubCodec).
     "q_mm_decode" -> ((s, dir) =>
       Multimodal.decode(Multimodal.mediaFromDocuments(T(s, dir, "documents")))
-        .toDF().orderBy("media_id")),
+        .toDF()),
 
     // Multimodal: frame sampling over the video modality.
     "q_mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.mediaFromDocuments(T(s, dir, "documents")),
         stride = 16, maxFrames = 4)
-        .toDF().orderBy("media_id", "frame_idx")),
+        .toDF()),
 
     // Multimodal: aspect-preserving resize over the image modality.
     "q_mm_resize" -> ((s, dir) =>
       Multimodal.resize(
         Multimodal.mediaFromDocuments(T(s, dir, "documents")), maxDim = 256)
-        .toDF().orderBy("media_id")),
+        .toDF()),
 
     // Multimodal: feature extraction, one row per vector component.
     "q_mm_features" -> ((s, dir) =>
       Multimodal.features(
         Multimodal.mediaFromDocuments(T(s, dir, "documents")), dim = 8)
-        .toDF().orderBy("media_id", "feat_idx"))
+        .toDF())
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

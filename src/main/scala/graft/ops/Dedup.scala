@@ -131,10 +131,14 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(bands * rows == numHashes)
     // one md5 per shingle TOTAL: signatures and the exact verify both
-    // derive from the hashed universe — a purely narrow map
+    // derive from the hashed universe — a purely narrow map. Persisted:
+    // the plan references it from three exchange subtrees (signatures,
+    // verify s1, verify s2), which would otherwise re-hash every
+    // shingle per subtree. Spills to disk if it outgrows memory.
     val base = docs.select(
       col(idCol).as("id"),
       hashedShingles(col(textCol), k).as("hs"))
+      .persist()
     val sigs = base.select(col("id"),
       graft.functions.ArrayExprs.minhashSigFromHashes(
         col("hs"), Hashing.seeds(numHashes)).as("sig"))
@@ -322,9 +326,13 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
+    // persisted: referenced from three subtrees (document frequencies,
+    // prefix extraction, verify re-join) — without the persist the
+    // shingle hashing re-runs once per exchange subtree
     val base = docs.select(
       col(idCol).as("id"),
       hashedShingles(col(textCol), k).as("hs"))
+      .persist()
     val posts = base.select(col("id"), size(col("hs")).as("n"),
       explode(col("hs")).as("h"))
     val dfreq = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
