@@ -142,10 +142,14 @@ object SparkEntry {
 
     // §2.6: the MySQL wire-value → string type-mapping library
     // (reference/src/main.rs:442-507): DATE/DATETIME(+micros)
-    // formatting, signed 3-digit-hour TIME, uppercase-hex bytes.
+    // formatting, signed 3-digit-hour TIME, uppercase-hex bytes, and
+    // u64 (BIGINT UNSIGNED, main.rs:454) → Decimal(20,0) incl. the
+    // high-bit reinterpret path (odd ids produce negative raw longs).
     "q_cdc_typemap" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       val secs = col("event_id") % 500000 - 250000
+      val rawU = when(col("event_id") % 2 === 0, col("event_id") * 123456789L)
+        .otherwise(-(col("event_id") * 987654321L) - 1)
       ev.select(
           col("event_id"),
           TypeMap.mysqlDate(col("ts")).as("my_date"),
@@ -153,7 +157,8 @@ object SparkEntry {
           TypeMap.mysqlDateTimeMicros(col("ts")).as("my_dt_us"),
           TypeMap.mysqlTime(secs).as("my_time"),
           TypeMap.mysqlTimeMicros(secs, col("event_id") % 1000000).as("my_time_us"),
-          TypeMap.bytesHex(col("props")).as("my_hex"))
+          TypeMap.bytesHex(col("props")).as("my_hex"),
+          TypeMap.mysqlUnsignedBigInt(rawU).as("my_u64"))
     }),
 
     // A1: per-replica binlog resume offset — max(4, pos) guard +
@@ -512,7 +517,11 @@ object SparkEntry {
         |    || ':' || lpad(((abs(event_id % 500000 - 250000) % 3600) // 60)::VARCHAR, 2, '0')
         |    || ':' || lpad((abs(event_id % 500000 - 250000) % 60)::VARCHAR, 2, '0')
         |    || '.' || lpad((event_id % 1000000)::VARCHAR, 6, '0') AS my_time_us,
-        |  hex(props) AS my_hex
+        |  hex(props) AS my_hex,
+        |  ((CASE WHEN event_id % 2 = 0 THEN event_id * 123456789
+        |         ELSE -(event_id * 987654321) - 1 END)::HUGEINT
+        |   + CASE WHEN event_id % 2 = 0 THEN 0::HUGEINT
+        |          ELSE 18446744073709551616::HUGEINT END)::DECIMAL(20,0) AS my_u64
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_cdc_offsets" ->
