@@ -140,6 +140,27 @@ object SparkEntry {
           when(col("precedence") === 1, "live").otherwise("backfill").as("src"))
     }),
 
+    // M1/M2 STRICT PARITY: the reference's literal pairwise
+    // `update_with` zip (reference/src/main.rs:71-121) — including its
+    // race bugs (non-matching live change dropped, Delete never
+    // matches so backfill resurrects the key) — proving the documented
+    // divergence of q_cdc_lww_merge against actual behavior.
+    "q_cdc_merge_strict" -> ((s, dir) => {
+      val bf = T(s, dir, "customer").select(
+        col("c_custkey").as("ord"),
+        lit("db0").as("db"), lit("customer").as("table"),
+        col("c_custkey").cast("long").as("key"),
+        lit(ChangeOp.Backfill).as("op"),
+        col("c_acctbal").as("bal"))
+      val live = T(s, dir, "events").select(
+        col("event_id").as("ord"),
+        ChangeSource.dbCol.as("db"), lit("customer").as("table"),
+        (col("user_id") % 150 + 1).cast("long").as("key"),
+        ChangeSource.opCol.as("op"),
+        col("value").as("bal"))
+      Merge.strictPairwise(bf, live)
+    }),
+
     // §2.6: the MySQL wire-value → string type-mapping library
     // (reference/src/main.rs:442-507): DATE/DATETIME(+micros)
     // formatting, signed 3-digit-hour TIME, uppercase-hex bytes, and
@@ -502,6 +523,33 @@ object SparkEntry {
          |SELECT custkey, op, bal, ts_sec,
          |  CASE WHEN prec = 1 THEN 'live' ELSE 'backfill' END AS src
          |FROM r WHERE rn = 1 AND op <> 'Delete' ORDER BY custkey""".stripMargin,
+
+    "q_cdc_merge_strict" ->
+      s"""WITH b AS (
+         |  SELECT row_number() OVER (ORDER BY c_custkey) AS rn,
+         |    'db0' AS db, 'customer' AS "table", c_custkey::BIGINT AS key,
+         |    'Backfill' AS op, c_acctbal AS bal
+         |  FROM customer),
+         |l AS (
+         |  SELECT row_number() OVER (ORDER BY event_id) AS rn,
+         |    $dbSql AS db, 'customer' AS "table",
+         |    (user_id % 150 + 1)::BIGINT AS key, $opSql AS op, value AS bal
+         |  FROM events),
+         |j AS (
+         |  SELECT coalesce(b.rn, l.rn) AS rn,
+         |    CASE WHEN b.key IS NULL OR (b.db = l.db AND b."table" = l."table"
+         |      AND l.op <> 'Delete' AND b.key = l.key) THEN true ELSE false END AS take,
+         |    b.db AS bdb, b."table" AS btab, b.key AS bkey, b.op AS bop, b.bal AS bbal,
+         |    l.db AS ldb, l."table" AS ltab, l.key AS lkey, l.op AS lop, l.bal AS lbal
+         |  FROM b FULL JOIN l ON b.rn = l.rn)
+         |SELECT rn::BIGINT AS rn,
+         |  CASE WHEN take THEN ldb ELSE bdb END AS db,
+         |  CASE WHEN take THEN ltab ELSE btab END AS "table",
+         |  CASE WHEN take THEN lkey ELSE bkey END AS key,
+         |  CASE WHEN take THEN lop ELSE bop END AS op,
+         |  CASE WHEN take THEN lbal ELSE bbal END AS bal,
+         |  CASE WHEN take THEN 'live' ELSE 'backfill' END AS src
+         |FROM j""".stripMargin,
 
     "q_cdc_typemap" ->
       """SELECT event_id,

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.cdc.{ChangeOp, Merge}
@@ -53,6 +54,59 @@ class MergeSpec extends AnyFunSuite {
       ("k1", ChangeOp.Update, "v2", 20L, 2L),
       ("k1", ChangeOp.Update, "v2b", 20L, 3L)))
     assert(result(bf, live) == Map("k1" -> (ChangeOp.Update, "v2b")))
+  }
+
+  // ---- strict-parity pairwise merge (the reference's LITERAL
+  // update_with zip, race bugs included — Merge.strictPairwise) ----
+
+  private def sdf(rows: Seq[(Long, String, String, Long, String, String)]): DataFrame =
+    rows.toDF("ord", "db", "table", "key", "op", "bal")
+
+  private def strict(bf: DataFrame, live: DataFrame): Seq[(Long, Long, String, String)] =
+    Merge.strictPairwise(bf, live).orderBy("rn")
+      .select("rn", "key", "op", "src").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+
+  test("strict parity: matching live supersedes its paired backfill (main.rs:81)") {
+    val bf = sdf(Seq((1L, "db0", "t", 5L, ChangeOp.Backfill, "old")))
+    val live = sdf(Seq((1L, "db0", "t", 5L, ChangeOp.Update, "new")))
+    assert(strict(bf, live) == Seq((1L, 5L, ChangeOp.Update, "live")))
+  }
+
+  test("strict parity: non-matching live change is DROPPED, not re-queued (main.rs:107-110)") {
+    // pair (backfill key 5, live key 9): update_with keeps the
+    // backfill and the live update vanishes from the output entirely —
+    // the reference bug lww deliberately fixes
+    val bf = sdf(Seq((1L, "db0", "t", 5L, ChangeOp.Backfill, "snap")))
+    val live = sdf(Seq((1L, "db0", "t", 9L, ChangeOp.Update, "lost")))
+    assert(strict(bf, live) == Seq((1L, 5L, ChangeOp.Backfill, "backfill")))
+    // ... whereas the intended-semantics merge keeps BOTH keys
+    val lww = Merge.lww(
+      bf.select(col("key").cast("string").as("key"), col("op"), col("bal"),
+        lit(1L).as("ts_sec"), lit(-1L).as("seq")),
+      live.select(col("key").cast("string").as("key"), col("op"), col("bal"),
+        lit(2L).as("ts_sec"), lit(1L).as("seq")))
+    assert(lww.count() == 2)
+  }
+
+  test("strict parity: Delete never matches — paired backfill resurrects the key (main.rs:84)") {
+    val bf = sdf(Seq((1L, "db0", "t", 5L, ChangeOp.Backfill, "ghost")))
+    val live = sdf(Seq((1L, "db0", "t", 5L, ChangeOp.Delete, "gone")))
+    // same key, but the Delete's missing after-row hits the wildcard
+    // arm: the backfill row survives and the delete is swallowed
+    assert(strict(bf, live) == Seq((1L, 5L, ChangeOp.Backfill, "backfill")))
+  }
+
+  test("strict parity: unpaired rows pass through (main.rs:111-113)") {
+    val bf = sdf(Seq((1L, "db0", "t", 1L, ChangeOp.Backfill, "a")))
+    val live = sdf(Seq(
+      (1L, "db1", "t", 1L, ChangeOp.Update, "x"), // db mismatch → dropped
+      (2L, "db0", "t", 2L, ChangeOp.Insert, "b"), // past the snapshot → live
+      (3L, "db0", "t", 3L, ChangeOp.Delete, "c")))
+    assert(strict(bf, live) == Seq(
+      (1L, 1L, ChangeOp.Backfill, "backfill"),
+      (2L, 2L, ChangeOp.Insert, "live"),
+      (3L, 3L, ChangeOp.Delete, "live")))
   }
 
   /** Seeded random change batches (deterministic — no scalacheck
