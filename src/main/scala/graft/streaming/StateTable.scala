@@ -1,7 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.cdc.Merge
 import graft.streaming.LwwMerge.KeyedChange
@@ -14,18 +19,46 @@ import graft.streaming.LwwMerge.KeyedChange
   * Each batch unions the stored winners with the new changes and
   * keeps the per-key LWW winner, INCLUDING tombstones — a remembered
   * Delete is what stops a stale late backfill from resurrecting the
-  * row. Read the table through [[graft.cdc.Merge.current]].
+  * row. Read the table through [[read]] + [[graft.cdc.Merge.current]].
   *
-  * The per-batch rewrite is idempotent (same input batch → same
-  * table), so checkpointed replays after a crash converge — the same
-  * exactly-once-effect argument as the reference's
-  * offsets-before-rows SQLite checkpointing (main.rs:238-255), done
-  * by the streaming commit log. At 100 TB the rewrite becomes a
-  * partition-scoped compaction (partition the table by bucket(key),
-  * rewrite only buckets present in the batch) or a Delta/Iceberg
-  * MERGE — the merge logic is unchanged.
+  * == Layout: hash-bucketed, versioned, manifest-committed ==
+  *
+  * The table is partitioned by `bucket = pmod(hash(key), nBuckets)`:
+  *
+  * {{{
+  *   tableDir/manifest.json            bucket → committed version dir
+  *   tableDir/b<bucket>/<version>/     parquet winners of one bucket
+  *   tableDir/.staging/<version>/      in-flight batch output
+  * }}}
+  *
+  * A micro-batch touches ONLY the buckets its keys hash into: it reads
+  * those buckets' committed winners, merges, writes the new winners to
+  * a fresh version directory per bucket, then commits by atomically
+  * replacing `manifest.json` (write-temp + ATOMIC_MOVE). Untouched
+  * buckets are never read, rewritten, or even listed — their files
+  * stay byte-identical (StreamingSpec asserts it). At 100 TB this is
+  * the difference between a full-table rewrite per trigger and work
+  * proportional to the batch's key spread; it is the same
+  * copy-on-write + atomic-metadata-swap shape Delta/Iceberg use, built
+  * on nothing but parquet and one JSON file.
+  *
+  * == Crash safety / exactly-once effect ==
+  *
+  * Nothing committed is ever modified in place:
+  *  - crash mid-staging: the manifest still points at the old
+  *    versions; the replayed batch writes a fresh (uuid) staging dir.
+  *  - crash after manifest commit but before the stream checkpoint
+  *    commits: the batch replays against the already-updated buckets —
+  *    LWW is idempotent (re-applying the same changes cannot change a
+  *    per-key maximum; `seq` is the unique tie-break), so the replay
+  *    converges to the identical winners.
+  *  - superseded version dirs are deleted only AFTER the manifest
+  *    commit; orphans from a crash are swept the next time their
+  *    bucket is touched.
   */
 object StateTable {
+
+  val DefaultBuckets = 64
 
   /** One micro-batch application: previous winners ⊎ batch → new
     * winners (tombstones kept).
@@ -33,24 +66,115 @@ object StateTable {
   def applyBatch(existing: DataFrame, batch: DataFrame): DataFrame =
     Merge.winners(existing.unionByName(batch))
 
-  /** Run the maintenance query. `tableDir` holds the winners as
-    * parquet; `checkpointDir` the stream's offset/commit log.
+  // ---------------------------------------------------------- manifest
+
+  /** (bucket count, bucket → committed version-directory name).
+    * Absent file = empty table. The bucket count is part of the
+    * committed layout — later maintenance runs must hash with the SAME
+    * count or keys would be routed to the wrong buckets, so [[
+    * applyBatchBucketed]] always prefers the stored value.
+    */
+  private[graft] def loadManifest(tableDir: String): (Option[Int], Map[Int, String]) = {
+    val p = Paths.get(tableDir, "manifest.json")
+    if (!Files.exists(p)) (None, Map.empty)
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(p))
+      (Some(node.get("nBuckets").asInt),
+        node.get("buckets").properties().asScala
+          .map(e => e.getKey.toInt -> e.getValue.asText).toMap)
+    }
+  }
+
+  private def commitManifest(tableDir: String, nBuckets: Int,
+      m: Map[Int, String]): Unit = {
+    val entries = m.toSeq.sortBy(_._1)
+      .map { case (b, v) => s""""$b": "$v"""" }.mkString(", ")
+    val tmp = Paths.get(tableDir, s".manifest.tmp")
+    Files.writeString(tmp, s"""{"nBuckets": $nBuckets, "buckets": {$entries}}""")
+    Files.move(tmp, Paths.get(tableDir, "manifest.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+
+  /** The committed winners table (all buckets). */
+  def read(spark: SparkSession, tableDir: String): DataFrame = {
+    val (_, m) = loadManifest(tableDir)
+    require(m.nonEmpty, s"no committed state at $tableDir")
+    val paths = m.toSeq.sortBy(_._1)
+      .map { case (b, v) => s"$tableDir/b$b/$v" }
+    spark.read.parquet(paths: _*)
+  }
+
+  // ------------------------------------------------------- maintenance
+
+  /** Apply one micro-batch to the bucketed table (the foreachBatch
+    * body; public for batch-mode reuse and tests).
+    */
+  def applyBatchBucketed(batch: DataFrame, tableDir: String, batchId: Long,
+      nBucketsIfNew: Int): Unit = {
+    val spark = batch.sparkSession
+    Files.createDirectories(Paths.get(tableDir))
+    val (storedN, manifest) = loadManifest(tableDir)
+    val nBuckets = storedN.getOrElse(nBucketsIfNew)
+    val bucket = pmod(hash(col("key")), lit(nBuckets))
+    val bdf = batch.persist()
+    try {
+      val touched = bdf.select(bucket.cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return
+      val existingPaths = touched.flatMap(b =>
+        manifest.get(b).map(v => s"$tableDir/b$b/$v"))
+      val existing =
+        if (existingPaths.nonEmpty) spark.read.parquet(existingPaths: _*)
+        else bdf.limit(0)
+
+      // fresh uuid version per attempt: a replayed batch never writes
+      // into a directory it is reading from
+      val version = s"v${batchId}_${java.util.UUID.randomUUID().toString.take(8)}"
+      val staging = s"$tableDir/.staging/$version"
+      applyBatch(existing, bdf)
+        .withColumn("b", bucket)
+        .write.partitionBy("b").parquet(staging)
+
+      // move each bucket's output into place, then commit the manifest
+      val written = Files.list(Paths.get(staging)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("b="))
+        .map(p => p.getFileName.toString.stripPrefix("b=").toInt -> p).toSeq
+      val moved = written.map { case (b, src) =>
+        val dst = Paths.get(tableDir, s"b$b", version)
+        Files.createDirectories(dst.getParent)
+        Files.move(src, dst)
+        b -> version
+      }.toMap
+      commitManifest(tableDir, nBuckets, manifest ++ moved)
+
+      // post-commit GC: per touched bucket keep only the committed
+      // version (also sweeps orphans of crashed attempts)
+      moved.foreach { case (b, v) =>
+        val dir = Paths.get(tableDir, s"b$b")
+        Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString != v)
+          .foreach(deleteRecursively)
+      }
+      deleteRecursively(Paths.get(tableDir, ".staging", version))
+    } finally bdf.unpersist()
+  }
+
+  /** Run the maintenance query. `tableDir` holds the bucketed winners;
+    * `checkpointDir` the stream's offset/commit log.
     */
   def maintain(changes: Dataset[KeyedChange], tableDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, nBuckets: Int = DefaultBuckets): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
-      .foreachBatch { (batch: Dataset[KeyedChange], _: Long) =>
-        val spark = batch.sparkSession
-        val existing =
-          if (new java.io.File(tableDir).exists())
-            spark.read.parquet(tableDir)
-          else batch.toDF().limit(0)
-        // localCheckpoint materializes the previous table so the
-        // overwrite below cannot consume the files it is replacing
-        applyBatch(existing.localCheckpoint(true), batch.toDF())
-          .write.mode(SaveMode.Overwrite).parquet(tableDir)
+      .foreachBatch { (batch: Dataset[KeyedChange], batchId: Long) =>
+        applyBatchBucketed(batch.toDF(), tableDir, batchId, nBuckets)
       }
       .start()
 }

@@ -56,17 +56,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
-  test("LWW merge costs exactly one key shuffle (plus the output sort)") {
+  test("LWW merge costs exactly one key shuffle — nothing else") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val shuffles = SparkEntry.queries("q_cdc_lww_merge")(spark, sf)
         .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
-      // one hashpartitioning(key) for the window + one rangepartitioning
-      // for the deterministic output order — nothing else
-      assert(shuffles.length == 2, shuffles.mkString("\n"))
-      assert(shuffles.count(_.outputPartitioning.toString.contains("hashpartitioning")) == 1)
+      // one hashpartitioning(key) for the window; the harness sorts
+      // output rows itself, so no range exchange is paid either
+      assert(shuffles.length == 1, shuffles.mkString("\n"))
+      assert(shuffles.head.outputPartitioning.toString.contains("hashpartitioning"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 

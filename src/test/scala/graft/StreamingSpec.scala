@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.collection.JavaConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -90,7 +92,8 @@ class StreamingSpec extends AnyFunSuite {
     q1.processAllAvailable()
     q1.stop()
 
-    def currentRows() = Merge.current(spark.read.parquet(tableDir))
+    def currentRows() = Merge.current(
+        graft.streaming.StateTable.read(spark, tableDir))
       .select("key", "payload").as[(String, String)].collect().toMap
     assert(currentRows() == Map("k1" -> "live1"))
 
@@ -106,6 +109,89 @@ class StreamingSpec extends AnyFunSuite {
     q2.processAllAvailable()
     q2.stop()
     assert(currentRows() == Map("k1" -> "live1", "k3" -> "new3"))
+  }
+
+  test("state table: a batch rewrites only touched buckets; others stay byte-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_state_buckets").toString
+    val tableDir = s"$root/table"
+    import graft.streaming.StateTable
+
+    // seed many keys across the bucket space
+    val input = MemoryStream[KeyedChange]
+    val q1 = StateTable.maintain(input.toDS(), tableDir, s"$root/ckp1", nBuckets = 8)
+    input.addData((1 to 64).map(i =>
+      KeyedChange(s"k$i", ChangeOp.Backfill, 1L, -i.toLong, 0, s"snap$i")): _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // fingerprint every committed data file (path → (size, md5))
+    def fileState(): Map[String, (Long, String)] = {
+      val base = java.nio.file.Paths.get(tableDir)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p)
+          && p.toString.contains("/b") && !p.toString.contains(".staging"))
+        .map { p =>
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          md.reset()
+          base.relativize(p).toString ->
+            (bytes.length.toLong, md.digest(bytes).map(b => f"$b%02x").mkString)
+        }.toMap
+    }
+    val before = fileState()
+    val (_, manifestBefore) = StateTable.loadManifest(tableDir)
+    assert(manifestBefore.nonEmpty)
+
+    // one-key update batch: exactly one bucket may change
+    val input2 = MemoryStream[KeyedChange]
+    val q2 = StateTable.maintain(input2.toDS(), tableDir, s"$root/ckp2", nBuckets = 8)
+    input2.addData(KeyedChange("k7", ChangeOp.Update, 10L, 100L, 1, "live7"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val after = fileState()
+    val (_, manifestAfter) = StateTable.loadManifest(tableDir)
+    val changedBuckets = manifestAfter.filter { case (b, v) =>
+      manifestBefore.get(b) != Some(v)
+    }.keySet
+    assert(changedBuckets.size == 1) // only k7's bucket re-versioned
+    // every file of every untouched bucket is literally the same file
+    val touchedPrefix = s"b${changedBuckets.head}/"
+    val untouchedBefore = before.filterNot(_._1.startsWith(touchedPrefix))
+    val untouchedAfter = after.filterNot(_._1.startsWith(touchedPrefix))
+    assert(untouchedBefore == untouchedAfter)
+    // and the merged state is the full LWW result
+    val cur = Merge.current(StateTable.read(spark, tableDir))
+      .select("key", "payload").as[(String, String)].collect().toMap
+    assert(cur.size == 64 && cur("k7") == "live7" && cur("k8") == "snap8")
+  }
+
+  test("state table: replaying the same batch after a partial commit converges (idempotent)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_state_replay").toString
+    val tableDir = s"$root/table"
+    import graft.streaming.StateTable
+    import spark.implicits._
+
+    val seed = Seq(
+      KeyedChange("a", ChangeOp.Backfill, 1L, -1L, 0, "snapA"),
+      KeyedChange("b", ChangeOp.Backfill, 1L, -2L, 0, "snapB")).toDF()
+    StateTable.applyBatchBucketed(seed, tableDir, batchId = 0, nBucketsIfNew = 4)
+    val batch = Seq(
+      KeyedChange("a", ChangeOp.Update, 10L, 1L, 1, "liveA"),
+      KeyedChange("c", ChangeOp.Insert, 11L, 2L, 1, "newC")).toDF()
+    // simulate the crash-after-manifest-commit window: the same batch
+    // is applied twice (checkpoint replay re-runs the failed batch)
+    StateTable.applyBatchBucketed(batch, tableDir, batchId = 1, nBucketsIfNew = 4)
+    StateTable.applyBatchBucketed(batch, tableDir, batchId = 1, nBucketsIfNew = 4)
+    val cur = Merge.current(StateTable.read(spark, tableDir))
+      .select("key", "payload").as[(String, String)].collect().toMap
+    assert(cur == Map("a" -> "liveA", "b" -> "snapB", "c" -> "newC"))
+    // no duplicate winners per key survived the double application
+    val allRows = StateTable.read(spark, tableDir).groupBy("key").count()
+      .filter(col("count") > 1).count()
+    assert(allRows == 0)
   }
 
   test("LWW state runs on the RocksDB state store (big-state deployment path)") {
