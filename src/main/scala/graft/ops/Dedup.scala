@@ -371,38 +371,76 @@ object Dedup {
     * pairwise near-dup output into an actionable dedup decision (keep
     * one representative per cluster).
     *
-    * Algorithm: distributed min-label propagation to fixpoint — each
-    * round joins the (symmetrized) edge list against current labels,
-    * takes the neighborhood min, and re-labels. Rounds = graph
-    * diameter; `localCheckpoint` truncates the growing lineage each
-    * round. At 100 TB the drop-in upgrade is the large-star/small-star
-    * variant (Kiveris et al., "Connected Components in MapReduce"),
-    * which converges in O(log n) rounds on skewed components — same
-    * join/agg primitives, so the plan shape below is the right one to
-    * grow from.
+    * Algorithm: alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    * which converges in O(log n) rounds EVEN ON LONG CHAINS — the
+    * 100 TB property plain min-label propagation lacks (its round
+    * count is the graph diameter; PropertySpec pins the difference on
+    * a path graph). Each round is two groupBy-min + join passes over
+    * the edge list, every intermediate localCheckpointed to truncate
+    * lineage:
+    *
+    *  - large-star: every node links its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node links its smaller neighbors (and
+    *    itself) to that minimum.
+    *
+    * Fixpoint = the edge set is a union of 2-level stars whose
+    * centers are the component minima; labels read directly off the
+    * final edges.
     */
-  def dupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-    // materialize the edge list ONCE — `pairs` is usually a whole
-    // LSH pipeline, and every propagation round references sym twice
-    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint()
-    var converged = false
-    while (!converged) {
-      val nbrMin = sym.join(labels.select(col("id").as("b"), col("lbl")), "b")
-        .groupBy(col("a")).agg(min(col("lbl")).as("nmin"))
-      val next = labels.as("o")
-        .join(nbrMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
-      labels = next
+  def dupClusters(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)._1
+
+  /** [[dupClusters]] plus the number of star rounds executed (exposed
+    * for the O(log n) convergence assertion in PropertySpec).
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    // canonical edge orientation (small, large); pairs already have
+    // id1 < id2 but normalize defensively. Materialized ONCE — `pairs`
+    // is usually a whole LSH pipeline.
+    var edges = pairs.select(
+        least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      // (v, m(u)) for every neighbor v > u — larger nodes hang off the
+      // neighborhood min; orientation stays (small, large)
+      sym.filter(col("b") > col("a")).join(mins, "a")
+        .select(col("m").as("a"), col("b")).filter(col("a") =!= col("b"))
+        .distinct()
     }
-    labels.select(col("id"), col("lbl").as("rep_id"))
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is oriented (a < b): group by the LARGER endpoint b; m =
+      // min of its smaller neighbors; relink them (and b) to m
+      val mins = e.groupBy(col("b")).agg(min(col("a")).as("m"))
+      val relinked = e.join(mins, "b")
+        .select(col("m").as("a"), col("a").as("b"))
+        .filter(col("a") =!= col("b"))
+      val self = mins.select(col("m").as("a"), col("b"))
+      relinked.union(self).distinct()
+    }
+
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      rounds += 1
+      // fixpoint test on the canonical edge set (both sides oriented +
+      // distinct, so a two-way except is exact)
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+    }
+    // final stars: (center, leaf) edges; centers label themselves
+    val labels = edges.select(col("b").as("id"), col("a").as("rep_id"))
+      .union(edges.select(col("a").as("id"), col("a").as("rep_id")))
+      .groupBy(col("id")).agg(min(col("rep_id")).as("rep_id"))
+    (labels, rounds)
   }
 
   /** Oracle: transitive closure by recursive CTE over the same pair

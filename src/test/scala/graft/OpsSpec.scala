@@ -183,7 +183,7 @@ class OpsSpec extends AnyFunSuite {
       "e4" -> Some(20L), "e5" -> None))
   }
 
-  test("dup clusters: min-label propagation finds component reps") {
+  test("dup clusters: star contraction finds component reps") {
     // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,7}, {8,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L), (8L, 11L))
       .toDF("id1", "id2")

@@ -96,6 +96,43 @@ class PropertySpec extends AnyFunSuite {
     }, cases = 10)
   }
 
+  test("star-contraction components: O(log n) rounds on a path graph") {
+    // a 96-node chain: min-label propagation would need ~95 rounds
+    // (diameter); large-star/small-star must close it in O(log n)
+    val n = 96
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (labels, rounds) = graft.ops.Dedup.connectedComponents(pairs)
+    val out = labels.as[(Long, Long)].collect().toMap
+    assert(out == (0L until n).map(_ -> 0L).toMap)
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt
+    assert(rounds <= bound, s"$rounds rounds for a $n-chain (bound $bound)")
+  }
+
+  test("star-contraction components agree with union-find on random graphs") {
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val edges = (0 until 50).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: sequential union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { v =>
+        // component rep = min node id reachable — recompute honestly
+        val comp = nodes.filter(u => find(u.toInt) == find(v.toInt))
+        v -> comp.min
+      }.toMap
+      val out = graft.ops.Dedup.dupClusters(edges.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(out == expected)
+    }
+  }
+
   test("op recodes are total over the ChangeOp domain") {
     val ops = Seq(ChangeOp.Insert, ChangeOp.Update, ChangeOp.Delete,
       ChangeOp.Backfill)
