@@ -231,6 +231,18 @@ object SparkEntry {
           col("n_changes"))
         ),
 
+    // Scale-safe twin of q_cdc_sessions: two-phase sessionization
+    // (ops.Sessions) — bucket-local sessions at keys×buckets
+    // parallelism, then a boundary merge over sessions only. Breaks
+    // the 12-key parallelism cap of the one-shot session window;
+    // output proven identical via the same oracle.
+    "q_cdc_sessions2" -> ((s, dir) =>
+      Sessions.twoPhase(
+        ChangeSource.fromEvents(T(s, dir, "events"))
+          .select(col("db"), col("table"), unix_micros(col("ts")).as("ts_us")),
+        Seq("db", "table"), "ts_us",
+        gapUs = 30L * 60 * 1000000, bucketUs = 2L * 3600 * 1000000)),
+
     // Window-function class: per-target inter-arrival gap via lag
     // (deterministic tie-break on the unique event_id).
     "q_cdc_lag" -> ((s, dir) => {
@@ -600,23 +612,10 @@ object SparkEntry {
     // gaps-and-islands sessionization in epoch micros; a session
     // breaks when the gap is >= 30 min (Spark merges while
     // next.ts < prev.ts + gap), session end = last event + gap
-    "q_cdc_sessions" ->
-      s"""WITH c AS (
-         |  SELECT $dbSql AS db, $tableSql AS "table",
-         |    epoch_ns(ts) // 1000 AS ts_us FROM events),
-         |m AS (
-         |  SELECT db, "table", ts_us,
-         |    CASE WHEN lag(ts_us) OVER w IS NULL
-         |      OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
-         |  FROM c WINDOW w AS (PARTITION BY db, "table" ORDER BY ts_us)),
-         |g AS (
-         |  SELECT *, sum(new_sess) OVER (PARTITION BY db, "table" ORDER BY ts_us
-         |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
-         |SELECT db, "table", min(ts_us)::BIGINT AS sess_start_us,
-         |  (max(ts_us) + 1800000000)::BIGINT AS sess_end_us,
-         |  count(*)::BIGINT AS n_changes
-         |FROM g GROUP BY db, "table", sid
-         |ORDER BY db, "table", sess_start_us""".stripMargin,
+    "q_cdc_sessions" -> sessionsOracle,
+
+    // the two-phase plan must produce the IDENTICAL session set
+    "q_cdc_sessions2" -> sessionsOracle,
 
     "q_cdc_lag" ->
       s"""WITH c AS (
@@ -782,4 +781,22 @@ object SparkEntry {
   private val beforeSql =
     "CASE WHEN event_type IN ('click','view','error') THEN props END"
   private val afterSql = "CASE WHEN event_type <> 'error' THEN props END"
+
+  private lazy val sessionsOracle =
+    s"""WITH c AS (
+       |  SELECT $dbSql AS db, $tableSql AS "table",
+       |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+       |m AS (
+       |  SELECT db, "table", ts_us,
+       |    CASE WHEN lag(ts_us) OVER w IS NULL
+       |      OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+       |  FROM c WINDOW w AS (PARTITION BY db, "table" ORDER BY ts_us)),
+       |g AS (
+       |  SELECT *, sum(new_sess) OVER (PARTITION BY db, "table" ORDER BY ts_us
+       |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+       |SELECT db, "table", min(ts_us)::BIGINT AS sess_start_us,
+       |  (max(ts_us) + 1800000000)::BIGINT AS sess_end_us,
+       |  count(*)::BIGINT AS n_changes
+       |FROM g GROUP BY db, "table", sid
+       |ORDER BY db, "table", sess_start_us""".stripMargin
 }
