@@ -440,8 +440,15 @@ object SparkEntry {
     // queries probe the 2 nearest lists.
     "q_sim_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
-        "label", col("vec_id") < 8, k = 5, nprobe = 2)
-        ),
+        "label", col("vec_id") < 8, k = 5, nprobe = 2)),
+
+    // Trained IVF quality: recall@5 of the k-means-trained (2
+    // deterministic Lloyd rounds, integer-exact means) IVF search vs
+    // the exact brute-force top-5 — the ANN path measured, not
+    // asserted.
+    "q_sim_ivf_recall" -> ((s, dir) =>
+      Similarity.ivfRecall(T(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", col("vec_id") < 8, k = 5, nprobe = 2, iters = 2)),
 
     // Multimodal: binary media column + typed per-partition decode
     // (stub codec — see ops.Multimodal.StubCodec).
@@ -749,6 +756,10 @@ object SparkEntry {
     "q_sim_ivf" ->
       (Similarity.ivfTopKSql("vec_id", "embedding", "label", "embeddings",
         "id < 8", k = 5, nprobe = 2) + " ORDER BY qid, rank"),
+
+    "q_sim_ivf_recall" ->
+      Similarity.ivfRecallSql("vec_id", "embedding", "label", "embeddings",
+        "id < 8", k = 5, nprobe = 2, iters = 2, dim = 64),
 
     "q_mm_decode" ->
       (Multimodal.decodeSql("documents") + " ORDER BY media_id"),

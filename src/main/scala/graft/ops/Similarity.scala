@@ -91,16 +91,17 @@ object Similarity {
        |    CROSS JOIN range(0, 64) t(d)
        |  GROUP BY 1, 2) GROUP BY 1""".stripMargin
 
-  /** IVF search: corpus assigned to nearest centroid; each query
-    * probes its `nprobe` nearest centroid lists and ranks only those
-    * vectors. Output: (qid, rank, neighbor_id, cos_micros).
-    */
-  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
-      clusterCol: String, queryPred: Column, k: Int, nprobe: Int): DataFrame = {
-    val base = embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+  private def baseOf(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
-    val cents = centroids(embs, clusterCol, vecCol)
-      .withColumn("cnrm", Vectors.norm(col("cent")))
+
+  /** The IVF search stage over a given centroid table (cl, cent):
+    * corpus assigned to nearest centroid; each query probes its
+    * `nprobe` nearest centroid lists and ranks only those vectors.
+    */
+  private def searchLists(base: DataFrame, centroids: DataFrame,
+      queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids.withColumn("cnrm", Vectors.norm(col("cent")))
 
     // corpus → nearest centroid. Broadcast join (the big side never
     // shuffles for the join) + argmax via max_by, which partial-
@@ -138,6 +139,97 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neighbor_id"),
         round(col("cos") * 1e6).cast("long").as("cos_micros"))
+  }
+
+  /** IVF search with label-seeded (one Lloyd step) centroids.
+    * Output: (qid, rank, neighbor_id, cos_micros).
+    */
+  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, queryPred: Column, k: Int, nprobe: Int): DataFrame =
+    searchLists(baseOf(embs, idCol, vecCol),
+      centroids(embs, clusterCol, vecCol), queryPred, k, nprobe)
+
+  // ------------------------------------------------- trained k-means IVF
+
+  /** Integer-exact per-cluster centroids over (cl, v) rows: each
+    * component is quantized to micros (exact long per element), summed
+    * as integers — associative, so partition order CANNOT perturb the
+    * result, unlike a float avg — and the mean re-quantized to micros.
+    * This is what makes an ITERATED k-means bit-reproducible in the
+    * oracle: float-sum nondeterminism can never compound across
+    * rounds.
+    */
+  def centroidsExact(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cl"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("cl"), col("d"))
+      .agg((round(sum(round(col("x") * 1e6).cast("long")).cast("double")
+        / count(lit(1))) / 1e6).as("cx"))
+      .groupBy(col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+        s => s.getField("cx")).as("cent"))
+
+  def centroidsExactSql(assign: String, dim: Int): String =
+    s"""SELECT cl, list(cx ORDER BY d) AS cent FROM (
+       |  SELECT cl, d,
+       |    round(sum(round(v[d + 1] * 1e6)::BIGINT)::DOUBLE / count(*)) / 1e6 AS cx
+       |  FROM $assign CROSS JOIN range(0, $dim) t(d)
+       |  GROUP BY 1, 2) GROUP BY 1""".stripMargin
+
+  /** Deterministic Lloyd iteration: seed centroids from the label
+    * column (integer-exact means), then `iters` rounds of
+    * assign-to-nearest-by-cosine + integer-exact recompute. Clusters
+    * that lose every point keep their previous centroid. All
+    * tie-breaks explicit, every arithmetic step exact or quantized —
+    * the oracle unrolls the SAME rounds and matches bit-for-bit.
+    */
+  def kmeans(embs: DataFrame, idCol: String, vecCol: String,
+      seedCol: String, iters: Int): DataFrame = {
+    val base = baseOf(embs, idCol, vecCol)
+    var cents = centroidsExact(
+      embs.select(col(seedCol).as("cl"), Vectors.toDouble(col(vecCol)).as("v")))
+    for (_ <- 1 to iters) {
+      val cn = cents.withColumn("cnrm", Vectors.norm(col("cent")))
+      val assigned = base.join(broadcast(cn))
+        .select(col("id"), col("cl"),
+          (Vectors.dot(col("v"), col("cent")) / (col("nrm") * col("cnrm"))).as("ccos"))
+        .groupBy(col("id"))
+        .agg(max_by(col("cl"), struct(col("ccos"), -col("cl"))).as("cl"))
+        .join(base, "id")
+        .select(col("cl"), col("v"))
+      val computed = centroidsExact(assigned)
+      cents = cents.as("o")
+        .join(computed.withColumnRenamed("cent", "ncent"), Seq("cl"), "left")
+        .select(col("cl"), coalesce(col("ncent"), col("o.cent")).as("cent"))
+    }
+    cents
+  }
+
+  /** IVF search over TRAINED (iterated k-means) centroids. */
+  def ivfTopKTrained(embs: DataFrame, idCol: String, vecCol: String,
+      seedCol: String, queryPred: Column, k: Int, nprobe: Int,
+      iters: Int): DataFrame =
+    searchLists(baseOf(embs, idCol, vecCol),
+      kmeans(embs, idCol, vecCol, seedCol, iters), queryPred, k, nprobe)
+
+  /** recall@k of the trained-IVF search against the exact brute-force
+    * ground truth, per query: |ivf hits ∩ true top-k| / k in micros.
+    * The quality metric that makes the ANN path measurable rather
+    * than asserted.
+    */
+  def ivfRecall(embs: DataFrame, idCol: String, vecCol: String,
+      seedCol: String, queryPred: Column, k: Int, nprobe: Int,
+      iters: Int): DataFrame = {
+    val truth = bruteForceTopK(embs, idCol, vecCol, queryPred, k)
+    val approx = ivfTopKTrained(embs, idCol, vecCol, seedCol, queryPred,
+      k, nprobe, iters)
+    truth.as("t")
+      .join(approx.as("a"),
+        col("t.qid") === col("a.qid") &&
+          col("t.neighbor_id") === col("a.neighbor_id"), "left")
+      .groupBy(col("t.qid").as("qid"))
+      .agg(round(count(col("a.neighbor_id")).cast("double") / k * 1e6)
+        .cast("long").as("recall_micros"))
   }
 
   /** Deterministic random hyperplanes for the RP-LSH path: component
@@ -210,6 +302,57 @@ object Similarity {
        |    ON l.tbl = r.tbl AND l.key = r.key AND l.id < r.id)
        |SELECT id1, id2, cos_micros FROM pairs
        |WHERE cos_micros >= ${(threshold * 1e6).toLong}""".stripMargin
+  }
+
+  /** DuckDB twin of [[ivfRecall]]: the SAME seeded centroids, the SAME
+    * `iters` Lloyd rounds unrolled as CTE stages (assign → integer-
+    * exact means → empty-cluster fallback), the same probe/rank
+    * search, and the same brute-force truth — recall values match
+    * bit-for-bit because every stage is exact or micro-quantized.
+    */
+  def ivfRecallSql(id: String, vec: String, seed: String, table: String,
+      queryPredSql: String, k: Int, nprobe: Int, iters: Int,
+      dim: Int): String = {
+    def assign(cents: String): String =
+      s"""SELECT id, cl, v FROM (
+         |    SELECT e.id, c.cl, e.v, row_number() OVER (PARTITION BY e.id
+         |      ORDER BY ${Vectors.cosineSql("e.v", "c.cent")} DESC, c.cl) AS arn
+         |    FROM e CROSS JOIN $cents c) WHERE arn = 1""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS (${assign(s"cents${r - 1}")}),
+         |m$r AS (${centroidsExactSql(s"a$r", dim)}),
+         |cents$r AS (
+         |  SELECT o.cl, coalesce(n.cent, o.cent) AS cent
+         |  FROM cents${r - 1} o LEFT JOIN m$r n ON o.cl = n.cl),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (
+       |  SELECT $id AS id, $seed AS lab, ${Vectors.toDoubleSql(vec)} AS v FROM $table),
+       |cents0 AS (${centroidsExactSql(s"(SELECT lab AS cl, v FROM e) s0", dim)}),
+       |$rounds
+       |af AS (${assign(s"cents$iters")}),
+       |q AS (SELECT id AS qid, v AS qv FROM e WHERE $queryPredSql),
+       |probes AS (
+       |  SELECT qid, qv, cl FROM (
+       |    SELECT q.qid, q.qv, c.cl, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${Vectors.cosineSql("q.qv", "c.cent")} DESC, c.cl) AS prn
+       |    FROM q CROSS JOIN cents$iters c) WHERE prn <= $nprobe),
+       |ivf AS (
+       |  SELECT qid, neighbor_id FROM (
+       |    SELECT p.qid, e.id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY ${Vectors.cosineSql("p.qv", "e.v")} DESC, e.id) AS rank
+       |    FROM probes p JOIN af a ON a.cl = p.cl
+       |    JOIN e ON e.id = a.id WHERE e.id <> p.qid) WHERE rank <= $k),
+       |truth AS (
+       |  SELECT qid, neighbor_id FROM (
+       |    SELECT q.qid, e.id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${Vectors.cosineSql("q.qv", "e.v")} DESC, e.id) AS rank
+       |    FROM q JOIN e ON e.id <> q.qid) WHERE rank <= $k)
+       |SELECT t.qid, round(count(a.neighbor_id)::DOUBLE / $k * 1e6)::BIGINT AS recall_micros
+       |FROM truth t LEFT JOIN ivf a
+       |  ON t.qid = a.qid AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.qid""".stripMargin
   }
 
   def ivfTopKSql(id: String, vec: String, cluster: String, table: String,

@@ -88,6 +88,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("trained k-means: separable clusters → perfect recall; empty clusters kept") {
+    // two tight clusters around (1,0) and (0,1); labels deliberately
+    // MISassign one point — training must pull assignments right
+    val embs = Seq(
+      (0L, Seq(1f, 0.00f), 0), (1L, Seq(1f, 0.05f), 0),
+      (2L, Seq(1f, 0.10f), 1), // wrong seed label
+      (3L, Seq(0.00f, 1f), 1), (4L, Seq(0.05f, 1f), 1),
+      (5L, Seq(0.10f, 1f), 2)) // cluster 2 will end up empty after training
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kmeans(embs, "vec_id", "embedding", "label", iters = 2)
+    assert(cents.count() == 3) // empty cluster keeps its previous centroid
+    // with nprobe=2 of 3 lists and clean separation, IVF recall@2 is exact
+    val rec = Similarity.ivfRecall(embs, "vec_id", "embedding", "label",
+        col("vec_id") < 2, k = 2, nprobe = 2, iters = 2)
+      .select("qid", "recall_micros").as[(Long, Long)].collect().toMap
+    assert(rec == Map(0L -> 1000000L, 1L -> 1000000L))
+  }
+
   test("token/piece counts and fingerprints") {
     val t = Seq("ab cd3 e!").toDF("text")
     val row = t.select(
