@@ -21,6 +21,24 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Io.table(s, dir, name)
 
+  /** Shared input of the as-of queries: change rows + session-start
+    * marks. The envelope feeds both sides — cached so the events
+    * scan + envelope runs once.
+    */
+  private def asofInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val env = ChangeSource.fromEvents(T(s, dir, "events"))
+      .select(col("event_id"), col("db"), col("table"), col("ts"))
+      .persist()
+    val ch = env.select(col("event_id"), col("db"), col("table"),
+      unix_micros(col("ts")).as("ts_us"))
+    val sessions = env
+      .groupBy(col("db"), col("table"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("db"), col("table"), unix_micros(col("w.start")).as("ts_us"))
+    (ch, sessions)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The full reference drive loop in one plan: change source
     * → envelope → regex filter → BigQuery-CDC transform → topic
@@ -316,19 +334,20 @@ object SparkEntry {
     // temporal-join operator Spark lacks natively, vs DuckDB's native
     // ASOF JOIN as the oracle.
     "q_cdc_asof" -> ((s, dir) => {
-      // the envelope feeds both the left side and the session
-      // derivation — cached so the events scan + envelope runs once
-      val env = ChangeSource.fromEvents(T(s, dir, "events"))
-        .select(col("event_id"), col("db"), col("table"), col("ts"))
-        .persist()
-      val ch = env.select(col("event_id"), col("db"), col("table"),
-        unix_micros(col("ts")).as("ts_us"))
-      val sessions = env
-        .groupBy(col("db"), col("table"),
-          session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("db"), col("table"), unix_micros(col("w.start")).as("ts_us"))
+      val (ch, sessions) = asofInputs(s, dir)
       AsOf.joinTs(ch, sessions, Seq("db", "table"), "ts_us")
+        .select(col("event_id"), col("db"), col("table"), col("ts_us"),
+          col("asof_ts").as("sess_start_us"))
+    }),
+
+    // Scale-safe twin of q_cdc_asof (ops.AsOf.joinTsTwoPhase):
+    // bucket-local mark carry at keys×buckets parallelism + running
+    // carry-in over the bucket summary — breaks the 12-key cap, same
+    // oracle.
+    "q_cdc_asof2" -> ((s, dir) => {
+      val (ch, sessions) = asofInputs(s, dir)
+      AsOf.joinTsTwoPhase(ch, sessions, Seq("db", "table"), "ts_us",
+          bucketWidth = 2L * 3600 * 1000000)
         .select(col("event_id"), col("db"), col("table"), col("ts_us"),
           col("asof_ts").as("sess_start_us"))
     }),
@@ -661,26 +680,10 @@ object SparkEntry {
          |ORDER BY user_id""".stripMargin,
 
     // native ASOF JOIN against the gaps-and-islands session starts
-    "q_cdc_asof" ->
-      s"""WITH c AS (
-         |  SELECT event_id, $dbSql AS db, $tableSql AS "table",
-         |    epoch_ns(ts) // 1000 AS ts_us FROM events),
-         |m AS (
-         |  SELECT db, "table", ts_us,
-         |    CASE WHEN lag(ts_us) OVER w IS NULL
-         |      OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
-         |  FROM c WINDOW w AS (PARTITION BY db, "table" ORDER BY ts_us)),
-         |g AS (
-         |  SELECT *, sum(new_sess) OVER (PARTITION BY db, "table" ORDER BY ts_us
-         |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
-         |sess AS (
-         |  SELECT db, "table", min(ts_us)::BIGINT AS sess_start_us
-         |  FROM g GROUP BY db, "table", sid)
-         |SELECT c.event_id, c.db, c."table", c.ts_us::BIGINT AS ts_us,
-         |  s.sess_start_us
-         |FROM c ASOF JOIN sess s
-         |  ON c.db = s.db AND c."table" = s."table" AND c.ts_us >= s.sess_start_us
-         |ORDER BY event_id""".stripMargin,
+    "q_cdc_asof" -> asofOracle,
+
+    // the two-phase plan must attach the IDENTICAL as-of marks
+    "q_cdc_asof2" -> asofOracle,
 
     // ---- LLM-data-pipeline extensions: oracles generated from the
     // same Scala constants as the Spark pipelines ----
@@ -792,6 +795,27 @@ object SparkEntry {
   private val beforeSql =
     "CASE WHEN event_type IN ('click','view','error') THEN props END"
   private val afterSql = "CASE WHEN event_type <> 'error' THEN props END"
+
+  private lazy val asofOracle =
+    s"""WITH c AS (
+       |  SELECT event_id, $dbSql AS db, $tableSql AS "table",
+       |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+       |m AS (
+       |  SELECT db, "table", ts_us,
+       |    CASE WHEN lag(ts_us) OVER w IS NULL
+       |      OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+       |  FROM c WINDOW w AS (PARTITION BY db, "table" ORDER BY ts_us)),
+       |g AS (
+       |  SELECT *, sum(new_sess) OVER (PARTITION BY db, "table" ORDER BY ts_us
+       |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+       |sess AS (
+       |  SELECT db, "table", min(ts_us)::BIGINT AS sess_start_us
+       |  FROM g GROUP BY db, "table", sid)
+       |SELECT c.event_id, c.db, c."table", c.ts_us::BIGINT AS ts_us,
+       |  s.sess_start_us
+       |FROM c ASOF JOIN sess s
+       |  ON c.db = s.db AND c."table" = s."table" AND c.ts_us >= s.sess_start_us
+       |ORDER BY event_id""".stripMargin
 
   private lazy val sessionsOracle =
     s"""WITH c AS (

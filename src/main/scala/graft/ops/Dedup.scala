@@ -431,9 +431,12 @@ object Dedup {
     while (!converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       rounds += 1
-      // fixpoint test on the canonical edge set (both sides oriented +
-      // distinct, so a two-way except is exact)
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // fixpoint ⟺ empty symmetric difference. Both sides are
+      // distinct sets, so a row count of 1 in the concatenation means
+      // "in exactly one side" — ONE shuffle instead of two excepts
+      converged = next.union(edges)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1).isEmpty
       edges = next
     }
     // final stars: (center, leaf) edges; centers label themselves

@@ -40,8 +40,7 @@ object Similarity {
       queryPred: Column, k: Int): DataFrame = {
     // norms once per row, not once per (query, row) pair — identical
     // fold order, so cosine values (and the oracle) are unchanged
-    val base = embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", Vectors.norm(col("v")))
+    val base = baseOf(embs, idCol, vecCol)
     val queries = base.filter(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = base.join(broadcast(queries), col("id") =!= col("qid"))
@@ -91,9 +90,13 @@ object Similarity {
        |    CROSS JOIN range(0, 64) t(d)
        |  GROUP BY 1, 2) GROUP BY 1""".stripMargin
 
+  // persisted: every search/training pass re-reads (id, v, nrm); the
+  // cache manager dedups identical plans, so all call sites over the
+  // same table share one materialization
   private def baseOf(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
     embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
+      .persist()
 
   /** The IVF search stage over a given centroid table (cl, cent):
     * corpus assigned to nearest centroid; each query probes its
@@ -198,9 +201,13 @@ object Similarity {
         .join(base, "id")
         .select(col("cl"), col("v"))
       val computed = centroidsExact(assigned)
+      // centroid table is nlist rows — materialize it per round so the
+      // next round's plan starts from a flat table instead of
+      // replaying every previous round's assignment
       cents = cents.as("o")
         .join(computed.withColumnRenamed("cent", "ncent"), Seq("cl"), "left")
         .select(col("cl"), coalesce(col("ncent"), col("o.cent")).as("cent"))
+        .localCheckpoint()
     }
     cents
   }

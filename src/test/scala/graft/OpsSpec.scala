@@ -199,6 +199,15 @@ class OpsSpec extends AnyFunSuite {
       .select("name", "asof_ts").as[(String, Option[Long])].collect().toMap
     assert(out == Map("e1" -> None, "e2" -> Some(10L), "e3" -> Some(10L),
       "e4" -> Some(20L), "e5" -> None))
+
+    // the two-phase variant is exact at every bucket width, incl.
+    // widths that strand buckets with no mark (carry-in path) and
+    // width 1 (every row its own bucket)
+    for (bw <- Seq(1L, 3L, 7L, 100L)) {
+      val out2 = AsOf.joinTsTwoPhase(left, right, Seq("key"), "ts_us", bw)
+        .select("name", "asof_ts").as[(String, Option[Long])].collect().toMap
+      assert(out2 == out, s"bucketWidth=$bw")
+    }
   }
 
   test("dup clusters: star contraction finds component reps") {

@@ -87,6 +87,20 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("two-phase as-of join shuffles phase 1 on (keys, time-bucket)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val shuffles = SparkEntry.queries("q_cdc_asof2")(spark, sf)
+        .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      val parts = shuffles.map(_.outputPartitioning.toString)
+      assert(parts.exists(p => p.contains("__bk") &&
+        "hashpartitioning\\(db.*table.*__bk".r.findFirstIn(p).isDefined),
+        parts.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("exact dedup partial-aggregates map-side before its single shuffle") {
     val p = plan("q_dedup_exact")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
