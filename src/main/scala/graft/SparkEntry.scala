@@ -469,6 +469,13 @@ object SparkEntry {
       Similarity.ivfRecall(T(s, dir, "embeddings"), "vec_id", "embedding",
         "label", col("vec_id") < 8, k = 5, nprobe = 2, iters = 2)),
 
+    // recall@5 vs nprobe ∈ {1,2,4} over ONE trained centroid set —
+    // the recall/cost curve that actually drives nprobe tuning.
+    "q_sim_ivf_sweep" -> ((s, dir) =>
+      Similarity.ivfRecallSweep(T(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", col("vec_id") < 8, k = 5,
+        nprobes = Seq(1, 2, 4), iters = 2)),
+
     // Multimodal: binary media column + typed per-partition decode
     // (stub codec — see ops.Multimodal.StubCodec).
     "q_mm_decode" -> ((s, dir) =>
@@ -763,6 +770,10 @@ object SparkEntry {
     "q_sim_ivf_recall" ->
       Similarity.ivfRecallSql("vec_id", "embedding", "label", "embeddings",
         "id < 8", k = 5, nprobe = 2, iters = 2, dim = 64),
+
+    "q_sim_ivf_sweep" ->
+      Similarity.ivfRecallSweepSql("vec_id", "embedding", "label", "embeddings",
+        "id < 8", k = 5, nprobes = Seq(1, 2, 4), iters = 2, dim = 64),
 
     "q_mm_decode" ->
       (Multimodal.decodeSql("documents") + " ORDER BY media_id"),

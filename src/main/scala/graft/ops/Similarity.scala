@@ -311,14 +311,38 @@ object Similarity {
        |WHERE cos_micros >= ${(threshold * 1e6).toLong}""".stripMargin
   }
 
-  /** DuckDB twin of [[ivfRecall]]: the SAME seeded centroids, the SAME
-    * `iters` Lloyd rounds unrolled as CTE stages (assign → integer-
-    * exact means → empty-cluster fallback), the same probe/rank
-    * search, and the same brute-force truth — recall values match
-    * bit-for-bit because every stage is exact or micro-quantized.
+  /** recall@k per (nprobe, query) for several probe widths over ONE
+    * trained centroid set — the recall/cost tradeoff curve that drives
+    * nprobe tuning. Training runs once; each probe width re-runs only
+    * the (cheap) search stage.
     */
-  def ivfRecallSql(id: String, vec: String, seed: String, table: String,
-      queryPredSql: String, k: Int, nprobe: Int, iters: Int,
+  def ivfRecallSweep(embs: DataFrame, idCol: String, vecCol: String,
+      seedCol: String, queryPred: Column, k: Int, nprobes: Seq[Int],
+      iters: Int): DataFrame = {
+    val base = baseOf(embs, idCol, vecCol)
+    val cents = kmeans(embs, idCol, vecCol, seedCol, iters)
+    val truth = bruteForceTopK(embs, idCol, vecCol, queryPred, k)
+    nprobes.map { np =>
+      val approx = searchLists(base, cents, queryPred, k, np)
+      truth.as("t")
+        .join(approx.as("a"),
+          col("t.qid") === col("a.qid") &&
+            col("t.neighbor_id") === col("a.neighbor_id"), "left")
+        .groupBy(col("t.qid").as("qid"))
+        .agg(round(count(col("a.neighbor_id")).cast("double") / k * 1e6)
+          .cast("long").as("recall_micros"))
+        .select(lit(np.toLong).as("nprobe"), col("qid"), col("recall_micros"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Shared CTE prefix of the trained-IVF oracles: embeddings (e),
+    * seeded centroids (cents0), `iters` unrolled Lloyd rounds
+    * (assign → integer-exact means → empty-cluster fallback →
+    * cents1..N), final corpus assignment (af), queries (q), and the
+    * brute-force truth (truth).
+    */
+  private def ivfTrainedPrefixSql(id: String, vec: String, seed: String,
+      table: String, queryPredSql: String, k: Int, iters: Int,
       dim: Int): String = {
     def assign(cents: String): String =
       s"""SELECT id, cl, v FROM (
@@ -338,29 +362,62 @@ object Similarity {
        |$rounds
        |af AS (${assign(s"cents$iters")}),
        |q AS (SELECT id AS qid, v AS qv FROM e WHERE $queryPredSql),
-       |probes AS (
-       |  SELECT qid, qv, cl FROM (
-       |    SELECT q.qid, q.qv, c.cl, row_number() OVER (PARTITION BY q.qid
-       |      ORDER BY ${Vectors.cosineSql("q.qv", "c.cent")} DESC, c.cl) AS prn
-       |    FROM q CROSS JOIN cents$iters c) WHERE prn <= $nprobe),
-       |ivf AS (
-       |  SELECT qid, neighbor_id FROM (
-       |    SELECT p.qid, e.id AS neighbor_id,
-       |      row_number() OVER (PARTITION BY p.qid
-       |        ORDER BY ${Vectors.cosineSql("p.qv", "e.v")} DESC, e.id) AS rank
-       |    FROM probes p JOIN af a ON a.cl = p.cl
-       |    JOIN e ON e.id = a.id WHERE e.id <> p.qid) WHERE rank <= $k),
        |truth AS (
        |  SELECT qid, neighbor_id FROM (
        |    SELECT q.qid, e.id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.qid
        |        ORDER BY ${Vectors.cosineSql("q.qv", "e.v")} DESC, e.id) AS rank
-       |    FROM q JOIN e ON e.id <> q.qid) WHERE rank <= $k)
-       |SELECT t.qid, round(count(a.neighbor_id)::DOUBLE / $k * 1e6)::BIGINT AS recall_micros
-       |FROM truth t LEFT JOIN ivf a
+       |    FROM q JOIN e ON e.id <> q.qid) WHERE rank <= $k)""".stripMargin
+  }
+
+  /** One probe width's search CTEs (probes$np, ivf$np) over the
+    * [[ivfTrainedPrefixSql]] tables.
+    */
+  private def ivfSearchCteSql(np: Int, k: Int, iters: Int): String =
+    s"""probes$np AS (
+       |  SELECT qid, qv, cl FROM (
+       |    SELECT q.qid, q.qv, c.cl, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${Vectors.cosineSql("q.qv", "c.cent")} DESC, c.cl) AS prn
+       |    FROM q CROSS JOIN cents$iters c) WHERE prn <= $np),
+       |ivf$np AS (
+       |  SELECT qid, neighbor_id FROM (
+       |    SELECT p.qid, e.id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY ${Vectors.cosineSql("p.qv", "e.v")} DESC, e.id) AS rank
+       |    FROM probes$np p JOIN af a ON a.cl = p.cl
+       |    JOIN e ON e.id = a.id WHERE e.id <> p.qid) WHERE rank <= $k)""".stripMargin
+
+  private def recallSelectSql(np: Int, k: Int, withNprobe: Boolean): String = {
+    val head = if (withNprobe) s"SELECT $np::BIGINT AS nprobe, t.qid" else "SELECT t.qid"
+    s"""$head,
+       |  round(count(a.neighbor_id)::DOUBLE / $k * 1e6)::BIGINT AS recall_micros
+       |FROM truth t LEFT JOIN ivf$np a
        |  ON t.qid = a.qid AND t.neighbor_id = a.neighbor_id
        |GROUP BY t.qid""".stripMargin
   }
+
+  /** DuckDB twin of [[ivfRecall]]: the SAME seeded centroids, the SAME
+    * `iters` Lloyd rounds unrolled as CTE stages, the same probe/rank
+    * search, and the same brute-force truth — recall values match
+    * bit-for-bit because every stage is exact or micro-quantized.
+    */
+  def ivfRecallSql(id: String, vec: String, seed: String, table: String,
+      queryPredSql: String, k: Int, nprobe: Int, iters: Int,
+      dim: Int): String =
+    s"""${ivfTrainedPrefixSql(id, vec, seed, table, queryPredSql, k, iters, dim)},
+       |${ivfSearchCteSql(nprobe, k, iters)}
+       |${recallSelectSql(nprobe, k, withNprobe = false)}""".stripMargin
+
+  /** DuckDB twin of [[ivfRecallSweep]] — one training, a search CTE
+    * pair per probe width, unioned recall rows.
+    */
+  def ivfRecallSweepSql(id: String, vec: String, seed: String, table: String,
+      queryPredSql: String, k: Int, nprobes: Seq[Int], iters: Int,
+      dim: Int): String =
+    s"""${ivfTrainedPrefixSql(id, vec, seed, table, queryPredSql, k, iters, dim)},
+       |${nprobes.map(ivfSearchCteSql(_, k, iters)).mkString(",\n")}
+       |${nprobes.map(recallSelectSql(_, k, withNprobe = true))
+           .mkString("\nUNION ALL\n")}""".stripMargin
 
   def ivfTopKSql(id: String, vec: String, cluster: String, table: String,
       queryPredSql: String, k: Int, nprobe: Int): String =
