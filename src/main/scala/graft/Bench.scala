@@ -23,6 +23,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {
+      // per-query cache reset: operators cache shared bases for the
+      // life of the job (graft.ops.Caching) — clearing between queries
+      // keeps per-query times attributable (each pays its own
+      // materialization; no cross-query cache interference) and the
+      // session's executor memory flat across the 40+ query sweep.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()

@@ -22,13 +22,14 @@ object SparkEntry {
     Io.table(s, dir, name)
 
   /** Shared input of the as-of queries: change rows + session-start
-    * marks. The envelope feeds both sides — cached so the events
+    * marks. The envelope feeds both sides — cached (once per plan,
+    * lifecycle per [[graft.ops.Caching.cachedOnce]]) so the events
     * scan + envelope runs once.
     */
   private def asofInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val env = ChangeSource.fromEvents(T(s, dir, "events"))
-      .select(col("event_id"), col("db"), col("table"), col("ts"))
-      .persist()
+    val env = Caching.cachedOnce(
+      ChangeSource.fromEvents(T(s, dir, "events"))
+        .select(col("event_id"), col("db"), col("table"), col("ts")))
     val ch = env.select(col("event_id"), col("db"), col("table"),
       unix_micros(col("ts")).as("ts_us"))
     val sessions = env
@@ -182,8 +183,8 @@ object SparkEntry {
     // §2.6: the MySQL wire-value → string type-mapping library
     // (reference/src/main.rs:442-507): DATE/DATETIME(+micros)
     // formatting, signed 3-digit-hour TIME, uppercase-hex bytes, and
-    // u64 (BIGINT UNSIGNED, main.rs:454) → Decimal(20,0) incl. the
-    // high-bit reinterpret path (odd ids produce negative raw longs).
+    // u64 (BIGINT UNSIGNED, main.rs:454) → Decimal(20,0)-then-string
+    // incl. the high-bit reinterpret path (odd ids → negative raws).
     "q_cdc_typemap" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       val secs = col("event_id") % 500000 - 250000
@@ -461,20 +462,22 @@ object SparkEntry {
       Similarity.ivfTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
         "label", col("vec_id") < 8, k = 5, nprobe = 2)),
 
-    // Trained IVF quality: recall@5 of the k-means-trained (2
-    // deterministic Lloyd rounds, integer-exact means) IVF search vs
-    // the exact brute-force top-5 — the ANN path measured, not
-    // asserted.
+    // Trained IVF quality: recall@5 of the k-means-trained (4
+    // deterministic Lloyd rounds, integer-exact means, each vector
+    // posted to its 2 nearest lists) IVF search vs the exact
+    // brute-force top-5 — the ANN path measured, not asserted.
     "q_sim_ivf_recall" -> ((s, dir) =>
       Similarity.ivfRecall(T(s, dir, "embeddings"), "vec_id", "embedding",
-        "label", col("vec_id") < 8, k = 5, nprobe = 2, iters = 2)),
+        "label", col("vec_id") < 8, k = 5, nprobe = 2, iters = 4,
+        massign = 2)),
 
     // recall@5 vs nprobe ∈ {1,2,4} over ONE trained centroid set —
-    // the recall/cost curve that actually drives nprobe tuning.
+    // the recall/cost curve that actually drives nprobe tuning
+    // (measured at sf0.01: ~0.48/0.73/0.98 mean recall@5).
     "q_sim_ivf_sweep" -> ((s, dir) =>
       Similarity.ivfRecallSweep(T(s, dir, "embeddings"), "vec_id",
         "embedding", "label", col("vec_id") < 8, k = 5,
-        nprobes = Seq(1, 2, 4), iters = 2)),
+        nprobes = Seq(1, 2, 4), iters = 4, massign = 2)),
 
     // Multimodal: binary media column + typed per-partition decode
     // (stub codec — see ops.Multimodal.StubCodec).
@@ -614,7 +617,7 @@ object SparkEntry {
         |  ((CASE WHEN event_id % 2 = 0 THEN event_id * 123456789
         |         ELSE -(event_id * 987654321) - 1 END)::HUGEINT
         |   + CASE WHEN event_id % 2 = 0 THEN 0::HUGEINT
-        |          ELSE 18446744073709551616::HUGEINT END)::DECIMAL(20,0) AS my_u64
+        |          ELSE 18446744073709551616::HUGEINT END)::DECIMAL(20,0)::VARCHAR AS my_u64
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_cdc_offsets" ->
@@ -769,11 +772,12 @@ object SparkEntry {
 
     "q_sim_ivf_recall" ->
       Similarity.ivfRecallSql("vec_id", "embedding", "label", "embeddings",
-        "id < 8", k = 5, nprobe = 2, iters = 2, dim = 64),
+        "id < 8", k = 5, nprobe = 2, iters = 4, dim = 64, massign = 2),
 
     "q_sim_ivf_sweep" ->
       Similarity.ivfRecallSweepSql("vec_id", "embedding", "label", "embeddings",
-        "id < 8", k = 5, nprobes = Seq(1, 2, 4), iters = 2, dim = 64),
+        "id < 8", k = 5, nprobes = Seq(1, 2, 4), iters = 4, dim = 64,
+        massign = 2),
 
     "q_mm_decode" ->
       (Multimodal.decodeSql("documents") + " ORDER BY media_id"),

@@ -54,14 +54,15 @@ object TypeMap {
   def bytesHex(c: Column): Column = hex(c)
 
   /** MySQL BIGINT UNSIGNED (u64, reference/src/main.rs:454): no exact
-    * Spark integral type — map to DecimalType(20,0), which holds the
-    * full 0..2^64-1 range (SURVEY §1.4/§2.6). Input is the raw 64-bit
-    * pattern as a signed long; negative longs are re-interpreted as
-    * the high half.
+    * Spark integral type — compute in DecimalType(20,0), which holds
+    * the full 0..2^64-1 range (SURVEY §1.4/§2.6), then stringify like
+    * every other mapping here (the reference's wire format is stringly,
+    * SURVEY §1.2). Input is the raw 64-bit pattern as a signed long;
+    * negative longs are re-interpreted as the high half.
     */
   def mysqlUnsignedBigInt(raw: Column): Column = {
     val dec = raw.cast(DecimalType(20, 0))
     when(raw < 0, dec + lit(BigDecimal(2).pow(64).bigDecimal).cast(DecimalType(21, 0)))
-      .otherwise(dec).cast(DecimalType(20, 0))
+      .otherwise(dec).cast(DecimalType(20, 0)).cast("string")
   }
 }

@@ -131,14 +131,14 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(bands * rows == numHashes)
     // one md5 per shingle TOTAL: signatures and the exact verify both
-    // derive from the hashed universe — a purely narrow map. Persisted:
+    // derive from the hashed universe — a purely narrow map. Cached:
     // the plan references it from three exchange subtrees (signatures,
     // verify s1, verify s2), which would otherwise re-hash every
-    // shingle per subtree. Spills to disk if it outgrows memory.
-    val base = docs.select(
+    // shingle per subtree. Spills to disk if it outgrows memory;
+    // lifecycle per [[Caching.cachedOnce]].
+    val base = Caching.cachedOnce(docs.select(
       col(idCol).as("id"),
-      hashedShingles(col(textCol), k).as("hs"))
-      .persist()
+      hashedShingles(col(textCol), k).as("hs")))
     val sigs = base.select(col("id"),
       graft.functions.ArrayExprs.minhashSigFromHashes(
         col("hs"), Hashing.seeds(numHashes)).as("sig"))
@@ -326,13 +326,13 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
-    // persisted: referenced from three subtrees (document frequencies,
-    // prefix extraction, verify re-join) — without the persist the
-    // shingle hashing re-runs once per exchange subtree
-    val base = docs.select(
+    // cached: referenced from three subtrees (document frequencies,
+    // prefix extraction, verify re-join) — without the cache the
+    // shingle hashing re-runs once per exchange subtree (lifecycle per
+    // [[Caching.cachedOnce]])
+    val base = Caching.cachedOnce(docs.select(
       col(idCol).as("id"),
-      hashedShingles(col(textCol), k).as("hs"))
-      .persist()
+      hashedShingles(col(textCol), k).as("hs")))
     val posts = base.select(col("id"), size(col("hs")).as("n"),
       explode(col("hs")).as("h"))
     val dfreq = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))

@@ -90,33 +90,57 @@ object Similarity {
        |    CROSS JOIN range(0, 64) t(d)
        |  GROUP BY 1, 2) GROUP BY 1""".stripMargin
 
-  // persisted: every search/training pass re-reads (id, v, nrm); the
-  // cache manager dedups identical plans, so all call sites over the
-  // same table share one materialization
+  // cached once per distinct base plan: every search/training pass
+  // re-reads (id, v, nrm); all call sites over the same table share
+  // one materialization (lifecycle contract: [[Caching.cachedOnce]])
   private def baseOf(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
-    embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", Vectors.norm(col("v")))
-      .persist()
+    Caching.cachedOnce(
+      embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", Vectors.norm(col("v"))))
 
-  /** The IVF search stage over a given centroid table (cl, cent):
-    * corpus assigned to nearest centroid; each query probes its
-    * `nprobe` nearest centroid lists and ranks only those vectors.
+  private def withCNorm(centroids: DataFrame): DataFrame =
+    centroids.withColumn("cnrm", Vectors.norm(col("cent")))
+
+  /** Corpus → its `massign` nearest centroids, output (id, cl) rows —
+    * a ZERO-shuffle narrow map: the (≤nlist-row) centroid table is
+    * collapsed to a single array row, broadcast, and each corpus
+    * vector picks its top-m lists with an in-row sort over nlist
+    * candidate structs. No fan-out rows, no exchange — the assignment
+    * stays co-partitioned with the corpus scan, which is exactly the
+    * 100 TB shape (an IVF index build is one narrow pass over the
+    * corpus). The in-row HOF sort is interpreted (ArraySort is
+    * CodegenFallback) but touches only nlist tiny structs per row.
+    *
+    * massign > 1 is IVF *multiple assignment*: each vector is posted
+    * to every list it straddles, so index storage grows ×massign and
+    * recall at a fixed nprobe rises sharply (boundary vectors stop
+    * hiding in unprobed lists). Tie-breaks (cos desc, cl asc) match
+    * the oracle's row_number ordering exactly.
+    *
+    * The most expensive search stage — computed once per centroid set
+    * and shared across probe widths (see [[ivfRecallSweep]]).
     */
-  private def searchLists(base: DataFrame, centroids: DataFrame,
-      queryPred: Column, k: Int, nprobe: Int): DataFrame = {
-    val cents = centroids.withColumn("cnrm", Vectors.norm(col("cent")))
+  private def assignToNearest(base: DataFrame, cents: DataFrame,
+      massign: Int = 1): DataFrame = {
+    val centArr = cents.agg(
+      collect_list(struct(col("cl"), col("cent"), col("cnrm"))).as("cs"))
+    base.join(broadcast(centArr))
+      .select(col("id"), explode(slice(array_sort(transform(col("cs"), c =>
+        struct((-(Vectors.dot(col("v"), c.getField("cent")) /
+            (col("nrm") * c.getField("cnrm")))).as("negcos"),
+          c.getField("cl").as("cl")))), 1, massign)).as("pick"))
+      .select(col("id"), col("pick.cl").as("cl"))
+  }
 
-    // corpus → nearest centroid. Broadcast join (the big side never
-    // shuffles for the join) + argmax via max_by, which partial-
-    // aggregates map-side: the nlist-way fan-out collapses back to one
-    // row per vector BEFORE the exchange — unlike a row_number window,
-    // which would shuffle the whole fan-out.
-    val assigned = base.join(broadcast(cents))
-      .select(col("id"), col("cl"),
-        (Vectors.dot(col("v"), col("cent")) / (col("nrm") * col("cnrm"))).as("ccos"))
-      .groupBy(col("id"))
-      .agg(max_by(col("cl"), struct(col("ccos"), -col("cl"))).as("cl"))
-
+  /** The IVF probe/rank stage over a prebuilt assignment: each query
+    * probes its `nprobe` nearest centroid lists and ranks only those
+    * vectors. `cents` must carry cnrm ([[withCNorm]]); `dedupCands`
+    * must be set when the assignment is multiple (massign > 1), so a
+    * vector reachable through several probed lists is ranked once.
+    */
+  private def searchAssigned(base: DataFrame, cents: DataFrame,
+      assigned: DataFrame, queryPred: Column, k: Int, nprobe: Int,
+      dedupCands: Boolean = false): DataFrame = {
     // queries → nprobe nearest centroids
     val queries = base.filter(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
@@ -129,11 +153,16 @@ object Similarity {
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qv"), col("qnrm"), col("cl"))
 
-    // rank within probed lists only
-    val candidates = probes
+    // rank within probed lists only; with multiple assignment the same
+    // (query, vector) pair can arrive via several shared lists — dedup
+    // the (tiny: queries × candidates) pair set before scoring
+    val pairs0 = probes
       .join(assigned, "cl")
-      .join(base, "id")
       .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("qnrm"), col("id"))
+    val pairs = if (dedupCands) pairs0.distinct() else pairs0
+    val candidates = pairs
+      .join(base, "id")
       .select(col("qid"), col("id").as("neighbor_id"),
         (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
     val wTop = Window.partitionBy(col("qid"))
@@ -142,6 +171,16 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neighbor_id"),
         round(col("cos") * 1e6).cast("long").as("cos_micros"))
+  }
+
+  /** One-shot IVF search over a raw centroid table (cl, cent):
+    * assignment + probe/rank in one plan.
+    */
+  private def searchLists(base: DataFrame, centroids: DataFrame,
+      queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+    val cents = withCNorm(centroids)
+    searchAssigned(base, cents, assignToNearest(base, cents),
+      queryPred, k, nprobe)
   }
 
   /** IVF search with label-seeded (one Lloyd step) centroids.
@@ -192,12 +231,7 @@ object Similarity {
     var cents = centroidsExact(
       embs.select(col(seedCol).as("cl"), Vectors.toDouble(col(vecCol)).as("v")))
     for (_ <- 1 to iters) {
-      val cn = cents.withColumn("cnrm", Vectors.norm(col("cent")))
-      val assigned = base.join(broadcast(cn))
-        .select(col("id"), col("cl"),
-          (Vectors.dot(col("v"), col("cent")) / (col("nrm") * col("cnrm"))).as("ccos"))
-        .groupBy(col("id"))
-        .agg(max_by(col("cl"), struct(col("ccos"), -col("cl"))).as("cl"))
+      val assigned = assignToNearest(base, withCNorm(cents))
         .join(base, "id")
         .select(col("cl"), col("v"))
       val computed = centroidsExact(assigned)
@@ -212,12 +246,18 @@ object Similarity {
     cents
   }
 
-  /** IVF search over TRAINED (iterated k-means) centroids. */
+  /** IVF search over TRAINED (iterated k-means) centroids; `massign`
+    * posts each corpus vector to that many nearest lists
+    * ([[assignToNearest]]).
+    */
   def ivfTopKTrained(embs: DataFrame, idCol: String, vecCol: String,
       seedCol: String, queryPred: Column, k: Int, nprobe: Int,
-      iters: Int): DataFrame =
-    searchLists(baseOf(embs, idCol, vecCol),
-      kmeans(embs, idCol, vecCol, seedCol, iters), queryPred, k, nprobe)
+      iters: Int, massign: Int = 1): DataFrame = {
+    val base = baseOf(embs, idCol, vecCol)
+    val cents = withCNorm(kmeans(embs, idCol, vecCol, seedCol, iters))
+    searchAssigned(base, cents, assignToNearest(base, cents, massign),
+      queryPred, k, nprobe, dedupCands = massign > 1)
+  }
 
   /** recall@k of the trained-IVF search against the exact brute-force
     * ground truth, per query: |ivf hits ∩ true top-k| / k in micros.
@@ -226,10 +266,10 @@ object Similarity {
     */
   def ivfRecall(embs: DataFrame, idCol: String, vecCol: String,
       seedCol: String, queryPred: Column, k: Int, nprobe: Int,
-      iters: Int): DataFrame = {
+      iters: Int, massign: Int = 1): DataFrame = {
     val truth = bruteForceTopK(embs, idCol, vecCol, queryPred, k)
     val approx = ivfTopKTrained(embs, idCol, vecCol, seedCol, queryPred,
-      k, nprobe, iters)
+      k, nprobe, iters, massign)
     truth.as("t")
       .join(approx.as("a"),
         col("t.qid") === col("a.qid") &&
@@ -318,12 +358,16 @@ object Similarity {
     */
   def ivfRecallSweep(embs: DataFrame, idCol: String, vecCol: String,
       seedCol: String, queryPred: Column, k: Int, nprobes: Seq[Int],
-      iters: Int): DataFrame = {
+      iters: Int, massign: Int = 1): DataFrame = {
     val base = baseOf(embs, idCol, vecCol)
-    val cents = kmeans(embs, idCol, vecCol, seedCol, iters)
+    val cents = withCNorm(kmeans(embs, idCol, vecCol, seedCol, iters))
+    // the assignment — the expensive full-corpus stage — runs ONCE per
+    // centroid set; each probe width re-runs only the probe/rank stage
+    val assigned = Caching.cachedOnce(assignToNearest(base, cents, massign))
     val truth = bruteForceTopK(embs, idCol, vecCol, queryPred, k)
     nprobes.map { np =>
-      val approx = searchLists(base, cents, queryPred, k, np)
+      val approx = searchAssigned(base, cents, assigned, queryPred, k, np,
+        dedupCands = massign > 1)
       truth.as("t")
         .join(approx.as("a"),
           col("t.qid") === col("a.qid") &&
@@ -343,14 +387,16 @@ object Similarity {
     */
   private def ivfTrainedPrefixSql(id: String, vec: String, seed: String,
       table: String, queryPredSql: String, k: Int, iters: Int,
-      dim: Int): String = {
-    def assign(cents: String): String =
+      dim: Int, massign: Int = 1): String = {
+    // training always single-assigns (Lloyd); only the FINAL index
+    // assignment (af) is multiple when massign > 1
+    def assign(cents: String, m: Int): String =
       s"""SELECT id, cl, v FROM (
          |    SELECT e.id, c.cl, e.v, row_number() OVER (PARTITION BY e.id
          |      ORDER BY ${Vectors.cosineSql("e.v", "c.cent")} DESC, c.cl) AS arn
-         |    FROM e CROSS JOIN $cents c) WHERE arn = 1""".stripMargin
+         |    FROM e CROSS JOIN $cents c) WHERE arn <= $m""".stripMargin
     val rounds = (1 to iters).map { r =>
-      s"""a$r AS (${assign(s"cents${r - 1}")}),
+      s"""a$r AS (${assign(s"cents${r - 1}", 1)}),
          |m$r AS (${centroidsExactSql(s"a$r", dim)}),
          |cents$r AS (
          |  SELECT o.cl, coalesce(n.cent, o.cent) AS cent
@@ -360,7 +406,7 @@ object Similarity {
        |  SELECT $id AS id, $seed AS lab, ${Vectors.toDoubleSql(vec)} AS v FROM $table),
        |cents0 AS (${centroidsExactSql(s"(SELECT lab AS cl, v FROM e) s0", dim)}),
        |$rounds
-       |af AS (${assign(s"cents$iters")}),
+       |af AS (${assign(s"cents$iters", massign)}),
        |q AS (SELECT id AS qid, v AS qv FROM e WHERE $queryPredSql),
        |truth AS (
        |  SELECT qid, neighbor_id FROM (
@@ -373,7 +419,12 @@ object Similarity {
   /** One probe width's search CTEs (probes$np, ivf$np) over the
     * [[ivfTrainedPrefixSql]] tables.
     */
-  private def ivfSearchCteSql(np: Int, k: Int, iters: Int): String =
+  private def ivfSearchCteSql(np: Int, k: Int, iters: Int,
+      massign: Int = 1): String = {
+    // mirror searchAssigned's dedupCands: under multiple assignment a
+    // (query, vector) pair reachable through several probed lists must
+    // rank once, so dedup before the row_number
+    val distinctKw = if (massign > 1) "DISTINCT " else ""
     s"""probes$np AS (
        |  SELECT qid, qv, cl FROM (
        |    SELECT q.qid, q.qv, c.cl, row_number() OVER (PARTITION BY q.qid
@@ -381,11 +432,14 @@ object Similarity {
        |    FROM q CROSS JOIN cents$iters c) WHERE prn <= $np),
        |ivf$np AS (
        |  SELECT qid, neighbor_id FROM (
-       |    SELECT p.qid, e.id AS neighbor_id,
-       |      row_number() OVER (PARTITION BY p.qid
-       |        ORDER BY ${Vectors.cosineSql("p.qv", "e.v")} DESC, e.id) AS rank
-       |    FROM probes$np p JOIN af a ON a.cl = p.cl
-       |    JOIN e ON e.id = a.id WHERE e.id <> p.qid) WHERE rank <= $k)""".stripMargin
+       |    SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid
+       |        ORDER BY cos DESC, neighbor_id) AS rank FROM (
+       |      SELECT ${distinctKw}p.qid, e.id AS neighbor_id,
+       |        ${Vectors.cosineSql("p.qv", "e.v")} AS cos
+       |      FROM probes$np p JOIN af a ON a.cl = p.cl
+       |      JOIN e ON e.id = a.id WHERE e.id <> p.qid))
+       |  WHERE rank <= $k)""".stripMargin
+  }
 
   private def recallSelectSql(np: Int, k: Int, withNprobe: Boolean): String = {
     val head = if (withNprobe) s"SELECT $np::BIGINT AS nprobe, t.qid" else "SELECT t.qid"
@@ -403,9 +457,9 @@ object Similarity {
     */
   def ivfRecallSql(id: String, vec: String, seed: String, table: String,
       queryPredSql: String, k: Int, nprobe: Int, iters: Int,
-      dim: Int): String =
-    s"""${ivfTrainedPrefixSql(id, vec, seed, table, queryPredSql, k, iters, dim)},
-       |${ivfSearchCteSql(nprobe, k, iters)}
+      dim: Int, massign: Int = 1): String =
+    s"""${ivfTrainedPrefixSql(id, vec, seed, table, queryPredSql, k, iters, dim, massign)},
+       |${ivfSearchCteSql(nprobe, k, iters, massign)}
        |${recallSelectSql(nprobe, k, withNprobe = false)}""".stripMargin
 
   /** DuckDB twin of [[ivfRecallSweep]] — one training, a search CTE
@@ -413,9 +467,9 @@ object Similarity {
     */
   def ivfRecallSweepSql(id: String, vec: String, seed: String, table: String,
       queryPredSql: String, k: Int, nprobes: Seq[Int], iters: Int,
-      dim: Int): String =
-    s"""${ivfTrainedPrefixSql(id, vec, seed, table, queryPredSql, k, iters, dim)},
-       |${nprobes.map(ivfSearchCteSql(_, k, iters)).mkString(",\n")}
+      dim: Int, massign: Int = 1): String =
+    s"""${ivfTrainedPrefixSql(id, vec, seed, table, queryPredSql, k, iters, dim, massign)},
+       |${nprobes.map(ivfSearchCteSql(_, k, iters, massign)).mkString(",\n")}
        |${nprobes.map(recallSelectSql(_, k, withNprobe = true))
            .mkString("\nUNION ALL\n")}""".stripMargin
 
