@@ -70,7 +70,14 @@ object Merge {
     *    (main.rs:84), so a stale backfill row RESURRECTS the deleted
     *    key;
     *  - when one side is exhausted/pending the other passes through
-    *    (main.rs:111-113).
+    *    (main.rs:111-113). NOTE: the pass-through applies the intent of
+    *    the `(_, _) => Poll::Pending` fallthrough; the literal
+    *    reference has NO arm for (backfill EOF, live Ready) — that
+    *    combination hits the Pending arm and the merge STALLS once the
+    *    backfill stream terminates while changes remain (another latent
+    *    reference bug, like the drop/resurrect pair above). A stalled
+    *    stream has no batch analogue, so rows past the snapshot end
+    *    pass through here; MergeSpec pins the divergence.
     *
     * Batch model: the reference's serial drive loop is a zip — pair
     * the i-th backfill row with the i-th live change (row_number over

@@ -159,19 +159,27 @@ class ChangeLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long])
   // driver-side listing; files are immutable once written (log segments)
   private def files = ChangeLog.listLogFiles(path)
 
-  /** Row counts memoized per (path, size): sealed segments are scanned
-    * at most once per query lifetime instead of once per file per
-    * trigger; a still-growing active segment changes size and is
-    * recounted. Driver-side only, bounded by the segment count.
+  /** Row counts memoized per path, keyed to the size observed at count
+    * time: sealed segments are scanned at most once per query lifetime
+    * instead of once per file per trigger; a still-growing active
+    * segment changes size, is recounted, and REPLACES its entry — so
+    * the map holds exactly one entry per segment (an actively-growing
+    * file would otherwise add one stale entry per observed size for
+    * the life of the query). Driver-side only.
     */
   private val rowCounts =
-    scala.collection.mutable.HashMap.empty[(String, Long), Long]
+    scala.collection.mutable.HashMap.empty[String, (Long, Long)]
   private def countRows(f: java.io.File): Long = synchronized {
-    rowCounts.getOrElseUpdate((f.getAbsolutePath, f.length()), {
-      ChangeLog.scansPerformed.incrementAndGet()
-      val src = scala.io.Source.fromFile(f)
-      try src.getLines().count(_.nonEmpty) finally src.close()
-    })
+    val (path, size) = (f.getAbsolutePath, f.length())
+    rowCounts.get(path) match {
+      case Some((`size`, n)) => n
+      case _ =>
+        ChangeLog.scansPerformed.incrementAndGet()
+        val src = scala.io.Source.fromFile(f)
+        val n = try src.getLines().count(_.nonEmpty) finally src.close()
+        rowCounts.update(path, (size, n))
+        n
+    }
   }
 
   /** End-of-log snapshot taken when Trigger.AvailableNow starts: the

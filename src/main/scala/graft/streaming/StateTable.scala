@@ -53,8 +53,33 @@ import graft.streaming.LwwMerge.KeyedChange
   *    per-key maximum; `seq` is the unique tie-break), so the replay
   *    converges to the identical winners.
   *  - superseded version dirs are deleted only AFTER the manifest
-  *    commit; orphans from a crash are swept the next time their
-  *    bucket is touched.
+  *    commit; orphaned bucket versions from a crash are swept the next
+  *    time their bucket is touched, and stale `.staging` entries are
+  *    swept after every successful commit.
+  *
+  * == Concurrency contract (single writer, snapshot-unsafe GC) ==
+  *
+  * One maintenance writer at a time — the stream's checkpoint already
+  * serializes batches; a second concurrent writer would race manifest
+  * commits (each tmp file is uniquely named, so the LAST move wins and
+  * the loser's buckets leak until their next touch). Readers get
+  * atomic snapshots at manifest-load time, but GC deletes superseded
+  * versions IMMEDIATELY after commit: a reader that loaded the old
+  * manifest and is still mid-scan can lose its files. Long-running
+  * readers should either re-resolve [[read]] per query (cheap) or be
+  * scheduled off the write path; a grace-period GC would be the
+  * multi-reader extension.
+  *
+  * == File sizes ==
+  *
+  * Batch writes `repartition` on the bucket id before the partitioned
+  * write, so every committed bucket version is exactly ONE parquet
+  * file — compaction happens on write, and file count stays equal to
+  * the (fixed) bucket count instead of growing with write parallelism.
+  * [[compact]] is the corresponding offline maintenance pass for
+  * tables written by earlier layouts (or after lowering nBuckets
+  * pressure): it rewrites every committed bucket into a fresh
+  * single-file version under the same commit protocol.
   */
 object StateTable {
 
@@ -90,7 +115,10 @@ object StateTable {
       m: Map[Int, String]): Unit = {
     val entries = m.toSeq.sortBy(_._1)
       .map { case (b, v) => s""""$b": "$v"""" }.mkString(", ")
-    val tmp = Paths.get(tableDir, s".manifest.tmp")
+    // unique tmp name: two racing writers must not interleave partial
+    // writes into one tmp file (the later MOVE still wins the commit)
+    val tmp = Paths.get(tableDir,
+      s".manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, s"""{"nBuckets": $nBuckets, "buckets": {$entries}}""")
     Files.move(tmp, Paths.get(tableDir, "manifest.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -136,33 +164,63 @@ object StateTable {
       // fresh uuid version per attempt: a replayed batch never writes
       // into a directory it is reading from
       val version = s"v${batchId}_${java.util.UUID.randomUUID().toString.take(8)}"
-      val staging = s"$tableDir/.staging/$version"
-      applyBatch(existing, bdf)
-        .withColumn("b", bucket)
-        .write.partitionBy("b").parquet(staging)
-
-      // move each bucket's output into place, then commit the manifest
-      val written = Files.list(Paths.get(staging)).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("b="))
-        .map(p => p.getFileName.toString.stripPrefix("b=").toInt -> p).toSeq
-      val moved = written.map { case (b, src) =>
-        val dst = Paths.get(tableDir, s"b$b", version)
-        Files.createDirectories(dst.getParent)
-        Files.move(src, dst)
-        b -> version
-      }.toMap
-      commitManifest(tableDir, nBuckets, manifest ++ moved)
-
-      // post-commit GC: per touched bucket keep only the committed
-      // version (also sweeps orphans of crashed attempts)
-      moved.foreach { case (b, v) =>
-        val dir = Paths.get(tableDir, s"b$b")
-        Files.list(dir).iterator().asScala
-          .filter(_.getFileName.toString != v)
-          .foreach(deleteRecursively)
-      }
-      deleteRecursively(Paths.get(tableDir, ".staging", version))
+      commitPartitioned(tableDir, applyBatch(existing, bdf).withColumn("b", bucket),
+        nBuckets, manifest, version)
     } finally bdf.unpersist()
+  }
+
+  /** Stage `withB` (winners + int bucket column `b`), move each bucket
+    * dir into place, commit the manifest, then GC superseded versions
+    * and stale staging entries.
+    */
+  private def commitPartitioned(tableDir: String, withB: DataFrame,
+      nBuckets: Int, manifest: Map[Int, String], version: String): Unit = {
+    val staging = s"$tableDir/.staging/$version"
+    // one exchange keyed on the bucket id → each bucket lands wholly in
+    // one task → exactly ONE parquet file per committed bucket version:
+    // compaction happens on write, and the table's file count stays
+    // pinned at nBuckets instead of growing with write parallelism
+    withB.repartition(col("b"))
+      .write.partitionBy("b").parquet(staging)
+
+    val written = Files.list(Paths.get(staging)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("b="))
+      .map(p => p.getFileName.toString.stripPrefix("b=").toInt -> p).toSeq
+    val moved = written.map { case (b, src) =>
+      val dst = Paths.get(tableDir, s"b$b", version)
+      Files.createDirectories(dst.getParent)
+      Files.move(src, dst)
+      b -> version
+    }.toMap
+    commitManifest(tableDir, nBuckets, manifest ++ moved)
+
+    // post-commit GC: per touched bucket keep only the committed
+    // version (also sweeps orphans of crashed attempts), then drop the
+    // whole staging area — under the single-writer contract nothing
+    // in-flight can live there, so leftovers are crashed attempts
+    moved.foreach { case (b, v) =>
+      val dir = Paths.get(tableDir, s"b$b")
+      Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString != v)
+        .foreach(deleteRecursively)
+    }
+    deleteRecursively(Paths.get(tableDir, ".staging"))
+  }
+
+  /** Offline compaction: rewrite EVERY committed bucket into a fresh
+    * single-file version under the same staged-move + manifest-commit
+    * protocol (content unchanged — winners are carried verbatim). For
+    * tables written by earlier multi-file layouts or imported data;
+    * steady-state batch writes are already one file per version.
+    */
+  def compact(spark: SparkSession, tableDir: String): Unit = {
+    val (storedN, manifest) = loadManifest(tableDir)
+    require(manifest.nonEmpty, s"no committed state at $tableDir")
+    val union = manifest.toSeq.sortBy(_._1).map { case (b, v) =>
+      spark.read.parquet(s"$tableDir/b$b/$v").withColumn("b", lit(b))
+    }.reduce(_.unionByName(_))
+    val version = s"c_${java.util.UUID.randomUUID().toString.take(8)}"
+    commitPartitioned(tableDir, union, storedN.get, manifest, version)
   }
 
   /** Run the maintenance query. `tableDir` holds the bucketed winners;

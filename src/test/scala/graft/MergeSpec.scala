@@ -103,6 +103,12 @@ class MergeSpec extends AnyFunSuite {
       (1L, "db1", "t", 1L, ChangeOp.Update, "x"), // db mismatch → dropped
       (2L, "db0", "t", 2L, ChangeOp.Insert, "b"), // past the snapshot → live
       (3L, "db0", "t", 3L, ChangeOp.Delete, "c")))
+    // rows 2-3 land past the backfill's end. The LITERAL reference has
+    // no (backfill EOF, live Ready) match arm — they'd fall to the
+    // `_ => Poll::Pending` fallthrough and the drive loop would stall
+    // forever (a latent bug alongside drop/resurrect); this models the
+    // pass-through those arms intend (main.rs:111-113), since a stalled
+    // stream has no batch analogue. Deliberate, documented divergence.
     assert(strict(bf, live) == Seq(
       (1L, 1L, ChangeOp.Backfill, "backfill"),
       (2L, 2L, ChangeOp.Insert, "live"),

@@ -167,6 +167,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(cur.size == 64 && cur("k7") == "live7" && cur("k8") == "snap8")
   }
 
+  test("state table: reads prune to committed manifest paths only") {
+    val root = Files.createTempDirectory("graft_state_prune").toString
+    val tableDir = s"$root/table"
+    import graft.streaming.StateTable
+    import spark.implicits._
+
+    val seed = (1 to 32).map(i =>
+      KeyedChange(s"k$i", ChangeOp.Backfill, 1L, -i.toLong, 0, s"snap$i")).toDF()
+    StateTable.applyBatchBucketed(seed, tableDir, batchId = 0, nBucketsIfNew = 4)
+
+    // plant an orphan version (crashed attempt) and a stale staging dir
+    val (_, manifest) = StateTable.loadManifest(tableDir)
+    val someBucket = manifest.keys.head
+    val orphan = java.nio.file.Paths.get(tableDir, s"b$someBucket", "v_orphan")
+    java.nio.file.Files.createDirectories(orphan)
+    seed.limit(3).write.mode("overwrite").parquet(orphan.toString)
+    val staleStaging = java.nio.file.Paths.get(tableDir, ".staging", "v_stale")
+    java.nio.file.Files.createDirectories(staleStaging)
+
+    // the scan must read exactly the committed files — never the
+    // orphan version, never staging
+    val committedDirs = manifest.map { case (b, v) => s"/b$b/$v/" }.toSet
+    val scanned = StateTable.read(spark, tableDir).inputFiles.toSeq
+    assert(scanned.nonEmpty)
+    scanned.foreach { f =>
+      assert(committedDirs.exists(f.contains),
+        s"scan read a non-committed file: $f")
+    }
+    assert(!scanned.exists(_.contains("v_orphan")))
+    assert(!scanned.exists(_.contains(".staging")))
+
+    // the next successful commit sweeps the stale staging entry
+    StateTable.applyBatchBucketed(
+      Seq(KeyedChange("k1", ChangeOp.Update, 10L, 1L, 1, "live1")).toDF(),
+      tableDir, batchId = 1, nBucketsIfNew = 4)
+    assert(!java.nio.file.Files.exists(staleStaging))
+  }
+
+  test("state table: one file per committed bucket version; compact preserves winners") {
+    val root = Files.createTempDirectory("graft_state_compact").toString
+    val tableDir = s"$root/table"
+    import graft.streaming.StateTable
+    import spark.implicits._
+
+    // seed has several input partitions — without compaction-on-write
+    // each bucket version would collect one file per writing task
+    val seed = (1 to 64).map(i =>
+      KeyedChange(s"k$i", ChangeOp.Backfill, 1L, -i.toLong, 0, s"snap$i"))
+      .toDF().repartition(4)
+    StateTable.applyBatchBucketed(seed, tableDir, batchId = 0, nBucketsIfNew = 8)
+
+    def parquetFilesPerVersion(): Map[String, Int] = {
+      val (_, m) = StateTable.loadManifest(tableDir)
+      m.map { case (b, v) =>
+        s"b$b/$v" -> java.nio.file.Files.list(
+            java.nio.file.Paths.get(tableDir, s"b$b", v))
+          .iterator().asScala.count(_.toString.endsWith(".parquet"))
+      }
+    }
+    assert(parquetFilesPerVersion().values.forall(_ == 1))
+
+    val before = StateTable.read(spark, tableDir)
+      .select("key", "payload").as[(String, String)].collect().toSet
+    StateTable.compact(spark, tableDir)
+    val after = StateTable.read(spark, tableDir)
+      .select("key", "payload").as[(String, String)].collect().toSet
+    assert(after == before)
+    assert(parquetFilesPerVersion().values.forall(_ == 1))
+    // every bucket dir holds exactly the one committed version
+    val (_, m2) = StateTable.loadManifest(tableDir)
+    m2.foreach { case (b, v) =>
+      val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(tableDir, s"b$b"))
+        .iterator().asScala.map(_.getFileName.toString).toSet
+      assert(dirs == Set(v))
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir, ".staging")))
+  }
+
   test("state table: replaying the same batch after a partial commit converges (idempotent)") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft_state_replay").toString
