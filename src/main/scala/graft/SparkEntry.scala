@@ -421,6 +421,14 @@ object SparkEntry {
         k = 3, threshold = 0.2)
         ),
 
+    // X4 skew-hardened: hot shingles (df >= 5 on this fixture) take an
+    // explicitly salted posting join — the AQE-independent 100 TB path
+    // for hot-shingle skew. Same oracle as q_dedup_ngram: the salting
+    // is output-invariant by construction.
+    "q_dedup_ngram_salted" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsSalted(T(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.2, hotDf = 5, salts = 4)),
+
     // Prefix-filtered exact Jaccard (All-Pairs): provably identical
     // output to full pairwise at the threshold, posting only each
     // doc's rare-first prefix — the 100 TB refinement.
@@ -740,6 +748,12 @@ object SparkEntry {
         + " ORDER BY id1, id2"),
 
     "q_dedup_ngram" ->
+      (Dedup.ngramJaccardPairsSql("doc_id", "text", "documents",
+        k = 3, threshold = 0.2) + " ORDER BY id1, id2"),
+
+    // salting is pair-preserving — the oracle is the same plain
+    // pairwise-threshold query as q_dedup_ngram
+    "q_dedup_ngram_salted" ->
       (Dedup.ngramJaccardPairsSql("doc_id", "text", "documents",
         k = 3, threshold = 0.2) + " ORDER BY id1, id2"),
 

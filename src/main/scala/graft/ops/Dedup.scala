@@ -302,6 +302,72 @@ object Dedup {
       .filter(col("jacc_micros") >= (threshold * 1e6).toLong)
   }
 
+  /** Skew-hardened [[ngramJaccardPairs]]: identical output, but hot
+    * shingles — the posting join's skew source — take an explicitly
+    * salted path instead of relying on AQE's runtime skew split.
+    *
+    * A shingle shared by millions of docs concentrates its whole
+    * posting list (and its |df|² pair fan-out) on one reducer. Here:
+    *
+    *  - document frequencies are computed once; shingles with
+    *    df >= hotDf form the (tiny — heavy hitters are few by
+    *    definition) hot set, broadcast to split the posting stream.
+    *  - cold postings self-join exactly as before.
+    *  - hot postings join on (h, salt) where the left row's salt is
+    *    pmod(hash(id), salts) and the right side is replicated once per
+    *    salt value: every (a, b) pair meets exactly once — in the
+    *    partition keyed by (h, salt(a)) — so the hot shingle's work
+    *    spreads over `salts` reducers at the cost of replicating only
+    *    hot postings `salts`×. Deterministic, planner-independent, and
+    *    composable with AQE (which still handles residual imbalance).
+    *
+    * Per-shingle pair rows from the two paths are disjoint (a shared
+    * shingle is either hot or cold), so the common-count aggregation
+    * downstream is unchanged — the result is equal row-for-row to the
+    * unsalted operator at any (hotDf, salts); OpsSpec pins it on a
+    * deliberately skewed fixture.
+    */
+  def ngramJaccardPairsSalted(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, hotDf: Long, salts: Int): DataFrame = {
+    require(salts > 0 && hotDf > 0)
+    val base = docs.select(
+      col(idCol).as("id"),
+      hashedShingles(col(textCol), k).as("hs"))
+    val posts = base.select(col("id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
+    val hotKeys = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= hotDf).select(col("h"))
+
+    val lenOk = col("l.n") * threshold <= col("r.n") &&
+      col("r.n") * threshold <= col("l.n")
+    val cold = posts.join(broadcast(hotKeys), Seq("h"), "left_anti")
+    val coldPairs = cold.as("l")
+      .join(cold.as("r"),
+        col("l.h") === col("r.h") && col("l.id") < col("r.id") && lenOk)
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.n").as("n1"), col("r.n").as("n2"))
+
+    val hot = posts.join(broadcast(hotKeys), "h")
+    val hotL = hot.withColumn("salt", pmod(hash(col("id")), lit(salts)))
+    val hotR = hot.withColumn("salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    val hotPairs = hotL.as("l")
+      .join(hotR.as("r"),
+        col("l.h") === col("r.h") && col("l.salt") === col("r.salt") &&
+          col("l.id") < col("r.id") && lenOk)
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.n").as("n1"), col("r.n").as("n2"))
+
+    coldPairs.unionByName(hotPairs)
+      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).cast("double").as("common"))
+      .select(col("id1"), col("id2"),
+        round(col("common") /
+          (col("n1").cast("double") + col("n2").cast("double") - col("common")) * 1e6)
+          .cast("long").as("jacc_micros"))
+      .filter(col("jacc_micros") >= (threshold * 1e6).toLong)
+  }
+
   def ngramJaccardPairsSql(id: String, text: String, table: String,
       k: Int, threshold: Double): String = {
     s"""WITH base AS (

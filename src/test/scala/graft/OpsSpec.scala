@@ -229,6 +229,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted posting join equals the unsalted one on a hot-shingle skewed fixture") {
+    // every doc shares one boilerplate phrase -> its shingles are hot
+    // (df = 24, the whole corpus); pairs additionally share real
+    // near-dup content. The skew source is exactly the X4 hot case.
+    val boiler = "common legal header text appended to every document"
+    val skewed = (0 until 24).map { i =>
+      val body = if (i % 2 == 0) s"alpha beta gamma delta epsilon zeta doc$i"
+        else s"alpha beta gamma delta epsilon eta doc$i"
+      (i.toLong, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    for (th <- Seq(0.2, 0.5); salts <- Seq(2, 5)) {
+      val full = Dedup.ngramJaccardPairs(skewed, "doc_id", "text", 3, th)
+        .select("id1", "id2", "jacc_micros").as[(Long, Long, Long)].collect().toSet
+      val salted = Dedup.ngramJaccardPairsSalted(skewed, "doc_id", "text", 3, th,
+          hotDf = 10, salts = salts)
+        .select("id1", "id2", "jacc_micros").as[(Long, Long, Long)].collect().toSet
+      assert(salted == full, s"threshold $th salts $salts")
+      assert(full.nonEmpty)
+    }
+  }
+
   test("GraftExtensions: native functions callable from plain SQL") {
     docs.createOrReplaceTempView("ext_docs")
     val row = spark.sql(

@@ -50,6 +50,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_sim_ivf").contains("BroadcastExchange"))
   }
 
+  test("salted posting join partitions hot shingles on (h, salt) and broadcasts the hot-key set") {
+    val p = plan("q_dedup_ngram_salted")
+    // the hot-side exchange must carry the salt in its partitioning key
+    // — that's what spreads one hot shingle across `salts` reducers
+    assert(p.contains("salt"), s"no salt in partitioning keys:\n$p")
+    // the heavy-hitter set rides a broadcast, never a shuffle
+    assert(p.contains("BroadcastExchange"), s"hot-key set not broadcast:\n$p")
+  }
+
   test("multi-way revenue join broadcasts the dim and never goes cartesian") {
     val p = plan("q_olap_revenue")
     assert(p.contains("BroadcastExchange"), s"nation dim not broadcast:\n$p")
