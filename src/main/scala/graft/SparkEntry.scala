@@ -421,13 +421,14 @@ object SparkEntry {
         k = 3, threshold = 0.2)
         ),
 
-    // X4 skew-hardened: hot shingles (df >= 5 on this fixture) take an
-    // explicitly salted posting join — the AQE-independent 100 TB path
-    // for hot-shingle skew. Same oracle as q_dedup_ngram: the salting
-    // is output-invariant by construction.
+    // X4 skew-hardened: shingles in >= 1% of docs take an explicitly
+    // salted posting join — the AQE-independent 100 TB path for
+    // hot-shingle skew (151 hot shingles at sf0.01, so the gate
+    // exercises the hot path). Same oracle as q_dedup_ngram: the
+    // salting is output-invariant by construction.
     "q_dedup_ngram_salted" -> ((s, dir) =>
       Dedup.ngramJaccardPairsSalted(T(s, dir, "documents"), "doc_id", "text",
-        k = 3, threshold = 0.2, hotDf = 5, salts = 4)),
+        k = 3, threshold = 0.2, hotFraction = 0.01, salts = 4)),
 
     // Prefix-filtered exact Jaccard (All-Pairs): provably identical
     // output to full pairwise at the threshold, posting only each

@@ -309,9 +309,12 @@ object Dedup {
     * A shingle shared by millions of docs concentrates its whole
     * posting list (and its |df|² pair fan-out) on one reducer. Here:
     *
-    *  - document frequencies are computed once; shingles with
-    *    df >= hotDf form the (tiny — heavy hitters are few by
-    *    definition) hot set, broadcast to split the posting stream.
+    *  - document frequencies are computed once; shingles appearing in
+    *    at least `hotFraction` of the corpus (df >= ceil(hotFraction ×
+    *    ndocs), computed in-plan — the threshold scales with the data,
+    *    an absolute cutoff would misclassify at 100× the corpus) form
+    *    the (tiny — heavy hitters are few by definition) hot set,
+    *    broadcast to split the posting stream.
     *  - cold postings self-join exactly as before.
     *  - hot postings join on (h, salt) where the left row's salt is
     *    pmod(hash(id), salts) and the right side is replicated once per
@@ -324,19 +327,22 @@ object Dedup {
     * Per-shingle pair rows from the two paths are disjoint (a shared
     * shingle is either hot or cold), so the common-count aggregation
     * downstream is unchanged — the result is equal row-for-row to the
-    * unsalted operator at any (hotDf, salts); OpsSpec pins it on a
-    * deliberately skewed fixture.
+    * unsalted operator at any (hotFraction, salts); OpsSpec pins it on
+    * a deliberately skewed fixture.
     */
   def ngramJaccardPairsSalted(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double, hotDf: Long, salts: Int): DataFrame = {
-    require(salts > 0 && hotDf > 0)
+      k: Int, threshold: Double, hotFraction: Double, salts: Int): DataFrame = {
+    require(salts > 0 && hotFraction > 0)
     val base = docs.select(
       col(idCol).as("id"),
       hashedShingles(col(textCol), k).as("hs"))
     val posts = base.select(col("id"), size(col("hs")).as("n"),
       explode(col("hs")).as("h"))
+    val ndocs = base.agg(count(lit(1)).as("ndocs"))
     val hotKeys = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= hotDf).select(col("h"))
+      .join(broadcast(ndocs))
+      .filter(col("df") >= ceil(col("ndocs") * hotFraction))
+      .select(col("h"))
 
     val lenOk = col("l.n") * threshold <= col("r.n") &&
       col("r.n") * threshold <= col("l.n")

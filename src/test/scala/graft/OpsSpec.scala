@@ -243,7 +243,7 @@ class OpsSpec extends AnyFunSuite {
       val full = Dedup.ngramJaccardPairs(skewed, "doc_id", "text", 3, th)
         .select("id1", "id2", "jacc_micros").as[(Long, Long, Long)].collect().toSet
       val salted = Dedup.ngramJaccardPairsSalted(skewed, "doc_id", "text", 3, th,
-          hotDf = 10, salts = salts)
+          hotFraction = 0.4, salts = salts)
         .select("id1", "id2", "jacc_micros").as[(Long, Long, Long)].collect().toSet
       assert(salted == full, s"threshold $th salts $salts")
       assert(full.nonEmpty)
