@@ -465,6 +465,14 @@ object SparkEntry {
         tables = 4, bits = 4, dim = 64, threshold = 0.4)
         ),
 
+    // RP-LSH quality: recall of the verified pair set vs the exact
+    // pair truth for 1/2/4 tables of one nested plane family — the
+    // tables×bits tuning curve, measured (mirror of q_sim_ivf_sweep).
+    "q_sim_rplsh_recall" -> ((s, dir) =>
+      Similarity.rpLshRecallSweep(T(s, dir, "embeddings"), "vec_id",
+        "embedding", tablesSweep = Seq(1, 2, 4), bits = 4, dim = 64,
+        threshold = 0.4)),
+
     // IVF top-5: label-seeded centroids, corpus broadcast-assigned,
     // queries probe the 2 nearest lists.
     "q_sim_ivf" -> ((s, dir) =>
@@ -780,6 +788,11 @@ object SparkEntry {
     "q_sim_topk" ->
       (Similarity.bruteForceTopKSql("vec_id", "embedding", "embeddings",
         "id < 8", k = 5) + " ORDER BY qid, rank"),
+
+    "q_sim_rplsh_recall" ->
+      (Similarity.rpLshRecallSweepSql("vec_id", "embedding", "embeddings",
+        tablesSweep = Seq(1, 2, 4), bits = 4, dim = 64, threshold = 0.4)
+        + " ORDER BY n_tables"),
 
     "q_sim_ivf" ->
       (Similarity.ivfTopKSql("vec_id", "embedding", "label", "embeddings",

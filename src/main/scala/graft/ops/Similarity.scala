@@ -325,8 +325,11 @@ object Similarity {
       .filter(col("cos_micros") >= (threshold * 1e6).toLong)
   }
 
-  def rpLshPairsSql(id: String, vec: String, table: String,
-      tables: Int, bits: Int, dim: Int, threshold: Double): String = {
+  /** base + buckets CTE prefix shared by the RP-LSH oracles: hash keys
+    * of `tables` tables over the deterministic plane family.
+    */
+  private def rpLshBucketsSql(id: String, vec: String, table: String,
+      tables: Int, bits: Int, dim: Int): String = {
     val planes = hyperplanes(tables, bits, dim)
     val P = graft.ops.Hashing.P
     val keyExprs = planes.zipWithIndex.map { case (tablePlanes, t) =>
@@ -337,11 +340,16 @@ object Similarity {
       }.mkString(" + ")
       s"SELECT id, v, nrm, $t AS tbl, ($bitSum)::BIGINT AS key FROM base"
     }.mkString(" UNION ALL ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT $id AS id, ${Vectors.toDoubleSql(vec)} AS v,
        |    ${Vectors.normSql(Vectors.toDoubleSql(vec))} AS nrm
        |  FROM $table),
-       |buckets AS ($keyExprs),
+       |buckets AS ($keyExprs)""".stripMargin
+  }
+
+  def rpLshPairsSql(id: String, vec: String, table: String,
+      tables: Int, bits: Int, dim: Int, threshold: Double): String =
+    s"""WITH ${rpLshBucketsSql(id, vec, table, tables, bits, dim)},
        |pairs AS (
        |  SELECT DISTINCT l.id AS id1, r.id AS id2,
        |    round(${Vectors.dotSql("l.v", "r.v")} / (l.nrm * r.nrm) * 1e6)::BIGINT AS cos_micros
@@ -349,6 +357,64 @@ object Similarity {
        |    ON l.tbl = r.tbl AND l.key = r.key AND l.id < r.id)
        |SELECT id1, id2, cos_micros FROM pairs
        |WHERE cos_micros >= ${(threshold * 1e6).toLong}""".stripMargin
+
+  /** Recall of RP-LSH pair retrieval vs the EXACT pair set at the same
+    * cosine threshold, for several table counts over ONE plane family
+    * (table t's planes are a prefix of table t+1's — nested indexes,
+    * one family) — the curve that turns tables × bits tuning from
+    * folklore into measurement, like [[ivfRecallSweep]] for IVF.
+    *
+    * Found pairs are threshold-VERIFIED, so found ⊆ truth and recall
+    * is a pure count ratio — no pair join needed. The truth pass is
+    * the one O(n²) stage (cosine over all id1 < id2); it runs once,
+    * shares [[baseOf]]'s cached (id, v, nrm), and is the measurement
+    * harness, not the retrieval path.
+    * Output: (n_tables, n_true, n_found, recall_micros).
+    */
+  def rpLshRecallSweep(embs: DataFrame, idCol: String, vecCol: String,
+      tablesSweep: Seq[Int], bits: Int, dim: Int,
+      threshold: Double): DataFrame = {
+    val base = baseOf(embs, idCol, vecCol)
+    val truth = base.as("l")
+      .join(base.as("r"), col("l.id") < col("r.id"))
+      .select((round(Vectors.dot(col("l.v"), col("r.v")) /
+        (col("l.nrm") * col("r.nrm")) * 1e6)).cast("long").as("cm"))
+      .filter(col("cm") >= (threshold * 1e6).toLong)
+      .agg(count(lit(1)).as("n_true"))
+    tablesSweep.map { t =>
+      rpLshPairs(embs, idCol, vecCol, t, bits, dim, threshold)
+        .agg(count(lit(1)).as("n_found"))
+        .select(lit(t.toLong).as("n_tables"), col("n_found"))
+    }.reduce(_.unionByName(_))
+      .join(broadcast(truth))
+      .select(col("n_tables"), col("n_true"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_true") * 1e6)
+          .cast("long").as("recall_micros"))
+  }
+
+  /** DuckDB twin of [[rpLshRecallSweep]] — same plane family, same
+    * verified pair sets, same exact truth.
+    */
+  def rpLshRecallSweepSql(id: String, vec: String, table: String,
+      tablesSweep: Seq[Int], bits: Int, dim: Int,
+      threshold: Double): String = {
+    val th = (threshold * 1e6).toLong
+    val maxT = tablesSweep.max
+    val founds = tablesSweep.map { t =>
+      s"""SELECT $t::BIGINT AS n_tables, count(*)::BIGINT AS n_found FROM (
+         |  SELECT DISTINCT l.id, r.id FROM buckets l JOIN buckets r
+         |  ON l.tbl = r.tbl AND l.key = r.key AND l.id < r.id
+         |    AND l.tbl < $t
+         |  WHERE round(${Vectors.dotSql("l.v", "r.v")} / (l.nrm * r.nrm) * 1e6) >= $th)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${rpLshBucketsSql(id, vec, table, maxT, bits, dim)},
+       |truth AS (
+       |  SELECT count(*)::BIGINT AS n_true FROM base l JOIN base r ON l.id < r.id
+       |  WHERE round(${Vectors.dotSql("l.v", "r.v")} / (l.nrm * r.nrm) * 1e6) >= $th),
+       |founds AS ($founds)
+       |SELECT n_tables, n_true, n_found,
+       |  round(n_found::DOUBLE / n_true * 1e6)::BIGINT AS recall_micros
+       |FROM founds CROSS JOIN truth""".stripMargin
   }
 
   /** recall@k per (nprobe, query) for several probe widths over ONE
