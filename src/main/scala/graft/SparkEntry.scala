@@ -274,6 +274,20 @@ object SparkEntry {
         .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
     }),
 
+    // SCD Type-2 dimension: every (db, table, user) change version
+    // with its half-open validity interval; deletes close their
+    // predecessor's interval but materialize no version. The
+    // warehouse-dimension / point-in-time-feature product of the
+    // change stream (cdc.Scd; StateTable keeps only the latest).
+    "q_cdc_scd2" -> ((s, dir) => {
+      val ch = T(s, dir, "events").select(
+        ChangeSource.dbCol.as("db"), ChangeSource.tableCol.as("table"),
+        col("user_id"), ChangeSource.opCol.as("op"), col("props"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      Scd.type2(ch, Seq("db", "table", "user_id"), "ts_us", "event_id",
+        "props", "op")
+    }),
+
     // Multi-way join + aggregation over the TPC-H-ish tables: revenue
     // per nation. Dims broadcast explicitly; money in integer cents
     // (round once per row, then BIGINT arithmetic) so the distributed
@@ -678,6 +692,23 @@ object SparkEntry {
          |  (ts_us - lag(ts_us) OVER (PARTITION BY db, "table"
          |    ORDER BY ts_us, event_id))::BIGINT AS gap_us
          |FROM c ORDER BY event_id""".stripMargin,
+
+    "q_cdc_scd2" ->
+      s"""WITH ch AS (
+         |  SELECT $dbSql AS db, $tableSql AS "table", user_id,
+         |    $opSql AS op, props, epoch_ns(ts) // 1000 AS ts_us, event_id
+         |  FROM events),
+         |v AS (
+         |  SELECT db, "table", user_id, op, props,
+         |    ts_us::BIGINT AS valid_from_us,
+         |    (lead(ts_us) OVER (PARTITION BY db, "table", user_id
+         |      ORDER BY ts_us, event_id))::BIGINT AS valid_to_us
+         |  FROM ch)
+         |SELECT db, "table", user_id, props AS payload, valid_from_us,
+         |  valid_to_us,
+         |  (CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_current
+         |FROM v WHERE op <> 'Delete'
+         |ORDER BY db, "table", user_id, valid_from_us""".stripMargin,
 
     "q_olap_revenue" ->
       """SELECT n_name,
