@@ -1,0 +1,272 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) ANN — the memory-side scale path that
+  * complements IVF's compute-side one: each vector is compressed to M
+  * subspace codes (here 16 × 4-dim subspaces, 32 centroids each →
+  * 16 bytes/vector instead of 256), queries score the WHOLE corpus
+  * through per-subspace lookup tables (ADC — asymmetric distance
+  * computation), and only a small reranked candidate set ever touches
+  * the full vectors. At 100 TB the codes table is ~1/16th the
+  * embedding bytes and the scoring pass is a narrow scan + one partial
+  * aggregated sum — the classic big-corpus ANN layout (IVF composes on
+  * top by restricting the scored set to probed lists).
+  *
+  * Everything is bit-reproducible against the DuckDB oracle:
+  *
+  *  - per-subspace codebooks train with the SAME integer-exact Lloyd
+  *    machinery as the IVF k-means ([[Similarity.centroidsExact]]),
+  *    assignment by min L2 = max(dot(x, c) − ½|c|²) with explicit
+  *    (score desc, cl asc) tie-breaks;
+  *  - ADC parts dot(q_m, cent) are micro-quantized to LONGS before the
+  *    16-way sum — cross-partition float summation order can never
+  *    perturb the ranking;
+  *  - candidate ranking quantizes approx-cosine to micros (tie: id),
+  *    and the final top-k reranks candidates with EXACT cosines, so
+  *    emitted scores are identical to the brute-force values.
+  */
+object Pq {
+
+  /** In-row slice of the m-th subspace (1-based slice). */
+  private def sub(v: Column, m: Int, subDim: Int): Column =
+    slice(v, m * subDim + 1, subDim)
+
+  /** Per-(subspace, cluster) integer-exact centroids — the (m, cl)
+    * generalization of [[Similarity.centroidsExact]], so EVERY
+    * subspace's Lloyd round runs in one aggregation instead of M
+    * sequential jobs. `assigned` holds (m, cl, v).
+    */
+  private def centroidsExactByM(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("m"), col("cl"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("m"), col("cl"), col("d"))
+      .agg((round(sum(round(col("x") * 1e6).cast("long")).cast("double")
+        / count(lit(1))) / 1e6).as("cx"))
+      .groupBy(col("m"), col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+        s => s.getField("cx")).as("cent"))
+
+  /** Nearest-centroid-by-L2 code pick for ALL subspaces at once, as a
+    * zero-shuffle narrow map (the per-m codebooks collapse to 16
+    * broadcast array rows): score = dot(x, c) − ½|c|², ties to the
+    * lower cl. `tall` holds (id, m, sv); output (id, m, cl).
+    */
+  private def assignL2All(tall: DataFrame, cents: DataFrame): DataFrame = {
+    val byM = cents
+      .withColumn("half", Vectors.dot(col("cent"), col("cent")) / 2)
+      .groupBy(col("m"))
+      .agg(collect_list(struct(col("cl"), col("cent"), col("half"))).as("cs"))
+    tall.join(broadcast(byM), "m")
+      .select(col("id"), col("m"),
+        explode(slice(array_sort(transform(col("cs"), c =>
+          struct((c.getField("half") - Vectors.dot(col("sv"), c.getField("cent")))
+              .as("negscore"),
+            c.getField("cl").as("cl")))), 1, 1)).as("pick"))
+      .select(col("id"), col("m"), col("pick.cl").as("cl"))
+  }
+
+  /** All M codebooks trained together: `iters` L2-assignment Lloyd
+    * rounds over the tall (id, m, sv) table — ONE assignment + ONE
+    * centroid aggregation + ONE (tiny, m×ksub-row) checkpoint per
+    * round, regardless of M. (The first cut trained each subspace in
+    * its own loop: 2M checkpoint barriers of pure scheduling latency.)
+    * Assignment is L2, not cosine — subvector norms carry signal in
+    * PQ; mirror of [[Similarity.kmeans]] otherwise.
+    */
+  private def kmeansL2All(tall: DataFrame, ksub: Int, iters: Int): DataFrame = {
+    var cents = centroidsExactByM(tall.select(col("m"),
+      pmod(col("id"), lit(ksub)).as("cl"), col("sv").as("v")))
+    for (_ <- 1 to iters) {
+      val assigned = assignL2All(tall, cents)
+        .join(tall, Seq("id", "m"))
+        .select(col("m"), col("cl"), col("sv").as("v"))
+      val computed = centroidsExactByM(assigned)
+      cents = cents.as("o")
+        .join(computed.withColumnRenamed("cent", "ncent"), Seq("m", "cl"), "left")
+        .select(col("m"), col("cl"),
+          coalesce(col("ncent"), col("o.cent")).as("cent"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** PQ-ADC top-k with exact rerank.
+    * Output: (qid, rank, neighbor_id, cos_micros) — cos_micros are
+    * EXACT cosines (the rerank recomputes them), only the candidate
+    * set is approximate.
+    */
+  def topK(embs: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, m: Int, ksub: Int, iters: Int,
+      rerank: Int): DataFrame = {
+    require(64 % m == 0, "subspaces must divide the dimension")
+    val subDim = 64 / m
+    val base = embs.select(col(idCol).as("id"),
+        Vectors.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+
+    // tall subvector table — one narrow pass, M rows per vector
+    val tall = base.select(col("id"), posexplode(array(
+      (0 until m).map(mi => sub(col("v"), mi, subDim)): _*)).as(Seq("m", "sv")))
+    val cb = kmeansL2All(tall, ksub, iters)
+    val codes = assignL2All(tall, cb)
+
+    val queries = base.filter(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // LUT: per (query, subspace, centroid) the micro-quantized part —
+    // queries × m × ksub rows, tiny, broadcast
+    val qtall = queries.select(col("qid"), posexplode(array(
+      (0 until m).map(mi => sub(col("qv"), mi, subDim)): _*)).as(Seq("m", "qsv")))
+    val lut = qtall.join(cb, "m")
+      .select(col("qid"), col("m"), col("cl"),
+        round(Vectors.dot(col("qsv"), col("cent")) * 1e6)
+          .cast("long").as("part_micros"))
+
+    // ADC: integer parts sum associatively; approx cosine re-quantized
+    val approx = codes.join(broadcast(lut), Seq("m", "cl"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("part_micros")).as("adot_micros"))
+      .filter(col("id") =!= col("qid"))
+    val wCand = Window.partitionBy(col("qid"))
+      .orderBy(col("akey").desc, col("id").asc)
+    val cands = approx
+      .join(base.select(col("id"), col("nrm")), "id")
+      .join(broadcast(queries.select(col("qid"), col("qnrm"))), "qid")
+      .withColumn("akey",
+        round(col("adot_micros").cast("double") / (col("qnrm") * col("nrm")))
+          .cast("long"))
+      .withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= rerank)
+      .select(col("qid"), col("id"))
+
+    // exact rerank of the candidate set only
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands
+      .join(base, "id")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("id").as("neighbor_id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        round(col("cos") * 1e6).cast("long").as("cos_micros"))
+  }
+
+  /** recall@k of the PQ search vs the brute-force truth — the measured
+    * quality number, like [[Similarity.ivfRecall]].
+    */
+  def recall(embs: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, m: Int, ksub: Int, iters: Int,
+      rerank: Int): DataFrame = {
+    val truth = Similarity.bruteForceTopK(embs, idCol, vecCol, queryPred, k)
+    val approx = topK(embs, idCol, vecCol, queryPred, k, m, ksub, iters, rerank)
+    truth.as("t")
+      .join(approx.as("a"),
+        col("t.qid") === col("a.qid") &&
+          col("t.neighbor_id") === col("a.neighbor_id"), "left")
+      .groupBy(col("t.qid").as("qid"))
+      .agg(round(count(col("a.neighbor_id")).cast("double") / k * 1e6)
+        .cast("long").as("recall_micros"))
+  }
+
+  // ------------------------------------------------------------ oracle
+
+  private def subSql(v: String, mi: Int, subDim: Int): String =
+    s"$v[${mi * subDim + 1}:${(mi + 1) * subDim}]"
+
+  /** CTE chain for one subspace's codebook + codes: cents0_m (seeded),
+    * `iters` Lloyd rounds (L2 assignment, integer-exact means,
+    * empty-cluster fallback), codes_m (final assignment).
+    */
+  private def subspaceSql(mi: Int, subDim: Int, ksub: Int,
+      iters: Int): String = {
+    def assign(cents: String): String =
+      s"""SELECT id, cl, v FROM (
+         |    SELECT s.id, c.cl, s.v, row_number() OVER (PARTITION BY s.id
+         |      ORDER BY ${Vectors.dotSql("s.v", "c.cent")}
+         |        - ${Vectors.dotSql("c.cent", "c.cent")} / 2 DESC, c.cl) AS arn
+         |    FROM sub$mi s CROSS JOIN $cents c) WHERE arn = 1""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""a${r}_$mi AS (${assign(s"cents${r - 1}_$mi")}),
+         |m${r}_$mi AS (${Similarity.centroidsExactSql(s"a${r}_$mi", subDim)}),
+         |cents${r}_$mi AS (
+         |  SELECT o.cl, coalesce(n.cent, o.cent) AS cent
+         |  FROM cents${r - 1}_$mi o LEFT JOIN m${r}_$mi n ON o.cl = n.cl),""".stripMargin
+    }.mkString("\n")
+    s"""sub$mi AS (SELECT id, id % $ksub AS seed, ${subSql("v", mi, subDim)} AS v FROM e),
+       |cents0_$mi AS (${Similarity.centroidsExactSql(
+          s"(SELECT seed AS cl, v FROM sub$mi) s0_$mi", subDim)}),
+       |$rounds
+       |codes_$mi AS (SELECT id, $mi AS m, cl FROM (${assign(s"cents${iters}_$mi")}))""".stripMargin
+  }
+
+  /** DuckDB twin of [[topK]] minus the final projection — emits the
+    * shared prefix through the reranked `pq` CTE.
+    */
+  private def prefixSql(id: String, vec: String, table: String,
+      queryPredSql: String, k: Int, m: Int, ksub: Int, iters: Int,
+      rerank: Int): String = {
+    val subDim = 64 / m
+    val subspaces = (0 until m).map(subspaceSql(_, subDim, ksub, iters))
+      .mkString(",\n")
+    val codesTall = (0 until m).map(mi => s"SELECT * FROM codes_$mi")
+      .mkString(" UNION ALL ")
+    val lutTall = (0 until m).map { mi =>
+      s"""SELECT q.qid, $mi AS m, c.cl,
+         |  round(${Vectors.dotSql(s"${subSql("q.qv", mi, subDim)}", "c.cent")} * 1e6)::BIGINT AS part_micros
+         |FROM q CROSS JOIN cents${iters}_$mi c""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT $id AS id, ${Vectors.toDoubleSql(vec)} AS v,
+       |    ${Vectors.normSql(Vectors.toDoubleSql(vec))} AS nrm
+       |  FROM $table),
+       |$subspaces,
+       |codes AS ($codesTall),
+       |q AS (SELECT id AS qid, v AS qv, nrm AS qnrm FROM e WHERE $queryPredSql),
+       |lut AS ($lutTall),
+       |adc AS (
+       |  SELECT l.qid, c.id, sum(l.part_micros)::BIGINT AS adot_micros
+       |  FROM codes c JOIN lut l ON l.m = c.m AND l.cl = c.cl
+       |  WHERE c.id <> l.qid GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT qid, id FROM (
+       |    SELECT a.qid, a.id, row_number() OVER (PARTITION BY a.qid
+       |      ORDER BY round(a.adot_micros::DOUBLE / (q.qnrm * e.nrm)) DESC, a.id) AS crn
+       |    FROM adc a JOIN e ON e.id = a.id JOIN q ON q.qid = a.qid)
+       |  WHERE crn <= $rerank),
+       |pq AS (
+       |  SELECT qid, neighbor_id, cos FROM (
+       |    SELECT c.qid, c.id AS neighbor_id,
+       |      ${Vectors.cosineSql("q.qv", "e.v")} AS cos,
+       |      row_number() OVER (PARTITION BY c.qid
+       |        ORDER BY ${Vectors.cosineSql("q.qv", "e.v")} DESC, c.id) AS rank
+       |    FROM cands c JOIN e ON e.id = c.id JOIN q ON q.qid = c.qid)
+       |  WHERE rank <= $k)""".stripMargin
+  }
+
+  def topKSql(id: String, vec: String, table: String, queryPredSql: String,
+      k: Int, m: Int, ksub: Int, iters: Int, rerank: Int): String =
+    s"""${prefixSql(id, vec, table, queryPredSql, k, m, ksub, iters, rerank)}
+       |SELECT qid, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, neighbor_id)::BIGINT AS rank,
+       |  neighbor_id, round(cos * 1e6)::BIGINT AS cos_micros
+       |FROM pq""".stripMargin
+
+  def recallSql(id: String, vec: String, table: String, queryPredSql: String,
+      k: Int, m: Int, ksub: Int, iters: Int, rerank: Int): String =
+    s"""${prefixSql(id, vec, table, queryPredSql, k, m, ksub, iters, rerank)},
+       |truth AS (
+       |  SELECT qid, neighbor_id FROM (
+       |    SELECT q.qid, e.id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${Vectors.cosineSql("q.qv", "e.v")} DESC, e.id) AS rank
+       |    FROM q JOIN e ON e.id <> q.qid) WHERE rank <= $k)
+       |SELECT t.qid,
+       |  round(count(p.neighbor_id)::DOUBLE / $k * 1e6)::BIGINT AS recall_micros
+       |FROM truth t LEFT JOIN pq p
+       |  ON t.qid = p.qid AND t.neighbor_id = p.neighbor_id
+       |GROUP BY t.qid""".stripMargin
+}
