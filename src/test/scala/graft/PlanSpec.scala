@@ -50,6 +50,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_sim_ivf").contains("BroadcastExchange"))
   }
 
+  test("PQ search broadcasts codebooks + LUT; the corpus rides narrow maps and one partial-agg sum") {
+    val p = plan("q_sim_pq")
+    // codebooks (16 array rows) and the per-query LUT are broadcast —
+    // the corpus side never shuffles for code assignment or scoring
+    assert(p.contains("BroadcastExchange"), s"no broadcast in:\n$p")
+    // the ADC sum partial-aggregates map-side before its exchange
+    assert(p.contains("HashAggregate"), s"no hash agg in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted posting join partitions hot shingles on (h, salt) and broadcasts the hot-key set") {
     val p = plan("q_dedup_ngram_salted")
     // the hot-side exchange must carry the salt in its partitioning key
