@@ -495,6 +495,15 @@ object SparkEntry {
         col("vec_id") < 8, k = 5, m = 16, ksub = 32, iters = 2,
         rerank = 40)),
 
+    // IVF × PQ — the composed big-corpus layout: probe 4 of 10 trained
+    // lists (multiple assignment 2), ADC-score only the probed
+    // candidates from 16-byte codes, exact-rerank the top 40
+    // (recall@5 ≈ 0.975 vs truth at sf0.01).
+    "q_sim_ivfpq" -> ((s, dir) =>
+      Pq.ivfPqTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", col("vec_id") < 8, k = 5, nprobe = 4, itersIvf = 4,
+        massign = 2, m = 16, ksub = 32, itersPq = 2, rerank = 40)),
+
     // RP-LSH quality: recall of the verified pair set vs the exact
     // pair truth for 1/2/4 tables of one nested plane family — the
     // tables×bits tuning curve, measured (mirror of q_sim_ivf_sweep).
@@ -850,6 +859,12 @@ object SparkEntry {
       (Pq.recallSql("vec_id", "embedding", "embeddings", "id < 8",
         k = 5, m = 16, ksub = 32, iters = 2, rerank = 40)
         + " ORDER BY 1"),
+
+    "q_sim_ivfpq" ->
+      (Pq.ivfPqTopKSql("vec_id", "embedding", "label", "embeddings",
+        "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
+        m = 16, ksub = 32, itersPq = 2, rerank = 40)
+        + " ORDER BY qid, rank"),
 
     "q_sim_ivf" ->
       (Similarity.ivfTopKSql("vec_id", "embedding", "label", "embeddings",

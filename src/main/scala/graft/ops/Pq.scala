@@ -93,14 +93,14 @@ object Pq {
     cents
   }
 
-  /** PQ-ADC top-k with exact rerank.
-    * Output: (qid, rank, neighbor_id, cos_micros) — cos_micros are
-    * EXACT cosines (the rerank recomputes them), only the candidate
-    * set is approximate.
+  /** Shared PQ machinery: base (id, v, nrm), queries, trained
+    * codebooks, corpus codes and the per-query LUT.
     */
-  def topK(embs: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, m: Int, ksub: Int, iters: Int,
-      rerank: Int): DataFrame = {
+  private case class PqParts(base: DataFrame, queries: DataFrame,
+      codes: DataFrame, lut: DataFrame)
+
+  private def build(embs: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, m: Int, ksub: Int, iters: Int): PqParts = {
     require(64 % m == 0, "subspaces must divide the dimension")
     val subDim = 64 / m
     val base = embs.select(col(idCol).as("id"),
@@ -123,17 +123,20 @@ object Pq {
       .select(col("qid"), col("m"), col("cl"),
         round(Vectors.dot(col("qsv"), col("cent")) * 1e6)
           .cast("long").as("part_micros"))
+    PqParts(base, queries, codes, lut)
+  }
 
-    // ADC: integer parts sum associatively; approx cosine re-quantized
-    val approx = codes.join(broadcast(lut), Seq("m", "cl"))
-      .groupBy(col("qid"), col("id"))
-      .agg(sum(col("part_micros")).as("adot_micros"))
-      .filter(col("id") =!= col("qid"))
+  /** ADC candidate ranking + exact rerank over a prebuilt approx-dot
+    * table (qid, id, adot_micros): integer parts already summed;
+    * approx cosine re-quantized for ranking; emitted scores are exact.
+    */
+  private def rerankExact(p: PqParts, approx: DataFrame, k: Int,
+      rerank: Int): DataFrame = {
     val wCand = Window.partitionBy(col("qid"))
       .orderBy(col("akey").desc, col("id").asc)
     val cands = approx
-      .join(base.select(col("id"), col("nrm")), "id")
-      .join(broadcast(queries.select(col("qid"), col("qnrm"))), "qid")
+      .join(p.base.select(col("id"), col("nrm")), "id")
+      .join(broadcast(p.queries.select(col("qid"), col("qnrm"))), "qid")
       .withColumn("akey",
         round(col("adot_micros").cast("double") / (col("qnrm") * col("nrm")))
           .cast("long"))
@@ -141,18 +144,76 @@ object Pq {
       .filter(col("crn") <= rerank)
       .select(col("qid"), col("id"))
 
-    // exact rerank of the candidate set only
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cands
-      .join(base, "id")
-      .join(broadcast(queries), "qid")
+      .join(p.base, "id")
+      .join(broadcast(p.queries), "qid")
       .select(col("qid"), col("id").as("neighbor_id"),
         (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neighbor_id"),
         round(col("cos") * 1e6).cast("long").as("cos_micros"))
+  }
+
+  /** PQ-ADC top-k with exact rerank.
+    * Output: (qid, rank, neighbor_id, cos_micros) — cos_micros are
+    * EXACT cosines (the rerank recomputes them), only the candidate
+    * set is approximate.
+    */
+  def topK(embs: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, m: Int, ksub: Int, iters: Int,
+      rerank: Int): DataFrame = {
+    val p = build(embs, idCol, vecCol, queryPred, m, ksub, iters)
+    // ADC over the WHOLE corpus: integer parts sum associatively
+    val approx = p.codes.join(broadcast(p.lut), Seq("m", "cl"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("part_micros")).as("adot_micros"))
+      .filter(col("id") =!= col("qid"))
+    rerankExact(p, approx, k, rerank)
+  }
+
+  /** IVF × PQ — the composed big-corpus layout: IVF probing restricts
+    * the scored set to the probed centroid lists (~nprobe/nlist of the
+    * corpus), and ADC scores those candidates from 16-byte codes
+    * instead of full vectors; exact rerank on the survivors only. Both
+    * halves are the already-oracle-proven components (trained cosine
+    * IVF with multiple assignment; L2 PQ codebooks), glued by one
+    * candidate join.
+    */
+  def ivfPqTopK(embs: DataFrame, idCol: String, vecCol: String,
+      seedCol: String, queryPred: Column, k: Int, nprobe: Int,
+      itersIvf: Int, massign: Int, m: Int, ksub: Int, itersPq: Int,
+      rerank: Int): DataFrame = {
+    val p = build(embs, idCol, vecCol, queryPred, m, ksub, itersPq)
+    val cents = Similarity.withCNorm(
+      Similarity.kmeans(embs, idCol, vecCol, seedCol, itersIvf))
+    val assigned = Similarity.assignToNearest(p.base, cents, massign)
+
+    // queries → nprobe nearest centroid lists (qid, cl)
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cl").asc)
+    val probes = p.queries.join(broadcast(cents))
+      .select(col("qid"), col("cl"),
+        (Vectors.dot(col("qv"), col("cent")) / (col("qnrm") * col("cnrm"))).as("pcos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("cl"))
+
+    // candidate pairs from the probed lists (dedup: multiple
+    // assignment can reach a vector through several lists)
+    val candPairs = probes.join(assigned, "cl")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id")).distinct()
+
+    // ADC only over the probed candidates
+    val approx = candPairs
+      .join(p.codes, "id")
+      .join(broadcast(p.lut), Seq("qid", "m", "cl"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("part_micros")).as("adot_micros"))
+    rerankExact(p, approx, k, rerank)
   }
 
   /** recall@k of the PQ search vs the brute-force truth — the measured
@@ -163,6 +224,23 @@ object Pq {
       rerank: Int): DataFrame = {
     val truth = Similarity.bruteForceTopK(embs, idCol, vecCol, queryPred, k)
     val approx = topK(embs, idCol, vecCol, queryPred, k, m, ksub, iters, rerank)
+    truth.as("t")
+      .join(approx.as("a"),
+        col("t.qid") === col("a.qid") &&
+          col("t.neighbor_id") === col("a.neighbor_id"), "left")
+      .groupBy(col("t.qid").as("qid"))
+      .agg(round(count(col("a.neighbor_id")).cast("double") / k * 1e6)
+        .cast("long").as("recall_micros"))
+  }
+
+  /** recall@k of [[ivfPqTopK]] vs the brute-force truth. */
+  def ivfPqRecall(embs: DataFrame, idCol: String, vecCol: String,
+      seedCol: String, queryPred: Column, k: Int, nprobe: Int,
+      itersIvf: Int, massign: Int, m: Int, ksub: Int, itersPq: Int,
+      rerank: Int): DataFrame = {
+    val truth = Similarity.bruteForceTopK(embs, idCol, vecCol, queryPred, k)
+    val approx = ivfPqTopK(embs, idCol, vecCol, seedCol, queryPred, k,
+      nprobe, itersIvf, massign, m, ksub, itersPq, rerank)
     truth.as("t")
       .join(approx.as("a"),
         col("t.qid") === col("a.qid") &&
@@ -269,4 +347,56 @@ object Pq {
        |FROM truth t LEFT JOIN pq p
        |  ON t.qid = p.qid AND t.neighbor_id = p.neighbor_id
        |GROUP BY t.qid""".stripMargin
+
+  /** DuckDB twin of [[ivfPqTopK]]: the IVF training/assignment prefix
+    * (Similarity.ivfTrainedPrefixSql — e carries nrm, af is the
+    * massign assignment, q the queries) + the PQ subspace codebooks
+    * over the SAME `e`, with ADC restricted to the probed candidate
+    * pairs.
+    */
+  def ivfPqTopKSql(id: String, vec: String, seed: String, table: String,
+      queryPredSql: String, k: Int, nprobe: Int, itersIvf: Int,
+      massign: Int, m: Int, ksub: Int, itersPq: Int, rerank: Int): String = {
+    val subDim = 64 / m
+    val subspaces = (0 until m).map(subspaceSql(_, subDim, ksub, itersPq))
+      .mkString(",\n")
+    val codesTall = (0 until m).map(mi => s"SELECT * FROM codes_$mi")
+      .mkString(" UNION ALL ")
+    val lutTall = (0 until m).map { mi =>
+      s"""SELECT q.qid, $mi AS m, c.cl,
+         |  round(${Vectors.dotSql(s"${subSql("q.qv", mi, subDim)}", "c.cent")} * 1e6)::BIGINT AS part_micros
+         |FROM q CROSS JOIN cents${itersPq}_$mi c""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""${Similarity.ivfTrainedPrefixSql(id, vec, seed, table, queryPredSql,
+          k, itersIvf, 64, massign)},
+       |$subspaces,
+       |codes AS ($codesTall),
+       |lut AS ($lutTall),
+       |probes AS (
+       |  SELECT qid, cl FROM (
+       |    SELECT q.qid, c.cl, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${Vectors.cosineSql("q.qv", "c.cent")} DESC, c.cl) AS prn
+       |    FROM q CROSS JOIN cents$itersIvf c) WHERE prn <= $nprobe),
+       |candp AS (
+       |  SELECT DISTINCT p.qid, a.id FROM probes p JOIN af a ON a.cl = p.cl
+       |  WHERE a.id <> p.qid),
+       |adc AS (
+       |  SELECT cp.qid, cp.id, sum(l.part_micros)::BIGINT AS adot_micros
+       |  FROM candp cp JOIN codes c ON c.id = cp.id
+       |  JOIN lut l ON l.qid = cp.qid AND l.m = c.m AND l.cl = c.cl
+       |  GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT qid, id FROM (
+       |    SELECT a.qid, a.id, row_number() OVER (PARTITION BY a.qid
+       |      ORDER BY round(a.adot_micros::DOUBLE / (q.qnrm * e.nrm)) DESC, a.id) AS crn
+       |    FROM adc a JOIN e ON e.id = a.id JOIN q ON q.qid = a.qid)
+       |  WHERE crn <= $rerank)
+       |SELECT qid, rank, neighbor_id, cos_micros FROM (
+       |  SELECT c.qid AS qid, row_number() OVER (PARTITION BY c.qid
+       |      ORDER BY ${Vectors.cosineSql("q.qv", "e.v")} DESC, c.id)::BIGINT AS rank,
+       |    c.id AS neighbor_id,
+       |    round(${Vectors.cosineSql("q.qv", "e.v")} * 1e6)::BIGINT AS cos_micros
+       |  FROM cands c JOIN e ON e.id = c.id JOIN q ON q.qid = c.qid)
+       |WHERE rank <= $k""".stripMargin
+  }
 }

@@ -98,7 +98,7 @@ object Similarity {
       embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
         .withColumn("nrm", Vectors.norm(col("v"))))
 
-  private def withCNorm(centroids: DataFrame): DataFrame =
+  private[ops] def withCNorm(centroids: DataFrame): DataFrame =
     centroids.withColumn("cnrm", Vectors.norm(col("cent")))
 
   /** Corpus → its `massign` nearest centroids, output (id, cl) rows —
@@ -120,7 +120,7 @@ object Similarity {
     * The most expensive search stage — computed once per centroid set
     * and shared across probe widths (see [[ivfRecallSweep]]).
     */
-  private def assignToNearest(base: DataFrame, cents: DataFrame,
+  private[ops] def assignToNearest(base: DataFrame, cents: DataFrame,
       massign: Int = 1): DataFrame = {
     val centArr = cents.agg(
       collect_list(struct(col("cl"), col("cent"), col("cnrm"))).as("cs"))
@@ -451,7 +451,7 @@ object Similarity {
     * cents1..N), final corpus assignment (af), queries (q), and the
     * brute-force truth (truth).
     */
-  private def ivfTrainedPrefixSql(id: String, vec: String, seed: String,
+  private[ops] def ivfTrainedPrefixSql(id: String, vec: String, seed: String,
       table: String, queryPredSql: String, k: Int, iters: Int,
       dim: Int, massign: Int = 1): String = {
     // training always single-assigns (Lloyd); only the FINAL index
@@ -469,11 +469,12 @@ object Similarity {
          |  FROM cents${r - 1} o LEFT JOIN m$r n ON o.cl = n.cl),""".stripMargin
     }.mkString("\n")
     s"""WITH e AS (
-       |  SELECT $id AS id, $seed AS lab, ${Vectors.toDoubleSql(vec)} AS v FROM $table),
+       |  SELECT $id AS id, $seed AS lab, ${Vectors.toDoubleSql(vec)} AS v,
+       |    ${Vectors.normSql(Vectors.toDoubleSql(vec))} AS nrm FROM $table),
        |cents0 AS (${centroidsExactSql(s"(SELECT lab AS cl, v FROM e) s0", dim)}),
        |$rounds
        |af AS (${assign(s"cents$iters", massign)}),
-       |q AS (SELECT id AS qid, v AS qv FROM e WHERE $queryPredSql),
+       |q AS (SELECT id AS qid, v AS qv, nrm AS qnrm FROM e WHERE $queryPredSql),
        |truth AS (
        |  SELECT qid, neighbor_id FROM (
        |    SELECT q.qid, e.id AS neighbor_id,
