@@ -85,4 +85,23 @@ object Pipeline {
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("db"), col("table"))
       .agg(count(lit(1)).as("n_changes"))
+
+  /** The training-data curation composite (X22) as a Structured
+    * Streaming job: language-ID + quality gate (both narrow codegen'd
+    * passes — identical plan to the batch operators) feeding
+    * fingerprint dedup with watermark-bounded state. A document stream
+    * curates incrementally: junk drops before any state is touched,
+    * and only the quality survivors' fingerprints occupy the dedup
+    * store. `docs` needs (doc_id, text, ts).
+    */
+  def curated(docs: DataFrame, watermark: String,
+      minQualityMicros: Long): DataFrame =
+    docs
+      .withColumn("lang_pred", graft.ops.TextAnalysis.langId(col("text")))
+      .withColumn("quality_micros",
+        graft.ops.TextAnalysis.qualityMicros(col("text")))
+      .filter(col("quality_micros") >= minQualityMicros)
+      .withColumn("fp", graft.ops.TextAnalysis.md5Fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
 }
