@@ -38,12 +38,37 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // opt-in second timed pass per query WITHOUT the cache reset —
+    // cold (attributable, includes materialization) vs warm (shared
+    // bases already resident) separation for regression triage. Off by
+    // default: the driver contract is the single cold pass.
+    val warmPass = sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("1")
+    def runWarm(name: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed warm: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     run("q_cdc_changes") // warmup, untimed
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // the warm run follows its cold run immediately, while that
+    // query's own cached bases are still resident
+    val results = names.map { n =>
+      val cold = run(n)
+      (n, cold, if (warmPass) Some(runWarm(n)) else None)
+    }
+    def fmt(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val warmField =
+      if (!warmPass) ""
+      else s""","queries_warm":${fmt(results.map(r => r._1 -> r._3.get))}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      fmt(results.map(r => r._1 -> r._2))}$warmField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
