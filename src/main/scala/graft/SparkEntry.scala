@@ -535,6 +535,26 @@ object SparkEntry {
         "embedding", "label", col("vec_id") < 8, k = 5,
         nprobes = Seq(1, 2, 4), iters = 4, massign = 2)),
 
+    // Deterministic train/val/test split audit: hash-bucket
+    // assignment (stable under corpus growth — a doc's split never
+    // depends on the rest of the corpus), counts per (source, split).
+    "q_curate_split" -> ((s, dir) =>
+      Curation.splitCounts(T(s, dir, "documents"), "doc_id", "text",
+        "source", trainPct = 70, valPct = 15)),
+
+    // Sequence packing (concat-and-chunk): per-source docs cut into
+    // 4096-token context windows; per (source, bin) docs + tokens.
+    "q_curate_pack" -> ((s, dir) =>
+      Curation.packBins(T(s, dir, "documents"), "doc_id", "text",
+        "source", budget = 4096L)),
+
+    // Benchmark contamination: best n-gram containment of each eval
+    // doc (doc_id % 20 = 0) against the training remainder, with the
+    // offending doc — the dedup machinery pointed across corpora.
+    "q_curate_contamination" -> ((s, dir) =>
+      Curation.contamination(T(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") % 20 === 0, k = 3)),
+
     // Multimodal: binary media column + typed per-partition decode
     // (stub codec — see ops.Multimodal.StubCodec).
     "q_mm_decode" -> ((s, dir) =>
@@ -878,6 +898,18 @@ object SparkEntry {
       Similarity.ivfRecallSweepSql("vec_id", "embedding", "label", "embeddings",
         "id < 8", k = 5, nprobes = Seq(1, 2, 4), iters = 4, dim = 64,
         massign = 2),
+
+    "q_curate_split" ->
+      (Curation.splitCountsSql("doc_id", "text", "source", "documents",
+        trainPct = 70, valPct = 15) + " ORDER BY source, split"),
+
+    "q_curate_pack" ->
+      (Curation.packBinsSql("doc_id", "text", "source", "documents",
+        budget = 4096L) + " ORDER BY source, bin"),
+
+    "q_curate_contamination" ->
+      (Curation.contaminationSql("doc_id", "text", "documents",
+        "doc_id % 20 = 0", k = 3) + " ORDER BY bench_id"),
 
     "q_mm_decode" ->
       (Multimodal.decodeSql("documents") + " ORDER BY media_id"),

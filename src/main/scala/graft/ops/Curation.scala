@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-mechanics operators a training-data pipeline runs after
+  * cleaning: deterministic dataset splitting, sequence packing, and
+  * benchmark-contamination checking. All exact integer/micro math over
+  * the shared md5-hash60 family — every operator oracle-checked.
+  */
+object Curation {
+
+  /** Deterministic split assignment: bucket = hash60("split_" ++ id)
+    * mod 100, train < trainPct <= val < trainPct+valPct <= test. The
+    * hash (not a random draw) makes the split REPRODUCIBLE and stable
+    * under corpus growth — a doc's split never depends on what else is
+    * in the corpus, so re-runs and incremental ingests can't leak
+    * train docs into test. A narrow map; no shuffle.
+    */
+  def splitOf(id: Column, trainPct: Int, valPct: Int): Column = {
+    val bucket = pmod(Hashing.hash60(concat(lit("split_"), id.cast("string"))),
+      lit(100))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  def splitOfSql(id: String, trainPct: Int, valPct: Int): String = {
+    val bucket = s"(${Hashing.hash60Sql(s"'split_' || $id::VARCHAR")} % 100)"
+    s"""CASE WHEN $bucket < $trainPct THEN 'train'
+       |     WHEN $bucket < ${trainPct + valPct} THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  }
+
+  /** Per-(source, split) doc and token counts — the split audit a
+    * training run records. One partial-aggregated shuffle.
+    */
+  def splitCounts(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, trainPct: Int, valPct: Int): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        splitOf(col(idCol), trainPct, valPct).as("split"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
+  def splitCountsSql(id: String, text: String, source: String, table: String,
+      trainPct: Int, valPct: Int): String =
+    s"""SELECT $source AS source, ${splitOfSql(id, trainPct, valPct)} AS split,
+       |  count(*)::BIGINT AS n_docs,
+       |  sum(${TextAnalysis.tokenCountSql(text)})::BIGINT AS n_tokens
+       |FROM $table GROUP BY 1, 2""".stripMargin
+
+  /** Sequence packing (concat-and-chunk): documents of one source are
+    * concatenated in id order and cut into `budget`-token context
+    * windows; a doc's bin is the window its FIRST token lands in —
+    * exactly the LM-pretraining packing layout. Per (source, bin):
+    * docs, tokens, and the bin's fill start offset. One window cumsum
+    * per source — the key is the source (bounded parallelism is fine:
+    * the cumsum is per-source sequential BY SPEC, the order defines
+    * the packing; shard sources for more width at scale).
+    */
+  def packBins(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / budget))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("n_tokens"))
+  }
+
+  def packBinsSql(id: String, text: String, source: String, table: String,
+      budget: Long): String =
+    s"""SELECT source, bin, count(*)::BIGINT AS n_docs,
+       |  sum(n_tok)::BIGINT AS n_tokens
+       |FROM (
+       |  SELECT source, ((cum - n_tok) // $budget)::BIGINT AS bin, n_tok
+       |  FROM (
+       |    SELECT $source AS source, $id AS id,
+       |      ${TextAnalysis.tokenCountSql(text)} AS n_tok,
+       |      sum(${TextAnalysis.tokenCountSql(text)}) OVER (
+       |        PARTITION BY $source ORDER BY $id
+       |        ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM $table))
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Benchmark contamination: for each eval doc, the best n-gram
+    * containment against the (disjoint) training corpus —
+    * |shingles(eval) ∩ shingles(train)| / |shingles(eval)| — plus the
+    * offending doc. Containment (not Jaccard): a benchmark item pasted
+    * into a much larger page is full contamination even though Jaccard
+    * is tiny. Posting join on hashed-shingle longs, exactly the dedup
+    * machinery pointed across corpora; cost ∝ shared content, never
+    * |eval| × |train|.
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      evalPred: Column, k: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      Dedup.hashedShingles(col(textCol), k).as("hs"), evalPred.as("is_eval"))
+    val posts = base.select(col("id"), col("is_eval"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
+    val ev = posts.filter(col("is_eval"))
+    val tr = posts.filter(!col("is_eval"))
+    val overlap = ev.as("e")
+      .join(tr.as("t"), col("e.h") === col("t.h"))
+      .groupBy(col("e.id").as("bench_id"), col("t.id").as("doc_id"),
+        col("e.n").as("n_bench"))
+      .agg(count(lit(1)).as("common"))
+      .select(col("bench_id"), col("doc_id"),
+        round(col("common").cast("double") / col("n_bench") * 1e6)
+          .cast("long").as("containment_micros"))
+    // best offender per benchmark doc (ties: lower doc id)
+    val w = Window.partitionBy(col("bench_id"))
+      .orderBy(col("containment_micros").desc, col("doc_id").asc)
+    overlap.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("bench_id"), col("doc_id"), col("containment_micros"))
+  }
+
+  def contaminationSql(id: String, text: String, table: String,
+      evalPredSql: String, k: Int): String =
+    s"""WITH base AS (
+       |  SELECT $id AS id, ${Dedup.hashedShinglesSql(text, k)} AS hs,
+       |    ($evalPredSql) AS is_eval FROM $table),
+       |posts AS (
+       |  SELECT id, is_eval, len(hs) AS n, unnest(hs) AS h FROM base),
+       |overlap AS (
+       |  SELECT e.id AS bench_id, t.id AS doc_id,
+       |    round(count(*)::DOUBLE / any_value(e.n) * 1e6)::BIGINT AS containment_micros
+       |  FROM posts e JOIN posts t ON e.h = t.h
+       |  WHERE e.is_eval AND NOT t.is_eval
+       |  GROUP BY 1, 2)
+       |SELECT bench_id, doc_id, containment_micros FROM (
+       |  SELECT bench_id, doc_id, containment_micros, row_number() OVER (
+       |    PARTITION BY bench_id
+       |    ORDER BY containment_micros DESC, doc_id) AS rn
+       |  FROM overlap) WHERE rn = 1""".stripMargin
+}

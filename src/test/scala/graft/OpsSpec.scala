@@ -250,6 +250,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination: pasted benchmark text is full containment; split is hash-stable") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val fixture = Seq(
+      (0L, bench),                                      // eval doc
+      (1L, s"intro words then $bench plus a long tail of unrelated prose"),
+      (2L, "completely different content with no shared trigrams at all here"))
+      .toDF("doc_id", "text")
+    val out = Curation.contamination(fixture, "doc_id", "text",
+        col("doc_id") === 0, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 contains every benchmark trigram -> containment 1.0; doc 2
+    // shares none and never appears
+    assert(out == Set((0L, 1L, 1000000L)))
+
+    // split assignment depends only on the id — growing the corpus
+    // can't move a doc between splits
+    val s1 = Curation.splitCounts(fixture, "doc_id", "text",
+        "text", 70, 15)
+    val small = fixture.limit(1)
+    val a = Curation.splitOf(col("doc_id"), 70, 15)
+    val bySmall = small.select(col("doc_id"), a).as[(Long, String)].collect().toMap
+    val byFull = fixture.select(col("doc_id"), a).as[(Long, String)].collect().toMap
+    assert(bySmall.forall { case (k2, v) => byFull(k2) == v })
+    assert(s1.collect().nonEmpty)
+  }
+
   test("GraftExtensions: native functions callable from plain SQL") {
     docs.createOrReplaceTempView("ext_docs")
     val row = spark.sql(
