@@ -548,6 +548,15 @@ object SparkEntry {
       Curation.packBins(T(s, dir, "documents"), "doc_id", "text",
         "source", budget = 4096L)),
 
+    // Deterministic domain-mixture sampling: per-source keep rates
+    // (upweight src0/src1, downsample src2) decided by salted hash
+    // buckets — reproducible, growth-stable, independent of the
+    // split hash. Per-source audit of the kept mixture.
+    "q_curate_mix" -> ((s, dir) =>
+      Curation.mixCounts(T(s, dir, "documents"), "doc_id", "text",
+        "source", Map("src0" -> 1.0, "src1" -> 0.8, "src2" -> 0.1),
+        default = 0.5)),
+
     // Benchmark contamination: best n-gram containment of each eval
     // doc (doc_id % 20 = 0) against the training remainder, with the
     // offending doc — the dedup machinery pointed across corpora.
@@ -910,6 +919,11 @@ object SparkEntry {
     "q_curate_contamination" ->
       (Curation.contaminationSql("doc_id", "text", "documents",
         "doc_id % 20 = 0", k = 3) + " ORDER BY bench_id"),
+
+    "q_curate_mix" ->
+      (Curation.mixCountsSql("doc_id", "text", "source", "documents",
+        Map("src0" -> 1.0, "src1" -> 0.8, "src2" -> 0.1), default = 0.5)
+        + " ORDER BY source"),
 
     "q_mm_decode" ->
       (Multimodal.decodeSql("documents") + " ORDER BY media_id"),

@@ -51,6 +51,48 @@ object Curation {
        |  sum(${TextAnalysis.tokenCountSql(text)})::BIGINT AS n_tokens
        |FROM $table GROUP BY 1, 2""".stripMargin
 
+  /** Deterministic domain-mixture sampling: keep a doc with per-source
+    * probability `weights(source)` (fallback `default`), decided by a
+    * hash bucket of the doc id rather than a random draw — the sampled
+    * set is reproducible, stable under corpus growth, and disjoint
+    * sampling decisions (e.g. the [[splitOf]] bucket) stay independent
+    * because each decision salts the hash differently. This is the
+    * standard pretraining "domain weights" knob (upweight curated
+    * sources, downsample crawl). Narrow filter; no shuffle.
+    */
+  def mixSample(docs: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], default: Double): DataFrame = {
+    val bucket = pmod(Hashing.hash60(
+      concat(lit("mix_"), col(idCol).cast("string"))), lit(1000000L))
+    val rate = weights.foldLeft(lit(default)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    docs.filter(bucket < rate * 1e6)
+  }
+
+  /** Per-source audit of the sampled mixture: kept docs + tokens. */
+  def mixCounts(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weights: Map[String, Double],
+      default: Double): DataFrame =
+    mixSample(docs, idCol, sourceCol, weights, default)
+      .select(col(sourceCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
+  def mixCountsSql(id: String, text: String, source: String, table: String,
+      weights: Map[String, Double], default: Double): String = {
+    val rate = weights.toSeq.sortBy(_._1).map { case (src, w) =>
+      s"WHEN $source = '$src' THEN $w"
+    }.mkString("CASE ", " ", s" ELSE $default END")
+    s"""SELECT $source AS source, count(*)::BIGINT AS n_docs,
+       |  sum(${TextAnalysis.tokenCountSql(text)})::BIGINT AS n_tokens
+       |FROM $table
+       |WHERE (${Hashing.hash60Sql(s"'mix_' || $id::VARCHAR")} % 1000000)
+       |  < ($rate) * 1e6
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Sequence packing (concat-and-chunk): documents of one source are
     * concatenated in id order and cut into `budget`-token context
     * windows; a doc's bin is the window its FIRST token lands in —
