@@ -50,6 +50,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_sim_ivf").contains("BroadcastExchange"))
   }
 
+  test("curation ops prune the documents scan to referenced columns") {
+    // splitCounts touches doc_id/text/source — lang and n_chars must
+    // not be read; mixCounts likewise (the filter is a narrow map on
+    // the scan side, no shuffle before the audit agg)
+    for (q <- Seq("q_curate_split", "q_curate_mix")) {
+      val p = plan(q)
+      assert(p.contains("ReadSchema"), q)
+      assert(!p.contains("n_chars"), s"$q scanned an unreferenced column")
+    }
+    // contamination is a posting join on longs: no cartesian, and the
+    // eval/train split never materializes the cross product
+    val pc = plan("q_curate_contamination")
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoop"))
+  }
+
   test("PQ search broadcasts codebooks + LUT; the corpus rides narrow maps and one partial-agg sum") {
     val p = plan("q_sim_pq")
     // codebooks (16 array rows) and the per-query LUT are broadcast —
