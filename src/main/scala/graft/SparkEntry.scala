@@ -548,6 +548,13 @@ object SparkEntry {
       Curation.packBins(T(s, dir, "documents"), "doc_id", "text",
         "source", budget = 4096L)),
 
+    // Split-leakage report: near-dup pairs straddling train/val/test —
+    // the check that dedup ran before (or against) the split. Reuses
+    // X4's posting join + the split hash.
+    "q_curate_leakage" -> ((s, dir) =>
+      Curation.splitLeakage(T(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.2, trainPct = 70, valPct = 15)),
+
     // Deterministic domain-mixture sampling: per-source keep rates
     // (upweight src0/src1, downsample src2) decided by salted hash
     // buckets — reproducible, growth-stable, independent of the
@@ -924,6 +931,11 @@ object SparkEntry {
       (Curation.mixCountsSql("doc_id", "text", "source", "documents",
         Map("src0" -> 1.0, "src1" -> 0.8, "src2" -> 0.1), default = 0.5)
         + " ORDER BY source"),
+
+    "q_curate_leakage" ->
+      (Curation.splitLeakageSql("doc_id", "text", "documents",
+        k = 3, threshold = 0.2, trainPct = 70, valPct = 15)
+        + " ORDER BY split_a, split_b"),
 
     "q_mm_decode" ->
       (Multimodal.decodeSql("documents") + " ORDER BY media_id"),

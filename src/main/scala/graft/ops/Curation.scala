@@ -129,6 +129,42 @@ object Curation {
        |    FROM $table))
        |GROUP BY 1, 2""".stripMargin
 
+  /** Split-leakage report: near-duplicate pairs that straddle dataset
+    * splits — the reason dedup must run BEFORE (or be checked against)
+    * splitting: a test doc whose near-twin sits in train is a leaked
+    * eval item no matter how clean the split hash is. Reuses the exact
+    * posting-join dedup (X4) and the hash split, aggregated per
+    * (split, split) with the worst (max) similarity. Empty result =
+    * clean split at the threshold.
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, trainPct: Int, valPct: Int): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, k, threshold)
+    val splits = docs.select(col(idCol).as("id"),
+      splitOf(col(idCol), trainPct, valPct).as("split"))
+    pairs
+      .join(splits.select(col("id").as("id1"), col("split").as("sp1")), "id1")
+      .join(splits.select(col("id").as("id2"), col("split").as("sp2")), "id2")
+      .filter(col("sp1") =!= col("sp2"))
+      .groupBy(least(col("sp1"), col("sp2")).as("split_a"),
+        greatest(col("sp1"), col("sp2")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("jacc_micros")).as("worst_jacc_micros"))
+  }
+
+  def splitLeakageSql(id: String, text: String, table: String,
+      k: Int, threshold: Double, trainPct: Int, valPct: Int): String =
+    s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql(id, text, table, k, threshold)}),
+       |s AS (SELECT $id AS id, ${splitOfSql(id, trainPct, valPct)} AS split
+       |      FROM $table)
+       |SELECT least(s1.split, s2.split) AS split_a,
+       |  greatest(s1.split, s2.split) AS split_b,
+       |  count(*)::BIGINT AS n_pairs,
+       |  max(p.jacc_micros)::BIGINT AS worst_jacc_micros
+       |FROM pairs p JOIN s s1 ON p.id1 = s1.id JOIN s s2 ON p.id2 = s2.id
+       |WHERE s1.split <> s2.split
+       |GROUP BY 1, 2""".stripMargin
+
   /** Benchmark contamination: for each eval doc, the best n-gram
     * containment against the (disjoint) training corpus —
     * |shingles(eval) ∩ shingles(train)| / |shingles(eval)| — plus the
