@@ -329,6 +329,60 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("session/as-of/SCD state runs on the RocksDB state store (big-state deployment path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: Long) = new java.sql.Timestamp((1767225600L + s) * 1000)
+      // temporal join: version list + pending-probe state on RocksDB
+      val probesIn = MemoryStream[(String, java.sql.Timestamp, String)]
+      val versionsIn = MemoryStream[(String, java.sql.Timestamp)]
+      val q1 = graft.streaming.TemporalJoin.asOf(
+          probesIn.toDF().toDF("key", "ts", "payload"),
+          versionsIn.toDF().toDF("key", "ts"), "5 minutes")
+        .writeStream.format("memory").queryName("asof_rocks")
+        .outputMode("append").start()
+      versionsIn.addData(Seq(("k", t(100L))))
+      probesIn.addData(Seq(("k", t(200L), "p")))
+      q1.processAllAvailable()
+      versionsIn.addData(Seq(("kZ", t(9000L))))
+      q1.processAllAvailable()
+      versionsIn.addData(Seq(("kZ", t(9001L))))
+      q1.processAllAvailable()
+      q1.stop()
+      val asof = spark.table("asof_rocks")
+        .as[graft.streaming.TemporalJoin.AsOfOut].collect()
+      assert(asof.map(o => (o.key, o.asof_ts_us)).toSet ==
+        Set(("k", Some((1767225600L + 100L) * 1000000L))))
+
+      // streaming SCD-2: open-version + buffer state on RocksDB
+      val scdIn = MemoryStream[(String, java.sql.Timestamp, Long, String, String)]
+      val q2 = graft.streaming.ScdStream.closedVersions(
+          scdIn.toDF().toDF("key", "ts", "seq", "payload", "op"), "5 minutes")
+        .writeStream.format("memory").queryName("scd_rocks")
+        .outputMode("append").start()
+      scdIn.addData(Seq(("a", t(100L), 1L, "v1", ChangeOp.Insert),
+        ("a", t(300L), 2L, "v2", ChangeOp.Update)))
+      q2.processAllAvailable()
+      scdIn.addData(Seq(("zZ", t(9000L), 9L, "z", ChangeOp.Insert)))
+      q2.processAllAvailable()
+      scdIn.addData(Seq(("zZ", t(9001L), 10L, "z", ChangeOp.Insert)))
+      q2.processAllAvailable()
+      q2.stop()
+      val closed = spark.table("scd_rocks")
+        .as[graft.streaming.ScdStream.ClosedVersion].collect()
+        .map(c => (c.key, c.payload)).toSet
+      assert(closed == Set(("a", "v1")))
+      spark.sql("DROP TABLE IF EXISTS asof_rocks")
+      spark.sql("DROP TABLE IF EXISTS scd_rocks")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming exact dedup drops repeated fingerprints within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1704067200000L
