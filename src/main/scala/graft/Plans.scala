@@ -73,7 +73,18 @@ object Plans {
         |BroadcastExchanges; the corpus side is narrow maps (subvector
         |explode, in-row code pick) until the single partial-aggregated
         |ADC sum; the exact rerank joins only the top-`rerank` candidate
-        |rows back to full vectors.""".stripMargin)
+        |rows back to full vectors.""".stripMargin,
+    "q_sim_ivfpq" ->
+      """IVF × PQ composition: the trained centroid table and the LUT ride
+        |BroadcastExchanges; candidate pairs come from the probed lists
+        |(probes ⋈ assignment), ADC scores only those candidates from the
+        |codes table, and the full-vector join appears ONLY after the
+        |top-`rerank` cut.""".stripMargin,
+    "q_curate_contamination" ->
+      """Contamination check: posting self-join on 8-byte shingle hashes
+        |split eval/train — no cartesian, no BroadcastNestedLoop; the
+        |per-benchmark best-offender is one window over overlap rows
+        |(∝ shared content, not eval × train).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
