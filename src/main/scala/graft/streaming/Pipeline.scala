@@ -104,4 +104,36 @@ object Pipeline {
       .withColumn("fp", graft.ops.TextAnalysis.md5Fingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Ingest-time contamination gate: each streamed doc's n-gram
+    * CONTAINMENT of any benchmark shingle (X46's measure) against a
+    * STATIC benchmark corpus — a stream-static equi-join on the hashed
+    * shingle longs (the static side is small: benchmark suites are
+    * thousands of items, so Spark broadcasts it), then one watermarked
+    * per-doc aggregation. Output (append, final once the watermark
+    * passes the doc): doc_id, ts, containment_micros, contaminated.
+    * Docs landing above the threshold are flagged ON INGEST, before
+    * they ever reach a training mix. `bench` needs a `text` column;
+    * `docs` needs (doc_id, text, ts).
+    */
+  def contaminationGate(docs: DataFrame, bench: DataFrame, k: Int,
+      watermark: String, threshold: Double): DataFrame = {
+    val benchHashes = bench
+      .select(explode(graft.ops.Dedup.hashedShingles(col("text"), k)).as("h"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    docs
+      .withColumn("hs", graft.ops.Dedup.hashedShingles(col("text"), k))
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), size(col("hs")).as("n"),
+        explode(col("hs")).as("h"))
+      .join(benchHashes, Seq("h"), "left")
+      .groupBy(col("doc_id"), col("ts"), col("n"))
+      .agg(count(col("hit")).as("common"))
+      .select(col("doc_id"), col("ts"),
+        round(col("common").cast("double") / col("n") * 1e6)
+          .cast("long").as("containment_micros"))
+      .withColumn("contaminated",
+        col("containment_micros") >= (threshold * 1e6).toLong)
+  }
 }

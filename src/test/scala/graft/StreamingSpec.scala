@@ -299,6 +299,35 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS curate_out")
   }
 
+  test("contamination gate flags pasted benchmark text on ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("alpha beta gamma delta epsilon zeta eta theta")
+      .toDF("text")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def t(s: Long) = new java.sql.Timestamp(1767225600000L + s * 1000)
+    val q = graft.streaming.Pipeline.contaminationGate(
+        input.toDF().toDF("doc_id", "text", "ts"), bench, k = 3,
+        watermark = "5 minutes", threshold = 0.5)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode("append").start()
+
+    input.addData(Seq(
+      (1L, "intro then alpha beta gamma delta epsilon zeta eta theta end", t(0)),
+      (2L, "totally unrelated words without any benchmark trigrams inside", t(1))))
+    q.processAllAvailable()
+    // sentinel advances the watermark so the per-doc aggs finalize
+    input.addData(Seq((9L, "x y z", t(9000L))))
+    q.processAllAvailable()
+    input.addData(Seq((10L, "x y z", t(9001L))))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("contam_out")
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && !out(2L))
+    spark.sql("DROP TABLE IF EXISTS contam_out")
+  }
+
   test("LWW state runs on the RocksDB state store (big-state deployment path)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
