@@ -466,6 +466,14 @@ object SparkEntry {
         "label", threshold = 0.35)
         ),
 
+    // Embedding near-dup CLUSTERS: the X20 star-contraction over the
+    // cosine pair graph — every dedup variant's pairwise output feeds
+    // the same component step.
+    "q_dedup_embed_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", threshold = 0.35))),
+
     // Brute-force cosine top-5 for 8 broadcast query vectors.
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(T(s, dir, "embeddings"), "vec_id",
@@ -872,6 +880,10 @@ object SparkEntry {
     "q_dedup_embed" ->
       (Dedup.cosinePairsSql("vec_id", "embedding", "label", "embeddings",
         threshold = 0.35) + " ORDER BY id1, id2"),
+
+    "q_dedup_embed_clusters" ->
+      (Dedup.dupClustersSql(Dedup.cosinePairsSql("vec_id", "embedding",
+        "label", "embeddings", threshold = 0.35)) + " ORDER BY id"),
 
     "q_sim_rplsh" ->
       (Similarity.rpLshPairsSql("vec_id", "embedding", "embeddings",
