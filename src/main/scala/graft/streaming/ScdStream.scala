@@ -64,7 +64,7 @@ object ScdStream {
       it.foreach { case (_, t, seq, payload, op) =>
         pending = (micros(t), seq, payload, op) :: pending
       }
-    val wmMs = state.getCurrentWatermarkMs
+    val wmMs = state.getCurrentWatermarkMs()
     val (ready, wait) = pending.partition(_._1 / 1000 <= wmMs)
     val (closed, newOpen) = applyReady(open, ready, deleteOp)
     open = newOpen

@@ -89,7 +89,7 @@ object SessionMerge {
       // groups time out on the next advance).
       val bucketEndMs = (bk + 1) * bucketUs / 1000
       state.setTimeoutTimestamp(
-        math.max(bucketEndMs, state.getCurrentWatermarkMs + 1))
+        math.max(bucketEndMs, state.getCurrentWatermarkMs() + 1))
       Iterator.empty
     }
   }

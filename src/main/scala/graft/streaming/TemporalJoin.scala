@@ -75,7 +75,7 @@ object TemporalJoin {
       }
       marks = marks.sorted
     }
-    val wmMs = state.getCurrentWatermarkMs
+    val wmMs = state.getCurrentWatermarkMs()
     val (ready, wait) = pending.partition(_._1 / 1000 <= wmMs)
     // match BEFORE evicting: eviction is only sound for future probes
     // (ts > watermark); a ready probe may still need an older version
