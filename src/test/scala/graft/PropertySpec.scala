@@ -133,6 +133,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming interval-merge == reference sessionization, any event set, any arrival order") {
+    // reference: sort, split where gap >= gapUs (the batch-window rule)
+    def reference(ts: Seq[Long], gapUs: Long): List[(Long, Long, Long)] = {
+      val sorted = ts.sorted
+      sorted.tail.foldLeft(List((sorted.head, sorted.head, 1L))) {
+        case ((s, l, n) :: rest, t) =>
+          if (t - l >= gapUs) (t, t, 1L) :: (s, l, n) :: rest
+          else (s, t, n + 1) :: rest
+        case (Nil, _) => Nil // unreachable
+      }.reverse
+    }
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 200) {
+      val gapUs = 1 + rnd.nextInt(50)
+      val n = 1 + rnd.nextInt(12)
+      // duplicates allowed: same-timestamp events must merge, not split
+      val ts = Seq.fill(n)(rnd.nextInt(200).toLong)
+      val shuffled = rnd.shuffle(ts)
+      val streamed = shuffled.foldLeft(List.empty[(Long, Long, Long)])(
+        (ss, t) => graft.streaming.SessionMerge.insert(ss, t, gapUs))
+      assert(streamed == reference(ts, gapUs),
+        s"trial $trial gap $gapUs events $ts order $shuffled")
+    }
+  }
+
   test("op recodes are total over the ChangeOp domain") {
     val ops = Seq(ChangeOp.Insert, ChangeOp.Update, ChangeOp.Delete,
       ChangeOp.Backfill)
