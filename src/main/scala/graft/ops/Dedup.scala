@@ -336,8 +336,13 @@ object Dedup {
     val base = docs.select(
       col(idCol).as("id"),
       hashedShingles(col(textCol), k).as("hs"))
-    val posts = base.select(col("id"), size(col("hs")).as("n"),
-      explode(col("hs")).as("h"))
+    // cached: the posting stream feeds FIVE subtrees (df aggregation,
+    // cold self-join ×2, hot ×2) — without the cache the shingle
+    // hashing re-runs in each, like its minhashPairs/Prefix siblings
+    // (lifecycle per [[Caching.cachedOnce]])
+    val posts = Caching.cachedOnce(
+      base.select(col("id"), size(col("hs")).as("n"),
+        explode(col("hs")).as("h")))
     val ndocs = base.agg(count(lit(1)).as("ndocs"))
     val hotKeys = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .join(broadcast(ndocs))
@@ -501,15 +506,21 @@ object Dedup {
     var rounds = 0
     var converged = edges.isEmpty
     while (!converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // fixpoint ⟺ empty symmetric difference, computed in the SAME
+      // shuffle that materializes the round: tag next=1 / edges=2 and
+      // sum per edge — 1 ⇒ only next, 2 ⇒ only edges, 3 ⇒ both. The
+      // checkpoint job IS the diff job; the convergence probe below
+      // only scans the (tiny, already-materialized) checkpoint blocks
+      // instead of re-running a union+aggregate shuffle per round.
+      val merged = smallStar(largeStar(edges)).withColumn("t", lit(1L))
+        .union(edges.withColumn("t", lit(2L)))
+        .groupBy(col("a"), col("b")).agg(sum(col("t")).as("t"))
+        .localCheckpoint()
       rounds += 1
-      // fixpoint ⟺ empty symmetric difference. Both sides are
-      // distinct sets, so a row count of 1 in the concatenation means
-      // "in exactly one side" — ONE shuffle instead of two excepts
-      converged = next.union(edges)
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-        .filter(col("c") === 1).isEmpty
-      edges = next
+      converged = merged.filter(col("t") =!= 3).isEmpty
+      // next = the tag-1 and tag-3 rows (exactly smallStar∘largeStar's
+      // output, both sides distinct sets)
+      edges = merged.filter(col("t") =!= 2).select(col("a"), col("b"))
     }
     // final stars: (center, leaf) edges; centers label themselves
     val labels = edges.select(col("b").as("id"), col("a").as("rep_id"))
