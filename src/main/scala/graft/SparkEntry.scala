@@ -512,6 +512,21 @@ object SparkEntry {
         "label", col("vec_id") < 8, k = 5, nprobe = 4, itersIvf = 4,
         massign = 2, m = 16, ksub = 32, itersPq = 2, rerank = 40)),
 
+    // The persisted-index build/search split (ops.Index): the SAME
+    // IVF×PQ search as q_sim_ivfpq, but served from a prebuilt
+    // bucketed artifact — the query's returned plan contains NO
+    // training stage (PlanSpec asserts it); build runs once in the
+    // query's setup. Shares q_sim_ivfpq's oracle: the artifact stores
+    // exactly the quantized values the in-plan query computes.
+    "q_sim_index_search" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+      Index.build(s, embs, "vec_id", "embedding", "label", "graft_idx",
+        itersIvf = 4, massign = 2, m = 16, ksub = 32, itersPq = 2,
+        nBuckets = 8)
+      Index.search(s, "graft_idx", embs, "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, nprobe = 4, rerank = 40)
+    }),
+
     // RP-LSH quality: recall of the verified pair set vs the exact
     // pair truth for 1/2/4 tables of one nested plane family — the
     // tables×bits tuning curve, measured (mirror of q_sim_ivf_sweep).
@@ -909,6 +924,14 @@ object SparkEntry {
         + " ORDER BY 1"),
 
     "q_sim_ivfpq" ->
+      (Pq.ivfPqTopKSql("vec_id", "embedding", "label", "embeddings",
+        "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
+        m = 16, ksub = 32, itersPq = 2, rerank = 40)
+        + " ORDER BY qid, rank"),
+
+    // the persisted-index search must return the EXACT q_sim_ivfpq
+    // result — same oracle, build/search split proven output-invariant
+    "q_sim_index_search" ->
       (Pq.ivfPqTopKSql("vec_id", "embedding", "label", "embeddings",
         "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
         m = 16, ksub = 32, itersPq = 2, rerank = 40)

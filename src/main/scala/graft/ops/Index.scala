@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index — the build/search split that turns the
+  * oracle-proven in-plan ANN queries ([[Similarity.ivfTopKTrained]],
+  * [[Pq.ivfPqTopK]]) into the shape a 100 TB deployment actually runs:
+  * train ONCE, write the index as bucketed tables, serve MANY searches
+  * that read the artifact with no training stage at all.
+  *
+  * == Artifact layout (four tables under one `name` prefix) ==
+  *
+  *  - `<name>_cents`     (cl, cent, cnrm): trained IVF centroids
+  *    (deterministic integer-exact k-means, [[Similarity.kmeans]]) —
+  *    nlist rows, broadcast at search time.
+  *  - `<name>_codebooks` (m, cl, cent): PQ subspace codebooks
+  *    ([[Pq.kmeansL2All]]) — m × ksub rows, broadcast at search time.
+  *  - `<name>_postings`  (cl, id): the inverted file — every corpus
+  *    vector posted to its `massign` nearest lists, hash-BUCKETED BY
+  *    `cl` ([[Bucketing]]): the probe join reads only matching
+  *    buckets and never shuffles the posting side.
+  *  - `<name>_codes`     (id, m, cl): 16-byte-per-vector PQ codes,
+  *    bucketed by `id`: the ADC join shuffles only the (tiny)
+  *    candidate pairs, never the codes.
+  *
+  * plus `<name>_meta` (massign, m, ksub, nBuckets) so search/append
+  * don't re-specify build parameters.
+  *
+  * == Why this matters at scale ==
+  *
+  * The in-plan queries retrain k-means inside every execution — correct
+  * for the DuckDB oracle gate, but it pays ~6 Lloyd-round checkpoint
+  * barriers per query and re-reads the whole corpus. Here training cost
+  * is paid once at [[build]]; [[search]] is probe (broadcast cents) →
+  * candidate pairs (bucketed postings, no exchange on the corpus side)
+  * → ADC (bucketed codes ⨝ broadcast LUT → partial-agg LONG sum) →
+  * exact rerank (≤ rerank × |queries| rows). The only corpus-wide work
+  * left in a search is the bucketed-scan fraction the probes touch:
+  * ~massign·nprobe/nlist of the postings.
+  *
+  * Search output is bit-identical to [[Pq.ivfPqTopK]] at the same
+  * parameters (the artifact stores exactly the quantized values the
+  * in-plan query computes), so `q_sim_index_search` shares the
+  * `q_sim_ivfpq` oracle.
+  *
+  * [[append]] is the maintenance delta: assign + encode ONLY the new
+  * vectors at the FIXED trained centroids/codebooks and append them to
+  * the bucketed tables — committed files are never rewritten
+  * (IndexSpec proves byte-identity of untouched files, and that
+  * append-then-search equals encode-from-scratch at the same
+  * centroids). Retraining cadence stays a policy decision above the
+  * engine, as in production IVF/PQ systems.
+  */
+object Index {
+
+  /** Build parameters persisted with the artifact. */
+  final case class Meta(massign: Int, m: Int, ksub: Int, nBuckets: Int)
+
+  private def part(name: String, p: String) = s"${name}_$p"
+
+  /** Default external location for the index files: the tables must
+    * outlive any one session's warehouse directory.
+    */
+  private def dirFor(baseDir: Option[String], name: String, p: String) =
+    baseDir.map(d => s"$d/$p")
+      .orElse(Some(s"${sys.props("java.io.tmpdir")}/graft_index/$name/$p"))
+
+  private[ops] def baseOf(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Caching.cachedOnce(
+      embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", Vectors.norm(col("v"))))
+
+  /** Train + encode + persist. One corpus-wide training pass (IVF
+    * k-means + PQ codebooks), one assignment pass, then the bucketed
+    * writes — the pay-once side of the split.
+    */
+  def build(spark: SparkSession, embs: DataFrame, idCol: String,
+      vecCol: String, seedCol: String, name: String,
+      itersIvf: Int = 4, massign: Int = 2, m: Int = 16, ksub: Int = 32,
+      itersPq: Int = 2, nBuckets: Int = 8,
+      baseDir: Option[String] = None): Unit = {
+    require(64 % m == 0, "subspaces must divide the dimension")
+    val subDim = 64 / m
+    import spark.implicits._
+
+    val base = baseOf(embs, idCol, vecCol)
+    val cents = Similarity.withCNorm(
+      Similarity.kmeans(embs, idCol, vecCol, seedCol, itersIvf))
+    val postings = Similarity.assignToNearest(base, cents, massign)
+      .select(col("cl"), col("id"))
+
+    val tall = Pq.tallOf(base, "v", m, subDim)
+    val cb = Pq.kmeansL2All(tall, ksub, itersPq)
+    val codes = Pq.assignL2All(tall, cb)
+
+    def loc(p: String) = dirFor(baseDir, name, p)
+    cents.write.mode("overwrite").format("parquet")
+      .option("path", loc("cents").get).saveAsTable(part(name, "cents"))
+    cb.write.mode("overwrite").format("parquet")
+      .option("path", loc("codebooks").get).saveAsTable(part(name, "codebooks"))
+    Bucketing.writeBucketed(postings, part(name, "postings"), "cl",
+      nBuckets, loc("postings"))
+    Bucketing.writeBucketed(codes, part(name, "codes"), "id",
+      nBuckets, loc("codes"))
+    Seq((massign, m, ksub, nBuckets))
+      .toDF("massign", "m", "ksub", "nBuckets")
+      .write.mode("overwrite").format("parquet")
+      .option("path", loc("meta").get).saveAsTable(part(name, "meta"))
+  }
+
+  private def readMeta(spark: SparkSession, name: String): Meta = {
+    val r = spark.table(part(name, "meta")).collect()(0)
+    Meta(r.getAs[Int]("massign"), r.getAs[Int]("m"), r.getAs[Int]("ksub"),
+      r.getAs[Int]("nBuckets"))
+  }
+
+  /** (postings, codes) of `embs` encoded at the STORED centroids and
+    * codebooks — the no-training encode pass shared by [[append]] and
+    * the rebuild-equivalence spec. Two zero-shuffle broadcast-assign
+    * maps; nothing here ever retrains.
+    */
+  def encode(spark: SparkSession, name: String, embs: DataFrame,
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    val meta = readMeta(spark, name)
+    val subDim = 64 / meta.m
+    val base = baseOf(embs, idCol, vecCol)
+    val postings = Similarity.assignToNearest(base,
+        spark.table(part(name, "cents")), meta.massign)
+      .select(col("cl"), col("id"))
+    val codes = Pq.assignL2All(
+      Pq.tallOf(base, "v", meta.m, subDim),
+      spark.table(part(name, "codebooks")))
+    (postings, codes)
+  }
+
+  /** Incremental maintenance: [[encode]] ONLY `newEmbs` (no
+    * retraining, no Lloyd rounds) and append into the bucketed
+    * postings/codes tables. Committed files are untouched — the delta
+    * lands as new files in the right buckets (IndexSpec proves
+    * byte-identity). Cost ∝ |delta|, never ∝ |corpus|.
+    */
+  def append(spark: SparkSession, name: String, newEmbs: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val meta = readMeta(spark, name)
+    val (postings, codes) = encode(spark, name, newEmbs, idCol, vecCol)
+    Bucketing.appendBucketed(postings, part(name, "postings"), "cl", meta.nBuckets)
+    Bucketing.appendBucketed(codes, part(name, "codes"), "id", meta.nBuckets)
+  }
+
+  /** Search the persisted index for the corpus rows selected by
+    * `queryPred` — the serve-many side of the split. The plan contains
+    * NO training stage (PlanSpec asserts no checkpoint scans) and no
+    * exchange on the postings/codes side (bucketed layout + broadcast
+    * small sides). Output: (qid, rank, neighbor_id, cos_micros), exact
+    * cosines — bit-identical to [[Pq.ivfPqTopK]] at the same params.
+    */
+  def search(spark: SparkSession, name: String, embs: DataFrame,
+      idCol: String, vecCol: String, queryPred: Column, k: Int,
+      nprobe: Int, rerank: Int): DataFrame = {
+    val base = baseOf(embs, idCol, vecCol)
+    val queries = base.filter(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    searchQueries(spark, name, base, queries, k, nprobe, rerank)
+  }
+
+  /** Search with an explicit query table (qid, qv, qnrm) — the entry
+    * point the streaming probe uses ([[graft.streaming.IndexStream]]):
+    * query vectors need not be part of the indexed corpus. `base` is
+    * the corpus (id, v, nrm) for the exact rerank.
+    */
+  def searchQueries(spark: SparkSession, name: String, base: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val meta = readMeta(spark, name)
+    val subDim = 64 / meta.m
+    val cents = spark.table(part(name, "cents"))
+    val cb = spark.table(part(name, "codebooks"))
+    val postings = spark.table(part(name, "postings"))
+    val codes = spark.table(part(name, "codes"))
+
+    // queries → nprobe nearest centroid lists; the centroid table is
+    // nlist rows — broadcast, so probing never shuffles anything wider
+    // than the query set itself
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cl").asc)
+    val probes = queries.join(broadcast(cents))
+      .select(col("qid"), col("cl"),
+        (Vectors.dot(col("qv"), col("cent")) / (col("qnrm") * col("cnrm"))).as("pcos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("cl"))
+
+    // candidate pairs from the probed lists: the probe set (queries ×
+    // nprobe rows) broadcasts against the bucketed postings — the
+    // posting side is scanned in place, never exchanged. distinct():
+    // multiple assignment can reach a vector through several lists.
+    val candPairs = broadcast(probes).join(postings, "cl")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id")).distinct()
+
+    // ADC over the probed candidates only: codes stay bucketed-in-place,
+    // the LUT is queries × m × ksub rows — broadcast
+    val lut = Pq.lutOf(queries, cb, meta.m, subDim)
+    val approx = candPairs
+      .join(codes, "id")
+      .join(broadcast(lut), Seq("qid", "m", "cl"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("part_micros")).as("adot_micros"))
+    Pq.rerankExact(base, queries, approx, k, rerank)
+  }
+}

@@ -31,8 +31,30 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** In-row slice of the m-th subspace (1-based slice). */
-  private def sub(v: Column, m: Int, subDim: Int): Column =
+  private[ops] def sub(v: Column, m: Int, subDim: Int): Column =
     slice(v, m * subDim + 1, subDim)
+
+  /** (id, m, sv) tall subvector table of `vcol` — one narrow pass, M
+    * rows per vector. Shared by the in-plan PQ queries and the
+    * persisted-index build/append ([[Index]]).
+    */
+  private[ops] def tallOf(vdf: DataFrame, vcol: String, m: Int,
+      subDim: Int): DataFrame =
+    vdf.select(col("id"), posexplode(array(
+      (0 until m).map(mi => sub(col(vcol), mi, subDim)): _*)).as(Seq("m", "sv")))
+
+  /** Per-(query, subspace, centroid) micro-quantized ADC parts —
+    * queries × m × ksub rows, tiny, broadcast by callers.
+    */
+  private[ops] def lutOf(queries: DataFrame, cb: DataFrame, m: Int,
+      subDim: Int): DataFrame = {
+    val qtall = queries.select(col("qid"), posexplode(array(
+      (0 until m).map(mi => sub(col("qv"), mi, subDim)): _*)).as(Seq("m", "qsv")))
+    qtall.join(cb, "m")
+      .select(col("qid"), col("m"), col("cl"),
+        round(Vectors.dot(col("qsv"), col("cent")) * 1e6)
+          .cast("long").as("part_micros"))
+  }
 
   /** Per-(subspace, cluster) integer-exact centroids — the (m, cl)
     * generalization of [[Similarity.centroidsExact]], so EVERY
@@ -54,7 +76,7 @@ object Pq {
     * broadcast array rows): score = dot(x, c) − ½|c|², ties to the
     * lower cl. `tall` holds (id, m, sv); output (id, m, cl).
     */
-  private def assignL2All(tall: DataFrame, cents: DataFrame): DataFrame = {
+  private[ops] def assignL2All(tall: DataFrame, cents: DataFrame): DataFrame = {
     val byM = cents
       .withColumn("half", Vectors.dot(col("cent"), col("cent")) / 2)
       .groupBy(col("m"))
@@ -76,13 +98,19 @@ object Pq {
     * Assignment is L2, not cosine — subvector norms carry signal in
     * PQ; mirror of [[Similarity.kmeans]] otherwise.
     */
-  private def kmeansL2All(tall: DataFrame, ksub: Int, iters: Int): DataFrame = {
-    var cents = centroidsExactByM(tall.select(col("m"),
+  private[ops] def kmeansL2All(tall: DataFrame, ksub: Int, iters: Int): DataFrame = {
+    // `m` is re-ALIASED (fresh attribute ids) wherever it enters a
+    // centroid table: a localCheckpoint exports its plan's attribute
+    // ids on a LogicalRDD leaf, and ids inherited from `tall`'s
+    // posexplode would then collide with the live `tall` subtree in
+    // the next round's joins — an analyzer conflict the usual
+    // self-join deduplication cannot repair (leaf vs. non-leaf).
+    var cents = centroidsExactByM(tall.select(col("m").as("m"),
       pmod(col("id"), lit(ksub)).as("cl"), col("sv").as("v")))
     for (_ <- 1 to iters) {
       val assigned = assignL2All(tall, cents)
         .join(tall, Seq("id", "m"))
-        .select(col("m"), col("cl"), col("sv").as("v"))
+        .select(col("m").as("m"), col("cl").as("cl"), col("sv").as("v"))
       val computed = centroidsExactByM(assigned)
       cents = cents.as("o")
         .join(computed.withColumnRenamed("cent", "ncent"), Seq("m", "cl"), "left")
@@ -107,36 +135,26 @@ object Pq {
         Vectors.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
 
-    // tall subvector table — one narrow pass, M rows per vector
-    val tall = base.select(col("id"), posexplode(array(
-      (0 until m).map(mi => sub(col("v"), mi, subDim)): _*)).as(Seq("m", "sv")))
+    val tall = tallOf(base, "v", m, subDim)
     val cb = kmeansL2All(tall, ksub, iters)
     val codes = assignL2All(tall, cb)
 
     val queries = base.filter(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    // LUT: per (query, subspace, centroid) the micro-quantized part —
-    // queries × m × ksub rows, tiny, broadcast
-    val qtall = queries.select(col("qid"), posexplode(array(
-      (0 until m).map(mi => sub(col("qv"), mi, subDim)): _*)).as(Seq("m", "qsv")))
-    val lut = qtall.join(cb, "m")
-      .select(col("qid"), col("m"), col("cl"),
-        round(Vectors.dot(col("qsv"), col("cent")) * 1e6)
-          .cast("long").as("part_micros"))
-    PqParts(base, queries, codes, lut)
+    PqParts(base, queries, codes, lutOf(queries, cb, m, subDim))
   }
 
   /** ADC candidate ranking + exact rerank over a prebuilt approx-dot
     * table (qid, id, adot_micros): integer parts already summed;
     * approx cosine re-quantized for ranking; emitted scores are exact.
     */
-  private def rerankExact(p: PqParts, approx: DataFrame, k: Int,
-      rerank: Int): DataFrame = {
+  private[ops] def rerankExact(base: DataFrame, queries: DataFrame,
+      approx: DataFrame, k: Int, rerank: Int): DataFrame = {
     val wCand = Window.partitionBy(col("qid"))
       .orderBy(col("akey").desc, col("id").asc)
     val cands = approx
-      .join(p.base.select(col("id"), col("nrm")), "id")
-      .join(broadcast(p.queries.select(col("qid"), col("qnrm"))), "qid")
+      .join(base.select(col("id"), col("nrm")), "id")
+      .join(broadcast(queries.select(col("qid"), col("qnrm"))), "qid")
       .withColumn("akey",
         round(col("adot_micros").cast("double") / (col("qnrm") * col("nrm")))
           .cast("long"))
@@ -146,9 +164,11 @@ object Pq {
 
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cands
-      .join(p.base, "id")
-      .join(broadcast(p.queries), "qid")
+    // cands is ≤ rerank × |queries| rows by construction — broadcast
+    // it so the exact-rerank join never shuffles the corpus
+    broadcast(cands)
+      .join(base, "id")
+      .join(broadcast(queries), "qid")
       .select(col("qid"), col("id").as("neighbor_id"),
         (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
@@ -171,7 +191,7 @@ object Pq {
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("part_micros")).as("adot_micros"))
       .filter(col("id") =!= col("qid"))
-    rerankExact(p, approx, k, rerank)
+    rerankExact(p.base, p.queries, approx, k, rerank)
   }
 
   /** IVF × PQ — the composed big-corpus layout: IVF probing restricts
@@ -213,7 +233,7 @@ object Pq {
       .join(broadcast(p.lut), Seq("qid", "m", "cl"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("part_micros")).as("adot_micros"))
-    rerankExact(p, approx, k, rerank)
+    rerankExact(p.base, p.queries, approx, k, rerank)
   }
 
   /** recall@k of the PQ search vs the brute-force truth — the measured

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.security.MessageDigest
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+/** Persisted ANN index: the build/search split, the encode-only
+  * append delta, and the byte-level untouched-files guarantee.
+  * (The search's bit-identity with the in-plan q_sim_ivfpq is proven
+  * end-to-end by the shared DuckDB oracle; here against the in-plan
+  * operator directly.)
+  */
+class IndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embs = cdc.Io.table(spark, sf, "embeddings")
+
+  private def tmpBase(tag: String): String =
+    Files.createTempDirectory(s"graft_idx_$tag").toString
+
+  /** (relative path → md5) of every data file under `dir`. */
+  private def fileHashes(dir: String): Map[String, String] = {
+    val root = java.nio.file.Paths.get(dir)
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filterNot(_.getFileName.toString.startsWith("_")) // _SUCCESS
+      .map { p =>
+        val md5 = MessageDigest.getInstance("MD5")
+          .digest(Files.readAllBytes(p))
+          .map("%02x".format(_)).mkString
+        root.relativize(p).toString -> md5
+      }.toMap
+  }
+
+  test("search over the persisted index equals the in-plan IVF×PQ search bit-for-bit") {
+    Index.build(spark, embs, "vec_id", "embedding", "label", "idx_eq",
+      itersIvf = 2, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(tmpBase("eq")))
+    val fromIndex = Index.search(spark, "idx_eq", embs, "vec_id",
+        "embedding", col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val inPlan = Pq.ivfPqTopK(embs, "vec_id", "embedding", "label",
+        col("vec_id") < 4, k = 3, nprobe = 3, itersIvf = 2, massign = 2,
+        m = 16, ksub = 32, itersPq = 1, rerank = 20)
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(fromIndex.nonEmpty && fromIndex == inPlan)
+  }
+
+  test("append encodes the delta at fixed centroids: tables equal a from-scratch encode; search matches; untouched files byte-identical") {
+    val dir = tmpBase("app")
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 === 1)
+
+    Index.build(spark, half1, "vec_id", "embedding", "label", "idx_app",
+      itersIvf = 2, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(dir))
+    val beforePost = fileHashes(s"$dir/postings")
+    val beforeCodes = fileHashes(s"$dir/codes")
+
+    Index.append(spark, "idx_app", half2, "vec_id", "embedding")
+
+    // committed files are never rewritten: every pre-append file still
+    // exists with identical bytes, and the delta landed as NEW files
+    val afterPost = fileHashes(s"$dir/postings")
+    val afterCodes = fileHashes(s"$dir/codes")
+    assert(beforePost.forall { case (p, h) => afterPost.get(p).contains(h) })
+    assert(beforeCodes.forall { case (p, h) => afterCodes.get(p).contains(h) })
+    assert(afterPost.size > beforePost.size && afterCodes.size > beforeCodes.size)
+
+    // the appended tables equal an encode-from-scratch of the UNION at
+    // the same (stored) centroids/codebooks — append is pure delta
+    val (expPost, expCodes) = Index.encode(spark, "idx_app", embs,
+      "vec_id", "embedding")
+    assert(spark.table("idx_app_postings").as[(Long, Long)].collect().sorted.toSeq
+      == expPost.select(col("cl").cast("long"), col("id")).as[(Long, Long)]
+        .collect().sorted.toSeq)
+    assert(spark.table("idx_app_codes").as[(Long, Int, Long)].collect().sorted.toSeq
+      == expCodes.select(col("id"), col("m"), col("cl").cast("long"))
+        .as[(Long, Int, Long)].collect().sorted.toSeq)
+
+    // and a REBUILT index holding the same encode serves the identical
+    // search: write the from-scratch union encode as a second index
+    // sharing the trained artifacts, compare search output
+    val dir2 = tmpBase("app2")
+    spark.table("idx_app_cents").write.mode("overwrite").format("parquet")
+      .option("path", s"$dir2/cents").saveAsTable("idx_app2_cents")
+    spark.table("idx_app_codebooks").write.mode("overwrite").format("parquet")
+      .option("path", s"$dir2/codebooks").saveAsTable("idx_app2_codebooks")
+    spark.table("idx_app_meta").write.mode("overwrite").format("parquet")
+      .option("path", s"$dir2/meta").saveAsTable("idx_app2_meta")
+    Bucketing.writeBucketed(expPost, "idx_app2_postings", "cl", 4,
+      Some(s"$dir2/postings"))
+    Bucketing.writeBucketed(expCodes, "idx_app2_codes", "id", 4,
+      Some(s"$dir2/codes"))
+    def searchOf(name: String) =
+      Index.search(spark, name, embs, "vec_id", "embedding",
+          col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+        .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val appended = searchOf("idx_app")
+    assert(appended.nonEmpty && appended == searchOf("idx_app2"))
+  }
+}

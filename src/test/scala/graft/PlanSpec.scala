@@ -214,6 +214,43 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("persisted-index search: no training stage in the plan; index tables never exchange before their joins") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the query's setup builds the index; the RETURNED plan is search-only
+      val df = SparkEntry.queries("q_sim_index_search")(spark, sf)
+      val exec = df.queryExecution.executedPlan
+
+      // no Lloyd-round residue: training materializes through
+      // localCheckpoint, which would surface as ExistingRDD scans
+      assert(!exec.toString.contains("ExistingRDD"),
+        "search plan still contains a training checkpoint scan")
+
+      // the corpus-side index tables (bucketed postings/codes) must
+      // reach their joins without a shuffle: on the path scan → nearest
+      // join ancestor there is no ShuffleExchange (the probe/candidate
+      // sides may shuffle — they are query-sized)
+      def pathTo(p: SparkPlan, pred: SparkPlan => Boolean): Option[List[SparkPlan]] =
+        if (pred(p)) Some(List(p))
+        else p.children.view.flatMap(c => pathTo(c, pred)).headOption.map(p :: _)
+      for (tbl <- Seq("postings", "codes")) {
+        val path = pathTo(exec, {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains(s"/$tbl"))
+          case _ => false
+        })
+        assert(path.isDefined, s"no $tbl scan in the search plan")
+        val belowJoin = path.get.reverse.takeWhile(!_.isInstanceOf[BaseJoinExec])
+        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"$tbl side shuffles before its join:\n$exec")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("posting-list join keys are longs, not shingle strings") {
     val df = ops.Dedup.ngramJaccardPairs(
       cdc.Io.table(spark, sf, "documents"), "doc_id", "text", 3, 0.2)
