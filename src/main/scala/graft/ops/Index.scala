@@ -67,7 +67,7 @@ object Index {
     baseDir.map(d => s"$d/$p")
       .orElse(Some(s"${sys.props("java.io.tmpdir")}/graft_index/$name/$p"))
 
-  private[ops] def baseOf(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[graft] def baseOf(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
     Caching.cachedOnce(
       embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
         .withColumn("nrm", Vectors.norm(col("v"))))

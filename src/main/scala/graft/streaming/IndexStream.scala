@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.{Index, Vectors}
+
+/** Streaming ANN: probe each ARRIVING embedding against a prebuilt
+  * persisted index ([[graft.ops.Index]]) — the similarity-search twin
+  * of the streaming contamination gate (X49): new vectors are scored
+  * on ingest, against an artifact that is never retrained in the hot
+  * path.
+  *
+  * Shape: a stream-static join family. Per micro-batch the arriving
+  * vectors become the query side; the centroid and codebook tables
+  * broadcast; the bucketed postings/codes are scanned in place; only
+  * the (batch-sized) probe/candidate rows ever shuffle. The ranking
+  * stages are row_number windows — not expressible as a stateful
+  * streaming operator (and correctly so: top-k over an unbounded probe
+  * needs no cross-batch state at all) — so the batch search runs
+  * inside `foreachBatch`, which is exactly Spark's intended hatch for
+  * per-trigger batch semantics over static sides.
+  *
+  * Results append to `outDir` as parquet. foreachBatch is
+  * at-least-once under retries: a crashed trigger can re-append its
+  * batch; readers dedup on (qid, rank) or consume idempotently —
+  * same contract as the reference's dry-run publisher, noted here
+  * rather than hidden.
+  *
+  * IndexStreamSpec proves a MemoryStream of probe vectors produces
+  * EXACTLY the batch [[graft.ops.Index.search]] rows.
+  */
+object IndexStream {
+
+  /** Start the probe stream. `queries` is a streaming DataFrame with
+    * (`idCol`, `vecCol`); `corpus` the static indexed table (exact
+    * rerank needs the full vectors); `indexName` a built
+    * [[graft.ops.Index]].
+    */
+  def probe(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, indexName: String, k: Int, nprobe: Int,
+      rerank: Int, outDir: String, checkpointDir: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val base = Index.baseOf(corpus, idCol, vecCol)
+          val qb = batch.select(col(idCol).as("qid"),
+              Vectors.toDouble(col(vecCol)).as("qv"))
+            .withColumn("qnrm", Vectors.norm(col("qv")))
+          Index.searchQueries(spark, indexName, base, qb, k, nprobe, rerank)
+            .write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+}

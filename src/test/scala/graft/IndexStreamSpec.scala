@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Index
+import graft.streaming.IndexStream
+
+/** Streaming ANN probe == batch index search: vectors arriving over
+  * several micro-batches score identically to one batch
+  * [[Index.search]] over the same query set.
+  */
+class IndexStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("MemoryStream probes equal the batch search, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val embs = cdc.Io.table(spark, sf, "embeddings")
+    Index.build(spark, embs, "vec_id", "embedding", "label", "idx_str",
+      itersIvf = 2, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4,
+      baseDir = Some(Files.createTempDirectory("graft_idx_str").toString))
+
+    // probe vectors = 4 corpus rows, fed in TWO micro-batches — the
+    // self-exclusion and ranking must match the batch predicate search
+    val probeRows = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+
+    val outDir = Files.createTempDirectory("idx_str_out").toString
+    val ckpt = Files.createTempDirectory("idx_str_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = IndexStream.probe(input.toDF().toDF("vec_id", "embedding"),
+      embs, "vec_id", "embedding", "idx_str", k = 3, nprobe = 3,
+      rerank = 20, outDir, ckpt)
+    input.addData(probeRows.take(2).toSeq: _*)
+    q.processAllAvailable()
+    input.addData(probeRows.drop(2).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val batch = Index.search(spark, "idx_str", embs, "vec_id", "embedding",
+        col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+}
