@@ -63,12 +63,16 @@ import graft.streaming.LwwMerge.KeyedChange
   * serializes batches; a second concurrent writer would race manifest
   * commits (each tmp file is uniquely named, so the LAST move wins and
   * the loser's buckets leak until their next touch). Readers get
-  * atomic snapshots at manifest-load time, but GC deletes superseded
-  * versions IMMEDIATELY after commit: a reader that loaded the old
-  * manifest and is still mid-scan can lose its files. Long-running
-  * readers should either re-resolve [[read]] per query (cheap) or be
-  * scheduled off the write path; a grace-period GC would be the
-  * multi-reader extension.
+  * atomic snapshots at manifest-load time. By default GC deletes
+  * superseded versions IMMEDIATELY after commit, so a reader that
+  * loaded the old manifest and is still mid-scan can lose its files —
+  * re-resolve [[read]] per query (cheap), or run with
+  * `graceCommits` > 0: each superseded version then survives that many
+  * further commits (tracked in the manifest's `retired` list with the
+  * generation that retired it), giving concurrent readers a bounded
+  * window to finish against their snapshot (StreamingSpec proves a
+  * reader's snapshot survives commits inside the window and that
+  * expired versions are swept).
   *
   * == File sizes ==
   *
@@ -93,6 +97,18 @@ object StateTable {
 
   // ---------------------------------------------------------- manifest
 
+  /** A superseded bucket version kept alive for grace-period readers:
+    * retired by commit generation `gen`.
+    */
+  private[graft] final case class Retired(bucket: Int, version: String, gen: Long)
+
+  /** Full committed metadata: layout bucket count, monotone commit
+    * generation, live bucket → version map, and the retired versions
+    * still inside their grace window.
+    */
+  private[graft] final case class Manifest(nBuckets: Option[Int], gen: Long,
+      buckets: Map[Int, String], retired: Seq[Retired])
+
   /** (bucket count, bucket → committed version-directory name).
     * Absent file = empty table. The bucket count is part of the
     * committed layout — later maintenance runs must hash with the SAME
@@ -100,26 +116,41 @@ object StateTable {
     * applyBatchBucketed]] always prefers the stored value.
     */
   private[graft] def loadManifest(tableDir: String): (Option[Int], Map[Int, String]) = {
+    val m = loadManifestFull(tableDir)
+    (m.nBuckets, m.buckets)
+  }
+
+  private[graft] def loadManifestFull(tableDir: String): Manifest = {
     val p = Paths.get(tableDir, "manifest.json")
-    if (!Files.exists(p)) (None, Map.empty)
+    if (!Files.exists(p)) Manifest(None, 0L, Map.empty, Seq.empty)
     else {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(Files.readString(p))
-      (Some(node.get("nBuckets").asInt),
+      val retired = Option(node.get("retired")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(r => Retired(r.get("b").asInt, r.get("v").asText, r.get("gen").asLong))
+      Manifest(
+        Some(node.get("nBuckets").asInt),
+        Option(node.get("gen")).map(_.asLong).getOrElse(0L),
         node.get("buckets").properties().asScala
-          .map(e => e.getKey.toInt -> e.getValue.asText).toMap)
+          .map(e => e.getKey.toInt -> e.getValue.asText).toMap,
+        retired)
     }
   }
 
-  private def commitManifest(tableDir: String, nBuckets: Int,
-      m: Map[Int, String]): Unit = {
+  private def commitManifest(tableDir: String, nBuckets: Int, gen: Long,
+      m: Map[Int, String], retired: Seq[Retired]): Unit = {
     val entries = m.toSeq.sortBy(_._1)
       .map { case (b, v) => s""""$b": "$v"""" }.mkString(", ")
+    val retEntries = retired.sortBy(r => (r.gen, r.bucket))
+      .map(r => s"""{"b": ${r.bucket}, "v": "${r.version}", "gen": ${r.gen}}""")
+      .mkString(", ")
     // unique tmp name: two racing writers must not interleave partial
     // writes into one tmp file (the later MOVE still wins the commit)
     val tmp = Paths.get(tableDir,
       s".manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.writeString(tmp, s"""{"nBuckets": $nBuckets, "buckets": {$entries}}""")
+    Files.writeString(tmp,
+      s"""{"nBuckets": $nBuckets, "gen": $gen, "buckets": {$entries}, "retired": [$retEntries]}""")
     Files.move(tmp, Paths.get(tableDir, "manifest.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -142,13 +173,20 @@ object StateTable {
 
   /** Apply one micro-batch to the bucketed table (the foreachBatch
     * body; public for batch-mode reuse and tests).
+    *
+    * `graceCommits` > 0 keeps each superseded bucket version on disk
+    * for that many further commits before deletion, so a reader that
+    * resolved [[read]] against a recent manifest can finish its scan
+    * across concurrent commits — the multi-reader extension of the
+    * single-writer contract. 0 (default) deletes superseded versions
+    * immediately after the manifest swap (reader must re-resolve).
     */
   def applyBatchBucketed(batch: DataFrame, tableDir: String, batchId: Long,
-      nBucketsIfNew: Int): Unit = {
+      nBucketsIfNew: Int, graceCommits: Int = 0): Unit = {
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(tableDir))
-    val (storedN, manifest) = loadManifest(tableDir)
-    val nBuckets = storedN.getOrElse(nBucketsIfNew)
+    val st = loadManifestFull(tableDir)
+    val nBuckets = st.nBuckets.getOrElse(nBucketsIfNew)
     val bucket = pmod(hash(col("key")), lit(nBuckets))
     val bdf = batch.persist()
     try {
@@ -156,7 +194,7 @@ object StateTable {
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
       if (touched.isEmpty) return
       val existingPaths = touched.flatMap(b =>
-        manifest.get(b).map(v => s"$tableDir/b$b/$v"))
+        st.buckets.get(b).map(v => s"$tableDir/b$b/$v"))
       val existing =
         if (existingPaths.nonEmpty) spark.read.parquet(existingPaths: _*)
         else bdf.limit(0)
@@ -165,16 +203,18 @@ object StateTable {
       // into a directory it is reading from
       val version = s"v${batchId}_${java.util.UUID.randomUUID().toString.take(8)}"
       commitPartitioned(tableDir, applyBatch(existing, bdf).withColumn("b", bucket),
-        nBuckets, manifest, version)
+        nBuckets, st, version, graceCommits)
     } finally bdf.unpersist()
   }
 
   /** Stage `withB` (winners + int bucket column `b`), move each bucket
-    * dir into place, commit the manifest, then GC superseded versions
-    * and stale staging entries.
+    * dir into place, commit the manifest, then GC: superseded versions
+    * past their grace window, crashed-attempt orphans, and stale
+    * staging entries.
     */
   private def commitPartitioned(tableDir: String, withB: DataFrame,
-      nBuckets: Int, manifest: Map[Int, String], version: String): Unit = {
+      nBuckets: Int, st: Manifest, version: String,
+      graceCommits: Int): Unit = {
     val staging = s"$tableDir/.staging/$version"
     // one exchange keyed on the bucket id → each bucket lands wholly in
     // one task → exactly ONE parquet file per committed bucket version:
@@ -192,18 +232,31 @@ object StateTable {
       Files.move(src, dst)
       b -> version
     }.toMap
-    commitManifest(tableDir, nBuckets, manifest ++ moved)
 
-    // post-commit GC: per touched bucket keep only the committed
-    // version (also sweeps orphans of crashed attempts), then drop the
-    // whole staging area — under the single-writer contract nothing
-    // in-flight can live there, so leftovers are crashed attempts
+    // the versions this commit supersedes enter the retired set at the
+    // new generation; entries whose grace window has elapsed leave it
+    // and their directories are deleted AFTER the manifest swap
+    val gen = st.gen + 1
+    val newlyRetired = moved.keys.toSeq.sorted.flatMap(b =>
+      st.buckets.get(b).map(v => Retired(b, v, gen)))
+    val (kept, expired) = (st.retired ++ newlyRetired)
+      .partition(r => gen - r.gen < graceCommits)
+    commitManifest(tableDir, nBuckets, gen, st.buckets ++ moved, kept)
+
+    // post-commit GC: a touched bucket keeps its committed version and
+    // any still-graced retired versions; everything else there is a
+    // crashed-attempt orphan. Expired retirees (possibly in untouched
+    // buckets) are deleted by path. Then drop the whole staging area —
+    // nothing in-flight can live there under the single-writer contract.
+    val keptByBucket = kept.groupBy(_.bucket)
     moved.foreach { case (b, v) =>
-      val dir = Paths.get(tableDir, s"b$b")
-      Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString != v)
+      val keep = keptByBucket.getOrElse(b, Seq.empty).map(_.version).toSet + v
+      Files.list(Paths.get(tableDir, s"b$b")).iterator().asScala
+        .filter(p => !keep.contains(p.getFileName.toString))
         .foreach(deleteRecursively)
     }
+    expired.foreach(r =>
+      deleteRecursively(Paths.get(tableDir, s"b${r.bucket}", r.version)))
     deleteRecursively(Paths.get(tableDir, ".staging"))
   }
 
@@ -213,26 +266,31 @@ object StateTable {
     * tables written by earlier multi-file layouts or imported data;
     * steady-state batch writes are already one file per version.
     */
-  def compact(spark: SparkSession, tableDir: String): Unit = {
-    val (storedN, manifest) = loadManifest(tableDir)
-    require(manifest.nonEmpty, s"no committed state at $tableDir")
-    val union = manifest.toSeq.sortBy(_._1).map { case (b, v) =>
+  def compact(spark: SparkSession, tableDir: String,
+      graceCommits: Int = 0): Unit = {
+    val st = loadManifestFull(tableDir)
+    require(st.buckets.nonEmpty, s"no committed state at $tableDir")
+    val union = st.buckets.toSeq.sortBy(_._1).map { case (b, v) =>
       spark.read.parquet(s"$tableDir/b$b/$v").withColumn("b", lit(b))
     }.reduce(_.unionByName(_))
     val version = s"c_${java.util.UUID.randomUUID().toString.take(8)}"
-    commitPartitioned(tableDir, union, storedN.get, manifest, version)
+    commitPartitioned(tableDir, union, st.nBuckets.get, st, version,
+      graceCommits)
   }
 
   /** Run the maintenance query. `tableDir` holds the bucketed winners;
-    * `checkpointDir` the stream's offset/commit log.
+    * `checkpointDir` the stream's offset/commit log. `graceCommits`:
+    * see [[applyBatchBucketed]].
     */
   def maintain(changes: Dataset[KeyedChange], tableDir: String,
-      checkpointDir: String, nBuckets: Int = DefaultBuckets): StreamingQuery =
+      checkpointDir: String, nBuckets: Int = DefaultBuckets,
+      graceCommits: Int = 0): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[KeyedChange], batchId: Long) =>
-        applyBatchBucketed(batch.toDF(), tableDir, batchId, nBuckets)
+        applyBatchBucketed(batch.toDF(), tableDir, batchId, nBuckets,
+          graceCommits)
       }
       .start()
 }

@@ -245,6 +245,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir, ".staging")))
   }
 
+  test("state table: grace-period GC keeps a reader's snapshot alive across commits, then sweeps it") {
+    val root = Files.createTempDirectory("graft_state_grace").toString
+    val tableDir = s"$root/table"
+    import graft.streaming.StateTable
+    import spark.implicits._
+
+    def batch(tag: String) = (1 to 16).map(i =>
+      KeyedChange(s"k$i", ChangeOp.Update, tag.hashCode.abs.toLong,
+        tag.hashCode.toLong, 1, s"$tag$i")).toDF()
+    StateTable.applyBatchBucketed(batch("a"), tableDir, 0, 4, graceCommits = 2)
+
+    // a reader resolves its snapshot NOW: explicit committed paths
+    val snapshot = StateTable.read(spark, tableDir)
+    val expected = snapshot.select("key", "payload")
+      .as[(String, String)].collect().toSet
+    val (_, m1) = StateTable.loadManifest(tableDir)
+    val v1Dirs = m1.map { case (b, v) => java.nio.file.Paths.get(tableDir, s"b$b", v) }
+
+    // commit 2 supersedes every bucket — inside the grace window the
+    // reader's files must survive and its scan still complete
+    StateTable.applyBatchBucketed(batch("b"), tableDir, 1, 4, graceCommits = 2)
+    assert(v1Dirs.forall(java.nio.file.Files.exists(_)))
+    assert(snapshot.select("key", "payload")
+      .as[(String, String)].collect().toSet == expected)
+
+    // commit 3: still inside (gen 3 - retiredGen 2 = 1 < 2)
+    StateTable.applyBatchBucketed(batch("c"), tableDir, 2, 4, graceCommits = 2)
+    assert(v1Dirs.forall(java.nio.file.Files.exists(_)))
+
+    // commit 4: the window has elapsed — the gen-1 versions are swept
+    StateTable.applyBatchBucketed(batch("d"), tableDir, 3, 4, graceCommits = 2)
+    assert(v1Dirs.forall(!java.nio.file.Files.exists(_)))
+
+    // the live table was never affected by retention
+    val cur = Merge.current(StateTable.read(spark, tableDir))
+      .select("key", "payload").as[(String, String)].collect().toMap
+    assert(cur.size == 16 && cur("k3") == "d3")
+  }
+
   test("state table: replaying the same batch after a partial commit converges (idempotent)") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft_state_replay").toString
