@@ -116,6 +116,37 @@ object Index {
       r.getAs[Int]("nBuckets"))
   }
 
+  /** Whether `name` is already attached in this session's catalog. */
+  def exists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(part(name, "meta"))
+
+  /** Re-attach an index BUILT BY A PREVIOUS SESSION from its files:
+    * recreates the catalog entries (including the bucketing spec —
+    * without it the zero-exchange join layout would be lost) over the
+    * existing location. No data is read or written. This is what makes
+    * the artifact an artifact: build once, serve from any number of
+    * later sessions.
+    */
+  def register(spark: SparkSession, name: String, baseDir: String,
+      nBuckets: Int): Unit = {
+    def loc(p: String) = s"$baseDir/$p"
+    for (p <- Seq("cents", "codebooks", "meta")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${part(name, p)}")
+      spark.sql(s"""CREATE TABLE ${part(name, p)} USING parquet
+                   |LOCATION '${loc(p)}'""".stripMargin)
+    }
+    for ((p, key) <- Seq("postings" -> "cl", "codes" -> "id")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${part(name, p)}")
+      // a bucketed CREATE TABLE requires an explicit column list —
+      // recover it from the files' own schema (metadata-only read)
+      val cols = spark.read.parquet(loc(p)).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE ${part(name, p)} ($cols) USING parquet
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
+           |LOCATION '${loc(p)}'""".stripMargin)
+    }
+  }
+
   /** (postings, codes) of `embs` encoded at the STORED centroids and
     * codebooks — the no-training encode pass shared by [[append]] and
     * the rebuild-equivalence spec. Two zero-shuffle broadcast-assign

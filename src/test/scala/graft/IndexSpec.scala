@@ -56,6 +56,34 @@ class IndexSpec extends AnyFunSuite {
     assert(fromIndex.nonEmpty && fromIndex == inPlan)
   }
 
+  test("register re-attaches an index from files in a fresh catalog; search identical, bucket layout preserved") {
+    val dir = tmpBase("reg")
+    Index.build(spark, embs, "vec_id", "embedding", "label", "idx_reg",
+      itersIvf = 2, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(dir))
+    val expected = Index.search(spark, "idx_reg", embs, "vec_id",
+        "embedding", col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+
+    // simulate a later session: the catalog entries are gone, the
+    // files remain
+    for (p <- Seq("cents", "codebooks", "meta", "postings", "codes"))
+      spark.sql(s"DROP TABLE idx_reg_$p")
+    assert(!Index.exists(spark, "idx_reg"))
+
+    Index.register(spark, "idx_reg", dir, nBuckets = 4)
+    val reattached = Index.search(spark, "idx_reg", embs, "vec_id",
+        "embedding", col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(reattached.nonEmpty && reattached == expected)
+    // the re-created entries carry the bucket spec — the zero-exchange
+    // layout survives re-attachment
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = spark.table("idx_reg_postings").queryExecution.executedPlan
+      .collectFirst { case f: FileSourceScanExec => f }
+    assert(scan.exists(_.relation.bucketSpec.exists(_.numBuckets == 4)))
+  }
+
   test("append encodes the delta at fixed centroids: tables equal a from-scratch encode; search matches; untouched files byte-identical") {
     val dir = tmpBase("app")
     val half1 = embs.filter(col("vec_id") % 2 === 0)

@@ -251,6 +251,24 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("every registered query plans under AQE-off (no latent analyzer conflicts)") {
+    // the kmeansL2All attribute-id leak (checkpointed centroids
+    // exporting a live subtree's ids) only surfaced with AQE disabled —
+    // this forces full physical planning of the WHOLE query surface in
+    // that mode so the next such latent conflict fails here, not in a
+    // user's non-AQE session
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        spark.catalog.clearCache()
+        val plan = scala.util.Try(fn(spark, sf).queryExecution.executedPlan)
+        assert(plan.isSuccess, s"$name fails to plan with AQE off: ${
+          plan.failed.map(_.getMessage.take(500)).getOrElse("")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("posting-list join keys are longs, not shingle strings") {
     val df = ops.Dedup.ngramJaccardPairs(
       cdc.Io.table(spark, sf, "documents"), "doc_id", "text", 3, 0.2)
