@@ -84,7 +84,15 @@ object Plans {
       """Contamination check: posting self-join on 8-byte shingle hashes
         |split eval/train — no cartesian, no BroadcastNestedLoop; the
         |per-benchmark best-offender is one window over overlap rows
-        |(∝ shared content, not eval × train).""".stripMargin)
+        |(∝ shared content, not eval × train).""".stripMargin,
+    "q_sim_index_search_only" ->
+      """Persisted-index serve path: what to check is what is ABSENT — no
+        |Lloyd-round checkpoint scans (`Scan ExistingRDD`) anywhere: the
+        |plan reads the five index tables + the corpus. Centroids,
+        |codebooks, LUT and probe/candidate sets ride BroadcastExchanges;
+        |the bucketed postings/codes scans feed their joins with no
+        |Exchange between scan and join; the exact rerank joins only the
+        |top-`rerank` candidates back to full vectors.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

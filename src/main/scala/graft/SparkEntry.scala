@@ -542,6 +542,23 @@ object SparkEntry {
         col("vec_id") < 8, k = 5, nprobe = 4, rerank = 40)
     }),
 
+    // The maintenance delta, oracle-gated end-to-end: build the index
+    // on the even half of the corpus, APPEND the odd half (encode-only,
+    // fixed centroids — no retrain), search the union. The oracle
+    // trains its unrolled Lloyd rounds on the even half only and
+    // assigns/encodes everything — exactly the append semantics.
+    "q_sim_index_append" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+      Index.build(s, embs.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", "label", "graft_idx2",
+        itersIvf = 4, massign = 2, m = 16, ksub = 32, itersPq = 2,
+        nBuckets = 8)
+      Index.append(s, "graft_idx2", embs.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+      Index.search(s, "graft_idx2", embs, "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, nprobe = 4, rerank = 40)
+    }),
+
     // RP-LSH quality: recall of the verified pair set vs the exact
     // pair truth for 1/2/4 tables of one nested plane family — the
     // tables×bits tuning curve, measured (mirror of q_sim_ivf_sweep).
@@ -957,6 +974,16 @@ object SparkEntry {
       (Pq.ivfPqTopKSql("vec_id", "embedding", "label", "embeddings",
         "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
         m = 16, ksub = 32, itersPq = 2, rerank = 40)
+        + " ORDER BY qid, rank"),
+
+    // build-on-half + append-half: the oracle trains on the even ids
+    // only (trainPredSql) but assigns/encodes the whole corpus — the
+    // Spark side's append must land on the identical result
+    "q_sim_index_append" ->
+      (Pq.ivfPqTopKSql("vec_id", "embedding", "label", "embeddings",
+        "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
+        m = 16, ksub = 32, itersPq = 2, rerank = 40,
+        trainPredSql = "id % 2 = 0")
         + " ORDER BY qid, rank"),
 
     "q_sim_ivf" ->

@@ -277,28 +277,31 @@ object Pq {
 
   /** CTE chain for one subspace's codebook + codes: cents0_m (seeded),
     * `iters` Lloyd rounds (L2 assignment, integer-exact means,
-    * empty-cluster fallback), codes_m (final assignment).
+    * empty-cluster fallback), codes_m (final assignment). Training
+    * runs over `trainPredSql`'s subset of e (all of it by default);
+    * codes always cover the whole corpus — the build/append split.
     */
   private def subspaceSql(mi: Int, subDim: Int, ksub: Int,
-      iters: Int): String = {
-    def assign(cents: String): String =
+      iters: Int, trainPredSql: String = "true"): String = {
+    def assign(cents: String, src: String): String =
       s"""SELECT id, cl, v FROM (
          |    SELECT s.id, c.cl, s.v, row_number() OVER (PARTITION BY s.id
          |      ORDER BY ${Vectors.dotSql("s.v", "c.cent")}
          |        - ${Vectors.dotSql("c.cent", "c.cent")} / 2 DESC, c.cl) AS arn
-         |    FROM sub$mi s CROSS JOIN $cents c) WHERE arn = 1""".stripMargin
+         |    FROM $src s CROSS JOIN $cents c) WHERE arn = 1""".stripMargin
     val rounds = (1 to iters).map { r =>
-      s"""a${r}_$mi AS (${assign(s"cents${r - 1}_$mi")}),
+      s"""a${r}_$mi AS (${assign(s"cents${r - 1}_$mi", s"subt$mi")}),
          |m${r}_$mi AS (${Similarity.centroidsExactSql(s"a${r}_$mi", subDim)}),
          |cents${r}_$mi AS (
          |  SELECT o.cl, coalesce(n.cent, o.cent) AS cent
          |  FROM cents${r - 1}_$mi o LEFT JOIN m${r}_$mi n ON o.cl = n.cl),""".stripMargin
     }.mkString("\n")
     s"""sub$mi AS (SELECT id, id % $ksub AS seed, ${subSql("v", mi, subDim)} AS v FROM e),
+       |subt$mi AS (SELECT * FROM sub$mi WHERE $trainPredSql),
        |cents0_$mi AS (${Similarity.centroidsExactSql(
-          s"(SELECT seed AS cl, v FROM sub$mi) s0_$mi", subDim)}),
+          s"(SELECT seed AS cl, v FROM subt$mi) s0_$mi", subDim)}),
        |$rounds
-       |codes_$mi AS (SELECT id, $mi AS m, cl FROM (${assign(s"cents${iters}_$mi")}))""".stripMargin
+       |codes_$mi AS (SELECT id, $mi AS m, cl FROM (${assign(s"cents${iters}_$mi", s"sub$mi")}))""".stripMargin
   }
 
   /** DuckDB twin of [[topK]] minus the final projection — emits the
@@ -376,9 +379,11 @@ object Pq {
     */
   def ivfPqTopKSql(id: String, vec: String, seed: String, table: String,
       queryPredSql: String, k: Int, nprobe: Int, itersIvf: Int,
-      massign: Int, m: Int, ksub: Int, itersPq: Int, rerank: Int): String = {
+      massign: Int, m: Int, ksub: Int, itersPq: Int, rerank: Int,
+      trainPredSql: String = "true"): String = {
     val subDim = 64 / m
-    val subspaces = (0 until m).map(subspaceSql(_, subDim, ksub, itersPq))
+    val subspaces = (0 until m)
+      .map(subspaceSql(_, subDim, ksub, itersPq, trainPredSql))
       .mkString(",\n")
     val codesTall = (0 until m).map(mi => s"SELECT * FROM codes_$mi")
       .mkString(" UNION ALL ")
@@ -388,7 +393,7 @@ object Pq {
          |FROM q CROSS JOIN cents${itersPq}_$mi c""".stripMargin
     }.mkString(" UNION ALL ")
     s"""${Similarity.ivfTrainedPrefixSql(id, vec, seed, table, queryPredSql,
-          k, itersIvf, 64, massign)},
+          k, itersIvf, 64, massign, trainPredSql)},
        |$subspaces,
        |codes AS ($codesTall),
        |lut AS ($lutTall),

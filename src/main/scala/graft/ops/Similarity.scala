@@ -446,23 +446,25 @@ object Similarity {
   }
 
   /** Shared CTE prefix of the trained-IVF oracles: embeddings (e),
-    * seeded centroids (cents0), `iters` unrolled Lloyd rounds
-    * (assign → integer-exact means → empty-cluster fallback →
-    * cents1..N), final corpus assignment (af), queries (q), and the
-    * brute-force truth (truth).
+    * training subset (et — all of e unless `trainPredSql` narrows it,
+    * which is how the build/append split's oracle trains on the built
+    * half while the FINAL assignment covers the whole corpus), seeded
+    * centroids (cents0), `iters` unrolled Lloyd rounds (assign →
+    * integer-exact means → empty-cluster fallback → cents1..N), final
+    * corpus assignment (af), queries (q), and the brute-force truth.
     */
   private[ops] def ivfTrainedPrefixSql(id: String, vec: String, seed: String,
       table: String, queryPredSql: String, k: Int, iters: Int,
-      dim: Int, massign: Int = 1): String = {
+      dim: Int, massign: Int = 1, trainPredSql: String = "true"): String = {
     // training always single-assigns (Lloyd); only the FINAL index
     // assignment (af) is multiple when massign > 1
-    def assign(cents: String, m: Int): String =
+    def assign(cents: String, m: Int, src: String): String =
       s"""SELECT id, cl, v FROM (
          |    SELECT e.id, c.cl, e.v, row_number() OVER (PARTITION BY e.id
          |      ORDER BY ${Vectors.cosineSql("e.v", "c.cent")} DESC, c.cl) AS arn
-         |    FROM e CROSS JOIN $cents c) WHERE arn <= $m""".stripMargin
+         |    FROM $src e CROSS JOIN $cents c) WHERE arn <= $m""".stripMargin
     val rounds = (1 to iters).map { r =>
-      s"""a$r AS (${assign(s"cents${r - 1}", 1)}),
+      s"""a$r AS (${assign(s"cents${r - 1}", 1, "et")}),
          |m$r AS (${centroidsExactSql(s"a$r", dim)}),
          |cents$r AS (
          |  SELECT o.cl, coalesce(n.cent, o.cent) AS cent
@@ -471,9 +473,10 @@ object Similarity {
     s"""WITH e AS (
        |  SELECT $id AS id, $seed AS lab, ${Vectors.toDoubleSql(vec)} AS v,
        |    ${Vectors.normSql(Vectors.toDoubleSql(vec))} AS nrm FROM $table),
-       |cents0 AS (${centroidsExactSql(s"(SELECT lab AS cl, v FROM e) s0", dim)}),
+       |et AS (SELECT * FROM e WHERE $trainPredSql),
+       |cents0 AS (${centroidsExactSql(s"(SELECT lab AS cl, v FROM et) s0", dim)}),
        |$rounds
-       |af AS (${assign(s"cents$iters", massign)}),
+       |af AS (${assign(s"cents$iters", massign, "e")}),
        |q AS (SELECT id AS qid, v AS qv, nrm AS qnrm FROM e WHERE $queryPredSql),
        |truth AS (
        |  SELECT qid, neighbor_id FROM (
