@@ -383,6 +383,12 @@ object SparkEntry {
           TextAnalysis.rollingFingerprint(t).as("fp_roll"))
     }),
 
+    // Repetition signals (Gopher-style quality gates): top-token
+    // share, duplicate-token fraction, top-bigram share per doc —
+    // partial-agg shuffles over gram COUNTS, never gram instances.
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(T(s, dir, "documents"), "doc_id", "text")),
+
     // Vocabulary heavy hitters: top-50 tokens by document frequency,
     // deterministic tie-break. Partial agg map-side, then
     // TakeOrderedAndProject — the driver never materializes the full
@@ -873,6 +879,10 @@ object SparkEntry {
          |  ${TextAnalysis.rollingFingerprintSql(t)} AS fp_roll
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_repetition" ->
+      (TextAnalysis.repetitionStatsSql("doc_id", "text", "documents")
+        + " ORDER BY doc_id"),
 
     "q_text_vocab" ->
       s"""SELECT tok, count(*)::BIGINT AS n

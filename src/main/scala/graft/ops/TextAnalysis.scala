@@ -99,6 +99,66 @@ object TextAnalysis {
     s"round((least($n / 100.0, 1.0) * 0.3 + (1.0 - $stop) * 0.4 + $alpha * 0.3) * 1e6)::BIGINT"
   }
 
+  /** Repetition signals (the Gopher-report style quality gates for
+    * machine-generated/boilerplate text), per document:
+    * top-token share, duplicate-token fraction, top-bigram share —
+    * all integer micros.
+    *
+    * Unlike the narrow per-row operators above this one aggregates:
+    * explode → per-(doc, gram) counts → per-doc maxima. Every
+    * aggregation partial-aggregates map-side and keys on the doc id,
+    * so at 100 TB it is two partial-agg shuffles over gram counts
+    * (not gram instances) plus one doc-keyed join — no window, no
+    * skew beyond document length itself.
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+    val uni = toks.select(col("id"), explode(col("ts")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("id")).agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+    val bigrams = when(size(col("ts")) >= 2,
+      transform(sequence(lit(1), size(col("ts")) - 1),
+        i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1))))
+    val bi = toks.select(col("id"), explode(bigrams).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("id")).agg(
+        sum(col("n")).as("n_bigrams"),
+        max(col("n")).as("top_bg_n"))
+    uni.join(bi, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        round(col("top_n").cast("double") / col("n_tokens") * 1e6)
+          .cast("long").as("top_tok_micros"),
+        round((lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")) * 1e6)
+          .cast("long").as("dup_tok_micros"),
+        coalesce(round(col("top_bg_n").cast("double") / col("n_bigrams") * 1e6)
+          .cast("long"), lit(0L)).as("top_bigram_micros"))
+  }
+
+  def repetitionStatsSql(id: String, text: String, table: String): String =
+    s"""WITH d AS (SELECT $id AS id, ${tokensSql(text)} AS ts FROM $table),
+       |u AS (SELECT id, unnest(ts) AS tok FROM d),
+       |uc AS (SELECT id, tok, count(*) AS n FROM u GROUP BY 1, 2),
+       |ua AS (SELECT id, sum(n) AS n_tokens, count(*) AS n_distinct,
+       |         max(n) AS top_n FROM uc GROUP BY 1),
+       |b AS (SELECT id, unnest(list_transform(generate_series(1, len(ts) - 1),
+       |         i -> ts[i] || ' ' || ts[i + 1])) AS bg
+       |      FROM d WHERE len(ts) >= 2),
+       |bc AS (SELECT id, bg, count(*) AS n FROM b GROUP BY 1, 2),
+       |ba AS (SELECT id, sum(n) AS n_bigrams, max(n) AS top_bg_n
+       |       FROM bc GROUP BY 1)
+       |SELECT ua.id AS doc_id, n_tokens::BIGINT AS n_tokens,
+       |  n_distinct::BIGINT AS n_distinct,
+       |  round(top_n::DOUBLE / n_tokens * 1e6)::BIGINT AS top_tok_micros,
+       |  round((1.0 - n_distinct::DOUBLE / n_tokens) * 1e6)::BIGINT AS dup_tok_micros,
+       |  coalesce(round(top_bg_n::DOUBLE / n_bigrams * 1e6)::BIGINT, 0) AS top_bigram_micros
+       |FROM ua LEFT JOIN ba ON ua.id = ba.id""".stripMargin
+
   /** Content fingerprint: md5 of the whitespace-normalized, lowercased
     * text — the exact-dedup key.
     */

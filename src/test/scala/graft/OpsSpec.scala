@@ -302,6 +302,21 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getLong(7) == 2L) // 'the' occurs twice in doc 0
   }
 
+  test("repetition stats: top-token/bigram shares and duplicate fraction on known text") {
+    val reps = Seq(
+      (0L, "a a a b"),              // top tok 3/4, distinct 2/4, bigrams: aa aa ab → top 2/3
+      (1L, "x y z w"),              // no repetition at all
+      (2L, "solo"))                 // single token: no bigrams → share 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(reps, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 4L, 2L, 750000L, 500000L, 666667L),
+      (1L, 4L, 4L, 250000L, 0L, 333333L),
+      (2L, 1L, 1L, 1000000L, 0L, 0L)))
+  }
+
   test("langId picks the dominant stopword profile, und on none") {
     val out = Seq(
       "the cat sat on the mat and the dog",
