@@ -180,6 +180,45 @@ object Index {
     Bucketing.appendBucketed(codes, part(name, "codes"), "id", meta.nBuckets)
   }
 
+  /** Offline compaction for an append-heavy index: every [[append]]
+    * adds one file per touched bucket, so after many deltas the
+    * postings/codes tables hold (appends × buckets) small files.
+    * Rewrites each as ONE file per bucket into a fresh location, then
+    * re-points the catalog entry and deletes the old directory —
+    * content (and therefore search output) unchanged; file count
+    * re-pinned to the bucket count. The fresh-location-then-swap shape
+    * means a crash mid-compact leaves the old table fully intact.
+    */
+  def compact(spark: SparkSession, name: String): Unit = {
+    for ((p, key) <- Seq("postings" -> "cl", "codes" -> "id")) {
+      val tbl = part(name, p)
+      val scan = spark.table(tbl).queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      }.getOrElse(sys.error(s"$tbl is not a file-backed table"))
+      val oldDir = scan.location.rootPaths.head.toUri.getPath
+      val nBuckets = scan.bucketSpec.map(_.numBuckets)
+        .getOrElse(sys.error(s"$tbl has no bucket spec"))
+      val newDir = s"${oldDir}_c${java.util.UUID.randomUUID().toString.take(8)}"
+      // read the OLD files by path (overwriting a table being read from
+      // is rejected by identity — the path read sidesteps it, and the
+      // write targets a fresh directory anyway); repartition on the
+      // bucket key (same murmur3 hash family as bucketBy) so each
+      // bucket's rows land wholly in one task → one file per bucket
+      Bucketing.writeBucketed(
+        spark.read.parquet(oldDir).repartition(nBuckets, col(key)),
+        tbl, key, nBuckets, Some(newDir))
+      deleteRecursively(java.nio.file.Paths.get(oldDir))
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+
   /** Search the persisted index for the corpus rows selected by
     * `queryPred` — the serve-many side of the split. The plan contains
     * NO training stage (PlanSpec asserts no checkpoint scans) and no

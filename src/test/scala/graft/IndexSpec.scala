@@ -84,6 +84,34 @@ class IndexSpec extends AnyFunSuite {
     assert(scan.exists(_.relation.bucketSpec.exists(_.numBuckets == 4)))
   }
 
+  test("compact re-pins one file per bucket after appends; search identical") {
+    val dir = tmpBase("cmp")
+    val thirds = (0 to 2).map(r => embs.filter(col("vec_id") % 3 === r))
+    Index.build(spark, thirds(0), "vec_id", "embedding", "label", "idx_cmp",
+      itersIvf = 1, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(dir))
+    Index.append(spark, "idx_cmp", thirds(1), "vec_id", "embedding")
+    Index.append(spark, "idx_cmp", thirds(2), "vec_id", "embedding")
+
+    def search() = Index.search(spark, "idx_cmp", embs, "vec_id",
+        "embedding", col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    def dataFiles(tbl: String): Seq[String] =
+      spark.table(tbl).inputFiles.toSeq
+
+    val before = search()
+    val filesBefore = dataFiles("idx_cmp_postings").size
+    assert(filesBefore > 4) // build + 2 appends
+    Index.compact(spark, "idx_cmp")
+    // ≤ nBuckets: an empty bucket (few distinct list ids) writes none
+    assert(dataFiles("idx_cmp_postings").size <= 4)
+    assert(dataFiles("idx_cmp_postings").size < filesBefore)
+    assert(dataFiles("idx_cmp_codes").size == 4)
+    assert(search() == before)
+    // the old directories are gone; the catalog points at the fresh ones
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/postings")))
+  }
+
   test("append encodes the delta at fixed centroids: tables equal a from-scratch encode; search matches; untouched files byte-identical") {
     val dir = tmpBase("app")
     val half1 = embs.filter(col("vec_id") % 2 === 0)
