@@ -77,6 +77,22 @@ object ArrayExprs {
   def stopwordHits(ss: Column, words: Seq[String]): Column =
     Bridge.column(StopwordHits(Bridge.expression(ss), words))
 
+  /** Positions (0-based) of the `m` centroids with the highest cosine
+    * against `v`, rank order — fast path of the transform→array_sort→
+    * slice struct pipeline in ops.Similarity.assignToNearest.
+    */
+  def argTopMCos(v: Column, vnorm: Column, cents: Column, cnorms: Column,
+      m: Int): Column =
+    Bridge.column(ArgTopMCos(Bridge.expression(v), Bridge.expression(vnorm),
+      Bridge.expression(cents), Bridge.expression(cnorms), m))
+
+  /** Position (0-based) of the centroid minimizing L2 distance to `v`
+    * (max dot − ½|c|²) — fast path of ops.Pq.assignL2All's in-row pick.
+    */
+  def argMinL2(v: Column, cents: Column, halves: Column): Column =
+    Bridge.column(ArgMinL2(Bridge.expression(v), Bridge.expression(cents),
+      Bridge.expression(halves)))
+
   /** The cross-engine 60-bit md5 hash (ops.Hashing.hash60) computed
     * JVM-side: low 60 bits = first 15 hex chars of the md5 of the
     * UTF-8 bytes — identical to `conv(substring(md5(x),1,15),16,10)`
@@ -435,6 +451,130 @@ case class RollingHash(child: Expression, b: Long, p: Long)
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
+}
+
+/** Positions of the `m` best centroids by cosine, descending, ties to
+  * the LOWER position: per centroid i, key_i = −(dot(v, cents_i) /
+  * (vnorm · cnorms_i)) — the identical IEEE operation order as the
+  * struct pipeline it replaces (negate(divide(dot, multiply))), with
+  * [[java.lang.Double.compare]] ordering (array_sort's double
+  * semantics, −0.0 < 0.0) and stable insertion, so when callers order
+  * the centroid arrays by cluster id ascending the pick order equals
+  * the old (negcos, cl) struct sort bit-for-bit.
+  *
+  * The old HOF pipeline built nlist structs per row and sorted them
+  * INTERPRETED (ArraySort is CodegenFallback — kicking the whole
+  * projection out of whole-stage codegen); this is one compiled loop
+  * (nlist × dim multiplies + an m-slot insertion) per row and the
+  * stage stays fused.
+  */
+case class ArgTopMCos(v: Expression, vnorm: Expression, cents: Expression,
+    cnorms: Expression, m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  require(m >= 1)
+
+  override def first: Expression = v
+  override def second: Expression = vnorm
+  override def third: Expression = cents
+  override def fourth: Expression = cnorms
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "arg_top_m_cos"
+
+  def compute(varr: ArrayData, vn: Double, cs: ArrayData,
+      ns: ArrayData): ArrayData = {
+    val nlist = cs.numElements()
+    val take = math.min(m, nlist)
+    val bestKey = new Array[Double](take)
+    val bestPos = new Array[Int](take)
+    var filled = 0
+    val x = varr.toDoubleArray()
+    var i = 0
+    while (i < nlist) {
+      val c = cs.getArray(i)
+      val d = math.min(x.length, c.numElements())
+      var dot = 0.0
+      var j = 0
+      while (j < d) { dot += x(j) * c.getDouble(j); j += 1 }
+      val key = -(dot / (vn * ns.getDouble(i)))
+      // insertion position: first slot with a STRICTLY greater key —
+      // equal keys keep the earlier (lower-position) pick first
+      if (filled < take || java.lang.Double.compare(key, bestKey(filled - 1)) < 0) {
+        var p = if (filled < take) filled else take - 1
+        while (p > 0 && java.lang.Double.compare(bestKey(p - 1), key) > 0) {
+          bestKey(p) = bestKey(p - 1); bestPos(p) = bestPos(p - 1); p -= 1
+        }
+        bestKey(p) = key; bestPos(p) = i
+        if (filled < take) filled += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(bestPos.take(filled))
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Double],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argTopMCos", this, classOf[ArgTopMCos].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = $ref.compute($a, $b, $c, $d);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): ArgTopMCos =
+    copy(v = newFirst, vnorm = newSecond, cents = newThird, cnorms = newFourth)
+}
+
+/** Position of the centroid minimizing L2 distance to `v`: key_i =
+  * halves_i − dot(v, cents_i) (identical operation order as the
+  * struct pipeline in ops.Pq.assignL2All), minimized with
+  * Double.compare, ties to the lower position. One compiled loop.
+  */
+case class ArgMinL2(v: Expression, cents: Expression, halves: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = v
+  override def second: Expression = cents
+  override def third: Expression = halves
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "arg_min_l2"
+
+  def compute(varr: ArrayData, cs: ArrayData, hs: ArrayData): Int = {
+    val nlist = cs.numElements()
+    val x = varr.toDoubleArray()
+    var bestKey = Double.PositiveInfinity
+    var bestPos = 0
+    var i = 0
+    while (i < nlist) {
+      val c = cs.getArray(i)
+      val d = math.min(x.length, c.numElements())
+      var dot = 0.0
+      var j = 0
+      while (j < d) { dot += x(j) * c.getDouble(j); j += 1 }
+      val key = hs.getDouble(i) - dot
+      if (i == 0 || java.lang.Double.compare(key, bestKey) < 0) {
+        bestKey = key; bestPos = i
+      }
+      i += 1
+    }
+    bestPos
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argMinL2", this, classOf[ArgMinL2].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = $ref.compute($a, $b, $c);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): ArgMinL2 =
+    copy(v = newFirst, cents = newSecond, halves = newThird)
 }
 
 /** Count of elements of an `array<string>` that are members of a

@@ -77,17 +77,23 @@ object Pq {
     * lower cl. `tall` holds (id, m, sv); output (id, m, cl).
     */
   private[ops] def assignL2All(tall: DataFrame, cents: DataFrame): DataFrame = {
+    // per-m codebooks collapse to 16 broadcast rows of parallel arrays
+    // ordered by cl; the pick is the native codegen'd arg_min_l2 —
+    // same key (half − dot) and tie-break (position asc ≡ cl asc) as
+    // the struct-sort pipeline it replaces, but the tall-side
+    // projection stays inside whole-stage codegen
     val byM = cents
       .withColumn("half", Vectors.dot(col("cent"), col("cent")) / 2)
       .groupBy(col("m"))
-      .agg(collect_list(struct(col("cl"), col("cent"), col("half"))).as("cs"))
+      .agg(array_sort(collect_list(struct(col("cl"), col("cent"), col("half")))).as("cs"))
+      .select(col("m"),
+        transform(col("cs"), c => c.getField("cl")).as("cls"),
+        transform(col("cs"), c => c.getField("cent")).as("cmat"),
+        transform(col("cs"), c => c.getField("half")).as("halves"))
     tall.join(broadcast(byM), "m")
       .select(col("id"), col("m"),
-        explode(slice(array_sort(transform(col("cs"), c =>
-          struct((c.getField("half") - Vectors.dot(col("sv"), c.getField("cent")))
-              .as("negscore"),
-            c.getField("cl").as("cl")))), 1, 1)).as("pick"))
-      .select(col("id"), col("m"), col("pick.cl").as("cl"))
+        element_at(col("cls"), graft.functions.ArrayExprs.argMinL2(col("sv"),
+          col("cmat"), col("halves")) + 1).as("cl"))
   }
 
   /** All M codebooks trained together: `iters` L2-assignment Lloyd

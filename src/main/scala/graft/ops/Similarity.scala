@@ -122,14 +122,24 @@ object Similarity {
     */
   private[ops] def assignToNearest(base: DataFrame, cents: DataFrame,
       massign: Int = 1): DataFrame = {
+    // the (≤nlist-row) centroid table collapses to ONE broadcast row of
+    // parallel arrays ordered by cluster id (array_sort on the struct
+    // sorts by its first field, cl); the per-row pick is the native
+    // codegen'd arg_top_m_cos — key and tie-break order identical to
+    // the struct-sort pipeline it replaces (position asc ≡ cl asc), so
+    // oracle values are unchanged, but the corpus-side projection now
+    // stays inside whole-stage codegen (ArraySort is CodegenFallback)
     val centArr = cents.agg(
-      collect_list(struct(col("cl"), col("cent"), col("cnrm"))).as("cs"))
+        array_sort(collect_list(struct(col("cl"), col("cent"), col("cnrm")))).as("cs"))
+      .select(
+        transform(col("cs"), c => c.getField("cl")).as("cls"),
+        transform(col("cs"), c => c.getField("cent")).as("cmat"),
+        transform(col("cs"), c => c.getField("cnrm")).as("cnrms"))
     base.join(broadcast(centArr))
-      .select(col("id"), explode(slice(array_sort(transform(col("cs"), c =>
-        struct((-(Vectors.dot(col("v"), c.getField("cent")) /
-            (col("nrm") * c.getField("cnrm")))).as("negcos"),
-          c.getField("cl").as("cl")))), 1, massign)).as("pick"))
-      .select(col("id"), col("pick.cl").as("cl"))
+      .select(col("id"), col("cls"),
+        explode(graft.functions.ArrayExprs.argTopMCos(col("v"), col("nrm"),
+          col("cmat"), col("cnrms"), massign)).as("pos"))
+      .select(col("id"), element_at(col("cls"), col("pos") + 1).as("cl"))
   }
 
   /** The IVF probe/rank stage over a prebuilt assignment: each query

@@ -317,6 +317,26 @@ class OpsSpec extends AnyFunSuite {
       (2L, 1L, 1L, 1000000L, 0L, 0L)))
   }
 
+  test("argTopMCos / argMinL2: rank order, tie to the lower position, short lists") {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    val df = Seq(Tuple1(Seq(1.0, 0.0))).toDF("v")
+      .withColumn("nrm", lit(1.0))
+      // positions 0,1,2: orthogonal, then two IDENTICAL best centroids
+      .withColumn("cmat", typedLit(Seq(Seq(0.0, 1.0), Seq(1.0, 0.0), Seq(1.0, 0.0))))
+      .withColumn("cnrms", typedLit(Seq(1.0, 1.0, 1.0)))
+      .withColumn("halves", typedLit(Seq(0.5, 0.5, 0.5)))
+    val picks = df.select(
+        ArrayExprs.argTopMCos(col("v"), col("nrm"), col("cmat"), col("cnrms"), 2).as("p"),
+        ArrayExprs.argMinL2(col("v"), col("cmat"), col("halves")).as("l2"))
+      .as[(Seq[Int], Int)].head()
+    assert(picks._1 == Seq(1, 2)) // tie between 1 and 2 → lower position first
+    assert(picks._2 == 1)
+    // m larger than the list: all positions, rank order
+    val all = df.select(ArrayExprs.argTopMCos(col("v"), col("nrm"),
+        col("cmat"), col("cnrms"), 9).as("p")).as[Seq[Int]].head()
+    assert(all == Seq(1, 2, 0))
+  }
+
   test("langId picks the dominant stopword profile, und on none") {
     val out = Seq(
       "the cat sat on the mat and the dog",

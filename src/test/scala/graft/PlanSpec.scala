@@ -50,6 +50,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_sim_ivf").contains("BroadcastExchange"))
   }
 
+  test("centroid assignment uses the native picks; the L2 pick stays in whole-stage codegen") {
+    // the cosine pick feeds an explode, so it lives in the Generate
+    // operator (not WSCG-fused, but the pick itself is one compiled
+    // method per row instead of the interpreted struct sort it
+    // replaced); the PQ code pick has no generator and its projection
+    // must be a starred (codegen'd) operator
+    val ivf = SparkEntry.queries("q_sim_ivf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ivf.contains("arg_top_m_cos"), "native cos pick not in the plan")
+
+    // AQE prints the pre-execution plan without WSCG stars — disable
+    // it so CollapseCodegenStages runs upfront and stages are visible
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pq = SparkEntry.queries("q_sim_pq")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val line = pq.linesIterator.find(l =>
+        l.contains("arg_min_l2") && l.contains("Project"))
+      assert(line.isDefined, "native L2 pick not in a projection")
+      assert(line.get.contains("*("), s"arg_min_l2 fell out of codegen:\n${line.get}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("curation ops prune the documents scan to referenced columns") {
     // splitCounts touches doc_id/text/source — lang and n_chars must
     // not be read; mixCounts likewise (the filter is a narrow map on
