@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       })
     register(ext, "stopword_hits", "stopword_hits(words, 'w1,w2,...') - count of elements in the fixed word set",
       args => StopwordHits(args.head, stringArg(args(1), "words").split(",").toSeq))
+    register(ext, "arg_top_m_cos", "arg_top_m_cos(v, vnorm, cents, cnorms, m) - positions of the m highest-cosine centroids",
+      args => ArgTopMCos(args.head, args(1), args(2), args(3), intArg(args(4), "m")))
+    register(ext, "arg_min_l2", "arg_min_l2(v, cents, halves) - position of the nearest centroid by L2 (max dot - half|c|^2)",
+      args => ArgMinL2(args.head, args(1), args(2)))
   }
 
   private def stringArg(e: Expression, name: String): String = e match {

@@ -300,6 +300,14 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getLong(5) == 1000000L) // self-jaccard
     assert(row.getLong(6) == row.getLong(3)) // from-hashes == from-strings
     assert(row.getLong(7) == 2L) // 'the' occurs twice in doc 0
+
+    val picks = spark.sql(
+      """SELECT arg_top_m_cos(array(1.0d, 0.0d), 1.0d,
+        |    array(array(0.0d, 1.0d), array(1.0d, 0.0d)), array(1.0d, 1.0d), 1) AS p,
+        |  arg_min_l2(array(1.0d, 0.0d),
+        |    array(array(0.0d, 1.0d), array(1.0d, 0.0d)), array(0.5d, 0.5d)) AS l2""".stripMargin)
+      .head()
+    assert(picks.getSeq[Int](0) == Seq(1) && picks.getInt(1) == 1)
   }
 
   test("repetition stats: top-token/bigram shares and duplicate fraction on known text") {
