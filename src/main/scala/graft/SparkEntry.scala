@@ -625,6 +625,13 @@ object SparkEntry {
         "source", Map("src0" -> 1.0, "src1" -> 0.8, "src2" -> 0.1),
         default = 0.5)),
 
+    // Rank-based quality-threshold calibration: the per-source cutoff
+    // that keeps the best 60% by quality — pure integer math (no
+    // interpolated quantiles), one per-source window.
+    "q_curate_calibrate" -> ((s, dir) =>
+      Curation.qualityCalibrate(T(s, dir, "documents"), "doc_id", "text",
+        "source", keepPct = 60)),
+
     // Benchmark contamination: best n-gram containment of each eval
     // doc (doc_id % 20 = 0) against the training remainder, with the
     // offending doc — the dedup machinery pointed across corpora.
@@ -1016,6 +1023,10 @@ object SparkEntry {
     "q_curate_pack" ->
       (Curation.packBinsSql("doc_id", "text", "source", "documents",
         budget = 4096L) + " ORDER BY source, bin"),
+
+    "q_curate_calibrate" ->
+      (Curation.qualityCalibrateSql("doc_id", "text", "source", "documents",
+        keepPct = 60) + " ORDER BY source"),
 
     "q_curate_contamination" ->
       (Curation.contaminationSql("doc_id", "text", "documents",

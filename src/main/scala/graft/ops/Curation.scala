@@ -137,6 +137,50 @@ object Curation {
     * (split, split) with the worst (max) similarity. Empty result =
     * clean split at the threshold.
     */
+  /** Quality-threshold calibration: for a TARGET keep rate, the
+    * per-source quality cutoff and kept count — rank-based (the
+    * cutoff is the quality of the k-th best doc, k = max(1,
+    * ⌊n·keepPct/100⌋), ties by doc id), so the math is pure integers
+    * and the oracle compare is exact (interpolated quantiles differ
+    * in IEEE details across engines; ranks don't). At 100 TB the
+    * per-source rank is the one wide stage — a sort-based window on
+    * (source); the approximate twin at extreme scale is
+    * percentile_approx (a q_cdc_approx_stats-style rows-only check),
+    * this operator is the exact calibration pass run per curation
+    * batch. Output: (source, n_docs, n_keep, cutoff_micros).
+    */
+  def qualityCalibrate(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, keepPct: Int): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("id").asc)
+    docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
+        TextAnalysis.qualityMicros(col(textCol)).as("q"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("n_keep", greatest(lit(1L), floor(col("n_docs") * keepPct / 100)))
+      .filter(col("rn") === col("n_keep"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("n_keep").cast("long").as("n_keep"),
+        col("q").as("cutoff_micros"))
+  }
+
+  def qualityCalibrateSql(id: String, text: String, source: String,
+      table: String, keepPct: Int): String =
+    s"""WITH s AS (
+       |  SELECT $source AS source, $id AS id,
+       |    ${TextAnalysis.qualityMicrosSql(text)} AS q
+       |  FROM $table),
+       |r AS (
+       |  SELECT source, q,
+       |    row_number() OVER (PARTITION BY source ORDER BY q DESC, id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n_docs
+       |  FROM s)
+       |SELECT source, n_docs::BIGINT AS n_docs,
+       |  greatest(1, n_docs * $keepPct // 100)::BIGINT AS n_keep,
+       |  q AS cutoff_micros
+       |FROM r WHERE rn = greatest(1, n_docs * $keepPct // 100)""".stripMargin
+
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, trainPct: Int, valPct: Int): DataFrame = {
     val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, k, threshold)
