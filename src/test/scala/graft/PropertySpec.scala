@@ -27,6 +27,39 @@ class PropertySpec extends AnyFunSuite {
   private def strArray(xs: Seq[String]) =
     new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
 
+  test("argTopMCos equals the struct-sort formulation it replaced (fuzz)") {
+    // the native pick claims BIT-identical selection to
+    // sort-by-(negcos, position) with stable ties — fuzz it against a
+    // reference implementation over random vectors incl. duplicated
+    // centroids (forced exact ties)
+    val pick = ArgTopMCos(null, null, null, null, 3)
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-5.0, 5.0))
+    val centsGen = Gen.nonEmptyListOf(vecGen).map(_.take(8))
+    check(Prop.forAll(vecGen, centsGen, Gen.chooseNum(0, 7)) { (v, cs0, dup) =>
+      // duplicate one centroid so exact ties actually occur
+      val cs = if (cs0.nonEmpty) cs0 :+ cs0(dup % cs0.length) else cs0
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      val cnorms = cs.map(c => math.sqrt(c.map(x => x * x).sum))
+      def arr(xs: Seq[Double]) = new GenericArrayData(xs.toArray)
+      val got = pick.compute(arr(v), vn,
+          new GenericArrayData(cs.map(c => arr(c)).toArray[Any]),
+          arr(cnorms))
+        .toIntArray().toSeq
+      // reference: negcos with the same op order, stable sort by key
+      // using Double.compare, positions ascending on ties
+      val keys = cs.zipWithIndex.map { case (c, i) =>
+        val dot = v.zip(c).map { case (a, b) => a * b }
+          .foldLeft(0.0)(_ + _)
+        (-(dot / (vn * cnorms(i))), i)
+      }
+      val want = keys.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c < 0 else a._2 < b._2
+      }.take(3).map(_._2)
+      got == want
+    })
+  }
+
   test("jaccardMicros60: symmetric, bounded, identity, disjoint-zero") {
     val j = JaccardMicros60(null, null)
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L))
