@@ -49,6 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => ArgTopMCos(args.head, args(1), args(2), args(3), intArg(args(4), "m")))
     register(ext, "arg_min_l2", "arg_min_l2(v, cents, halves) - position of the nearest centroid by L2 (max dot - half|c|^2)",
       args => ArgMinL2(args.head, args(1), args(2)))
+    register(ext, "rep_stats", "rep_stats(tokens) - [n_tokens, n_distinct, top_token_n, n_bigrams, top_bigram_n] in one in-row pass",
+      args => RepStats(args.head))
   }
 
   private def stringArg(e: Expression, name: String): String = e match {

@@ -389,6 +389,12 @@ object SparkEntry {
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(T(s, dir, "documents"), "doc_id", "text")),
 
+    // In-row twin: the same signals from ONE compiled pass per doc
+    // (native rep_stats) — zero shuffle, streaming-compatible; shares
+    // q_text_repetition's oracle (plan-shape equivalence pair).
+    "q_text_repetition2" -> ((s, dir) =>
+      TextAnalysis.repetitionStatsRow(T(s, dir, "documents"), "doc_id", "text")),
+
     // Vocabulary heavy hitters: top-50 tokens by document frequency,
     // deterministic tie-break. Partial agg map-side, then
     // TakeOrderedAndProject — the driver never materializes the full
@@ -888,6 +894,11 @@ object SparkEntry {
     },
 
     "q_text_repetition" ->
+      (TextAnalysis.repetitionStatsSql("doc_id", "text", "documents")
+        + " ORDER BY doc_id"),
+
+    // the in-row twin must produce the IDENTICAL rows
+    "q_text_repetition2" ->
       (TextAnalysis.repetitionStatsSql("doc_id", "text", "documents")
         + " ORDER BY doc_id"),
 

@@ -93,6 +93,14 @@ object ArrayExprs {
     Bridge.column(ArgMinL2(Bridge.expression(v), Bridge.expression(cents),
       Bridge.expression(halves)))
 
+  /** Per-document repetition counters over a token array, in one
+    * in-row pass: [n_tokens, n_distinct, top_token_n, n_bigrams,
+    * top_bigram_n] — the zero-shuffle twin of the exploded-aggregate
+    * ops.TextAnalysis.repetitionStats.
+    */
+  def repStats(tokens: Column): Column =
+    Bridge.column(RepStats(Bridge.expression(tokens)))
+
   /** The cross-engine 60-bit md5 hash (ops.Hashing.hash60) computed
     * JVM-side: low 60 bits = first 15 hex chars of the md5 of the
     * UTF-8 bytes — identical to `conv(substring(md5(x),1,15),16,10)`
@@ -575,6 +583,55 @@ case class ArgMinL2(v: Expression, cents: Expression, halves: Expression)
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): ArgMinL2 =
     copy(v = newFirst, cents = newSecond, halves = newThird)
+}
+
+/** Repetition counters of a token array in one compiled in-row pass:
+  * output [n_tokens, n_distinct, top_token_count, n_bigrams,
+  * top_bigram_count]. Counts are identical to exploding the tokens
+  * (and adjacent-pair bigrams) and aggregating per document — the
+  * shuffle-free twin ops.TextAnalysis uses for typical document sizes
+  * and for streaming (no cross-row state at all).
+  */
+case class RepStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rep_stats"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val uni = new java.util.HashMap[UTF8String, Long]()
+    var topUni = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val c = uni.merge(t, 1L, (a, b) => a + b)
+      if (c > topUni) topUni = c
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val bi = new java.util.HashMap[UTF8String, Long]()
+    var topBi = 0L
+    i = 0
+    while (i < n - 1) {
+      val g = UTF8String.concatWs(sep, arr.getUTF8String(i), arr.getUTF8String(i + 1))
+      val c = bi.merge(g, 1L, (a, b) => a + b)
+      if (c > topBi) topBi = c
+      i += 1
+    }
+    new GenericArrayData(Array[Long](n.toLong, uni.size.toLong, topUni,
+      math.max(n - 1, 0).toLong, topBi))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repStats", this, classOf[RepStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
 }
 
 /** Count of elements of an `array<string>` that are members of a

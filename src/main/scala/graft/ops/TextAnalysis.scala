@@ -140,6 +140,33 @@ object TextAnalysis {
           .cast("long"), lit(0L)).as("top_bigram_micros"))
   }
 
+  /** In-row twin of [[repetitionStats]]: the counters come from ONE
+    * compiled pass per document (native `rep_stats` expression) — zero
+    * shuffle, no explode, streaming-compatible (no cross-row state).
+    * Identical output (same counts, same micro math) — the pair shares
+    * one oracle, proving the plan-shape equivalence. Prefer this for
+    * typical document sizes; the exploded-aggregate form is the
+    * pathological-document path (a single doc's grams never fit one
+    * row's memory only when the doc itself is pathological).
+    */
+  def repetitionStatsRow(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val s = col("s")
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.ArrayExprs.repStats(tokens(col(textCol))).as("s"))
+      .select(col("doc_id"),
+        element_at(s, 1).as("n_tokens"),
+        element_at(s, 2).as("n_distinct"),
+        round(element_at(s, 3).cast("double") / element_at(s, 1) * 1e6)
+          .cast("long").as("top_tok_micros"),
+        round((lit(1.0) - element_at(s, 2).cast("double") / element_at(s, 1)) * 1e6)
+          .cast("long").as("dup_tok_micros"),
+        when(element_at(s, 4) === 0, lit(0L))
+          .otherwise(round(element_at(s, 5).cast("double") / element_at(s, 4) * 1e6)
+            .cast("long")).as("top_bigram_micros"))
+  }
+
   def repetitionStatsSql(id: String, text: String, table: String): String =
     s"""WITH d AS (SELECT $id AS id, ${tokensSql(text)} AS ts FROM $table),
        |u AS (SELECT id, unnest(ts) AS tok FROM d),

@@ -159,6 +159,12 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("in-row repetition twin is shuffle-free; the counter pass stays native") {
+    val p = plan("q_text_repetition2")
+    assert(!p.contains("Exchange"), s"in-row repetition shuffles:\n$p")
+    assert(p.contains("rep_stats"), "native counter pass not in the plan")
+  }
+
   test("exact dedup partial-aggregates map-side before its single shuffle") {
     val p = plan("q_dedup_exact")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
