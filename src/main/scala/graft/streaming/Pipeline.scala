@@ -87,23 +87,35 @@ object Pipeline {
       .agg(count(lit(1)).as("n_changes"))
 
   /** The training-data curation composite (X22) as a Structured
-    * Streaming job: language-ID + quality gate (both narrow codegen'd
-    * passes — identical plan to the batch operators) feeding
+    * Streaming job: language-ID + quality gate + repetition gate (all
+    * narrow codegen'd passes — identical plans to the batch operators;
+    * the repetition counters are the in-row `rep_stats`, which is what
+    * makes a boilerplate gate possible in streaming at all — the
+    * exploded-aggregate form would be a second stateful op) feeding
     * fingerprint dedup with watermark-bounded state. A document stream
-    * curates incrementally: junk drops before any state is touched,
-    * and only the quality survivors' fingerprints occupy the dedup
+    * curates incrementally: junk and boilerplate drop before any state
+    * is touched, and only the survivors' fingerprints occupy the dedup
     * store. `docs` needs (doc_id, text, ts).
+    * `maxTopBigramMicros` = 1e6 disables the repetition gate.
     */
-  def curated(docs: DataFrame, watermark: String,
-      minQualityMicros: Long): DataFrame =
+  def curated(docs: DataFrame, watermark: String, minQualityMicros: Long,
+      maxTopBigramMicros: Long = 1000000L): DataFrame = {
+    val s = graft.functions.ArrayExprs.repStats(
+      graft.ops.TextAnalysis.tokens(col("text")))
     docs
       .withColumn("lang_pred", graft.ops.TextAnalysis.langId(col("text")))
       .withColumn("quality_micros",
         graft.ops.TextAnalysis.qualityMicros(col("text")))
       .filter(col("quality_micros") >= minQualityMicros)
+      .withColumn("top_bigram_micros",
+        when(element_at(s, 4) === 0, lit(0L))
+          .otherwise(round(element_at(s, 5).cast("double") / element_at(s, 4) * 1e6)
+            .cast("long")))
+      .filter(col("top_bigram_micros") <= maxTopBigramMicros)
       .withColumn("fp", graft.ops.TextAnalysis.md5Fingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+  }
 
   /** Ingest-time contamination gate: each streamed doc's n-gram
     * CONTAINMENT of any benchmark shingle (X46's measure) against a

@@ -311,28 +311,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(allRows == 0)
   }
 
-  test("streaming curation: quality gate drops junk before dedup state; dups drop within watermark") {
+  test("streaming curation: quality + repetition gates drop junk before dedup state; dups drop within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
     val good = "the quick brown fox jumps over the lazy dog and keeps running through the field"
     val junk = "!!!! ???? ###"
+    // boilerplate: decent quality heuristics but one dominating bigram
+    val loop = "the click here button and the click here button and the click here button and the click here button"
     val q = graft.streaming.Pipeline.curated(
         input.toDF().toDF("doc_id", "text", "ts"),
-        watermark = "1 hour", minQualityMicros = 450000L)
+        watermark = "1 hour", minQualityMicros = 450000L,
+        maxTopBigramMicros = 120000L)
       .writeStream.format("memory").queryName("curate_out")
       .outputMode("append").start()
 
     def t(s: Long) = new java.sql.Timestamp(1767225600000L + s * 1000)
     input.addData(Seq((1L, good, t(0)), (2L, junk, t(1)), (3L, good, t(2))))
     q.processAllAvailable()
-    input.addData(Seq((4L, good, t(3)), (5L, good + " extra tail", t(4))))
+    input.addData(Seq((4L, good, t(3)), (5L, good + " extra tail", t(4)),
+      (6L, loop, t(5))))
     q.processAllAvailable()
     q.stop()
 
     val out = spark.table("curate_out")
       .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
-    // junk gated out; duplicate fingerprints (docs 3, 4) dropped; the
-    // near-but-not-exact dup survives (exact dedup, not near-dup)
+    // junk gated out; the repetitive doc gated out by top-bigram share;
+    // duplicate fingerprints (docs 3, 4) dropped; the near-but-not-exact
+    // dup survives (exact dedup, not near-dup)
     assert(out.keySet == Set(1L, 5L))
     assert(out(1L) == "en")
     spark.sql("DROP TABLE IF EXISTS curate_out")
