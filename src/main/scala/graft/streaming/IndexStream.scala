@@ -55,4 +55,25 @@ object IndexStream {
         }
       }
       .start()
+
+  /** Streaming index MAINTENANCE — the other half of the lifecycle:
+    * each micro-batch of arriving embeddings is encoded at the stored
+    * centroids/codebooks and appended to the bucketed postings/codes
+    * ([[graft.ops.Index.append]] — cost ∝ batch, committed files
+    * untouched). The stream's checkpoint serializes batches, matching
+    * the index's single-writer contract; replay after a crash
+    * re-appends the same vectors, which duplicates postings rather
+    * than corrupting them — run [[graft.ops.Index.compact]] (or dedup
+    * on read) if exactly-once matters downstream. Retraining cadence
+    * stays an offline policy, exactly like production IVF systems.
+    */
+  def maintain(embs: DataFrame, idCol: String, vecCol: String,
+      indexName: String, checkpointDir: String): StreamingQuery =
+    embs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Index.append(batch.sparkSession, indexName, batch, idCol, vecCol)
+      }
+      .start()
 }

@@ -54,4 +54,38 @@ class IndexStreamSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming maintenance: appended micro-batches equal one batch append") {
+    implicit val sqlCtx = spark.sqlContext
+    val embs = cdc.Io.table(spark, sf, "embeddings")
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2rows = embs.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+
+    Index.build(spark, half1, "vec_id", "embedding", "label", "idx_mnt",
+      itersIvf = 1, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4,
+      baseDir = Some(Files.createTempDirectory("graft_idx_mnt").toString))
+
+    val ckpt = Files.createTempDirectory("idx_mnt_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = IndexStream.maintain(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "idx_mnt", ckpt)
+    val (b1, b2) = half2rows.splitAt(half2rows.length / 2)
+    input.addData(b1.toSeq: _*); q.processAllAvailable()
+    input.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    // the maintained tables equal one encode of the FULL corpus at the
+    // stored centroids (build half + streamed half = everything)
+    val (expPost, expCodes) = Index.encode(spark, "idx_mnt", embs,
+      "vec_id", "embedding")
+    assert(spark.table("idx_mnt_postings").as[(Long, Long)].collect().sorted.toSeq
+      == expPost.select(col("cl").cast("long"), col("id")).as[(Long, Long)]
+        .collect().sorted.toSeq)
+    assert(spark.table("idx_mnt_codes").as[(Long, Int, Long)].collect().sorted.toSeq
+      == expCodes.select(col("id"), col("m"), col("cl").cast("long"))
+        .as[(Long, Int, Long)].collect().sorted.toSeq)
+  }
 }
