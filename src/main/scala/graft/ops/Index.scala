@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.collection.JavaConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -125,11 +127,25 @@ object Index {
     * without it the zero-exchange join layout would be lost) over the
     * existing location. No data is read or written. This is what makes
     * the artifact an artifact: build once, serve from any number of
-    * later sessions.
+    * later sessions. [[compact]] leaves each rewritten part in a
+    * `<part>_c<uuid>` sibling directory (fresh-location-then-swap
+    * crash safety) — exactly one candidate directory survives per
+    * part, and registration resolves it.
     */
   def register(spark: SparkSession, name: String, baseDir: String,
       nBuckets: Int): Unit = {
-    def loc(p: String) = s"$baseDir/$p"
+    def loc(p: String): String = {
+      val exact = java.nio.file.Paths.get(baseDir, p)
+      if (java.nio.file.Files.exists(exact)) return exact.toString
+      val candidates = java.nio.file.Files.list(java.nio.file.Paths.get(baseDir))
+        .iterator()
+        .asScala
+        .filter(_.getFileName.toString.startsWith(s"${p}_c"))
+        .toSeq
+      require(candidates.size == 1,
+        s"expected exactly one $p directory under $baseDir, found $candidates")
+      candidates.head.toString
+    }
     for (p <- Seq("cents", "codebooks", "meta")) {
       spark.sql(s"DROP TABLE IF EXISTS ${part(name, p)}")
       spark.sql(s"""CREATE TABLE ${part(name, p)} USING parquet

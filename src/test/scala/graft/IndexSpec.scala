@@ -82,6 +82,17 @@ class IndexSpec extends AnyFunSuite {
     val scan = spark.table("idx_reg_postings").queryExecution.executedPlan
       .collectFirst { case f: FileSourceScanExec => f }
     assert(scan.exists(_.relation.bucketSpec.exists(_.numBuckets == 4)))
+
+    // compaction moves the rewritten parts to sibling directories —
+    // a later session's register must resolve them
+    Index.compact(spark, "idx_reg")
+    for (p <- Seq("cents", "codebooks", "meta", "postings", "codes"))
+      spark.sql(s"DROP TABLE idx_reg_$p")
+    Index.register(spark, "idx_reg", dir, nBuckets = 4)
+    val afterCompact = Index.search(spark, "idx_reg", embs, "vec_id",
+        "embedding", col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(afterCompact == expected)
   }
 
   test("compact re-pins one file per bucket after appends; search identical") {
