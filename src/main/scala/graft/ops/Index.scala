@@ -286,10 +286,17 @@ object Index {
       .select(col("qid"), col("id")).distinct()
 
     // ADC over the probed candidates only: codes stay bucketed-in-place,
-    // the LUT is queries × m × ksub rows — broadcast
+    // the LUT is queries × m × ksub rows — broadcast. The distinct
+    // before the LUT join makes the ADC sum immune to DUPLICATED code
+    // rows (an at-least-once [[graft.streaming.IndexStream.maintain]]
+    // replay appends a batch twice; without it each duplicate doubles
+    // that vector's approximate dot and biases the candidate cut) —
+    // on clean data it is an identity over (queries × candidates × m)
+    // rows, so search output is unchanged.
     val lut = Pq.lutOf(queries, cb, meta.m, subDim)
     val approx = candPairs
       .join(codes, "id")
+      .select(col("qid"), col("id"), col("m"), col("cl")).distinct()
       .join(broadcast(lut), Seq("qid", "m", "cl"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("part_micros")).as("adot_micros"))

@@ -87,5 +87,16 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(spark.table("idx_mnt_codes").as[(Long, Int, Long)].collect().sorted.toSeq
       == expCodes.select(col("id"), col("m"), col("cl").cast("long"))
         .as[(Long, Int, Long)].collect().sorted.toSeq)
+
+    // at-least-once tolerance: a REPLAYED batch (duplicate append) must
+    // not change search results — the ADC dedups code rows per
+    // candidate, and candidate pairs are distinct already
+    def search() = Index.search(spark, "idx_mnt", embs, "vec_id",
+        "embedding", col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val clean = search()
+    Index.append(spark, "idx_mnt",
+      embs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding") // dup!
+    assert(search() == clean)
   }
 }

@@ -60,6 +60,20 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("repStats counters equal brute-force grouping, for any token list") {
+    val rs = RepStats(null)
+    val tokGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "ab", "x"))
+    check(Prop.forAll(tokGen) { ts =>
+      val got = rs.compute(strArray(ts)).toLongArray().toSeq
+      val uni = ts.groupBy(identity).view.mapValues(_.size.toLong)
+      val bi = ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" }
+        .groupBy(identity).view.mapValues(_.size.toLong)
+      got == Seq(ts.size.toLong, uni.size.toLong, uni.values.max,
+        math.max(ts.size - 1, 0).toLong,
+        if (bi.isEmpty) 0L else bi.values.max)
+    })
+  }
+
   test("jaccardMicros60: symmetric, bounded, identity, disjoint-zero") {
     val j = JaccardMicros60(null, null)
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L))
