@@ -199,11 +199,14 @@ object Index {
   /** Offline compaction for an append-heavy index: every [[append]]
     * adds one file per touched bucket, so after many deltas the
     * postings/codes tables hold (appends × buckets) small files.
-    * Rewrites each as ONE file per bucket into a fresh location, then
-    * re-points the catalog entry and deletes the old directory —
-    * content (and therefore search output) unchanged; file count
-    * re-pinned to the bucket count. The fresh-location-then-swap shape
-    * means a crash mid-compact leaves the old table fully intact.
+    * Rewrites each as ONE file per bucket into a fresh location
+    * (dropping exact-duplicate rows — both tables are sets, so the
+    * only source of duplicates is an at-least-once maintenance
+    * replay, and removing them reclaims that storage), then re-points
+    * the catalog entry and deletes the old directory — search output
+    * unchanged; file count re-pinned to the bucket count. The
+    * fresh-location-then-swap shape means a crash mid-compact leaves
+    * the old table fully intact.
     */
   def compact(spark: SparkSession, name: String): Unit = {
     for ((p, key) <- Seq("postings" -> "cl", "codes" -> "id")) {
@@ -223,7 +226,7 @@ object Index {
       // bucket key (same murmur3 hash family as bucketBy) so each
       // bucket's rows land wholly in one task → one file per bucket
       Bucketing.writeBucketed(
-        spark.read.parquet(oldDir).repartition(nBuckets, col(key)),
+        spark.read.parquet(oldDir).distinct().repartition(nBuckets, col(key)),
         tbl, key, nBuckets, Some(newDir))
       deleteRecursively(java.nio.file.Paths.get(oldDir))
     }

@@ -62,10 +62,12 @@ object IndexStream {
     * ([[graft.ops.Index.append]] — cost ∝ batch, committed files
     * untouched). The stream's checkpoint serializes batches, matching
     * the index's single-writer contract; replay after a crash
-    * re-appends the same vectors, which duplicates postings rather
-    * than corrupting them — run [[graft.ops.Index.compact]] (or dedup
-    * on read) if exactly-once matters downstream. Retraining cadence
-    * stays an offline policy, exactly like production IVF systems.
+    * re-appends the same vectors — SEARCH RESULTS are unaffected
+    * (candidate pairs are distinct and the ADC dedups code rows;
+    * IndexStreamSpec proves a double-append changes nothing), so the
+    * only replay cost is duplicate storage, reclaimed by
+    * [[graft.ops.Index.compact]]'s rewrite cadence. Retraining stays
+    * an offline policy, exactly like production IVF systems.
     */
   def maintain(embs: DataFrame, idCol: String, vecCol: String,
       indexName: String, checkpointDir: String): StreamingQuery =

@@ -98,5 +98,13 @@ class IndexStreamSpec extends AnyFunSuite {
     Index.append(spark, "idx_mnt",
       embs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding") // dup!
     assert(search() == clean)
+
+    // compact reclaims the replay's duplicate rows: tables return to
+    // exactly the clean encode; search still identical
+    Index.compact(spark, "idx_mnt")
+    assert(spark.table("idx_mnt_postings").as[(Long, Long)].collect().sorted.toSeq
+      == expPost.select(col("cl").cast("long"), col("id")).as[(Long, Long)]
+        .collect().sorted.toSeq)
+    assert(search() == clean)
   }
 }
