@@ -554,6 +554,20 @@ object SparkEntry {
         col("vec_id") < 8, k = 5, nprobe = 4, rerank = 40)
     }),
 
+    // FLAT serving over the same artifact: probe + exact cosine over
+    // the probed lists, no PQ stage — the shape for corpora whose
+    // vectors fit the IO budget. Shares the build with
+    // q_sim_index_search; oracle = the trained-IVF top-k itself.
+    "q_sim_index_flat" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+      if (!Index.exists(s, "graft_idx"))
+        Index.build(s, embs, "vec_id", "embedding", "label", "graft_idx",
+          itersIvf = 4, massign = 2, m = 16, ksub = 32, itersPq = 2,
+          nBuckets = 8)
+      Index.searchFlat(s, "graft_idx", embs, "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, nprobe = 4)
+    }),
+
     // The maintenance delta, oracle-gated end-to-end: build the index
     // on the even half of the corpus, APPEND the odd half (encode-only,
     // fixed centroids — no retrain), search the union. The oracle
@@ -1003,6 +1017,12 @@ object SparkEntry {
         "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
         m = 16, ksub = 32, itersPq = 2, rerank = 40)
         + " ORDER BY qid, rank"),
+
+    // flat (no-PQ) serving must equal the in-plan trained-IVF top-k
+    "q_sim_index_flat" ->
+      (Similarity.ivfTrainedTopKSql("vec_id", "embedding", "label",
+        "embeddings", "id < 8", k = 5, nprobe = 4, iters = 4, dim = 64,
+        massign = 2) + " ORDER BY qid, rank"),
 
     // build-on-half + append-half: the oracle trains on the even ids
     // only (trainPredSql) but assigns/encodes the whole corpus — the

@@ -254,6 +254,50 @@ object Index {
     searchQueries(spark, name, base, queries, k, nprobe, rerank)
   }
 
+  /** FLAT search over the persisted index: probe the nprobe nearest
+    * lists, rank the probed candidates by EXACT cosine against the
+    * full vectors — no PQ codes, no rerank stage. The serving shape
+    * for corpora whose vectors still fit the IO budget (reads
+    * ~massign·nprobe/nlist of the corpus rows per query batch);
+    * [[searchQueries]] is the 16-byte-code path for when they don't.
+    * Output identical to the in-plan [[Similarity.ivfTopKTrained]] at
+    * the build parameters (shared oracle).
+    */
+  def searchFlat(spark: SparkSession, name: String, embs: DataFrame,
+      idCol: String, vecCol: String, queryPred: Column, k: Int,
+      nprobe: Int): DataFrame = {
+    val base = baseOf(embs, idCol, vecCol)
+    searchFlatQueries(spark, name, base,
+      base.filter(queryPred).select(col("id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm")), k, nprobe)
+  }
+
+  private def searchFlatQueries(spark: SparkSession, name: String,
+      base: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.table(part(name, "cents"))
+    val postings = spark.table(part(name, "postings"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cl").asc)
+    val probes = queries.join(broadcast(cents))
+      .select(col("qid"), col("qv"), col("qnrm"), col("cl"),
+        (Vectors.dot(col("qv"), col("cent")) / (col("qnrm") * col("cnrm"))).as("pcos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qv"), col("qnrm"), col("cl"))
+    val pairs = broadcast(probes).join(postings, "cl")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("qnrm"), col("id")).distinct()
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairs.join(base, "id")
+      .select(col("qid"), col("id").as("neighbor_id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        round(col("cos") * 1e6).cast("long").as("cos_micros"))
+  }
+
   /** Search with an explicit query table (qid, qv, qnrm) — the entry
     * point the streaming probe uses ([[graft.streaming.IndexStream]]):
     * query vectors need not be part of the indexed corpus. `base` is

@@ -530,6 +530,32 @@ object Similarity {
        |GROUP BY t.qid""".stripMargin
   }
 
+  /** DuckDB twin of the trained-IVF top-k itself (what
+    * [[ivfTopKTrained]] — and the flat persisted-index search reading
+    * the same artifact — emits): probe the nprobe nearest trained
+    * lists, rank probed candidates by EXACT cosine.
+    */
+  def ivfTrainedTopKSql(id: String, vec: String, seed: String, table: String,
+      queryPredSql: String, k: Int, nprobe: Int, iters: Int,
+      dim: Int, massign: Int = 1): String = {
+    val distinctKw = if (massign > 1) "DISTINCT " else ""
+    s"""${ivfTrainedPrefixSql(id, vec, seed, table, queryPredSql, k, iters, dim, massign)},
+       |probes AS (
+       |  SELECT qid, qv, cl FROM (
+       |    SELECT q.qid, q.qv, c.cl, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${Vectors.cosineSql("q.qv", "c.cent")} DESC, c.cl) AS prn
+       |    FROM q CROSS JOIN cents$iters c) WHERE prn <= $nprobe)
+       |SELECT qid, rank, neighbor_id, cos_micros FROM (
+       |  SELECT qid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, neighbor_id)::BIGINT AS rank,
+       |    neighbor_id, round(cos * 1e6)::BIGINT AS cos_micros FROM (
+       |    SELECT ${distinctKw}p.qid, e.id AS neighbor_id,
+       |      ${Vectors.cosineSql("p.qv", "e.v")} AS cos
+       |    FROM probes p JOIN af a ON a.cl = p.cl
+       |    JOIN e ON e.id = a.id WHERE e.id <> p.qid))
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** DuckDB twin of [[ivfRecall]]: the SAME seeded centroids, the SAME
     * `iters` Lloyd rounds unrolled as CTE stages, the same probe/rank
     * search, and the same brute-force truth — recall values match

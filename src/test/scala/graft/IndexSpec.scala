@@ -56,6 +56,20 @@ class IndexSpec extends AnyFunSuite {
     assert(fromIndex.nonEmpty && fromIndex == inPlan)
   }
 
+  test("flat search over the artifact equals the in-plan trained-IVF top-k") {
+    Index.build(spark, embs, "vec_id", "embedding", "label", "idx_flat",
+      itersIvf = 2, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(tmpBase("flat")))
+    val flat = Index.searchFlat(spark, "idx_flat", embs, "vec_id",
+        "embedding", col("vec_id") < 4, k = 3, nprobe = 3)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val inPlan = Similarity.ivfTopKTrained(embs, "vec_id", "embedding",
+        "label", col("vec_id") < 4, k = 3, nprobe = 3, iters = 2,
+        massign = 2)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(flat.nonEmpty && flat == inPlan)
+  }
+
   test("register re-attaches an index from files in a fresh catalog; search identical, bucket layout preserved") {
     val dir = tmpBase("reg")
     Index.build(spark, embs, "vec_id", "embedding", "label", "idx_reg",
