@@ -491,6 +491,11 @@ case class ArgTopMCos(v: Expression, vnorm: Expression, cents: Expression,
   def compute(varr: ArrayData, vn: Double, cs: ArrayData,
       ns: ArrayData): ArrayData = {
     val nlist = cs.numElements()
+    // explicit shape check: this is SQL-reachable (GraftExtensions) and
+    // an UnsafeArrayData read past the end returns garbage silently
+    if (ns.numElements() < nlist)
+      throw new IllegalArgumentException(
+        s"arg_top_m_cos: ${ns.numElements()} norms for $nlist centroids")
     val take = math.min(m, nlist)
     val bestKey = new Array[Double](take)
     val bestPos = new Array[Int](take)
@@ -551,6 +556,11 @@ case class ArgMinL2(v: Expression, cents: Expression, halves: Expression)
 
   def compute(varr: ArrayData, cs: ArrayData, hs: ArrayData): Int = {
     val nlist = cs.numElements()
+    // explicit shape check: SQL-reachable, and an UnsafeArrayData read
+    // past the end returns garbage silently
+    if (hs.numElements() < nlist)
+      throw new IllegalArgumentException(
+        s"arg_min_l2: ${hs.numElements()} halves for $nlist centroids")
     val x = varr.toDoubleArray()
     var bestKey = Double.PositiveInfinity
     var bestPos = 0

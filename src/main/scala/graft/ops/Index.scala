@@ -62,12 +62,49 @@ object Index {
 
   private def part(name: String, p: String) = s"${name}_$p"
 
-  /** Default external location for the index files: the tables must
-    * outlive any one session's warehouse directory.
+  /** The index's own directory: always namespaced by `name`, so two
+    * indexes sharing a baseDir can never overwrite each other's files.
     */
-  private def dirFor(baseDir: Option[String], name: String, p: String) =
-    baseDir.map(d => s"$d/$p")
-      .orElse(Some(s"${sys.props("java.io.tmpdir")}/graft_index/$name/$p"))
+  private def indexDir(baseDir: Option[String], name: String): String =
+    s"${baseDir.getOrElse(s"${sys.props("java.io.tmpdir")}/graft_index")}/$name"
+
+  // ------------------------------------------------- filesystem helpers
+
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(p)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally s.close()
+    }
+
+  /** Each part's CURRENT data directory is recorded in a pointer file
+    * `<indexDir>/<part>.current` (atomic tmp-write + move), so
+    * [[compact]]'s fresh-location rewrites stay resolvable by
+    * [[register]] across sessions AND across crashes: a compact that
+    * dies before sweeping old directories leaves the pointer
+    * authoritative, and the next compact sweeps every non-current
+    * sibling.
+    */
+  private def writePointer(dir: String, p: String, target: String): Unit = {
+    val tmp = java.nio.file.Paths.get(dir,
+      s".$p.current.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.writeString(tmp, target)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, s"$p.current"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readPointer(dir: String, p: String): String = {
+    val f = java.nio.file.Paths.get(dir, s"$p.current")
+    if (java.nio.file.Files.exists(f)) java.nio.file.Files.readString(f).trim
+    else p // pre-pointer layouts: the canonical directory name
+  }
 
   private[graft] def baseOf(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
     Caching.cachedOnce(
@@ -97,19 +134,41 @@ object Index {
     val cb = Pq.kmeansL2All(tall, ksub, itersPq)
     val codes = Pq.assignL2All(tall, cb)
 
-    def loc(p: String) = dirFor(baseDir, name, p)
+    val dir = indexDir(baseDir, name)
+    def loc(p: String) = s"$dir/$p"
     cents.write.mode("overwrite").format("parquet")
-      .option("path", loc("cents").get).saveAsTable(part(name, "cents"))
+      .option("path", loc("cents")).saveAsTable(part(name, "cents"))
     cb.write.mode("overwrite").format("parquet")
-      .option("path", loc("codebooks").get).saveAsTable(part(name, "codebooks"))
+      .option("path", loc("codebooks")).saveAsTable(part(name, "codebooks"))
     Bucketing.writeBucketed(postings, part(name, "postings"), "cl",
-      nBuckets, loc("postings"))
+      nBuckets, Some(loc("postings")))
     Bucketing.writeBucketed(codes, part(name, "codes"), "id",
-      nBuckets, loc("codes"))
+      nBuckets, Some(loc("codes")))
     Seq((massign, m, ksub, nBuckets))
       .toDF("massign", "m", "ksub", "nBuckets")
       .write.mode("overwrite").format("parquet")
-      .option("path", loc("meta").get).saveAsTable(part(name, "meta"))
+      .option("path", loc("meta")).saveAsTable(part(name, "meta"))
+    // a rebuild re-establishes the canonical layout: re-point every
+    // part (an earlier compact may have moved one aside) and sweep
+    // superseded compaction directories
+    for (p <- Seq("cents", "codebooks", "postings", "codes", "meta")) {
+      writePointer(dir, p, p)
+      sweepStale(dir, p)
+    }
+  }
+
+  /** Delete every sibling directory of part `p` that is not its
+    * current pointer target (superseded compactions, crashed-compact
+    * leftovers).
+    */
+  private def sweepStale(dir: String, p: String): Unit = {
+    val current = readPointer(dir, p)
+    listDir(java.nio.file.Paths.get(dir))
+      .filter(d => java.nio.file.Files.isDirectory(d) && {
+        val n = d.getFileName.toString
+        (n == p || n.startsWith(s"${p}_c")) && n != current
+      })
+      .foreach(deleteRecursively)
   }
 
   private def readMeta(spark: SparkSession, name: String): Meta = {
@@ -125,32 +184,23 @@ object Index {
   /** Re-attach an index BUILT BY A PREVIOUS SESSION from its files:
     * recreates the catalog entries (including the bucketing spec —
     * without it the zero-exchange join layout would be lost) over the
-    * existing location. No data is read or written. This is what makes
-    * the artifact an artifact: build once, serve from any number of
-    * later sessions. [[compact]] leaves each rewritten part in a
-    * `<part>_c<uuid>` sibling directory (fresh-location-then-swap
-    * crash safety) — exactly one candidate directory survives per
-    * part, and registration resolves it.
+    * existing locations, resolved through the per-part pointer files
+    * (so compacted parts are found, and a crashed compact cannot
+    * strand the index). The bucket count comes from the persisted
+    * meta table — a caller-supplied value could silently declare a
+    * false bucket spec and drop join candidates. No data is read or
+    * written beyond metadata. This is what makes the artifact an
+    * artifact: build once, serve from any number of later sessions.
     */
-  def register(spark: SparkSession, name: String, baseDir: String,
-      nBuckets: Int): Unit = {
-    def loc(p: String): String = {
-      val exact = java.nio.file.Paths.get(baseDir, p)
-      if (java.nio.file.Files.exists(exact)) return exact.toString
-      val candidates = java.nio.file.Files.list(java.nio.file.Paths.get(baseDir))
-        .iterator()
-        .asScala
-        .filter(_.getFileName.toString.startsWith(s"${p}_c"))
-        .toSeq
-      require(candidates.size == 1,
-        s"expected exactly one $p directory under $baseDir, found $candidates")
-      candidates.head.toString
-    }
+  def register(spark: SparkSession, name: String, baseDir: String): Unit = {
+    val dir = s"$baseDir/$name"
+    def loc(p: String): String = s"$dir/${readPointer(dir, p)}"
     for (p <- Seq("cents", "codebooks", "meta")) {
       spark.sql(s"DROP TABLE IF EXISTS ${part(name, p)}")
       spark.sql(s"""CREATE TABLE ${part(name, p)} USING parquet
                    |LOCATION '${loc(p)}'""".stripMargin)
     }
+    val nBuckets = readMeta(spark, name).nBuckets
     for ((p, key) <- Seq("postings" -> "cl", "codes" -> "id")) {
       spark.sql(s"DROP TABLE IF EXISTS ${part(name, p)}")
       // a bucketed CREATE TABLE requires an explicit column list —
@@ -199,14 +249,17 @@ object Index {
   /** Offline compaction for an append-heavy index: every [[append]]
     * adds one file per touched bucket, so after many deltas the
     * postings/codes tables hold (appends × buckets) small files.
-    * Rewrites each as ONE file per bucket into a fresh location
-    * (dropping exact-duplicate rows — both tables are sets, so the
-    * only source of duplicates is an at-least-once maintenance
-    * replay, and removing them reclaims that storage), then re-points
-    * the catalog entry and deletes the old directory — search output
-    * unchanged; file count re-pinned to the bucket count. The
-    * fresh-location-then-swap shape means a crash mid-compact leaves
-    * the old table fully intact.
+    * Rewrites each as ONE file per bucket into a fresh sibling
+    * directory (dropping exact-duplicate rows — both tables are sets,
+    * so the only source of duplicates is an at-least-once maintenance
+    * replay, and removing them reclaims that storage), re-points the
+    * catalog entry AND the part's pointer file, then sweeps every
+    * non-current sibling — search output unchanged; file count
+    * re-pinned to the bucket count. Crash-safe at every step: before
+    * the pointer move the old directory is untouched and pointed; a
+    * crash after it leaves an orphan sibling that the sweep of the
+    * NEXT compact (or rebuild) removes, with the pointer authoritative
+    * throughout.
     */
   def compact(spark: SparkSession, name: String): Unit = {
     for ((p, key) <- Seq("postings" -> "cl", "codes" -> "id")) {
@@ -216,27 +269,24 @@ object Index {
           r.relation.asInstanceOf[
             org.apache.spark.sql.execution.datasources.HadoopFsRelation]
       }.getOrElse(sys.error(s"$tbl is not a file-backed table"))
-      val oldDir = scan.location.rootPaths.head.toUri.getPath
+      val oldPath = java.nio.file.Paths.get(scan.location.rootPaths.head.toUri.getPath)
+      val dir = oldPath.getParent.toString
       val nBuckets = scan.bucketSpec.map(_.numBuckets)
         .getOrElse(sys.error(s"$tbl has no bucket spec"))
-      val newDir = s"${oldDir}_c${java.util.UUID.randomUUID().toString.take(8)}"
+      val newName = s"${p}_c${java.util.UUID.randomUUID().toString.take(8)}"
       // read the OLD files by path (overwriting a table being read from
       // is rejected by identity — the path read sidesteps it, and the
       // write targets a fresh directory anyway); repartition on the
       // bucket key (same murmur3 hash family as bucketBy) so each
       // bucket's rows land wholly in one task → one file per bucket
       Bucketing.writeBucketed(
-        spark.read.parquet(oldDir).distinct().repartition(nBuckets, col(key)),
-        tbl, key, nBuckets, Some(newDir))
-      deleteRecursively(java.nio.file.Paths.get(oldDir))
+        spark.read.parquet(oldPath.toString).distinct()
+          .repartition(nBuckets, col(key)),
+        tbl, key, nBuckets, Some(s"$dir/$newName"))
+      writePointer(dir, p, newName)
+      sweepStale(dir, p)
     }
   }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.delete(f))
 
   /** Search the persisted index for the corpus rows selected by
     * `queryPred` — the serve-many side of the split. The plan contains
@@ -279,17 +329,21 @@ object Index {
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("pcos").desc, col("cl").asc)
     val probes = queries.join(broadcast(cents))
-      .select(col("qid"), col("qv"), col("qnrm"), col("cl"),
+      .select(col("qid"), col("cl"),
         (Vectors.dot(col("qv"), col("cent")) / (col("qnrm") * col("cnrm"))).as("pcos"))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("qv"), col("qnrm"), col("cl"))
+      .select(col("qid"), col("cl"))
+    // dedup on the ids alone (the query VECTOR would otherwise ride
+    // every candidate row through the distinct's exchange), then
+    // re-attach the broadcast query table for the exact scoring
     val pairs = broadcast(probes).join(postings, "cl")
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("qnrm"), col("id")).distinct()
+      .select(col("qid"), col("id")).distinct()
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs.join(base, "id")
+      .join(broadcast(queries), "qid")
       .select(col("qid"), col("id").as("neighbor_id"),
         (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(wTop).cast("long"))

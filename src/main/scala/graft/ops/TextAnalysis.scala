@@ -155,6 +155,10 @@ object TextAnalysis {
     docs
       .select(col(idCol).as("doc_id"),
         graft.functions.ArrayExprs.repStats(tokens(col(textCol))).as("s"))
+      // a null text yields a null counter array; the exploded-aggregate
+      // twin (and the shared oracle's unnest) DROP such docs — match,
+      // or the twins' identical-rows contract breaks on null corpora
+      .filter(s.isNotNull)
       .select(col("doc_id"),
         element_at(s, 1).as("n_tokens"),
         element_at(s, 2).as("n_distinct"),

@@ -103,11 +103,14 @@ object StateTable {
   private[graft] final case class Retired(bucket: Int, version: String, gen: Long)
 
   /** Full committed metadata: layout bucket count, monotone commit
-    * generation, live bucket → version map, and the retired versions
-    * still inside their grace window.
+    * generation, live bucket → version map, the retired versions
+    * still inside their grace window, and the table's committed grace
+    * POLICY — stored (like nBuckets) so one caller using a smaller
+    * per-call value cannot silently expire versions other callers
+    * promised to their readers.
     */
   private[graft] final case class Manifest(nBuckets: Option[Int], gen: Long,
-      buckets: Map[Int, String], retired: Seq[Retired])
+      buckets: Map[Int, String], retired: Seq[Retired], grace: Int = 0)
 
   /** (bucket count, bucket → committed version-directory name).
     * Absent file = empty table. The bucket count is part of the
@@ -134,12 +137,13 @@ object StateTable {
         Option(node.get("gen")).map(_.asLong).getOrElse(0L),
         node.get("buckets").properties().asScala
           .map(e => e.getKey.toInt -> e.getValue.asText).toMap,
-        retired)
+        retired,
+        Option(node.get("grace")).map(_.asInt).getOrElse(0))
     }
   }
 
   private def commitManifest(tableDir: String, nBuckets: Int, gen: Long,
-      m: Map[Int, String], retired: Seq[Retired]): Unit = {
+      m: Map[Int, String], retired: Seq[Retired], grace: Int): Unit = {
     val entries = m.toSeq.sortBy(_._1)
       .map { case (b, v) => s""""$b": "$v"""" }.mkString(", ")
     val retEntries = retired.sortBy(r => (r.gen, r.bucket))
@@ -150,15 +154,26 @@ object StateTable {
     val tmp = Paths.get(tableDir,
       s".manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp,
-      s"""{"nBuckets": $nBuckets, "gen": $gen, "buckets": {$entries}, "retired": [$retEntries]}""")
+      s"""{"nBuckets": $nBuckets, "gen": $gen, "grace": $grace, "buckets": {$entries}, "retired": [$retEntries]}""")
     Files.move(tmp, Paths.get(tableDir, "manifest.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  // both helpers CLOSE their directory streams — this code runs once
+  // per micro-batch commit for the life of a query, and unclosed
+  // Files.walk/list handles only surface as fd exhaustion much later
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toVector finally s.close()
+  }
 
   /** The committed winners table (all buckets). */
   def read(spark: SparkSession, tableDir: String): DataFrame = {
@@ -223,9 +238,9 @@ object StateTable {
     withB.repartition(col("b"))
       .write.partitionBy("b").parquet(staging)
 
-    val written = Files.list(Paths.get(staging)).iterator().asScala
+    val written = listDir(Paths.get(staging))
       .filter(p => p.getFileName.toString.startsWith("b="))
-      .map(p => p.getFileName.toString.stripPrefix("b=").toInt -> p).toSeq
+      .map(p => p.getFileName.toString.stripPrefix("b=").toInt -> p)
     val moved = written.map { case (b, src) =>
       val dst = Paths.get(tableDir, s"b$b", version)
       Files.createDirectories(dst.getParent)
@@ -235,13 +250,19 @@ object StateTable {
 
     // the versions this commit supersedes enter the retired set at the
     // new generation; entries whose grace window has elapsed leave it
-    // and their directories are deleted AFTER the manifest swap
+    // and their directories are deleted AFTER the manifest swap. The
+    // effective grace is the LARGER of the call's value and the
+    // table's committed policy — a default-grace caller (e.g. an
+    // operator running compact) can never expire versions a previous
+    // maintainer promised to concurrent readers; an explicit larger
+    // value upgrades the stored policy.
     val gen = st.gen + 1
+    val grace = math.max(graceCommits, st.grace)
     val newlyRetired = moved.keys.toSeq.sorted.flatMap(b =>
       st.buckets.get(b).map(v => Retired(b, v, gen)))
     val (kept, expired) = (st.retired ++ newlyRetired)
-      .partition(r => gen - r.gen < graceCommits)
-    commitManifest(tableDir, nBuckets, gen, st.buckets ++ moved, kept)
+      .partition(r => gen - r.gen < grace)
+    commitManifest(tableDir, nBuckets, gen, st.buckets ++ moved, kept, grace)
 
     // post-commit GC: a touched bucket keeps its committed version and
     // any still-graced retired versions; everything else there is a
@@ -251,7 +272,7 @@ object StateTable {
     val keptByBucket = kept.groupBy(_.bucket)
     moved.foreach { case (b, v) =>
       val keep = keptByBucket.getOrElse(b, Seq.empty).map(_.version).toSet + v
-      Files.list(Paths.get(tableDir, s"b$b")).iterator().asScala
+      listDir(Paths.get(tableDir, s"b$b"))
         .filter(p => !keep.contains(p.getFileName.toString))
         .foreach(deleteRecursively)
     }

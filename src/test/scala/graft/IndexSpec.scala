@@ -85,7 +85,7 @@ class IndexSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE idx_reg_$p")
     assert(!Index.exists(spark, "idx_reg"))
 
-    Index.register(spark, "idx_reg", dir, nBuckets = 4)
+    Index.register(spark, "idx_reg", dir)
     val reattached = Index.search(spark, "idx_reg", embs, "vec_id",
         "embedding", col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
       .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
@@ -102,7 +102,7 @@ class IndexSpec extends AnyFunSuite {
     Index.compact(spark, "idx_reg")
     for (p <- Seq("cents", "codebooks", "meta", "postings", "codes"))
       spark.sql(s"DROP TABLE idx_reg_$p")
-    Index.register(spark, "idx_reg", dir, nBuckets = 4)
+    Index.register(spark, "idx_reg", dir)
     val afterCompact = Index.search(spark, "idx_reg", embs, "vec_id",
         "embedding", col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
       .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
@@ -134,7 +134,7 @@ class IndexSpec extends AnyFunSuite {
     assert(dataFiles("idx_cmp_codes").size == 4)
     assert(search() == before)
     // the old directories are gone; the catalog points at the fresh ones
-    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/postings")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/idx_cmp/postings")))
   }
 
   test("append encodes the delta at fixed centroids: tables equal a from-scratch encode; search matches; untouched files byte-identical") {
@@ -145,15 +145,15 @@ class IndexSpec extends AnyFunSuite {
     Index.build(spark, half1, "vec_id", "embedding", "label", "idx_app",
       itersIvf = 2, massign = 2, m = 16, ksub = 32, itersPq = 1,
       nBuckets = 4, baseDir = Some(dir))
-    val beforePost = fileHashes(s"$dir/postings")
-    val beforeCodes = fileHashes(s"$dir/codes")
+    val beforePost = fileHashes(s"$dir/idx_app/postings")
+    val beforeCodes = fileHashes(s"$dir/idx_app/codes")
 
     Index.append(spark, "idx_app", half2, "vec_id", "embedding")
 
     // committed files are never rewritten: every pre-append file still
     // exists with identical bytes, and the delta landed as NEW files
-    val afterPost = fileHashes(s"$dir/postings")
-    val afterCodes = fileHashes(s"$dir/codes")
+    val afterPost = fileHashes(s"$dir/idx_app/postings")
+    val afterCodes = fileHashes(s"$dir/idx_app/codes")
     assert(beforePost.forall { case (p, h) => afterPost.get(p).contains(h) })
     assert(beforeCodes.forall { case (p, h) => afterCodes.get(p).contains(h) })
     assert(afterPost.size > beforePost.size && afterCodes.size > beforeCodes.size)
