@@ -92,7 +92,14 @@ object Plans {
         |codebooks, LUT and probe/candidate sets ride BroadcastExchanges;
         |the bucketed postings/codes scans feed their joins with no
         |Exchange between scan and join; the exact rerank joins only the
-        |top-`rerank` candidates back to full vectors.""".stripMargin)
+        |top-`rerank` candidates back to full vectors.""".stripMargin,
+    "q_sim_index_flat" ->
+      """Flat (no-PQ) serve path: probe the trained lists, rank probed
+        |candidates by exact cosine — again no training residue; the
+        |candidate dedup shuffles (qid, id) pairs only (the query
+        |vectors re-attach from a BroadcastExchange afterwards), and the
+        |codes tables never appear: the plan reads centroids + postings
+        |+ the corpus.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
