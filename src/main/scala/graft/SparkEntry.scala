@@ -659,6 +659,31 @@ object SparkEntry {
       Curation.contamination(T(s, dir, "documents"), "doc_id", "text",
         col("doc_id") % 20 === 0, k = 3)),
 
+    // Stratified per-source sample with an EXACT quota: the 100
+    // lowest-salted-hash docs of every source — rank-based, unbiased
+    // w.r.t. ingest order, fully reproducible.
+    "q_curate_stratified" -> ((s, dir) =>
+      Curation.stratifiedSample(T(s, dir, "documents"), "doc_id",
+        "source", n = 100)),
+
+    // Dataset card: per-source release summary (docs, tokens,
+    // rank-based median/max length, dominant + distinct languages) —
+    // all integer/rank math, no interpolation.
+    "q_curate_card" -> ((s, dir) =>
+      Curation.datasetCard(T(s, dir, "documents"), "doc_id", "text",
+        "source")),
+
+    // PII scrub: email/phone/IPv4 redaction + per-doc audit counts —
+    // a narrow codegen'd pass at scan speed (regex subset chosen to
+    // behave identically under Java regex and RE2).
+    "q_text_pii" -> ((s, dir) => {
+      val t = col("text")
+      val counts = TextAnalysis.piiCounts.map { case (n, f) => f(t).as(n) }
+      T(s, dir, "documents").select(
+        col("doc_id") +: TextAnalysis.md5Fingerprint(
+          TextAnalysis.piiRedact(t)).as("fp_redacted") +: counts: _*)
+    }),
+
     // Multimodal: binary media column + typed per-partition decode
     // (stub codec — see ops.Multimodal.StubCodec).
     "q_mm_decode" -> ((s, dir) =>
@@ -1072,6 +1097,24 @@ object SparkEntry {
       (Curation.splitLeakageSql("doc_id", "text", "documents",
         k = 3, threshold = 0.2, trainPct = 70, valPct = 15)
         + " ORDER BY split_a, split_b"),
+
+    "q_curate_stratified" ->
+      (Curation.stratifiedSampleSql("doc_id", "source", "documents", n = 100)
+        + " ORDER BY source, rank"),
+
+    "q_curate_card" ->
+      (Curation.datasetCardSql("doc_id", "text", "source", "documents")
+        + " ORDER BY source"),
+
+    "q_text_pii" -> {
+      val counts = TextAnalysis.piiCountsSql("text")
+        .map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  ${TextAnalysis.md5FingerprintSql(TextAnalysis.piiRedactSql("text"))}
+         |    AS fp_redacted,
+         |  $counts
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q_mm_decode" ->
       (Multimodal.decodeSql("documents") + " ORDER BY media_id"),

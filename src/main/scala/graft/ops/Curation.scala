@@ -93,6 +93,101 @@ object Curation {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Stratified per-source sampling with an EXACT quota: the n docs
+    * per source whose salted id-hash ranks lowest (ties by id). Unlike
+    * [[mixSample]] (a keep-RATE decided row-locally) this guarantees
+    * an exact per-stratum COUNT — the "give me exactly 10k docs from
+    * every source" shape used for eval sets and pilot mixes — at the
+    * cost of one rank: a per-source window, the same single wide
+    * stage as [[qualityCalibrate]]. The hash order (not id order)
+    * makes the sample unbiased w.r.t. ingest order yet fully
+    * reproducible; the salt keeps it independent of the split/mix
+    * decisions. Output: (source, doc_id, rank).
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, sourceCol: String,
+      n: Int): DataFrame = {
+    val h = Hashing.hash60(concat(lit("strat_"), col("id").cast("string")))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("id"))
+    docs.select(col(sourceCol).as("source"), col(idCol).as("id"))
+      .withColumn("h", h)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col("source"), col("id").as("doc_id"), col("rank"))
+  }
+
+  def stratifiedSampleSql(id: String, source: String, table: String,
+      n: Int): String =
+    s"""SELECT source, id AS doc_id, rank FROM (
+       |  SELECT $source AS source, $id AS id,
+       |    row_number() OVER (PARTITION BY $source
+       |      ORDER BY ${Hashing.hash60Sql(s"'strat_' || $id::VARCHAR")}, $id
+       |    )::BIGINT AS rank
+       |  FROM $table)
+       |WHERE rank <= $n""".stripMargin
+
+  /** Dataset card: the per-source summary a corpus release publishes —
+    * doc/token counts, rank-based median and max document length, the
+    * dominant predicted language and the number of distinct ones. All
+    * integer/rank math (the median is the ⌈n/2⌉-th smallest token
+    * count — no interpolation), so the oracle compare is exact. One
+    * narrow scoring pass, one per-source window for the median rank,
+    * one partial-agg shuffle for the counts, one tiny per-(source,
+    * lang) agg for the mode — at 100 TB the windows are the only
+    * sort-wide stages and they key on the (bounded) source set.
+    */
+  def datasetCard(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val scored = docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tok"),
+      TextAnalysis.langId(col(textCol)).as("lang"))
+    val wMed = Window.partitionBy(col("source")).orderBy(col("n_tok"), col("id"))
+    val agg = scored.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).cast("long").as("n_tokens"),
+      max(col("n_tok")).as("max_tokens"),
+      countDistinct(col("lang")).as("n_langs"))
+    val med = scored
+      .withColumn("rn", row_number().over(wMed))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rn") === ceil(col("n") / 2.0))
+      .select(col("source"), col("n_tok").as("med_tokens"))
+    val wLang = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("lang").asc)
+    val top = scored.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wLang))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    agg.join(med, "source").join(top, "source")
+  }
+
+  def datasetCardSql(id: String, text: String, source: String,
+      table: String): String =
+    s"""WITH s AS (
+       |  SELECT $source AS source, $id AS id,
+       |    ${TextAnalysis.tokenCountSql(text)} AS n_tok,
+       |    ${TextAnalysis.langIdSql(text)} AS lang
+       |  FROM $table),
+       |a AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |    sum(n_tok)::BIGINT AS n_tokens, max(n_tok)::BIGINT AS max_tokens,
+       |    count(DISTINCT lang)::BIGINT AS n_langs
+       |  FROM s GROUP BY 1),
+       |m AS (
+       |  SELECT source, n_tok AS med_tokens FROM (
+       |    SELECT source, n_tok,
+       |      row_number() OVER (PARTITION BY source ORDER BY n_tok, id) AS rn,
+       |      count(*) OVER (PARTITION BY source) AS n
+       |    FROM s) WHERE rn = ceil(n / 2.0)),
+       |t AS (
+       |  SELECT source, lang AS top_lang FROM (
+       |    SELECT source, lang, row_number() OVER (PARTITION BY source
+       |      ORDER BY count(*) DESC, lang) AS rn
+       |    FROM s GROUP BY source, lang) WHERE rn = 1)
+       |SELECT source, n_docs, n_tokens, max_tokens, n_langs, med_tokens,
+       |  top_lang
+       |FROM a JOIN m USING (source) JOIN t USING (source)""".stripMargin
+
   /** Sequence packing (concat-and-chunk): documents of one source are
     * concatenated in id order and cut into `budget`-token context
     * windows; a doc's bin is the window its FIRST token lands in —

@@ -190,6 +190,51 @@ object TextAnalysis {
        |  coalesce(round(top_bg_n::DOUBLE / n_bigrams * 1e6)::BIGINT, 0) AS top_bigram_micros
        |FROM ua LEFT JOIN ba ON ua.id = ba.id""".stripMargin
 
+  /** PII scrubbing — the redaction pass a training-data pipeline runs
+    * before anything else sees the text. Three pattern families
+    * (emails, international-ish phone numbers, IPv4 addresses) are
+    * replaced with fixed tags, in a FIXED order (email → phone → ip:
+    * replacement text must not be re-matched by a later pattern, and
+    * both engines apply the same order so outputs match exactly).
+    *
+    * The patterns deliberately use only the regex subset with
+    * identical semantics in Java regex (Spark, codegen'd
+    * `regexp_replace`) and RE2 (DuckDB): character classes, bounded
+    * repetition, `\b` word boundaries — no backreferences, no
+    * lookaround, no ambiguous alternation. A narrow per-row pass, zero
+    * shuffle: at 100 TB this runs at scan speed and is the shape the
+    * real pass (more patterns, same operator) would run.
+    */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+  val PiiIpv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  private val PiiPasses = Seq(
+    PiiEmail -> "<EMAIL>", PiiPhone -> "<PHONE>", PiiIpv4 -> "<IP>")
+
+  def piiRedact(text: Column): Column =
+    PiiPasses.foldLeft(text) { case (c, (p, tag)) =>
+      regexp_replace(c, lit(p), lit(tag))
+    }
+
+  def piiRedactSql(e: String): String =
+    PiiPasses.foldLeft(e) { case (s, (p, tag)) =>
+      s"regexp_replace($s, '$p', '$tag', 'g')"
+    }
+
+  /** Per-doc PII hit counts (before redaction) — the audit columns a
+    * scrub pass reports alongside the redacted text.
+    */
+  def piiCounts: Seq[(String, Column => Column)] = Seq(
+    "n_emails" -> ((t: Column) => regexp_count(t, lit(PiiEmail)).cast("long")),
+    "n_phones" -> ((t: Column) => regexp_count(t, lit(PiiPhone)).cast("long")),
+    "n_ips" -> ((t: Column) => regexp_count(t, lit(PiiIpv4)).cast("long")))
+
+  def piiCountsSql(e: String): Seq[(String, String)] = Seq(
+    "n_emails" -> s"len(regexp_extract_all($e, '$PiiEmail'))::BIGINT",
+    "n_phones" -> s"len(regexp_extract_all($e, '$PiiPhone'))::BIGINT",
+    "n_ips" -> s"len(regexp_extract_all($e, '$PiiIpv4'))::BIGINT")
+
   /** Content fingerprint: md5 of the whitespace-normalized, lowercased
     * text — the exact-dedup key.
     */

@@ -396,4 +396,63 @@ class OpsSpec extends AnyFunSuite {
     assert(feats.map(_.feat_val).toSeq == (0 until 8).map(j =>
       java.lang.Long.parseLong(hex.substring(j * 4, j * 4 + 4), 16)))
   }
+
+  test("pii redaction replaces emails, phones and ips; counts audit them") {
+    val d = Seq(
+      (0L, "mail me at jane.doe+x@example.co.uk or call 555-123-4567 now"),
+      (1L, "server at 10.0.255.3 and 192.168.1.1 no contact"),
+      (2L, "plain text with no pii at all"))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextAnalysis.piiRedact(col("text")).as("red"),
+        TextAnalysis.piiCounts.head._2(col("text")).as("n_emails"),
+        TextAnalysis.piiCounts(1)._2(col("text")).as("n_phones"),
+        TextAnalysis.piiCounts(2)._2(col("text")).as("n_ips"))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out(0)._2 == "mail me at <EMAIL> or call <PHONE> now")
+    assert((out(0)._3, out(0)._4, out(0)._5) == (1L, 1L, 0L))
+    assert(out(1)._2 == "server at <IP> and <IP> no contact")
+    assert((out(1)._3, out(1)._4, out(1)._5) == (0L, 0L, 2L))
+    assert(out(2)._2 == "plain text with no pii at all")
+    assert((out(2)._3, out(2)._4, out(2)._5) == (0L, 0L, 0L))
+  }
+
+  test("stratified sample takes an exact per-source quota, reproducibly") {
+    val many = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(3))).as("source"))
+    val out = Curation.stratifiedSample(many, "doc_id", "source", n = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.groupBy(_._1).view.mapValues(_.length).toMap ==
+      Map("s0" -> 5, "s1" -> 5, "s2" -> 5))
+    assert(out.forall(_._3 <= 5))
+    // deterministic: a rerun picks the identical docs
+    val again = Curation.stratifiedSample(many, "doc_id", "source", n = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+    // quota larger than the stratum → the whole stratum
+    val all = Curation.stratifiedSample(many, "doc_id", "source", n = 1000)
+    assert(all.count() == 100)
+  }
+
+  test("dataset card: rank-based median, dominant language, exact counts") {
+    val d = Seq(
+      (0L, "the of and", "a"),     // 3 tokens, en
+      (1L, "the one", "a"),        // 2 tokens, en
+      (2L, "two words and", "a"),  // 3 tokens, en
+      (3L, "der und ist ein x", "b")) // 5 tokens, de
+      .toDF("doc_id", "text", "source")
+    val card = Curation.datasetCard(d, "doc_id", "text", "source")
+      .orderBy("source").collect()
+    val a = card(0)
+    assert(a.getAs[String]("source") == "a")
+    assert(a.getAs[Long]("n_docs") == 3L && a.getAs[Long]("n_tokens") == 8L)
+    // sorted token counts (2, 3, 3): median rank ceil(3/2)=2 → 3
+    assert(a.getAs[Long]("med_tokens") == 3L)
+    assert(a.getAs[Long]("max_tokens") == 3L)
+    assert(a.getAs[String]("top_lang") == "en")
+    val b = card(1)
+    assert(b.getAs[Long]("n_docs") == 1L && b.getAs[Long]("med_tokens") == 5L)
+    assert(b.getAs[String]("top_lang") == "de")
+  }
 }
