@@ -492,6 +492,19 @@ object SparkEntry {
         "embedding", col("vec_id") < 8, k = 5)
         ),
 
+    // Scalar quantization (SQ8): 1 byte/dim codes against per-dim
+    // corpus ranges; brute-force integer code-dot scan + exact rerank
+    // of the top-40 — the 4×-memory-cut middle ground between full
+    // vectors and PQ's 16×.
+    "q_sim_sq" -> ((s, dir) =>
+      Sq.topK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, rerank = 40)),
+
+    // SQ quality: recall@5 vs the brute-force truth.
+    "q_sim_sq_recall" -> ((s, dir) =>
+      Sq.recall(T(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, rerank = 40)),
+
     // Random-hyperplane LSH near-neighbor pairs: 4 tables × 4 sign
     // bits, candidates verified at cosine ≥ 0.4.
     "q_sim_rplsh" -> ((s, dir) =>
@@ -1006,6 +1019,14 @@ object SparkEntry {
     "q_sim_topk" ->
       (Similarity.bruteForceTopKSql("vec_id", "embedding", "embeddings",
         "id < 8", k = 5) + " ORDER BY qid, rank"),
+
+    "q_sim_sq" ->
+      (Sq.topKSql("vec_id", "embedding", "embeddings",
+        "id < 8", k = 5, rerank = 40) + " ORDER BY qid, rank"),
+
+    "q_sim_sq_recall" ->
+      (Sq.recallSql("vec_id", "embedding", "embeddings",
+        "id < 8", k = 5, rerank = 40) + " ORDER BY qid"),
 
     "q_sim_rplsh_recall" ->
       (Similarity.rpLshRecallSweepSql("vec_id", "embedding", "embeddings",

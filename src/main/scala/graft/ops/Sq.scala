@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (SQ8) for embedding columns: each dimension is
+  * linearly mapped to an 8-bit code against the corpus' per-dimension
+  * [min, max] range — 1 byte per dimension instead of 4 (float32), the
+  * standard "cheap 4× memory cut" between full vectors and PQ's 16×.
+  *
+  * Search = brute-force ASYMMETRIC scan — the exact query vector
+  * against midpoint RECONSTRUCTIONS of the 1-byte corpus codes
+  * (x̂_d = lo_d + (code_d + ½)·span_d/255; scoring raw code dots was
+  * measured and rejected: the per-dim `lo` shift makes a code dot an
+  * affine-biased, non-monotone proxy for cosine — recall@5 ≈ 0.3 vs
+  * ≈ 1.0 reconstructed) — then exact-cosine rerank of the
+  * top-`rerank` candidates, exactly the PQ/IVF rerank contract:
+  * output cosines are EXACT, only the candidate cut is approximate.
+  *
+  * == Determinism contract (oracle-exact, like the rest of the ANN
+  * family) ==
+  *
+  *  - ranges are computed on MICRO-quantized values (round(x·1e6) —
+  *    exact integers in doubles), so min/max agree bit-for-bit;
+  *  - codes are floor((xm − lo)·255 / max(1, hi − lo)): the numerator
+  *    is an exact integer < 2^30 in a double, the quotient's double
+  *    rounding error (< 1e-7 relative) is smaller than the 1/(hi−lo)
+  *    gap between representable quotient values, so floor is exact on
+  *    both engines — both compute the identical integer code;
+  *  - reconstruction and the approximate cosine are the SAME
+  *    expression shape on both engines (sequential folds via the
+  *    native codegen'd [[graft.functions.ArrayExprs.dotProduct]] /
+  *    DuckDB list_reduce), and the candidate-cut key is quantized to
+  *    micros before ranking (house ANN contract), so the cut is
+  *    bit-identical.
+  *
+  * == 100 TB shape ==
+  *
+  * Training is ONE partial-aggregated shuffle of 64 (dim, min, max)
+  * rows; the 64-entry range table broadcasts; encoding is a narrow
+  * map co-partitioned with the scan. The scored scan is queries ⨝
+  * corpus with the query side broadcast — the corpus never shuffles;
+  * only the per-query rank windows see score rows. Store the codes
+  * bucketed ([[Index]]-style) and the scan reads 1-byte-per-dim
+  * column chunks — the IO-bound regime SQ is built for.
+  */
+object Sq {
+
+  private def baseOf(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Caching.cachedOnce(
+      embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", Vectors.norm(col("v"))))
+
+  private def microsOf(v: Column): Column = transform(v, x => round(x * 1e6))
+
+  /** Per-dimension [lo, hi] micro ranges collapsed to ONE broadcastable
+    * row of parallel arrays (los, his), ordered by dimension.
+    */
+  private def rangesOf(base: DataFrame, dim: Int): DataFrame =
+    base
+      .select(posexplode(microsOf(col("v"))).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(array_sort(collect_list(struct(col("d"), col("lo"), col("hi")))).as("rs"))
+      .select(
+        transform(col("rs"), r => r.getField("lo")).as("los"),
+        transform(col("rs"), r => r.getField("hi")).as("his"))
+
+  /** (id, v, nrm, code): the corpus with its SQ8 code array attached —
+    * a narrow map against the broadcast range row. The encode HOF is
+    * interpreted (transform is CodegenFallback) but runs once per
+    * corpus row at build time; the search-time hot loop is the native
+    * codegen'd code dot.
+    */
+  private def encoded(base: DataFrame, ranges: DataFrame, dim: Int): DataFrame =
+    base.join(broadcast(ranges))
+      .withColumn("code",
+        transform(sequence(lit(1), lit(dim)), i =>
+          floor((element_at(microsOf(col("v")), i) - element_at(col("los"), i)) * 255.0 /
+            greatest(lit(1.0), element_at(col("his"), i) - element_at(col("los"), i))))
+          .cast("array<double>"))
+      .select(col("id"), col("v"), col("nrm"), col("code"),
+        col("los"), col("his"))
+
+  /** SQ8 top-k with exact rerank.
+    * Output: (qid, rank, neighbor_id, cos_micros) — exact cosines;
+    * only the candidate cut (by code-dot, top-`rerank`) is approximate.
+    */
+  def topK(embs: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, rerank: Int, dim: Int = 64): DataFrame = {
+    val base = baseOf(embs, idCol, vecCol)
+    val ranges = rangesOf(base, dim)
+    val c = encoded(base, ranges, dim)
+    // asymmetric search: queries keep their EXACT vectors (only the
+    // corpus side is quantized) — the standard SQ distance computer
+    val queries = base.filter(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+
+    // the 1-byte-scan stage: midpoint-reconstruct each corpus code
+    // in MICRO units (all inputs exact integers in doubles; identical
+    // expression on the oracle side) and score the exact query vector
+    // against it — approximate cosine, quantized to micros for the cut
+    val recon = transform(sequence(lit(1), lit(dim)), i =>
+      element_at(col("los"), i) +
+        (element_at(col("code"), i) + lit(0.5)) *
+          greatest(lit(1.0), element_at(col("his"), i) - element_at(col("los"), i)) / 255.0)
+    val wCand = Window.partitionBy(col("qid"))
+      .orderBy(col("akey").desc, col("id").asc)
+    val cands = c.join(broadcast(queries.select(col("qid"), col("qv"), col("qnrm"))),
+        col("id") =!= col("qid"))
+      .withColumn("rv", recon)
+      .select(col("qid"), col("id"),
+        round(Vectors.dot(col("qv"), col("rv")) /
+          (col("qnrm") * Vectors.norm(col("rv"))) * 1e6).as("akey"))
+      .withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= rerank)
+      .select(col("qid"), col("id"))
+
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(cands)
+      .join(base, "id")
+      .join(broadcast(queries.select(col("qid"), col("qv"), col("qnrm"))), "qid")
+      .select(col("qid"), col("id").as("neighbor_id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        round(col("cos") * 1e6).cast("long").as("cos_micros"))
+  }
+
+  /** Recall@k of [[topK]] vs the brute-force truth, per query —
+    * the quality audit ([[Similarity]]/[[Pq]] recall contract).
+    */
+  def recall(embs: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, rerank: Int, dim: Int = 64): DataFrame = {
+    val truth = Similarity.bruteForceTopK(embs, idCol, vecCol, queryPred, k)
+      .select(col("qid"), col("neighbor_id"))
+    val got = topK(embs, idCol, vecCol, queryPred, k, rerank, dim)
+      .select(col("qid"), col("neighbor_id"))
+    truth.join(got, Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      .select(col("qid"),
+        round(col("hits").cast("double") / k * 1e6).cast("long")
+          .as("recall_micros"))
+  }
+
+  // ------------------------------------------------------------ oracle
+
+  private def codeSql(xm: String, los: String, his: String, dim: Int): String =
+    s"[floor(($xm[i] - $los[i]) * 255.0 / greatest(1.0, $his[i] - $los[i])) " +
+      s"for i in range(1, ${dim + 1})]"
+
+  /** Shared CTE prefix: encode, score by code dot, cut to `rerank`,
+    * exact-cosine the candidates (CTE `f`).
+    */
+  private def prefixSql(id: String, vec: String, table: String,
+      queryPredSql: String, rerank: Int, dim: Int): String =
+    s"""WITH e AS (SELECT $id AS id, ${Vectors.toDoubleSql(vec)} AS v FROM $table),
+       |x AS (SELECT id, v, [round(y * 1e6) for y in v] AS xm FROM e),
+       |mm AS (
+       |  SELECT d, min(xm[d + 1]) AS lo, max(xm[d + 1]) AS hi
+       |  FROM x CROSS JOIN range(0, $dim) t(d) GROUP BY 1),
+       |a AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his
+       |      FROM mm),
+       |c AS (SELECT id, v, ${codeSql("xm", "los", "his", dim)} AS code,
+       |        los, his
+       |      FROM x, a),
+       |q AS (SELECT id AS qid, v AS qv, ${Vectors.normSql("v")} AS qnrm
+       |      FROM x WHERE $queryPredSql),
+       |s AS (
+       |  SELECT qid, id, qv, nv, round(${Vectors.dotSql("qv", "rv")} /
+       |      (qnrm * ${Vectors.normSql("rv")}) * 1e6) AS akey
+       |  FROM (
+       |    SELECT qid, c.id AS id, qv, qnrm, c.v AS nv,
+       |      [c.los[i] + (c.code[i] + 0.5) * greatest(1.0, c.his[i] - c.los[i]) / 255.0
+       |       for i in range(1, ${dim + 1})] AS rv
+       |    FROM q JOIN c ON c.id <> qid)),
+       |cand AS (
+       |  SELECT qid, id, qv, nv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY akey DESC, id) AS crn FROM s) WHERE crn <= $rerank),
+       |f AS (
+       |  SELECT qid, id AS neighbor_id, ${Vectors.cosineSql("qv", "nv")} AS cos
+       |  FROM cand),
+       |r AS (SELECT qid, neighbor_id, cos, row_number() OVER (
+       |        PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM f)""".stripMargin
+
+  def topKSql(id: String, vec: String, table: String,
+      queryPredSql: String, k: Int, rerank: Int, dim: Int = 64): String =
+    s"""${prefixSql(id, vec, table, queryPredSql, rerank, dim)}
+       |SELECT qid, rank::BIGINT AS rank, neighbor_id,
+       |  round(cos * 1e6)::BIGINT AS cos_micros
+       |FROM r WHERE rank <= $k""".stripMargin
+
+  /** Twin of [[recall]]: the truth ranking reuses the prefix's `e`/`q`
+    * CTEs; hits join INNER (a zero-hit query drops out on both
+    * engines — the Spark semi-join + groupBy does the same).
+    */
+  def recallSql(id: String, vec: String, table: String,
+      queryPredSql: String, k: Int, rerank: Int, dim: Int = 64): String =
+    s"""${prefixSql(id, vec, table, queryPredSql, rerank, dim)},
+       |got AS (SELECT qid, neighbor_id FROM r WHERE rank <= $k),
+       |tsc AS (
+       |  SELECT qid, e.id AS neighbor_id, ${Vectors.cosineSql("qv", "e.v")} AS cos
+       |  FROM q JOIN e ON e.id <> qid),
+       |truth AS (
+       |  SELECT qid, neighbor_id FROM (
+       |    SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, neighbor_id) AS rank FROM tsc) WHERE rank <= $k)
+       |SELECT t.qid, round(count(*)::DOUBLE / $k * 1e6)::BIGINT AS recall_micros
+       |FROM truth t JOIN got g USING (qid, neighbor_id)
+       |GROUP BY 1""".stripMargin
+}

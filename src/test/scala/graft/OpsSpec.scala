@@ -88,6 +88,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("SQ8 top-k with full rerank budget equals the brute-force truth") {
+    val embs = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(1f, 0.1f), 0),
+      (2L, Seq(0.5f, 0.5f), 0),
+      (3L, Seq(0f, 1f), 0),
+      (4L, Seq(0.9f, 0.2f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val truth = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 3)
+      .select("rank", "neighbor_id", "cos_micros")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // rerank >= corpus: the exact rerank sees every candidate, so the
+    // output must match brute force EXACTLY (incl. exact cos_micros)
+    val got = Sq.topK(embs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 3, rerank = 10, dim = 2)
+      .select("rank", "neighbor_id", "cos_micros")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == truth)
+    // tight rerank budget still finds the top-1 here, and recall
+    // reports hits/k honestly
+    val rec = Sq.recall(embs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 3, rerank = 10, dim = 2)
+      .select("qid", "recall_micros").as[(Long, Long)].collect().toMap
+    assert(rec == Map(0L -> 1000000L))
+  }
+
   test("trained k-means: separable clusters → perfect recall; empty clusters kept") {
     // two tight clusters around (1,0) and (0,1); labels deliberately
     // MISassign one point — training must pull assignments right
