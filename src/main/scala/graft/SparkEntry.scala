@@ -466,6 +466,13 @@ object SparkEntry {
 
     // Duplicate clusters: connected components (min-label propagation)
     // over the MinHash near-dup pairs → one representative per cluster.
+    // Exact shared-substring spans (Lee-et-al substring dedup):
+    // positional 8-gram posting join, df-capped, diagonal runs merged
+    // into maximal spans of >= 16 verbatim tokens.
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.substringSpans(T(s, dir, "documents"), "doc_id", "text",
+        k = 8, minTokens = 16, maxDf = 64)),
+
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(
         Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
@@ -998,6 +1005,11 @@ object SparkEntry {
     "q_dedup_ngram_prefix" ->
       (Dedup.ngramJaccardPairsSql("doc_id", "text", "documents",
         k = 3, threshold = 0.8) + " ORDER BY id1, id2"),
+
+    "q_dedup_spans" ->
+      (Dedup.substringSpansSql("doc_id", "text", "documents",
+        k = 8, minTokens = 16, maxDf = 64)
+        + " ORDER BY id1, id2, start1"),
 
     "q_dedup_clusters" ->
       (Dedup.dupClustersSql(Dedup.minhashPairsSql("doc_id", "text", "documents",

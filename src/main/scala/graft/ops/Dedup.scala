@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline surface (builder
@@ -574,5 +575,97 @@ object Dedup {
        |  ${Vectors.cosineMicrosSql("l.v", "r.v")} AS cos_micros
        |FROM base l JOIN base r ON l.blk = r.blk AND l.id < r.id
        |WHERE ${Vectors.cosineMicrosSql("l.v", "r.v")} >= ${(threshold * 1e6).toLong}""".stripMargin
+  }
+
+  // ------------------------------------------- exact substring spans
+
+  /** Exact shared-substring spans across documents (the
+    * substring-level dedup of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better": long VERBATIM repeats matter even
+    * between documents whose set similarity is low — a quoted license
+    * block inside two otherwise-unrelated pages is invisible to
+    * Jaccard but is exactly the memorization hazard).
+    *
+    * Method: positional k-token grams (position kept, NOT the
+    * distinct-set shingles the Jaccard family uses) → posting join on
+    * the gram hash → a shared span of L ≥ k tokens appears as L−k+1
+    * consecutive matches on one DIAGONAL (p1 − p2 constant); an
+    * islands-and-gaps window (island = p1 − row_number per diagonal)
+    * merges each run into ONE maximal span row:
+    * (id1, id2, start1, start2, span_tokens), span_tokens ≥ minTokens.
+    *
+    * == 100 TB shape ==
+    *
+    * Cost ∝ matched gram OCCURRENCES, never |docs|²: the posting join
+    * keys on 8-byte gram hashes, and grams whose DOCUMENT frequency
+    * exceeds `maxDf` are dropped before the join (ubiquitous
+    * boilerplate grams are the skew axis here, exactly like X4's
+    * stopword postings — a gram in >maxDf docs contributes quadratic
+    * pairs and no dedup signal; spans crossing a dropped gram split
+    * conservatively). The window keys on (id1, id2, diagonal) — the
+    * pair spread — after the join has already cut the volume. Both
+    * stages partial-aggregate/shuffle on long keys only.
+    */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minTokens: Int, maxDf: Int): DataFrame = {
+    val posts = Caching.cachedOnce(docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("ts"))
+      .select(col("id"), col("ts"),
+        explode(when(size(col("ts")) >= k,
+          sequence(lit(1), size(col("ts")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col("id"), col("p"),
+        Hashing.hash60(concat_ws(" ", slice(col("ts"), col("p"), lit(k))))
+          .as("h")))
+    // document frequency per gram — drop boilerplate grams BEFORE the
+    // self-join (the grams are the join's skew axis)
+    val keep = posts.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("h"))
+    val kept = posts.join(keep, "h")
+    val matches = kept.as("l")
+      .join(kept.as("r"), col("l.h") === col("r.h") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.p").as("p1"), col("r.p").as("p2"))
+    val wDiag = Window.partitionBy(col("id1"), col("id2"), col("diag"))
+      .orderBy(col("p1"))
+    matches
+      .withColumn("diag", col("p1") - col("p2"))
+      .withColumn("isl", col("p1") - row_number().over(wDiag))
+      .groupBy(col("id1"), col("id2"), col("diag"), col("isl"))
+      .agg(min(col("p1")).as("start1"), min(col("p2")).as("start2"),
+        (count(lit(1)) + (k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select(col("id1"), col("id2"),
+        col("start1").cast("long").as("start1"),
+        col("start2").cast("long").as("start2"),
+        col("span_tokens").cast("long").as("span_tokens"))
+  }
+
+  def substringSpansSql(id: String, text: String, table: String,
+      k: Int, minTokens: Int, maxDf: Int): String = {
+    val ws = TextAnalysis.tokensSql(text)
+    val gram = (0 until k).map(o => s"ts[p + $o]").mkString("concat_ws(' ', ", ", ", ")")
+    s"""WITH d AS (SELECT $id AS id, $ws AS ts FROM $table),
+       |posts AS (
+       |  SELECT id, unnest(generate_series(1, len(ts) - ${k - 1})) AS p, ts
+       |  FROM d WHERE len(ts) >= $k),
+       |g AS (SELECT id, p, ${Hashing.hash60Sql(gram)} AS h FROM posts),
+       |keep AS (SELECT h FROM g GROUP BY h
+       |         HAVING count(DISTINCT id) <= $maxDf),
+       |kg AS (SELECT g.* FROM g JOIN keep USING (h)),
+       |m AS (
+       |  SELECT l.id AS id1, r.id AS id2, l.p AS p1, r.p AS p2,
+       |    l.p - r.p AS diag
+       |  FROM kg l JOIN kg r ON l.h = r.h AND l.id < r.id),
+       |isl AS (
+       |  SELECT *, p1 - row_number() OVER (
+       |    PARTITION BY id1, id2, diag ORDER BY p1) AS isl
+       |  FROM m)
+       |SELECT id1, id2, min(p1)::BIGINT AS start1, min(p2)::BIGINT AS start2,
+       |  (count(*) + ${k - 1})::BIGINT AS span_tokens
+       |FROM isl GROUP BY id1, id2, diag, isl
+       |HAVING count(*) + ${k - 1} >= $minTokens""".stripMargin
   }
 }

@@ -424,6 +424,29 @@ class OpsSpec extends AnyFunSuite {
       java.lang.Long.parseLong(hex.substring(j * 4, j * 4 + 4), 16)))
   }
 
+  test("substring spans: maximal verbatim run found with exact boundaries") {
+    // doc 0 and 1 share tokens 4..13 of doc0 (a 10-token verbatim run
+    // starting at position 2 of doc1); elsewhere unrelated
+    val shared = (1 to 10).map(i => s"common$i").mkString(" ")
+    val d = Seq(
+      (0L, s"alpha beta gamma $shared tail0 tail1"),
+      (1L, s"intro $shared out0 out1 out2"),
+      (2L, "totally unrelated words only here"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(d, "doc_id", "text",
+        k = 3, minTokens = 5, maxDf = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // one maximal span: doc0 pos 4 (1-based), doc1 pos 2, 10 tokens
+    assert(spans == Seq((0L, 1L, 4L, 2L, 10L)))
+    // below minTokens → silent
+    assert(Dedup.substringSpans(d, "doc_id", "text",
+      k = 3, minTokens = 11, maxDf = 10).count() == 0)
+    // df cap: a gram in every doc is dropped; with maxDf = 1 nothing
+    // can ever match (every matched gram is in >= 2 docs)
+    assert(Dedup.substringSpans(d, "doc_id", "text",
+      k = 3, minTokens = 5, maxDf = 1).count() == 0)
+  }
+
   test("pii redaction replaces emails, phones and ips; counts audit them") {
     val d = Seq(
       (0L, "mail me at jane.doe+x@example.co.uk or call 555-123-4567 now"),
