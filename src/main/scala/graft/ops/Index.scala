@@ -83,27 +83,79 @@ object Index {
       finally s.close()
     }
 
-  /** Each part's CURRENT data directory is recorded in a pointer file
-    * `<indexDir>/<part>.current` (atomic tmp-write + move), so
-    * [[compact]]'s fresh-location rewrites stay resolvable by
-    * [[register]] across sessions AND across crashes: a compact that
-    * dies before sweeping old directories leaves the pointer
-    * authoritative, and the next compact sweeps every non-current
-    * sibling.
+  /** Each part's committed metadata lives in ONE file
+    * `<indexDir>/<part>.current`, replaced by atomic tmp-write + move —
+    * the part's single commit point (the [[graft.streaming.StateTable]]
+    * manifest shape): the CURRENT data directory, a monotone commit
+    * generation, the retired directories still inside their grace
+    * window, and the committed grace policy. Every maintenance path
+    * ([[build]], [[appendCommitted]], [[compact]]) moves through it, so
+    * [[register]] resolves the right directory across sessions AND
+    * across crashes — a maintenance run that dies before sweeping old
+    * directories leaves the state file authoritative, and the next
+    * commit sweeps every non-current, non-graced sibling.
+    *
+    * Legacy content (a bare directory name from earlier layouts) is
+    * read as generation 0 with no retired entries.
     */
-  private def writePointer(dir: String, p: String, target: String): Unit = {
+  private[graft] final case class PartState(current: String, gen: Long,
+      retired: Seq[(String, Long)], grace: Int)
+
+  private[graft] def loadPart(dir: String, p: String): PartState = {
+    val f = java.nio.file.Paths.get(dir, s"$p.current")
+    if (!java.nio.file.Files.exists(f)) PartState(p, 0L, Seq.empty, 0)
+    else {
+      val s = java.nio.file.Files.readString(f).trim
+      if (!s.startsWith("{")) PartState(s, 0L, Seq.empty, 0)
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+        val retired = Option(node.get("retired")).toSeq
+          .flatMap(_.elements().asScala)
+          .map(r => (r.get("d").asText, r.get("gen").asLong))
+        PartState(node.get("current").asText,
+          Option(node.get("gen")).map(_.asLong).getOrElse(0L),
+          retired,
+          Option(node.get("grace")).map(_.asInt).getOrElse(0))
+      }
+    }
+  }
+
+  private def writePartState(dir: String, p: String, st: PartState): Unit = {
+    val retired = st.retired
+      .map { case (d, g) => s"""{"d": "$d", "gen": $g}""" }.mkString(", ")
     val tmp = java.nio.file.Paths.get(dir,
       s".$p.current.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-    java.nio.file.Files.writeString(tmp, target)
+    java.nio.file.Files.writeString(tmp,
+      s"""{"current": "${st.current}", "gen": ${st.gen}, "grace": ${st.grace}, "retired": [$retired]}""")
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, s"$p.current"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def readPointer(dir: String, p: String): String = {
-    val f = java.nio.file.Paths.get(dir, s"$p.current")
-    if (java.nio.file.Files.exists(f)) java.nio.file.Files.readString(f).trim
-    else p // pre-pointer layouts: the canonical directory name
+  private def readPointer(dir: String, p: String): String =
+    loadPart(dir, p).current
+
+  /** Commit `newDir` as part `p`'s current directory: one atomic state
+    * swap, then GC. The previous current enters the retired list at
+    * the new generation; entries whose grace window elapsed leave it
+    * and their directories are deleted AFTER the swap — a reader that
+    * resolved a recent state file keeps its files for `grace` further
+    * commits (the [[graft.streaming.StateTable]] reader-snapshot
+    * contract). The effective grace is the larger of the call's value
+    * and the committed policy, so a default-grace maintenance call can
+    * never expire versions a previous maintainer promised.
+    */
+  private def commitPart(dir: String, p: String, newDir: String,
+      graceCommits: Int): Unit = {
+    val st = loadPart(dir, p)
+    val gen = st.gen + 1
+    val grace = math.max(graceCommits, st.grace)
+    val (kept, expired) = (st.retired :+ (st.current, gen))
+      .partition { case (_, g) => gen - g < grace }
+    writePartState(dir, p, PartState(newDir, gen, kept, grace))
+    expired.foreach { case (d, _) =>
+      deleteRecursively(java.nio.file.Paths.get(dir, d)) }
+    sweepStale(dir, p)
   }
 
   private[graft] def baseOf(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -148,27 +200,37 @@ object Index {
       .toDF("massign", "m", "ksub", "nBuckets")
       .write.mode("overwrite").format("parquet")
       .option("path", loc("meta")).saveAsTable(part(name, "meta"))
-    // a rebuild re-establishes the canonical layout: re-point every
-    // part (an earlier compact may have moved one aside) and sweep
-    // superseded compaction directories
+    // a rebuild re-establishes the canonical layout: reset every
+    // part's state (an earlier compact/append may have moved one
+    // aside) and sweep superseded generation directories. A rebuild is
+    // a NEW index — it does not extend grace promises of the one it
+    // replaces (retrain cadence is an offline, coordinated act).
     for (p <- Seq("cents", "codebooks", "postings", "codes", "meta")) {
-      writePointer(dir, p, p)
+      writePartState(dir, p, PartState(p, 0L, Seq.empty, 0))
       sweepStale(dir, p)
     }
   }
 
-  /** Delete every sibling directory of part `p` that is not its
-    * current pointer target (superseded compactions, crashed-compact
-    * leftovers).
+  /** Delete every sibling directory of part `p` that is neither its
+    * current state target nor a still-graced retiree (superseded
+    * generations past their window, crashed-attempt leftovers), plus
+    * any crashed staging entries for the part (single-writer contract:
+    * nothing of `p`'s can be legitimately in flight during a commit).
     */
   private def sweepStale(dir: String, p: String): Unit = {
-    val current = readPointer(dir, p)
+    val st = loadPart(dir, p)
+    val keep = st.retired.map(_._1).toSet + st.current
     listDir(java.nio.file.Paths.get(dir))
       .filter(d => java.nio.file.Files.isDirectory(d) && {
         val n = d.getFileName.toString
-        (n == p || n.startsWith(s"${p}_c")) && n != current
+        (n == p || n.startsWith(s"${p}_")) && !keep.contains(n)
       })
       .foreach(deleteRecursively)
+    val staging = java.nio.file.Paths.get(dir, ".staging")
+    if (java.nio.file.Files.exists(staging))
+      listDir(staging)
+        .filter(_.getFileName.toString.startsWith(s"${p}_"))
+        .foreach(deleteRecursively)
   }
 
   private def readMeta(spark: SparkSession, name: String): Meta = {
@@ -201,16 +263,8 @@ object Index {
                    |LOCATION '${loc(p)}'""".stripMargin)
     }
     val nBuckets = readMeta(spark, name).nBuckets
-    for ((p, key) <- Seq("postings" -> "cl", "codes" -> "id")) {
-      spark.sql(s"DROP TABLE IF EXISTS ${part(name, p)}")
-      // a bucketed CREATE TABLE requires an explicit column list —
-      // recover it from the files' own schema (metadata-only read)
-      val cols = spark.read.parquet(loc(p)).schema.toDDL
-      spark.sql(
-        s"""CREATE TABLE ${part(name, p)} ($cols) USING parquet
-           |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
-           |LOCATION '${loc(p)}'""".stripMargin)
-    }
+    for ((p, key) <- Seq("postings" -> "cl", "codes" -> "id"))
+      attachBucketed(spark, name, p, key, nBuckets, loc(p))
   }
 
   /** (postings, codes) of `embs` encoded at the STORED centroids and
@@ -246,6 +300,109 @@ object Index {
     Bucketing.appendBucketed(codes, part(name, "codes"), "id", meta.nBuckets)
   }
 
+  /** [[append]] with ATOMIC visibility and reader snapshots — the
+    * delta is published as a fresh GENERATION directory committed
+    * through the part state file, never by dripping files into the
+    * live directory:
+    *
+    *  1. the encoded delta is bucket-written to `.staging/<uuid>`;
+    *  2. a new generation directory is populated with HARD LINKS to
+    *     every committed file of the current generation plus the
+    *     staged delta files (metadata-only on a posix store — this
+    *     directory IS a manifest of immutable files, materialized as
+    *     links; on an object store the same commit writes the file
+    *     list instead, exactly the Delta/Iceberg shape. Data is never
+    *     copied: parquet files are immutable once written);
+    *  3. one atomic state-file swap makes the generation current
+    *     ([[commitPart]]), retiring the previous one under the grace
+    *     window.
+    *
+    * What this buys over [[append]] (whose delta files appear one by
+    * one in the live directory):
+    *  - a crash mid-append leaves NO trace in the served index (the
+    *    state file still names the old generation; orphans are swept
+    *    on the next commit) — with in-place append a half-landed
+    *    delta is visible immediately;
+    *  - a cross-session reader that resolved [[register]] against a
+    *    recent state keeps a consistent file set for `graceCommits`
+    *    further commits — with in-place append there is no snapshot
+    *    to hold;
+    *  - at-least-once maintenance replays ([[
+    *    graft.streaming.IndexStream.maintain]]) re-commit a fresh
+    *    generation; the duplicate-tolerant search plus [[compact]]
+    *    (which now also commits generations) reclaim storage on the
+    *    same cadence as before.
+    *
+    * Cost stays ∝ |delta| + O(#files) link metadata, never ∝ corpus
+    * bytes. Single writer, like all index maintenance.
+    */
+  def appendCommitted(spark: SparkSession, name: String, newEmbs: DataFrame,
+      idCol: String, vecCol: String, graceCommits: Int = 0): Unit = {
+    val meta = readMeta(spark, name)
+    val (postings, codes) = encode(spark, name, newEmbs, idCol, vecCol)
+    val dir = {
+      // resolve the index directory from the (file-backed) meta table
+      val scan = spark.table(part(name, "meta")).queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      }.getOrElse(sys.error(s"${part(name, "meta")} is not file-backed"))
+      java.nio.file.Paths.get(scan.location.rootPaths.head.toUri.getPath)
+        .getParent.toString
+    }
+    for ((p, key, df) <- Seq(("postings", "cl", postings), ("codes", "id", codes))) {
+      val st = loadPart(dir, p)
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val staging = java.nio.file.Paths.get(dir, ".staging", s"${p}_$uid")
+      // bucket-write the delta through a throwaway EXTERNAL table (the
+      // only way to bucketBy-write); drop the entry, keep the files
+      val stageTbl = s"${part(name, p)}_stage_$uid"
+      Bucketing.writeBucketed(df, stageTbl, key, meta.nBuckets,
+        Some(staging.toString))
+      spark.sql(s"DROP TABLE $stageTbl")
+
+      val newName = s"${p}_g${st.gen + 1}_$uid"
+      val newDir = java.nio.file.Paths.get(dir, newName)
+      java.nio.file.Files.createDirectories(newDir)
+      linkInto(newDir, java.nio.file.Paths.get(dir, st.current))
+      linkInto(newDir, staging)
+      attachBucketed(spark, name, p, key, meta.nBuckets, s"$dir/$newName")
+      commitPart(dir, p, newName, graceCommits)
+    }
+  }
+
+  /** Hard-link every data file of `srcDir` into `dst` (fallback: copy,
+    * for stores without link support). Parquet files are immutable
+    * once committed, so links are safe shared references.
+    */
+  private def linkInto(dst: java.nio.file.Path, srcDir: java.nio.file.Path): Unit =
+    listDir(srcDir)
+      .filter { f =>
+        val n = f.getFileName.toString
+        java.nio.file.Files.isRegularFile(f) &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+      .foreach { f =>
+        val t = dst.resolve(f.getFileName.toString)
+        try java.nio.file.Files.createLink(t, f)
+        catch {
+          case _: UnsupportedOperationException => java.nio.file.Files.copy(f, t)
+        }
+      }
+
+  /** (Re-)create the catalog entry of a bucketed part over `location`
+    * (schema recovered from the files' own footer — metadata-only).
+    */
+  private def attachBucketed(spark: SparkSession, name: String, p: String,
+      key: String, nBuckets: Int, location: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${part(name, p)}")
+    val cols = spark.read.parquet(location).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE ${part(name, p)} ($cols) USING parquet
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
+         |LOCATION '$location'""".stripMargin)
+  }
+
   /** Offline compaction for an append-heavy index: every [[append]]
     * adds one file per touched bucket, so after many deltas the
     * postings/codes tables hold (appends × buckets) small files.
@@ -261,7 +418,8 @@ object Index {
     * NEXT compact (or rebuild) removes, with the pointer authoritative
     * throughout.
     */
-  def compact(spark: SparkSession, name: String): Unit = {
+  def compact(spark: SparkSession, name: String,
+      graceCommits: Int = 0): Unit = {
     for ((p, key) <- Seq("postings" -> "cl", "codes" -> "id")) {
       val tbl = part(name, p)
       val scan = spark.table(tbl).queryExecution.analyzed.collectFirst {
@@ -283,8 +441,7 @@ object Index {
         spark.read.parquet(oldPath.toString).distinct()
           .repartition(nBuckets, col(key)),
         tbl, key, nBuckets, Some(s"$dir/$newName"))
-      writePointer(dir, p, newName)
-      sweepStale(dir, p)
+      commitPart(dir, p, newName, graceCommits)
     }
   }
 

@@ -58,11 +58,14 @@ object IndexStream {
 
   /** Streaming index MAINTENANCE — the other half of the lifecycle:
     * each micro-batch of arriving embeddings is encoded at the stored
-    * centroids/codebooks and appended to the bucketed postings/codes
-    * ([[graft.ops.Index.append]] — cost ∝ batch, committed files
-    * untouched). The stream's checkpoint serializes batches, matching
-    * the index's single-writer contract; replay after a crash
-    * re-appends the same vectors — SEARCH RESULTS are unaffected
+    * centroids/codebooks and committed to the bucketed postings/codes
+    * as ONE atomic generation ([[graft.ops.Index.appendCommitted]] —
+    * cost ∝ batch, committed files untouched, readers keep their
+    * snapshot for `graceCommits` further batches). The stream's
+    * checkpoint serializes batches, matching the index's single-writer
+    * contract; a crashed trigger leaves NO trace in the served index
+    * (the generation commit is all-or-nothing) and its replay
+    * re-encodes the same vectors — SEARCH RESULTS are unaffected
     * (candidate pairs are distinct and the ADC dedups code rows;
     * IndexStreamSpec proves a double-append changes nothing), so the
     * only replay cost is duplicate storage, reclaimed by
@@ -70,12 +73,14 @@ object IndexStream {
     * an offline policy, exactly like production IVF systems.
     */
   def maintain(embs: DataFrame, idCol: String, vecCol: String,
-      indexName: String, checkpointDir: String): StreamingQuery =
+      indexName: String, checkpointDir: String,
+      graceCommits: Int = 0): StreamingQuery =
     embs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          Index.append(batch.sparkSession, indexName, batch, idCol, vecCol)
+          Index.appendCommitted(batch.sparkSession, indexName, batch,
+            idCol, vecCol, graceCommits)
       }
       .start()
 }

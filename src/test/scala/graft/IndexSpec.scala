@@ -31,7 +31,12 @@ class IndexSpec extends AnyFunSuite {
     val root = java.nio.file.Paths.get(dir)
     Files.walk(root).iterator().asScala
       .filter(p => Files.isRegularFile(p))
-      .filterNot(_.getFileName.toString.startsWith("_")) // _SUCCESS
+      // skip _SUCCESS markers and hidden sidecars (.crc checksums):
+      // the committed artifact is the parquet data-file set
+      .filterNot { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_") || n.startsWith(".")
+      }
       .map { p =>
         val md5 = MessageDigest.getInstance("MD5")
           .digest(Files.readAllBytes(p))
@@ -135,6 +140,66 @@ class IndexSpec extends AnyFunSuite {
     assert(search() == before)
     // the old directories are gone; the catalog points at the fresh ones
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/idx_cmp/postings")))
+  }
+
+  test("appendCommitted: atomic generation commit; reader snapshot survives grace; equals in-place append") {
+    val dir = tmpBase("gen")
+    val thirds = (0 to 2).map(r => embs.filter(col("vec_id") % 3 === r))
+    Index.build(spark, thirds(0), "vec_id", "embedding", "label", "idx_gen",
+      itersIvf = 1, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(dir))
+    val idxDir = s"$dir/idx_gen"
+    def current(p: String) = Index.loadPart(idxDir, p).current
+
+    val gen0 = current("postings")
+    val gen0Hashes = fileHashes(s"$idxDir/$gen0")
+    // a reader resolves its snapshot BEFORE the commit
+    val snapshot = spark.read.parquet(s"$idxDir/$gen0")
+      .as[(Long, Long)].collect().sorted.toSeq
+
+    Index.appendCommitted(spark, "idx_gen", thirds(1), "vec_id", "embedding",
+      graceCommits = 1)
+    val gen1 = current("postings")
+    assert(gen1 != gen0 && gen1.startsWith("postings_g1"))
+    // the retired generation survives inside its grace window: the
+    // reader's snapshot is still fully readable, bytes untouched
+    assert(fileHashes(s"$idxDir/$gen0") == gen0Hashes)
+    assert(spark.read.parquet(s"$idxDir/$gen0")
+      .as[(Long, Long)].collect().sorted.toSeq == snapshot)
+    // the new generation carries every old file (as links) + the delta
+    val gen1Hashes = fileHashes(s"$idxDir/$gen1")
+    val missing = gen0Hashes.filterNot { case (f, h) =>
+      gen1Hashes.get(f).contains(h) }
+    assert(missing.isEmpty,
+      s"gen0=$gen0 gen1=$gen1 missing=$missing gen1Keys=${gen1Hashes.keySet}")
+    assert(gen1Hashes.size > gen0Hashes.size)
+
+    // second commit: the grace window (1) closes -> gen0 is swept
+    Index.appendCommitted(spark, "idx_gen", thirds(2), "vec_id", "embedding",
+      graceCommits = 1)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$idxDir/$gen0")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$idxDir/$gen1"))) // graced
+
+    // the committed index serves the same search as an in-place-append
+    // twin over the same halves
+    val dir2 = tmpBase("gen2")
+    Index.build(spark, thirds(0), "vec_id", "embedding", "label", "idx_gen2",
+      itersIvf = 1, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(dir2))
+    Index.append(spark, "idx_gen2", thirds(1), "vec_id", "embedding")
+    Index.append(spark, "idx_gen2", thirds(2), "vec_id", "embedding")
+    def searchOf(name: String) =
+      Index.search(spark, name, embs, "vec_id", "embedding",
+          col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+        .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val got = searchOf("idx_gen")
+    assert(got.nonEmpty && got == searchOf("idx_gen2"))
+
+    // register resolves the committed generation in a fresh catalog
+    for (p <- Seq("cents", "codebooks", "meta", "postings", "codes"))
+      spark.sql(s"DROP TABLE idx_gen_$p")
+    Index.register(spark, "idx_gen", dir)
+    assert(searchOf("idx_gen") == got)
   }
 
   test("append encodes the delta at fixed centroids: tables equal a from-scratch encode; search matches; untouched files byte-identical") {
