@@ -544,6 +544,14 @@ object SparkEntry {
         "label", col("vec_id") < 8, k = 5, nprobe = 4, itersIvf = 4,
         massign = 2, m = 16, ksub = 32, itersPq = 2, rerank = 40)),
 
+    // IVF × SQ (the FAISS IVF_SQ8 shape): trained-IVF probing over
+    // 1-byte SQ codes + exact rerank — 4× memory instead of PQ's 16×,
+    // and no codebook training (ranges are one aggregation).
+    "q_sim_ivfsq" -> ((s, dir) =>
+      Sq.ivfSqTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", col("vec_id") < 8, k = 5, nprobe = 4, itersIvf = 4,
+        massign = 2, rerank = 40)),
+
     // The persisted-index build/search split (ops.Index): the SAME
     // IVF×PQ search as q_sim_ivfpq, but served from a prebuilt
     // bucketed artifact — the query's returned plan contains NO
@@ -1039,6 +1047,11 @@ object SparkEntry {
     "q_sim_sq_recall" ->
       (Sq.recallSql("vec_id", "embedding", "embeddings",
         "id < 8", k = 5, rerank = 40) + " ORDER BY qid"),
+
+    "q_sim_ivfsq" ->
+      (Sq.ivfSqTopKSql("vec_id", "embedding", "label", "embeddings",
+        "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
+        rerank = 40) + " ORDER BY qid, rank"),
 
     "q_sim_rplsh_recall" ->
       (Similarity.rpLshRecallSweepSql("vec_id", "embedding", "embeddings",

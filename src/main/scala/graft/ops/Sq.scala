@@ -97,18 +97,72 @@ object Sq {
     val queries = base.filter(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
 
-    // the 1-byte-scan stage: midpoint-reconstruct each corpus code
-    // in MICRO units (all inputs exact integers in doubles; identical
-    // expression on the oracle side) and score the exact query vector
-    // against it — approximate cosine, quantized to micros for the cut
+    // the 1-byte-scan stage: score EVERY corpus code (brute-force SQ)
+    cutAndRerank(base, queries,
+      c.join(broadcast(queries.select(col("qid"), col("qv"), col("qnrm"))),
+        col("id") =!= col("qid")),
+      k, rerank, dim)
+  }
+
+  /** IVF × SQ — the composed layout (FAISS IVF_SQ8 shape): trained-IVF
+    * probing restricts the scored set to the probed centroid lists
+    * (~massign·nprobe/nlist of the corpus), those candidates are
+    * scored from their 1-byte SQ codes (asymmetric, reconstructed),
+    * and only the top-`rerank` survivors pay an exact cosine. Both
+    * halves are the already-oracle-proven components (trained cosine
+    * IVF with multiple assignment; the [[topK]] SQ scorer), glued by
+    * one candidate join — the same composition contract as
+    * [[Pq.ivfPqTopK]], at 4× memory instead of 16× and with no
+    * codebook training at all (SQ ranges are one aggregation).
+    */
+  def ivfSqTopK(embs: DataFrame, idCol: String, vecCol: String,
+      seedCol: String, queryPred: Column, k: Int, nprobe: Int,
+      itersIvf: Int, massign: Int, rerank: Int, dim: Int = 64): DataFrame = {
+    val base = baseOf(embs, idCol, vecCol)
+    val ranges = rangesOf(base, dim)
+    val c = encoded(base, ranges, dim)
+    val queries = base.filter(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val cents = Similarity.withCNorm(
+      Similarity.kmeans(embs, idCol, vecCol, seedCol, itersIvf))
+    val assigned = Similarity.assignToNearest(base, cents, massign)
+
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cl").asc)
+    val probes = queries.join(broadcast(cents))
+      .select(col("qid"), col("cl"),
+        (Vectors.dot(col("qv"), col("cent")) / (col("qnrm") * col("cnrm"))).as("pcos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("cl"))
+
+    // candidates from the probed lists (distinct: multiple assignment
+    // can reach a vector through several lists); SQ-score only these
+    val candPairs = probes.join(assigned, "cl")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id")).distinct()
+    cutAndRerank(base, queries,
+      candPairs.join(c, "id")
+        .join(broadcast(queries.select(col("qid"), col("qv"), col("qnrm"))), "qid"),
+      k, rerank, dim)
+  }
+
+  /** Shared search tail: midpoint-reconstruct each candidate's code in
+    * MICRO units (all inputs exact integers in doubles; identical
+    * expression on the oracle side), score the exact query vector
+    * against it (approximate cosine, micro-quantized for the cut),
+    * keep the top-`rerank` per query, exact-cosine rerank. `scored`
+    * must carry (qid, id, qv, qnrm, code, los, his).
+    */
+  private def cutAndRerank(base: DataFrame, queries: DataFrame,
+      scored: DataFrame, k: Int, rerank: Int, dim: Int): DataFrame = {
     val recon = transform(sequence(lit(1), lit(dim)), i =>
       element_at(col("los"), i) +
         (element_at(col("code"), i) + lit(0.5)) *
           greatest(lit(1.0), element_at(col("his"), i) - element_at(col("los"), i)) / 255.0)
     val wCand = Window.partitionBy(col("qid"))
       .orderBy(col("akey").desc, col("id").asc)
-    val cands = c.join(broadcast(queries.select(col("qid"), col("qv"), col("qnrm"))),
-        col("id") =!= col("qid"))
+    val cands = scored
       .withColumn("rv", recon)
       .select(col("qid"), col("id"),
         round(Vectors.dot(col("qv"), col("rv")) /
@@ -190,6 +244,54 @@ object Sq {
   def topKSql(id: String, vec: String, table: String,
       queryPredSql: String, k: Int, rerank: Int, dim: Int = 64): String =
     s"""${prefixSql(id, vec, table, queryPredSql, rerank, dim)}
+       |SELECT qid, rank::BIGINT AS rank, neighbor_id,
+       |  round(cos * 1e6)::BIGINT AS cos_micros
+       |FROM r WHERE rank <= $k""".stripMargin
+
+  /** DuckDB twin of [[ivfSqTopK]]: the trained-IVF prefix
+    * ([[Similarity.ivfTrainedPrefixSql]] — e, trained cents, massign
+    * assignment af, queries q) + the SQ encode over the SAME `e`, with
+    * reconstruction scoring restricted to the probed candidates.
+    */
+  def ivfSqTopKSql(id: String, vec: String, seed: String, table: String,
+      queryPredSql: String, k: Int, nprobe: Int, itersIvf: Int,
+      massign: Int, rerank: Int, dim: Int = 64): String =
+    s"""${Similarity.ivfTrainedPrefixSql(id, vec, seed, table, queryPredSql,
+          k, itersIvf, dim, massign)},
+       |x AS (SELECT id, v, [round(y * 1e6) for y in v] AS xm FROM e),
+       |mm AS (
+       |  SELECT d, min(xm[d + 1]) AS lo, max(xm[d + 1]) AS hi
+       |  FROM x CROSS JOIN range(0, $dim) t(d) GROUP BY 1),
+       |rng AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his
+       |        FROM mm),
+       |sqc AS (SELECT id, v, ${codeSql("xm", "los", "his", dim)} AS code,
+       |          los, his
+       |        FROM x, rng),
+       |probes AS (
+       |  SELECT qid, cl FROM (
+       |    SELECT q.qid, c.cl, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${Vectors.cosineSql("q.qv", "c.cent")} DESC, c.cl) AS prn
+       |    FROM q CROSS JOIN cents$itersIvf c) WHERE prn <= $nprobe),
+       |candp AS (
+       |  SELECT DISTINCT p.qid, a.id FROM probes p JOIN af a ON a.cl = p.cl
+       |  WHERE a.id <> p.qid),
+       |s AS (
+       |  SELECT qid, id, qv, nv, round(${Vectors.dotSql("qv", "rv")} /
+       |      (qnrm * ${Vectors.normSql("rv")}) * 1e6) AS akey
+       |  FROM (
+       |    SELECT cp.qid, cp.id, q.qv, q.qnrm, c.v AS nv,
+       |      [c.los[i] + (c.code[i] + 0.5) * greatest(1.0, c.his[i] - c.los[i]) / 255.0
+       |       for i in range(1, ${dim + 1})] AS rv
+       |    FROM candp cp JOIN sqc c ON c.id = cp.id JOIN q ON q.qid = cp.qid)),
+       |cand AS (
+       |  SELECT qid, id, qv, nv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY akey DESC, id) AS crn FROM s) WHERE crn <= $rerank),
+       |f AS (
+       |  SELECT qid, id AS neighbor_id, ${Vectors.cosineSql("qv", "nv")} AS cos
+       |  FROM cand),
+       |r AS (SELECT qid, neighbor_id, cos, row_number() OVER (
+       |        PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM f)
        |SELECT qid, rank::BIGINT AS rank, neighbor_id,
        |  round(cos * 1e6)::BIGINT AS cos_micros
        |FROM r WHERE rank <= $k""".stripMargin

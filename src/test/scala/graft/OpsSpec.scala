@@ -113,6 +113,14 @@ class OpsSpec extends AnyFunSuite {
         col("vec_id") === 0, k = 3, rerank = 10, dim = 2)
       .select("qid", "recall_micros").as[(Long, Long)].collect().toMap
     assert(rec == Map(0L -> 1000000L))
+    // IVF × SQ with every list probed and full rerank budget reduces
+    // to the same exact answer (labels seed 1 trained list here)
+    val ivfsq = Sq.ivfSqTopK(embs, "vec_id", "embedding", "label",
+        col("vec_id") === 0, k = 3, nprobe = 1, itersIvf = 1,
+        massign = 1, rerank = 10, dim = 2)
+      .select("rank", "neighbor_id", "cos_micros")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(ivfsq == truth)
   }
 
   test("trained k-means: separable clusters → perfect recall; empty clusters kept") {
