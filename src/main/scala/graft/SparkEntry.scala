@@ -567,6 +567,20 @@ object SparkEntry {
         col("vec_id") < 8, k = 5, nprobe = 4, rerank = 40)
     }),
 
+    // The SQ serving tier of the same artifact: probe + 1-byte SQ
+    // reconstruction scoring + exact rerank — shares q_sim_ivfsq's
+    // oracle (the artifact stores exactly the quantized values the
+    // in-plan query computes).
+    "q_sim_index_sq" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+      if (!Index.exists(s, "graft_idx"))
+        Index.build(s, embs, "vec_id", "embedding", "label", "graft_idx",
+          itersIvf = 4, massign = 2, m = 16, ksub = 32, itersPq = 2,
+          nBuckets = 8)
+      Index.searchSq(s, "graft_idx", embs, "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, nprobe = 4, rerank = 40)
+    }),
+
     // The serve-side steady state: the SAME search against an index
     // built earlier in the session (q_sim_index_search's; built here
     // only if this query runs first — self-contained either way). In
@@ -1094,6 +1108,12 @@ object SparkEntry {
       (Similarity.ivfTrainedTopKSql("vec_id", "embedding", "label",
         "embeddings", "id < 8", k = 5, nprobe = 4, iters = 4, dim = 64,
         massign = 2) + " ORDER BY qid, rank"),
+
+    // ...and the SQ tier must equal the in-plan IVF×SQ search
+    "q_sim_index_sq" ->
+      (Sq.ivfSqTopKSql("vec_id", "embedding", "label", "embeddings",
+        "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
+        rerank = 40) + " ORDER BY qid, rank"),
 
     // build-on-half + append-half: the oracle trains on the even ids
     // only (trainPredSql) but assigns/encodes the whole corpus — the

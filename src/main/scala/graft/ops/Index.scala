@@ -186,16 +186,27 @@ object Index {
     val cb = Pq.kmeansL2All(tall, ksub, itersPq)
     val codes = Pq.assignL2All(tall, cb)
 
+    // SQ tier: per-dim ranges + 1-byte codes — the 4×-memory serving
+    // option next to PQ's 16× and flat's none, from the same artifact
+    val sqRanges = Sq.rangesTall(base)
+    val sqCodes = base.join(broadcast(Sq.collapseRanges(sqRanges)))
+      .select(col("id"), Sq.codeCol(64, clamp = false).cast("array<int>")
+        .as("code"))
+
     val dir = indexDir(baseDir, name)
     def loc(p: String) = s"$dir/$p"
     cents.write.mode("overwrite").format("parquet")
       .option("path", loc("cents")).saveAsTable(part(name, "cents"))
     cb.write.mode("overwrite").format("parquet")
       .option("path", loc("codebooks")).saveAsTable(part(name, "codebooks"))
+    sqRanges.write.mode("overwrite").format("parquet")
+      .option("path", loc("sq_ranges")).saveAsTable(part(name, "sq_ranges"))
     Bucketing.writeBucketed(postings, part(name, "postings"), "cl",
       nBuckets, Some(loc("postings")))
     Bucketing.writeBucketed(codes, part(name, "codes"), "id",
       nBuckets, Some(loc("codes")))
+    Bucketing.writeBucketed(sqCodes, part(name, "sq_codes"), "id",
+      nBuckets, Some(loc("sq_codes")))
     Seq((massign, m, ksub, nBuckets))
       .toDF("massign", "m", "ksub", "nBuckets")
       .write.mode("overwrite").format("parquet")
@@ -205,11 +216,17 @@ object Index {
     // aside) and sweep superseded generation directories. A rebuild is
     // a NEW index — it does not extend grace promises of the one it
     // replaces (retrain cadence is an offline, coordinated act).
-    for (p <- Seq("cents", "codebooks", "postings", "codes", "meta")) {
+    for (p <- Parts) {
       writePartState(dir, p, PartState(p, 0L, Seq.empty, 0))
       sweepStale(dir, p)
     }
   }
+
+  private val Parts =
+    Seq("cents", "codebooks", "sq_ranges", "postings", "codes", "sq_codes", "meta")
+  /** The bucketed (key-clustered) parts and their bucket keys. */
+  private val BucketedParts =
+    Seq("postings" -> "cl", "codes" -> "id", "sq_codes" -> "id")
 
   /** Delete every sibling directory of part `p` that is neither its
     * current state target nor a still-graced retiree (superseded
@@ -257,23 +274,26 @@ object Index {
   def register(spark: SparkSession, name: String, baseDir: String): Unit = {
     val dir = s"$baseDir/$name"
     def loc(p: String): String = s"$dir/${readPointer(dir, p)}"
-    for (p <- Seq("cents", "codebooks", "meta")) {
+    for (p <- Seq("cents", "codebooks", "sq_ranges", "meta")) {
       spark.sql(s"DROP TABLE IF EXISTS ${part(name, p)}")
       spark.sql(s"""CREATE TABLE ${part(name, p)} USING parquet
                    |LOCATION '${loc(p)}'""".stripMargin)
     }
     val nBuckets = readMeta(spark, name).nBuckets
-    for ((p, key) <- Seq("postings" -> "cl", "codes" -> "id"))
+    for ((p, key) <- BucketedParts)
       attachBucketed(spark, name, p, key, nBuckets, loc(p))
   }
 
-  /** (postings, codes) of `embs` encoded at the STORED centroids and
-    * codebooks — the no-training encode pass shared by [[append]] and
-    * the rebuild-equivalence spec. Two zero-shuffle broadcast-assign
-    * maps; nothing here ever retrains.
+  /** (postings, codes, sq_codes) of `embs` encoded at the STORED
+    * centroids, codebooks and ranges — the no-training encode pass
+    * shared by [[append]] and the rebuild-equivalence spec. Three
+    * zero-shuffle broadcast-assign maps; nothing here ever retrains.
+    * SQ codes CLAMP to [0, 255]: new vectors may fall outside the
+    * stored per-dim ranges (the fixed-parameters analog of assigning
+    * to the fixed centroids).
     */
   def encode(spark: SparkSession, name: String, embs: DataFrame,
-      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+      idCol: String, vecCol: String): (DataFrame, DataFrame, DataFrame) = {
     val meta = readMeta(spark, name)
     val subDim = 64 / meta.m
     val base = baseOf(embs, idCol, vecCol)
@@ -283,7 +303,11 @@ object Index {
     val codes = Pq.assignL2All(
       Pq.tallOf(base, "v", meta.m, subDim),
       spark.table(part(name, "codebooks")))
-    (postings, codes)
+    val sqCodes = base.join(broadcast(
+        Sq.collapseRanges(spark.table(part(name, "sq_ranges")))))
+      .select(col("id"), Sq.codeCol(64, clamp = true).cast("array<int>")
+        .as("code"))
+    (postings, codes, sqCodes)
   }
 
   /** Incremental maintenance: [[encode]] ONLY `newEmbs` (no
@@ -295,9 +319,10 @@ object Index {
   def append(spark: SparkSession, name: String, newEmbs: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val meta = readMeta(spark, name)
-    val (postings, codes) = encode(spark, name, newEmbs, idCol, vecCol)
+    val (postings, codes, sqCodes) = encode(spark, name, newEmbs, idCol, vecCol)
     Bucketing.appendBucketed(postings, part(name, "postings"), "cl", meta.nBuckets)
     Bucketing.appendBucketed(codes, part(name, "codes"), "id", meta.nBuckets)
+    Bucketing.appendBucketed(sqCodes, part(name, "sq_codes"), "id", meta.nBuckets)
   }
 
   /** [[append]] with ATOMIC visibility and reader snapshots — the
@@ -339,7 +364,7 @@ object Index {
   def appendCommitted(spark: SparkSession, name: String, newEmbs: DataFrame,
       idCol: String, vecCol: String, graceCommits: Int = 0): Unit = {
     val meta = readMeta(spark, name)
-    val (postings, codes) = encode(spark, name, newEmbs, idCol, vecCol)
+    val (postings, codes, sqCodes) = encode(spark, name, newEmbs, idCol, vecCol)
     val dir = {
       // resolve the index directory from the (file-backed) meta table
       val scan = spark.table(part(name, "meta")).queryExecution.analyzed.collectFirst {
@@ -350,7 +375,8 @@ object Index {
       java.nio.file.Paths.get(scan.location.rootPaths.head.toUri.getPath)
         .getParent.toString
     }
-    for ((p, key, df) <- Seq(("postings", "cl", postings), ("codes", "id", codes))) {
+    for ((p, key, df) <- Seq(("postings", "cl", postings),
+        ("codes", "id", codes), ("sq_codes", "id", sqCodes))) {
       val st = loadPart(dir, p)
       val uid = java.util.UUID.randomUUID().toString.take(8)
       val staging = java.nio.file.Paths.get(dir, ".staging", s"${p}_$uid")
@@ -420,7 +446,7 @@ object Index {
     */
   def compact(spark: SparkSession, name: String,
       graceCommits: Int = 0): Unit = {
-    for ((p, key) <- Seq("postings" -> "cl", "codes" -> "id")) {
+    for ((p, key) <- BucketedParts) {
       val tbl = part(name, p)
       val scan = spark.table(tbl).queryExecution.analyzed.collectFirst {
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -507,6 +533,52 @@ object Index {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neighbor_id"),
         round(col("cos") * 1e6).cast("long").as("cos_micros"))
+  }
+
+  /** SQ8 search over the persisted index — the middle serving tier:
+    * probe the nprobe nearest lists, score the probed candidates from
+    * their 1-BYTE-per-dim SQ codes (asymmetric midpoint
+    * reconstruction, [[Sq]]), exact-rerank the top-`rerank`. Reads 4×
+    * fewer candidate bytes than [[searchFlat]] and needs no codebook
+    * training; [[searchQueries]] (PQ, 16×) is the tier below. Output
+    * bit-identical to the in-plan [[Sq.ivfSqTopK]] at the build
+    * parameters (shared oracle). The sq_codes table is bucketed by id:
+    * the candidate join shuffles only the (tiny) probe pairs, never
+    * the codes.
+    */
+  def searchSq(spark: SparkSession, name: String, embs: DataFrame,
+      idCol: String, vecCol: String, queryPred: Column, k: Int,
+      nprobe: Int, rerank: Int): DataFrame = {
+    val base = baseOf(embs, idCol, vecCol)
+    val queries = base.filter(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val cents = spark.table(part(name, "cents"))
+    val postings = spark.table(part(name, "postings"))
+    val ranges = Sq.collapseRanges(spark.table(part(name, "sq_ranges")))
+    val sqCodes = spark.table(part(name, "sq_codes"))
+
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cl").asc)
+    val probes = queries.join(broadcast(cents))
+      .select(col("qid"), col("cl"),
+        (Vectors.dot(col("qv"), col("cent")) / (col("qnrm") * col("cnrm"))).as("pcos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("cl"))
+    val pairs = broadcast(probes).join(postings, "cl")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id")).distinct()
+    // dropDuplicates after the code join: an at-least-once maintenance
+    // replay appends identical code rows; duplicates here would make
+    // the rerank-cut window see the same candidate twice and evict a
+    // distinct one. Dup rows are byte-identical, so the pick is
+    // value-deterministic; on clean data this is an identity.
+    val scored = pairs.join(sqCodes, "id")
+      .dropDuplicates("qid", "id")
+      .withColumn("code", col("code").cast("array<double>"))
+      .join(broadcast(queries), "qid")
+      .join(broadcast(ranges))
+    Sq.cutAndRerank(base, queries, scored, k, rerank, 64)
   }
 
   /** Search with an explicit query table (qid, qv, qnrm) — the entry

@@ -54,32 +54,53 @@ object Sq {
 
   private def microsOf(v: Column): Column = transform(v, x => round(x * 1e6))
 
-  /** Per-dimension [lo, hi] micro ranges collapsed to ONE broadcastable
-    * row of parallel arrays (los, his), ordered by dimension.
+  /** Per-dimension [lo, hi] micro ranges, one row per dimension —
+    * the persistable form ([[Index]] stores this as the `sq_ranges`
+    * part).
     */
-  private def rangesOf(base: DataFrame, dim: Int): DataFrame =
+  private[ops] def rangesTall(base: DataFrame): DataFrame =
     base
       .select(posexplode(microsOf(col("v"))).as(Seq("d", "x")))
       .groupBy(col("d"))
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+
+  /** Collapse tall ranges to ONE broadcastable row of parallel arrays
+    * (los, his), ordered by dimension.
+    */
+  private[ops] def collapseRanges(tall: DataFrame): DataFrame =
+    tall
       .agg(array_sort(collect_list(struct(col("d"), col("lo"), col("hi")))).as("rs"))
       .select(
         transform(col("rs"), r => r.getField("lo")).as("los"),
         transform(col("rs"), r => r.getField("hi")).as("his"))
 
-  /** (id, v, nrm, code): the corpus with its SQ8 code array attached —
-    * a narrow map against the broadcast range row. The encode HOF is
-    * interpreted (transform is CodegenFallback) but runs once per
-    * corpus row at build time; the search-time hot loop is the native
-    * codegen'd code dot.
+  private def rangesOf(base: DataFrame, dim: Int): DataFrame =
+    collapseRanges(rangesTall(base))
+
+  /** The SQ8 code array of `v` against broadcast (los, his) columns.
+    * `clamp` pins out-of-range values to [0, 255] — needed when
+    * encoding NEW vectors at FIXED stored ranges ([[Index]] appends);
+    * a build-time encode never clamps (the ranges are the corpus
+    * min/max by construction, so the guard would be dead).
+    */
+  private[ops] def codeCol(dim: Int, clamp: Boolean): Column = {
+    def raw(i: Column): Column =
+      floor((element_at(microsOf(col("v")), i) - element_at(col("los"), i)) * 255.0 /
+        greatest(lit(1.0), element_at(col("his"), i) - element_at(col("los"), i)))
+    transform(sequence(lit(1), lit(dim)), i =>
+      if (clamp) greatest(lit(0L), least(lit(255L), raw(i))) else raw(i))
+      .cast("array<double>")
+  }
+
+  /** (id, v, nrm, code, los, his): the corpus with its SQ8 code array
+    * attached — a narrow map against the broadcast range row. The
+    * encode HOF is interpreted (transform is CodegenFallback) but runs
+    * once per corpus row at build time; the search-time hot loop is
+    * the native codegen'd code dot.
     */
   private def encoded(base: DataFrame, ranges: DataFrame, dim: Int): DataFrame =
     base.join(broadcast(ranges))
-      .withColumn("code",
-        transform(sequence(lit(1), lit(dim)), i =>
-          floor((element_at(microsOf(col("v")), i) - element_at(col("los"), i)) * 255.0 /
-            greatest(lit(1.0), element_at(col("his"), i) - element_at(col("los"), i))))
-          .cast("array<double>"))
+      .withColumn("code", codeCol(dim, clamp = false))
       .select(col("id"), col("v"), col("nrm"), col("code"),
         col("los"), col("his"))
 
@@ -154,7 +175,7 @@ object Sq {
     * keep the top-`rerank` per query, exact-cosine rerank. `scored`
     * must carry (qid, id, qv, qnrm, code, los, his).
     */
-  private def cutAndRerank(base: DataFrame, queries: DataFrame,
+  private[ops] def cutAndRerank(base: DataFrame, queries: DataFrame,
       scored: DataFrame, k: Int, rerank: Int, dim: Int): DataFrame = {
     val recon = transform(sequence(lit(1), lit(dim)), i =>
       element_at(col("los"), i) +

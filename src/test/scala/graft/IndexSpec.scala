@@ -61,6 +61,22 @@ class IndexSpec extends AnyFunSuite {
     assert(fromIndex.nonEmpty && fromIndex == inPlan)
   }
 
+  test("SQ search over the artifact equals the in-plan IVF×SQ search bit-for-bit") {
+    Index.build(spark, embs, "vec_id", "embedding", "label", "idx_sq",
+      itersIvf = 2, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(tmpBase("sq")))
+    val fromIndex = Index.searchSq(spark, "idx_sq", embs, "vec_id",
+        "embedding", col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val inPlan = Sq.ivfSqTopK(embs, "vec_id", "embedding", "label",
+        col("vec_id") < 4, k = 3, nprobe = 3, itersIvf = 2, massign = 2,
+        rerank = 20)
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(fromIndex.nonEmpty && fromIndex == inPlan)
+  }
+
   test("flat search over the artifact equals the in-plan trained-IVF top-k") {
     Index.build(spark, embs, "vec_id", "embedding", "label", "idx_flat",
       itersIvf = 2, massign = 2, m = 16, ksub = 32, itersPq = 1,
@@ -225,7 +241,7 @@ class IndexSpec extends AnyFunSuite {
 
     // the appended tables equal an encode-from-scratch of the UNION at
     // the same (stored) centroids/codebooks — append is pure delta
-    val (expPost, expCodes) = Index.encode(spark, "idx_app", embs,
+    val (expPost, expCodes, expSq) = Index.encode(spark, "idx_app", embs,
       "vec_id", "embedding")
     assert(spark.table("idx_app_postings").as[(Long, Long)].collect().sorted.toSeq
       == expPost.select(col("cl").cast("long"), col("id")).as[(Long, Long)]
@@ -233,6 +249,10 @@ class IndexSpec extends AnyFunSuite {
     assert(spark.table("idx_app_codes").as[(Long, Int, Long)].collect().sorted.toSeq
       == expCodes.select(col("id"), col("m"), col("cl").cast("long"))
         .as[(Long, Int, Long)].collect().sorted.toSeq)
+    def sqRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("code")).as[(Long, Seq[Int])].collect()
+        .map { case (i, c) => (i, c.mkString(",")) }.sorted.toSeq
+    assert(sqRows(spark.table("idx_app_sq_codes")) == sqRows(expSq))
 
     // and a REBUILT index holding the same encode serves the identical
     // search: write the from-scratch union encode as a second index

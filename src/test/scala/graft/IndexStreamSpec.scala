@@ -79,7 +79,7 @@ class IndexStreamSpec extends AnyFunSuite {
 
     // the maintained tables equal one encode of the FULL corpus at the
     // stored centroids (build half + streamed half = everything)
-    val (expPost, expCodes) = Index.encode(spark, "idx_mnt", embs,
+    val (expPost, expCodes, _) = Index.encode(spark, "idx_mnt", embs,
       "vec_id", "embedding")
     assert(spark.table("idx_mnt_postings").as[(Long, Long)].collect().sorted.toSeq
       == expPost.select(col("cl").cast("long"), col("id")).as[(Long, Long)]
