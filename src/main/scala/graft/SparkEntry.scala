@@ -701,6 +701,13 @@ object SparkEntry {
       Curation.contamination(T(s, dir, "documents"), "doc_id", "text",
         col("doc_id") % 20 === 0, k = 3)),
 
+    // Cross-source near-dup matrix: which sources systematically
+    // duplicate each other (the drop-which-crawl audit); diagonal =
+    // within-source dup baseline.
+    "q_curate_overlap" -> ((s, dir) =>
+      Curation.sourceOverlap(T(s, dir, "documents"), "doc_id", "text",
+        "source", k = 3, threshold = 0.2)),
+
     // Stratified per-source sample with an EXACT quota: the 100
     // lowest-salted-hash docs of every source — rank-based, unbiased
     // w.r.t. ingest order, fully reproducible.
@@ -1163,6 +1170,10 @@ object SparkEntry {
       (Curation.splitLeakageSql("doc_id", "text", "documents",
         k = 3, threshold = 0.2, trainPct = 70, valPct = 15)
         + " ORDER BY split_a, split_b"),
+
+    "q_curate_overlap" ->
+      (Curation.sourceOverlapSql("doc_id", "text", "source", "documents",
+        k = 3, threshold = 0.2) + " ORDER BY source_a, source_b"),
 
     "q_curate_stratified" ->
       (Curation.stratifiedSampleSql("doc_id", "source", "documents", n = 100)

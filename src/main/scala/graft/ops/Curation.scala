@@ -276,6 +276,40 @@ object Curation {
        |  q AS cutoff_micros
        |FROM r WHERE rn = greatest(1, n_docs * $keepPct // 100)""".stripMargin
 
+  /** Cross-source near-duplication matrix: near-dup pairs (X4 posting
+    * join) aggregated per unordered source pair — the "who copies
+    * whom" audit that decides which source to DROP when two crawls
+    * overlap (dedup within one source is cheap; systematic cross-
+    * source duplication means paying twice for the same content).
+    * Same shape as [[splitLeakage]] with the split column swapped for
+    * the source — the diagonal (same-source pairs) is kept: it is the
+    * within-source dup rate, the baseline the off-diagonal compares
+    * against. Output: (source_a, source_b, n_pairs, worst_jacc_micros).
+    */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, k: Int, threshold: Double): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, k, threshold)
+    val src = docs.select(col(idCol).as("id"), col(sourceCol).as("source"))
+    pairs
+      .join(src.select(col("id").as("id1"), col("source").as("s1")), "id1")
+      .join(src.select(col("id").as("id2"), col("source").as("s2")), "id2")
+      .groupBy(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("jacc_micros")).as("worst_jacc_micros"))
+  }
+
+  def sourceOverlapSql(id: String, text: String, source: String,
+      table: String, k: Int, threshold: Double): String =
+    s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql(id, text, table, k, threshold)}),
+       |s AS (SELECT $id AS id, $source AS source FROM $table)
+       |SELECT least(s1.source, s2.source) AS source_a,
+       |  greatest(s1.source, s2.source) AS source_b,
+       |  count(*)::BIGINT AS n_pairs,
+       |  max(p.jacc_micros)::BIGINT AS worst_jacc_micros
+       |FROM pairs p JOIN s s1 ON p.id1 = s1.id JOIN s s2 ON p.id2 = s2.id
+       |GROUP BY 1, 2""".stripMargin
+
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, trainPct: Int, valPct: Int): DataFrame = {
     val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, k, threshold)

@@ -117,6 +117,24 @@ object Pipeline {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Ingest-time PII scrub: redact emails/phones/IPv4 and carry the
+    * audit counts (X58 streaming twin). A pure narrow map — identical
+    * plan to the batch operator, no state at all — which is exactly
+    * why the scrub belongs FIRST in an ingest pipeline: text is clean
+    * before any fingerprint, store, or sink sees it (a fingerprint of
+    * unscrubbed text would differ from the stored scrubbed content,
+    * and PII would live on in the dedup state). Compose as
+    * `curated(piiScrubbed(docs), …)`.
+    */
+  def piiScrubbed(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val counts = graft.ops.TextAnalysis.piiCounts
+      .map { case (n, f) => f(t).as(n) }
+    docs.select(
+      (docs.columns.filter(_ != "text").map(col).toSeq :+
+        graft.ops.TextAnalysis.piiRedact(t).as("text")) ++ counts: _*)
+  }
+
   /** Ingest-time contamination gate: each streamed doc's n-gram
     * CONTAINMENT of any benchmark shingle (X46's measure) against a
     * STATIC benchmark corpus — a stream-static equi-join on the hashed

@@ -343,6 +343,38 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS curate_out")
   }
 
+  test("pii scrub composes ahead of curation: text clean before fingerprint state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def t(s: Long) = new java.sql.Timestamp(1767225600000L + s * 1000)
+    val base = "the quick brown fox jumps over the lazy dog and keeps running through the field"
+    val q = graft.streaming.Pipeline.curated(
+        graft.streaming.Pipeline.piiScrubbed(
+          input.toDF().toDF("doc_id", "text", "ts")),
+        watermark = "1 hour", minQualityMicros = 400000L)
+      .writeStream.format("memory").queryName("pii_out")
+      .outputMode("append").start()
+
+    // docs 1 and 2 differ ONLY in their (distinct) email addresses —
+    // after the scrub their fingerprints collide, so the dedup store
+    // must drop the second; PII never reaches any state
+    input.addData(Seq(
+      (1L, s"$base contact alice@example.com today", t(0)),
+      (2L, s"$base contact bob@other.org today", t(1)),
+      (3L, s"$base no contact at all here", t(2))))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("pii_out")
+      .select("doc_id", "text", "n_emails")
+      .as[(Long, String, Long)].collect()
+    assert(out.map(_._1).toSet == Set(1L, 3L))
+    val d1 = out.find(_._1 == 1L).get
+    assert(d1._2 == s"$base contact <EMAIL> today" && d1._3 == 1L)
+    assert(out.find(_._1 == 3L).get._3 == 0L)
+    spark.sql("DROP TABLE IF EXISTS pii_out")
+  }
+
   test("contamination gate flags pasted benchmark text on ingest") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq("alpha beta gamma delta epsilon zeta eta theta")
