@@ -54,6 +54,16 @@ object ArrayExprs {
   def hash60Array(ss: Column): Column =
     Bridge.column(Hash60Array(Bridge.expression(ss)))
 
+  /** SQ8 encode — fast path of ops.Sq's code HOF. */
+  def sqEncode(v: Column, los: Column, his: Column, clamp: Boolean): Column =
+    Bridge.column(SqEncode(Bridge.expression(v), Bridge.expression(los),
+      Bridge.expression(his), clamp))
+
+  /** SQ8 midpoint reconstruction — fast path of ops.Sq's recon HOF. */
+  def sqRecon(code: Column, los: Column, his: Column): Column =
+    Bridge.column(SqRecon(Bridge.expression(code), Bridge.expression(los),
+      Bridge.expression(his)))
+
   /** Exact set-Jaccard (in micros) of two distinct-element long
     * arrays — fast path of ops.Dedup.jaccardMicros over hashed
     * shingles (array_intersect is interpreted and gets inlined twice
@@ -204,6 +214,108 @@ case class Hash60Array(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Hash60Array =
     copy(child = newChild)
+}
+
+/** SQ8 encode of a double vector against per-dim [lo, hi] MICRO
+  * ranges: code[i] = floor((round(v[i]·1e6) − los[i]) · 255 /
+  * max(1, his[i] − los[i])), optionally clamped to [0, 255] (encoding
+  * NEW vectors at FIXED stored ranges). Bit-compatible with the
+  * composed catalyst round/floor/greatest HOF form it replaces — the
+  * half-up round goes through BigDecimal.valueOf exactly like Spark's
+  * `Round` double path (Math.round differs on negative .5 ties). The
+  * HOF form was O(dim²) per row (CollapseProject inlines the micros
+  * transform into every element_at lambda call) and O(dim³) once the
+  * reconstruction referenced the code column — measured 45× slower at
+  * sf0.1. One compiled pass here.
+  */
+case class SqEncode(v: Expression, los: Expression, his: Expression,
+    clamp: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = v
+  override def second: Expression = los
+  override def third: Expression = his
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq_encode"
+
+  def compute(varr: ArrayData, larr: ArrayData, harr: ArrayData): ArrayData = {
+    val n = varr.numElements()
+    if (larr.numElements() < n || harr.numElements() < n)
+      throw new IllegalArgumentException(
+        s"sq_encode: ${larr.numElements()}/${harr.numElements()} range entries for $n dims")
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val x = varr.getDouble(i) * 1e6
+      // Spark Round(double) semantics: NaN/Inf pass through, else
+      // BigDecimal.valueOf + HALF_UP
+      val xm =
+        if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+        else java.math.BigDecimal.valueOf(x)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      val lo = larr.getDouble(i)
+      val span = math.max(1.0, harr.getDouble(i) - lo)
+      var c = math.floor((xm - lo) * 255.0 / span)
+      if (clamp) c = math.max(0.0, math.min(255.0, c))
+      out(i) = c
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sqEncode", this, classOf[SqEncode].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) => s"${ev.value} = $ref.compute($a, $b, $c);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SqEncode = copy(v = f, los = s, his = t)
+}
+
+/** SQ8 midpoint reconstruction in micro units:
+  * r[i] = los[i] + (code[i] + ½) · max(1, his[i] − los[i]) / 255.
+  * Bit-compatible with the HOF form (same per-element op order).
+  */
+case class SqRecon(code: Expression, los: Expression, his: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = code
+  override def second: Expression = los
+  override def third: Expression = his
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq_recon"
+
+  def compute(carr: ArrayData, larr: ArrayData, harr: ArrayData): ArrayData = {
+    val n = carr.numElements()
+    if (larr.numElements() < n || harr.numElements() < n)
+      throw new IllegalArgumentException(
+        s"sq_recon: ${larr.numElements()}/${harr.numElements()} range entries for $n dims")
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val lo = larr.getDouble(i)
+      out(i) = lo + (carr.getDouble(i) + 0.5) *
+        math.max(1.0, harr.getDouble(i) - lo) / 255.0
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sqRecon", this, classOf[SqRecon].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) => s"${ev.value} = $ref.compute($a, $b, $c);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SqRecon = copy(code = f, los = s, his = t)
 }
 
 /** Set-Jaccard in micros of two distinct-element `array<long>`s:

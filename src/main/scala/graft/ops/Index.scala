@@ -568,17 +568,21 @@ object Index {
     val pairs = broadcast(probes).join(postings, "cl")
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id")).distinct()
-    // dropDuplicates after the code join: an at-least-once maintenance
-    // replay appends identical code rows; duplicates here would make
-    // the rerank-cut window see the same candidate twice and evict a
-    // distinct one. Dup rows are byte-identical, so the pick is
-    // value-deterministic; on clean data this is an identity.
-    val scored = pairs.join(sqCodes, "id")
-      .dropDuplicates("qid", "id")
-      .withColumn("code", col("code").cast("array<double>"))
+    // reconstruction once per DISTINCT candidate id, not per pair (and
+    // not for unprobed corpus rows). dropDuplicates: an at-least-once
+    // maintenance replay appends identical code rows; duplicates here
+    // would make the rerank-cut window see the same candidate twice
+    // and evict a distinct one — dup rows are byte-identical, so the
+    // pick is value-deterministic; on clean data this is an identity.
+    val candCodes = Sq.withRecon(
+      pairs.select(col("id")).distinct()
+        .join(sqCodes, "id")
+        .dropDuplicates("id")
+        .withColumn("code", col("code").cast("array<double>"))
+        .join(broadcast(ranges)), 64)
+    val scored = pairs.join(candCodes, "id")
       .join(broadcast(queries), "qid")
-      .join(broadcast(ranges))
-    Sq.cutAndRerank(base, queries, scored, k, rerank, 64)
+    Sq.cutAndRerank(base, queries, scored, k, rerank)
   }
 
   /** Search with an explicit query table (qid, qv, qnrm) — the entry

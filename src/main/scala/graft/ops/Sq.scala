@@ -82,15 +82,13 @@ object Sq {
     * encoding NEW vectors at FIXED stored ranges ([[Index]] appends);
     * a build-time encode never clamps (the ranges are the corpus
     * min/max by construction, so the guard would be dead).
+    * Native codegen'd expression: the HOF form was O(dim²) per row —
+    * CollapseProject inlines the micros transform into every
+    * element_at lambda call — and O(dim³) once the reconstruction
+    * referenced the code column (measured 45× at sf0.1).
     */
-  private[ops] def codeCol(dim: Int, clamp: Boolean): Column = {
-    def raw(i: Column): Column =
-      floor((element_at(microsOf(col("v")), i) - element_at(col("los"), i)) * 255.0 /
-        greatest(lit(1.0), element_at(col("his"), i) - element_at(col("los"), i)))
-    transform(sequence(lit(1), lit(dim)), i =>
-      if (clamp) greatest(lit(0L), least(lit(255L), raw(i))) else raw(i))
-      .cast("array<double>")
-  }
+  private[ops] def codeCol(dim: Int, clamp: Boolean): Column =
+    graft.functions.ArrayExprs.sqEncode(col("v"), col("los"), col("his"), clamp)
 
   /** (id, v, nrm, code, los, his): the corpus with its SQ8 code array
     * attached — a narrow map against the broadcast range row. The
@@ -120,9 +118,10 @@ object Sq {
 
     // the 1-byte-scan stage: score EVERY corpus code (brute-force SQ)
     cutAndRerank(base, queries,
-      c.join(broadcast(queries.select(col("qid"), col("qv"), col("qnrm"))),
-        col("id") =!= col("qid")),
-      k, rerank, dim)
+      withRecon(c, dim)
+        .join(broadcast(queries.select(col("qid"), col("qv"), col("qnrm"))),
+          col("id") =!= col("qid")),
+      k, rerank)
   }
 
   /** IVF × SQ — the composed layout (FAISS IVF_SQ8 shape): trained-IVF
@@ -163,31 +162,46 @@ object Sq {
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id")).distinct()
     cutAndRerank(base, queries,
-      candPairs.join(c, "id")
+      candPairs.join(withRecon(c, dim), "id")
         .join(broadcast(queries.select(col("qid"), col("qv"), col("qnrm"))), "qid"),
-      k, rerank, dim)
+      k, rerank)
   }
 
-  /** Shared search tail: midpoint-reconstruct each candidate's code in
-    * MICRO units (all inputs exact integers in doubles; identical
-    * expression on the oracle side), score the exact query vector
-    * against it (approximate cosine, micro-quantized for the cut),
-    * keep the top-`rerank` per query, exact-cosine rerank. `scored`
-    * must carry (qid, id, qv, qnrm, code, los, his).
+  /** Midpoint reconstruction of the SQ code in MICRO units — all
+    * inputs exact integers in doubles; identical values to the oracle
+    * side's list comprehension. Needs (code, los, his) columns in
+    * scope. Native codegen'd (same CollapseProject trap as
+    * [[codeCol]]).
+    */
+  private[ops] def reconCol(dim: Int): Column =
+    graft.functions.ArrayExprs.sqRecon(col("code"), col("los"), col("his"))
+
+  /** Attach (rv, nrv) — the reconstruction and its norm — ONCE per
+    * corpus row. Reconstruction depends only on the row's code and the
+    * (broadcast) ranges, so computing it inside the pair scan would
+    * repeat the interpreted 64-dim HOF once per (query, candidate)
+    * PAIR — measured 2-3× slower at sf0.1. The pair-side hot loop is
+    * then just the native codegen'd dot.
+    */
+  private[ops] def withRecon(c: DataFrame, dim: Int): DataFrame =
+    c.withColumn("rv", reconCol(dim))
+      .withColumn("nrv", Vectors.norm(col("rv")))
+      .select(col("id"), col("rv"), col("nrv"))
+
+  /** Shared search tail: score the exact query vector against each
+    * candidate's precomputed reconstruction ([[withRecon]] — the
+    * approximate cosine, micro-quantized for the cut), keep the
+    * top-`rerank` per query, exact-cosine rerank. `scored` must carry
+    * (qid, id, qv, qnrm, rv, nrv).
     */
   private[ops] def cutAndRerank(base: DataFrame, queries: DataFrame,
-      scored: DataFrame, k: Int, rerank: Int, dim: Int): DataFrame = {
-    val recon = transform(sequence(lit(1), lit(dim)), i =>
-      element_at(col("los"), i) +
-        (element_at(col("code"), i) + lit(0.5)) *
-          greatest(lit(1.0), element_at(col("his"), i) - element_at(col("los"), i)) / 255.0)
+      scored: DataFrame, k: Int, rerank: Int): DataFrame = {
     val wCand = Window.partitionBy(col("qid"))
       .orderBy(col("akey").desc, col("id").asc)
     val cands = scored
-      .withColumn("rv", recon)
       .select(col("qid"), col("id"),
         round(Vectors.dot(col("qv"), col("rv")) /
-          (col("qnrm") * Vectors.norm(col("rv"))) * 1e6).as("akey"))
+          (col("qnrm") * col("nrv")) * 1e6).as("akey"))
       .withColumn("crn", row_number().over(wCand))
       .filter(col("crn") <= rerank)
       .select(col("qid"), col("id"))
