@@ -51,6 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => ArgMinL2(args.head, args(1), args(2)))
     register(ext, "rep_stats", "rep_stats(tokens) - [n_tokens, n_distinct, top_token_n, n_bigrams, top_bigram_n] in one in-row pass",
       args => RepStats(args.head))
+    register(ext, "sq_encode", "sq_encode(v, los, his, clamp) - SQ8 code array against per-dim micro ranges",
+      args => SqEncode(args.head, args(1), args(2), boolArg(args(3), "clamp")))
+    register(ext, "sq_recon", "sq_recon(code, los, his) - SQ8 midpoint reconstruction in micro units",
+      args => SqRecon(args.head, args(1), args(2)))
+  }
+
+  private def boolArg(e: Expression, name: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be a boolean literal, got $other")
   }
 
   private def stringArg(e: Expression, name: String): String = e match {

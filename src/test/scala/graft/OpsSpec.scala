@@ -343,6 +343,16 @@ class OpsSpec extends AnyFunSuite {
         |    array(array(0.0d, 1.0d), array(1.0d, 0.0d)), array(0.5d, 0.5d)) AS l2""".stripMargin)
       .head()
     assert(picks.getSeq[Int](0) == Seq(1) && picks.getInt(1) == 1)
+
+    // SQ encode/reconstruct round-trip through SQL: lo=0, hi=1e6 →
+    // code = floor(v*255...), recon lands mid-bucket
+    val sq = spark.sql(
+      """SELECT sq_encode(array(1.0d, 0.0d), array(0.0d, 0.0d),
+        |    array(1000000.0d, 1000000.0d), false) AS code,
+        |  sq_recon(array(255.0d, 0.0d), array(0.0d, 0.0d),
+        |    array(1000000.0d, 1000000.0d)) AS rv""".stripMargin).head()
+    assert(sq.getSeq[Double](0) == Seq(255.0, 0.0))
+    assert(sq.getSeq[Double](1) == Seq((255.5) * 1000000.0 / 255.0, 0.5 * 1000000.0 / 255.0))
   }
 
   test("repetition stats: top-token/bigram shares and duplicate fraction on known text") {
