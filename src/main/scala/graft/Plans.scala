@@ -99,7 +99,39 @@ object Plans {
         |candidate dedup shuffles (qid, id) pairs only (the query
         |vectors re-attach from a BroadcastExchange afterwards), and the
         |codes tables never appear: the plan reads centroids + postings
-        |+ the corpus.""".stripMargin)
+        |+ the corpus.""".stripMargin,
+    "q_sim_sq" ->
+      """Brute-force SQ8 scan: the per-dim range row arrives via an
+        |IdentityBroadcast; encode (`sq_encode`) and reconstruction
+        |(`sq_recon` + its norm) are native expressions computed ONCE
+        |per corpus row BELOW the query join (the HOF form collapsed
+        |into per-pair — and per-output-element — re-evaluation); the
+        |pair stage is just the codegen'd dot against broadcast
+        |queries. The corpus never shuffles; only score rows reach the
+        |rank windows.""".stripMargin,
+    "q_sim_ivfsq" ->
+      """IVF × SQ composition: the trained-IVF probe restricts
+        |candidates (distinct (qid, id) pairs), reconstruction is
+        |attached per DISTINCT candidate row, and the exact rerank
+        |touches only the top-`rerank` survivors — the IVF_SQ8 layout
+        |with no codebook training anywhere in the plan.""".stripMargin,
+    "q_sim_index_sq" ->
+      """SQ serve tier of the persisted artifact: centroids broadcast,
+        |bucketed postings scanned in place, sq_codes join carries only
+        |probed candidate ids, reconstruction per distinct candidate,
+        |NO training stage (the ranges and codes are read, not
+        |computed).""".stripMargin,
+    "q_dedup_spans" ->
+      """Exact substring spans: positional grams hash via codegen'd
+        |md5/conv on long keys; the df-cap aggregation prunes
+        |boilerplate grams BEFORE the self-join (partial agg on h); the
+        |islands window keys on (id1, id2, diag) — pair spread, after
+        |the join already cut the volume.""".stripMargin,
+    "q_curate_overlap" ->
+      """Cross-source near-dup matrix: the X4 posting join feeds two
+        |broadcast-size source-lookup joins and one partial-aggregated
+        |(source_a, source_b) rollup — no new wide op beyond the pair
+        |machinery.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
