@@ -552,6 +552,15 @@ object Index {
     val base = baseOf(embs, idCol, vecCol)
     val queries = base.filter(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    searchSqQueries(spark, name, base, queries, k, nprobe, rerank)
+  }
+
+  /** [[searchSq]] with an explicit query table (qid, qv, qnrm) — the
+    * streaming-probe entry point ([[graft.streaming.IndexStream]]),
+    * like [[searchQueries]] for the PQ tier.
+    */
+  def searchSqQueries(spark: SparkSession, name: String, base: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, rerank: Int): DataFrame = {
     val cents = spark.table(part(name, "cents"))
     val postings = spark.table(part(name, "postings"))
     val ranges = Sq.collapseRanges(spark.table(part(name, "sq_ranges")))

@@ -56,6 +56,30 @@ object IndexStream {
       }
       .start()
 
+  /** [[probe]] against the SQ serving tier ([[graft.ops.Index
+    * .searchSq]]): same stream-static shape, but arriving vectors
+    * score probed candidates from 1-byte SQ codes instead of full
+    * vectors or PQ ADC — the tier a probe stream picks when candidate
+    * IO is the budget and codebooks were never trained.
+    */
+  def probeSq(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, indexName: String, k: Int, nprobe: Int,
+      rerank: Int, outDir: String, checkpointDir: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val base = Index.baseOf(corpus, idCol, vecCol)
+          val qb = batch.select(col(idCol).as("qid"),
+              Vectors.toDouble(col(vecCol)).as("qv"))
+            .withColumn("qnrm", Vectors.norm(col("qv")))
+          Index.searchSqQueries(spark, indexName, base, qb, k, nprobe, rerank)
+            .write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+
   /** Streaming index MAINTENANCE — the other half of the lifecycle:
     * each micro-batch of arriving embeddings is encoded at the stored
     * centroids/codebooks and committed to the bucketed postings/codes
