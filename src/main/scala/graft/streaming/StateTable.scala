@@ -225,9 +225,10 @@ object StateTable {
   /** Stage `withB` (winners + int bucket column `b`), move each bucket
     * dir into place, commit the manifest, then GC: superseded versions
     * past their grace window, crashed-attempt orphans, and stale
-    * staging entries.
+    * staging entries. (private[streaming]: [[DedupStore]] commits its
+    * fingerprint buckets through the same protocol.)
     */
-  private def commitPartitioned(tableDir: String, withB: DataFrame,
+  private[streaming] def commitPartitioned(tableDir: String, withB: DataFrame,
       nBuckets: Int, st: Manifest, version: String,
       graceCommits: Int): Unit = {
     val staging = s"$tableDir/.staging/$version"
