@@ -54,5 +54,13 @@ class DedupStoreSpec extends AnyFunSuite {
     // survivors keep their payload columns (fp/bucket are internal)
     assert(spark.read.parquet(outDir).columns.sorted.toSeq
       == Seq("doc_id", "text"))
+
+    // the store is a plain StateTable layout: generic compaction
+    // applies, and the store still dedups afterwards
+    graft.streaming.StateTable.compact(spark, tableDir)
+    assert(DedupStore.fingerprints(spark, tableDir).distinct().count() == 4)
+    runStream(Seq(Seq((8L, "zeta"), (9L, "eta"))))
+    assert(spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L, 5L, 7L, 9L))
   }
 }
