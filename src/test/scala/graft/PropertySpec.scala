@@ -155,6 +155,40 @@ class PropertySpec extends AnyFunSuite {
     assert(rounds <= bound, s"$rounds rounds for a $n-chain (bound $bound)")
   }
 
+  test("substring spans equal a brute-force diagonal-run reference on random corpora") {
+    val rnd = new scala.util.Random(99)
+    val k = 2; val minTokens = 3
+    for (_ <- 1 to 5) {
+      // tiny alphabet → plenty of shared grams, runs and multi-spans
+      val docs = (0 until 4).map { id =>
+        val n = rnd.nextInt(11)
+        (id.toLong, Seq.fill(n)("abc".charAt(rnd.nextInt(3)).toString).mkString(" "))
+      }
+      val toks = docs.map { case (id, t) =>
+        id -> (if (t.isEmpty) Array.empty[String] else t.split(" ")) }.toMap
+      def grams(ts: Array[String]): Map[Int, String] =
+        (1 to ts.length - k + 1).map(p => p -> ts.slice(p - 1, p - 1 + k).mkString(" ")).toMap
+      val expected = (for {
+        (a, ta) <- toks; (b, tb) <- toks if a < b
+        ga = grams(ta); gb = grams(tb)
+        matches = for { (p1, g1) <- ga.toSeq; (p2, g2) <- gb.toSeq if g1 == g2 }
+          yield (p1, p2)
+        ((_, run)) <- matches.groupBy { case (p1, p2) => p1 - p2 }.toSeq
+        ps = run.map(_._1).sorted
+        island <- ps.foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
+          if (acc.nonEmpty && acc.last.last == p - 1) acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+        }
+        len = island.length + k - 1 if len >= minTokens
+        d = run.head._1 - run.head._2
+      } yield (a, b, island.head.toLong, (island.head - d).toLong, len.toLong)).toSet
+      val got = graft.ops.Dedup.substringSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k, minTokens, maxDf = 100)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"docs=$docs")
+    }
+  }
+
   test("star-contraction components agree with union-find on random graphs") {
     val rnd = new scala.util.Random(1234)
     for (_ <- 1 to 3) {
