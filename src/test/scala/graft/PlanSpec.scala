@@ -299,6 +299,49 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("SQ search: native encode/recon below the pair join; per-row, not per-pair") {
+    val p = plan("q_sim_sq")
+    assert(p.contains("sq_encode"), "native SQ encode not in the plan")
+    assert(p.contains("sq_recon"), "native SQ recon not in the plan")
+    assert(p.contains("dot_product"), "pair stage should be the native dot")
+    // the reconstruction must sit BELOW the query join (once per
+    // corpus row): the projection computing sq_recon appears before
+    // the first join operator in bottom-up order — assert no recon
+    // above the join by checking the join's input already carries rv
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    assert(joinIdx >= 0, s"expected a broadcast pair join in:\n$p")
+    assert(p.lastIndexOf("sq_recon") > joinIdx,
+      "recon should appear in the join's built/streamed input (printed below it)")
+  }
+
+  test("PII scrub and dataset-card scoring prune the documents scan") {
+    for (q <- Seq("q_text_pii", "q_curate_card")) {
+      val p = plan(q)
+      assert(p.contains("ReadSchema"), s"no scan in $q")
+      assert(!p.contains("n_chars"), s"$q reads unreferenced columns:\n$p")
+    }
+    assert(!plan("q_text_pii").contains("Exchange"),
+      "the scrub is a narrow pass; it must not shuffle")
+  }
+
+  test("substring spans: df-cap aggregates before the self-join; gram keys are longs") {
+    val df = ops.Dedup.substringSpans(
+      cdc.Io.table(spark, sf, "documents"), "doc_id", "text", 8, 16, 64)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    val keyTypes = joins.flatMap(_.condition).flatMap(_.collect {
+      case eq: org.apache.spark.sql.catalyst.expressions.EqualTo => eq.left.dataType
+    })
+    assert(keyTypes.nonEmpty && keyTypes.forall(
+      _ == org.apache.spark.sql.types.LongType), s"non-long keys: $keyTypes")
+    val p = plan(df.toDF())
+    // partial+final agg pair for the df cap, present BEFORE the join
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "df-cap aggregation missing")
+  }
+
   test("posting-list join keys are longs, not shingle strings") {
     val df = ops.Dedup.ngramJaccardPairs(
       cdc.Io.table(spark, sf, "documents"), "doc_id", "text", 3, 0.2)
