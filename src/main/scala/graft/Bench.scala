@@ -64,15 +64,28 @@ object Bench {
       val cold = run(n)
       (n, cold, if (warmPass) Some(runWarm(n)) else None)
     }
-    def fmt(rs: Seq[(String, Double)]): String =
+    // The driver keeps only a ~2000-char tail of stdout; every round so
+    // far the full-precision line overflowed it (BENCH_rN.json
+    // "parsed":null). So: full-precision detail goes on its OWN earlier
+    // line, and the FINAL line is compact (2-decimal per-query values)
+    // with the headline totals REPEATED as the last keys, so even a
+    // clipped tail still carries value/total_warm.
+    def fmt(rs: Seq[(String, Double)], dp: Int): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
+        .mkString("{", ",", "}")
+    def fmtRaw(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val cold = results.map(r => r._1 -> r._2)
+    val warm = if (warmPass) results.map(r => r._1 -> r._3.get) else Nil
+    val totalWarm = warm.map(_._2).sum
+    println(s"""{"metric":"bench_detail","queries":${fmtRaw(cold)}${
+      if (warmPass) s""","queries_warm":${fmtRaw(warm)}""" else ""},"sf":"$sfDir"}""")
     val warmField =
-      if (!warmPass) ""
-      else s""","total_warm":${results.map(_._3.get).sum},"queries_warm":${
-        fmt(results.map(r => r._1 -> r._3.get))}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-      fmt(results.map(r => r._1 -> r._2))}$warmField,"sf":"$sfDir"}""")
+      if (!warmPass) "" else s""","total_warm":${"%.3f".format(totalWarm)}"""
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${
+      fmt(cold, 2)},"n":${cold.size},"sf":"$sfDir"$warmField,"total":${
+      "%.3f".format(total)}}""")
     spark.stop()
   }
 }

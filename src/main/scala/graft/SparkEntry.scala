@@ -733,6 +733,32 @@ object SparkEntry {
           TextAnalysis.piiRedact(t)).as("fp_redacted") +: counts: _*)
     }),
 
+    // BM25 keyword retrieval: inverted posting index (tf/dl/df/avgdl)
+    // + Lucene-style BM25, top-10 per fixed keyword query. Contributions
+    // are micro-quantized BEFORE the per-doc sum (exact long
+    // arithmetic), rank ties break on doc_id.
+    "q_text_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(T(s, dir, "documents"), "doc_id", "text", k = 10)),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking
+    // with the embedding cosine ranking for the same qids (doc_id and
+    // vec_id share the id domain). Integer-nanos contributions.
+    "q_hybrid_rrf" -> ((s, dir) =>
+      Retrieval.rrfFuse(
+        Retrieval.bm25TopK(T(s, dir, "documents"), "doc_id", "text", k = 10),
+        "doc_id",
+        Similarity.bruteForceTopK(T(s, dir, "embeddings"), "vec_id",
+          "embedding", col("vec_id") < 4, k = 10),
+        "neighbor_id", k = 10)),
+
+    // SemDeDup: trained k-means blocks (2 Lloyd rounds over the label
+    // seeds) + within-cluster cosine pairs at >= 0.35 + connected
+    // components -> min-id representative per semantic dup cluster.
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.semanticPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", iters = 2, threshold = 0.35))),
+
     // Multimodal: binary media column + typed per-partition decode
     // (stub codec — see ops.Multimodal.StubCodec).
     "q_mm_decode" -> ((s, dir) =>
@@ -1192,6 +1218,23 @@ object SparkEntry {
          |  $counts
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_bm25" ->
+      (Retrieval.bm25TopKSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY qid, rank"),
+
+    "q_hybrid_rrf" ->
+      (Retrieval.rrfFuseSql(
+        Retrieval.bm25TopKSql("doc_id", "text", "documents", k = 10),
+        "doc_id",
+        Similarity.bruteForceTopKSql("vec_id", "embedding", "embeddings",
+          "id < 4", k = 10),
+        "neighbor_id", k = 10) + " ORDER BY qid, rank"),
+
+    "q_dedup_semantic" ->
+      (Dedup.dupClustersSql(Dedup.semanticPairsSql("vec_id", "embedding",
+        "label", "embeddings", iters = 2, dim = 64, threshold = 0.35))
+        + " ORDER BY id"),
 
     "q_mm_decode" ->
       (Multimodal.decodeSql("documents") + " ORDER BY media_id"),

@@ -668,4 +668,52 @@ object Dedup {
        |FROM isl GROUP BY id1, id2, diag, isl
        |HAVING count(*) + ${k - 1} >= $minTokens""".stripMargin
   }
+
+  // ---------------------------------------------- semantic dedup (SemDeDup)
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embeddings with trained k-means,
+    * then pair up docs with cosine ≥ threshold WITHIN each cluster.
+    * Unlike [[cosinePairs]] — whose blocking column is given — the
+    * blocks here are LEARNED, which is the production shape: one
+    * k-means training pass (on a sample at 100 TB, per the X51
+    * append precedent), one zero-shuffle assignment over the corpus
+    * ([[Similarity.assignToNearest]]'s broadcast pick), and
+    * per-cluster pair generation whose cost is Σ|cluster|², never
+    * |corpus|². Feed the output to [[dupClusters]] for the keep-one
+    * representative step.
+    */
+  def semanticPairs(embs: DataFrame, idCol: String, vecCol: String,
+      seedCol: String, iters: Int, threshold: Double): DataFrame = {
+    // same canonical plan as Similarity's internal base — cachedOnce
+    // shares one materialization with any ANN query over the table
+    val base = Caching.cachedOnce(
+      embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", Vectors.norm(col("v"))))
+    val cents = Similarity.withCNorm(
+      Similarity.kmeans(embs, idCol, vecCol, seedCol, iters))
+    val blocked = Similarity.assignToNearest(base, cents).join(base, "id")
+    blocked.as("l")
+      .join(blocked.as("r"),
+        col("l.cl") === col("r.cl") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        round(Vectors.dot(col("l.v"), col("r.v")) /
+          (col("l.nrm") * col("r.nrm")) * 1e6).cast("long").as("cos_micros"))
+      .filter(col("cos_micros") >= (threshold * 1e6).toLong)
+  }
+
+  /** DuckDB twin of [[semanticPairs]]: the shared trained-IVF prefix
+    * (seeded centroids + unrolled Lloyd rounds + final assignment af)
+    * with no query/truth legs, then the within-cluster pair predicate.
+    */
+  def semanticPairsSql(id: String, vec: String, seed: String, table: String,
+      iters: Int, dim: Int, threshold: Double): String = {
+    val cm = Vectors.cosineMicrosSql("l.v", "r.v")
+    s"""${Similarity.ivfTrainedPrefixSql(id, vec, seed, table,
+          "false", 1, iters, dim)}
+       |SELECT l.id AS id1, r.id AS id2, $cm AS cos_micros
+       |FROM af l JOIN af r ON l.cl = r.cl AND l.id < r.id
+       |WHERE $cm >= ${(threshold * 1e6).toLong}""".stripMargin
+  }
 }

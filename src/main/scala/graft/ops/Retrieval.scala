@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the document corpus: BM25 scoring on an
+  * inverted posting index, and reciprocal-rank fusion of a keyword
+  * ranking with an embedding (ANN) ranking — the hybrid-retrieval
+  * shape an LLM data/eval pipeline runs next to its vector store.
+  *
+  * == 100 TB shape ==
+  *
+  * The index build is two partial-agg shuffles over term COUNTS
+  * (tf keyed on (doc, term), dl keyed on doc) — never term instances —
+  * and the corpus-wide stats (df per term, N, avgdl) aggregate to a
+  * vocabulary-sized (tiny) and a single-row table respectively, both
+  * broadcast. Query terms broadcast against the postings, so scoring
+  * touches only the query terms' posting lists (cost ∝ matched
+  * postings, not corpus size); the per-doc score sum and the top-k
+  * window both key on (query, doc) / query — no corpus-wide shuffle
+  * after the index build. Fusion is arithmetic over two k-row-per-
+  * query rankings: negligible at any scale.
+  *
+  * == Determinism contract ==
+  *
+  * BM25 is float math (ln, divisions). Per-(query, term, doc)
+  * contributions are computed in the SAME expression shape on both
+  * engines and quantized to integer micros BEFORE the per-doc sum, so
+  * the cross-row summation is exact long arithmetic — partition order
+  * cannot perturb scores (the NOTES float-sum rule). Ranking orders by
+  * the quantized score with doc id as tie-break, so rank assignment is
+  * deterministic on both engines even among equal scores.
+  */
+object Retrieval {
+
+  /** Lucene-style BM25 constants. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** RRF smoothing constant (the standard k=60 of Cormack et al.). */
+  val RrfK = 60
+
+  /** Fixed keyword query set for the gate queries: qid → terms over
+    * the documents vocabulary ("dup" is the one rare term — df 25 of
+    * 500 docs at sf0.01 — so q0 exercises a discriminative idf; the
+    * rest score on tf/length like real stopword-ish queries).
+    */
+  val Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("dup", "spark"),
+    1L -> Seq("hash", "join", "merge"),
+    2L -> Seq("window", "agg", "vector"),
+    3L -> Seq("fast", "query", "scan"))
+
+  private def queryDf(docs: DataFrame): DataFrame = {
+    val rows = Queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+    docs.sparkSession.createDataFrame(rows).toDF("qid", "tok")
+  }
+
+  /** The per-(query term, doc) BM25 contribution in integer micros:
+    * idf(term) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (always positive).
+    */
+  private def contribMicros(tf: Column, df: Column, dl: Column,
+      n: Column, avgdl: Column): Column = {
+    val idf = log(lit(1.0) +
+      (n.cast("double") - df.cast("double") + 0.5) / (df.cast("double") + 0.5))
+    val num = tf.cast("double") * (K1 + 1.0)
+    val den = tf.cast("double") +
+      lit(K1) * (lit(1.0 - B) + lit(B) * dl.cast("double") / avgdl)
+    round(idf * num / den * 1e6).cast("long")
+  }
+
+  /** BM25 top-k per query from [[Queries]] over the documents table.
+    * Output: (qid, rank, doc_id, score_micros).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val tf = Caching.cachedOnce(
+      toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      .select(col("n"), (col("sumdl").cast("double") / col("n")).as("avgdl"))
+    val scored = tf
+      .join(broadcast(queryDf(docs)), "tok")
+      .join(dl, "id")
+      .join(broadcast(dfT), "tok")
+      .join(broadcast(corpus))
+      .select(col("qid"), col("id"),
+        contribMicros(col("tf"), col("df"), col("dl"), col("n"), col("avgdl"))
+          .as("c"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("c")).as("score_micros"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micros").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("doc_id"),
+        col("score_micros"))
+  }
+
+  private def queriesValuesSql: String =
+    Queries.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+
+  /** DuckDB twin of [[bm25TopK]] — same constants, same micro
+    * quantization before the sum, same (score desc, id) ranking.
+    */
+  def bm25TopKSql(id: String, text: String, table: String, k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT $id AS id, unnest(${TextAnalysis.tokensSql(text)}) AS tok
+       |  FROM $table),
+       |tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |corpus AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+       |qs(qid, tok) AS (VALUES $queriesValuesSql),
+       |scored AS (
+       |  SELECT qs.qid, tf.id,
+       |    sum(round(ln(1.0 + (n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+       |      * (tf::DOUBLE * ${K1 + 1.0})
+       |      / (tf::DOUBLE + $K1 * (1.0 - $B + $B * dl::DOUBLE / avgdl))
+       |      * 1e6)::BIGINT)::BIGINT AS score_micros
+       |  FROM tf JOIN qs ON qs.tok = tf.tok
+       |  JOIN dl ON dl.id = tf.id
+       |  JOIN dft ON dft.tok = tf.tok
+       |  CROSS JOIN corpus
+       |  GROUP BY 1, 2),
+       |r AS (SELECT qid, id, score_micros, row_number() OVER (
+       |        PARTITION BY qid ORDER BY score_micros DESC, id) AS rank
+       |      FROM scored)
+       |SELECT qid, rank::BIGINT AS rank, id AS doc_id, score_micros
+       |FROM r WHERE rank <= $k""".stripMargin
+
+  /** Reciprocal-rank fusion of two rankings (qid, rank, doc col):
+    * fused score = Σ round(1e9 / (RrfK + rank)) over the lists a doc
+    * appears in — integer nanos, so the cross-list sum is exact.
+    * Output: (qid, rank, doc_id, rrf_nanos, n_lists).
+    */
+  def rrfFuse(a: DataFrame, aDoc: String, b: DataFrame, bDoc: String,
+      k: Int): DataFrame = {
+    def side(d: DataFrame, doc: String): DataFrame =
+      d.select(col("qid"), col(doc).as("doc_id"),
+        round(lit(1e9) / (lit(RrfK) + col("rank").cast("double")))
+          .cast("long").as("contrib"))
+    val fused = side(a, aDoc).unionByName(side(b, bDoc))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_nanos"),
+        count(lit(1)).cast("long").as("n_lists"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_nanos").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf_nanos"),
+        col("n_lists"))
+  }
+
+  /** DuckDB twin of [[rrfFuse]] over two ranking SQLs whose outputs
+    * carry (qid, rank, <doc>).
+    */
+  def rrfFuseSql(aSql: String, aDoc: String, bSql: String, bDoc: String,
+      k: Int): String =
+    s"""WITH la AS ($aSql), lb AS ($bSql),
+       |u AS (
+       |  SELECT qid, $aDoc AS doc_id,
+       |    round(1e9 / ($RrfK + rank::DOUBLE))::BIGINT AS contrib FROM la
+       |  UNION ALL
+       |  SELECT qid, $bDoc AS doc_id,
+       |    round(1e9 / ($RrfK + rank::DOUBLE))::BIGINT AS contrib FROM lb),
+       |f AS (SELECT qid, doc_id, sum(contrib)::BIGINT AS rrf_nanos,
+       |        count(*)::BIGINT AS n_lists
+       |      FROM u GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY qid ORDER BY rrf_nanos DESC, doc_id) AS rank
+       |      FROM f)
+       |SELECT qid, rank::BIGINT AS rank, doc_id, rrf_nanos, n_lists
+       |FROM r WHERE rank <= $k""".stripMargin
+}
