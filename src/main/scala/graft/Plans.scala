@@ -131,7 +131,17 @@ object Plans {
       """Cross-source near-dup matrix: the X4 posting join feeds two
         |broadcast-size source-lookup joins and one partial-aggregated
         |(source_a, source_b) rollup — no new wide op beyond the pair
-        |machinery.""".stripMargin)
+        |machinery.""".stripMargin,
+    "q_text_bm25" ->
+      """BM25: the posting (tf) table joins the query terms, the df
+        |table and the 1-row corpus stats ALL as BroadcastHashJoins —
+        |the only shuffles are the index-build partial aggs ((id, tok),
+        |id) and the per-(qid, id) score sum; ranking is a k-bounded
+        |window per qid.""".stripMargin,
+    "q_hybrid_rrf" ->
+      """RRF fusion: two k-row-per-query rankings union, partial-agg
+        |on (qid, doc_id), one window — everything after the two input
+        |rankings is broadcast-scale arithmetic.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
