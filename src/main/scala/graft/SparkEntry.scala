@@ -733,6 +733,14 @@ object SparkEntry {
           TextAnalysis.piiRedact(t)).as("fp_redacted") +: counts: _*)
     }),
 
+    // DSIR importance weights: hashed unigram+bigram features, bucket
+    // log-ratios (target = src0 vs raw corpus, Laplace-smoothed),
+    // per-doc weight = exact long sum of per-feature micro
+    // contributions. The hashing trick caps the model at nBuckets.
+    "q_curate_dsir" -> ((s, dir) =>
+      Curation.dsirWeights(T(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src0", nBuckets = 1024)),
+
     // BM25 keyword retrieval: inverted posting index (tf/dl/df/avgdl)
     // + Lucene-style BM25, top-10 per fixed keyword query. Contributions
     // are micro-quantized BEFORE the per-doc sum (exact long
@@ -1218,6 +1226,10 @@ object SparkEntry {
          |  $counts
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_curate_dsir" ->
+      (Curation.dsirWeightsSql("doc_id", "text", "documents",
+        "source = 'src0'", nBuckets = 1024) + " ORDER BY doc_id"),
 
     "q_text_bm25" ->
       (Retrieval.bm25TopKSql("doc_id", "text", "documents", k = 10)

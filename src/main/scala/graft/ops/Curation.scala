@@ -371,6 +371,87 @@ object Curation {
       .select(col("bench_id"), col("doc_id"), col("containment_micros"))
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every doc by
+    * how much its hashed n-gram feature distribution looks like a
+    * TARGET subcorpus rather than the raw corpus. Features are
+    * unigram + bigram hashes bucketed into `nBuckets`; bucket
+    * log-ratios use Laplace smoothing:
+    * lr(b) = ln( ((tgt_b+1)/(T+nB)) / ((raw_b+1)/(R+nB)) ), and a
+    * doc's weight is the sum over its feature INSTANCES (counts, not
+    * distinct presence — the multinomial model) of round(lr·1e6) —
+    * integer micros summed as longs, so the cross-row sum is exact.
+    *
+    * == 100 TB shape ==
+    *
+    * One narrow gram pass; the bucket table is ≤ nBuckets rows (two
+    * partial-agg shuffles over bucket COUNTS) cross-joined with the
+    * 1-row totals and broadcast back; the per-doc weight is one
+    * partial-agg shuffle keyed on the doc id. Nothing scales with
+    * vocabulary — the hashing trick caps the model at nBuckets
+    * doubles, which is the entire point of DSIR at corpus scale.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, nBuckets: Int): DataFrame = {
+    val ts = TextAnalysis.tokens(col(textCol))
+    val bigrams = when(size(col("ts")) >= 2,
+      transform(sequence(lit(1), size(col("ts")) - 1),
+        i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = docs
+      .select(col(idCol).as("id"), targetPred.as("is_tgt"), ts.as("ts"))
+      .select(col("id"), col("is_tgt"),
+        explode(concat(col("ts"), bigrams)).as("g"))
+      .select(col("id"), col("is_tgt"),
+        pmod(Hashing.hash60(col("g")), lit(nBuckets.toLong)).as("b"))
+    val cached = Caching.cachedOnce(feats)
+    val buckets = cached.groupBy(col("b")).agg(
+      count(lit(1)).as("raw_n"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_n"))
+    val totals = cached.agg(
+      count(lit(1)).as("r_total"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("t_total"))
+    val lr = buckets.join(broadcast(totals))
+      .select(col("b"),
+        round(log(((col("tgt_n") + 1).cast("double") /
+            (col("t_total") + nBuckets).cast("double")) /
+          ((col("raw_n") + 1).cast("double") /
+            (col("r_total") + nBuckets).cast("double"))) * 1e6)
+          .cast("long").as("lr_micros"))
+    cached.join(broadcast(lr), "b")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr_micros")).as("logw_micros"))
+  }
+
+  def dsirWeightsSql(id: String, text: String, table: String,
+      targetPredSql: String, nBuckets: Int): String =
+    s"""WITH d AS (
+       |  SELECT $id AS id, ($targetPredSql) AS is_tgt,
+       |    ${TextAnalysis.tokensSql(text)} AS ts FROM $table),
+       |feats AS (
+       |  SELECT id, is_tgt,
+       |    ${Hashing.hash60Sql("g")} % $nBuckets AS b
+       |  FROM (SELECT id, is_tgt, unnest(list_concat(ts,
+       |    list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+       |      i -> ts[i] || ' ' || ts[i + 1]))) AS g FROM d)),
+       |buckets AS (
+       |  SELECT b, count(*) AS raw_n,
+       |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_n
+       |  FROM feats GROUP BY 1),
+       |totals AS (
+       |  SELECT count(*) AS r_total,
+       |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS t_total FROM feats),
+       |lr AS (
+       |  SELECT b,
+       |    round(ln(((tgt_n + 1)::DOUBLE / (t_total + $nBuckets)::DOUBLE)
+       |      / ((raw_n + 1)::DOUBLE / (r_total + $nBuckets)::DOUBLE))
+       |      * 1e6)::BIGINT AS lr_micros
+       |  FROM buckets CROSS JOIN totals)
+       |SELECT f.id AS doc_id, count(*)::BIGINT AS n_feats,
+       |  sum(lr.lr_micros)::BIGINT AS logw_micros
+       |FROM feats f JOIN lr ON f.b = lr.b
+       |GROUP BY 1""".stripMargin
+
   def contaminationSql(id: String, text: String, table: String,
       evalPredSql: String, k: Int): String =
     s"""WITH base AS (

@@ -158,6 +158,70 @@ object Retrieval {
         col("n_lists"))
   }
 
+  // ------------------------------------------- frozen-stats scoring
+
+  /** Frozen BM25 statistics of a static reference corpus — the
+    * offline half of the ingest-time keyword gate: per-[[Queries]]
+    * term idf plus the corpus length normalizer. Collected ONCE at
+    * stage-construction time (one action over the STATIC corpus —
+    * exactly the production shape, where index stats are an offline
+    * artifact and ingest pays a pure narrow map). The collected set
+    * is |query terms| + 1 doubles — driver-side size is bounded by
+    * the query set, never the corpus.
+    */
+  final case class FrozenStats(avgdl: Double, idf: Map[String, Double])
+
+  def freezeStats(corpus: DataFrame, idCol: String,
+      textCol: String): FrozenStats = {
+    val toks = corpus.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val Seq(n, sumdl) = dl.agg(count(lit(1)), sum(col("dl")))
+      .collect().head.toSeq.map(_.toString.toLong)
+    val terms = Queries.flatMap(_._2).distinct
+    val dfMap = tf.filter(col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = terms.map { t =>
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      t -> math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
+    }.toMap
+    FrozenStats(sumdl.toDouble / n, idf)
+  }
+
+  /** Score documents against [[Queries]] with FROZEN corpus stats —
+    * a pure narrow map (no shuffle, no state): per-term tf comes from
+    * the native `stopwordHits` count over the doc's own tokens, every
+    * idf/avgdl is a literal, and the per-query score is a compile-time
+    * fold. Works identically on a batch frame and a stream (the
+    * streaming keyword gate applies exactly this). Output: one row
+    * per (doc, qid) with score ≥ max(1, minScoreMicros) — zero-score
+    * docs are absent, mirroring the posting join.
+    */
+  def scoreFrozen(docs: DataFrame, textCol: String, stats: FrozenStats,
+      minScoreMicros: Long): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val dl = size(toks).cast("double")
+    def scoreOf(terms: Seq[String]): Column =
+      terms.map { t =>
+        val tf = graft.functions.ArrayExprs.stopwordHits(toks, Seq(t))
+          .cast("double")
+        val c = lit(stats.idf(t)) * (tf * (K1 + 1.0)) /
+          (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / stats.avgdl))
+        when(tf > 0, round(c * 1e6).cast("long")).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val scored = Queries.map { case (qid, terms) =>
+      struct(lit(qid).as("qid"), scoreOf(terms).as("score_micros"))
+    }
+    docs
+      .withColumn("q", explode(array(scored: _*)))
+      .withColumn("qid", col("q.qid"))
+      .withColumn("score_micros", col("q.score_micros"))
+      .drop("q")
+      .filter(col("score_micros") >= math.max(1L, minScoreMicros))
+  }
+
   /** DuckDB twin of [[rrfFuse]] over two ranking SQLs whose outputs
     * carry (qid, rank, <doc>).
     */

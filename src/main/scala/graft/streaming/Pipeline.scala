@@ -135,6 +135,22 @@ object Pipeline {
         graft.ops.TextAnalysis.piiRedact(t).as("text")) ++ counts: _*)
   }
 
+  /** Ingest-time keyword gate (X68's streaming twin): score each
+    * arriving document against the fixed keyword query set with BM25
+    * statistics FROZEN from a static reference corpus
+    * ([[graft.ops.Retrieval.freezeStats]] — the offline index-build
+    * half; collecting it is one action over STATIC data at stage
+    * construction, |query terms| + 1 doubles on the driver). The
+    * per-batch work is a pure narrow map — native per-term token
+    * counts, literal idf/avgdl, no shuffle, NO STATE — so the gate
+    * composes anywhere in the ingest chain and a routing sink can
+    * fan matched docs out by qid. Emits one row per (doc, matched
+    * query) at score ≥ minScoreMicros; unmatched docs are absent.
+    */
+  def keywordGate(docs: DataFrame, stats: graft.ops.Retrieval.FrozenStats,
+      minScoreMicros: Long): DataFrame =
+    graft.ops.Retrieval.scoreFrozen(docs, "text", stats, minScoreMicros)
+
   /** Ingest-time contamination gate: each streamed doc's n-gram
     * CONTAINMENT of any benchmark shingle (X46's measure) against a
     * STATIC benchmark corpus — a stream-static equi-join on the hashed

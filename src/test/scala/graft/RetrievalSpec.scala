@@ -144,4 +144,95 @@ class RetrievalSpec extends AnyFunSuite {
     def toMap2: Map[(Long, Long), Long] =
       xs.map { case (a, b, c) => (a, b) -> c }.toMap
   }
+
+  test("dsirWeights: target-like docs score higher; brute-force reference matches") {
+    val corpus = Seq(
+      (0L, "alpha beta alpha beta", true),   // target style
+      (1L, "alpha beta gamma", true),
+      (2L, "delta epsilon zeta", false),
+      (3L, "alpha beta alpha", false),       // raw doc that LOOKS like target
+      (4L, "delta epsilon delta epsilon", false))
+      .toDF("doc_id", "text", "is_tgt")
+    val nB = 64
+    val got = Curation.dsirWeights(corpus, "doc_id", "text",
+        col("is_tgt"), nB)
+      .select("doc_id", "n_feats", "logw_micros")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // brute-force reference with plain collections
+    def grams(t: String): Seq[String] = {
+      val ts = t.split("\\s+").toSeq
+      ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val rows = Seq(
+      (0L, "alpha beta alpha beta", true), (1L, "alpha beta gamma", true),
+      (2L, "delta epsilon zeta", false), (3L, "alpha beta alpha", false),
+      (4L, "delta epsilon delta epsilon", false))
+    val feats = rows.flatMap { case (id, t, tgt) =>
+      grams(t).map(g => (id, tgt, h60(g) % nB))
+    }
+    val rTot = feats.size.toDouble + nB
+    val tTot = feats.count(_._2).toDouble + nB
+    val byB = feats.groupBy(_._3)
+    val lr = byB.map { case (b, fs) =>
+      b -> math.round(math.log(((fs.count(_._2) + 1) / tTot) /
+        ((fs.size + 1) / rTot)) * 1e6)
+    }
+    val want = feats.groupBy(_._1).map { case (id, fs) =>
+      id -> (fs.size.toLong, fs.map(f => lr(f._3)).sum)
+    }
+    assert(got == want)
+    // the target-style raw doc outweighs the off-target docs
+    assert(got(3L)._2 > got(2L)._2 && got(3L)._2 > got(4L)._2)
+  }
+
+  test("scoreFrozen on the corpus itself reproduces bm25TopK's scores") {
+    val stats = Retrieval.freezeStats(docs, "doc_id", "text")
+    val frozen = Retrieval.scoreFrozen(docs, "text", stats, 1L)
+      .select(col("qid"), col("doc_id"), col("score_micros"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, d, s) => (q, d) -> s }.toMap
+    // k = 10 > corpus size, so the ranking carries every scored doc
+    val ranked = Retrieval.bm25TopK(docs, "doc_id", "text", k = 10)
+      .select(col("qid"), col("doc_id"), col("score_micros"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, d, s) => (q, d) -> s }.toMap
+    assert(frozen == ranked)
+  }
+
+  test("streaming keyword gate == batch scoreFrozen on the same docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stats = Retrieval.freezeStats(docs, "doc_id", "text")
+    val newDocs = Seq(
+      (100L, "dup spark dup"),
+      (101L, "hash join"),
+      (102L, "nothing matching at all"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.Pipeline.keywordGate(
+        input.toDF().toDF("doc_id", "text"), stats, minScoreMicros = 1L)
+      .writeStream.format("memory").queryName("kw_out")
+      .outputMode("append").start()
+    input.addData(newDocs.take(2))
+    q.processAllAvailable()
+    input.addData(newDocs.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kw_out")
+      .select("qid", "doc_id", "score_micros")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Retrieval.scoreFrozen(
+        newDocs.toDF("doc_id", "text"), "text", stats, 1L)
+      .select(col("qid"), col("doc_id"), col("score_micros"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(!streamed.exists(_._2 == 102L)) // unmatched doc absent
+    assert(streamed.exists(_._2 == 100L))
+    spark.sql("DROP TABLE IF EXISTS kw_out")
+  }
 }
