@@ -479,6 +479,14 @@ object SparkEntry {
           k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2))
         ),
 
+    // Quality-aware dedup survivors: highest-quality member per
+    // near-dup cluster (ties: lower id) + all untouched docs, each
+    // carrying its dropped-copy count — the practical dedup output.
+    "q_dedup_keepbest" -> ((s, dir) =>
+      Dedup.keepBestQuality(T(s, dir, "documents"), "doc_id", "text",
+        Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
+          k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2))),
+
     // Embedding-cosine near-dup, IVF-style blocked by cluster label.
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1078,6 +1086,12 @@ object SparkEntry {
       (Dedup.dupClustersSql(Dedup.minhashPairsSql("doc_id", "text", "documents",
         k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2))
         + " ORDER BY id"),
+
+    "q_dedup_keepbest" ->
+      (Dedup.keepBestQualitySql("doc_id", "text", "documents",
+        Dedup.minhashPairsSql("doc_id", "text", "documents",
+          k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2))
+        + " ORDER BY doc_id"),
 
     "q_dedup_embed" ->
       (Dedup.cosinePairsSql("vec_id", "embedding", "label", "embeddings",

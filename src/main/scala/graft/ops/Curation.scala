@@ -423,6 +423,63 @@ object Curation {
       .agg(count(lit(1)).as("n_feats"), sum(col("lr_micros")).as("logw_micros"))
   }
 
+  /** The offline half of the streaming DSIR gate: the nBuckets bucket
+    * log-ratios of [[dsirWeights]] collected into an array (bucket b →
+    * lr_micros, missing buckets = smoothed-prior ratio). One action
+    * over STATIC corpora at stage construction; the array is nBuckets
+    * longs — the whole "model", by the hashing-trick design.
+    */
+  def freezeDsir(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, nBuckets: Int): IndexedSeq[Long] = {
+    val ts = TextAnalysis.tokens(col(textCol))
+    val bigrams = when(size(col("ts")) >= 2,
+      transform(sequence(lit(1), size(col("ts")) - 1),
+        i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = docs
+      .select(col(idCol).as("id"), targetPred.as("is_tgt"), ts.as("ts"))
+      .select(col("is_tgt"),
+        explode(concat(col("ts"), bigrams)).as("g"))
+      .select(col("is_tgt"),
+        pmod(Hashing.hash60(col("g")), lit(nBuckets.toLong)).as("b"))
+    val rows = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("raw_n"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rTotal = rows.values.map(_._1).sum + nBuckets
+    val tTotal = rows.values.map(_._2).sum + nBuckets
+    (0 until nBuckets).map { b =>
+      val (rawN, tgtN) = rows.getOrElse(b.toLong, (0L, 0L))
+      math.round(math.log(((tgtN + 1).toDouble / tTotal) /
+        ((rawN + 1).toDouble / rTotal)) * 1e6)
+    }
+  }
+
+  /** Score docs against a frozen DSIR model — a pure narrow map (the
+    * bucket array is a literal; per-doc grams hash and look up
+    * in-row, no shuffle, no state). On the SAME corpus the stats were
+    * frozen from, output is identical to [[dsirWeights]] (spec-pinned)
+    * — the build/serve split, exactly like the keyword gate's frozen
+    * BM25 stats. Output: (…docs columns…, n_feats, logw_micros).
+    */
+  def scoreDsirFrozen(docs: DataFrame, textCol: String,
+      lrMicros: IndexedSeq[Long]): DataFrame = {
+    val nB = lrMicros.size
+    val ts = TextAnalysis.tokens(col(textCol))
+    val bigrams = when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = concat(ts, bigrams)
+    val lrArr = typedLit(lrMicros)
+    val contribs = transform(grams, g =>
+      element_at(lrArr, pmod(Hashing.hash60(g), lit(nB.toLong)).cast("int") + 1))
+    docs
+      .withColumn("n_feats", size(grams).cast("long"))
+      .withColumn("logw_micros",
+        aggregate(contribs, lit(0L), (acc, x) => acc + x))
+  }
+
   def dsirWeightsSql(id: String, text: String, table: String,
       targetPredSql: String, nBuckets: Int): String =
     s"""WITH d AS (

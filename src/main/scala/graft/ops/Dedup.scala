@@ -669,6 +669,55 @@ object Dedup {
        |HAVING count(*) + ${k - 1} >= $minTokens""".stripMargin
   }
 
+  /** The deduplicated corpus with QUALITY-aware survivor choice: every
+    * doc outside any near-dup cluster survives untouched; within a
+    * cluster the highest-quality member (ties: lower id) survives and
+    * carries the count of dropped copies. This is the practical dedup
+    * output — production pipelines keep the best-written copy, not the
+    * lowest id. `pairs` is any of the near-dup pair operators (X2-X5,
+    * X14, X70); cost beyond the pair graph is one components pass,
+    * one window over CLUSTER MEMBERS only (the tiny side), and one
+    * anti-join keyed on the doc id.
+    */
+  def keepBestQuality(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame): DataFrame = {
+    val q = docs.select(col(idCol).as("id"),
+      TextAnalysis.qualityMicros(col(textCol)).as("quality_micros"))
+    val comp = dupClusters(pairs)
+    val sizes = comp.groupBy(col("rep_id")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("rep_id"))
+      .orderBy(col("quality_micros").desc, col("id").asc)
+    val best = comp.join(q, "id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(sizes, "rep_id")
+      .select(col("id").as("doc_id"), col("quality_micros"),
+        (col("n") - 1).cast("long").as("n_dropped"))
+    val singles = q.join(comp, Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("quality_micros"),
+        lit(0L).as("n_dropped"))
+    singles.unionByName(best)
+  }
+
+  def keepBestQualitySql(id: String, text: String, table: String,
+      pairsSql: String): String =
+    s"""WITH comp AS (${dupClustersSql(pairsSql)}),
+       |q AS (SELECT $id AS id,
+       |  ${TextAnalysis.qualityMicrosSql(text)} AS quality_micros
+       |  FROM $table),
+       |sizes AS (SELECT rep_id, count(*) AS n FROM comp GROUP BY 1),
+       |best AS (
+       |  SELECT id, quality_micros, rep_id FROM (
+       |    SELECT c.id, q.quality_micros, c.rep_id, row_number() OVER (
+       |      PARTITION BY c.rep_id
+       |      ORDER BY q.quality_micros DESC, c.id) AS rn
+       |    FROM comp c JOIN q ON q.id = c.id) WHERE rn = 1)
+       |SELECT q.id AS doc_id, q.quality_micros, 0::BIGINT AS n_dropped
+       |FROM q LEFT JOIN comp c ON q.id = c.id WHERE c.id IS NULL
+       |UNION ALL
+       |SELECT b.id AS doc_id, b.quality_micros, (s.n - 1)::BIGINT AS n_dropped
+       |FROM best b JOIN sizes s ON b.rep_id = s.rep_id""".stripMargin
+
   // ---------------------------------------------- semantic dedup (SemDeDup)
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:

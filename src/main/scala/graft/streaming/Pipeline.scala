@@ -151,6 +151,19 @@ object Pipeline {
       minScoreMicros: Long): DataFrame =
     graft.ops.Retrieval.scoreFrozen(docs, "text", stats, minScoreMicros)
 
+  /** Ingest-time DSIR gate (X72's streaming twin): weight each
+    * arriving doc by target-likeness with bucket log-ratios FROZEN
+    * from static corpora ([[graft.ops.Curation.freezeDsir]] — the
+    * nBuckets-long array IS the model). Pure narrow map, no state;
+    * docs below `minLogwMicros` drop — importance FILTERING on
+    * ingest (the resampling variant keeps the weight column and
+    * samples downstream).
+    */
+  def dsirGate(docs: DataFrame, lrMicros: IndexedSeq[Long],
+      minLogwMicros: Long): DataFrame =
+    graft.ops.Curation.scoreDsirFrozen(docs, "text", lrMicros)
+      .filter(col("logw_micros") >= minLogwMicros)
+
   /** Ingest-time contamination gate: each streamed doc's n-gram
     * CONTAINMENT of any benchmark shingle (X46's measure) against a
     * STATIC benchmark corpus — a stream-static equi-join on the hashed

@@ -191,6 +191,81 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(3L)._2 > got(2L)._2 && got(3L)._2 > got(4L)._2)
   }
 
+  test("scoreDsirFrozen on the stats corpus reproduces dsirWeights exactly") {
+    val corpus = Seq(
+      (0L, "alpha beta alpha beta", "t"), (1L, "alpha beta gamma", "t"),
+      (2L, "delta epsilon zeta", "r"), (3L, "alpha beta alpha", "r"))
+      .toDF("doc_id", "text", "src")
+    val nB = 64
+    val lr = Curation.freezeDsir(corpus, "doc_id", "text",
+      col("src") === "t", nB)
+    val frozen = Curation.scoreDsirFrozen(corpus, "text", lr)
+      .select("doc_id", "n_feats", "logw_micros")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Curation.dsirWeights(corpus, "doc_id", "text",
+        col("src") === "t", nB)
+      .select("doc_id", "n_feats", "logw_micros")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(frozen == batch)
+  }
+
+  test("streaming dsirGate drops off-target docs, keeps target-like ones") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "alpha beta alpha beta", "t"), (1L, "alpha beta gamma", "t"),
+      (2L, "delta epsilon zeta", "r"), (3L, "omega psi chi", "r"))
+      .toDF("doc_id", "text", "src")
+    val lr = Curation.freezeDsir(corpus, "doc_id", "text",
+      col("src") === "t", 64)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.Pipeline.dsirGate(
+        input.toDF().toDF("doc_id", "text"), lr, minLogwMicros = 1L)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    input.addData(Seq((100L, "alpha beta alpha"), (101L, "delta epsilon zeta")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dsir_out").select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept == Set(100L)) // target-like survives, off-target drops
+    spark.sql("DROP TABLE IF EXISTS dsir_out")
+  }
+
+  test("keepBestQuality keeps the best-quality cluster member and all singles") {
+    // 0/1/2 are one near-dup cluster (2 is the long, high-quality
+    // copy); 3 is unrelated and must survive untouched
+    val dupDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "the quick brown fox jumps over the lazy dog and then keeps " +
+        "running through the quiet field toward a distant river bank"),
+      (3L, "completely different words about spark engines here today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(dupDocs, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)
+    val comp = Dedup.dupClusters(pairs)
+      .select("id", "rep_id").as[(Long, Long)].collect()
+    val clustered = comp.map(_._1).toSet
+    assert(clustered.contains(0L) && clustered.contains(1L))
+    val out = Dedup.keepBestQuality(dupDocs, "doc_id", "text", pairs)
+      .select("doc_id", "n_dropped").as[(Long, Long)].collect().toMap
+    // one survivor per cluster: the max-quality member (ties: lower id)
+    val q = dupDocs.select(col("doc_id"),
+      graft.ops.TextAnalysis.qualityMicros(col("text")).as("q"))
+      .as[(Long, Long)].collect().toMap
+    for ((_, members) <- comp.groupBy(_._2)) {
+      val ids = members.map(_._1)
+      val want = ids.minBy(i => (-q(i), i))
+      val survivors = out.keySet.intersect(ids.toSet)
+      assert(survivors == Set(want))
+      assert(out(want) == ids.size - 1)
+    }
+    // unclustered docs survive with zero drops; totals add up
+    assert(out(3L) == 0L)
+    assert(out.keySet.size + out.values.sum == 4L)
+  }
+
   test("scoreFrozen on the corpus itself reproduces bm25TopK's scores") {
     val stats = Retrieval.freezeStats(docs, "doc_id", "text")
     val frozen = Retrieval.scoreFrozen(docs, "text", stats, 1L)
