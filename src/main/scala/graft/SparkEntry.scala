@@ -741,6 +741,13 @@ object SparkEntry {
           TextAnalysis.piiRedact(t)).as("fp_redacted") +: counts: _*)
     }),
 
+    // RAG-style chunking: 64-token windows every 48 tokens (25%
+    // overlap), short tails dropped unless first — narrow map, chunk
+    // fingerprints enable chunk-level dedup downstream.
+    "q_curate_chunks" -> ((s, dir) =>
+      Curation.chunkWindows(T(s, dir, "documents"), "doc_id", "text",
+        chunkLen = 64, stride = 48, minTokens = 16)),
+
     // DSIR importance weights: hashed unigram+bigram features, bucket
     // log-ratios (target = src0 vs raw corpus, Laplace-smoothed),
     // per-doc weight = exact long sum of per-feature micro
@@ -1240,6 +1247,11 @@ object SparkEntry {
          |  $counts
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_curate_chunks" ->
+      (Curation.chunkWindowsSql("doc_id", "text", "documents",
+        chunkLen = 64, stride = 48, minTokens = 16)
+        + " ORDER BY doc_id, chunk_idx"),
 
     "q_curate_dsir" ->
       (Curation.dsirWeightsSql("doc_id", "text", "documents",

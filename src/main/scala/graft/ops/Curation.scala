@@ -371,6 +371,54 @@ object Curation {
       .select(col("bench_id"), col("doc_id"), col("containment_micros"))
   }
 
+  /** Overlapping token-window chunking — the RAG-ingestion /
+    * context-window shape: windows of `chunkLen` tokens every
+    * `stride` tokens (stride < chunkLen ⇒ overlap), each chunk
+    * carrying its position, token count, reconstructed text and
+    * content fingerprint (chunk-level dedup key). Tail fragments
+    * shorter than `minTokens` drop UNLESS they are the doc's first
+    * chunk — every doc yields at least one chunk.
+    *
+    * A narrow map (explode of ≤ len/stride window starts per doc, in-
+    * row slicing) — no shuffle at all; at 100 TB this runs at scan
+    * speed and the output lands partitioned exactly like its input.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int, stride: Int, minTokens: Int): DataFrame = {
+    val ts = TextAnalysis.tokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), ts.as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), greatest(size(col("ts")), lit(1)),
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        floor((col("start") - 1) / stride).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        slice(col("ts"), col("start"), lit(chunkLen)).as("ch"))
+      .filter(size(col("ch")) >= minTokens || col("start_tok") === 1)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("ch")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("ch")).as("text"),
+        TextAnalysis.md5Fingerprint(concat_ws(" ", col("ch"))).as("fp"))
+  }
+
+  def chunkWindowsSql(id: String, text: String, table: String,
+      chunkLen: Int, stride: Int, minTokens: Int): String =
+    s"""WITH d AS (SELECT $id AS id, ${TextAnalysis.tokensSql(text)} AS ts
+       |  FROM $table),
+       |w AS (
+       |  SELECT id, ts,
+       |    unnest(generate_series(1, greatest(len(ts), 1), $stride)) AS start
+       |  FROM d),
+       |c AS (
+       |  SELECT id, start, ts[start : least(start + ${chunkLen - 1}, len(ts))] AS ch
+       |  FROM w)
+       |SELECT id AS doc_id, ((start - 1) // $stride)::BIGINT AS chunk_idx,
+       |  start::BIGINT AS start_tok, len(ch)::BIGINT AS n_tokens,
+       |  array_to_string(ch, ' ') AS text,
+       |  ${TextAnalysis.md5FingerprintSql("array_to_string(ch, ' ')")} AS fp
+       |FROM c WHERE len(ch) >= $minTokens OR start = 1""".stripMargin
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling"): score every doc by
     * how much its hashed n-gram feature distribution looks like a

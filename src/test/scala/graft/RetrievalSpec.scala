@@ -266,6 +266,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.keySet.size + out.values.sum == 4L)
   }
 
+  test("chunkWindows: overlap, tail rule, and reconstruction match a reference") {
+    val fixture = Seq(
+      (0L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks: 3 windows @ stride 4
+      (1L, "a b"),                                    // short doc: one whole chunk
+      (2L, (1 to 8).map(i => s"t$i").mkString(" ")))  // tail fragment < min drops
+      .toDF("doc_id", "text")
+    val got = Curation.chunkWindows(fixture, "doc_id", "text",
+        chunkLen = 6, stride = 4, minTokens = 3)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tokens", "text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    def ref(id: Long, t: String): Seq[(Long, Long, Long, Long, String)] = {
+      val ts = t.split("\\s+").toSeq
+      (1 to math.max(ts.size, 1) by 4).map { s =>
+        val ch = ts.slice(s - 1, s - 1 + 6)
+        (id, ((s - 1) / 4).toLong, s.toLong, ch.size.toLong, ch.mkString(" "))
+      }.filter(c => c._4 >= 3 || c._3 == 1)
+    }
+    val want = (ref(0L, (1 to 10).map(i => s"w$i").mkString(" "))
+      ++ ref(1L, "a b") ++ ref(2L, (1 to 8).map(i => s"t$i").mkString(" "))).toSet
+    assert(got == want)
+    // doc 0: windows at 1, 5, 9 — the last has 2 toks < 3 and drops
+    assert(got.count(_._1 == 0L) == 2)
+    assert(got.exists(c => c._1 == 1L && c._4 == 2L)) // short doc kept whole
+  }
+
   test("scoreFrozen on the corpus itself reproduces bm25TopK's scores") {
     val stats = Retrieval.freezeStats(docs, "doc_id", "text")
     val frozen = Retrieval.scoreFrozen(docs, "text", stats, 1L)
