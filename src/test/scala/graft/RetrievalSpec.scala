@@ -291,6 +291,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.exists(c => c._1 == 1L && c._4 == 2L)) // short doc kept whole
   }
 
+  test("chunkWindows is streaming-compatible as-is (stateless narrow map)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((0L, (1 to 10).map(i => s"w$i").mkString(" ")), (1L, "a b"))
+    val input = MemoryStream[(Long, String)]
+    val q = Curation.chunkWindows(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", chunkLen = 6, stride = 4, minTokens = 3)
+      .writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    input.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("chunk_out")
+      .select("doc_id", "chunk_idx", "start_tok", "n_tokens", "text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val batch = Curation.chunkWindows(rows.toDF("doc_id", "text"),
+        "doc_id", "text", chunkLen = 6, stride = 4, minTokens = 3)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tokens", "text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS chunk_out")
+  }
+
   test("scoreFrozen on the corpus itself reproduces bm25TopK's scores") {
     val stats = Retrieval.freezeStats(docs, "doc_id", "text")
     val frozen = Retrieval.scoreFrozen(docs, "text", stats, 1L)
