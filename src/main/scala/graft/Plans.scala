@@ -141,7 +141,29 @@ object Plans {
     "q_hybrid_rrf" ->
       """RRF fusion: two k-row-per-query rankings union, partial-agg
         |on (qid, doc_id), one window — everything after the two input
-        |rankings is broadcast-scale arithmetic.""".stripMargin)
+        |rankings is broadcast-scale arithmetic.""".stripMargin,
+    "q_text_lm" ->
+      """LM cross-entropy: the two bucket-count model tables enter as
+        |BroadcastHashJoins over the cached gram stream (≤ nBuckets
+        |rows each); the only exchanges are the two bucket-count
+        |partial aggs and the final doc-keyed partial agg. Nothing
+        |wide scales with vocabulary.""".stripMargin,
+    "q_sim_knngraph" ->
+      """Blocked kNN graph: centroids broadcast into the zero-shuffle
+        |assignment; the candidate stage is a SortMergeJoin of the
+        |assignment with itself ON THE LIST ID (never a cartesian);
+        |ranking is one WindowGroupLimit-bounded window keyed on the
+        |high-cardinality src_id.""".stripMargin,
+    "q_dedup_edit" ->
+      """Edit-verified near dups: the posting self-join carries only
+        |(id, len, h) longs; texts enter AFTER candidate dedup via two
+        |id-keyed joins, so the Levenshtein verify touches candidate
+        |pairs only and strings never ride the posting shuffle.""".stripMargin,
+    "q_curate_resample" ->
+      """Gumbel-top-n resampling: the key is a narrow map over the
+        |weight relation (hash + two ln, no new exchange), and the
+        |global top-n plans as TakeOrderedAndProject — per-partition
+        |top-n, single n-row driver merge, no global sort.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -447,6 +447,13 @@ object SparkEntry {
         k = 3, threshold = 0.2)
         ),
 
+    // Edit-distance-verified near dups: X4's posting-join candidates
+    // (+ the exact |len1-len2| <= d pruning), bounded-Levenshtein
+    // verify. Character-level ground truth vs X4's bag overlap.
+    "q_dedup_edit" -> ((s, dir) =>
+      Dedup.editPairs(T(s, dir, "documents"), "doc_id", "text",
+        k = 3, maxDist = 20)),
+
     // X4 skew-hardened: shingles in >= 1% of docs take an explicitly
     // salted posting join — the AQE-independent 100 TB path for
     // hot-shingle skew (151 hot shingles at sf0.01, so the gate
@@ -666,6 +673,14 @@ object SparkEntry {
         "embedding", "label", col("vec_id") < 8, k = 5,
         nprobes = Seq(1, 2, 4), iters = 4, massign = 2)),
 
+    // Blocked kNN graph: EVERY vector's top-5 neighbors among the
+    // vectors sharing one of its 2 assigned trained-IVF lists — the
+    // self-join-on-block shape (cost Σ|list|², never n²) that feeds
+    // kNN classification and graph clustering.
+    "q_sim_knngraph" -> ((s, dir) =>
+      Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", k = 5, iters = 2, massign = 2)),
+
     // Deterministic train/val/test split audit: hash-bucket
     // assignment (stable under corpus growth — a doc's split never
     // depends on the rest of the corpus), counts per (source, split).
@@ -755,6 +770,24 @@ object SparkEntry {
     "q_curate_dsir" -> ((s, dir) =>
       Curation.dsirWeights(T(s, dir, "documents"), "doc_id", "text",
         col("source") === "src0", nBuckets = 1024)),
+
+    // DSIR importance RESAMPLING: Gumbel-top-n over the X72 weights —
+    // inclusion ∝ weight, noise seeded from a salted id hash so the
+    // drawn mixture is reproducible and growth-stable. Narrow map +
+    // TakeOrderedAndProject.
+    "q_curate_resample" -> ((s, dir) =>
+      Curation.importanceResample(
+        Curation.dsirWeights(T(s, dir, "documents"), "doc_id", "text",
+          col("source") === "src0", nBuckets = 1024),
+        "doc_id", "logw_micros", n = 50, salt = "rs")),
+
+    // CCNet-style LM fluency score: hashed bigram LM (Laplace over
+    // the hashed space) trained on the lang='en' reference slice,
+    // per-doc per-token cross-entropy in micro-nats. Per-instance
+    // log-probs micro-quantized before the exact long sum.
+    "q_text_lm" -> ((s, dir) =>
+      TextAnalysis.lmScore(T(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", nBuckets = 2048)),
 
     // BM25 keyword retrieval: inverted posting index (tf/dl/df/avgdl)
     // + Lucene-style BM25, top-10 per fixed keyword query. Contributions
@@ -1072,6 +1105,10 @@ object SparkEntry {
       (Dedup.ngramJaccardPairsSql("doc_id", "text", "documents",
         k = 3, threshold = 0.2) + " ORDER BY id1, id2"),
 
+    "q_dedup_edit" ->
+      (Dedup.editPairsSql("doc_id", "text", "documents",
+        k = 3, maxDist = 20) + " ORDER BY id1, id2"),
+
     // salting is pair-preserving — the oracle is the same plain
     // pairwise-threshold query as q_dedup_ngram
     "q_dedup_ngram_salted" ->
@@ -1200,6 +1237,11 @@ object SparkEntry {
         "id < 8", k = 5, nprobes = Seq(1, 2, 4), iters = 4, dim = 64,
         massign = 2),
 
+    "q_sim_knngraph" ->
+      (Similarity.knnGraphSql("vec_id", "embedding", "label", "embeddings",
+        k = 5, iters = 2, dim = 64, massign = 2)
+        + " ORDER BY src_id, rank"),
+
     "q_curate_split" ->
       (Curation.splitCountsSql("doc_id", "text", "source", "documents",
         trainPct = 70, valPct = 15) + " ORDER BY source, split"),
@@ -1256,6 +1298,16 @@ object SparkEntry {
     "q_curate_dsir" ->
       (Curation.dsirWeightsSql("doc_id", "text", "documents",
         "source = 'src0'", nBuckets = 1024) + " ORDER BY doc_id"),
+
+    "q_curate_resample" ->
+      Curation.importanceResampleSql(
+        Curation.dsirWeightsSql("doc_id", "text", "documents",
+          "source = 'src0'", nBuckets = 1024),
+        "doc_id", "logw_micros", n = 50, salt = "rs"),
+
+    "q_text_lm" ->
+      (TextAnalysis.lmScoreSql("doc_id", "text", "documents",
+        "lang = 'en'", nBuckets = 2048) + " ORDER BY doc_id"),
 
     "q_text_bm25" ->
       (Retrieval.bm25TopKSql("doc_id", "text", "documents", k = 10)

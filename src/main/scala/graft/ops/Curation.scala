@@ -528,6 +528,65 @@ object Curation {
         aggregate(contribs, lit(0L), (acc, x) => acc + x))
   }
 
+  /** 2^60 + 1: maps the 60-bit hash onto u ∈ (0, 1) exclusive at both
+    * ends ((h+1)/(2^60+1) with h ∈ [0, 2^60)), so ln(u) and ln(−ln u)
+    * are always finite. The long→double conversion rounds identically
+    * on both engines (IEEE round-to-nearest).
+    */
+  private val GumbelDenom = 1152921504606846977L
+
+  /** Deterministic importance RESAMPLING via the Gumbel-top-n trick
+    * (Efraimidis-Spirakis weighted sampling without replacement, in
+    * Gumbel form): draw n docs with inclusion probability
+    * proportional to their importance weight by taking the top n of
+    * key = log w + Gumbel(u_id), where the Gumbel noise
+    * −ln(−ln u) is seeded from a salted hash of the doc id instead of
+    * a random draw. This is the SAMPLING half of DSIR (X72/X74 weight
+    * and gate; this draws the mixture) — and because the per-doc key
+    * is a pure function of (salt, id, weight), the sample is
+    * reproducible, auditable, and each doc's key is independent of
+    * the rest of the corpus.
+    *
+    * `weights` is any (id, logw_micros) relation — [[dsirWeights]]
+    * output composes directly. Keys stay integer micros: the Gumbel
+    * term quantizes through the same round(x·1e6) contract as every
+    * float here.
+    *
+    * == 100 TB shape ==
+    *
+    * One narrow map (hash, two ln, one add) + a global top-n via
+    * ORDER BY + LIMIT — Spark plans `TakeOrderedAndProject` (per
+    * partition top-n, then a single n-row merge on the driver — no
+    * global sort materializes), the X21/O1 shape. n is a sample
+    * size, not corpus-scale.
+    */
+  def importanceResample(weights: DataFrame, idCol: String,
+      logwCol: String, n: Int, salt: String): DataFrame = {
+    val u = (Hashing.hash60(concat(lit(salt + "_"),
+      col(idCol).cast("string"))) + 1).cast("double") /
+      lit(GumbelDenom).cast("double")
+    weights
+      .withColumn("gumbel_micros", round(-log(-log(u)) * 1e6).cast("long"))
+      .withColumn("key_micros", col(logwCol) + col("gumbel_micros"))
+      .orderBy(col("key_micros").desc, col(idCol))
+      .limit(n)
+  }
+
+  /** DuckDB twin of [[importanceResample]] over the [[dsirWeightsSql]]
+    * weight relation.
+    */
+  def importanceResampleSql(weightsSql: String, id: String, logw: String,
+      n: Int, salt: String): String = {
+    val u = s"((${Hashing.hash60Sql(s"'${salt}_' || $id::VARCHAR")} + 1)::DOUBLE" +
+      s" / $GumbelDenom::DOUBLE)"
+    s"""WITH w AS ($weightsSql),
+       |keyed AS (
+       |  SELECT *, round(-ln(-ln($u)) * 1e6)::BIGINT AS gumbel_micros
+       |  FROM w)
+       |SELECT *, ($logw + gumbel_micros)::BIGINT AS key_micros FROM keyed
+       |ORDER BY key_micros DESC, $id LIMIT $n""".stripMargin
+  }
+
   def dsirWeightsSql(id: String, text: String, table: String,
       targetPredSql: String, nBuckets: Int): String =
     s"""WITH d AS (

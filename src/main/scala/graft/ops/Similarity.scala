@@ -269,6 +269,79 @@ object Similarity {
       queryPred, k, nprobe, dedupCands = massign > 1)
   }
 
+  /** Approximate kNN GRAPH: every corpus vector's k nearest neighbors
+    * among vectors sharing at least one of its assigned trained-IVF
+    * lists (a blocked kNN self-join). The building block under kNN
+    * classification over embeddings, graph-based diversity sampling
+    * and connectivity clustering: unlike the query-set searches
+    * (ivfTopKTrained — a FEW queries probe the corpus), here EVERY
+    * vector is a query, so the candidate stage must be a self-join on
+    * the block key, never queries × corpus.
+    *
+    * massign > 1 widens each vector's candidate set to all vectors of
+    * its m straddled lists (the same boundary-vector fix as the IVF
+    * search); a pair reachable via several shared lists scores
+    * identically and dedups before ranking.
+    *
+    * == 100 TB shape ==
+    *
+    * One narrow assignment pass (broadcast centroids), one join back
+    * to the cached base for the vectors, one self-join on the list id
+    * — cost Σ|list|², bounded by sizing nlist ∝ √n so lists stay
+    * ~√n — and one top-k window keyed on the high-cardinality vector
+    * id. The skew knob is the same as every posting join here: an
+    * overfull list salts into (cl, salt) sub-blocks scored
+    * independently (X35's machinery — dedup is salt-invariant).
+    * Output: (src_id, rank, neighbor_id, cos_micros), k rows per
+    * vector.
+    */
+  def knnGraph(embs: DataFrame, idCol: String, vecCol: String,
+      seedCol: String, k: Int, iters: Int, massign: Int = 1): DataFrame = {
+    val base = baseOf(embs, idCol, vecCol)
+    val cents = withCNorm(kmeans(embs, idCol, vecCol, seedCol, iters))
+    val assigned = Caching.cachedOnce(
+      assignToNearest(base, cents, massign).join(base, "id"))
+    val scored0 = assigned
+      .select(col("cl"), col("id").as("src_id"), col("v").as("sv"),
+        col("nrm").as("snrm"))
+      .join(assigned.select(col("cl"), col("id").as("neighbor_id"),
+        col("v"), col("nrm")), Seq("cl"))
+      .filter(col("src_id") =!= col("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"),
+        (Vectors.dot(col("sv"), col("v")) / (col("snrm") * col("nrm")))
+          .as("cos"))
+    // identical pairs from different shared lists carry identical cos
+    // bits (same expression over the same operands) — dedup is exact
+    val scored = if (massign > 1) scored0.distinct() else scored0
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("rank"), col("neighbor_id"),
+        round(col("cos") * 1e6).cast("long").as("cos_micros"))
+  }
+
+  /** DuckDB twin of [[knnGraph]]: the same seeded/unrolled training
+    * ([[ivfTrainedPrefixSql]] — its query/truth CTEs go unreferenced
+    * and unevaluated), the same blocked self-join on the final
+    * assignment, the same (cos desc, id) ranking.
+    */
+  def knnGraphSql(id: String, vec: String, seed: String, table: String,
+      k: Int, iters: Int, dim: Int, massign: Int = 1): String = {
+    val distinctKw = if (massign > 1) "DISTINCT " else ""
+    s"""${ivfTrainedPrefixSql(id, vec, seed, table, "false", k, iters, dim, massign)},
+       |pairs AS (
+       |  SELECT ${distinctKw}a1.id AS src_id, a2.id AS neighbor_id,
+       |    ${Vectors.cosineSql("a1.v", "a2.v")} AS cos
+       |  FROM af a1 JOIN af a2 ON a1.cl = a2.cl AND a1.id <> a2.id)
+       |SELECT src_id, rank, neighbor_id, cos_micros FROM (
+       |  SELECT src_id, row_number() OVER (PARTITION BY src_id
+       |      ORDER BY cos DESC, neighbor_id)::BIGINT AS rank,
+       |    neighbor_id, round(cos * 1e6)::BIGINT AS cos_micros
+       |  FROM pairs)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** recall@k of the trained-IVF search against the exact brute-force
     * ground truth, per query: |ivf hits ∩ true top-k| / k in micros.
     * The quality metric that makes the ANN path measurable rather

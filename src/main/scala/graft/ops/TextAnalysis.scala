@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-data-pipeline surface (builder
@@ -256,4 +256,154 @@ object TextAnalysis {
   def rollingFingerprintSql(e: String): String =
     s"list_reduce(list_prepend(0::BIGINT, [${Hashing.hash60Sql("w")} % ${Hashing.P} " +
       s"for w in ${tokensSql(e)}]), (acc, h) -> (acc * $RollB + h) % ${Hashing.P})"
+
+  /** Per-doc (context-bucket, bigram-bucket) event pairs for the
+    * hashed bigram LM: for tokens w1..wn, one struct per position
+    * i < n with c = hash(wi) % nB and e = hash(wi + ' ' + wi+1) % nB.
+    * Docs under two tokens produce an empty array.
+    */
+  private def lmPairs(text: Column, nBuckets: Int): Column = {
+    val ts = tokens(text)
+    val nB = lit(nBuckets.toLong)
+    when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1), i => struct(
+        pmod(Hashing.hash60(element_at(ts, i)), nB).as("c"),
+        pmod(Hashing.hash60(concat_ws(" ",
+          element_at(ts, i), element_at(ts, i + 1))), nB).as("e"))))
+      .otherwise(array().cast("array<struct<c:bigint,e:bigint>>"))
+  }
+
+  /** Hashed bigram language-model fluency score — the CCNet-style
+    * quality gate (Wenzek et al., "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data"): train a reference LM
+    * on a trusted subcorpus, score every doc by its per-token
+    * cross-entropy under that LM, and gate on the score (clean prose
+    * scores low; gibberish, boilerplate soup and wrong-language text
+    * score high). A production deployment swaps in a KenLM; the
+    * dataflow — frozen reference statistics, per-doc narrow scoring —
+    * is identical, which is what this operator pins down.
+    *
+    * Model: bigram events hashed into `nBuckets` (the hashing trick —
+    * the model is ≤ 2·nBuckets longs no matter the vocabulary), with
+    * Laplace smoothing over the hashed space:
+    * P(e|c) = (cnt2(e)+1) / (cnt1(c)+nB), where cnt2 counts bigram
+    * instances in the reference docs bucketed by the bigram hash and
+    * cnt1 counts the same instances bucketed by the context (first
+    * word) hash. Per-instance log-probs are micro-quantized BEFORE the
+    * per-doc sum (exact long arithmetic both engines); ce_micros =
+    * round(−logp_micros / n_bigrams) is the per-token cross-entropy in
+    * micro-nats. Docs with fewer than two tokens have no events and
+    * are absent (the gate passes them — no evidence either way).
+    *
+    * == 100 TB shape ==
+    *
+    * One narrow gram pass over the corpus; the model is two ≤ nBuckets
+    * bucket-count tables (partial-agg shuffles over counts, never gram
+    * instances) broadcast back; the per-doc score is one partial-agg
+    * shuffle keyed on the doc id. Nothing scales with vocabulary, and
+    * the serving half ([[scoreLmFrozen]]) is a zero-shuffle map.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      refPred: Column, nBuckets: Int): DataFrame = {
+    val feats = Caching.cachedOnce(docs
+      .select(col(idCol).as("id"), refPred.as("is_ref"),
+        explode(lmPairs(col(textCol), nBuckets)).as("p"))
+      .select(col("id"), col("is_ref"),
+        col("p.c").as("c"), col("p.e").as("e")))
+    val cnt1 = feats.filter(col("is_ref")).groupBy(col("c"))
+      .agg(count(lit(1)).as("c_n"))
+    val cnt2 = feats.filter(col("is_ref")).groupBy(col("e"))
+      .agg(count(lit(1)).as("e_n"))
+    feats
+      .join(broadcast(cnt1), Seq("c"), "left")
+      .join(broadcast(cnt2), Seq("e"), "left")
+      .select(col("id"),
+        round(log((coalesce(col("e_n"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c_n"), lit(0L)) + nBuckets).cast("double")) * 1e6)
+          .cast("long").as("lp"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("logp_micros"))
+      .withColumn("ce_micros",
+        round(-col("logp_micros").cast("double") / col("n_bigrams"))
+          .cast("long"))
+  }
+
+  /** The frozen bigram LM: bucket b → reference instance count, for
+    * contexts (cnt1) and bigrams (cnt2). 2·nBuckets longs — the whole
+    * model, by the hashing-trick design.
+    */
+  final case class LmModel(ctx: IndexedSeq[Long], big: IndexedSeq[Long]) {
+    def nBuckets: Int = ctx.size
+  }
+
+  /** The offline half of the streaming LM gate: collect the two
+    * bucket-count tables of [[lmScore]] into arrays. One action over
+    * the STATIC reference corpus at stage construction.
+    */
+  def freezeLm(docs: DataFrame, textCol: String, refPred: Column,
+      nBuckets: Int): LmModel = {
+    val feats = docs.filter(refPred)
+      .select(explode(lmPairs(col(textCol), nBuckets)).as("p"))
+      .select(col("p.c").as("c"), col("p.e").as("e"))
+    val cnt1 = feats.groupBy(col("c")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cnt2 = feats.groupBy(col("e")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    LmModel(
+      (0 until nBuckets).map(b => cnt1.getOrElse(b.toLong, 0L)),
+      (0 until nBuckets).map(b => cnt2.getOrElse(b.toLong, 0L)))
+  }
+
+  /** Score docs against a frozen LM — a pure narrow map (both count
+    * arrays are literals; per-doc events hash and look up in-row, no
+    * shuffle, no state). On the SAME corpus the model was frozen from,
+    * output matches [[lmScore]] exactly on every doc with ≥ 1 bigram
+    * (spec-pinned). Docs under two tokens get n_bigrams = 0 and null
+    * ce_micros — present here (unlike [[lmScore]], which never sees
+    * them past the explode), so a gate can choose to pass them.
+    * Output: (…docs columns…, n_bigrams, logp_micros, ce_micros).
+    */
+  def scoreLmFrozen(docs: DataFrame, textCol: String,
+      model: LmModel): DataFrame = {
+    val nB = model.nBuckets
+    val ctxArr = typedLit(model.ctx)
+    val bigArr = typedLit(model.big)
+    val lps = transform(lmPairs(col(textCol), nB), p =>
+      round(log(
+        (element_at(bigArr, p.getField("e").cast("int") + 1) + 1)
+          .cast("double") /
+        (element_at(ctxArr, p.getField("c").cast("int") + 1) + nB)
+          .cast("double")) * 1e6).cast("long"))
+    docs
+      .withColumn("n_bigrams", size(lps).cast("long"))
+      .withColumn("logp_micros",
+        aggregate(lps, lit(0L), (acc, x) => acc + x))
+      .withColumn("ce_micros",
+        when(col("n_bigrams") > 0,
+          round(-col("logp_micros").cast("double") / col("n_bigrams"))
+            .cast("long")))
+  }
+
+  def lmScoreSql(id: String, text: String, table: String,
+      refPredSql: String, nBuckets: Int): String =
+    s"""WITH d AS (
+       |  SELECT $id AS id, ($refPredSql) AS is_ref,
+       |    ${tokensSql(text)} AS ts FROM $table),
+       |pairs AS (
+       |  SELECT id, is_ref,
+       |    ${Hashing.hash60Sql("ts[i]")} % $nBuckets AS c,
+       |    ${Hashing.hash60Sql("ts[i] || ' ' || ts[i + 1]")} % $nBuckets AS e
+       |  FROM (SELECT id, is_ref, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |        FROM d WHERE len(ts) >= 2)),
+       |cnt1 AS (SELECT c, count(*) AS c_n FROM pairs WHERE is_ref GROUP BY 1),
+       |cnt2 AS (SELECT e, count(*) AS e_n FROM pairs WHERE is_ref GROUP BY 1),
+       |scored AS (
+       |  SELECT p.id,
+       |    round(ln((coalesce(e_n, 0) + 1)::DOUBLE
+       |      / (coalesce(c_n, 0) + $nBuckets)::DOUBLE) * 1e6)::BIGINT AS lp
+       |  FROM pairs p LEFT JOIN cnt1 USING (c) LEFT JOIN cnt2 USING (e))
+       |SELECT id AS doc_id, count(*)::BIGINT AS n_bigrams,
+       |  sum(lp)::BIGINT AS logp_micros,
+       |  round(-sum(lp)::DOUBLE / count(*))::BIGINT AS ce_micros
+       |FROM scored GROUP BY 1""".stripMargin
 }

@@ -164,6 +164,20 @@ object Pipeline {
     graft.ops.Curation.scoreDsirFrozen(docs, "text", lrMicros)
       .filter(col("logw_micros") >= minLogwMicros)
 
+  /** Ingest-time LM fluency gate (X76's streaming twin — the CCNet
+    * shape): score each arriving doc's per-token cross-entropy under a
+    * bigram LM FROZEN from a static reference corpus
+    * ([[graft.ops.TextAnalysis.freezeLm]] — 2·nBuckets longs IS the
+    * model). Pure narrow map, no state; docs whose cross-entropy
+    * exceeds `maxCeMicros` drop. Docs too short to score (no bigrams,
+    * null ce_micros) PASS — the gate has no evidence against them and
+    * a length gate is a separate concern.
+    */
+  def lmGate(docs: DataFrame, model: graft.ops.TextAnalysis.LmModel,
+      maxCeMicros: Long): DataFrame =
+    graft.ops.TextAnalysis.scoreLmFrozen(docs, "text", model)
+      .filter(col("ce_micros").isNull || col("ce_micros") <= maxCeMicros)
+
   /** Ingest-time contamination gate: each streamed doc's n-gram
     * CONTAINMENT of any benchmark shingle (X46's measure) against a
     * STATIC benchmark corpus — a stream-static equi-join on the hashed

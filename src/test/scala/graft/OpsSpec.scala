@@ -141,6 +141,100 @@ class OpsSpec extends AnyFunSuite {
     assert(rec == Map(0L -> 1000000L, 1L -> 1000000L))
   }
 
+  test("knnGraph: full-coverage assignment equals brute force; blocks confine neighbors") {
+    val embs = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0.1f), 0),
+      (2L, Seq(0.9f, 0.2f), 0),
+      (3L, Seq(0f, 1f), 1), (4L, Seq(0.05f, 1f), 1),
+      (5L, Seq(0.1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    // massign=2 over 2 lists posts every vector to BOTH lists — one
+    // block covers the corpus, so the graph must equal the exact
+    // brute-force graph (and the shared-list duplicates must dedup:
+    // without it ranks would double-count)
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+        lit(true), k = 3)
+      .select("qid", "rank", "neighbor_id", "cos_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val full = Similarity.knnGraph(embs, "vec_id", "embedding", "label",
+        k = 3, iters = 1, massign = 2)
+      .select("src_id", "rank", "neighbor_id", "cos_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(full == exact)
+    // massign=1 on separable clusters: neighbors stay within the
+    // vector's own block (each block has 3 members → 2 neighbors)
+    val blocked = Similarity.knnGraph(embs, "vec_id", "embedding", "label",
+        k = 3, iters = 1, massign = 1)
+      .select("src_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(blocked.length == 12) // 6 vectors × 2 within-block neighbors
+    val lowIds = Set(0L, 1L, 2L)
+    blocked.foreach { case (s, n) =>
+      assert(lowIds.contains(s) == lowIds.contains(n))
+    }
+  }
+
+  test("editPairs verifies candidates with exact bounded Levenshtein") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox leaps over the lazy dog"),   // 3 edits
+      (2L, "the quick brown fox jumps over the lazy dog !"), // 2 appended
+      (3L, "entirely different words with nothing shared here"))
+      .toDF("doc_id", "text")
+    // plain-DP reference distance
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = Map(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "the quick brown fox leaps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog !",
+      3L -> "entirely different words with nothing shared here")
+    val got = Dedup.editPairs(docs, "doc_id", "text", k = 3, maxDist = 5)
+      .select("id1", "id2", "edit_dist")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      d = lev(texts(a), texts(b)) if d <= 5
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want && got.contains((0L, 1L, lev(texts(0L), texts(1L)).toLong)))
+    assert(got.map(p => (p._1, p._2)) == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    // tightening the bound below a pair's distance drops it
+    val tight = Dedup.editPairs(docs, "doc_id", "text", k = 3, maxDist = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(tight == Set((0L, 2L)))
+  }
+
+  test("importanceResample matches the brute-force Gumbel-top-n") {
+    val weights = Seq(
+      (0L, 500000L), (1L, -200000L), (2L, 1200000L), (3L, 0L),
+      (4L, 900000L), (5L, -1500000L), (6L, 300000L), (7L, 700000L))
+      .toDF("doc_id", "logw_micros")
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val want = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L).map { id =>
+      val logw = Map(0L -> 500000L, 1L -> -200000L, 2L -> 1200000L,
+        3L -> 0L, 4L -> 900000L, 5L -> -1500000L, 6L -> 300000L,
+        7L -> 700000L)(id)
+      val u = (h60(s"rs_$id") + 1).toDouble / 1152921504606846977L.toDouble
+      val g = math.round(-math.log(-math.log(u)) * 1e6)
+      (id, logw, g, logw + g)
+    }.sortBy { case (id, _, _, key) => (-key, id) }.take(3).toSet
+    val got = Curation.importanceResample(weights, "doc_id", "logw_micros",
+        n = 3, salt = "rs")
+      .select("doc_id", "logw_micros", "gumbel_micros", "key_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("token/piece counts and fingerprints") {
     val t = Seq("ab cd3 e!").toDF("text")
     val row = t.select(

@@ -299,6 +299,32 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("round-5 ops keep their scale shapes (LM broadcast, equi self-joins, TakeOrdered)") {
+    // LM scoring: the two bucket-count model tables must enter as
+    // broadcasts — nothing wide may scale with vocabulary
+    val lm = plan("q_text_lm")
+    assert(lm.contains("BroadcastExchange"), s"LM model not broadcast:\n$lm")
+    assert(!lm.contains("CartesianProduct"))
+    // kNN graph: candidates come from the equi self-join on the list
+    // id — a cartesian here is the n² failure the blocking exists to
+    // prevent. (A BroadcastNestedLoopJoin IS present and fine: it's
+    // the 1-row centroid-array attach, the same shape q_sim_topk
+    // pins.) The native assignment pick must be in the plan.
+    val kg = plan("q_sim_knngraph")
+    assert(!kg.contains("CartesianProduct"),
+      s"knn graph candidate stage went cartesian:\n$kg")
+    assert(kg.contains("arg_top_m_cos"), "native assignment pick missing")
+    // edit verify: equi posting join for candidates, the bounded
+    // levenshtein in the verify projection
+    val ed = plan("q_dedup_edit")
+    assert(!ed.contains("CartesianProduct") && !ed.contains("BroadcastNestedLoop"))
+    assert(ed.contains("levenshtein"), s"no levenshtein verify stage:\n$ed")
+    // Gumbel resampling: global top-n must plan TakeOrderedAndProject,
+    // never a global sort
+    val rs = plan("q_curate_resample")
+    assert(rs.contains("TakeOrderedAndProject"), s"resample not TakeOrdered:\n$rs")
+  }
+
   test("SQ search: native encode/recon below the pair join; per-row, not per-pair") {
     val p = plan("q_sim_sq")
     assert(p.contains("sq_encode"), "native SQ encode not in the plan")

@@ -232,6 +232,111 @@ class RetrievalSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS dsir_out")
   }
 
+  test("lmScore: fluent-by-reference text scores lower ce; brute-force matches") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma alpha beta", "en"),  // reference style
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "beta alpha gamma beta alpha", "xx"),  // seen words, unseen order
+      (3L, "omega psi chi phi", "xx"),            // fully out of model
+      (4L, "alpha beta gamma", "xx"))             // reference-like raw doc
+      .toDF("doc_id", "text", "lang")
+    val nB = 64
+    val got = TextAnalysis.lmScore(corpus, "doc_id", "text",
+        col("lang") === "en", nB)
+      .select("doc_id", "n_bigrams", "logp_micros", "ce_micros")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    // brute-force reference with plain collections
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val rows = Seq(
+      (0L, "alpha beta gamma alpha beta", true),
+      (1L, "alpha beta gamma delta", true),
+      (2L, "beta alpha gamma beta alpha", false),
+      (3L, "omega psi chi phi", false),
+      (4L, "alpha beta gamma", false))
+    def pairs(t: String): Seq[(Long, Long)] = {
+      val ts = t.split("\\s+").toSeq
+      ts.sliding(2).filter(_.size == 2).toSeq
+        .map(w => (h60(w.head) % nB, h60(w.mkString(" ")) % nB))
+    }
+    val refPairs = rows.filter(_._3).flatMap(r => pairs(r._2))
+    val cnt1 = refPairs.groupBy(_._1).map { case (c, xs) => c -> xs.size }
+    val cnt2 = refPairs.groupBy(_._2).map { case (e, xs) => e -> xs.size }
+    val want = rows.map { case (id, t, _) =>
+      val lps = pairs(t).map { case (c, e) =>
+        math.round(math.log((cnt2.getOrElse(e, 0) + 1).toDouble /
+          (cnt1.getOrElse(c, 0) + nB)) * 1e6)
+      }
+      id -> (lps.size.toLong, lps.sum,
+        math.round(-lps.sum.toDouble / lps.size))
+    }.toMap
+    assert(got == want)
+    // the reference-like raw doc reads as more fluent than the
+    // scrambled and the out-of-model docs
+    assert(got(4L)._3 < got(2L)._3 && got(4L)._3 < got(3L)._3)
+  }
+
+  test("scoreLmFrozen on the stats corpus reproduces lmScore exactly") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma alpha beta", "en"),
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "omega psi chi phi", "xx"),
+      (3L, "alpha beta gamma", "xx"),
+      (4L, "solo", "xx"))  // < 2 tokens: absent from batch, n=0 frozen
+      .toDF("doc_id", "text", "lang")
+    val nB = 64
+    val model = TextAnalysis.freezeLm(corpus, "text", col("lang") === "en", nB)
+    val frozen = TextAnalysis.scoreLmFrozen(corpus, "text", model)
+      .filter(col("n_bigrams") > 0)
+      .select("doc_id", "n_bigrams", "logp_micros", "ce_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = TextAnalysis.lmScore(corpus, "doc_id", "text",
+        col("lang") === "en", nB)
+      .select("doc_id", "n_bigrams", "logp_micros", "ce_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(frozen == batch && batch.size == 4)
+    // the too-short doc is present in the frozen (narrow-map) output
+    // with no events and a null ce
+    val solo = TextAnalysis.scoreLmFrozen(corpus, "text", model)
+      .filter(col("doc_id") === 4L)
+      .select(col("n_bigrams"), col("ce_micros").isNull).head
+    assert(solo.getLong(0) == 0L && solo.getBoolean(1))
+  }
+
+  test("streaming lmGate drops gibberish, passes fluent and too-short docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq(
+      (0L, "alpha beta gamma alpha beta gamma", "en"),
+      (1L, "alpha beta gamma delta alpha beta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.freezeLm(reference, "text",
+      col("lang") === "en", 64)
+    // cutoff between the in-model (~3.0e6 micro-nats) and fully
+    // out-of-model (~ln(nB)·1e6 ≈ 4.16e6) cross-entropies
+    val maxCe = 3500000L
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.Pipeline.lmGate(
+        input.toDF().toDF("doc_id", "text"), model, maxCeMicros = maxCe)
+      .writeStream.format("memory").queryName("lm_out")
+      .outputMode("append").start()
+    input.addData(Seq(
+      (100L, "alpha beta gamma alpha"),   // fluent under the model
+      (101L, "omega psi chi phi zeta"),   // gibberish to the model
+      (102L, "solo")))                    // unscoreable: passes
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("lm_out").select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept == Set(100L, 102L))
+    spark.sql("DROP TABLE IF EXISTS lm_out")
+  }
+
   test("keepBestQuality keeps the best-quality cluster member and all singles") {
     // 0/1/2 are one near-dup cluster (2 is the long, high-quality
     // copy); 3 is unrelated and must survive untouched
