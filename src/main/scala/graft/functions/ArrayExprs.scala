@@ -54,6 +54,16 @@ object ArrayExprs {
   def hash60Array(ss: Column): Column =
     Bridge.column(Hash60Array(Bridge.expression(ss)))
 
+  /** Encoded bigram-LM event buckets — fast path of
+    * ops.TextAnalysis's gram pipeline: element i (for i < n−1) is
+    * (hash60(w_i) % nB) · nB + (hash60(w_i + " " + w_{i+1}) % nB) —
+    * the (context, bigram) bucket pair packed into one long. One
+    * compiled pass; the HOF form paid two interpreted md5 pipelines
+    * per token position.
+    */
+  def lmEventBuckets(tokens: Column, nBuckets: Int): Column =
+    Bridge.column(LmEventBuckets(Bridge.expression(tokens), nBuckets))
+
   /** SQ8 encode — fast path of ops.Sq's code HOF. */
   def sqEncode(v: Column, los: Column, his: Column, clamp: Boolean): Column =
     Bridge.column(SqEncode(Bridge.expression(v), Bridge.expression(los),
@@ -176,6 +186,53 @@ case class WordShingles(child: Expression, k: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** `array<string>` → `array<long>`: the bigram-LM event stream.
+  * Element i (i ∈ [0, n−1)) packs the (context, bigram) hash buckets
+  * of position i into one long: (hash60(w_i) % nB) · nB +
+  * (hash60(w_i ⧺ " " ⧺ w_{i+1}) % nB). Order-preserving, one entry
+  * per position (multiplicity matters — the LM is multinomial), and
+  * the product stays < nB² ≪ 2^62. Bucket values are identical to
+  * the pmod(hash60(...), nB) Column pipeline this replaces, so the
+  * DuckDB oracle twin is untouched.
+  */
+case class LmEventBuckets(child: Expression, nBuckets: Int)
+    extends UnaryExpression {
+  require(nBuckets > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lm_event_buckets"
+
+  private val sep = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val m = math.max(n - 1, 0)
+    val nB = nBuckets.toLong
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val a = arr.getUTF8String(i)
+      val b = arr.getUTF8String(i + 1)
+      val c = ArrayExprs.hash60(a) % nB
+      val e = ArrayExprs.hash60(UTF8String.concatWs(sep, a, b)) % nB
+      out(i) = c * nB + e
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lmEventBuckets", this, classOf[LmEventBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LmEventBuckets =
     copy(child = newChild)
 }
 

@@ -257,21 +257,24 @@ object TextAnalysis {
     s"list_reduce(list_prepend(0::BIGINT, [${Hashing.hash60Sql("w")} % ${Hashing.P} " +
       s"for w in ${tokensSql(e)}]), (acc, h) -> (acc * $RollB + h) % ${Hashing.P})"
 
-  /** Per-doc (context-bucket, bigram-bucket) event pairs for the
-    * hashed bigram LM: for tokens w1..wn, one struct per position
-    * i < n with c = hash(wi) % nB and e = hash(wi + ' ' + wi+1) % nB.
-    * Docs under two tokens produce an empty array.
+  /** Per-doc bigram-LM event stream: one packed long per position
+    * i < n with c·nB + e, where c = hash(wi) % nB (context bucket)
+    * and e = hash(wi + ' ' + wi+1) % nB (bigram bucket). Computed by
+    * the native [[graft.functions.ArrayExprs.lmEventBuckets]] — one
+    * compiled pass per row; the HOF struct form paid two interpreted
+    * md5 pipelines per position. Docs under two tokens produce an
+    * empty array.
     */
-  private def lmPairs(text: Column, nBuckets: Int): Column = {
-    val ts = tokens(text)
-    val nB = lit(nBuckets.toLong)
-    when(size(ts) >= 2,
-      transform(sequence(lit(1), size(ts) - 1), i => struct(
-        pmod(Hashing.hash60(element_at(ts, i)), nB).as("c"),
-        pmod(Hashing.hash60(concat_ws(" ",
-          element_at(ts, i), element_at(ts, i + 1))), nB).as("e"))))
-      .otherwise(array().cast("array<struct<c:bigint,e:bigint>>"))
-  }
+  private def lmEvents(text: Column, nBuckets: Int): Column =
+    graft.functions.ArrayExprs.lmEventBuckets(tokens(text), nBuckets)
+
+  /** Unpack the packed event: e = x mod nB, c = (x − e) / nB — exact
+    * integer arithmetic (the quotient is an exact multiple before the
+    * division).
+    */
+  private def unpackE(x: Column, nB: Int): Column = pmod(x, lit(nB.toLong))
+  private def unpackC(x: Column, nB: Int): Column =
+    ((x - pmod(x, lit(nB.toLong))) / lit(nB.toLong)).cast("long")
 
   /** Hashed bigram language-model fluency score — the CCNet-style
     * quality gate (Wenzek et al., "CCNet: Extracting High Quality
@@ -307,9 +310,10 @@ object TextAnalysis {
       refPred: Column, nBuckets: Int): DataFrame = {
     val feats = Caching.cachedOnce(docs
       .select(col(idCol).as("id"), refPred.as("is_ref"),
-        explode(lmPairs(col(textCol), nBuckets)).as("p"))
+        explode(lmEvents(col(textCol), nBuckets)).as("ce"))
       .select(col("id"), col("is_ref"),
-        col("p.c").as("c"), col("p.e").as("e")))
+        unpackC(col("ce"), nBuckets).as("c"),
+        unpackE(col("ce"), nBuckets).as("e")))
     val cnt1 = feats.filter(col("is_ref")).groupBy(col("c"))
       .agg(count(lit(1)).as("c_n"))
     val cnt2 = feats.filter(col("is_ref")).groupBy(col("e"))
@@ -343,8 +347,9 @@ object TextAnalysis {
   def freezeLm(docs: DataFrame, textCol: String, refPred: Column,
       nBuckets: Int): LmModel = {
     val feats = docs.filter(refPred)
-      .select(explode(lmPairs(col(textCol), nBuckets)).as("p"))
-      .select(col("p.c").as("c"), col("p.e").as("e"))
+      .select(explode(lmEvents(col(textCol), nBuckets)).as("ce"))
+      .select(unpackC(col("ce"), nBuckets).as("c"),
+        unpackE(col("ce"), nBuckets).as("e"))
     val cnt1 = feats.groupBy(col("c")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val cnt2 = feats.groupBy(col("e")).agg(count(lit(1)).as("n"))
@@ -368,11 +373,11 @@ object TextAnalysis {
     val nB = model.nBuckets
     val ctxArr = typedLit(model.ctx)
     val bigArr = typedLit(model.big)
-    val lps = transform(lmPairs(col(textCol), nB), p =>
+    val lps = transform(lmEvents(col(textCol), nB), x =>
       round(log(
-        (element_at(bigArr, p.getField("e").cast("int") + 1) + 1)
+        (element_at(bigArr, unpackE(x, nB).cast("int") + 1) + 1)
           .cast("double") /
-        (element_at(ctxArr, p.getField("c").cast("int") + 1) + nB)
+        (element_at(ctxArr, unpackC(x, nB).cast("int") + 1) + nB)
           .cast("double")) * 1e6).cast("long"))
     docs
       .withColumn("n_bigrams", size(lps).cast("long"))
