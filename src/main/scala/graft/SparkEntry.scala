@@ -681,6 +681,13 @@ object SparkEntry {
       Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding",
         "label", k = 5, iters = 2, massign = 2)),
 
+    // kNN classification: majority label over the blocked kNN graph
+    // (ties → smaller label), with the true label and a correctness
+    // flag — the label-propagation building block.
+    "q_sim_knnlabel" -> ((s, dir) =>
+      Similarity.knnClassify(T(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", k = 5, iters = 2, massign = 2)),
+
     // Deterministic train/val/test split audit: hash-bucket
     // assignment (stable under corpus growth — a doc's split never
     // depends on the rest of the corpus), counts per (source, split).
@@ -780,6 +787,21 @@ object SparkEntry {
         Curation.dsirWeights(T(s, dir, "documents"), "doc_id", "text",
           col("source") === "src0", nBuckets = 1024),
         "doc_id", "logw_micros", n = 50, salt = "rs")),
+
+    // RefinedWeb-style global boilerplate removal: segments repeated
+    // across > maxDf docs are dropped from every doc (broadcast anti
+    // join against the small heavy-hitter set), survivors re-stitched
+    // in order.
+    "q_curate_boilerplate" -> ((s, dir) =>
+      Curation.boilerplateRemove(T(s, dir, "documents"), "doc_id", "text",
+        segLen = 8, maxDf = 12)),
+
+    // Temperature-scaled source mixture: p_i ∝ n_i^0.7 over per-source
+    // token counts; ONE float quantization, shares as exact integer
+    // ppm division.
+    "q_curate_temperature" -> ((s, dir) =>
+      Curation.temperatureMix(T(s, dir, "documents"), "doc_id", "text",
+        "source", alpha = 0.7)),
 
     // CCNet-style LM fluency score: hashed bigram LM (Laplace over
     // the hashed space) trained on the lang='en' reference slice,
@@ -1242,6 +1264,11 @@ object SparkEntry {
         k = 5, iters = 2, dim = 64, massign = 2)
         + " ORDER BY src_id, rank"),
 
+    "q_sim_knnlabel" ->
+      (Similarity.knnClassifySql("vec_id", "embedding", "label", "embeddings",
+        k = 5, iters = 2, dim = 64, massign = 2)
+        + " ORDER BY id"),
+
     "q_curate_split" ->
       (Curation.splitCountsSql("doc_id", "text", "source", "documents",
         trainPct = 70, valPct = 15) + " ORDER BY source, split"),
@@ -1304,6 +1331,14 @@ object SparkEntry {
         Curation.dsirWeightsSql("doc_id", "text", "documents",
           "source = 'src0'", nBuckets = 1024),
         "doc_id", "logw_micros", n = 50, salt = "rs"),
+
+    "q_curate_boilerplate" ->
+      (Curation.boilerplateRemoveSql("doc_id", "text", "documents",
+        segLen = 8, maxDf = 12) + " ORDER BY doc_id"),
+
+    "q_curate_temperature" ->
+      (Curation.temperatureMixSql("doc_id", "text", "source", "documents",
+        alpha = 0.7) + " ORDER BY source"),
 
     "q_text_lm" ->
       (TextAnalysis.lmScoreSql("doc_id", "text", "documents",

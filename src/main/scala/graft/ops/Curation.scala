@@ -616,6 +616,129 @@ object Curation {
        |FROM feats f JOIN lr ON f.b = lr.b
        |GROUP BY 1""".stripMargin
 
+  /** Global repeated-segment (boilerplate) removal — the RefinedWeb /
+    * CCNet "remove lines duplicated across documents" pass (Penedo et
+    * al. 2023 §3; license blocks, navigation chrome, cookie banners).
+    * A document is cut into consecutive `segLen`-token segments (the
+    * stand-in for newline-split lines — the test corpus has no
+    * newlines; a production run swaps the segmenter, the dataflow is
+    * identical); a segment whose corpus-wide document frequency
+    * exceeds `maxDf` is boilerplate and is dropped from EVERY doc;
+    * the survivors are stitched back in order.
+    *
+    * Scale shape: the boilerplate set is intrinsically small (at most
+    * total_segments / maxDf distinct values), so the removal is a
+    * broadcast LEFT ANTI join against the heavy-hitter set — the
+    * corpus-side pass stays narrow except one partial-aggregated
+    * df count (on 8-byte hashes, never segment text) and the per-doc
+    * re-stitch. At 100 TB the df agg is the only wide stage and
+    * shuffles ~|distinct segments| hash/count pairs.
+    *
+    * Output: (doc_id, n_segments, n_removed, clean_text, clean_fp) —
+    * all integer/hash/string values, oracle-exact.
+    */
+  def boilerplateRemove(docs: DataFrame, idCol: String, textCol: String,
+      segLen: Int, maxDf: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("ts"))
+    val segs = base.select(col("id"),
+      posexplode(transform(
+        sequence(lit(1), greatest(size(col("ts")), lit(1)), lit(segLen)),
+        st => array_join(slice(col("ts"), st, lit(segLen)), " "))).as(Seq("pos", "seg")))
+    val segH = segs.withColumn("h", Hashing.hash60(col("seg")))
+    // heavy hitters: segments present in > maxDf distinct docs
+    val boiler = segH.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("h"))
+    val kept = segH.join(broadcast(boiler), Seq("h"), "left_anti")
+    val perDoc = kept.groupBy(col("id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("seg")))),
+        s => s.getField("seg")), " ").as("clean_text"))
+    base
+      .select(col("id").as("doc_id"),
+        size(sequence(lit(1), greatest(size(col("ts")), lit(1)), lit(segLen)))
+          .cast("long").as("n_segments"))
+      .join(perDoc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        TextAnalysis.md5Fingerprint(coalesce(col("clean_text"), lit("")))
+          .as("clean_fp"))
+  }
+
+  def boilerplateRemoveSql(id: String, text: String, table: String,
+      segLen: Int, maxDf: Int): String =
+    s"""WITH d AS (SELECT $id AS id, ${TextAnalysis.tokensSql(text)} AS ts
+       |  FROM $table),
+       |w AS (SELECT id, ts,
+       |    unnest(generate_series(1, greatest(len(ts), 1), $segLen)) AS start
+       |  FROM d),
+       |s AS (SELECT id, ((start - 1) // $segLen)::BIGINT AS pos,
+       |    array_to_string(ts[start : least(start + ${segLen - 1}, len(ts))], ' ')
+       |      AS seg
+       |  FROM w),
+       |b AS (SELECT ${Hashing.hash60Sql("seg")} AS h FROM s
+       |  GROUP BY 1 HAVING count(DISTINCT id) > $maxDf),
+       |k AS (SELECT * FROM s
+       |  WHERE ${Hashing.hash60Sql("seg")} NOT IN (SELECT h FROM b)),
+       |agg AS (SELECT id, count(*)::BIGINT AS n_kept,
+       |    string_agg(seg, ' ' ORDER BY pos) AS clean_text
+       |  FROM k GROUP BY 1)
+       |SELECT d.id AS doc_id,
+       |  len(generate_series(1, greatest(len(d.ts), 1), $segLen))::BIGINT
+       |    AS n_segments,
+       |  (len(generate_series(1, greatest(len(d.ts), 1), $segLen))::BIGINT
+       |    - coalesce(a.n_kept, 0)) AS n_removed,
+       |  coalesce(a.clean_text, '') AS clean_text,
+       |  ${TextAnalysis.md5FingerprintSql("coalesce(a.clean_text, '')")}
+       |    AS clean_fp
+       |FROM d LEFT JOIN agg a ON d.id = a.id""".stripMargin
+
+  /** Temperature-scaled source mixture — the multilingual/multi-domain
+    * sampling rule p_i ∝ n_i^α (Arivazhagan et al. 2019 §4; α < 1
+    * flattens the head so low-resource sources are not drowned).
+    * Per-source token counts feed ONE quantization (w = round(n^α ·
+    * 1e6), the same expression shape both engines), then the shares
+    * are exact integer arithmetic: share_ppm = w·10⁶ div Σw — no
+    * cross-engine float division.
+    *
+    * One partial-aggregated shuffle to source granularity (bounded,
+    * tiny), then a broadcast of the 1-row total. Output: (source,
+    * n_tokens, w_micros, share_ppm).
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, alpha: Double): DataFrame = {
+    val per = docs
+      .select(col(sourceCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w_micros",
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) * 1e6)
+          .cast("long"))
+    val tot = per.agg(sum(col("w_micros")).as("tot_w"))
+    per.join(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("w_micros"),
+        expr("w_micros * 1000000L div tot_w").as("share_ppm"))
+  }
+
+  def temperatureMixSql(id: String, text: String, source: String,
+      table: String, alpha: Double): String =
+    s"""WITH per AS (
+       |  SELECT $source AS source,
+       |    sum(${TextAnalysis.tokenCountSql(text)})::BIGINT AS n_tokens
+       |  FROM $table GROUP BY 1),
+       |w AS (SELECT source, n_tokens,
+       |    round(pow(n_tokens::DOUBLE, $alpha) * 1e6)::BIGINT AS w_micros
+       |  FROM per),
+       |tot AS (SELECT sum(w_micros) AS tot_w FROM w)
+       |SELECT source, n_tokens, w_micros,
+       |  ((w_micros * 1000000) // tot_w)::BIGINT AS share_ppm
+       |FROM w CROSS JOIN tot""".stripMargin
+
   def contaminationSql(id: String, text: String, table: String,
       evalPredSql: String, k: Int): String =
     s"""WITH base AS (

@@ -342,6 +342,60 @@ object Similarity {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** kNN classification by majority vote over the blocked kNN graph
+    * ([[knnGraph]]): every vector's predicted label is the most
+    * frequent label among its top-k neighbors (ties break on the
+    * smaller label — fully deterministic), reported beside the true
+    * label and a correctness flag. This is the label-propagation /
+    * weak-supervision building block (classify unlabeled embeddings
+    * from their labeled neighbors) run in the "every vector is a
+    * query" regime the graph was built for.
+    *
+    * Cost on top of the graph: one id-keyed shuffle join to attach
+    * neighbor labels (n·k rows against the corpus id→label
+    * projection), one partial-aggregated vote count at (src, label)
+    * granularity, one per-src window over ≤ k rows. All integer math.
+    */
+  def knnClassify(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, iters: Int, massign: Int = 1): DataFrame = {
+    val graph = knnGraph(embs, idCol, vecCol, labelCol, k, iters, massign)
+    val labels = embs.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("nlabel"))
+    val votes = graph.join(labels, "neighbor_id")
+      .groupBy(col("src_id"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("votes").desc, col("nlabel").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("src_id").as("id"), col("nlabel").as("pred_label"),
+        col("votes"))
+      .join(embs.select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("label")), "id")
+      .select(col("id"), col("pred_label"), col("votes"), col("label"),
+        (col("pred_label") === col("label")).cast("long").as("correct"))
+  }
+
+  /** DuckDB twin of [[knnClassify]]: the [[knnGraphSql]] graph as a
+    * CTE + the same vote/tie-break windows.
+    */
+  def knnClassifySql(id: String, vec: String, label: String, table: String,
+      k: Int, iters: Int, dim: Int, massign: Int = 1): String =
+    s"""WITH g AS (
+       |${knnGraphSql(id, vec, label, table, k, iters, dim, massign)}),
+       |votes AS (
+       |  SELECT g.src_id, e.$label::BIGINT AS nlabel, count(*)::BIGINT AS votes
+       |  FROM g JOIN $table e ON g.neighbor_id = e.$id
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT src_id AS id, nlabel AS pred_label, votes FROM (
+       |    SELECT src_id, nlabel, votes, row_number() OVER (
+       |      PARTITION BY src_id ORDER BY votes DESC, nlabel) AS rn
+       |    FROM votes) WHERE rn = 1)
+       |SELECT p.id, p.pred_label, p.votes, e.$label::BIGINT AS label,
+       |  (CASE WHEN p.pred_label = e.$label::BIGINT THEN 1 ELSE 0 END)::BIGINT
+       |    AS correct
+       |FROM pred p JOIN $table e ON p.id = e.$id""".stripMargin
+
   /** recall@k of the trained-IVF search against the exact brute-force
     * ground truth, per query: |ivf hits ∩ true top-k| / k in micros.
     * The quality metric that makes the ANN path measurable rather
