@@ -305,6 +305,20 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // Weekly cohort retention matrix over the event stream — the
+    // warehouse query the CDC pipeline feeds. Integer week buckets
+    // (epoch-micro div), two partial-aggregated shuffles, no join
+    // (ops.Events).
+    "q_olap_retention" -> ((s, dir) =>
+      Events.retention(T(s, dir, "events"), "user_id", "ts")),
+
+    // Strictly-ordered 3-stage conversion funnel (signup → click →
+    // purchase, first-touch minima). One shuffle per stage, all on
+    // the user key; step conversion in integer micros.
+    "q_olap_funnel" -> ((s, dir) =>
+      Events.funnel(T(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))),
+
     // Hierarchical rollup of change counts (grouping-sets class,
     // absent from the reference per SURVEY §2.9 — free from Spark).
     "q_cdc_rollup" -> ((s, dir) =>
@@ -1047,6 +1061,14 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_olap_retention" ->
+      (Events.retentionSql("user_id", "ts", "events")
+        + " ORDER BY cohort_week, week_offset"),
+
+    "q_olap_funnel" ->
+      (Events.funnelSql("user_id", "event_type", "ts", "events",
+        Seq("signup", "click", "purchase")) + " ORDER BY stage"),
 
     "q_cdc_rollup" ->
       s"""SELECT db, "table", op, count(*)::BIGINT AS n_changes
