@@ -702,6 +702,14 @@ object SparkEntry {
       Similarity.knnClassify(T(s, dir, "embeddings"), "vec_id", "embedding",
         "label", k = 5, iters = 2, massign = 2)),
 
+    // Nearest-centroid (Rocchio) classifier: |labels| integer-exact
+    // centroids from the even-id training half, every vector
+    // classified by a zero-shuffle broadcast cosine pick — the
+    // 100 TB-cheap counterpart to q_sim_knnlabel's blocked kNN vote.
+    "q_sim_centroid" -> ((s, dir) =>
+      Similarity.centroidClassify(T(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", col("id") % 2 === 0)),
+
     // Deterministic train/val/test split audit: hash-bucket
     // assignment (stable under corpus growth — a doc's split never
     // depends on the rest of the corpus), counts per (source, split).
@@ -1290,6 +1298,10 @@ object SparkEntry {
       (Similarity.knnClassifySql("vec_id", "embedding", "label", "embeddings",
         k = 5, iters = 2, dim = 64, massign = 2)
         + " ORDER BY id"),
+
+    "q_sim_centroid" ->
+      (Similarity.centroidClassifySql("vec_id", "embedding", "label",
+        "embeddings", "id % 2 = 0", dim = 64) + " ORDER BY id"),
 
     "q_curate_split" ->
       (Curation.splitCountsSql("doc_id", "text", "source", "documents",

@@ -731,4 +731,56 @@ object Similarity {
        |SELECT qid, rank::BIGINT AS rank, neighbor_id,
        |  round(cos * 1e6)::BIGINT AS cos_micros
        |FROM r WHERE rank <= $k""".stripMargin
+
+  // ------------------------------------------- nearest-centroid classifier
+
+  /** Rocchio / nearest-centroid classification: one integer-exact
+    * centroid per label from the TRAINING rows ([[centroidsExact]] —
+    * the associative micro-sum mean, so partition order cannot perturb
+    * it), every vector assigned to its nearest centroid by cosine
+    * ([[assignToNearest]] — the zero-shuffle broadcast pick). The
+    * cheapest embedding classifier there is: the model is |labels|
+    * centroids (here ≤ a few dozen rows), training is ONE
+    * partial-aggregated shuffle of (label, dim) cells, and inference
+    * is a narrow map over the corpus scan — the shape that classifies
+    * 100 TB of embeddings without any pairwise work, vs [[knnClassify]]
+    * whose candidate self-join pays Σ|block|² for higher fidelity.
+    *
+    * Output: (id, label, pred_label, correct, is_train) — per-vector,
+    * train rows flagged (their self-classification is the resubstitution
+    * accuracy; held-out rows are the honest estimate).
+    */
+  def centroidClassify(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, trainPred: Column): DataFrame = {
+    val base = baseOf(embs, idCol, vecCol)
+    val labels = embs.select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("label"))
+    val train = base.join(labels, "id").filter(trainPred)
+    val cents = withCNorm(
+      centroidsExact(train.select(col("label").as("cl"), col("v"))))
+    assignToNearest(base, cents)
+      .join(labels, "id")
+      .select(col("id"), col("label"), col("cl").as("pred_label"),
+        (col("label") === col("cl")).cast("long").as("correct"),
+        trainPred.cast("long").as("is_train"))
+  }
+
+  /** DuckDB twin of [[centroidClassify]]. `trainPredSql` must be the
+    * SQL spelling of the Scala `trainPred` over column `id`.
+    */
+  def centroidClassifySql(id: String, vec: String, label: String,
+      table: String, trainPredSql: String, dim: Int): String =
+    s"""WITH e AS (
+       |  SELECT $id AS id, $label::BIGINT AS lab,
+       |    ${Vectors.toDoubleSql(vec)} AS v FROM $table),
+       |tr AS (SELECT lab AS cl, v FROM e WHERE $trainPredSql),
+       |cents AS (${centroidsExactSql("tr", dim)})
+       |SELECT id, lab AS label, cl AS pred_label,
+       |  (lab = cl)::BIGINT AS correct,
+       |  ($trainPredSql)::BIGINT AS is_train
+       |FROM (
+       |  SELECT e.id, e.lab, c.cl, row_number() OVER (PARTITION BY e.id
+       |    ORDER BY ${Vectors.cosineSql("e.v", "c.cent")} DESC, c.cl) AS arn
+       |  FROM e CROSS JOIN cents c)
+       |WHERE arn = 1""".stripMargin
 }

@@ -173,6 +173,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("centroidClassify assigns every vector to its nearest label centroid") {
+    // train = even ids: label-0 centroid ≈ (1, 0.1), label-1 ≈ (0.05, 1);
+    // held-out 1 and 5 sit clearly inside their own label's cone, and
+    // held-out 7 carries a WRONG stored label → correct = 0
+    val embs = Seq(
+      (0L, Seq(1f, 0f), 0), (2L, Seq(1f, 0.2f), 0),
+      (4L, Seq(0f, 1f), 1), (6L, Seq(0.1f, 1f), 1),
+      (1L, Seq(0.9f, 0.1f), 0), (5L, Seq(0.05f, 0.9f), 1),
+      (7L, Seq(0.95f, 0.05f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidClassify(embs, "vec_id", "embedding",
+        "label", col("id") % 2 === 0)
+      .select("id", "pred_label", "correct", "is_train")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == (1L, 0L, 1L, 0L))
+    assert(out(5L) == (5L, 1L, 1L, 0L))
+    assert(out(7L) == (7L, 0L, 0L, 0L)) // predicted 0, labeled 1
+    assert(Seq(0L, 2L, 4L, 6L).forall(i => out(i)._4 == 1L)) // flagged train
+    assert(Seq(0L, 2L, 4L, 6L).forall(i => out(i)._3 == 1L)) // resubstitution
+  }
+
   test("editPairs verifies candidates with exact bounded Levenshtein") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
