@@ -541,6 +541,24 @@ object SparkEntry {
       Sq.recall(T(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 8, k = 5, rerank = 40)),
 
+    // Binary quantization (sign bits): the 64-dim vector packs into
+    // ONE long, candidates cut by xor+popcount Hamming — the 32×
+    // coarsest ANN tier (flat 1× / SQ8 4× / PQ 16× / BQ 32×), exact
+    // rerank like the rest of the family.
+    "q_sim_bq" -> ((s, dir) =>
+      Bq.topK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, rerank = 160)),
+
+    // BQ quality: recall@5 vs the brute-force truth. Measured at
+    // sf0.01: 0.625 / 0.80 / 0.975 @ rerank 40 / 80 / 160 — BQ's
+    // 1-bit cut needs a wider rerank than SQ/PQ for the same
+    // quality, and mean-centering the signs was measured WORSE
+    // (0.575 @ 40: the data is already near-centered) — so raw
+    // signs + rerank=160 is the calibrated config.
+    "q_sim_bq_recall" -> ((s, dir) =>
+      Bq.recall(T(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, rerank = 160)),
+
     // Random-hyperplane LSH near-neighbor pairs: 4 tables × 4 sign
     // bits, candidates verified at cosine ≥ 0.4.
     "q_sim_rplsh" -> ((s, dir) =>
@@ -1208,6 +1226,14 @@ object SparkEntry {
     "q_sim_sq" ->
       (Sq.topKSql("vec_id", "embedding", "embeddings",
         "id < 8", k = 5, rerank = 40) + " ORDER BY qid, rank"),
+
+    "q_sim_bq" ->
+      (Bq.topKSql("vec_id", "embedding", "embeddings",
+        "id < 8", k = 5, rerank = 160, dim = 64) + " ORDER BY qid, rank"),
+
+    "q_sim_bq_recall" ->
+      (Bq.recallSql("vec_id", "embedding", "embeddings",
+        "id < 8", k = 5, rerank = 160, dim = 64) + " ORDER BY qid"),
 
     "q_sim_sq_recall" ->
       (Sq.recallSql("vec_id", "embedding", "embeddings",

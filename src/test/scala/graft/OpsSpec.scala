@@ -173,6 +173,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BQ: sign pack matches a reference popcount; wide rerank equals brute force") {
+    val embs = Seq(
+      (0L, Seq(1f, -0.5f, 0.2f, 0f), 0), (1L, Seq(0.9f, -0.4f, 0.3f, -0.1f), 0),
+      (2L, Seq(-1f, 0.5f, -0.2f, 0.1f), 1), (3L, Seq(-0.9f, 0.6f, -0.1f, 0.2f), 1),
+      (4L, Seq(0.5f, 0.5f, 0.5f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    // reference pack: bit d set iff v[d] > 0 (note: 0f is NOT set)
+    def refPack(v: Seq[Float]): Long =
+      v.zipWithIndex.collect { case (x, i) if x > 0 => 1L << i }.foldLeft(0L)(_ | _)
+    val packed = embs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), graft.ops.Bq.packCol("v", 4).as("code"))
+      .as[(Long, Long)].collect().toMap
+    assert(packed(0L) == refPack(Seq(1f, -0.5f, 0.2f, 0f)))
+    assert(packed(2L) == refPack(Seq(-1f, 0.5f, -0.2f, 0.1f)))
+    assert(packed(4L) == 15L)
+    // rerank ≥ corpus ⇒ the Hamming cut drops nobody ⇒ exact output
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+        col("vec_id") < 2, k = 3)
+      .select("qid", "rank", "neighbor_id", "cos_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val bq = Bq.topK(embs, "vec_id", "embedding",
+        col("vec_id") < 2, k = 3, rerank = 10, dim = 4)
+      .select("qid", "rank", "neighbor_id", "cos_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(bq == exact)
+  }
+
   test("centroidClassify assigns every vector to its nearest label centroid") {
     // train = even ids: label-0 centroid ≈ (1, 0.1), label-1 ≈ (0.05, 1);
     // held-out 1 and 5 sit clearly inside their own label's cone, and
