@@ -792,6 +792,15 @@ object SparkEntry {
       Curation.datasetCard(T(s, dir, "documents"), "doc_id", "text",
         "source")),
 
+    // JSONL import/export edge, proven LOSSLESS: export the corpus to
+    // line-JSON, re-ingest with the explicit schema, emit per-source
+    // content checksums the oracle computes from the ORIGINAL parquet
+    // (ops.IoFormats). Temp shards live under the repo's target/.
+    "q_io_jsonl" -> ((s, dir) =>
+      IoFormats.jsonlRoundTrip(T(s, dir, "documents"), "doc_id", "text",
+        "source",
+        "target/qtmp/jsonl_" + dir.replaceAll("[^0-9a-zA-Z.]", "_"))),
+
     // PII scrub: email/phone/IPv4 redaction + per-doc audit counts —
     // a narrow codegen'd pass at scan speed (regex subset chosen to
     // behave identically under Java regex and RE2).
@@ -1365,6 +1374,10 @@ object SparkEntry {
 
     "q_curate_card" ->
       (Curation.datasetCardSql("doc_id", "text", "source", "documents")
+        + " ORDER BY source"),
+
+    "q_io_jsonl" ->
+      (IoFormats.jsonlRoundTripSql("doc_id", "text", "source", "documents")
         + " ORDER BY source"),
 
     "q_text_pii" -> {

@@ -173,6 +173,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("JSONL round trip is lossless for newlines, quotes and unicode") {
+    val hostile = Seq(
+      (0L, "plain ascii text", "s0"),
+      (1L, "line one\nline two\ttabbed", "s0"),     // control chars
+      (2L, "quotes \" and \\ backslashes \\\" mixed", "s1"),
+      (3L, "unicode: café 中文 😀 emoji", "s1"),
+      (4L, "", "s2"))                                // empty string
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "jsonl-spec")
+      .toString
+    val out = IoFormats.jsonlRoundTrip(hostile, "doc_id", "text", "source", dir)
+      .orderBy("source")
+      .select("source", "n_docs", "fp_xor", "sum_chars")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // expected checksums straight from the ORIGINAL frame (no JSON leg)
+    val direct = hostile
+      .withColumn("fp", graft.ops.Hashing.hash60(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(fp)").as("fp_xor"),
+        sum(length(col("text"))).as("sum_chars"))
+      .orderBy("source")
+      .select("source", "n_docs", "fp_xor", "sum_chars")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == direct)
+    assert(out.map(_._2).sum == 5L)
+  }
+
   test("BQ: sign pack matches a reference popcount; wide rerank equals brute force") {
     val embs = Seq(
       (0L, Seq(1f, -0.5f, 0.2f, 0f), 0), (1L, Seq(0.9f, -0.4f, 0.3f, -0.1f), 0),
