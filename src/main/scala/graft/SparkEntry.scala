@@ -713,6 +713,17 @@ object SparkEntry {
       Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding",
         "label", k = 5, iters = 2, massign = 2)),
 
+    // PageRank centrality over the blocked kNN graph — density/
+    // representativeness valuation of every vector (rank sinks are
+    // outliers). Pure integer damped iteration, 3 rounds unrolled
+    // (ops.Graph); the oracle unrolls the same rounds as CTEs.
+    "q_sim_pagerank" -> ((s, dir) =>
+      Graph.pageRank(
+        Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", k = 5, iters = 2, massign = 2)
+          .select(col("src_id").as("src"), col("neighbor_id").as("dst")),
+        iters = 3)),
+
     // kNN classification: majority label over the blocked kNN graph
     // (ties → smaller label), with the true label and a correctness
     // flag — the label-propagation building block.
@@ -1337,6 +1348,13 @@ object SparkEntry {
     "q_sim_centroid" ->
       (Similarity.centroidClassifySql("vec_id", "embedding", "label",
         "embeddings", "id % 2 = 0", dim = 64) + " ORDER BY id"),
+
+    "q_sim_pagerank" ->
+      (Graph.pageRankSql(
+        "SELECT src_id AS src, neighbor_id AS dst FROM ("
+          + Similarity.knnGraphSql("vec_id", "embedding", "label",
+            "embeddings", k = 5, iters = 2, dim = 64, massign = 2) + ")",
+        iters = 3) + " ORDER BY id"),
 
     "q_curate_split" ->
       (Curation.splitCountsSql("doc_id", "text", "source", "documents",

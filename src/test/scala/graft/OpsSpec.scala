@@ -173,6 +173,19 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank matches hand-computed integer rounds; dangling node keeps base") {
+    // 1→2, 3→2, 2→1: node 3 receives nothing (rank sink at base),
+    // node 2 is the hub. Hand-rolled with the exact integer update
+    // pr' = 150000 + (85·inflow) div 100, inflow = Σ pr div outdeg.
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(
+      1L -> 1722500L, // 150000 + 85% of pr1(2)=1850000
+      2L -> 1127500L, // 150000 + 85% of (1000000 + 150000)
+      3L -> 150000L)) // pure sink: base only
+  }
+
   test("JSONL round trip is lossless for newlines, quotes and unicode") {
     val hostile = Seq(
       (0L, "plain ascii text", "s0"),
