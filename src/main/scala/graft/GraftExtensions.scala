@@ -55,6 +55,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => SqEncode(args.head, args(1), args(2), boolArg(args(3), "clamp")))
     register(ext, "sq_recon", "sq_recon(code, los, his) - SQ8 midpoint reconstruction in micro units",
       args => SqRecon(args.head, args(1), args(2)))
+    register(ext, "char_entropy", "char_entropy(text) - code-point Shannon entropy in micro-nats",
+      args => CharEntropy(args.head))
   }
 
   private def boolArg(e: Expression, name: String): Boolean = e match {

@@ -803,6 +803,15 @@ object SparkEntry {
       Curation.datasetCard(T(s, dir, "documents"), "doc_id", "text",
         "source")),
 
+    // Code-point Shannon entropy per document (native codegen'd
+    // expression, zero shuffle — scan-speed at any corpus size): the
+    // classic noise/boilerplate quality signal beside q_text_stats'
+    // ratio gates and q_text_lm's fluency score.
+    "q_text_entropy" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id").as("id"),
+        length(col("text")).cast("long").as("n_cp"),
+        TextAnalysis.charEntropy(col("text")).as("entropy_micro_nats"))),
+
     // JSONL import/export edge, proven LOSSLESS: export the corpus to
     // line-JSON, re-ingest with the explicit schema, emit per-source
     // content checksums the oracle computes from the ORIGINAL parquet
@@ -1397,6 +1406,10 @@ object SparkEntry {
     "q_io_jsonl" ->
       (IoFormats.jsonlRoundTripSql("doc_id", "text", "source", "documents")
         + " ORDER BY source"),
+
+    "q_text_entropy" ->
+      (TextAnalysis.charEntropySql("doc_id", "text", "documents")
+        + " ORDER BY id"),
 
     "q_text_pii" -> {
       val counts = TextAnalysis.piiCountsSql("text")

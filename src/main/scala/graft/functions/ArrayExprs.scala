@@ -113,6 +113,12 @@ object ArrayExprs {
     Bridge.column(ArgMinL2(Bridge.expression(v), Bridge.expression(cents),
       Bridge.expression(halves)))
 
+  /** Code-point Shannon entropy in micro-nats — the in-row quality
+    * signal of ops.TextAnalysis.charEntropy.
+    */
+  def charEntropy(text: Column): Column =
+    Bridge.column(CharEntropy(Bridge.expression(text)))
+
   /** Per-document repetition counters over a token array, in one
     * in-row pass: [n_tokens, n_distinct, top_token_n, n_bigrams,
     * top_bigram_n] — the zero-shuffle twin of the exploded-aggregate
@@ -860,5 +866,55 @@ case class StopwordHits(child: Expression, words: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}
+
+/** Shannon entropy of a string's CODE-POINT distribution, in integer
+  * micro-nats: per distinct code point c with count k over n total,
+  * contribution = round(k·(ln n − ln k)/n · 1e6), summed as longs —
+  * quantize-then-sum, so the cross-char accumulation is order-free
+  * (HashMap iteration order cannot matter) and the DuckDB twin's
+  * per-(doc, char) grouped SQL produces the identical integer.
+  * Empty string → 0. One compiled in-row pass (count map + one loop
+  * over distinct chars); the classic "random garbage vs natural
+  * text" quality signal (both tails are suspect: near-0 entropy is
+  * boilerplate/padding, near-max is noise/encoded binary).
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_entropy"
+
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == 0L) return 0L
+    val lnN = math.log(n.toDouble)
+    var acc = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      acc += math.round(k * (lnN - math.log(k.toDouble)) / n * 1e6)
+    }
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charEntropy", this, classOf[CharEntropy].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
     copy(child = newChild)
 }

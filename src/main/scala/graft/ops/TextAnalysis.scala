@@ -257,6 +257,40 @@ object TextAnalysis {
     s"list_reduce(list_prepend(0::BIGINT, [${Hashing.hash60Sql("w")} % ${Hashing.P} " +
       s"for w in ${tokensSql(e)}]), (acc, h) -> (acc * $RollB + h) % ${Hashing.P})"
 
+  /** Code-point Shannon entropy in integer micro-nats — the
+    * "random garbage vs natural text" signal (near-0 = boilerplate/
+    * padding, near-max = noise or misdecoded binary). Native
+    * in-row expression: one compiled pass per doc, zero shuffle —
+    * scan speed at any corpus size. Per-char contributions are
+    * micro-quantized BEFORE the (order-free, integer) sum, the house
+    * rule that keeps the grouped-SQL oracle bit-identical.
+    */
+  def charEntropy(text: Column): Column =
+    graft.functions.ArrayExprs.charEntropy(text)
+
+  /** DuckDB twin of [[charEntropy]] as a per-doc grouped pipeline:
+    * explode code points positionally (substring is code-point
+    * based), count per (doc, char), quantize each char's contribution,
+    * integer-sum per doc. Returns a complete SELECT of
+    * (id, n_cp, entropy_micro_nats) over `table`; null text → null,
+    * empty text → (0, 0).
+    */
+  def charEntropySql(id: String, text: String, table: String): String =
+    s"""SELECT d.$id AS id, length(d.$text)::BIGINT AS n_cp,
+       |  (CASE WHEN d.$text IS NULL THEN NULL
+       |        ELSE coalesce(e.ent, 0) END)::BIGINT AS entropy_micro_nats
+       |FROM $table d LEFT JOIN (
+       |  SELECT id, sum(round(cnt * (ln(n) - ln(cnt)) / n * 1e6)::BIGINT) AS ent
+       |  FROM (
+       |    SELECT id, cnt, sum(cnt) OVER (PARTITION BY id) AS n
+       |    FROM (
+       |      SELECT id, c, count(*) AS cnt FROM (
+       |        SELECT $id AS id, unnest([substring($text, i::INT, 1)
+       |          for i in range(1, length($text) + 1)]) AS c
+       |        FROM $table)
+       |      GROUP BY 1, 2))
+       |  GROUP BY 1) e ON d.$id = e.id""".stripMargin
+
   /** Per-doc bigram-LM event stream: one packed long per position
     * i < n with c·nB + e, where c = hash(wi) % nB (context bucket)
     * and e = hash(wi + ' ' + wi+1) % nB (bigram bucket). Computed by

@@ -173,6 +173,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("charEntropy: quantize-per-char sum, code-point counting, empty → 0") {
+    val docs = Seq(
+      (0L, "aaaa"),          // one symbol → zero entropy
+      (1L, "ab"),            // two chars: 2 × round(ln2/2 · 1e6) = 693148
+      (2L, "😀😀"),          // surrogate PAIR is ONE code point → 0
+      (3L, ""),              // empty → 0
+      (4L, "中中文"))        // 2×(ln3−ln2)/3 + (ln3)/3, each quantized
+      .toDF("id", "text")
+    val out = docs.select(col("id"),
+        graft.ops.TextAnalysis.charEntropy(col("text")).as("e"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) == 0L)
+    // NOTE 693148, not round(ln2·1e6) = 693147: each char's 346573.59
+    // rounds UP first — pins the quantize-BEFORE-sum contract
+    assert(out(1L) == 693148L)
+    assert(out(2L) == 0L)
+    assert(out(3L) == 0L)
+    val expected4 =
+      math.round(2L * (math.log(3.0) - math.log(2.0)) / 3L * 1e6) +
+        math.round(1L * (math.log(3.0) - math.log(1.0)) / 3L * 1e6)
+    assert(out(4L) == expected4)
+  }
+
   test("pageRank matches hand-computed integer rounds; dangling node keeps base") {
     // 1→2, 3→2, 2→1: node 3 receives nothing (rank sink at base),
     // node 2 is the hub. Hand-rolled with the exact integer update
