@@ -325,6 +325,28 @@ class PlanSpec extends AnyFunSuite {
     assert(rs.contains("TakeOrderedAndProject"), s"resample not TakeOrdered:\n$rs")
   }
 
+  test("new surface keeps scale shapes (entropy narrow, BQ codegen cut, funnel equi)") {
+    // entropy: a narrow codegen'd pass — no exchange, scan pruned to
+    // the two referenced columns
+    val ent = plan("q_text_entropy")
+    assert(!ent.contains("Exchange"), s"entropy must not shuffle:\n$ent")
+    assert(ent.contains("char_entropy"), "native entropy expr missing")
+    assert(!ent.contains("n_chars"), s"entropy reads unreferenced columns:\n$ent")
+    // BQ: the Hamming cut is bit_count over packed words (no array
+    // math in the pair stage), the pair join is the 1-row-ish
+    // broadcast of the query side
+    val bq = plan("q_sim_bq")
+    assert(bq.contains("bit_count"), s"BQ cut should be popcount:\n$bq")
+    assert(!bq.contains("CartesianProduct"))
+    // funnel: every stage joins on the user key — equi joins only
+    val fu = plan("q_olap_funnel")
+    assert(!fu.contains("CartesianProduct"),
+      s"funnel stages must stay equi-joined:\n$fu")
+    // retention: no join at all — the matrix comes from two aggs
+    val re = plan("q_olap_retention")
+    assert(!re.contains("Join"), s"retention should be join-free:\n$re")
+  }
+
   test("SQ search: native encode/recon below the pair join; per-row, not per-pair") {
     val p = plan("q_sim_sq")
     assert(p.contains("sq_encode"), "native SQ encode not in the plan")
