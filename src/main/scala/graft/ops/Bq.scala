@@ -51,8 +51,14 @@ object Bq {
     */
   def packCol(vName: String, dim: Int): Column = {
     require(dim <= 64, s"one-word BQ packs at most 64 dims, got $dim")
-    expr(s"aggregate(zip_with($vName, sequence(0, ${dim - 1}), " +
-      "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)")
+    // guard: a vector LONGER than `dim` would zip against a NULL index,
+    // shiftleft(1L, NULL) = NULL, and the OR-fold would silently turn
+    // every code (hence every Hamming distance) NULL — fail loud instead
+    expr(s"IF(size($vName) <= $dim, " +
+      s"aggregate(zip_with($vName, sequence(0, ${dim - 1}), " +
+      "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b), " +
+      s"raise_error(concat('BQ packCol: vector of ', cast(size($vName) AS STRING), " +
+      s"' dims exceeds dim=$dim')))")
   }
 
   /** BQ top-k with exact rerank.
@@ -94,15 +100,20 @@ object Bq {
         round(col("cos") * 1e6).cast("long").as("cos_micros"))
   }
 
-  /** Recall@k of [[topK]] vs the brute-force truth, per query. */
+  /** Recall@k of [[topK]] vs the brute-force truth, per query.
+    * Truth LEFT JOIN got (matching [[recallSql]]): a query whose BQ
+    * cut misses ALL k true neighbors still emits (qid, 0) — worst-case
+    * queries stay visible instead of silently dropping out and
+    * inflating the reported recall.
+    */
   def recall(embs: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, rerank: Int, dim: Int = 64): DataFrame = {
     val truth = Similarity.bruteForceTopK(embs, idCol, vecCol, queryPred, k)
       .select(col("qid"), col("neighbor_id"))
     val got = topK(embs, idCol, vecCol, queryPred, k, rerank, dim)
-      .select(col("qid"), col("neighbor_id"))
-    truth.join(got, Seq("qid", "neighbor_id"), "left_semi")
-      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      .select(col("qid"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(got, Seq("qid", "neighbor_id"), "left")
+      .groupBy(col("qid")).agg(count(col("hit")).as("hits"))
       .select(col("qid"),
         round(col("hits").cast("double") / k * 1e6).cast("long")
           .as("recall_micros"))

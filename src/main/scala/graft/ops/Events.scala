@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * == Determinism contract ==
   *
   * Time is bucketed by pure integer arithmetic on epoch micros
-  * (`ts_us div week_us`) — no calendar functions, so Spark and DuckDB
-  * can never disagree on week boundaries (ISO-vs-locale week
-  * conventions, DST). Conversion ratios are micro-quantized once at
-  * the end; every upstream value is a count or a min — exact.
+  * (floor(ts_us / week_us), spelled as an exact integer floor-division
+  * so Spark's truncate-toward-zero `div` and DuckDB's flooring `//`
+  * agree even pre-epoch) — no calendar functions, so the engines can
+  * never disagree on week boundaries (ISO-vs-locale week conventions,
+  * DST). NULL timestamps are filtered on both engines. Conversion
+  * ratios are micro-quantized once at the end; every upstream value
+  * is a count or a min — exact.
   *
   * == 100 TB shape ==
   *
@@ -40,8 +43,15 @@ object Events {
     */
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame =
     events
+      // NULL timestamps carry no week — dropped on BOTH engines (the
+      // oracle filters identically), so no NULL-cohort row divergence.
+      // Floor division spelled as (a - pmod(a,b)) div b: exact (the
+      // numerator is divisible) and FLOORS for pre-epoch micros, where
+      // Spark's `div` truncates toward zero but DuckDB's `//` floors.
+      .filter(col(tsCol).isNotNull)
       .select(col(userCol).as("u"),
-        expr(s"unix_micros($tsCol) div $WeekUs").as("wk"))
+        expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), $WeekUs))" +
+          s" div $WeekUs").as("wk"))
       .groupBy(col("u"))
       .agg(collect_set(col("wk")).as("wks"))
       .select(array_min(col("wks")).as("cohort_week"),
@@ -56,7 +66,7 @@ object Events {
   def retentionSql(user: String, ts: String, table: String): String =
     s"""WITH uw AS (
        |  SELECT DISTINCT $user AS u, (epoch_ns($ts) // 1000) // $WeekUs AS wk
-       |  FROM $table),
+       |  FROM $table WHERE $ts IS NOT NULL),
        |c AS (SELECT u, min(wk) AS cohort_week FROM uw GROUP BY u)
        |SELECT c.cohort_week::BIGINT AS cohort_week,
        |  (uw.wk - c.cohort_week)::BIGINT AS week_offset,
