@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -880,10 +881,16 @@ case class StopwordHits(child: Expression, words: Seq[String])
   * text" quality signal (both tails are suspect: near-0 entropy is
   * boilerplate/padding, near-max is noise/encoded binary).
   */
-case class CharEntropy(child: Expression) extends UnaryExpression
-    with ExpectsInputTypes {
+case class CharEntropy(child: Expression) extends UnaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  // Analysis-time input check. NOT ExpectsInputTypes: its
+  // `inputTypes: Seq[AbstractDataType]` signature cannot be written
+  // from this package — AbstractDataType is private[sql] in Spark 4.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_entropy requires STRING input, got ${child.dataType.catalogString}")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "char_entropy"
 

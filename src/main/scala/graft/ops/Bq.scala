@@ -53,12 +53,16 @@ object Bq {
     require(dim <= 64, s"one-word BQ packs at most 64 dims, got $dim")
     // guard: a vector LONGER than `dim` would zip against a NULL index,
     // shiftleft(1L, NULL) = NULL, and the OR-fold would silently turn
-    // every code (hence every Hamming distance) NULL — fail loud instead
-    expr(s"IF(size($vName) <= $dim, " +
+    // every code (hence every Hamming distance) NULL — fail loud instead.
+    // A NULL VECTOR stays a NULL code (explicit first branch: without
+    // it, size(NULL) is NULL under ANSI, the IF condition is NULL, and
+    // the else branch would raise_error with a NULL message).
+    expr(s"IF($vName IS NULL, CAST(NULL AS BIGINT), " +
+      s"IF(size($vName) <= $dim, " +
       s"aggregate(zip_with($vName, sequence(0, ${dim - 1}), " +
       "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b), " +
       s"raise_error(concat('BQ packCol: vector of ', cast(size($vName) AS STRING), " +
-      s"' dims exceeds dim=$dim')))")
+      s"' dims exceeds dim=$dim'))))")
   }
 
   /** BQ top-k with exact rerank.

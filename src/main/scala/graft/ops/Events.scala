@@ -46,8 +46,11 @@ object Events {
       // NULL timestamps carry no week — dropped on BOTH engines (the
       // oracle filters identically), so no NULL-cohort row divergence.
       // Floor division spelled as (a - pmod(a,b)) div b: exact (the
-      // numerator is divisible) and FLOORS for pre-epoch micros, where
-      // Spark's `div` truncates toward zero but DuckDB's `//` floors.
+      // numerator is divisible by b) and FLOORS for pre-epoch micros
+      // (ts before 1970 lands in week -1, not sharing bucket 0 with
+      // post-epoch rows). Spark's `div` and DuckDB's `//` both
+      // truncate toward zero, so the oracle spells the SAME
+      // subtract-positive-mod floor — engines agree by construction.
       .filter(col(tsCol).isNotNull)
       .select(col(userCol).as("u"),
         expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), $WeekUs))" +
@@ -65,8 +68,10 @@ object Events {
     */
   def retentionSql(user: String, ts: String, table: String): String =
     s"""WITH uw AS (
-       |  SELECT DISTINCT $user AS u, (epoch_ns($ts) // 1000) // $WeekUs AS wk
-       |  FROM $table WHERE $ts IS NOT NULL),
+       |  SELECT DISTINCT $user AS u,
+       |    (us - ((us % $WeekUs) + $WeekUs) % $WeekUs) // $WeekUs AS wk
+       |  FROM (SELECT $user, epoch_ns($ts) // 1000 AS us
+       |        FROM $table WHERE $ts IS NOT NULL)),
        |c AS (SELECT u, min(wk) AS cohort_week FROM uw GROUP BY u)
        |SELECT c.cohort_week::BIGINT AS cohort_week,
        |  (uw.wk - c.cohort_week)::BIGINT AS week_offset,

@@ -30,6 +30,25 @@ class EventsSpec extends AnyFunSuite {
       (11L, 0L, 1L), (11L, 2L, 1L)))
   }
 
+  test("retention floors pre-epoch timestamps and drops NULLs") {
+    // u1's first event is 1 ms BEFORE the epoch: floor division puts
+    // it in week -1 (truncation would collapse it into week 0 with
+    // the epoch event — the divergence the floor spelling prevents);
+    // u2 has ONLY a NULL timestamp → contributes no rows at all;
+    // u3 has a NULL plus a real week-1 event → the NULL is dropped,
+    // the cohort comes from the real event
+    val ev = Seq(
+      (1L, ts(0, -1000L)), (1L, ts(0)),
+      (2L, null.asInstanceOf[java.sql.Timestamp]),
+      (3L, null.asInstanceOf[java.sql.Timestamp]), (3L, ts(1)))
+      .toDF("user_id", "ts")
+    val out = Events.retention(ev, "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (-1L, 0L, 1L), (-1L, 1L, 1L), // u1: cohort -1, returns in week 0
+      (1L, 0L, 1L)))                // u3 alone; u2 vanished
+  }
+
   test("funnel requires strictly-ordered first-touch stages") {
     // u1 converts fully; u2's purchase PRECEDES its click → stops at
     // click; u3 clicks before signup and once after → the late click

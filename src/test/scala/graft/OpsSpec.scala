@@ -265,6 +265,37 @@ class OpsSpec extends AnyFunSuite {
     assert(bq == exact)
   }
 
+  test("BQ: recall keeps a (qid, 0) row when the cut misses every truth") {
+    // query 0 = (1, 0.01): its TRUE nearest neighbor is 1 = (1, -0.01)
+    // (cos ≈ 0.9998) but their sign codes differ in bit 1 (ham = 1),
+    // while decoy 2 = (0.01, 1) shares query 0's exact code (ham = 0)
+    // at cos ≈ 0.02. With rerank = 1 the Hamming cut admits ONLY the
+    // decoy, so BQ misses all k = 1 truths — the truth-LEFT-JOIN-got
+    // shape must still surface qid 0 with recall 0, not drop the row
+    val embs = Seq(
+      (0L, Seq(1f, 0.01f), 0),
+      (1L, Seq(1f, -0.01f), 0),
+      (2L, Seq(0.01f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rec = Bq.recall(embs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 1, rerank = 1, dim = 2)
+      .as[(Long, Long)].collect()
+    assert(rec.toSeq == Seq((0L, 0L)))
+    // sanity: widening the cut past the decoy recovers the truth
+    val wide = Bq.recall(embs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 1, rerank = 2, dim = 2)
+      .as[(Long, Long)].collect()
+    assert(wide.toSeq == Seq((0L, 1000000L)))
+  }
+
+  test("BQ: packCol maps a NULL vector to a NULL code, not an error") {
+    val df = Seq((0L, Some(Seq(1d, -1d))), (1L, None))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), Bq.packCol("v", 2).as("code"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(df(0L) == Some(1L) && df(1L).isEmpty)
+  }
+
   test("centroidClassify assigns every vector to its nearest label centroid") {
     // train = even ids: label-0 centroid ≈ (1, 0.1), label-1 ≈ (0.05, 1);
     // held-out 1 and 5 sit clearly inside their own label's cone, and
