@@ -336,19 +336,36 @@ object SparkEntry {
         .agg(count_distinct(col("user_id")).as("n_users"))
         ),
 
-    // Sketch class: HLL distinct + approximate quantiles. By design
-    // not bit-reproducible in another engine → NO SQL oracle; the
-    // driver applies its rows-only check. At 100 TB these replace
-    // the exact twins (q_cdc_distinct_users / sorted percentiles):
-    // fixed-size state, one shuffle, mergeable partials.
+    // Sketch class: HLL distinct + approximate quantiles. The sketch
+    // VALUES are by design not bit-reproducible in another engine, so
+    // the oracle-checked output carries (a) the exact group keys and
+    // counts and (b) integer VERDICTS that the in-plan sketches landed
+    // inside their published error bounds vs the exact answers
+    // computed in the same aggregation (HLL rsd 5% → 15% + small-N
+    // slack; percentile_approx accuracy 1000 → rank error n/1000,
+    // banded far wider at [p90, max]). The oracle's verdict columns
+    // are constant 1 — a sketch outside its bound hash-mismatches.
+    // Tight-band assertions live in OpsSpec (large synthetic n).
+    // At 100 TB the sketches replace the exact twins
+    // (q_cdc_distinct_users / sorted percentiles): fixed-size state,
+    // one shuffle, mergeable partials.
     "q_cdc_approx_stats" -> ((s, dir) =>
       T(s, dir, "events")
         .select(ChangeSource.dbCol.as("db"), ChangeSource.tableCol.as("table"),
           col("user_id"), col("value"))
         .groupBy(col("db"), col("table"))
-        .agg(approx_count_distinct(col("user_id")).as("n_users_hll"),
-          percentile_approx(col("value"), lit(0.95), lit(1000)).as("value_p95"))
-        ),
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id")).as("hll"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95a"),
+          expr("percentile(value, 0.90D)").as("p90x"),
+          max(col("value")).as("vmax"))
+        .select(col("db"), col("table"), col("n_rows"), col("n_users"),
+          (abs(col("hll") - col("n_users")).cast("double")
+            <= greatest(lit(5.0), col("n_users") * 0.15))
+            .cast("long").as("hll_within_tol"),
+          (col("p95a") >= col("p90x") && col("p95a") <= col("vmax"))
+            .cast("long").as("p95_within_band"))),
 
     // Set difference: users only ever backfilled, never deleted.
     "q_cdc_except" -> ((s, dir) => {
@@ -657,6 +674,20 @@ object SparkEntry {
         col("vec_id") < 8, k = 5, nprobe = 4)
     }),
 
+    // The BQ serving tier of the same artifact: full 8-byte Hamming
+    // sweep over the stored one-long sign codes + exact rerank — no
+    // probe, no trained parameters; shares q_sim_bq's oracle (the
+    // stored codes are exactly the in-plan pack).
+    "q_sim_index_bq" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+      if (!Index.exists(s, "graft_idx"))
+        Index.build(s, embs, "vec_id", "embedding", "label", "graft_idx",
+          itersIvf = 4, massign = 2, m = 16, ksub = 32, itersPq = 2,
+          nBuckets = 8)
+      Index.searchBq(s, "graft_idx", embs, "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, rerank = 160)
+    }),
+
     // The maintenance delta, oracle-gated end-to-end: build the index
     // on the even half of the corpus, APPEND the odd half (encode-only,
     // fixed centroids — no retrain), search the union. The oracle
@@ -705,31 +736,41 @@ object SparkEntry {
         "embedding", "label", col("vec_id") < 8, k = 5,
         nprobes = Seq(1, 2, 4), iters = 4, massign = 2)),
 
-    // Blocked kNN graph: EVERY vector's top-5 neighbors among the
-    // vectors sharing one of its 2 assigned trained-IVF lists — the
-    // self-join-on-block shape (cost Σ|list|², never n²) that feeds
-    // kNN classification and graph clustering.
-    "q_sim_knngraph" -> ((s, dir) =>
-      Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding",
-        "label", k = 5, iters = 2, massign = 2)),
+    // Blocked kNN graph, build/serve split (ops.GraphStore — the
+    // Index pattern applied to the graph family): ONE training +
+    // blocked Σ|list|² self-join pass persists the edge list as a
+    // bucketed artifact in the query's setup; the RETURNED plan is a
+    // pure edge scan. PageRank and kNN-classify below serve from the
+    // same artifact — one training for the whole family, not three.
+    "q_sim_knngraph" -> ((s, dir) => {
+      GraphStore.build(s, T(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", "graft_knng", k = 5, iters = 2, massign = 2, nBuckets = 8)
+      GraphStore.edges(s, "graft_knng")
+    }),
 
-    // PageRank centrality over the blocked kNN graph — density/
-    // representativeness valuation of every vector (rank sinks are
-    // outliers). Pure integer damped iteration, 3 rounds unrolled
-    // (ops.Graph); the oracle unrolls the same rounds as CTEs.
-    "q_sim_pagerank" -> ((s, dir) =>
-      Graph.pageRank(
-        Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding",
-          "label", k = 5, iters = 2, massign = 2)
-          .select(col("src_id").as("src"), col("neighbor_id").as("dst")),
-        iters = 3)),
+    // PageRank centrality SERVED from the persisted kNN graph —
+    // density/representativeness valuation of every vector (rank
+    // sinks are outliers). Pure integer damped iteration, 3 rounds
+    // unrolled (ops.Graph); the oracle unrolls the same rounds as
+    // CTEs over the same (retrained — deterministic) graph. The plan
+    // contains NO training stage (PlanSpec asserts it).
+    "q_sim_pagerank" -> ((s, dir) => {
+      if (!GraphStore.exists(s, "graft_knng"))
+        GraphStore.build(s, T(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", "graft_knng", k = 5, iters = 2, massign = 2, nBuckets = 8)
+      GraphStore.pageRank(s, "graft_knng", iters = 3)
+    }),
 
-    // kNN classification: majority label over the blocked kNN graph
-    // (ties → smaller label), with the true label and a correctness
-    // flag — the label-propagation building block.
-    "q_sim_knnlabel" -> ((s, dir) =>
-      Similarity.knnClassify(T(s, dir, "embeddings"), "vec_id", "embedding",
-        "label", k = 5, iters = 2, massign = 2)),
+    // kNN classification SERVED from the persisted graph: majority
+    // label over the stored top-5 edges (ties → smaller label), with
+    // the true label and a correctness flag — the label-propagation
+    // building block, no in-plan retraining.
+    "q_sim_knnlabel" -> ((s, dir) => {
+      if (!GraphStore.exists(s, "graft_knng"))
+        GraphStore.build(s, T(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", "graft_knng", k = 5, iters = 2, massign = 2, nBuckets = 8)
+      GraphStore.classify(s, "graft_knng")
+    }),
 
     // Nearest-centroid (Rocchio) classifier: |labels| integer-exact
     // centroids from the even-id training half, every vector
@@ -1136,6 +1177,16 @@ object SparkEntry {
          |  count(DISTINCT user_id)::BIGINT AS n_users
          |FROM events GROUP BY 1, 2 ORDER BY db, "table"""".stripMargin,
 
+    // sketch verdicts: the oracle states the exact keys/counts and
+    // that every in-plan sketch landed inside its error bound (the
+    // Spark side computes the bound checks; here they are constant 1)
+    "q_cdc_approx_stats" ->
+      s"""SELECT $dbSql AS db, $tableSql AS "table",
+         |  count(*)::BIGINT AS n_rows,
+         |  count(DISTINCT user_id)::BIGINT AS n_users,
+         |  1::BIGINT AS hll_within_tol, 1::BIGINT AS p95_within_band
+         |FROM events GROUP BY 1, 2 ORDER BY db, "table"""".stripMargin,
+
     "q_cdc_except" ->
       s"""SELECT user_id FROM events WHERE $opSql = 'Backfill'
          |EXCEPT SELECT user_id FROM events WHERE $opSql = 'Delete'
@@ -1263,6 +1314,12 @@ object SparkEntry {
     "q_sim_bq_recall" ->
       (Bq.recallSql("vec_id", "embedding", "embeddings",
         "id < 8", k = 5, rerank = 160, dim = 64) + " ORDER BY qid"),
+
+    // the persisted BQ tier stores exactly the in-plan pack — same
+    // oracle as q_sim_bq
+    "q_sim_index_bq" ->
+      (Bq.topKSql("vec_id", "embedding", "embeddings",
+        "id < 8", k = 5, rerank = 160, dim = 64) + " ORDER BY qid, rank"),
 
     "q_sim_sq_recall" ->
       (Sq.recallSql("vec_id", "embedding", "embeddings",

@@ -65,19 +65,15 @@ object Bq {
       s"' dims exceeds dim=$dim'))))")
   }
 
-  /** BQ top-k with exact rerank.
-    * Output: (qid, rank, neighbor_id, cos_micros) — exact cosines;
-    * only the candidate cut (by Hamming, top-`rerank`) is approximate.
+  /** The Hamming cut + exact rerank over an already-packed corpus —
+    * shared by the in-plan [[topK]] and the persisted-index BQ tier
+    * ([[Index.searchBq]], which reads `packed` from the stored
+    * bq_codes part instead of packing in-plan). `packed` is
+    * (id, code), `qPacked` (qid, qcode), `base` (id, v, nrm) for the
+    * rerank, `queries` (qid, qv, qnrm).
     */
-  def topK(embs: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, rerank: Int, dim: Int = 64): DataFrame = {
-    val base = baseOf(embs, idCol, vecCol)
-    val packed = base.select(col("id"), packCol("v", dim).as("code"))
-    val queries = base.filter(queryPred)
-      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val qPacked = base.filter(queryPred)
-      .select(col("id").as("qid"), packCol("v", dim).as("qcode"))
-
+  private[graft] def cutAndRerank(packed: DataFrame, qPacked: DataFrame,
+      base: DataFrame, queries: DataFrame, k: Int, rerank: Int): DataFrame = {
     // the 8-byte sweep: every corpus word against every (broadcast)
     // query word — the hot loop is xor+popcount in codegen
     val wCand = Window.partitionBy(col("qid"))
@@ -102,6 +98,21 @@ object Bq {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neighbor_id"),
         round(col("cos") * 1e6).cast("long").as("cos_micros"))
+  }
+
+  /** BQ top-k with exact rerank.
+    * Output: (qid, rank, neighbor_id, cos_micros) — exact cosines;
+    * only the candidate cut (by Hamming, top-`rerank`) is approximate.
+    */
+  def topK(embs: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, rerank: Int, dim: Int = 64): DataFrame = {
+    val base = baseOf(embs, idCol, vecCol)
+    val packed = base.select(col("id"), packCol("v", dim).as("code"))
+    val queries = base.filter(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val qPacked = base.filter(queryPred)
+      .select(col("id").as("qid"), packCol("v", dim).as("qcode"))
+    cutAndRerank(packed, qPacked, base, queries, k, rerank)
   }
 
   /** Recall@k of [[topK]] vs the brute-force truth, per query.

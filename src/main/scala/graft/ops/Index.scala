@@ -193,6 +193,10 @@ object Index {
       .select(col("id"), Sq.codeCol(64, clamp = false).cast("array<int>")
         .as("code"))
 
+    // BQ tier: one sign-packed long per vector (32×) — the coarsest
+    // serving option, an 8-byte full sweep instead of a probe
+    val bqCodes = base.select(col("id"), Bq.packCol("v", 64).as("code"))
+
     val dir = indexDir(baseDir, name)
     def loc(p: String) = s"$dir/$p"
     cents.write.mode("overwrite").format("parquet")
@@ -207,6 +211,8 @@ object Index {
       nBuckets, Some(loc("codes")))
     Bucketing.writeBucketed(sqCodes, part(name, "sq_codes"), "id",
       nBuckets, Some(loc("sq_codes")))
+    Bucketing.writeBucketed(bqCodes, part(name, "bq_codes"), "id",
+      nBuckets, Some(loc("bq_codes")))
     Seq((massign, m, ksub, nBuckets))
       .toDF("massign", "m", "ksub", "nBuckets")
       .write.mode("overwrite").format("parquet")
@@ -223,10 +229,12 @@ object Index {
   }
 
   private val Parts =
-    Seq("cents", "codebooks", "sq_ranges", "postings", "codes", "sq_codes", "meta")
+    Seq("cents", "codebooks", "sq_ranges", "postings", "codes", "sq_codes",
+      "bq_codes", "meta")
   /** The bucketed (key-clustered) parts and their bucket keys. */
   private val BucketedParts =
-    Seq("postings" -> "cl", "codes" -> "id", "sq_codes" -> "id")
+    Seq("postings" -> "cl", "codes" -> "id", "sq_codes" -> "id",
+      "bq_codes" -> "id")
 
   /** Delete every sibling directory of part `p` that is neither its
     * current state target nor a still-graced retiree (superseded
@@ -284,16 +292,18 @@ object Index {
       attachBucketed(spark, name, p, key, nBuckets, loc(p))
   }
 
-  /** (postings, codes, sq_codes) of `embs` encoded at the STORED
-    * centroids, codebooks and ranges — the no-training encode pass
-    * shared by [[append]] and the rebuild-equivalence spec. Three
+  /** (postings, codes, sq_codes, bq_codes) of `embs` encoded at the
+    * STORED centroids, codebooks and ranges — the no-training encode
+    * pass shared by [[append]] and the rebuild-equivalence spec. Four
     * zero-shuffle broadcast-assign maps; nothing here ever retrains.
     * SQ codes CLAMP to [0, 255]: new vectors may fall outside the
     * stored per-dim ranges (the fixed-parameters analog of assigning
-    * to the fixed centroids).
+    * to the fixed centroids). BQ sign codes have no trained
+    * parameters at all — encode is the same pack as build.
     */
   def encode(spark: SparkSession, name: String, embs: DataFrame,
-      idCol: String, vecCol: String): (DataFrame, DataFrame, DataFrame) = {
+      idCol: String, vecCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val meta = readMeta(spark, name)
     val subDim = 64 / meta.m
     val base = baseOf(embs, idCol, vecCol)
@@ -307,7 +317,8 @@ object Index {
         Sq.collapseRanges(spark.table(part(name, "sq_ranges")))))
       .select(col("id"), Sq.codeCol(64, clamp = true).cast("array<int>")
         .as("code"))
-    (postings, codes, sqCodes)
+    val bqCodes = base.select(col("id"), Bq.packCol("v", 64).as("code"))
+    (postings, codes, sqCodes, bqCodes)
   }
 
   /** Incremental maintenance: [[encode]] ONLY `newEmbs` (no
@@ -319,10 +330,12 @@ object Index {
   def append(spark: SparkSession, name: String, newEmbs: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val meta = readMeta(spark, name)
-    val (postings, codes, sqCodes) = encode(spark, name, newEmbs, idCol, vecCol)
+    val (postings, codes, sqCodes, bqCodes) =
+      encode(spark, name, newEmbs, idCol, vecCol)
     Bucketing.appendBucketed(postings, part(name, "postings"), "cl", meta.nBuckets)
     Bucketing.appendBucketed(codes, part(name, "codes"), "id", meta.nBuckets)
     Bucketing.appendBucketed(sqCodes, part(name, "sq_codes"), "id", meta.nBuckets)
+    Bucketing.appendBucketed(bqCodes, part(name, "bq_codes"), "id", meta.nBuckets)
   }
 
   /** [[append]] with ATOMIC visibility and reader snapshots — the
@@ -364,7 +377,8 @@ object Index {
   def appendCommitted(spark: SparkSession, name: String, newEmbs: DataFrame,
       idCol: String, vecCol: String, graceCommits: Int = 0): Unit = {
     val meta = readMeta(spark, name)
-    val (postings, codes, sqCodes) = encode(spark, name, newEmbs, idCol, vecCol)
+    val (postings, codes, sqCodes, bqCodes) =
+      encode(spark, name, newEmbs, idCol, vecCol)
     val dir = {
       // resolve the index directory from the (file-backed) meta table
       val scan = spark.table(part(name, "meta")).queryExecution.analyzed.collectFirst {
@@ -376,7 +390,8 @@ object Index {
         .getParent.toString
     }
     for ((p, key, df) <- Seq(("postings", "cl", postings),
-        ("codes", "id", codes), ("sq_codes", "id", sqCodes))) {
+        ("codes", "id", codes), ("sq_codes", "id", sqCodes),
+        ("bq_codes", "id", bqCodes))) {
       val st = loadPart(dir, p)
       val uid = java.util.UUID.randomUUID().toString.take(8)
       val staging = java.nio.file.Paths.get(dir, ".staging", s"${p}_$uid")
@@ -592,6 +607,40 @@ object Index {
     val scored = pairs.join(candCodes, "id")
       .join(broadcast(queries), "qid")
     Sq.cutAndRerank(base, queries, scored, k, rerank)
+  }
+
+  /** BQ search over the persisted index — the coarsest serving tier:
+    * NO probe at all; the stored one-long sign codes are swept in
+    * full (8 bytes per corpus vector — a 32× cut; at 100 TB of
+    * float32 this sweep reads ~3 TB), candidates cut by xor+popcount
+    * Hamming, then the family's exact rerank. Query codes pack
+    * in-plan from the query vectors — bit-identical to the stored
+    * codes for in-corpus queries (the pack has no trained
+    * parameters), so output matches the in-plan [[Bq.topK]] exactly
+    * (shared oracle). dropDuplicates on the code scan: an
+    * at-least-once maintenance replay appends identical code rows;
+    * duplicates would crowd distinct candidates out of the
+    * rank-window cut — dup rows are byte-identical, so the drop is
+    * value-deterministic and an identity on clean data.
+    */
+  def searchBq(spark: SparkSession, name: String, embs: DataFrame,
+      idCol: String, vecCol: String, queryPred: Column, k: Int,
+      rerank: Int, dim: Int = 64): DataFrame = {
+    val base = baseOf(embs, idCol, vecCol)
+    val queries = base.filter(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    searchBqQueries(spark, name, base, queries, k, rerank, dim)
+  }
+
+  /** [[searchBq]] with an explicit query table (qid, qv, qnrm) — the
+    * streaming-probe entry point ([[graft.streaming.IndexStream]]),
+    * like [[searchQueries]] / [[searchSqQueries]] for the other tiers.
+    */
+  def searchBqQueries(spark: SparkSession, name: String, base: DataFrame,
+      queries: DataFrame, k: Int, rerank: Int, dim: Int = 64): DataFrame = {
+    val packed = spark.table(part(name, "bq_codes")).dropDuplicates("id")
+    val qPacked = queries.select(col("qid"), Bq.packCol("qv", dim).as("qcode"))
+    Bq.cutAndRerank(packed, qPacked, base, queries, k, rerank)
   }
 
   /** Search with an explicit query table (qid, qv, qnrm) — the entry

@@ -80,6 +80,30 @@ object IndexStream {
       }
       .start()
 
+  /** [[probe]] against the BQ serving tier ([[graft.ops.Index
+    * .searchBq]]): same stream-static shape, but arriving vectors cut
+    * candidates by Hamming over the stored one-long sign codes (no
+    * probe, an 8-byte full sweep) before the exact rerank — the tier
+    * for latency-bound probes over memory-resident sign codes.
+    */
+  def probeBq(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, indexName: String, k: Int, rerank: Int,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val base = Index.baseOf(corpus, idCol, vecCol)
+          val qb = batch.select(col(idCol).as("qid"),
+              Vectors.toDouble(col(vecCol)).as("qv"))
+            .withColumn("qnrm", Vectors.norm(col("qv")))
+          Index.searchBqQueries(spark, indexName, base, qb, k, rerank)
+            .write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+
   /** Streaming index MAINTENANCE — the other half of the lifecycle:
     * each micro-batch of arriving embeddings is encoded at the stored
     * centroids/codebooks and committed to the bucketed postings/codes

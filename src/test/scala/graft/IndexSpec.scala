@@ -228,6 +228,7 @@ class IndexSpec extends AnyFunSuite {
       nBuckets = 4, baseDir = Some(dir))
     val beforePost = fileHashes(s"$dir/idx_app/postings")
     val beforeCodes = fileHashes(s"$dir/idx_app/codes")
+    val beforeBq = fileHashes(s"$dir/idx_app/bq_codes")
 
     Index.append(spark, "idx_app", half2, "vec_id", "embedding")
 
@@ -235,13 +236,16 @@ class IndexSpec extends AnyFunSuite {
     // exists with identical bytes, and the delta landed as NEW files
     val afterPost = fileHashes(s"$dir/idx_app/postings")
     val afterCodes = fileHashes(s"$dir/idx_app/codes")
+    val afterBq = fileHashes(s"$dir/idx_app/bq_codes")
     assert(beforePost.forall { case (p, h) => afterPost.get(p).contains(h) })
     assert(beforeCodes.forall { case (p, h) => afterCodes.get(p).contains(h) })
-    assert(afterPost.size > beforePost.size && afterCodes.size > beforeCodes.size)
+    assert(beforeBq.forall { case (p, h) => afterBq.get(p).contains(h) })
+    assert(afterPost.size > beforePost.size && afterCodes.size > beforeCodes.size
+      && afterBq.size > beforeBq.size)
 
     // the appended tables equal an encode-from-scratch of the UNION at
     // the same (stored) centroids/codebooks — append is pure delta
-    val (expPost, expCodes, expSq) = Index.encode(spark, "idx_app", embs,
+    val (expPost, expCodes, expSq, expBq) = Index.encode(spark, "idx_app", embs,
       "vec_id", "embedding")
     assert(spark.table("idx_app_postings").as[(Long, Long)].collect().sorted.toSeq
       == expPost.select(col("cl").cast("long"), col("id")).as[(Long, Long)]
@@ -253,6 +257,20 @@ class IndexSpec extends AnyFunSuite {
       df.select(col("id"), col("code")).as[(Long, Seq[Int])].collect()
         .map { case (i, c) => (i, c.mkString(",")) }.sorted.toSeq
     assert(sqRows(spark.table("idx_app_sq_codes")) == sqRows(expSq))
+    assert(spark.table("idx_app_bq_codes").as[(Long, Long)].collect()
+      .sorted.toSeq
+      == expBq.as[(Long, Long)].collect().sorted.toSeq)
+
+    // the appended BQ tier serves the same search as the in-plan
+    // Bq.topK over the union corpus (no trained params — appends are
+    // bit-identical to a rebuild)
+    val bqFromIndex = Index.searchBq(spark, "idx_app", embs, "vec_id",
+        "embedding", col("vec_id") < 4, k = 3, rerank = 20)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val bqInPlan = Bq.topK(embs, "vec_id", "embedding",
+        col("vec_id") < 4, k = 3, rerank = 20)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(bqFromIndex.nonEmpty && bqFromIndex == bqInPlan)
 
     // and a REBUILT index holding the same encode serves the identical
     // search: write the from-scratch union encode as a second index

@@ -88,6 +88,39 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("MemoryStream BQ-tier probes equal the batch searchBq, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val embs = cdc.Io.table(spark, sf, "embeddings")
+    Index.build(spark, embs, "vec_id", "embedding", "label", "idx_strbq",
+      itersIvf = 2, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4,
+      baseDir = Some(Files.createTempDirectory("graft_idx_strbq").toString))
+    val probeRows = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+
+    val outDir = Files.createTempDirectory("idx_strbq_out").toString
+    val ckpt = Files.createTempDirectory("idx_strbq_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = IndexStream.probeBq(input.toDF().toDF("vec_id", "embedding"),
+      embs, "vec_id", "embedding", "idx_strbq", k = 3,
+      rerank = 20, outDir, ckpt)
+    input.addData(probeRows.take(2).toSeq: _*)
+    q.processAllAvailable()
+    input.addData(probeRows.drop(2).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val batch = Index.searchBq(spark, "idx_strbq", embs, "vec_id",
+        "embedding", col("vec_id") < 4, k = 3, rerank = 20)
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming maintenance: appended micro-batches equal one batch append") {
     implicit val sqlCtx = spark.sqlContext
     val embs = cdc.Io.table(spark, sf, "embeddings")
@@ -112,7 +145,7 @@ class IndexStreamSpec extends AnyFunSuite {
 
     // the maintained tables equal one encode of the FULL corpus at the
     // stored centroids (build half + streamed half = everything)
-    val (expPost, expCodes, _) = Index.encode(spark, "idx_mnt", embs,
+    val (expPost, expCodes, _, _) = Index.encode(spark, "idx_mnt", embs,
       "vec_id", "embedding")
     assert(spark.table("idx_mnt_postings").as[(Long, Long)].collect().sorted.toSeq
       == expPost.select(col("cl").cast("long"), col("id")).as[(Long, Long)]

@@ -761,4 +761,25 @@ class OpsSpec extends AnyFunSuite {
     assert(b.getAs[Long]("n_docs") == 1L && b.getAs[Long]("med_tokens") == 5L)
     assert(b.getAs[String]("top_lang") == "de")
   }
+
+  test("sketch error bounds: HLL within rsd band, approx p95 within rank band at large n") {
+    // the driver's q_cdc_approx_stats only asserts the WIDE bands its
+    // oracle can state as constants; this pins the tight published
+    // bounds on a corpus big enough for them to be meaningful
+    val n = 20000L
+    val d = spark.range(n).select(
+      (col("id") % 3000).as("user_id"),   // true distinct = 3000
+      col("id").cast("double").as("value")) // uniform 0..n-1
+    val r = d.agg(
+      approx_count_distinct(col("user_id")).as("hll"),
+      percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95a"))
+      .collect()(0)
+    val hll = r.getAs[Long]("hll")
+    // default rsd 0.05; 3 sigma = 15%
+    assert(math.abs(hll - 3000L) <= 450L, s"HLL $hll vs exact 3000")
+    // accuracy 1000 → rank error ≤ n/1000 = 20 ranks around rank 19000
+    val p95a = r.getAs[Double]("p95a")
+    assert(p95a >= (n * 0.95 - 1 - 20) && p95a <= (n * 0.95 - 1 + 20),
+      s"approx p95 $p95a outside rank band")
+  }
 }

@@ -281,6 +281,24 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("graph serve plans contain no training stage (build/serve split)") {
+    // the first query's setup builds the persisted kNN graph; the
+    // RETURNED plans of all three family queries must be serve-only:
+    // no Lloyd-round residue (training materializes through
+    // localCheckpoint → ExistingRDD scans), edges read from the
+    // bucketed artifact (via the catalog — PageRank caches the edge
+    // scan, so the physical node may be an InMemoryTableScan; the
+    // analyzed plan names the table either way)
+    for (name <- Seq("q_sim_knngraph", "q_sim_pagerank", "q_sim_knnlabel")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val exec = df.queryExecution.executedPlan
+      assert(!exec.toString.contains("ExistingRDD"),
+        s"$name serve plan still contains a training checkpoint scan")
+      assert(df.queryExecution.analyzed.toString.contains("graft_knng"),
+        s"$name does not read the graph artifact")
+    }
+  }
+
   test("every registered query plans under AQE-off (no latent analyzer conflicts)") {
     // the kmeansL2All attribute-id leak (checkpointed centroids
     // exporting a live subtree's ids) only surfaced with AQE disabled —
@@ -305,12 +323,16 @@ class PlanSpec extends AnyFunSuite {
     val lm = plan("q_text_lm")
     assert(lm.contains("BroadcastExchange"), s"LM model not broadcast:\n$lm")
     assert(!lm.contains("CartesianProduct"))
-    // kNN graph: candidates come from the equi self-join on the list
+    // kNN graph BUILD (the query itself now serves from the
+    // GraphStore artifact — its build pass is asserted here
+    // directly): candidates come from the equi self-join on the list
     // id — a cartesian here is the n² failure the blocking exists to
     // prevent. (A BroadcastNestedLoopJoin IS present and fine: it's
     // the 1-row centroid-array attach, the same shape q_sim_topk
     // pins.) The native assignment pick must be in the plan.
-    val kg = plan("q_sim_knngraph")
+    val kg = plan(graft.ops.Similarity.knnGraph(
+      graft.cdc.Io.table(spark, sf, "embeddings"), "vec_id", "embedding",
+      "label", k = 5, iters = 2, massign = 2))
     assert(!kg.contains("CartesianProduct"),
       s"knn graph candidate stage went cartesian:\n$kg")
     assert(kg.contains("arg_top_m_cos"), "native assignment pick missing")
