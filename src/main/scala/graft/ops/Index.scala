@@ -135,6 +135,42 @@ object Index {
   private def readPointer(dir: String, p: String): String =
     loadPart(dir, p).current
 
+  /** A MANIFEST generation directory holds no data files at all — just
+    * `_manifest.json` naming its constituent SEGMENT directories (each
+    * a bucketed-parquet dir: the original build dir, a compact output,
+    * or one committed delta). This is the object-store-safe commit
+    * shape ([[appendCommitted]]'s `manifestCommit = true`): a commit
+    * writes ONE small JSON file instead of a hard-link farm, which on
+    * S3-style stores (no links, renames are copies) is the only
+    * O(1)-data option — exactly the Delta/Iceberg snapshot shape.
+    */
+  private val ManifestFile = "_manifest.json"
+
+  private def hasManifest(dir: String, gen: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, gen, ManifestFile))
+
+  /** The data directories a generation resolves to: itself for a plain
+    * directory, its manifest's segment list otherwise (manifests list
+    * segments only — chains are flattened at commit time, never nested).
+    */
+  private[graft] def segmentsOf(dir: String, gen: String): Seq[String] =
+    if (!hasManifest(dir, gen)) Seq(gen)
+    else {
+      val s = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, gen, ManifestFile))
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+        .get("segments").elements().asScala.map(_.asText).toVector
+    }
+
+  private def writeManifest(dir: String, gen: String,
+      segments: Seq[String]): Unit = {
+    val genDir = java.nio.file.Paths.get(dir, gen)
+    java.nio.file.Files.createDirectories(genDir)
+    java.nio.file.Files.writeString(genDir.resolve(ManifestFile),
+      s"""{"segments": [${segments.map(s => s""""$s"""").mkString(", ")}]}""")
+  }
+
   /** Commit `newDir` as part `p`'s current directory: one atomic state
     * swap, then GC. The previous current enters the retired list at
     * the new generation; entries whose grace window elapsed leave it
@@ -150,11 +186,13 @@ object Index {
     val st = loadPart(dir, p)
     val gen = st.gen + 1
     val grace = math.max(graceCommits, st.grace)
-    val (kept, expired) = (st.retired :+ (st.current, gen))
-      .partition { case (_, g) => gen - g < grace }
+    val kept = (st.retired :+ (st.current, gen))
+      .filter { case (_, g) => gen - g < grace }
     writePartState(dir, p, PartState(newDir, gen, kept, grace))
-    expired.foreach { case (d, _) =>
-      deleteRecursively(java.nio.file.Paths.get(dir, d)) }
+    // expired generations are reclaimed by the sweep below — which,
+    // unlike a direct delete, keeps any directory a LIVE manifest
+    // still references as a segment (an expired generation's data can
+    // outlive it when later manifests share it)
     sweepStale(dir, p)
   }
 
@@ -244,7 +282,10 @@ object Index {
     */
   private def sweepStale(dir: String, p: String): Unit = {
     val st = loadPart(dir, p)
-    val keep = st.retired.map(_._1).toSet + st.current
+    val gens = st.retired.map(_._1) :+ st.current
+    // a manifest generation keeps every segment it references alive —
+    // including plain directories of generations that already expired
+    val keep = (gens ++ gens.flatMap(segmentsOf(dir, _))).toSet
     listDir(java.nio.file.Paths.get(dir))
       .filter(d => java.nio.file.Files.isDirectory(d) && {
         val n = d.getFileName.toString
@@ -288,8 +329,12 @@ object Index {
                    |LOCATION '${loc(p)}'""".stripMargin)
     }
     val nBuckets = readMeta(spark, name).nBuckets
-    for ((p, key) <- BucketedParts)
-      attachBucketed(spark, name, p, key, nBuckets, loc(p))
+    for ((p, key) <- BucketedParts) {
+      val cur = readPointer(dir, p)
+      if (hasManifest(dir, cur))
+        attachView(spark, name, p, dir, segmentsOf(dir, cur))
+      else attachBucketed(spark, name, p, key, nBuckets, s"$dir/$cur")
+    }
   }
 
   /** (postings, codes, sq_codes, bq_codes) of `embs` encoded at the
@@ -348,9 +393,17 @@ object Index {
     *     every committed file of the current generation plus the
     *     staged delta files (metadata-only on a posix store — this
     *     directory IS a manifest of immutable files, materialized as
-    *     links; on an object store the same commit writes the file
-    *     list instead, exactly the Delta/Iceberg shape. Data is never
-    *     copied: parquet files are immutable once written);
+    *     links. Data is never copied: parquet files are immutable once
+    *     written). With `manifestCommit = true` the generation is
+    *     instead ONE `_manifest.json` naming the segment directories —
+    *     the object-store-safe shape (S3-style stores have no links
+    *     and copy on rename), exactly the Delta/Iceberg snapshot: the
+    *     delta writes straight to its segment dir and the commit
+    *     writes one small file, at the cost of attaching the part as a
+    *     union view (no bucket spec declarable over multiple dirs —
+    *     [[attachView]]); [[compact]] collapses the chain back to one
+    *     plain bucketed directory. Search results are identical either
+    *     way (IndexSpec proves byte-identity);
     *  3. one atomic state-file swap makes the generation current
     *     ([[commitPart]]), retiring the previous one under the grace
     *     window.
@@ -375,41 +428,62 @@ object Index {
     * bytes. Single writer, like all index maintenance.
     */
   def appendCommitted(spark: SparkSession, name: String, newEmbs: DataFrame,
-      idCol: String, vecCol: String, graceCommits: Int = 0): Unit = {
+      idCol: String, vecCol: String, graceCommits: Int = 0,
+      manifestCommit: Boolean = false): Unit = {
     val meta = readMeta(spark, name)
     val (postings, codes, sqCodes, bqCodes) =
       encode(spark, name, newEmbs, idCol, vecCol)
-    val dir = {
-      // resolve the index directory from the (file-backed) meta table
-      val scan = spark.table(part(name, "meta")).queryExecution.analyzed.collectFirst {
-        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          r.relation.asInstanceOf[
-            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-      }.getOrElse(sys.error(s"${part(name, "meta")} is not file-backed"))
-      java.nio.file.Paths.get(scan.location.rootPaths.head.toUri.getPath)
-        .getParent.toString
-    }
+    val dir = indexDirOf(spark, name)
     for ((p, key, df) <- Seq(("postings", "cl", postings),
         ("codes", "id", codes), ("sq_codes", "id", sqCodes),
         ("bq_codes", "id", bqCodes))) {
       val st = loadPart(dir, p)
       val uid = java.util.UUID.randomUUID().toString.take(8)
-      val staging = java.nio.file.Paths.get(dir, ".staging", s"${p}_$uid")
-      // bucket-write the delta through a throwaway EXTERNAL table (the
-      // only way to bucketBy-write); drop the entry, keep the files
-      val stageTbl = s"${part(name, p)}_stage_$uid"
-      Bucketing.writeBucketed(df, stageTbl, key, meta.nBuckets,
-        Some(staging.toString))
-      spark.sql(s"DROP TABLE $stageTbl")
-
       val newName = s"${p}_g${st.gen + 1}_$uid"
-      val newDir = java.nio.file.Paths.get(dir, newName)
-      java.nio.file.Files.createDirectories(newDir)
-      linkInto(newDir, java.nio.file.Paths.get(dir, st.current))
-      linkInto(newDir, staging)
-      attachBucketed(spark, name, p, key, meta.nBuckets, s"$dir/$newName")
+      if (manifestCommit) {
+        // object-store path: the delta bucket-writes STRAIGHT to its
+        // segment directory (no rename — renames copy on S3-style
+        // stores), and the generation is one small manifest naming
+        // the live segment set. No links, no data copied or moved.
+        val segName = s"${p}_s$uid"
+        val stageTbl = s"${part(name, p)}_stage_$uid"
+        Bucketing.writeBucketed(df, stageTbl, key, meta.nBuckets,
+          Some(s"$dir/$segName"))
+        spark.sql(s"DROP TABLE $stageTbl")
+        val segments = segmentsOf(dir, st.current) :+ segName
+        writeManifest(dir, newName, segments)
+        attachView(spark, name, p, dir, segments)
+      } else {
+        val staging = java.nio.file.Paths.get(dir, ".staging", s"${p}_$uid")
+        // bucket-write the delta through a throwaway EXTERNAL table (the
+        // only way to bucketBy-write); drop the entry, keep the files
+        val stageTbl = s"${part(name, p)}_stage_$uid"
+        Bucketing.writeBucketed(df, stageTbl, key, meta.nBuckets,
+          Some(staging.toString))
+        spark.sql(s"DROP TABLE $stageTbl")
+
+        val newDir = java.nio.file.Paths.get(dir, newName)
+        java.nio.file.Files.createDirectories(newDir)
+        linkInto(newDir, java.nio.file.Paths.get(dir, st.current))
+        linkInto(newDir, staging)
+        attachBucketed(spark, name, p, key, meta.nBuckets, s"$dir/$newName")
+      }
       commitPart(dir, p, newName, graceCommits)
     }
+  }
+
+  /** The index's directory on disk, resolved from the (file-backed)
+    * meta table — never caller-supplied, so maintenance always acts on
+    * the directory the catalog actually serves.
+    */
+  private def indexDirOf(spark: SparkSession, name: String): String = {
+    val scan = spark.table(part(name, "meta")).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+    }.getOrElse(sys.error(s"${part(name, "meta")} is not file-backed"))
+    java.nio.file.Paths.get(scan.location.rootPaths.head.toUri.getPath)
+      .getParent.toString
   }
 
   /** Hard-link every data file of `srcDir` into `dst` (fallback: copy,
@@ -431,17 +505,46 @@ object Index {
         }
       }
 
+  /** Drop the part's catalog entry whatever it is — bucketed table
+    * (link-mode generations, build output) or view (manifest-mode
+    * generations). Spark rejects DROP TABLE on a view and vice versa.
+    */
+  private def dropEntry(spark: SparkSession, tbl: String): Unit =
+    if (spark.catalog.tableExists(tbl)) {
+      if (spark.catalog.getTable(tbl).tableType == "VIEW")
+        spark.sql(s"DROP VIEW $tbl")
+      else spark.sql(s"DROP TABLE $tbl")
+    }
+
   /** (Re-)create the catalog entry of a bucketed part over `location`
     * (schema recovered from the files' own footer — metadata-only).
     */
   private def attachBucketed(spark: SparkSession, name: String, p: String,
       key: String, nBuckets: Int, location: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${part(name, p)}")
+    dropEntry(spark, part(name, p))
     val cols = spark.read.parquet(location).schema.toDDL
     spark.sql(
       s"""CREATE TABLE ${part(name, p)} ($cols) USING parquet
          |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
          |LOCATION '$location'""".stripMargin)
+  }
+
+  /** Catalog entry for a MANIFEST generation: a view unioning
+    * path-scans of the segment directories. The bucket spec is not
+    * declarable on a multi-directory scan (Spark's bucketed tables are
+    * single-location), so manifest-mode parts trade the zero-exchange
+    * join for commit cheapness — search RESULTS are identical
+    * (IndexSpec proves it byte-for-byte); on a real object store the
+    * partition-preserving analog is a DSv2 relation reporting
+    * storage-partitioned joins, which this view stands in for.
+    */
+  private def attachView(spark: SparkSession, name: String, p: String,
+      dir: String, segments: Seq[String]): Unit = {
+    dropEntry(spark, part(name, p))
+    val legs = segments
+      .map(s => s"SELECT * FROM parquet.`$dir/$s`")
+      .mkString(" UNION ALL ")
+    spark.sql(s"CREATE VIEW ${part(name, p)} AS $legs")
   }
 
   /** Offline compaction for an append-heavy index: every [[append]]
@@ -461,25 +564,25 @@ object Index {
     */
   def compact(spark: SparkSession, name: String,
       graceCommits: Int = 0): Unit = {
+    val dir = indexDirOf(spark, name)
+    val nBuckets = readMeta(spark, name).nBuckets
     for ((p, key) <- BucketedParts) {
       val tbl = part(name, p)
-      val scan = spark.table(tbl).queryExecution.analyzed.collectFirst {
-        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          r.relation.asInstanceOf[
-            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-      }.getOrElse(sys.error(s"$tbl is not a file-backed table"))
-      val oldPath = java.nio.file.Paths.get(scan.location.rootPaths.head.toUri.getPath)
-      val dir = oldPath.getParent.toString
-      val nBuckets = scan.bucketSpec.map(_.numBuckets)
-        .getOrElse(sys.error(s"$tbl has no bucket spec"))
+      // resolve the current data directories through the state file,
+      // NOT the catalog entry: a manifest-mode part is a view over
+      // several segment dirs, and compact is what collapses that
+      // chain back to one plain bucketed directory
+      val segs = segmentsOf(dir, loadPart(dir, p).current)
+        .map(s => s"$dir/$s")
       val newName = s"${p}_c${java.util.UUID.randomUUID().toString.take(8)}"
       // read the OLD files by path (overwriting a table being read from
       // is rejected by identity — the path read sidesteps it, and the
       // write targets a fresh directory anyway); repartition on the
       // bucket key (same murmur3 hash family as bucketBy) so each
       // bucket's rows land wholly in one task → one file per bucket
+      dropEntry(spark, tbl)
       Bucketing.writeBucketed(
-        spark.read.parquet(oldPath.toString).distinct()
+        spark.read.parquet(segs: _*).distinct()
           .repartition(nBuckets, col(key)),
         tbl, key, nBuckets, Some(s"$dir/$newName"))
       commitPart(dir, p, newName, graceCommits)

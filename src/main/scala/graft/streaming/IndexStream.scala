@@ -122,13 +122,13 @@ object IndexStream {
     */
   def maintain(embs: DataFrame, idCol: String, vecCol: String,
       indexName: String, checkpointDir: String,
-      graceCommits: Int = 0): StreamingQuery =
+      graceCommits: Int = 0, manifestCommit: Boolean = false): StreamingQuery =
     embs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           Index.appendCommitted(batch.sparkSession, indexName, batch,
-            idCol, vecCol, graceCommits)
+            idCol, vecCol, graceCommits, manifestCommit)
       }
       .start()
 }

@@ -218,6 +218,78 @@ class IndexSpec extends AnyFunSuite {
     assert(searchOf("idx_gen") == got)
   }
 
+  test("manifest-mode appendCommitted: zero links/copies, search byte-identical to link mode, register + compact resolve the chain") {
+    val thirds = (0 to 2).map(r => embs.filter(col("vec_id") % 3 === r))
+    def searchOf(name: String) =
+      Index.search(spark, name, embs, "vec_id", "embedding",
+          col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+        .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    def dropAll(name: String): Unit =
+      for (p <- Seq("cents", "codebooks", "sq_ranges", "meta", "postings",
+          "codes", "sq_codes", "bq_codes")) {
+        val tbl = s"${name}_$p"
+        if (spark.catalog.tableExists(tbl)) {
+          if (spark.catalog.getTable(tbl).tableType == "VIEW")
+            spark.sql(s"DROP VIEW $tbl")
+          else spark.sql(s"DROP TABLE $tbl")
+        }
+      }
+
+    // link-mode twin: same build + same deltas, hard-link generations
+    val dirL = tmpBase("manL")
+    Index.build(spark, thirds(0), "vec_id", "embedding", "label", "idx_manl",
+      itersIvf = 1, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(dirL))
+    Index.appendCommitted(spark, "idx_manl", thirds(1), "vec_id", "embedding")
+    Index.appendCommitted(spark, "idx_manl", thirds(2), "vec_id", "embedding")
+    val expected = searchOf("idx_manl")
+
+    val dir = tmpBase("man")
+    Index.build(spark, thirds(0), "vec_id", "embedding", "label", "idx_man",
+      itersIvf = 1, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(dir))
+    val idxDir = s"$dir/idx_man"
+    val seg0Hashes = fileHashes(s"$idxDir/postings")
+
+    Index.appendCommitted(spark, "idx_man", thirds(1), "vec_id", "embedding",
+      manifestCommit = true)
+    Index.appendCommitted(spark, "idx_man", thirds(2), "vec_id", "embedding",
+      manifestCommit = true)
+
+    // the committed generation holds NO data files — links disabled:
+    // one manifest naming the base dir + one segment per delta
+    val gen = Index.loadPart(idxDir, "postings").current
+    assert(gen.startsWith("postings_g2"))
+    val genFiles = Files.list(java.nio.file.Paths.get(s"$idxDir/$gen"))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(genFiles == Seq("_manifest.json"), s"generation dir holds $genFiles")
+    assert(Index.segmentsOf(idxDir, gen).size == 3)
+    // the base segment's files are untouched bytes — nothing was
+    // moved, linked, or rewritten
+    assert(fileHashes(s"$idxDir/postings") == seg0Hashes)
+
+    // search over the manifest chain is byte-identical to link mode
+    val got = searchOf("idx_man")
+    assert(got.nonEmpty && got == expected)
+
+    // a fresh catalog resolves the manifest through register
+    dropAll("idx_man")
+    Index.register(spark, "idx_man", dir)
+    assert(searchOf("idx_man") == expected)
+
+    // compact collapses the chain back to one plain bucketed dir;
+    // the segments leave once no kept generation references them
+    Index.compact(spark, "idx_man")
+    assert(searchOf("idx_man") == expected)
+    val cur = Index.loadPart(idxDir, "postings").current
+    assert(cur.startsWith("postings_c") && Index.segmentsOf(idxDir, cur) == Seq(cur))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$idxDir/postings")))
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = spark.table("idx_man_postings").queryExecution.executedPlan
+      .collectFirst { case f: FileSourceScanExec => f }
+    assert(scan.exists(_.relation.bucketSpec.exists(_.numBuckets == 4)))
+  }
+
   test("append encodes the delta at fixed centroids: tables equal a from-scratch encode; search matches; untouched files byte-identical") {
     val dir = tmpBase("app")
     val half1 = embs.filter(col("vec_id") % 2 === 0)
