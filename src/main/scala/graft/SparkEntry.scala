@@ -117,6 +117,27 @@ object SparkEntry {
           col("after"))
     }),
 
+    // T1: the general script host — a USER-SUPPLIED script (a Spark
+    // SQL expression string, the Rhai analog) routed through the
+    // Transform trait, flattened to scalars for the oracle compare.
+    // The script below is the kind of reshaping test.rhai ships:
+    // topic from db.table, BigQuery-style change type, payload pick.
+    "q_cdc_script" -> ((s, dir) => {
+      val changes = ChangeSource.fromEvents(T(s, dir, "events"))
+      val script = Transforms.SqlScript(
+        """named_struct(
+          |  'topic', concat(db, '.', `table`),
+          |  'change_type',
+          |    CASE WHEN op = 'Delete' THEN 'DELETE' ELSE 'UPSERT' END,
+          |  'tenant', db,
+          |  'at_ms', unix_millis(ts),
+          |  'payload', coalesce(
+          |    CASE WHEN op = 'Delete' THEN before ELSE after END, '{}'))
+          |""".stripMargin)
+      changes.select(col("event_id"), script(changes).as("p"))
+        .select(col("event_id"), col("p.*"))
+    }),
+
     // S5/S6: snapshot (backfill) source with projection pushdown —
     // full-table partitioned scan, the scale path
     // (reference/src/main.rs:305-387,326,331).
@@ -705,6 +726,24 @@ object SparkEntry {
         col("vec_id") < 8, k = 5, nprobe = 4, rerank = 40)
     }),
 
+    // The same maintenance delta committed the OBJECT-STORE-SAFE way:
+    // the appended generation is one _manifest.json naming immutable
+    // segment directories (no hard links — S3-style stores have
+    // none), served through a union view. Same oracle as
+    // q_sim_index_append: the commit mode cannot change results.
+    "q_sim_index_append_commit" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+      Index.build(s, embs.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", "label", "graft_idx3",
+        itersIvf = 4, massign = 2, m = 16, ksub = 32, itersPq = 2,
+        nBuckets = 8)
+      Index.appendCommitted(s, "graft_idx3",
+        embs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        manifestCommit = true)
+      Index.search(s, "graft_idx3", embs, "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, nprobe = 4, rerank = 40)
+    }),
+
     // RP-LSH quality: recall of the verified pair set vs the exact
     // pair truth for 1/2/4 tables of one nested plane family — the
     // tables×bits tuning curve, measured (mirror of q_sim_ivf_sweep).
@@ -1008,6 +1047,17 @@ object SparkEntry {
          |       WHEN $opSql = 'Update' THEN 'u' ELSE 'd' END AS payload_op,
          |  $dbSql AS source_db, $tableSql AS source_table,
          |  epoch_ms(ts) AS ts_ms, $beforeSql AS before, $afterSql AS after
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_cdc_script" ->
+      s"""SELECT event_id,
+         |  $dbSql || '.' || $tableSql AS topic,
+         |  CASE WHEN $opSql = 'Delete' THEN 'DELETE' ELSE 'UPSERT' END
+         |    AS change_type,
+         |  $dbSql AS tenant,
+         |  epoch_ms(ts) AS at_ms,
+         |  coalesce(CASE WHEN $opSql = 'Delete' THEN $beforeSql
+         |           ELSE $afterSql END, '{}') AS payload
          |FROM events ORDER BY event_id""".stripMargin,
 
     "q_cdc_backfill" ->
@@ -1382,6 +1432,14 @@ object SparkEntry {
     // only (trainPredSql) but assigns/encodes the whole corpus — the
     // Spark side's append must land on the identical result
     "q_sim_index_append" ->
+      (Pq.ivfPqTopKSql("vec_id", "embedding", "label", "embeddings",
+        "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
+        m = 16, ksub = 32, itersPq = 2, rerank = 40,
+        trainPredSql = "id % 2 = 0")
+        + " ORDER BY qid, rank"),
+
+    // identical truth: the manifest commit mode may not change results
+    "q_sim_index_append_commit" ->
       (Pq.ivfPqTopKSql("vec_id", "embedding", "label", "embeddings",
         "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
         m = 16, ksub = 32, itersPq = 2, rerank = 40,

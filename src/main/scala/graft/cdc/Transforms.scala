@@ -85,6 +85,29 @@ object Transforms {
     }
   }
 
+  /** T1 — the GENERAL script host, Spark-first: a user "script" is a
+    * SQL expression string over the envelope columns
+    * (op/db/table/before/after/ts/pkey) — the analog of the
+    * reference's Rhai transform hook (reference/src/main.rs:389-435)
+    * with Spark SQL as the scripting language. Catalyst parses the
+    * script ONCE at plan time and compiles it into whole-stage
+    * codegen, so per-row cost is compiled code, not an interpreter
+    * (the reference pays a Rhai `call_fn` per row), and an invalid
+    * script fails at analysis, never mid-stream. Any string source
+    * plugs in — inline, [[SqlScript.fromFile]], a config table —
+    * which is the pluggable script loading the Rhai path implies.
+    */
+  final case class SqlScript(script: String) extends Transform {
+    def apply(changes: DataFrame): Column = expr(script)
+  }
+
+  object SqlScript {
+    def fromFile(path: String): SqlScript =
+      SqlScript(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** T2's JSON wire encoding (reference/src/main.rs:421): payload column
     * → JSON bytes for the sink message body.
     */

@@ -52,6 +52,36 @@ class TransformsSpec extends AnyFunSuite {
     assert(byOp("Backfill").contains(""""tenant":"pim""""))
   }
 
+  test("SqlScript host: user SQL script == hand-built transform; analysis-time failure; file loading") {
+    // the same reshaping BigQueryCdc hand-builds, written as a user
+    // script string — the host must produce identical wire output
+    val script = Transforms.SqlScript(
+      """map_concat(
+        |  from_json(CASE WHEN op = 'Delete' THEN before ELSE after END,
+        |            'map<string,string>'),
+        |  map('_CHANGE_TYPE',
+        |      CASE WHEN op = 'Delete' THEN 'DELETE' ELSE 'UPSERT' END,
+        |      'tenant', db))""".stripMargin)
+    val got = Transforms.toWire(changes, script)
+      .select("op", "payload").as[(String, String)].collect().sorted.toSeq
+    val want = Transforms.toWire(changes, Transforms.BigQueryCdc)
+      .select("op", "payload").as[(String, String)].collect().sorted.toSeq
+    assert(got == want)
+
+    // a broken script fails at ANALYSIS (plan time), never mid-stream
+    val bad = Transforms.SqlScript("concat(no_such_column, '!')")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Transforms.toWire(changes, bad).collect()
+    }
+
+    // scripts load from files — the pluggable loader
+    val f = java.nio.file.Files.createTempFile("graft_script", ".sql")
+    java.nio.file.Files.writeString(f, "upper(db)")
+    val fromFile = Transforms.SqlScript.fromFile(f.toString)
+    assert(changes.select(fromFile(changes).as("x")).distinct()
+      .as[String].collect().toSeq == Seq("PIM"))
+  }
+
   test("topic routing (test.rhai:46-48)") {
     val t = Routing.withTopic(changes).select("topic").distinct().as[String].collect()
     assert(t.toSeq == Seq("projects/my-project-id/topics/all_pims.products"))
