@@ -901,6 +901,16 @@ object SparkEntry {
         "source",
         "target/qtmp/jsonl_" + dir.replaceAll("[^0-9a-zA-Z.]", "_"))),
 
+    // X89: the final pipeline step — the curated corpus written as 16
+    // hash-balanced JSONL shards (one file per shard), re-ingested and
+    // audited per shard with the X84 lossless checksums; the oracle
+    // recomputes shard assignment AND checksums from the original
+    // table, so layout determinism and content survival are both gated.
+    "q_io_shards" -> ((s, dir) =>
+      IoFormats.shardedExport(T(s, dir, "documents"), "doc_id", "text",
+        nShards = 16,
+        "target/qtmp/shards_" + dir.replaceAll("[^0-9a-zA-Z.]", "_"))),
+
     // PII scrub: email/phone/IPv4 redaction + per-doc audit counts —
     // a narrow codegen'd pass at scan speed (regex subset chosen to
     // behave identically under Java regex and RE2).
@@ -1521,6 +1531,10 @@ object SparkEntry {
     "q_io_jsonl" ->
       (IoFormats.jsonlRoundTripSql("doc_id", "text", "source", "documents")
         + " ORDER BY source"),
+
+    "q_io_shards" ->
+      (IoFormats.shardedExportSql("doc_id", "text", "documents",
+        nShards = 16) + " ORDER BY shard"),
 
     "q_text_entropy" ->
       (TextAnalysis.charEntropySql("doc_id", "text", "documents")

@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.JavaConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -235,6 +237,59 @@ class OpsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(out == direct)
     assert(out.map(_._2).sum == 5L)
+  }
+
+  test("sharded export: one data file per shard, deterministic layout, lossless checksums") {
+    val docs = (0L until 200L).map(i =>
+      (i, s"doc $i text with\nnewline and \"quote\" café$i"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "shards-spec")
+      .toString
+    val n = 8
+    val audit = IoFormats.shardedExport(docs, "doc_id", "text", n, dir)
+      .orderBy("shard")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+
+    // every shard directory exists and holds EXACTLY ONE data file
+    val shardDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.filter(p =>
+        p.getFileName.toString.startsWith("shard=")).toSeq
+    assert(shardDirs.size == n)
+    for (d <- shardDirs) {
+      val files = java.nio.file.Files.list(d).iterator().asScala
+        .filter(f => !f.getFileName.toString.startsWith("_")
+          && !f.getFileName.toString.startsWith(".")).toSeq
+      assert(files.size == 1, s"$d holds ${files.size} data files")
+    }
+
+    // balanced in expectation: no shard empty, none > 2x the mean
+    val counts = audit.map(_._2)
+    assert(counts.sum == 200L && counts.min > 0)
+    assert(counts.max.toDouble / (200.0 / n) < 2.0,
+      s"shard skew: $counts")
+
+    // deterministic: a second export to a fresh dir audits identically
+    val dir2 = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "shards-spec2")
+      .toString
+    val audit2 = IoFormats.shardedExport(docs, "doc_id", "text", n, dir2)
+      .orderBy("shard")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(audit == audit2)
+
+    // lossless: checksums equal the no-JSON-leg direct computation
+    val direct = docs
+      .withColumn("shard", pmod(graft.ops.Hashing.hash60(
+          concat(col("doc_id").cast("string"), lit(":shard"))), lit(n.toLong))
+        .cast("int"))
+      .withColumn("fp", graft.ops.Hashing.hash60(col("text")))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("ids_xor"),
+        expr("bit_xor(fp)").as("fp_xor"), sum(length(col("text"))).as("sum_chars"))
+      .orderBy("shard")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(audit == direct)
   }
 
   test("BQ: sign pack matches a reference popcount; wide rerank equals brute force") {
