@@ -163,7 +163,24 @@ object Plans {
       """Gumbel-top-n resampling: the key is a narrow map over the
         |weight relation (hash + two ln, no new exchange), and the
         |global top-n plans as TakeOrderedAndProject — per-partition
-        |top-n, single n-row driver merge, no global sort.""".stripMargin)
+        |top-n, single n-row driver merge, no global sort.""".stripMargin,
+    "q_cdc_script" ->
+      """User SQL script through the Transform host: the script
+        |compiles into the SAME single narrow Project a built-in
+        |transform gets (whole-stage codegen over the pruned events
+        |scan) — no interpreter, no exchange; script cost is plan
+        |cost.""".stripMargin,
+    "q_sim_pagerank" ->
+      """PageRank SERVED from the GraphStore artifact: edges enter
+        |from the bucketed edge table (no Lloyd-round residue, no
+        |ExistingRDD checkpoint scans — PlanSpec asserts it); each
+        |round is one edge⨝rank join + one partial-agg shuffle, both
+        |keyed on the edge endpoints.""".stripMargin,
+    "q_io_shards" ->
+      """Sharded-export audit: the export side is ONE hash exchange
+        |on the shard id + narrow per-shard JSONL writes (no global
+        |sort, no window, no driver packing); the audit side re-reads
+        |the shards and partial-aggregates |shards| checksum rows.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
