@@ -811,6 +811,24 @@ object SparkEntry {
       GraphStore.classify(s, "graft_knng")
     }),
 
+    // X90: graph maintenance delta — build the kNN-graph artifact on
+    // the even half, APPEND the odd half (assigned at the STORED
+    // centroids, only delta-involving pairs scored, stored top-k
+    // merged on the unrounded ranking key), serve the edges. The
+    // oracle trains on the even half only and blocks the whole
+    // corpus — exactly the append semantics; equality proves the
+    // incremental merge == a full rebuild at fixed centroids.
+    "q_sim_graph_append" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+      GraphStore.build(s, embs.filter(col("vec_id") % 2 === 0), "vec_id",
+        "embedding", "label", "graft_knng2", k = 5, iters = 2,
+        massign = 2, nBuckets = 8)
+      GraphStore.append(s, "graft_knng2",
+        embs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        "label")
+      GraphStore.edges(s, "graft_knng2")
+    }),
+
     // Nearest-centroid (Rocchio) classifier: |labels| integer-exact
     // centroids from the even-id training half, every vector
     // classified by a zero-shuffle broadcast cosine pick — the
@@ -1472,6 +1490,14 @@ object SparkEntry {
     "q_sim_knngraph" ->
       (Similarity.knnGraphSql("vec_id", "embedding", "label", "embeddings",
         k = 5, iters = 2, dim = 64, massign = 2)
+        + " ORDER BY src_id, rank"),
+
+    // train on the even half only, block the whole corpus — the
+    // fixed-centroid rebuild the Spark-side append must equal
+    "q_sim_graph_append" ->
+      (Similarity.knnGraphSql("vec_id", "embedding", "label", "embeddings",
+        k = 5, iters = 2, dim = 64, massign = 2,
+        trainPredSql = "id % 2 = 0")
         + " ORDER BY src_id, rank"),
 
     "q_sim_knnlabel" ->

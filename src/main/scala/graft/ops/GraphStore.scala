@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * family ([[Similarity.knnGraph]] → [[Graph.pageRank]] /
   * kNN-classify), mirroring what [[Index]] does for ANN serving: the
   * expensive corpus-wide work (seeded k-means training + the blocked
-  * Σ|list|² self-join) runs ONCE and lands as a bucketed table;
+  * Σ|list|² self-join) runs ONCE and lands as bucketed tables;
   * PageRank, classification and any other graph consumer then serve
   * from the stored edge list with no training stage in their plans
   * (PlanSpec asserts it — no checkpoint scans, no Lloyd rounds).
@@ -19,21 +19,34 @@ import org.apache.spark.sql.functions._
   * debt). At 100 TB the difference is not a constant: training is a
   * corpus-wide pass, serving PageRank is |edges| = n·k rows.
   *
-  * == Layout ==
+  * == Layout (five bucketed/plain tables under `<baseDir>/<name>/`) ==
   *
-  * Two bucketed parquet tables under `<baseDir>/<name>/`:
-  *  - `edges`   (src_id, rank, neighbor_id, cos_micros), bucketed by
-  *    src_id — PageRank's per-iteration join keys on the edge source,
-  *    so the big side arrives pre-hashed and never re-exchanges;
-  *  - `labels`  (id, label), bucketed by id — the classify vote's
+  *  - `edges`  (src_id, rank, neighbor_id, cos_micros, cos_raw),
+  *    bucketed by src_id — PageRank's per-iteration join keys on the
+  *    edge source, so the big side arrives pre-hashed and never
+  *    re-exchanges. `cos_raw` is internal: the unrounded ranking key
+  *    [[append]] merges on (rounded micros could order near-ties
+  *    differently than a rebuild would). [[edges]] serves the public
+  *    four columns.
+  *  - `labels` (id, label), bucketed by id — the classify vote's
   *    neighbor-label attach and the truth join read it in place.
+  *  - `blocks` (cl, id, v, nrm), bucketed by cl — every vector's
+  *    massign list assignments WITH its vector: the candidate-join
+  *    side [[append]] probes (storage ×massign, exactly what a
+  *    production vector-graph index carries).
+  *  - `cents`  (cl, cent, cnrm): the trained centroids — append
+  *    assigns new vectors at these FIXED centroids, never retrains.
+  *  - `meta`   (k, massign, nBuckets): build parameters.
   *
   * == Determinism contract ==
   *
   * The build is [[Similarity.knnGraph]] verbatim: seeded centroids,
   * fixed unrolled Lloyd rounds, (cos desc, id) ranking — the stored
   * edges are bit-identical to what the in-plan query computes, so
-  * every serve query shares the in-plan oracle unchanged.
+  * every serve query shares the in-plan oracle unchanged. [[append]]
+  * extends it: append == full rebuild at the stored centroids
+  * (GraphStoreSpec proves it), so the maintained graph shares the
+  * train-on-the-original-corpus oracle (`q_sim_graph_append`).
   */
 object GraphStore {
 
@@ -46,29 +59,144 @@ object GraphStore {
   def exists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(part(name, "edges"))
 
-  /** Train + block-join + persist: one [[Similarity.knnGraph]] pass,
-    * bucket-written — the pay-once side of the split.
+  private def baseOf(embs: DataFrame, idCol: String, vecCol: String) =
+    Caching.cachedOnce(
+      embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", Vectors.norm(col("v"))))
+
+  /** Train + block-join + persist: one [[Similarity.knnGraphAt]] pass
+    * at freshly trained centroids, bucket-written — the pay-once side
+    * of the split.
     */
   def build(spark: SparkSession, embs: DataFrame, idCol: String,
       vecCol: String, seedCol: String, name: String, k: Int, iters: Int,
       massign: Int = 1, nBuckets: Int = 8,
       baseDir: Option[String] = None): Unit = {
+    import spark.implicits._
     val dir = graphDir(baseDir, name)
-    val edges =
-      Similarity.knnGraph(embs, idCol, vecCol, seedCol, k, iters, massign)
+    val base = baseOf(embs, idCol, vecCol)
+    val cents = Similarity.withCNorm(
+      Similarity.kmeans(embs, idCol, vecCol, seedCol, iters))
+    val edges = Similarity.knnGraphAt(base, cents, k, massign)
+    val blocks = Similarity.assignToNearest(base, cents, massign)
+      .join(base, "id").select(col("cl"), col("id"), col("v"), col("nrm"))
     val labels = embs.select(col(idCol).as("id"),
       col(seedCol).cast("long").as("label"))
     Bucketing.writeBucketed(edges, part(name, "edges"), "src_id",
       nBuckets, Some(s"$dir/edges"))
     Bucketing.writeBucketed(labels, part(name, "labels"), "id",
       nBuckets, Some(s"$dir/labels"))
+    Bucketing.writeBucketed(blocks, part(name, "blocks"), "cl",
+      nBuckets, Some(s"$dir/blocks"))
+    cents.write.mode("overwrite").format("parquet")
+      .option("path", s"$dir/cents").saveAsTable(part(name, "cents"))
+    Seq((k, massign, nBuckets)).toDF("k", "massign", "nBuckets")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$dir/meta").saveAsTable(part(name, "meta"))
+  }
+
+  /** Incremental maintenance — the [[Index.append]] analog for the
+    * graph: assign ONLY the new vectors at the stored centroids, score
+    * ONLY candidate pairs with a new endpoint (new↔new and new↔old
+    * through shared lists — the old×old Σ|list|² join never re-runs),
+    * then
+    *
+    *  - NEW sources take the top-k of their full candidate set;
+    *  - stored sources that gained a candidate re-rank their stored
+    *    top-k UNION the new pairs — sound because
+    *    topk(A∪B) ⊆ topk(A) ∪ B, exact because the merge ranks on the
+    *    stored unrounded `cos_raw`;
+    *  - every other source keeps its stored rows untouched.
+    *
+    * The result equals a full rebuild at the stored centroids over
+    * the union corpus (GraphStoreSpec proves equality; the
+    * `q_sim_graph_append` oracle proves it end-to-end), at cost
+    * ∝ |delta|·avg-list + touched edges, never ∝ Σ|list|².
+    * Single-writer, like all artifact maintenance; the edges rewrite
+    * lands in a fresh sibling directory and re-attaches (the
+    * [[Index.compact]] pattern — the X56/X88 generation machinery is
+    * the upgrade path if graph maintenance ever needs reader
+    * snapshots).
+    */
+  def append(spark: SparkSession, name: String, newEmbs: DataFrame,
+      idCol: String, vecCol: String, seedCol: String): Unit = {
+    val metaRow = spark.table(part(name, "meta")).collect()(0)
+    val (k, massign, nBuckets) = (metaRow.getAs[Int]("k"),
+      metaRow.getAs[Int]("massign"), metaRow.getAs[Int]("nBuckets"))
+    val cents = spark.table(part(name, "cents"))
+    val newBase = baseOf(newEmbs, idCol, vecCol)
+    val newBlocks = Caching.cachedOnce(
+      Similarity.assignToNearest(newBase, cents, massign)
+        .join(newBase, "id").select(col("cl"), col("id"), col("v"), col("nrm")))
+    val oldBlocks = spark.table(part(name, "blocks"))
+
+    def cos = (Vectors.dot(col("sv"), col("v"))
+      / (col("snrm") * col("nrm"))).as("cos")
+    def srcSide(df: DataFrame) = df.select(col("cl"),
+      col("id").as("src_id"), col("v").as("sv"), col("nrm").as("snrm"))
+    def dstSide(df: DataFrame) = df.select(col("cl"),
+      col("id").as("neighbor_id"), col("v"), col("nrm"))
+
+    // pairs with a NEW source: new↔new plus new→old through shared
+    // lists (the tiny new side broadcasts against the bucketed blocks)
+    val newSrcPairs = srcSide(newBlocks)
+      .join(dstSide(newBlocks).unionByName(dstSide(oldBlocks)), Seq("cl"))
+      .filter(col("src_id") =!= col("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"), cos)
+    val newEdges = Similarity.knnRankPairs(newSrcPairs, k,
+      dedup = massign > 1)
+
+    // pairs where a STORED source gains a new candidate
+    val oldNewPairs = srcSide(oldBlocks).join(dstSide(newBlocks), Seq("cl"))
+      .select(col("src_id"), col("neighbor_id"), cos)
+    val oldNewDedup = Caching.cachedOnce(
+      if (massign > 1) oldNewPairs.distinct() else oldNewPairs)
+
+    // stored rows split by whether their source gained candidates;
+    // read BY PATH so the rewrite below can target the same table
+    val edgesTbl = part(name, "edges")
+    val oldDir = {
+      val scan = spark.table(edgesTbl).queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      }.getOrElse(sys.error(s"$edgesTbl is not file-backed"))
+      java.nio.file.Paths.get(scan.location.rootPaths.head.toUri.getPath)
+    }
+    val stored = spark.read.parquet(oldDir.toString)
+    val touched = oldNewDedup.select(col("src_id")).distinct()
+    val untouched = stored.join(touched, Seq("src_id"), "left_anti")
+    val merged = Similarity.knnRankPairs(
+      stored.join(touched, Seq("src_id"), "left_semi")
+        .select(col("src_id"), col("neighbor_id"), col("cos_raw").as("cos"))
+        .unionByName(oldNewDedup),
+      k, dedup = false) // stored rows and new pairs are disjoint sets
+
+    val dir = oldDir.getParent.toString
+    val newName = s"edges_a${java.util.UUID.randomUUID().toString.take(8)}"
+    Bucketing.writeBucketed(
+      untouched.unionByName(merged).unionByName(newEdges),
+      edgesTbl, "src_id", nBuckets, Some(s"$dir/$newName"))
+
+    // delta-append the blocks and labels; sweep the superseded edges dir
+    Bucketing.appendBucketed(newBlocks, part(name, "blocks"), "cl", nBuckets)
+    Bucketing.appendBucketed(
+      newEmbs.select(col(idCol).as("id"), col(seedCol).cast("long").as("label")),
+      part(name, "labels"), "id", nBuckets)
+    val s = java.nio.file.Files.walk(oldDir)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.delete(f))
+    finally s.close()
   }
 
   /** The stored edge list, (src_id, rank, neighbor_id, cos_micros) —
-    * already the [[Similarity.knnGraph]] output shape.
+    * the [[Similarity.knnGraph]] output shape (`cos_raw` stays
+    * internal to the artifact).
     */
   def edges(spark: SparkSession, name: String): DataFrame =
     spark.table(part(name, "edges"))
+      .select(col("src_id"), col("rank"), col("neighbor_id"),
+        col("cos_micros"))
 
   /** PageRank served from the stored edges: [[Graph.pageRank]] over a
     * zero-training scan. The edges table is bucketed by src_id, the

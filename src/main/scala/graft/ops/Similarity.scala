@@ -299,26 +299,53 @@ object Similarity {
       seedCol: String, k: Int, iters: Int, massign: Int = 1): DataFrame = {
     val base = baseOf(embs, idCol, vecCol)
     val cents = withCNorm(kmeans(embs, idCol, vecCol, seedCol, iters))
+    knnGraphAt(base, cents, k, massign)
+      .select(col("src_id"), col("rank"), col("neighbor_id"),
+        col("cos_micros"))
+  }
+
+  /** [[knnGraph]]'s block/score/rank stage at GIVEN centroids — the
+    * fixed-parameters entry [[GraphStore]] builds and maintains
+    * through (the [[Index.encode]] analog). Returns the public edge
+    * columns PLUS `cos_raw`, the unrounded ranking key: an
+    * incremental merge must re-rank stored edges against new
+    * candidates on the exact doubles a full rebuild ranks on
+    * (`cos_micros` is rounded — ranking on it could order near-ties
+    * differently and break rebuild-equivalence).
+    */
+  private[graft] def knnGraphAt(base: DataFrame, cents: DataFrame,
+      k: Int, massign: Int): DataFrame = {
     val assigned = Caching.cachedOnce(
       assignToNearest(base, cents, massign).join(base, "id"))
-    val scored0 = assigned
-      .select(col("cl"), col("id").as("src_id"), col("v").as("sv"),
-        col("nrm").as("snrm"))
-      .join(assigned.select(col("cl"), col("id").as("neighbor_id"),
-        col("v"), col("nrm")), Seq("cl"))
-      .filter(col("src_id") =!= col("neighbor_id"))
-      .select(col("src_id"), col("neighbor_id"),
-        (Vectors.dot(col("sv"), col("v")) / (col("snrm") * col("nrm")))
-          .as("cos"))
-    // identical pairs from different shared lists carry identical cos
-    // bits (same expression over the same operands) — dedup is exact
-    val scored = if (massign > 1) scored0.distinct() else scored0
+    knnRankPairs(
+      assigned
+        .select(col("cl"), col("id").as("src_id"), col("v").as("sv"),
+          col("nrm").as("snrm"))
+        .join(assigned.select(col("cl"), col("id").as("neighbor_id"),
+          col("v"), col("nrm")), Seq("cl"))
+        .filter(col("src_id") =!= col("neighbor_id"))
+        .select(col("src_id"), col("neighbor_id"),
+          (Vectors.dot(col("sv"), col("v")) / (col("snrm") * col("nrm")))
+            .as("cos")),
+      k, dedup = massign > 1)
+  }
+
+  /** Top-k per src over scored (src_id, neighbor_id, cos) pairs with
+    * the graph family's exact ordering contract: (cos desc, id asc),
+    * optional exact dedup (identical pairs from different shared
+    * lists carry identical cos bits — same expression over the same
+    * operands). Shared by the full build and the incremental merge.
+    */
+  private[ops] def knnRankPairs(pairs: DataFrame, k: Int,
+      dedup: Boolean): DataFrame = {
+    val scored = if (dedup) pairs.distinct() else pairs
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("src_id"), col("rank"), col("neighbor_id"),
-        round(col("cos") * 1e6).cast("long").as("cos_micros"))
+        round(col("cos") * 1e6).cast("long").as("cos_micros"),
+        col("cos").as("cos_raw"))
   }
 
   /** DuckDB twin of [[knnGraph]]: the same seeded/unrolled training
@@ -327,9 +354,11 @@ object Similarity {
     * assignment, the same (cos desc, id) ranking.
     */
   def knnGraphSql(id: String, vec: String, seed: String, table: String,
-      k: Int, iters: Int, dim: Int, massign: Int = 1): String = {
+      k: Int, iters: Int, dim: Int, massign: Int = 1,
+      trainPredSql: String = "true"): String = {
     val distinctKw = if (massign > 1) "DISTINCT " else ""
-    s"""${ivfTrainedPrefixSql(id, vec, seed, table, "false", k, iters, dim, massign)},
+    s"""${ivfTrainedPrefixSql(id, vec, seed, table, "false", k, iters, dim,
+        massign, trainPredSql)},
        |pairs AS (
        |  SELECT ${distinctKw}a1.id AS src_id, a2.id AS neighbor_id,
        |    ${Vectors.cosineSql("a1.v", "a2.v")} AS cos

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+/** Persisted kNN-graph artifact: the build/serve split and the
+  * incremental append's rebuild-equivalence contract. (End-to-end the
+  * same contracts are proven by the shared DuckDB oracles of
+  * q_sim_knngraph / q_sim_pagerank / q_sim_knnlabel /
+  * q_sim_graph_append.)
+  */
+class GraphStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embs = cdc.Io.table(spark, sf, "embeddings")
+
+  private def tmpBase(tag: String): String =
+    Files.createTempDirectory(s"graft_graph_$tag").toString
+
+  private def fileHashes(dir: String): Map[String, String] = {
+    val root = java.nio.file.Paths.get(dir)
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filterNot { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .map { p =>
+        val md5 = MessageDigest.getInstance("MD5")
+          .digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        root.relativize(p).toString -> md5
+      }.toMap
+  }
+
+  test("append equals a full rebuild at the stored centroids; blocks delta-append byte-untouched; serves follow") {
+    val dir = tmpBase("app")
+    val even = embs.filter(col("vec_id") % 2 === 0)
+    val odd = embs.filter(col("vec_id") % 2 === 1)
+    GraphStore.build(spark, even, "vec_id", "embedding", "label",
+      "g_app", k = 4, iters = 2, massign = 2, nBuckets = 4,
+      baseDir = Some(dir))
+    val blocksBefore = fileHashes(s"$dir/g_app/blocks")
+
+    GraphStore.append(spark, "g_app", odd, "vec_id", "embedding", "label")
+
+    // committed block files are never rewritten; the delta is new files
+    val blocksAfter = fileHashes(s"$dir/g_app/blocks")
+    assert(blocksBefore.forall { case (f, h) => blocksAfter.get(f).contains(h) })
+    assert(blocksAfter.size > blocksBefore.size)
+
+    // the maintained edges equal a full fixed-centroid rebuild over
+    // the union corpus (same cents, same blocked join, same ranking)
+    val base = embs.select(col("vec_id").as("id"),
+        Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val rebuilt = Similarity.knnGraphAt(base,
+        spark.table("g_app_cents"), k = 4, massign = 2)
+      .select(col("src_id"), col("rank"), col("neighbor_id"),
+        col("cos_micros"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val appended = GraphStore.edges(spark, "g_app")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(appended.nonEmpty && appended == rebuilt)
+
+    // every corpus vector is a source with up to k edges
+    val srcs = GraphStore.edges(spark, "g_app")
+      .select(countDistinct(col("src_id"))).as[Long].collect()(0)
+    assert(srcs == embs.count())
+
+    // the serve paths run off the maintained artifact: PageRank over
+    // the stored edges equals PageRank over the rebuilt edge set, and
+    // classify covers the union corpus with the appended labels
+    val prStored = GraphStore.pageRank(spark, "g_app", iters = 2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val prRebuilt = Graph.pageRank(
+        Similarity.knnGraphAt(base, spark.table("g_app_cents"), 4, 2)
+          .select(col("src_id").as("src"), col("neighbor_id").as("dst")),
+        iters = 2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(prStored == prRebuilt)
+    val cls = GraphStore.classify(spark, "g_app")
+    assert(cls.count() == embs.count())
+    assert(cls.filter(col("pred_label").isNull).count() == 0)
+  }
+}
