@@ -116,7 +116,9 @@ object GraphStore {
     * lands in a fresh sibling directory and re-attaches (the
     * [[Index.compact]] pattern — the X56/X88 generation machinery is
     * the upgrade path if graph maintenance ever needs reader
-    * snapshots).
+    * snapshots). IDEMPOTENT under replay: ids already in the artifact
+    * are dropped up front, so at-least-once delivery
+    * ([[graft.streaming.GraphStream.maintain]]) cannot double-merge.
     */
   def append(spark: SparkSession, name: String, newEmbs: DataFrame,
       idCol: String, vecCol: String, seedCol: String): Unit = {
@@ -124,7 +126,17 @@ object GraphStore {
     val (k, massign, nBuckets) = (metaRow.getAs[Int]("k"),
       metaRow.getAs[Int]("massign"), metaRow.getAs[Int]("nBuckets"))
     val cents = spark.table(part(name, "cents"))
-    val newBase = baseOf(newEmbs, idCol, vecCol)
+    // idempotence gate: ids already in the artifact are dropped, so an
+    // at-least-once REPLAY (GraphStream's foreachBatch contract, or a
+    // crashed-and-retried batch append) is a no-op instead of
+    // double-merging pairs into the top-k — one anti-join probe of the
+    // bucketed labels table, cost ∝ batch
+    val fresh = Caching.cachedOnce(newEmbs.join(
+      spark.table(part(name, "labels"))
+        .select(col("id").as(s"__seen_$idCol")),
+      newEmbs(idCol) === col(s"__seen_$idCol"), "left_anti"))
+    if (fresh.isEmpty) return
+    val newBase = baseOf(fresh, idCol, vecCol)
     val newBlocks = Caching.cachedOnce(
       Similarity.assignToNearest(newBase, cents, massign)
         .join(newBase, "id").select(col("cl"), col("id"), col("v"), col("nrm")))
@@ -181,7 +193,7 @@ object GraphStore {
     // delta-append the blocks and labels; sweep the superseded edges dir
     Bucketing.appendBucketed(newBlocks, part(name, "blocks"), "cl", nBuckets)
     Bucketing.appendBucketed(
-      newEmbs.select(col(idCol).as("id"), col(seedCol).cast("long").as("label")),
+      fresh.select(col(idCol).as("id"), col(seedCol).cast("long").as("label")),
       part(name, "labels"), "id", nBuckets)
     val s = java.nio.file.Files.walk(oldDir)
     try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -91,4 +91,48 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(cls.count() == embs.count())
     assert(cls.filter(col("pred_label").isNull).count() == 0)
   }
+
+  test("streaming maintenance: micro-batches equal one rebuild; replayed batch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmpBase("str")
+    val even = embs.filter(col("vec_id") % 2 === 0)
+    GraphStore.build(spark, even, "vec_id", "embedding", "label",
+      "g_str", k = 4, iters = 1, massign = 2, nBuckets = 4,
+      baseDir = Some(dir))
+
+    val oddRows = embs.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label"))
+      .as[(Long, Seq[Double], Int)].collect().sortBy(_._1)
+    val ckpt = Files.createTempDirectory("g_str_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    val q = graft.streaming.GraphStream.maintain(
+      input.toDF().toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label", "g_str", ckpt)
+    val (b1, b2) = oddRows.splitAt(oddRows.length / 2)
+    input.addData(b1.toSeq: _*); q.processAllAvailable()
+    input.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    val base = embs.select(col("vec_id").as("id"),
+        Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val rebuilt = Similarity.knnGraphAt(base,
+        spark.table("g_str_cents"), k = 4, massign = 2)
+      .select(col("src_id"), col("rank"), col("neighbor_id"),
+        col("cos_micros"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    def edges() = GraphStore.edges(spark, "g_str")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val streamed = edges()
+    assert(streamed.nonEmpty && streamed == rebuilt)
+
+    // at-least-once: replaying the WHOLE delta is a no-op (ids known)
+    GraphStore.append(spark, "g_str",
+      embs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      "label")
+    assert(edges() == streamed)
+    assert(spark.table("g_str_labels").count() == embs.count())
+  }
 }
