@@ -82,12 +82,17 @@ object GraphStore {
       .join(base, "id").select(col("cl"), col("id"), col("v"), col("nrm"))
     val labels = embs.select(col(idCol).as("id"),
       col(seedCol).cast("long").as("label"))
-    Bucketing.writeBucketed(edges, part(name, "edges"), "src_id",
-      nBuckets, Some(s"$dir/edges"))
-    Bucketing.writeBucketed(labels, part(name, "labels"), "id",
-      nBuckets, Some(s"$dir/labels"))
-    Bucketing.writeBucketed(blocks, part(name, "blocks"), "cl",
-      nBuckets, Some(s"$dir/blocks"))
+    // the three bucketed writes are independent (distinct tables and
+    // dirs; `base` materializes once under the block manager's
+    // per-partition locks) — land them concurrently, each is only
+    // nBuckets tasks wide ([[Par.jobs]])
+    Par.jobs(Seq(
+      () => Bucketing.writeBucketed(edges, part(name, "edges"), "src_id",
+        nBuckets, Some(s"$dir/edges")),
+      () => Bucketing.writeBucketed(labels, part(name, "labels"), "id",
+        nBuckets, Some(s"$dir/labels")),
+      () => Bucketing.writeBucketed(blocks, part(name, "blocks"), "cl",
+        nBuckets, Some(s"$dir/blocks"))))
     cents.write.mode("overwrite").format("parquet")
       .option("path", s"$dir/cents").saveAsTable(part(name, "cents"))
     Seq((k, massign, nBuckets)).toDF("k", "massign", "nBuckets")
@@ -190,11 +195,17 @@ object GraphStore {
       untouched.unionByName(merged).unionByName(newEdges),
       edgesTbl, "src_id", nBuckets, Some(s"$dir/$newName"))
 
-    // delta-append the blocks and labels; sweep the superseded edges dir
-    Bucketing.appendBucketed(newBlocks, part(name, "blocks"), "cl", nBuckets)
-    Bucketing.appendBucketed(
-      fresh.select(col(idCol).as("id"), col(seedCol).cast("long").as("label")),
-      part(name, "labels"), "id", nBuckets)
+    // delta-append the blocks and labels (concurrently — distinct
+    // tables, both ∝ batch; they run only AFTER the edges rewrite, so
+    // the rewrite's scan of the blocks table never races the append);
+    // then sweep the superseded edges dir
+    Par.jobs(Seq(
+      () => Bucketing.appendBucketed(newBlocks, part(name, "blocks"), "cl",
+        nBuckets),
+      () => Bucketing.appendBucketed(
+        fresh.select(col(idCol).as("id"),
+          col(seedCol).cast("long").as("label")),
+        part(name, "labels"), "id", nBuckets)))
     val s = java.nio.file.Files.walk(oldDir)
     try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(f => java.nio.file.Files.delete(f))

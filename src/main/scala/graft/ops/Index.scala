@@ -227,9 +227,6 @@ object Index {
     // SQ tier: per-dim ranges + 1-byte codes — the 4×-memory serving
     // option next to PQ's 16× and flat's none, from the same artifact
     val sqRanges = Sq.rangesTall(base)
-    val sqCodes = base.join(broadcast(Sq.collapseRanges(sqRanges)))
-      .select(col("id"), Sq.codeCol(64, clamp = false).cast("array<int>")
-        .as("code"))
 
     // BQ tier: one sign-packed long per vector (32×) — the coarsest
     // serving option, an 8-byte full sweep instead of a probe
@@ -237,20 +234,35 @@ object Index {
 
     val dir = indexDir(baseDir, name)
     def loc(p: String) = s"$dir/$p"
+    // trained parameters first (tiny tables; training itself already
+    // ran eagerly through the kmeans localCheckpoints) ...
     cents.write.mode("overwrite").format("parquet")
       .option("path", loc("cents")).saveAsTable(part(name, "cents"))
     cb.write.mode("overwrite").format("parquet")
       .option("path", loc("codebooks")).saveAsTable(part(name, "codebooks"))
     sqRanges.write.mode("overwrite").format("parquet")
       .option("path", loc("sq_ranges")).saveAsTable(part(name, "sq_ranges"))
-    Bucketing.writeBucketed(postings, part(name, "postings"), "cl",
-      nBuckets, Some(loc("postings")))
-    Bucketing.writeBucketed(codes, part(name, "codes"), "id",
-      nBuckets, Some(loc("codes")))
-    Bucketing.writeBucketed(sqCodes, part(name, "sq_codes"), "id",
-      nBuckets, Some(loc("sq_codes")))
-    Bucketing.writeBucketed(bqCodes, part(name, "bq_codes"), "id",
-      nBuckets, Some(loc("bq_codes")))
+    // ... then encode from the WRITTEN ranges (64 rows — re-reading
+    // them beats re-aggregating the corpus; micros are integral
+    // doubles, so the parquet round trip is exact) and land the four
+    // encoded parts CONCURRENTLY: each bucketed write is only
+    // nBuckets tasks wide, the four are independent (distinct tables,
+    // distinct dirs, shared inputs read-only), and the shared `base`
+    // cache materializes once under the block manager's per-partition
+    // locks whichever job touches a partition first.
+    val sqCodes = base.join(broadcast(
+        Sq.collapseRanges(spark.table(part(name, "sq_ranges")))))
+      .select(col("id"), Sq.codeCol(64, clamp = false).cast("array<int>")
+        .as("code"))
+    Par.jobs(Seq(
+      () => Bucketing.writeBucketed(postings, part(name, "postings"), "cl",
+        nBuckets, Some(loc("postings"))),
+      () => Bucketing.writeBucketed(codes, part(name, "codes"), "id",
+        nBuckets, Some(loc("codes"))),
+      () => Bucketing.writeBucketed(sqCodes, part(name, "sq_codes"), "id",
+        nBuckets, Some(loc("sq_codes"))),
+      () => Bucketing.writeBucketed(bqCodes, part(name, "bq_codes"), "id",
+        nBuckets, Some(loc("bq_codes")))))
     Seq((massign, m, ksub, nBuckets))
       .toDF("massign", "m", "ksub", "nBuckets")
       .write.mode("overwrite").format("parquet")
@@ -377,10 +389,17 @@ object Index {
     val meta = readMeta(spark, name)
     val (postings, codes, sqCodes, bqCodes) =
       encode(spark, name, newEmbs, idCol, vecCol)
-    Bucketing.appendBucketed(postings, part(name, "postings"), "cl", meta.nBuckets)
-    Bucketing.appendBucketed(codes, part(name, "codes"), "id", meta.nBuckets)
-    Bucketing.appendBucketed(sqCodes, part(name, "sq_codes"), "id", meta.nBuckets)
-    Bucketing.appendBucketed(bqCodes, part(name, "bq_codes"), "id", meta.nBuckets)
+    // four independent delta writes (distinct tables), issued
+    // concurrently — each is only nBuckets tasks wide ([[Par.jobs]])
+    Par.jobs(Seq(
+      () => Bucketing.appendBucketed(postings, part(name, "postings"), "cl",
+        meta.nBuckets),
+      () => Bucketing.appendBucketed(codes, part(name, "codes"), "id",
+        meta.nBuckets),
+      () => Bucketing.appendBucketed(sqCodes, part(name, "sq_codes"), "id",
+        meta.nBuckets),
+      () => Bucketing.appendBucketed(bqCodes, part(name, "bq_codes"), "id",
+        meta.nBuckets)))
   }
 
   /** [[append]] with ATOMIC visibility and reader snapshots — the
@@ -434,34 +453,41 @@ object Index {
     val (postings, codes, sqCodes, bqCodes) =
       encode(spark, name, newEmbs, idCol, vecCol)
     val dir = indexDirOf(spark, name)
-    for ((p, key, df) <- Seq(("postings", "cl", postings),
-        ("codes", "id", codes), ("sq_codes", "id", sqCodes),
-        ("bq_codes", "id", bqCodes))) {
-      val st = loadPart(dir, p)
-      val uid = java.util.UUID.randomUUID().toString.take(8)
+    val parts = Seq(("postings", "cl", postings), ("codes", "id", codes),
+        ("sq_codes", "id", sqCodes), ("bq_codes", "id", bqCodes))
+      .map { case (p, key, df) =>
+        (p, key, df, loadPart(dir, p),
+          java.util.UUID.randomUUID().toString.take(8))
+      }
+    // Phase 1, CONCURRENT: the four delta bucket-writes — the only
+    // steps that move data ([[Par.jobs]]; distinct stage tables,
+    // distinct target dirs). Staged files are invisible to readers
+    // until phase 2 commits, so concurrency cannot widen the
+    // visibility window. Bucket-writing goes through a throwaway
+    // EXTERNAL table (the only way to bucketBy-write); the entry is
+    // dropped, the files kept.
+    Par.jobs(parts.map { case (p, key, df, _, uid) => () =>
+      val stageTbl = s"${part(name, p)}_stage_$uid"
+      val target =
+        if (manifestCommit) s"$dir/${p}_s$uid" // straight to its segment dir
+        else java.nio.file.Paths.get(dir, ".staging", s"${p}_$uid").toString
+      Bucketing.writeBucketed(df, stageTbl, key, meta.nBuckets, Some(target))
+      spark.sql(s"DROP TABLE $stageTbl")
+    })
+    // Phase 2, SEQUENTIAL: metadata-only publication + the atomic
+    // per-part state swaps (cheap — links/manifests and catalog DDL).
+    for ((p, key, _, st, uid) <- parts) {
       val newName = s"${p}_g${st.gen + 1}_$uid"
       if (manifestCommit) {
-        // object-store path: the delta bucket-writes STRAIGHT to its
+        // object-store path: the delta already sits in its immutable
         // segment directory (no rename — renames copy on S3-style
-        // stores), and the generation is one small manifest naming
-        // the live segment set. No links, no data copied or moved.
-        val segName = s"${p}_s$uid"
-        val stageTbl = s"${part(name, p)}_stage_$uid"
-        Bucketing.writeBucketed(df, stageTbl, key, meta.nBuckets,
-          Some(s"$dir/$segName"))
-        spark.sql(s"DROP TABLE $stageTbl")
-        val segments = segmentsOf(dir, st.current) :+ segName
+        // stores); the generation is one small manifest naming the
+        // live segment set. No links, no data copied or moved.
+        val segments = segmentsOf(dir, st.current) :+ s"${p}_s$uid"
         writeManifest(dir, newName, segments)
         attachView(spark, name, p, dir, segments)
       } else {
         val staging = java.nio.file.Paths.get(dir, ".staging", s"${p}_$uid")
-        // bucket-write the delta through a throwaway EXTERNAL table (the
-        // only way to bucketBy-write); drop the entry, keep the files
-        val stageTbl = s"${part(name, p)}_stage_$uid"
-        Bucketing.writeBucketed(df, stageTbl, key, meta.nBuckets,
-          Some(staging.toString))
-        spark.sql(s"DROP TABLE $stageTbl")
-
         val newDir = java.nio.file.Paths.get(dir, newName)
         java.nio.file.Files.createDirectories(newDir)
         linkInto(newDir, java.nio.file.Paths.get(dir, st.current))
