@@ -752,6 +752,29 @@ object SparkEntry {
         "embedding", tablesSweep = Seq(1, 2, 4), bits = 4, dim = 64,
         threshold = 0.4)),
 
+    // Random-projection dimensionality reduction (X90): 64-d → 16-d
+    // via the deterministic centered plane family, top-5 in the
+    // REDUCED space — a pure narrow map (16 codegen'd folds/row, zero
+    // shuffle) that cuts every downstream byte 4× and composes with
+    // the SQ/PQ/BQ representation tiers.
+    "q_sim_rproj" -> ((s, dir) =>
+      Similarity.rpProjectTopK(T(s, dir, "embeddings"), "vec_id",
+        "embedding", col("id") < 8, k = 5, rdim = 16, dim = 64)),
+
+    // What the byte cut costs in fidelity: recall@5 of the
+    // reduced-space search vs the full-space exact truth, per
+    // (width, query), widths 8/16/32/48 of ONE nested plane family
+    // (truth LEFT JOIN got — all-miss queries stay visible). The
+    // measured curve on this corpus is brutal (near-isotropic
+    // embeddings: mean recall@5 ≈ 0.05/0.05/0.13/0.18 at sf0.01) —
+    // which is the
+    // point: the sweep is the cheap pre-flight that says whether a
+    // corpus tolerates projection before anything downstream trusts it.
+    "q_sim_rproj_sweep" -> ((s, dir) =>
+      Similarity.rpProjectRecallSweep(T(s, dir, "embeddings"), "vec_id",
+        "embedding", col("id") < 8, k = 5, rdims = Seq(8, 16, 32, 48),
+        dim = 64)),
+
     // IVF top-5: label-seeded centroids, corpus broadcast-assigned,
     // queries probe the 2 nearest lists.
     "q_sim_ivf" -> ((s, dir) =>
@@ -1380,6 +1403,15 @@ object SparkEntry {
     "q_sim_topk" ->
       (Similarity.bruteForceTopKSql("vec_id", "embedding", "embeddings",
         "id < 8", k = 5) + " ORDER BY qid, rank"),
+
+    "q_sim_rproj" ->
+      (Similarity.rpProjectTopKSql("vec_id", "embedding", "embeddings",
+        "id < 8", k = 5, rdim = 16, dim = 64) + " ORDER BY qid, rank"),
+
+    "q_sim_rproj_sweep" ->
+      (Similarity.rpProjectRecallSweepSql("vec_id", "embedding",
+        "embeddings", "id < 8", k = 5, rdims = Seq(8, 16, 32, 48),
+        dim = 64) + " ORDER BY n_dims, qid"),
 
     "q_sim_sq" ->
       (Sq.topKSql("vec_id", "embedding", "embeddings",

@@ -583,6 +583,154 @@ object Similarity {
        |FROM founds CROSS JOIN truth""".stripMargin
   }
 
+  /** Random-projection DIMENSIONALITY REDUCTION (Johnson–Lindenstrauss
+    * by signs-free projection — the same deterministic centered plane
+    * family as [[rpLshPairs]], kept REAL-valued instead of sign-bitted):
+    * each vector maps to its `rdim` plane dot products, a pure narrow
+    * map of `rdim` codegen'd folds per row — zero shuffle, co-located
+    * with the scan. The memory/IO story at 100 TB: a dim→rdim cut is a
+    * dim/rdim× byte cut on every downstream scan, join and cache, and
+    * unlike SQ/PQ/BQ (which compress the REPRESENTATION at full
+    * dimensionality) it composes with them — project first, quantize
+    * the short vectors after.
+    *
+    * Search in the reduced space is [[bruteForceTopK]]'s broadcast
+    * shape over the projected columns; distances are approximate (JL
+    * distortion), so the family-standard measurement twin
+    * ([[rpProjectRecall]]) reports recall@k against the full-space
+    * exact truth. Output: (qid, rank, neighbor_id, rcos_micros) —
+    * `rcos` says REDUCED-space cosine out loud (an exact-cosine column
+    * here would be a lie).
+    */
+  def rpProjectTopK(embs: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, rdim: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(1, rdim, dim).head
+    val base = baseOf(embs, idCol, vecCol)
+    val proj = base.select(col("id"),
+        array(planes.map(ws => Vectors.dot(col("v"), planeVec(ws))): _*).as("pv"))
+      .withColumn("pnrm", Vectors.norm(col("pv")))
+    val queries = proj.filter(queryPred)
+      .select(col("id").as("qid"), col("pv").as("qv"), col("pnrm").as("qnrm"))
+    val scored = proj.join(broadcast(queries), col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("neighbor_id"),
+        (Vectors.dot(col("qv"), col("pv")) / (col("qnrm") * col("pnrm"))).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        round(col("cos") * 1e6).cast("long").as("rcos_micros"))
+  }
+
+  /** base + projected CTE prefix shared by the projection oracles:
+    * the `rdim` plane dot products inlined as integer-literal weight
+    * vectors, exactly the Spark plan's fold order.
+    */
+  private def rpProjPrefixSql(id: String, vec: String, table: String,
+      rdim: Int, dim: Int): String = {
+    val planes = hyperplanes(1, rdim, dim).head
+    val P = graft.ops.Hashing.P
+    val comps = planes.map { ws =>
+      val lits = ws.mkString("[", ", ", "]")
+      Vectors.dotSql("v", s"[x::DOUBLE / $P - 0.5 for x in $lits]")
+    }.mkString("[", ",\n    ", "]")
+    s"""base AS (SELECT $id AS id, ${Vectors.toDoubleSql(vec)} AS v FROM $table),
+       |proj AS (SELECT id, $comps AS pv FROM base),
+       |pn AS (SELECT id, pv, ${Vectors.normSql("pv")} AS pnrm FROM proj)""".stripMargin
+  }
+
+  /** DuckDB twin of [[rpProjectTopK]]. */
+  def rpProjectTopKSql(id: String, vec: String, table: String,
+      queryPredSql: String, k: Int, rdim: Int, dim: Int): String =
+    s"""WITH ${rpProjPrefixSql(id, vec, table, rdim, dim)},
+       |q AS (SELECT id AS qid, pv AS qv, pnrm AS qnrm FROM pn
+       |      WHERE $queryPredSql),
+       |scored AS (
+       |  SELECT qid, e.id AS neighbor_id,
+       |    ${Vectors.dotSql("qv", "e.pv")} / (qnrm * e.pnrm) AS cos
+       |  FROM q JOIN pn e ON e.id <> qid),
+       |r AS (SELECT qid, neighbor_id, cos, row_number() OVER (
+       |        PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM scored)
+       |SELECT qid, rank::BIGINT AS rank, neighbor_id,
+       |  round(cos * 1e6)::BIGINT AS rcos_micros
+       |FROM r WHERE rank <= $k""".stripMargin
+
+  /** Recall@k of the reduced-space search vs the FULL-space exact
+    * truth, per (width, query), for several target widths over ONE
+    * nested projection family — plane j of width w is plane j of
+    * width w' > w (the [[rpLshRecallSweep]] prefix property), so the
+    * sweep projects ONCE at `rdims.max` and each width ranks over a
+    * slice. The width/fidelity curve that decides whether a corpus
+    * tolerates the byte cut — measured, not assumed (truth LEFT JOIN
+    * got: an all-miss query still emits (width, qid, 0)).
+    * Output: (n_dims, qid, recall_micros).
+    */
+  def rpProjectRecallSweep(embs: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, rdims: Seq[Int], dim: Int): DataFrame = {
+    val planes = hyperplanes(1, rdims.max, dim).head
+    val base = baseOf(embs, idCol, vecCol)
+    // the one full-width projection every width slices from
+    val proj = Caching.cachedOnce(base.select(col("id"),
+      array(planes.map(ws => Vectors.dot(col("v"), planeVec(ws))): _*).as("pv")))
+    val truth = bruteForceTopK(embs, idCol, vecCol, queryPred, k)
+      .select(col("qid"), col("neighbor_id"))
+    rdims.map { rd =>
+      val pn = proj.select(col("id"), slice(col("pv"), 1, rd).as("pv"))
+        .withColumn("pnrm", Vectors.norm(col("pv")))
+      val queries = pn.filter(queryPred)
+        .select(col("id").as("qid"), col("pv").as("qv"), col("pnrm").as("qnrm"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val got = pn.join(broadcast(queries), col("id") =!= col("qid"))
+        .select(col("qid"), col("id").as("neighbor_id"),
+          (Vectors.dot(col("qv"), col("pv")) / (col("qnrm") * col("pnrm"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("neighbor_id"), lit(1).as("hit"))
+      truth.join(got, Seq("qid", "neighbor_id"), "left")
+        .groupBy(col("qid")).agg(count(col("hit")).as("hits"))
+        .select(lit(rd.toLong).as("n_dims"), col("qid"),
+          round(col("hits").cast("double") / k * 1e6).cast("long")
+            .as("recall_micros"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** DuckDB twin of [[rpProjectRecallSweep]] — same nested plane
+    * family, one max-width projection, per-width slices.
+    */
+  def rpProjectRecallSweepSql(id: String, vec: String, table: String,
+      queryPredSql: String, k: Int, rdims: Seq[Int], dim: Int): String = {
+    val widthCtes = rdims.map { rd =>
+      s"""pn_$rd AS (SELECT id, pv[1:$rd] AS pv,
+         |  ${Vectors.normSql(s"pv[1:$rd]")} AS pnrm FROM proj),
+         |q_$rd AS (SELECT id AS qid, pv AS qv, pnrm AS qnrm FROM pn_$rd
+         |          WHERE $queryPredSql),
+         |got_$rd AS (
+         |  SELECT qid, neighbor_id FROM (
+         |    SELECT qid, e.id AS neighbor_id, row_number() OVER (
+         |      PARTITION BY qid
+         |      ORDER BY ${Vectors.dotSql("qv", "e.pv")} / (qnrm * e.pnrm)
+         |        DESC, e.id) AS rank
+         |    FROM q_$rd q JOIN pn_$rd e ON e.id <> q.qid)
+         |  WHERE rank <= $k)""".stripMargin
+    }.mkString(",\n")
+    val selects = rdims.map { rd =>
+      s"""SELECT $rd::BIGINT AS n_dims, qid,
+         |  round(count(hit)::DOUBLE / $k * 1e6)::BIGINT AS recall_micros
+         |FROM (SELECT t.qid AS qid, g.neighbor_id AS hit
+         |      FROM truth t LEFT JOIN got_$rd g
+         |        ON g.qid = t.qid AND g.neighbor_id = t.neighbor_id)
+         |GROUP BY qid""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${rpProjPrefixSql(id, vec, table, rdims.max, dim)},
+       |truth AS (
+       |  SELECT qid, neighbor_id FROM (
+       |${bruteForceTopKSql(id, vec, table, queryPredSql, k)})),
+       |$widthCtes
+       |$selects""".stripMargin
+  }
+
   /** recall@k per (nprobe, query) for several probe widths over ONE
     * trained centroid set — the recall/cost tradeoff curve that drives
     * nprobe tuning. Training runs once; each probe width re-runs only

@@ -837,4 +837,58 @@ class OpsSpec extends AnyFunSuite {
     assert(p95a >= (n * 0.95 - 1 - 20) && p95a <= (n * 0.95 - 1 + 20),
       s"approx p95 $p95a outside rank band")
   }
+
+  test("random projection: equals a JVM reference; sweep widths are nested slices") {
+    import spark.implicits._
+    val dim = 8; val rdim = 4; val k = 3
+    val data = (0L until 12L).map(i =>
+      (i, Seq.tabulate(dim)(d => (((i * 31 + d * 17) % 13) - 6).toFloat / 4f), 0))
+    val embs = data.toDF("vec_id", "embedding", "label")
+
+    // independent reimplementation: same plane family, same sequential
+    // left-to-right fold, same HALF_UP rounding as Spark's Round
+    val planes = Similarity.hyperplanes(1, rdim, dim).head
+    def pvec(ws: Seq[Long]): Seq[Double] =
+      ws.map(h => h.toDouble / Hashing.P - 0.5)
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def micros(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val vs = data.map { case (i, v, _) => i -> v.map(_.toDouble) }.toMap
+    def topK(project: Seq[Double] => Seq[Double]): Map[Long, Seq[(Long, Long)]] = {
+      val ps = vs.map { case (i, v) => i -> project(v) }
+      (0L until 2L).map { q =>
+        q -> ps.toSeq.filter(_._1 != q)
+          .map { case (i, p) =>
+            (i, dot(ps(q), p) / (math.sqrt(dot(ps(q), ps(q))) * math.sqrt(dot(p, p)))) }
+          .sortBy { case (i, c) => (-c, i) }.take(k)
+          .map { case (i, c) => (i, micros(c)) }
+      }.toMap
+    }
+    val expReduced = topK(v => planes.map(ws => dot(v, pvec(ws))))
+    val got = Similarity.rpProjectTopK(embs, "vec_id", "embedding",
+        col("id") < 2, k, rdim, dim)
+      .select("qid", "rank", "neighbor_id", "rcos_micros")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq.map(r => (r._3, r._4)))
+    for (q <- 0L until 2L)
+      assert(got(q) == expReduced(q), s"qid $q reduced top-$k mismatch")
+
+    // sweep: width-rdim recall equals the JVM truth∩reduced count, and
+    // every (width, qid) row is present even at recall 0
+    val expExact = topK(identity)
+    val expRecall = (0L until 2L).map { q =>
+      val hits = expExact(q).map(_._1).toSet
+        .intersect(expReduced(q).map(_._1).toSet).size
+      (q, micros(hits.toDouble / k))
+    }.toMap
+    val sweep = Similarity.rpProjectRecallSweep(embs, "vec_id", "embedding",
+        col("id") < 2, k, Seq(2, rdim), dim)
+      .as[(Long, Long, Long)].collect()
+    assert(sweep.length == 4) // 2 widths × 2 queries
+    for ((nd, q, r) <- sweep) {
+      assert(r >= 0L && r <= 1000000L)
+      if (nd == rdim) assert(r == expRecall(q), s"width $nd qid $q recall")
+    }
+  }
 }
