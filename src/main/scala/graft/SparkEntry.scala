@@ -457,6 +457,14 @@ object SparkEntry {
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("tok")).limit(50)),
 
+    // BPE vocabulary induction (X92): 12 merge rounds trained on the
+    // top-2000 word histogram — the tokenizer-training step. The
+    // corpus-sized work is ONE histogram pass; every round then
+    // iterates on the bounded (word, count) digest.
+    "q_text_bpe" -> ((s, dir) =>
+      Bpe.merges(T(s, dir, "documents"), "text", rounds = 12,
+        maxWords = 2000)),
+
     // Composite curation pipeline — the end-to-end point of the
     // extension surface: quality gate + language ID + exact-dup
     // representative selection, in ONE shuffle (window on the
@@ -1327,6 +1335,10 @@ object SparkEntry {
       s"""SELECT tok, count(*)::BIGINT AS n
          |FROM (SELECT unnest(${TextAnalysis.tokensSql("text")}) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    "q_text_bpe" ->
+      (Bpe.mergesSql("text", "documents", rounds = 12, maxWords = 2000)
+        + " ORDER BY round"),
 
     "q_curate" -> {
       val t = "text"

@@ -891,4 +891,35 @@ class OpsSpec extends AnyFunSuite {
       if (nd == rdim) assert(r == expRecall(q), s"width $nd qid $q recall")
     }
   }
+
+  test("BPE merges: hand-computed rounds, count-weighted, pair-asc ties") {
+    import spark.implicits._
+    // the Sennrich corpus shape: low×5 lower×2 widest×3 newest×6
+    // r1: "e s"(9) ties "s t"(9) -> pair asc picks "e s"
+    // r2: "es t"(9); r3: "l o"(7) ties "o w"(7) -> "l o"; r4: "lo w"(7)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(3)("widest") ++ Seq.fill(6)("newest")).mkString(" ")
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val got = Bpe.merges(docs, "text", rounds = 4, maxWords = 100)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "e s", "es", 9L), (2L, "es t", "est", 9L),
+      (3L, "l o", "lo", 7L), (4L, "lo w", "low", 7L)))
+  }
+
+  test("BPE merges: padded replace cannot match across a symbol boundary") {
+    import spark.implicits._
+    // boy×20 bow×9 cow×2 ow×10: r1 merges "b o"(29) -> "bo w" exists;
+    // r3 merges "o w"(12) and MUST NOT rewrite "bo w" (its symbols are
+    // bo|w — the unpadded string contains "o w" only across the
+    // boundary); r4 then still finds "bo w"(9) intact
+    val text = (Seq.fill(20)("boy") ++ Seq.fill(9)("bow") ++
+      Seq.fill(2)("cow") ++ Seq.fill(10)("ow")).mkString(" ")
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val got = Bpe.merges(docs, "text", rounds = 4, maxWords = 100)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "b o", "bo", 29L), (2L, "bo y", "boy", 20L),
+      (3L, "o w", "ow", 12L), (4L, "bo w", "bow", 9L)))
+  }
 }
