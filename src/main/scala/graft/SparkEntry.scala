@@ -465,6 +465,14 @@ object SparkEntry {
       Bpe.merges(T(s, dir, "documents"), "text", rounds = 12,
         maxWords = 2000)),
 
+    // The APPLY side of X92: the corpus re-tokenized with the 12
+    // trained merges — top-30 subword pieces by count-weighted
+    // frequency, the vocab-coverage quantity a tokenizer decision
+    // reads.
+    "q_text_bpe_encode" -> ((s, dir) =>
+      Bpe.pieceFrequencies(T(s, dir, "documents"), "text", rounds = 12,
+        maxWords = 2000, topK = 30)),
+
     // Composite curation pipeline — the end-to-end point of the
     // extension surface: quality gate + language ID + exact-dup
     // representative selection, in ONE shuffle (window on the
@@ -1339,6 +1347,10 @@ object SparkEntry {
     "q_text_bpe" ->
       (Bpe.mergesSql("text", "documents", rounds = 12, maxWords = 2000)
         + " ORDER BY round"),
+
+    "q_text_bpe_encode" ->
+      Bpe.pieceFrequenciesSql("text", "documents", rounds = 12,
+        maxWords = 2000, topK = 30),
 
     "q_curate" -> {
       val t = "text"

@@ -55,14 +55,13 @@ object Bpe {
       .orderBy(col("n").desc, col("w").asc).limit(maxWords)
       .select(spacedChars(col("w")).as("sym"), col("n"))
 
-  /** Train `rounds` BPE merges over `docs(textCol)`.
-    * Output: (round, pair, merged, pair_count) — one row per merge,
-    * in training order.
+  /** The shared training loop: per-round one-row picks plus the final
+    * rewritten vocabulary table.
     */
-  def merges(docs: DataFrame, textCol: String, rounds: Int,
-      maxWords: Int): DataFrame = {
+  private def train(docs: DataFrame, textCol: String, rounds: Int,
+      maxWords: Int): (Seq[DataFrame], DataFrame) = {
     var cur = wordHistogram(docs, textCol, maxWords).localCheckpoint()
-    (1 to rounds).map { r =>
+    val bests = (1 to rounds).map { r =>
       // adjacent symbol pairs of every word, weighted by word count
       // (words collapsed to one symbol have no pairs — filtered, not
       // exploded-empty: Spark's sequence(1, 0) is DESCENDING)
@@ -84,14 +83,38 @@ object Bpe {
         .localCheckpoint()
       best.select(lit(r.toLong).as("round"), col("pair"),
         expr("replace(pair, ' ', '')").as("merged"), col("pair_count"))
-    }.reduce(_.unionByName(_))
+    }
+    (bests, cur)
   }
 
-  /** DuckDB twin of [[merges]] — the same rounds unrolled as CTEs
-    * (w0 → (p1, b1, w1) → … ), same cut, pick and padded-replace
-    * semantics.
+  /** Train `rounds` BPE merges over `docs(textCol)`.
+    * Output: (round, pair, merged, pair_count) — one row per merge,
+    * in training order.
     */
-  def mergesSql(text: String, table: String, rounds: Int,
+  def merges(docs: DataFrame, textCol: String, rounds: Int,
+      maxWords: Int): DataFrame =
+    train(docs, textCol, rounds, maxWords)._1.reduce(_.unionByName(_))
+
+  /** The APPLY side: the subword vocabulary after `rounds` trained
+    * merges — every vocabulary word re-spelled in merged symbols, the
+    * pieces exploded and weighted by word count, top `topK` by
+    * (weight desc, piece asc). What the trained tokenizer actually
+    * emits over this corpus, and the quantity a vocab-size/coverage
+    * decision reads.
+    * Output: (piece, weight).
+    */
+  def pieceFrequencies(docs: DataFrame, textCol: String, rounds: Int,
+      maxWords: Int, topK: Int): DataFrame =
+    train(docs, textCol, rounds, maxWords)._2
+      .select(explode(split(col("sym"), " ")).as("piece"), col("n"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("weight"))
+      .orderBy(col("weight").desc, col("piece").asc).limit(topK)
+
+  /** The unrolled-round CTE block shared by both oracles (w0 →
+    * (b1, w1) → … → (bR, wR)), same cut, pick and padded-replace
+    * semantics as the Spark side.
+    */
+  private def ctesSql(text: String, table: String, rounds: Int,
       maxWords: Int): String = {
     // every CTE is MATERIALIZED and each round references its
     // predecessor exactly once (the rewrite cross-joins the one-row
@@ -120,10 +143,26 @@ object Bpe {
          |    ' ' || replace(pair, ' ', '') || ' ')) AS sym, n
          |  FROM w${r - 1} CROSS JOIN b$r)""".stripMargin
     }.mkString(",\n")
+    s"WITH $w0,\n$roundCtes"
+  }
+
+  /** DuckDB twin of [[merges]]. */
+  def mergesSql(text: String, table: String, rounds: Int,
+      maxWords: Int): String = {
     val selects = (1 to rounds).map { r =>
       s"""SELECT $r::BIGINT AS round, pair, replace(pair, ' ', '') AS merged,
          |  pair_count FROM b$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"WITH $w0,\n$roundCtes\n$selects"
+    s"${ctesSql(text, table, rounds, maxWords)}\n$selects"
   }
+
+  /** DuckDB twin of [[pieceFrequencies]] — the merge rounds' final
+    * vocabulary CTE (w`rounds`), pieces unnested and count-weighted.
+    */
+  def pieceFrequenciesSql(text: String, table: String, rounds: Int,
+      maxWords: Int, topK: Int): String =
+    s"""${ctesSql(text, table, rounds, maxWords)}
+       |SELECT piece, sum(n)::BIGINT AS weight FROM (
+       |  SELECT unnest(string_split(sym, ' ')) AS piece, n FROM w$rounds)
+       |GROUP BY piece ORDER BY weight DESC, piece LIMIT $topK""".stripMargin
 }

@@ -905,6 +905,13 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq(
       (1L, "e s", "es", 9L), (2L, "es t", "est", 9L),
       (3L, "l o", "lo", 7L), (4L, "lo w", "low", 7L)))
+    // apply side: final vocab is low(5) "low e r"(2) "w i d est"(3)
+    // "n e w est"(6) -> piece weights est:9 w:9 e:8 low:7 …; top-3
+    // tie-breaks (weight desc, piece asc): "est" before "w"
+    val pieces = Bpe.pieceFrequencies(docs, "text", rounds = 4,
+        maxWords = 100, topK = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(pieces == Seq(("est", 9L), ("w", 9L), ("e", 8L)))
   }
 
   test("BPE merges: padded replace cannot match across a symbol boundary") {
