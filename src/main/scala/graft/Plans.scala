@@ -180,7 +180,17 @@ object Plans {
       """Sharded-export audit: the export side is ONE hash exchange
         |on the shard id + narrow per-shard JSONL writes (no global
         |sort, no window, no driver packing); the audit side re-reads
-        |the shards and partial-aggregates |shards| checksum rows.""".stripMargin)
+        |the shards and partial-aggregates |shards| checksum rows.""".stripMargin,
+    "q_sim_rproj" ->
+      """Random-projection reduced-space top-k: the projection is a
+        |narrow map (rdim codegen'd folds per row, no exchange before
+        |the join); the query side broadcasts; the corpus never
+        |shuffles — only the per-query top-k window does.""".stripMargin,
+    "q_text_bpe" ->
+      """BPE merge table: the SERVE plan scans only the checkpointed
+        |one-row round picks — no parquet scan at all (the corpus-sized
+        |histogram pass ran ONCE at build; every round iterated on the
+        |bounded digest). PlanSpec asserts the no-corpus-scan shape.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -299,6 +299,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("rproj broadcasts queries over the narrow projection; BPE serves from the digest") {
+    // projection is a narrow map feeding a broadcast join — the corpus
+    // side must reach the join without any exchange
+    val p = plan("q_sim_rproj")
+    assert(p.contains("BroadcastExchange"), s"no broadcast in:\n$p")
+    assert(!p.substring(0, p.indexOf("BroadcastExchange"))
+      .contains("Exchange hashpartitioning"),
+      s"corpus exchanged before the broadcast join:\n$p")
+    // the returned BPE frames scan only the checkpointed round picks:
+    // the corpus-sized histogram pass ran once at build time, so a
+    // parquet scan in the SERVE plan would mean per-query corpus work
+    for (name <- Seq("q_text_bpe", "q_text_bpe_encode")) {
+      val b = plan(name)
+      assert(!b.contains("Scan parquet"),
+        s"$name serve plan rescans the corpus:\n$b")
+    }
+  }
+
   test("every registered query plans under AQE-off (no latent analyzer conflicts)") {
     // the kmeansL2All attribute-id leak (checkpointed centroids
     // exporting a live subtree's ids) only surfaced with AQE disabled —
