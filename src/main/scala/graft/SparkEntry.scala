@@ -473,6 +473,14 @@ object SparkEntry {
       Bpe.pieceFrequencies(T(s, dir, "documents"), "text", rounds = 12,
         maxWords = 2000, topK = 30)),
 
+    // Corpus drift monitoring (X93): per-source Jensen–Shannon
+    // divergence of the token distribution vs the whole corpus over
+    // the top-500 token support — the ingestion-health gauge (a
+    // source whose JS jumps changed its content mix).
+    "q_text_drift" -> ((s, dir) =>
+      Drift.tokenJsDrift(T(s, dir, "documents"), "text", "source",
+        maxVocab = 500)),
+
     // Composite curation pipeline — the end-to-end point of the
     // extension surface: quality gate + language ID + exact-dup
     // representative selection, in ONE shuffle (window on the
@@ -1351,6 +1359,10 @@ object SparkEntry {
     "q_text_bpe_encode" ->
       Bpe.pieceFrequenciesSql("text", "documents", rounds = 12,
         maxWords = 2000, topK = 30),
+
+    "q_text_drift" ->
+      (Drift.tokenJsDriftSql("text", "source", "documents",
+        maxVocab = 500) + " ORDER BY source"),
 
     "q_curate" -> {
       val t = "text"

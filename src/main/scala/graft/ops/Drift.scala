@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus drift monitoring — per-source Jensen–Shannon divergence of
+  * the token distribution against the whole-corpus distribution
+  * (builder brief; beyond-reference extension per SURVEY §2.10 X93).
+  *
+  * The ingestion-health gauge of a training-data pipeline: a source
+  * whose JS jumps between snapshots changed its content mix (format
+  * drift, spam influx, language shift) long before any downstream
+  * metric moves. JS over a shared support is symmetric, bounded by
+  * ln 2, and defined even where one side has zero mass — the right
+  * default among the divergences.
+  *
+  * == Determinism contract ==
+  *
+  * The support is the top `maxVocab` corpus tokens by (count desc,
+  * token asc) — a deterministic cut that also BOUNDS the state (the
+  * drift of the head is the signal; the tail is noise by
+  * construction). Both distributions renormalize over that support.
+  * Per-token contributions are micro-quantized BEFORE the per-source
+  * sum (integer order-free addition — the cross-row float-sum rule),
+  * and the contribution arithmetic is spelled identically on both
+  * engines: p = n_st/n_s, q = n_t/n, m = (p+q)/2,
+  * c = [p>0] · 0.5·p·ln(p/m) + 0.5·q·ln(q/m).
+  *
+  * == 100 TB shape ==
+  *
+  * Two partial-aggregated count shuffles (corpus histogram, per-source
+  * histogram over the vocab-filtered stream — the filter is a
+  * broadcast semi-join, the corpus never re-shuffles for it); the
+  * scoring grid is |sources| × maxVocab rows, independent of corpus
+  * bytes. Output: one row per source.
+  */
+object Drift {
+
+  /** Per-source JS divergence vs the corpus, over the top-`maxVocab`
+    * token support. Output: (source, n_tokens, js_micros).
+    */
+  def tokenJsDrift(docs: DataFrame, textCol: String, sourceCol: String,
+      maxVocab: Int): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("source"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
+      .orderBy(col("n_t").desc, col("tok").asc).limit(maxVocab)
+    val st = toks.join(broadcast(vocab.select(col("tok"))), "tok")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n_st"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
+    val corpusTot = vocab.agg(sum(col("n_t")).as("n"))
+    val p = col("n_st").cast("double") / col("n_s")
+    val q = col("n_t").cast("double") / col("n")
+    val m = (p + q) / 2
+    val contrib =
+      when(col("n_st") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+        lit(0.5) * q * log(q / m)
+    srcTot
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(corpusTot))
+      .join(st, Seq("source", "tok"), "left")
+      .select(col("source"), col("n_s"),
+        coalesce(col("n_st"), lit(0L)).as("n_st"), col("n_t"), col("n"))
+      .select(col("source"), col("n_s"),
+        round(contrib * 1e6).cast("long").as("c"))
+      .groupBy(col("source")).agg(max(col("n_s")).as("n_tokens"),
+        sum(col("c")).as("js_micros"))
+  }
+
+  /** DuckDB twin of [[tokenJsDrift]] — same support cut, same
+    * contribution arithmetic, same quantize-before-sum.
+    */
+  def tokenJsDriftSql(text: String, source: String, table: String,
+      maxVocab: Int): String =
+    s"""WITH toks AS (
+       |  SELECT $source AS source, unnest(${TextAnalysis.tokensSql(text)}) AS tok
+       |  FROM $table),
+       |vocab AS (
+       |  SELECT tok, count(*)::BIGINT AS n_t FROM toks
+       |  GROUP BY tok ORDER BY n_t DESC, tok LIMIT $maxVocab),
+       |st AS (
+       |  SELECT source, t.tok, count(*)::BIGINT AS n_st
+       |  FROM toks t JOIN vocab v ON v.tok = t.tok
+       |  GROUP BY 1, 2),
+       |stot AS (SELECT source, sum(n_st)::BIGINT AS n_s FROM st GROUP BY 1),
+       |ctot AS (SELECT sum(n_t)::BIGINT AS n FROM vocab),
+       |grid AS (
+       |  SELECT s.source, s.n_s, coalesce(x.n_st, 0)::BIGINT AS n_st,
+       |    v.n_t, c.n
+       |  FROM stot s CROSS JOIN vocab v CROSS JOIN ctot c
+       |  LEFT JOIN st x ON x.source = s.source AND x.tok = v.tok),
+       |scored AS (
+       |  SELECT source, n_s,
+       |    round((CASE WHEN n_st > 0 THEN
+       |        0.5 * (n_st::DOUBLE / n_s)
+       |            * ln((n_st::DOUBLE / n_s)
+       |                 / (((n_st::DOUBLE / n_s) + (n_t::DOUBLE / n)) / 2))
+       |      ELSE 0.0 END
+       |      + 0.5 * (n_t::DOUBLE / n)
+       |          * ln((n_t::DOUBLE / n)
+       |               / (((n_st::DOUBLE / n_s) + (n_t::DOUBLE / n)) / 2)))
+       |      * 1e6)::BIGINT AS c
+       |  FROM grid)
+       |SELECT source, max(n_s)::BIGINT AS n_tokens,
+       |  sum(c)::BIGINT AS js_micros
+       |FROM scored GROUP BY source""".stripMargin
+}

@@ -929,4 +929,22 @@ class OpsSpec extends AnyFunSuite {
       (1L, "b o", "bo", 29L), (2L, "bo y", "boy", 20L),
       (3L, "o w", "ow", 12L), (4L, "bo w", "bow", 9L)))
   }
+
+  test("token JS drift: hand-computed divergences, absent tokens charged") {
+    import spark.implicits._
+    // A = {a:3, b:1}, B = {a:1, b:3}, corpus = {a:4, b:4}: per-token
+    // contributions 12585 + 21237 micros for both sources (symmetric)
+    val docs = Seq((0L, "a a a b", "A"), (1L, "a b b b", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Drift.tokenJsDrift(docs, "text", "source", maxVocab = 10)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("A", 4L, 33822L), ("B", 4L, 33822L)))
+    // disjoint supports: the token a source NEVER emits still charges
+    // it 0.5·q·ln 2 (m = q/2) — absent mass is drift, not a skip
+    val disj = Seq((0L, "x x", "A"), (1L, "y y", "B"))
+      .toDF("doc_id", "text", "source")
+    val got2 = Drift.tokenJsDrift(disj, "text", "source", maxVocab = 10)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq(("A", 2L, 215762L), ("B", 2L, 215762L)))
+  }
 }
