@@ -29,6 +29,14 @@ object Bench {
       // materialization; no cross-query cache interference) and the
       // session's executor memory flat across the 40+ query sweep.
       spark.catalog.clearCache()
+      // localCheckpoint blocks are NOT released by clearCache — they
+      // free only when the driver GCs the RDD reference and the
+      // ContextCleaner runs. Over a 100-query sweep they accumulate
+      // until a major collection lands INSIDE someone's timed window
+      // (observed as 2-3× in-sweep anomalies that IsoBench can't
+      // reproduce). Collect here, in the untimed reset phase, so each
+      // query starts from a settled heap.
+      System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()

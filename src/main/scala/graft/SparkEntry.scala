@@ -481,6 +481,13 @@ object SparkEntry {
       Drift.tokenJsDrift(T(s, dir, "documents"), "text", "source",
         maxVocab = 500)),
 
+    // The embedding-space companion of X93: per-label centroid cosine
+    // vs the corpus centroid (integer-exact quantized means — no
+    // transcendentals). Catches semantic drift the token gauge can't.
+    "q_sim_drift" -> ((s, dir) =>
+      Drift.embeddingDrift(T(s, dir, "embeddings"), "vec_id",
+        "embedding", "label")),
+
     // Composite curation pipeline — the end-to-end point of the
     // extension surface: quality gate + language ID + exact-dup
     // representative selection, in ONE shuffle (window on the
@@ -1363,6 +1370,10 @@ object SparkEntry {
     "q_text_drift" ->
       (Drift.tokenJsDriftSql("text", "source", "documents",
         maxVocab = 500) + " ORDER BY source"),
+
+    "q_sim_drift" ->
+      (Drift.embeddingDriftSql("vec_id", "embedding", "label",
+        "embeddings") + " ORDER BY label"),
 
     "q_curate" -> {
       val t = "text"

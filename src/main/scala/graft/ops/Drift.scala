@@ -67,6 +67,50 @@ object Drift {
         sum(col("c")).as("js_micros"))
   }
 
+  /** The embedding-space companion of [[tokenJsDrift]]: per-group
+    * centroid cosine against the corpus centroid — catches drift the
+    * token gauge can't see (same vocabulary, shifted semantics) and
+    * vice versa. Centroid components are the house micro-quantized
+    * means ([[Similarity.centroids]] — integer-exact on both
+    * engines), so unlike the JS gauge there is no transcendental in
+    * sight: the output is deterministic to the bit. A cohort whose
+    * centroid swings away from the corpus (cos_micros drops) changed
+    * its embedding mix.
+    *
+    * Cost: two partial-aggregated (group, dim)-cell shuffles over
+    * the corpus scan, then a |groups|-row broadcast join — one row
+    * per group out, independent of corpus bytes.
+    * Output: (label, n_vecs, cos_micros).
+    */
+  def embeddingDrift(embs: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    val gcent = Similarity.centroids(embs, groupCol, vecCol)
+    val ccent = Similarity.centroids(
+      embs.withColumn("__all", lit(0L)), "__all", vecCol)
+      .select(col("cent").as("ccent"))
+    val counts = embs.groupBy(col(groupCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    gcent.crossJoin(broadcast(ccent))
+      .select(col("cl").cast("long").as("label"),
+        Vectors.cosineMicros(col("cent"), col("ccent")).as("cos_micros"))
+      .join(broadcast(counts), "label")
+      .select(col("label"), col("n_vecs"), col("cos_micros"))
+  }
+
+  /** DuckDB twin of [[embeddingDrift]] — the same quantized-centroid
+    * CTE for groups and (constant-cluster) corpus.
+    */
+  def embeddingDriftSql(id: String, vec: String, group: String,
+      table: String): String =
+    s"""WITH g AS (${Similarity.centroidsSql(group, vec, table)}),
+       |c AS (SELECT cent AS ccent FROM (
+       |  ${Similarity.centroidsSql("0", vec, table)})),
+       |n AS (SELECT $group::BIGINT AS label, count(*)::BIGINT AS n_vecs
+       |      FROM $table GROUP BY 1)
+       |SELECT g.cl::BIGINT AS label, n.n_vecs,
+       |  ${Vectors.cosineMicrosSql("g.cent", "c.ccent")} AS cos_micros
+       |FROM g CROSS JOIN c JOIN n ON n.label = g.cl::BIGINT""".stripMargin
+
   /** DuckDB twin of [[tokenJsDrift]] — same support cut, same
     * contribution arithmetic, same quantize-before-sum.
     */

@@ -947,4 +947,17 @@ class OpsSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got2 == Seq(("A", 2L, 215762L), ("B", 2L, 215762L)))
   }
+
+  test("embedding drift: orthogonal cohorts sit at cos 1/sqrt(2) from the corpus") {
+    import spark.implicits._
+    // group 0 = all (1,0), group 1 = all (0,1); corpus centroid
+    // (0.5, 0.5) -> both cohorts at cos = 0.5/sqrt(0.5) = 0.7071068
+    val embs = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0f, 1f), 1), (3L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Drift.embeddingDrift(embs, "vec_id", "embedding", "label")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 2L, 707107L), (1L, 2L, 707107L)))
+  }
 }
