@@ -36,6 +36,52 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** The per-token JS contribution over (n_st, n_s, n_t, n) columns —
+    * shared verbatim by the in-plan gauge and the frozen streaming
+    * twin so the two can never drift from each other.
+    */
+  private def contribMicros = {
+    // p is 0/0-guarded: a source with NO in-support tokens has n_s = 0
+    // (every n_st is 0 too) — the guard pins p to 0 so each token
+    // contributes the pure q-side 0.5·q·ln 2 and the source surfaces
+    // at js ≈ ln 2 (maximal drift) instead of NaN-ing out. For
+    // n_s > 0 rows the CASE selects the unguarded expression — values
+    // unchanged.
+    val p = when(col("n_s") > 0, col("n_st").cast("double") / col("n_s"))
+      .otherwise(lit(0.0))
+    val q = col("n_t").cast("double") / col("n")
+    val m = (p + q) / 2
+    val contrib =
+      when(col("n_st") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+        lit(0.5) * q * log(q / m)
+    round(contrib * 1e6).cast("long")
+  }
+
+  /** The (source, n_s, n_st, n_t, n) grid → (source, n_tokens,
+    * js_micros) scoring tail shared by both gauges. Every source
+    * present in `toks` gets a row — a source whose tokens all fall
+    * outside the support scores ≈ ln 2, the worst-case-visible analog
+    * of the recall gauges' zero-hit rows.
+    */
+  private def scoreGrid(toks: DataFrame, vocab: DataFrame,
+      corpusTot: DataFrame): DataFrame = {
+    val st = toks.join(broadcast(vocab.select(col("tok"))), "tok")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n_st"))
+    val srcTot = toks.select(col("source")).distinct()
+      .join(st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s0")),
+        Seq("source"), "left")
+      .select(col("source"), coalesce(col("n_s0"), lit(0L)).as("n_s"))
+    srcTot
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(corpusTot))
+      .join(st, Seq("source", "tok"), "left")
+      .select(col("source"), col("n_s"),
+        coalesce(col("n_st"), lit(0L)).as("n_st"), col("n_t"), col("n"))
+      .select(col("source"), col("n_s"), contribMicros.as("c"))
+      .groupBy(col("source")).agg(max(col("n_s")).as("n_tokens"),
+        sum(col("c")).as("js_micros"))
+  }
+
   /** Per-source JS divergence vs the corpus, over the top-`maxVocab`
     * token support. Output: (source, n_tokens, js_micros).
     */
@@ -45,26 +91,45 @@ object Drift {
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
       .orderBy(col("n_t").desc, col("tok").asc).limit(maxVocab)
-    val st = toks.join(broadcast(vocab.select(col("tok"))), "tok")
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n_st"))
-    val srcTot = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
-    val corpusTot = vocab.agg(sum(col("n_t")).as("n"))
-    val p = col("n_st").cast("double") / col("n_s")
-    val q = col("n_t").cast("double") / col("n")
-    val m = (p + q) / 2
-    val contrib =
-      when(col("n_st") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
-        lit(0.5) * q * log(q / m)
-    srcTot
-      .crossJoin(broadcast(vocab))
-      .crossJoin(broadcast(corpusTot))
-      .join(st, Seq("source", "tok"), "left")
-      .select(col("source"), col("n_s"),
-        coalesce(col("n_st"), lit(0L)).as("n_st"), col("n_t"), col("n"))
-      .select(col("source"), col("n_s"),
-        round(contrib * 1e6).cast("long").as("c"))
-      .groupBy(col("source")).agg(max(col("n_s")).as("n_tokens"),
-        sum(col("c")).as("js_micros"))
+    scoreGrid(toks, vocab, vocab.agg(sum(col("n_t")).as("n")))
+  }
+
+  /** The reference token distribution FROZEN from a static corpus —
+    * `maxVocab` (token, count) pairs plus the total: the model is
+    * bounded by construction (the frozen-stats pattern of
+    * [[TextAnalysis.freezeLm]] / [[Curation.freezeDsir]]).
+    */
+  case class FrozenDist(toks: IndexedSeq[(String, Long)], total: Long)
+
+  def freezeDistribution(docs: DataFrame, textCol: String,
+      maxVocab: Int): FrozenDist = {
+    val rows = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
+      .orderBy(col("n_t").desc, col("tok").asc).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    FrozenDist(rows, rows.map(_._2).sum)
+  }
+
+  /** Per-source JS of `docs` against a FROZEN reference distribution
+    * — the streaming twin of [[tokenJsDrift]]: the reference side is
+    * a broadcast literal table, so a micro-batch pays only its own
+    * in-batch counts (no state, no corpus rescan). Scoring the
+    * freeze's own corpus reproduces [[tokenJsDrift]] exactly
+    * (OpsSpec pins it); scoring arriving batches against last week's
+    * frozen corpus is the snapshot-over-snapshot monitor.
+    * Output: (source, n_tokens, js_micros) per source present in
+    * `docs`.
+    */
+  def tokenJsFrozen(docs: DataFrame, textCol: String, sourceCol: String,
+      dist: FrozenDist): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = dist.toks.toDF("tok", "n_t")
+    val toks = docs.select(col(sourceCol).as("source"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    scoreGrid(toks, vocab,
+      Seq(dist.total).toDF("n"))
   }
 
   /** The embedding-space companion of [[tokenJsDrift]]: per-group
@@ -126,7 +191,11 @@ object Drift {
        |  SELECT source, t.tok, count(*)::BIGINT AS n_st
        |  FROM toks t JOIN vocab v ON v.tok = t.tok
        |  GROUP BY 1, 2),
-       |stot AS (SELECT source, sum(n_st)::BIGINT AS n_s FROM st GROUP BY 1),
+       |stot AS (
+       |  SELECT s.source, coalesce(t.n_s0, 0)::BIGINT AS n_s
+       |  FROM (SELECT DISTINCT source FROM toks) s
+       |  LEFT JOIN (SELECT source, sum(n_st)::BIGINT AS n_s0 FROM st
+       |             GROUP BY 1) t ON t.source = s.source),
        |ctot AS (SELECT sum(n_t)::BIGINT AS n FROM vocab),
        |grid AS (
        |  SELECT s.source, s.n_s, coalesce(x.n_st, 0)::BIGINT AS n_st,
@@ -136,13 +205,13 @@ object Drift {
        |scored AS (
        |  SELECT source, n_s,
        |    round((CASE WHEN n_st > 0 THEN
-       |        0.5 * (n_st::DOUBLE / n_s)
-       |            * ln((n_st::DOUBLE / n_s)
-       |                 / (((n_st::DOUBLE / n_s) + (n_t::DOUBLE / n)) / 2))
+       |        0.5 * (CASE WHEN n_s > 0 THEN n_st::DOUBLE / n_s ELSE 0.0 END)
+       |            * ln((CASE WHEN n_s > 0 THEN n_st::DOUBLE / n_s ELSE 0.0 END)
+       |                 / (((CASE WHEN n_s > 0 THEN n_st::DOUBLE / n_s ELSE 0.0 END) + (n_t::DOUBLE / n)) / 2))
        |      ELSE 0.0 END
        |      + 0.5 * (n_t::DOUBLE / n)
        |          * ln((n_t::DOUBLE / n)
-       |               / (((n_st::DOUBLE / n_s) + (n_t::DOUBLE / n)) / 2)))
+       |               / (((CASE WHEN n_s > 0 THEN n_st::DOUBLE / n_s ELSE 0.0 END) + (n_t::DOUBLE / n)) / 2)))
        |      * 1e6)::BIGINT AS c
        |  FROM grid)
        |SELECT source, max(n_s)::BIGINT AS n_tokens,

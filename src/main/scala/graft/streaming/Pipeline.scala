@@ -178,6 +178,19 @@ object Pipeline {
     graft.ops.TextAnalysis.scoreLmFrozen(docs, "text", model)
       .filter(col("ce_micros").isNull || col("ce_micros") <= maxCeMicros)
 
+  /** Ingest-time drift gauge (X93's streaming twin): per-source JS
+    * divergence of each micro-batch against a token distribution
+    * FROZEN from a static reference corpus
+    * ([[graft.ops.Drift.freezeDistribution]] — maxVocab (token,
+    * count) pairs IS the model). The reference side is a broadcast
+    * literal table; the batch pays only its own in-batch counts — no
+    * state, no corpus rescan. Use from foreachBatch; one row per
+    * source per batch, the time series an ingestion alert reads.
+    */
+  def driftGauge(docs: DataFrame,
+      dist: graft.ops.Drift.FrozenDist): DataFrame =
+    graft.ops.Drift.tokenJsFrozen(docs, "text", "source", dist)
+
   /** Ingest-time contamination gate: each streamed doc's n-gram
     * CONTAINMENT of any benchmark shingle (X46's measure) against a
     * STATIC benchmark corpus — a stream-static equi-join on the hashed

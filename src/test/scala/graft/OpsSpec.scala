@@ -948,6 +948,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got2 == Seq(("A", 2L, 215762L), ("B", 2L, 215762L)))
   }
 
+  test("frozen drift twin: scoring the freeze's own corpus == the in-plan gauge") {
+    import spark.implicits._
+    val docs = Seq((0L, "a a a b c", "A"), (1L, "a b b b d", "B"),
+      (2L, "c c d a b", "C"))
+      .toDF("doc_id", "text", "source")
+    val batch = Drift.tokenJsDrift(docs, "text", "source", maxVocab = 3)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val frozen = Drift.tokenJsFrozen(docs, "text", "source",
+        Drift.freezeDistribution(docs, "text", maxVocab = 3))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(frozen == batch)
+    // a batch the freeze never saw still scores — against the FROZEN
+    // reference, which is the snapshot-over-snapshot monitor shape
+    val later = Seq((3L, "z z z z", "A")).toDF("doc_id", "text", "source")
+    val drifted = Drift.tokenJsFrozen(later, "text", "source",
+        Drift.freezeDistribution(docs, "text", maxVocab = 3))
+      .as[(String, Long, Long)].collect()
+    // "z" is outside the frozen support -> the batch has zero mass on
+    // every vocab token: n_s = 0 over the support, every contribution
+    // is the pure q-side 0.5*q*ln2, summing to ln2/2 (the p-side half
+    // of the disjoint-support ln2 lives outside the vocab and is
+    // invisible by construction) — the source SURFACES at the gauge's
+    // maximum instead of vanishing or NaN-ing
+    assert(drifted.length == 1 && drifted(0)._1 == "A")
+    assert(drifted(0)._2 == 0L)
+    assert(math.abs(drifted(0)._3 - 346574L) <= 2L)
+  }
+
   test("embedding drift: orthogonal cohorts sit at cos 1/sqrt(2) from the corpus") {
     import spark.implicits._
     // group 0 = all (1,0), group 1 = all (0,1); corpus centroid
