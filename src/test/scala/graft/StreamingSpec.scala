@@ -633,4 +633,40 @@ class StreamingSpec extends AnyFunSuite {
       .select("payload").as[String].head()
     assert(payload.contains(""""op":"c""""))
   }
+
+  test("drift gauge: per-micro-batch JS equals the batch scorer on each batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference frozen from a static corpus; the stream drifts in
+    // batch 2 (new vocabulary from source B)
+    val ref = Seq((0L, "alpha beta beta gamma", "A"),
+      (1L, "alpha alpha beta delta", "B"))
+      .toDF("doc_id", "text", "source")
+    val frozen = graft.ops.Drift.freezeDistribution(ref, "text", maxVocab = 4)
+
+    val b1 = Seq((2L, "alpha beta gamma gamma", "A"))
+    val b2 = Seq((3L, "omega omega sigma tau", "B"),
+      (4L, "beta beta alpha delta", "A"))
+    val input = MemoryStream[(Long, String, String)]
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[Set[(String, Long, Long)]]
+    val q = input.toDF().toDF("doc_id", "text", "source")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        perBatch += graft.streaming.Pipeline.driftGauge(b, frozen)
+          .as[(String, Long, Long)].collect().toSet: Unit
+      }.start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+
+    def batchOf(rows: Seq[(Long, String, String)]) =
+      graft.ops.Drift.tokenJsFrozen(
+        rows.toDF("doc_id", "text", "source"), "text", "source", frozen)
+        .as[(String, Long, Long)].collect().toSet
+    assert(perBatch.toSeq == Seq(batchOf(b1), batchOf(b2)))
+    // and the drifted batch actually registers: B (all-new vocab) sits
+    // at the gauge's zero-support ceiling, far above A
+    val m2 = perBatch(1).map(r => r._1 -> r._3).toMap
+    assert(m2("B") > 300000L && m2("A") < 100000L)
+  }
 }
