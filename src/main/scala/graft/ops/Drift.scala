@@ -162,6 +162,37 @@ object Drift {
       .select(col("label"), col("n_vecs"), col("cos_micros"))
   }
 
+  /** The corpus centroid FROZEN from a static corpus — 64
+    * micro-quantized means, the whole model ([[FrozenDist]]'s
+    * embedding-space sibling).
+    */
+  case class FrozenCentroid(cent: IndexedSeq[Double])
+
+  def freezeCentroid(embs: DataFrame, vecCol: String): FrozenCentroid =
+    FrozenCentroid(
+      Similarity.centroids(embs.withColumn("__all", lit(0L)), "__all", vecCol)
+        .collect()(0).getSeq[Double](1).toIndexedSeq)
+
+  /** Per-group centroid cosine of `embs` against a FROZEN reference
+    * centroid — the streaming twin of [[embeddingDrift]]: the
+    * reference is a 64-double literal, the batch pays only its own
+    * per-group means. Scoring the freeze's own corpus reproduces
+    * [[embeddingDrift]] exactly (OpsSpec pins it).
+    * Output: (label, n_vecs, cos_micros).
+    */
+  def embeddingDriftFrozen(embs: DataFrame, vecCol: String,
+      groupCol: String, frozen: FrozenCentroid): DataFrame = {
+    val gcent = Similarity.centroids(embs, groupCol, vecCol)
+    val counts = embs.groupBy(col(groupCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    gcent
+      .select(col("cl").cast("long").as("label"),
+        Vectors.cosineMicros(col("cent"),
+          typedLit(frozen.cent)).as("cos_micros"))
+      .join(broadcast(counts), "label")
+      .select(col("label"), col("n_vecs"), col("cos_micros"))
+  }
+
   /** DuckDB twin of [[embeddingDrift]] — the same quantized-centroid
     * CTE for groups and (constant-cluster) corpus.
     */

@@ -191,6 +191,17 @@ object Pipeline {
       dist: graft.ops.Drift.FrozenDist): DataFrame =
     graft.ops.Drift.tokenJsFrozen(docs, "text", "source", dist)
 
+  /** The embedding-space drift gauge for ingest — per-cohort centroid
+    * cosine of each micro-batch against a centroid FROZEN from a
+    * static reference corpus ([[graft.ops.Drift.freezeCentroid]] —
+    * 64 doubles IS the model). Use from foreachBatch beside
+    * [[driftGauge]]: the two gauges together catch vocabulary drift
+    * AND semantic drift per batch.
+    */
+  def embeddingDriftGauge(embs: DataFrame,
+      frozen: graft.ops.Drift.FrozenCentroid): DataFrame =
+    graft.ops.Drift.embeddingDriftFrozen(embs, "embedding", "label", frozen)
+
   /** Ingest-time contamination gate: each streamed doc's n-gram
     * CONTAINMENT of any benchmark shingle (X46's measure) against a
     * STATIC benchmark corpus — a stream-static equi-join on the hashed

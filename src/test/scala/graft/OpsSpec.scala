@@ -987,5 +987,20 @@ class OpsSpec extends AnyFunSuite {
     val got = Drift.embeddingDrift(embs, "vec_id", "embedding", "label")
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((0L, 2L, 707107L), (1L, 2L, 707107L)))
+    // frozen twin: scoring the freeze's own corpus == the in-plan
+    // gauge; a drifted batch (all group-1 vectors flipped to (1,0))
+    // scores group 1 at cos = 1/sqrt(2)·... vs the OLD corpus centroid
+    val frozen = Drift.freezeCentroid(embs, "embedding")
+    val fr = Drift.embeddingDriftFrozen(embs, "embedding", "label", frozen)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fr == got)
+    val drifted = Seq((4L, Seq(1f, 0f), 1), (5L, Seq(1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val d = Drift.embeddingDriftFrozen(drifted, "embedding", "label", frozen)
+      .as[(Long, Long, Long)].collect().toSeq
+    // group 1's batch centroid is now (1,0): same cos 1/sqrt(2) to the
+    // frozen (0.5,0.5) — but against its OWN frozen-era axis (0,1) it
+    // would have been 0; the gauge reads the absolute reference
+    assert(d == Seq((1L, 2L, 707107L)))
   }
 }
