@@ -976,6 +976,28 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(drifted(0)._3 - 346574L) <= 2L)
   }
 
+  test("Par.jobs: tasks overlap in time and the first failure rethrows unwrapped") {
+    // overlap: with a 2-task barrier, neither task can pass the latch
+    // unless both are running at once — sequential execution deadlocks
+    // (bounded by the await timeout)
+    val latch = new java.util.concurrent.CyclicBarrier(2)
+    val hits = new java.util.concurrent.atomic.AtomicInteger
+    Par.jobs(Seq(
+      () => { latch.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        hits.incrementAndGet(): Unit },
+      () => { latch.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        hits.incrementAndGet(): Unit }))
+    assert(hits.get == 2)
+    // failure: the task's own exception type surfaces, not the
+    // executor's ExecutionException wrapper
+    val e = intercept[IllegalStateException] {
+      Par.jobs(Seq(
+        () => (),
+        () => throw new IllegalStateException("boom")))
+    }
+    assert(e.getMessage == "boom")
+  }
+
   test("embedding drift: orthogonal cohorts sit at cos 1/sqrt(2) from the corpus") {
     import spark.implicits._
     // group 0 = all (1,0), group 1 = all (0,1); corpus centroid
