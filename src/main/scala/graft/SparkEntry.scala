@@ -488,6 +488,21 @@ object SparkEntry {
       Drift.embeddingDrift(T(s, dir, "embeddings"), "vec_id",
         "embedding", "label")),
 
+    // The FROZEN twins scored on the freeze's own corpus — each shares
+    // its in-plan gauge's oracle verbatim, so the freeze/serve split
+    // is provably output-invariant through the driver gate (the
+    // build/serve pattern the index and graph families use).
+    "q_text_drift_frozen" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Drift.tokenJsFrozen(docs, "text", "source",
+        Drift.freezeDistribution(docs, "text", maxVocab = 500))
+    }),
+    "q_sim_drift_frozen" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+      Drift.embeddingDriftFrozen(embs, "embedding", "label",
+        Drift.freezeCentroid(embs, "embedding"))
+    }),
+
     // Composite curation pipeline — the end-to-end point of the
     // extension surface: quality gate + language ID + exact-dup
     // representative selection, in ONE shuffle (window on the
@@ -1372,6 +1387,14 @@ object SparkEntry {
         maxVocab = 500) + " ORDER BY source"),
 
     "q_sim_drift" ->
+      (Drift.embeddingDriftSql("vec_id", "embedding", "label",
+        "embeddings") + " ORDER BY label"),
+
+    // frozen twins share the in-plan oracles verbatim
+    "q_text_drift_frozen" ->
+      (Drift.tokenJsDriftSql("text", "source", "documents",
+        maxVocab = 500) + " ORDER BY source"),
+    "q_sim_drift_frozen" ->
       (Drift.embeddingDriftSql("vec_id", "embedding", "label",
         "embeddings") + " ORDER BY label"),
 
