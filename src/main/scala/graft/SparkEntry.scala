@@ -772,6 +772,24 @@ object SparkEntry {
         col("vec_id") < 8, k = 5, nprobe = 4, rerank = 40)
     }),
 
+    // The takedown delta, oracle-gated end-to-end: build on the FULL
+    // corpus, DELETE the odd half (encoded parts rewritten minus the
+    // ids at the atomic generation commit; trained params untouched —
+    // append's fixed-parameter contract in reverse), search. The
+    // oracle trains on everything and restricts CANDIDATES to the
+    // survivors — exactly the delete semantics.
+    "q_sim_index_delete" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+      Index.build(s, embs, "vec_id", "embedding", "label", "graft_idx4",
+        itersIvf = 4, massign = 2, m = 16, ksub = 32, itersPq = 2,
+        nBuckets = 8)
+      Index.delete(s, "graft_idx4",
+        embs.filter(col("vec_id") % 2 === 1).select(col("vec_id")),
+        "vec_id")
+      Index.search(s, "graft_idx4", embs, "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, nprobe = 4, rerank = 40)
+    }),
+
     // The same maintenance delta committed the OBJECT-STORE-SAFE way:
     // the appended generation is one _manifest.json naming immutable
     // segment directories (no hard links — S3-style stores have
@@ -1566,6 +1584,15 @@ object SparkEntry {
         "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
         m = 16, ksub = 32, itersPq = 2, rerank = 40,
         trainPredSql = "id % 2 = 0")
+        + " ORDER BY qid, rank"),
+
+    // train on everything, candidates = survivors only — the delete
+    // contract (fixed trained params, shrunken encoded set)
+    "q_sim_index_delete" ->
+      (Pq.ivfPqTopKSql("vec_id", "embedding", "label", "embeddings",
+        "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
+        m = 16, ksub = 32, itersPq = 2, rerank = 40,
+        candPredSql = "a.id % 2 = 0")
         + " ORDER BY qid, rank"),
 
     // identical truth: the manifest commit mode may not change results

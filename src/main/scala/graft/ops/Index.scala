@@ -615,6 +615,67 @@ object Index {
     }
   }
 
+  /** Takedown maintenance — remove `delIds` from every encoded part
+    * (the right-to-be-forgotten half of the index lifecycle, next to
+    * [[append]]/[[appendCommitted]]/[[compact]]): each bucketed part
+    * is rewritten minus the deleted ids into a fresh generation
+    * directory and committed through the same atomic per-part state
+    * swap as every other maintenance op — a crash mid-delete leaves
+    * the served index untouched, and graced readers keep their
+    * snapshot (which is a FEATURE for audits and a RETENTION BOUND
+    * for takedowns: set `graceCommits = 0`, the default, when the
+    * point is that the data is gone, then [[compact]]/sweep reclaims
+    * bytes).
+    *
+    * The TRAINED parameters (centroids, codebooks, ranges) are
+    * deliberately not retrained — [[append]]'s fixed-parameter
+    * contract in reverse: a delete changes the encoded SET, not the
+    * model, so search-after-delete equals the same search with
+    * candidates restricted to survivors (`q_sim_index_delete` proves
+    * it through the in-plan oracle with a candidate predicate).
+    * Retraining cadence stays an offline, coordinated act
+    * ([[build]]).
+    *
+    * Cost: one anti-join rewrite per part (the [[compact]] shape —
+    * reads resolve through the state file, so link-mode AND
+    * manifest-mode parts both collapse to a plain bucketed dir); the
+    * four rewrites land concurrently ([[Par.jobs]]). At 100 TB the
+    * refinement is bucket pruning (only ~|delIds| of the nBuckets
+    * id-keyed buckets actually change — link untouched bucket files,
+    * rewrite touched ones), the same file-surgery [[appendCommitted]]
+    * does; the postings part is full-touch either way (deleted ids
+    * scatter across cluster buckets).
+    */
+  def delete(spark: SparkSession, name: String, delIds: DataFrame,
+      idCol: String, graceCommits: Int = 0): Unit = {
+    val dir = indexDirOf(spark, name)
+    val meta = readMeta(spark, name)
+    val del = Caching.cachedOnce(
+      delIds.select(col(idCol).cast("long").as("__del_id")).distinct())
+    val parts = BucketedParts.map { case (p, key) =>
+      (p, key, s"${p}_d${java.util.UUID.randomUUID().toString.take(8)}")
+    }
+    // phase 1, CONCURRENT: the four anti-join rewrites (distinct
+    // stage tables and target dirs; readers still serve the old
+    // generations)
+    Par.jobs(parts.map { case (p, key, newName) => () =>
+      val segs = segmentsOf(dir, loadPart(dir, p).current)
+        .map(s => s"$dir/$s")
+      val stageTbl = s"${part(name, p)}_stage_${newName.takeRight(8)}"
+      Bucketing.writeBucketed(
+        spark.read.parquet(segs: _*)
+          .join(del, col("id") === col("__del_id"), "left_anti")
+          .repartition(meta.nBuckets, col(key)),
+        stageTbl, key, meta.nBuckets, Some(s"$dir/$newName"))
+      spark.sql(s"DROP TABLE $stageTbl")
+    })
+    // phase 2, SEQUENTIAL: re-attach + atomic per-part commits
+    for ((p, key, newName) <- parts) {
+      attachBucketed(spark, name, p, key, meta.nBuckets, s"$dir/$newName")
+      commitPart(dir, p, newName, graceCommits)
+    }
+  }
+
   /** Search the persisted index for the corpus rows selected by
     * `queryPred` — the serve-many side of the split. The plan contains
     * NO training stage (PlanSpec asserts no checkpoint scans) and no

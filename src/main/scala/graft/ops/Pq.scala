@@ -383,10 +383,15 @@ object Pq {
     * over the SAME `e`, with ADC restricted to the probed candidate
     * pairs.
     */
+  /** `candPredSql` restricts the CANDIDATE (indexed) side over the
+    * assignment rows `a` — "a.id % 2 = 0" spells an index that no
+    * longer contains the odd ids (the [[graft.ops.Index.delete]]
+    * oracle); queries and training are unaffected.
+    */
   def ivfPqTopKSql(id: String, vec: String, seed: String, table: String,
       queryPredSql: String, k: Int, nprobe: Int, itersIvf: Int,
       massign: Int, m: Int, ksub: Int, itersPq: Int, rerank: Int,
-      trainPredSql: String = "true"): String = {
+      trainPredSql: String = "true", candPredSql: String = "true"): String = {
     val subDim = 64 / m
     val subspaces = (0 until m)
       .map(subspaceSql(_, subDim, ksub, itersPq, trainPredSql))
@@ -410,7 +415,7 @@ object Pq {
        |    FROM q CROSS JOIN cents$itersIvf c) WHERE prn <= $nprobe),
        |candp AS (
        |  SELECT DISTINCT p.qid, a.id FROM probes p JOIN af a ON a.cl = p.cl
-       |  WHERE a.id <> p.qid),
+       |  WHERE a.id <> p.qid AND ($candPredSql)),
        |adc AS (
        |  SELECT cp.qid, cp.id, sum(l.part_micros)::BIGINT AS adot_micros
        |  FROM candp cp JOIN codes c ON c.id = cp.id

@@ -365,4 +365,50 @@ class IndexSpec extends AnyFunSuite {
     val appended = searchOf("idx_app")
     assert(appended.nonEmpty && appended == searchOf("idx_app2"))
   }
+
+  test("delete removes the ids from every part at fixed trained params; atomic commit; works over a manifest chain") {
+    val dir = tmpBase("del")
+    Index.build(spark, embs.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", "label", "idx_del",
+      itersIvf = 2, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(dir))
+    // create a manifest-mode generation chain first, so delete has to
+    // resolve segments through the state file, not a plain dir
+    Index.appendCommitted(spark, "idx_del",
+      embs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      manifestCommit = true)
+    val partNames = Seq("postings", "codes", "sq_codes", "bq_codes")
+    val before = partNames.map { p =>
+      p -> spark.table(s"idx_del_$p").collect().map(_.toSeq).toSet
+    }.toMap
+    val delIds = embs.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val delSet = delIds.as[Long].collect().toSet
+    assert(delSet.nonEmpty)
+
+    Index.delete(spark, "idx_del", delIds, "vec_id")
+
+    // every part lost exactly the deleted ids' rows — nothing else
+    // changed, and the trained tables were not rewritten
+    for (p <- partNames) {
+      val after = spark.table(s"idx_del_$p").collect().map(_.toSeq).toSet
+      val idIdx = spark.table(s"idx_del_$p").columns.indexOf("id")
+      val expected = before(p).filterNot(r =>
+        delSet.contains(r(idIdx).asInstanceOf[Long]))
+      assert(after == expected, s"part $p rows diverge after delete")
+    }
+    // search serves the shrunken set: no deleted id can be a neighbor
+    val res = Index.search(spark, "idx_del", embs, "vec_id", "embedding",
+        col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(res.nonEmpty)
+    assert(res.forall { case (_, _, n, _) => !delSet.contains(n) })
+    // the committed layout re-registers from files in a fresh catalog
+    for (p <- partNames ++ Seq("cents", "codebooks", "sq_ranges", "meta"))
+      spark.sql(s"DROP TABLE IF EXISTS idx_del_$p")
+    Index.register(spark, "idx_del", dir)
+    val res2 = Index.search(spark, "idx_del", embs, "vec_id", "embedding",
+        col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(res2.toSet == res.toSet)
+  }
 }
