@@ -874,6 +874,22 @@ object SparkEntry {
       GraphStore.edges(s, "graft_knng")
     }),
 
+    // The graph takedown delta, oracle-gated end-to-end: build the
+    // graph on the FULL corpus, DELETE every third vector (deleted
+    // sources drop; survivors that lost a neighbor re-rank from their
+    // stored blocks; the rest stay untouched), serve the edges. The
+    // oracle trains on everything and restricts graph MEMBERSHIP to
+    // the survivors — exactly the fixed-centroid delete semantics.
+    "q_sim_graph_delete" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+      GraphStore.build(s, embs, "vec_id", "embedding", "label",
+        "graft_knng_d", k = 5, iters = 2, massign = 2, nBuckets = 8)
+      GraphStore.delete(s, "graft_knng_d",
+        embs.filter(col("vec_id") % 3 === 0).select(col("vec_id")),
+        "vec_id")
+      GraphStore.edges(s, "graft_knng_d")
+    }),
+
     // PageRank centrality SERVED from the persisted kNN graph —
     // density/representativeness valuation of every vector (rank
     // sinks are outliers). Pure integer damped iteration, 3 rounds
@@ -1619,6 +1635,14 @@ object SparkEntry {
     "q_sim_knngraph" ->
       (Similarity.knnGraphSql("vec_id", "embedding", "label", "embeddings",
         k = 5, iters = 2, dim = 64, massign = 2)
+        + " ORDER BY src_id, rank"),
+
+    // train on everything, membership = survivors on both sides —
+    // the graph delete contract
+    "q_sim_graph_delete" ->
+      (Similarity.knnGraphSql("vec_id", "embedding", "label", "embeddings",
+        k = 5, iters = 2, dim = 64, massign = 2,
+        memberPredSql = "a1.id % 3 <> 0 AND a2.id % 3 <> 0")
         + " ORDER BY src_id, rank"),
 
     // train on the even half only, block the whole corpus — the

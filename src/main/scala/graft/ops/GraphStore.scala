@@ -172,14 +172,7 @@ object GraphStore {
     // stored rows split by whether their source gained candidates;
     // read BY PATH so the rewrite below can target the same table
     val edgesTbl = part(name, "edges")
-    val oldDir = {
-      val scan = spark.table(edgesTbl).queryExecution.analyzed.collectFirst {
-        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          r.relation.asInstanceOf[
-            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-      }.getOrElse(sys.error(s"$edgesTbl is not file-backed"))
-      java.nio.file.Paths.get(scan.location.rootPaths.head.toUri.getPath)
-    }
+    val oldDir = dirOf(spark, edgesTbl)
     val stored = spark.read.parquet(oldDir.toString)
     val touched = oldNewDedup.select(col("src_id")).distinct()
     val untouched = stored.join(touched, Seq("src_id"), "left_anti")
@@ -206,10 +199,99 @@ object GraphStore {
         fresh.select(col(idCol).as("id"),
           col(seedCol).cast("long").as("label")),
         part(name, "labels"), "id", nBuckets)))
-    val s = java.nio.file.Files.walk(oldDir)
+    deleteDir(oldDir)
+  }
+
+  /** A table's backing directory, resolved through its file relation
+    * — lets a rewrite read the OLD files by path while its write
+    * re-targets the same catalog name.
+    */
+  private def dirOf(spark: SparkSession, tbl: String): java.nio.file.Path = {
+    val scan = spark.table(tbl).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+    }.getOrElse(sys.error(s"$tbl is not file-backed"))
+    java.nio.file.Paths.get(scan.location.rootPaths.head.toUri.getPath)
+  }
+
+  private def deleteDir(d: java.nio.file.Path): Unit = {
+    val s = java.nio.file.Files.walk(d)
     try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(f => java.nio.file.Files.delete(f))
     finally s.close()
+  }
+
+  /** Takedown for the graph artifact — the [[graft.ops.Index.delete]]
+    * analog: the result equals a full rebuild at the STORED centroids
+    * over the survivor corpus (GraphStoreSpec proves it), at cost
+    * ∝ touched sources × their lists + part rewrites:
+    *
+    *  - DELETED sources lose their rows outright;
+    *  - survivor sources whose stored top-k contained a deleted
+    *    neighbor RE-RANK from their stored block candidates minus the
+    *    deleted ids — sound because removing candidates below the
+    *    stored top-k cannot change it, so only sources that visibly
+    *    lost a neighbor need recomputing, and their full candidate
+    *    set is exactly their blocks join;
+    *  - every other source keeps its stored rows untouched;
+    *  - blocks and labels drop the deleted ids (rewrites into fresh
+    *    sibling dirs, catalog re-pointed, old dirs swept — the
+    *    artifact's single-writer maintenance contract).
+    */
+  def delete(spark: SparkSession, name: String, delIds: DataFrame,
+      idCol: String): Unit = {
+    val metaRow = spark.table(part(name, "meta")).collect()(0)
+    val (k, massign, nBuckets) = (metaRow.getAs[Int]("k"),
+      metaRow.getAs[Int]("massign"), metaRow.getAs[Int]("nBuckets"))
+    val del = Caching.cachedOnce(
+      delIds.select(col(idCol).cast("long").as("__del")).distinct())
+
+    val edgesTbl = part(name, "edges")
+    val blocksTbl = part(name, "blocks")
+    val labelsTbl = part(name, "labels")
+    val (edgesDir, blocksDir, labelsDir) =
+      (dirOf(spark, edgesTbl), dirOf(spark, blocksTbl), dirOf(spark, labelsTbl))
+    val blocks = spark.read.parquet(blocksDir.toString)
+    val keptBlocks = Caching.cachedOnce(
+      blocks.join(del, blocks("id") === col("__del"), "left_anti"))
+
+    val stored = spark.read.parquet(edgesDir.toString)
+    val survivors = stored
+      .join(del, stored("src_id") === col("__del"), "left_anti")
+    val touched = Caching.cachedOnce(survivors
+      .join(del, survivors("neighbor_id") === col("__del"), "left_semi")
+      .select(col("src_id")).distinct())
+    val untouched = survivors.join(touched, Seq("src_id"), "left_anti")
+
+    def cos = (Vectors.dot(col("sv"), col("v"))
+      / (col("snrm") * col("nrm"))).as("cos")
+    val srcBlocks = keptBlocks
+      .join(touched, keptBlocks("id") === touched("src_id"), "left_semi")
+    val pairs = srcBlocks.select(col("cl"), col("id").as("src_id"),
+        col("v").as("sv"), col("nrm").as("snrm"))
+      .join(keptBlocks.select(col("cl"), col("id").as("neighbor_id"),
+        col("v"), col("nrm")), Seq("cl"))
+      .filter(col("src_id") =!= col("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"), cos)
+    val reranked = Similarity.knnRankPairs(pairs, k, dedup = massign > 1)
+
+    val dir = edgesDir.getParent.toString
+    def fresh(p: String) =
+      s"${p}_d${java.util.UUID.randomUUID().toString.take(8)}"
+    // edges rewrite first (it reads keptBlocks, which reads the OLD
+    // blocks files by path — so the blocks rewrite must come after)
+    Bucketing.writeBucketed(untouched.unionByName(reranked), edgesTbl,
+      "src_id", nBuckets, Some(s"$dir/${fresh("edges")}"))
+    val labels = spark.read.parquet(labelsDir.toString)
+    Par.jobs(Seq(
+      () => Bucketing.writeBucketed(
+        keptBlocks, blocksTbl, "cl", nBuckets,
+        Some(s"$dir/${fresh("blocks")}")),
+      () => Bucketing.writeBucketed(
+        labels.join(del, labels("id") === col("__del"), "left_anti"),
+        labelsTbl, "id", nBuckets, Some(s"$dir/${fresh("labels")}"))))
+    Seq(edgesDir, blocksDir, labelsDir).foreach(deleteDir)
   }
 
   /** The stored edge list, (src_id, rank, neighbor_id, cos_micros) —

@@ -353,16 +353,24 @@ object Similarity {
     * and unevaluated), the same blocked self-join on the final
     * assignment, the same (cos desc, id) ranking.
     */
+  /** `memberPredSql` restricts GRAPH MEMBERSHIP over the assignment
+    * aliases `a1` (source) and `a2` (neighbor) — "a1.id % 3 <> 0 AND
+    * a2.id % 3 <> 0" spells a graph whose deleted vectors are gone
+    * from both sides while training still saw everything (the
+    * [[graft.ops.GraphStore.delete]] oracle).
+    */
   def knnGraphSql(id: String, vec: String, seed: String, table: String,
       k: Int, iters: Int, dim: Int, massign: Int = 1,
-      trainPredSql: String = "true"): String = {
+      trainPredSql: String = "true",
+      memberPredSql: String = "true"): String = {
     val distinctKw = if (massign > 1) "DISTINCT " else ""
     s"""${ivfTrainedPrefixSql(id, vec, seed, table, "false", k, iters, dim,
         massign, trainPredSql)},
        |pairs AS (
        |  SELECT ${distinctKw}a1.id AS src_id, a2.id AS neighbor_id,
        |    ${Vectors.cosineSql("a1.v", "a2.v")} AS cos
-       |  FROM af a1 JOIN af a2 ON a1.cl = a2.cl AND a1.id <> a2.id)
+       |  FROM af a1 JOIN af a2 ON a1.cl = a2.cl AND a1.id <> a2.id
+       |  WHERE ($memberPredSql))
        |SELECT src_id, rank, neighbor_id, cos_micros FROM (
        |  SELECT src_id, row_number() OVER (PARTITION BY src_id
        |      ORDER BY cos DESC, neighbor_id)::BIGINT AS rank,

@@ -135,4 +135,45 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(edges() == streamed)
     assert(spark.table("g_str_labels").count() == embs.count())
   }
+
+  test("delete equals a fixed-centroid rebuild over the survivors; serves follow") {
+    val dir = tmpBase("del")
+    GraphStore.build(spark, embs, "vec_id", "embedding", "label",
+      "g_del", k = 4, iters = 2, massign = 2, nBuckets = 4,
+      baseDir = Some(dir))
+    val delIds = embs.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val delSet = delIds.as[Long].collect().toSet
+
+    GraphStore.delete(spark, "g_del", delIds, "vec_id")
+
+    // the maintained edges equal a full fixed-centroid rebuild over
+    // ONLY the survivors (training saw everything — the stored cents)
+    val base = embs.filter(!col("vec_id").isin(delSet.toSeq: _*))
+      .select(col("vec_id").as("id"),
+        Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val rebuilt = Similarity.knnGraphAt(base,
+        spark.table("g_del_cents"), k = 4, massign = 2)
+      .select(col("src_id"), col("rank"), col("neighbor_id"),
+        col("cos_micros"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val after = GraphStore.edges(spark, "g_del")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(after.nonEmpty && after == rebuilt)
+
+    // nothing deleted survives on either side of any edge, in the
+    // labels, or in the blocks
+    assert(after.forall { case (s, _, n, _) =>
+      !delSet.contains(s) && !delSet.contains(n) })
+    assert(spark.table("g_del_labels")
+      .filter(col("id").isin(delSet.toSeq: _*)).count() == 0)
+    assert(spark.table("g_del_blocks")
+      .filter(col("id").isin(delSet.toSeq: _*)).count() == 0)
+
+    // serves keep working off the shrunken artifact
+    val pr = GraphStore.pageRank(spark, "g_del", iters = 2)
+    assert(pr.count() > 0)
+    val cls = GraphStore.classify(spark, "g_del")
+    assert(cls.count() == embs.count() - delSet.size)
+  }
 }
