@@ -131,4 +131,24 @@ object IndexStream {
             idCol, vecCol, graceCommits, manifestCommit)
       }
       .start()
+
+  /** Streaming TAKEDOWN feed — a stream of delete requests (rows of
+    * `idCol`) applied to the index per micro-batch through
+    * [[graft.ops.Index.delete]]'s atomic generation commits. The
+    * checkpoint serializes batches (single-writer, like [[maintain]]);
+    * [[graft.ops.Index.delete]] is idempotent by construction (an
+    * anti-join against already-removed ids is a no-op), so an
+    * at-least-once replay cannot over-delete. `graceCommits` stays 0
+    * by default — the takedown retention bound.
+    */
+  def retract(delIds: DataFrame, idCol: String, indexName: String,
+      checkpointDir: String, graceCommits: Int = 0): StreamingQuery =
+    delIds.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Index.delete(batch.sparkSession, indexName, batch, idCol,
+            graceCommits)
+      }
+      .start()
 }

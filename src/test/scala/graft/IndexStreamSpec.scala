@@ -173,4 +173,45 @@ class IndexStreamSpec extends AnyFunSuite {
         .collect().sorted.toSeq)
     assert(search() == clean)
   }
+
+  test("streaming takedown: retracted micro-batches equal one batch delete; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val embs = cdc.Io.table(spark, sf, "embeddings")
+    Index.build(spark, embs, "vec_id", "embedding", "label", "idx_ret",
+      itersIvf = 1, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4,
+      baseDir = Some(Files.createTempDirectory("graft_idx_ret").toString))
+    val delRows = embs.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+
+    val ckpt = Files.createTempDirectory("idx_ret_ckpt").toString
+    val input = MemoryStream[Long]
+    val q = IndexStream.retract(input.toDF().toDF("vec_id"), "vec_id",
+      "idx_ret", ckpt)
+    val (b1, b2) = delRows.splitAt(delRows.length / 2)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    // replay half of batch 2's ids — an at-least-once duplicate
+    // delivery; the anti-join makes it a no-op
+    input.addData(b2.take(3): _*); q.processAllAvailable()
+    q.stop()
+
+    // the retracted tables equal one encode of the SURVIVORS at the
+    // stored parameters
+    val survivors = embs.filter(col("vec_id") % 3 =!= 0)
+    val (expPost, _, _, expBq) = Index.encode(spark, "idx_ret", survivors,
+      "vec_id", "embedding")
+    assert(spark.table("idx_ret_postings").as[(Long, Long)]
+      .collect().sorted.toSeq
+      == expPost.select(col("cl").cast("long"), col("id")).as[(Long, Long)]
+        .collect().sorted.toSeq)
+    assert(spark.table("idx_ret_bq_codes").as[(Long, Long)]
+      .collect().sorted.toSeq
+      == expBq.as[(Long, Long)].collect().sorted.toSeq)
+    // search never returns a retracted id
+    val res = Index.search(spark, "idx_ret", embs, "vec_id", "embedding",
+        col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(res.nonEmpty && res.forall { case (_, _, n, _) => n % 3 != 0 })
+  }
 }
