@@ -108,6 +108,22 @@ object DedupStore {
       }
       .start()
 
+  /** Takedown for the dedup store — the [[graft.ops.Index.delete]]
+    * analog for exact-dedup STATE: remove the given docs'
+    * fingerprints so their CONTENT can re-enter the corpus later (a
+    * right-to-be-forgotten delete that leaves the fingerprint behind
+    * would silently drop any future legitimate re-submission of the
+    * same text). Cost ∝ touched buckets; committed through the same
+    * manifest protocol (atomic, grace-able), with buckets the forget
+    * EMPTIES leaving the manifest outright.
+    */
+  def forget(texts: DataFrame, textCol: String, tableDir: String,
+      graceCommits: Int = 0): Unit =
+    StateTable.retractKeys(
+      texts.select(
+        graft.ops.TextAnalysis.md5Fingerprint(col(textCol)).as("fp")),
+      "fp", tableDir, graceCommits)
+
   /** The committed fingerprint set (all buckets) — audit/repair view. */
   def fingerprints(spark: SparkSession, tableDir: String): DataFrame =
     StateTable.read(spark, tableDir).select(col("fp"))

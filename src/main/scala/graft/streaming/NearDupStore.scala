@@ -41,6 +41,23 @@ import graft.ops.{Dedup, Hashing}
   */
 object NearDupStore {
 
+  /** A doc's hashed band keys: position in the array IS the band, so
+    * the hash salts with it (two bands agreeing by value must not
+    * collide as keys); empty shingle set → no keys. One definition
+    * shared by the gate and [[forget]] — the two must never drift.
+    */
+  private def bandKeysOf(text: org.apache.spark.sql.Column, k: Int,
+      numHashes: Int, bands: Int, rows: Int): org.apache.spark.sql.Column = {
+    val hs = Dedup.hashedShingles(text, k)
+    val sig = graft.functions.ArrayExprs.minhashSigFromHashes(
+      hs, Hashing.seeds(numHashes))
+    when(size(hs) > 0,
+      zip_with(Dedup.bandKeys(sig, bands, rows),
+        sequence(lit(0), lit(bands - 1)),
+        (bk, b) => Hashing.hash60(concat(b.cast("string"), lit("_"), bk))))
+      .otherwise(array().cast("array<long>"))
+  }
+
   def applyBatch(batch: DataFrame, idCol: String, textCol: String,
       tableDir: String, outDir: String, batchId: Long, k: Int,
       numHashes: Int, bands: Int, rows: Int, nBucketsIfNew: Int,
@@ -52,20 +69,8 @@ object NearDupStore {
     val nBuckets = st.nBuckets.getOrElse(nBucketsIfNew)
     val bucket = pmod(hash(col("bk")), lit(nBuckets)).cast("int")
 
-    val sig = graft.functions.ArrayExprs.minhashSigFromHashes(
-      Dedup.hashedShingles(col(textCol), k), Hashing.seeds(numHashes))
-    // per-doc hashed band keys; position in the array IS the band, so
-    // the hash salts with it (two bands agreeing by value must not
-    // collide as keys)
     val keyed = batch
-      .withColumn("_hs", Dedup.hashedShingles(col(textCol), k))
-      .withColumn("_bks",
-        when(size(col("_hs")) > 0,
-          zip_with(Dedup.bandKeys(sig, bands, rows),
-            sequence(lit(0), lit(bands - 1)),
-            (bk, b) => Hashing.hash60(concat(b.cast("string"), lit("_"), bk))))
-          .otherwise(array().cast("array<long>")))
-      .drop("_hs")
+      .withColumn("_bks", bandKeysOf(col(textCol), k, numHashes, bands, rows))
       .persist()
     try {
       val posts = keyed.select(col(idCol).as("_pid"),
@@ -113,4 +118,25 @@ object NearDupStore {
           k, numHashes, bands, rows, nBuckets, graceCommits)
       }
       .start()
+
+  /** Takedown for the near-dup gate — release the given docs' claimed
+    * band keys so lightly-edited variants of forgotten content can
+    * re-enter ([[DedupStore.forget]]'s LSH sibling; same touched-
+    * bucket retraction through the manifest protocol). PRECISION
+    * NOTE, by design: the store keeps bare keys, not claimant counts
+    * (claimant-counted state would grow with every kept doc for a
+    * precision the gate use case doesn't buy — see the class doc), so
+    * a key co-claimed by a SURVIVING near-identical doc is released
+    * with the forgotten one, and a future near-dup of that survivor
+    * may pass the gate until the survivor's next re-ingest reclaims
+    * its keys. The batch [[graft.ops.Dedup.minhashPairs]] audit is
+    * the verified path.
+    */
+  def forget(texts: DataFrame, textCol: String, tableDir: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8, rows: Int = 4,
+      graceCommits: Int = 0): Unit =
+    StateTable.retractKeys(
+      texts.select(explode(
+        bandKeysOf(col(textCol), k, numHashes, bands, rows)).as("bk")),
+      "bk", tableDir, graceCommits)
 }

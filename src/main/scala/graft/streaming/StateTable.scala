@@ -227,10 +227,18 @@ object StateTable {
     * past their grace window, crashed-attempt orphans, and stale
     * staging entries. (private[streaming]: [[DedupStore]] commits its
     * fingerprint buckets through the same protocol.)
+    *
+    * `emptied` names touched buckets whose new content is EMPTY — a
+    * partitioned write produces no directory for them, so without the
+    * explicit list the manifest would keep serving their superseded
+    * versions. They leave the bucket map (absent = empty) and their
+    * old versions retire under the same grace policy
+    * ([[DedupStore.forget]] / [[NearDupStore.forget]] are the
+    * callers).
     */
   private[streaming] def commitPartitioned(tableDir: String, withB: DataFrame,
       nBuckets: Int, st: Manifest, version: String,
-      graceCommits: Int): Unit = {
+      graceCommits: Int, emptied: Seq[Int] = Seq.empty): Unit = {
     val staging = s"$tableDir/.staging/$version"
     // one exchange keyed on the bucket id → each bucket lands wholly in
     // one task → exactly ONE parquet file per committed bucket version:
@@ -242,12 +250,23 @@ object StateTable {
     val written = listDir(Paths.get(staging))
       .filter(p => p.getFileName.toString.startsWith("b="))
       .map(p => p.getFileName.toString.stripPrefix("b=").toInt -> p)
-    val moved = written.map { case (b, src) =>
+    val moved0 = written.map { case (b, src) =>
       val dst = Paths.get(tableDir, s"b$b", version)
       Files.createDirectories(dst.getParent)
       Files.move(src, dst)
       b -> version
     }.toMap
+    // a retraction that empties EVERY touched bucket stages nothing at
+    // all — commit one empty (schema-bearing) version so a table whose
+    // last key was forgotten stays readable instead of reverting to
+    // "no committed state"
+    val moved = if (moved0.nonEmpty || emptied.isEmpty) moved0 else {
+      val b = emptied.head
+      val dst = Paths.get(tableDir, s"b$b", version)
+      Files.createDirectories(dst.getParent)
+      withB.drop("b").limit(0).coalesce(1).write.parquet(dst.toString)
+      Map(b -> version)
+    }
 
     // the versions this commit supersedes enter the retired set at the
     // new generation; entries whose grace window has elapsed leave it
@@ -259,11 +278,13 @@ object StateTable {
     // value upgrades the stored policy.
     val gen = st.gen + 1
     val grace = math.max(graceCommits, st.grace)
-    val newlyRetired = moved.keys.toSeq.sorted.flatMap(b =>
-      st.buckets.get(b).map(v => Retired(b, v, gen)))
+    val removed = emptied.filterNot(moved.contains)
+    val newlyRetired = (moved.keys.toSeq ++ removed).sorted.distinct
+      .flatMap(b => st.buckets.get(b).map(v => Retired(b, v, gen)))
     val (kept, expired) = (st.retired ++ newlyRetired)
       .partition(r => gen - r.gen < grace)
-    commitManifest(tableDir, nBuckets, gen, st.buckets ++ moved, kept, grace)
+    commitManifest(tableDir, nBuckets, gen,
+      st.buckets ++ moved -- removed, kept, grace)
 
     // post-commit GC: a touched bucket keeps its committed version and
     // any still-graced retired versions; everything else there is a
@@ -277,9 +298,49 @@ object StateTable {
         .filter(p => !keep.contains(p.getFileName.toString))
         .foreach(deleteRecursively)
     }
+    removed.foreach { b =>
+      val keep = keptByBucket.getOrElse(b, Seq.empty).map(_.version).toSet
+      listDir(Paths.get(tableDir, s"b$b"))
+        .filter(p => !keep.contains(p.getFileName.toString))
+        .foreach(deleteRecursively)
+    }
     expired.foreach(r =>
       deleteRecursively(Paths.get(tableDir, s"b${r.bucket}", r.version)))
     deleteRecursively(Paths.get(tableDir, ".staging"))
+  }
+
+  /** Remove `del`'s keys (single column `keyCol`) from a committed
+    * key-set table: reads ONLY the buckets the keys hash into,
+    * anti-joins, recommits — buckets the retraction empties leave the
+    * manifest. The shared takedown tail of [[DedupStore.forget]] and
+    * [[NearDupStore.forget]]; cost ∝ touched buckets, never ∝ table.
+    */
+  private[streaming] def retractKeys(del: DataFrame, keyCol: String,
+      tableDir: String, graceCommits: Int): Unit = {
+    val spark = del.sparkSession
+    val st = loadManifestFull(tableDir)
+    if (st.nBuckets.isEmpty) return // nothing committed: no-op
+    val nBuckets = st.nBuckets.get
+    val bucket = pmod(hash(col(keyCol)), lit(nBuckets)).cast("int")
+    val d = del.select(col(keyCol)).distinct()
+      .withColumn("b", bucket).persist()
+    try {
+      val touched = d.select(col("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+        .filter(st.buckets.contains)
+      if (touched.isEmpty) return
+      val existing = spark.read.parquet(
+        touched.map(b => s"$tableDir/b$b/${st.buckets(b)}"): _*)
+      val kept = existing.join(d.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .withColumn("b", bucket).persist()
+      try {
+        val keptBuckets = kept.select(col("b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        commitPartitioned(tableDir, kept, nBuckets, st,
+          s"f_${java.util.UUID.randomUUID().toString.take(8)}",
+          graceCommits, emptied = touched.filterNot(keptBuckets))
+      } finally kept.unpersist()
+    } finally d.unpersist()
   }
 
   /** Offline compaction: rewrite EVERY committed bucket into a fresh

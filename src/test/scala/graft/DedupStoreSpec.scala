@@ -63,4 +63,39 @@ class DedupStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
       == Set(1L, 3L, 5L, 7L, 9L))
   }
+
+  test("forget releases a fingerprint so the content can re-enter; everything else stays") {
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = Files.createTempDirectory("ddf_state").toString
+    val outDir = Files.createTempDirectory("ddf_out").toString
+
+    def runStream(rows: Seq[(Long, String)]): Unit = {
+      val ckpt = Files.createTempDirectory("ddf_ckpt").toString
+      val input = MemoryStream[(Long, String)]
+      val q = DedupStore.maintain(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", tableDir, outDir, ckpt, nBuckets = 2)
+      input.addData(rows: _*); q.processAllAvailable(); q.stop()
+    }
+
+    runStream(Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    assert(DedupStore.fingerprints(spark, tableDir).count() == 3)
+
+    // forget "alpha": its re-submission passes; "beta" stays blocked
+    DedupStore.forget(Seq("alpha").toDF("text"), "text", tableDir)
+    assert(DedupStore.fingerprints(spark, tableDir).count() == 2)
+    runStream(Seq((4L, "alpha"), (5L, "beta")))
+    assert(spark.read.parquet(outDir).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 4L))
+
+    // forgetting EVERYTHING empties buckets out of the manifest (the
+    // 2-bucket table guarantees at least one bucket fully empties)
+    DedupStore.forget(Seq("alpha", "beta", "gamma").toDF("text"), "text",
+      tableDir)
+    assert(DedupStore.fingerprints(spark, tableDir).count() == 0)
+    runStream(Seq((6L, "beta"), (7L, "gamma")))
+    assert(spark.read.parquet(outDir).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 4L, 6L, 7L))
+    // an unknown text is a no-op, not an error
+    DedupStore.forget(Seq("never seen").toDF("text"), "text", tableDir)
+  }
 }

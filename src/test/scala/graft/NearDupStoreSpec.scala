@@ -56,5 +56,14 @@ class NearDupStoreSpec extends AnyFunSuite {
     // tail), so identical short docs DO dedup
     runStream(Seq(Seq((8L, "tiny doc"), (9L, "tiny doc"))))
     assert(out().contains(8L) && !out().contains(9L))
+
+    // takedown: forget doc 1's text — its claimed band keys release,
+    // so a lightly-edited variant that the gate just dropped now
+    // passes; the unrelated doc's keys stay claimed
+    NearDupStore.forget(Seq(base).toDF("text"), "text", tableDir)
+    runStream(Seq(Seq((10L, edited("rain")), (11L, other))))
+    val r3 = out()
+    assert(r3.contains(10L), "variant of forgotten content still gated")
+    assert(!r3.contains(11L), "unrelated doc's keys were lost by forget")
   }
 }
