@@ -32,4 +32,22 @@ object GraphStream {
             idCol, vecCol, seedCol)
       }
       .start()
+
+  /** Streaming TAKEDOWN feed — [[IndexStream.retract]]'s twin for the
+    * graph artifact: delete-request micro-batches through
+    * [[graft.ops.GraphStore.delete]] (deleted sources drop, survivors
+    * that lost a neighbor re-rank from blocks). Replay-safe: deleting
+    * already-absent ids touches no source and rewrites identical
+    * content, so an at-least-once duplicate delivery is a no-op in
+    * the served graph.
+    */
+  def retract(delIds: DataFrame, idCol: String, graphName: String,
+      checkpointDir: String): StreamingQuery =
+    delIds.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          GraphStore.delete(batch.sparkSession, graphName, batch, idCol)
+      }
+      .start()
 }

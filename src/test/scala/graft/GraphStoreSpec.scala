@@ -176,4 +176,38 @@ class GraphStoreSpec extends AnyFunSuite {
     val cls = GraphStore.classify(spark, "g_del")
     assert(cls.count() == embs.count() - delSet.size)
   }
+
+  test("streaming retraction: micro-batched deletes + a replay equal one batch delete") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmpBase("ret")
+    GraphStore.build(spark, embs, "vec_id", "embedding", "label",
+      "g_ret", k = 4, iters = 2, massign = 2, nBuckets = 4,
+      baseDir = Some(dir))
+    val delRows = embs.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+
+    val ckpt = Files.createTempDirectory("g_ret_ckpt").toString
+    val input = MemoryStream[Long]
+    val q = graft.streaming.GraphStream.retract(
+      input.toDF().toDF("vec_id"), "vec_id", "g_ret", ckpt)
+    val (b1, b2) = delRows.splitAt(delRows.length / 2)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    input.addData(b1.take(3): _*); q.processAllAvailable() // replay
+    q.stop()
+
+    val base = embs.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("id"),
+        Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val rebuilt = Similarity.knnGraphAt(base,
+        spark.table("g_ret_cents"), k = 4, massign = 2)
+      .select(col("src_id"), col("rank"), col("neighbor_id"),
+        col("cos_micros"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val streamed = GraphStore.edges(spark, "g_ret")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed.nonEmpty && streamed == rebuilt)
+  }
 }
