@@ -503,6 +503,26 @@ object SparkEntry {
         Drift.freezeCentroid(embs, "embedding"))
     }),
 
+    // The monitors in their REAL two-snapshot shape, oracle-gated:
+    // reference = the even-id half (last snapshot), target = the odd
+    // half (this snapshot) — the actual drift number an ingestion
+    // alert fires on, end-to-end against the oracle rather than
+    // frozen-on-self.
+    "q_text_drift_shift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Drift.tokenJsFrozen(docs.filter(col("doc_id") % 2 === 1),
+        "text", "source",
+        Drift.freezeDistribution(docs.filter(col("doc_id") % 2 === 0),
+          "text", maxVocab = 500))
+    }),
+    "q_sim_drift_shift" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+      Drift.embeddingDriftFrozen(embs.filter(col("vec_id") % 2 === 1),
+        "embedding", "label",
+        Drift.freezeCentroid(embs.filter(col("vec_id") % 2 === 0),
+          "embedding"))
+    }),
+
     // Composite curation pipeline — the end-to-end point of the
     // extension surface: quality gate + language ID + exact-dup
     // representative selection, in ONE shuffle (window on the
@@ -1431,6 +1451,17 @@ object SparkEntry {
     "q_sim_drift_frozen" ->
       (Drift.embeddingDriftSql("vec_id", "embedding", "label",
         "embeddings") + " ORDER BY label"),
+
+    "q_text_drift_shift" ->
+      (Drift.tokenJsDriftSql("text", "source",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)", maxVocab = 500,
+        refTable = "(SELECT * FROM documents WHERE doc_id % 2 = 0)")
+        + " ORDER BY source"),
+    "q_sim_drift_shift" ->
+      (Drift.embeddingDriftSql("vec_id", "embedding", "label",
+        "(SELECT * FROM embeddings WHERE vec_id % 2 = 1)",
+        refTable = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)")
+        + " ORDER BY label"),
 
     "q_curate" -> {
       val t = "text"

@@ -194,29 +194,40 @@ object Drift {
   }
 
   /** DuckDB twin of [[embeddingDrift]] — the same quantized-centroid
-    * CTE for groups and (constant-cluster) corpus.
+    * CTE for groups and (constant-cluster) corpus. With `refTable`
+    * the reference centroid comes from a DIFFERENT snapshot than the
+    * scored groups (the [[embeddingDriftFrozen]] two-snapshot shape);
+    * default: self.
     */
   def embeddingDriftSql(id: String, vec: String, group: String,
-      table: String): String =
+      table: String, refTable: String = null): String = {
+    val ref = Option(refTable).getOrElse(table)
     s"""WITH g AS (${Similarity.centroidsSql(group, vec, table)}),
        |c AS (SELECT cent AS ccent FROM (
-       |  ${Similarity.centroidsSql("0", vec, table)})),
+       |  ${Similarity.centroidsSql("0", vec, ref)})),
        |n AS (SELECT $group::BIGINT AS label, count(*)::BIGINT AS n_vecs
        |      FROM $table GROUP BY 1)
        |SELECT g.cl::BIGINT AS label, n.n_vecs,
        |  ${Vectors.cosineMicrosSql("g.cent", "c.ccent")} AS cos_micros
        |FROM g CROSS JOIN c JOIN n ON n.label = g.cl::BIGINT""".stripMargin
+  }
 
   /** DuckDB twin of [[tokenJsDrift]] — same support cut, same
-    * contribution arithmetic, same quantize-before-sum.
+    * contribution arithmetic, same quantize-before-sum. With
+    * `refTable` the support AND the q-side distribution come from a
+    * DIFFERENT snapshot than the scored sources (the
+    * [[tokenJsFrozen]] two-snapshot shape); default: self.
     */
   def tokenJsDriftSql(text: String, source: String, table: String,
-      maxVocab: Int): String =
+      maxVocab: Int, refTable: String = null): String = {
+    val ref = Option(refTable).getOrElse(table)
     s"""WITH toks AS (
        |  SELECT $source AS source, unnest(${TextAnalysis.tokensSql(text)}) AS tok
        |  FROM $table),
+       |rtoks AS (
+       |  SELECT unnest(${TextAnalysis.tokensSql(text)}) AS tok FROM $ref),
        |vocab AS (
-       |  SELECT tok, count(*)::BIGINT AS n_t FROM toks
+       |  SELECT tok, count(*)::BIGINT AS n_t FROM rtoks
        |  GROUP BY tok ORDER BY n_t DESC, tok LIMIT $maxVocab),
        |st AS (
        |  SELECT source, t.tok, count(*)::BIGINT AS n_st
@@ -248,4 +259,5 @@ object Drift {
        |SELECT source, max(n_s)::BIGINT AS n_tokens,
        |  sum(c)::BIGINT AS js_micros
        |FROM scored GROUP BY source""".stripMargin
+  }
 }
