@@ -1103,6 +1103,22 @@ object SparkEntry {
       Curation.temperatureMix(T(s, dir, "documents"), "doc_id", "text",
         "source", alpha = 0.7)),
 
+    // X95 per-source cap (domain capping): keep the 10 highest-quality
+    // docs per source; survivors carry their rank and the per-source
+    // overflow count. row_number<=cap compiles to WindowGroupLimit
+    // (partial before the exchange — hot domains can't flood it).
+    "q_curate_domcap" -> ((s, dir) =>
+      Curation.sourceCap(T(s, dir, "documents"), "doc_id", "text",
+        "source", cap = 10)),
+
+    // X96 exact nearest-rank length percentiles per source
+    // (p25/50/75/95), computed over the (source, length) histogram —
+    // corpus-sized work is one partial-agg shuffle, the cumulative
+    // window walks histogram rows only.
+    "q_text_percentiles" -> ((s, dir) =>
+      Curation.lengthPercentiles(T(s, dir, "documents"), "doc_id", "text",
+        "source")),
+
     // CCNet-style LM fluency score: hashed bigram LM (Laplace over
     // the hashed space) trained on the lang='en' reference slice,
     // per-doc per-token cross-entropy in micro-nats. Per-instance
@@ -1782,6 +1798,14 @@ object SparkEntry {
     "q_curate_temperature" ->
       (Curation.temperatureMixSql("doc_id", "text", "source", "documents",
         alpha = 0.7) + " ORDER BY source"),
+
+    "q_curate_domcap" ->
+      (Curation.sourceCapSql("doc_id", "text", "source", "documents",
+        cap = 10) + " ORDER BY r.source, rnk"),
+
+    "q_text_percentiles" ->
+      (Curation.lengthPercentilesSql("doc_id", "text", "source",
+        "documents") + " ORDER BY c.source, pct"),
 
     "q_text_lm" ->
       (TextAnalysis.lmScoreSql("doc_id", "text", "documents",

@@ -739,6 +739,118 @@ object Curation {
        |  ((w_micros * 1000000) // tot_w)::BIGINT AS share_ppm
        |FROM w CROSS JOIN tot""".stripMargin
 
+  /** X95 per-source document cap ("domain capping" — the RefinedWeb /
+    * C4-style rule that no single domain may dominate the corpus):
+    * keep the `cap` highest-quality docs per source, quality =
+    * [[TextAnalysis.qualityMicros]], ties broken by lower id. Output
+    * one row per KEPT doc: (doc_id, source, quality_micros, rnk,
+    * n_dropped) where n_dropped is the per-source overflow the cap
+    * discarded (same value on every kept row of a source — the audit
+    * column a capping run reports).
+    *
+    * Scale shape: the `row_number <= cap` filter over the per-source
+    * window is exactly the pattern Catalyst rewrites into
+    * WindowGroupLimit with a PARTIAL pass before the exchange
+    * (PlanSpec asserts it) — each input partition forwards at most
+    * `cap` rows per source into the shuffle, so a hot domain (the
+    * whole point of capping) cannot flood the exchange: shuffle
+    * volume is ≤ cap · |sources| · |partitions| regardless of corpus
+    * size. The per-source sizes aggregate is |sources| rows and
+    * broadcasts back onto the capped survivors.
+    */
+  def sourceCap(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, cap: Int): DataFrame = {
+    val q = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      TextAnalysis.qualityMicros(col(textCol)).as("quality_micros"))
+    val sizes = q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_micros").desc, col("doc_id").asc)
+    q.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= cap)
+      .join(broadcast(sizes), "source")
+      .select(col("doc_id"), col("source"), col("quality_micros"),
+        col("rnk"), greatest(col("n_source") - cap, lit(0)).cast("long")
+          .as("n_dropped"))
+  }
+
+  def sourceCapSql(id: String, text: String, source: String,
+      table: String, cap: Int): String =
+    s"""WITH q AS (
+       |  SELECT $id AS doc_id, $source AS source,
+       |    ${TextAnalysis.qualityMicrosSql(text)} AS quality_micros
+       |  FROM $table),
+       |sizes AS (SELECT source, count(*) AS n FROM q GROUP BY 1),
+       |r AS (
+       |  SELECT doc_id, source, quality_micros, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY quality_micros DESC, doc_id) AS rnk
+       |  FROM q)
+       |SELECT r.doc_id, r.source, r.quality_micros, r.rnk::BIGINT AS rnk,
+       |  greatest(s.n - $cap, 0)::BIGINT AS n_dropped
+       |FROM r JOIN sizes s ON r.source = s.source
+       |WHERE r.rnk <= $cap""".stripMargin
+
+  /** X96 exact per-source length percentiles (nearest-rank, integer
+    * arithmetic end-to-end): value_p = smallest length L such that at
+    * least ceil(p·n/100) docs of the source have length ≤ L — the
+    * corpus-shape summary a curation run reads before picking chunk
+    * sizes, pack budgets and truncation points ([[datasetCard]]'s
+    * mean hides exactly the tails this surfaces).
+    *
+    * Deliberately NOT a per-source corpus sort: the corpus-sized work
+    * is ONE partial-aggregated groupBy to the (source, length)
+    * HISTOGRAM; the running-count window then walks histogram rows —
+    * |sources| × |distinct lengths| of them, independent of corpus
+    * row count — so the giant-source skew a per-source row window
+    * would hit (all rows of one source in one task) never exists.
+    * The nearest-rank index is exact integer math both engines spell
+    * identically: idx = (p·n + 99) div 100; value = min length whose
+    * cumulative count reaches idx.
+    */
+  def lengthPercentiles(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    val hist = docs
+      .select(col(sourceCol).as("source"),
+        length(col(textCol)).cast("long").as("len"))
+      .groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("hi",
+      sum(col("c")).over(Window.partitionBy(col("source"))
+        .orderBy(col("len").asc)))
+    val sizes = hist.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"))
+    cum.join(broadcast(sizes), "source")
+      .select(col("source"), col("len"), col("hi"), col("n_docs"),
+        explode(array(pcts.map(p => lit(p)): _*)).as("pct"))
+      .filter(col("hi") >= expr("(pct * n_docs + 99) div 100"))
+      .groupBy(col("source"), col("pct"), col("n_docs"))
+      .agg(min(col("len")).as("value"))
+      .select(col("source"), col("pct").cast("long").as("pct"),
+        col("value"), col("n_docs"))
+  }
+
+  def lengthPercentilesSql(id: String, text: String, source: String,
+      table: String, pcts: Seq[Int] = Seq(25, 50, 75, 95)): String = {
+    val pctList = pcts.mkString(", ")
+    s"""WITH hist AS (
+       |  SELECT $source AS source, length($text)::BIGINT AS len,
+       |    count(*) AS c
+       |  FROM $table GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, len, sum(c) OVER (
+       |    PARTITION BY source ORDER BY len) AS hi
+       |  FROM hist),
+       |sizes AS (SELECT source, sum(c) AS n_docs FROM hist GROUP BY 1)
+       |SELECT c.source, p.pct::BIGINT AS pct, min(c.len) AS value,
+       |  any_value(s.n_docs)::BIGINT AS n_docs
+       |FROM cum c
+       |JOIN sizes s ON c.source = s.source
+       |CROSS JOIN (SELECT unnest([$pctList]) AS pct) p
+       |WHERE c.hi >= (p.pct * s.n_docs + 99) // 100
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   def contaminationSql(id: String, text: String, table: String,
       evalPredSql: String, k: Int): String =
     s"""WITH base AS (

@@ -98,6 +98,29 @@ object GraphStore {
     Seq((k, massign, nBuckets)).toDF("k", "massign", "nBuckets")
       .write.mode("overwrite").format("parquet")
       .option("path", s"$dir/meta").saveAsTable(part(name, "meta"))
+    // A REBUILD over a previously appended/deleted artifact lands in
+    // the canonical dirs above while the superseded generation dirs
+    // (edges_aXXXX / *_dXXXX — append/delete rewrite into fresh
+    // siblings and re-point the catalog) would otherwise stay on disk
+    // forever. Build is the only entry point that re-establishes the
+    // canonical layout, so it owns the sweep: every sibling that is
+    // not one of the five canonical tables goes. Safe under the
+    // artifact's single-writer contract — no reader holds a
+    // superseded generation once the catalog points at the new build.
+    sweepOrphans(dir)
+  }
+
+  private val CanonicalParts = Set("edges", "labels", "blocks", "cents", "meta")
+
+  private def sweepOrphans(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return
+    val s = java.nio.file.Files.list(p)
+    try s.forEach { c =>
+      if (java.nio.file.Files.isDirectory(c)
+          && !CanonicalParts.contains(c.getFileName.toString))
+        deleteDir(c)
+    } finally s.close()
   }
 
   /** Incremental maintenance — the [[Index.append]] analog for the

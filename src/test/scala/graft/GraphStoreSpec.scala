@@ -210,4 +210,30 @@ class GraphStoreSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().sorted.toSeq
     assert(streamed.nonEmpty && streamed == rebuilt)
   }
+
+  test("rebuild over a maintained artifact sweeps superseded generation dirs") {
+    val dir = tmpBase("rb")
+    val even = embs.filter(col("vec_id") % 2 === 0)
+    val odd = embs.filter(col("vec_id") % 2 === 1)
+    GraphStore.build(spark, even, "vec_id", "embedding", "label",
+      "g_rb", k = 4, iters = 2, massign = 2, nBuckets = 4,
+      baseDir = Some(dir))
+    GraphStore.append(spark, "g_rb", odd, "vec_id", "embedding", "label")
+    def children = Files.list(java.nio.file.Paths.get(s"$dir/g_rb"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    // append rewrote the edges into a suffixed generation dir
+    assert(children.exists(_.startsWith("edges_a")), children.toString)
+
+    // a full rebuild re-establishes the canonical five-dir layout and
+    // sweeps every superseded generation — no orphaned disk
+    GraphStore.build(spark, embs, "vec_id", "embedding", "label",
+      "g_rb", k = 4, iters = 2, massign = 2, nBuckets = 4,
+      baseDir = Some(dir))
+    assert(children == Set("edges", "labels", "blocks", "cents", "meta"),
+      children.toString)
+    // and the rebuilt artifact serves: every corpus vector is a source
+    val srcs = GraphStore.edges(spark, "g_rb")
+      .select(countDistinct(col("src_id"))).as[Long].collect()(0)
+    assert(srcs == embs.count())
+  }
 }

@@ -1025,4 +1025,42 @@ class OpsSpec extends AnyFunSuite {
     // would have been 0; the gauge reads the absolute reference
     assert(d == Seq((1L, 2L, 707107L)))
   }
+
+  test("sourceCap == JVM reference top-cap per source; overflow counted") {
+    // independent JVM reimplementation over the op's own quality scores
+    val q = docs.select(col("source"), col("doc_id"),
+        TextAnalysis.qualityMicros(col("text")).as("q"))
+      .as[(String, Long, Long)].collect().toSeq
+    def expect(cap: Int) = q.groupBy(_._1).flatMap { case (s, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(cap).zipWithIndex.map {
+        case ((_, id, qm), i) =>
+          (id, s, qm, (i + 1).toLong, math.max(rows.size - cap, 0).toLong)
+      }
+    }.toSet
+    val got1 = Curation.sourceCap(docs, "doc_id", "text", "source", cap = 1)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(got1 == expect(1) && got1.size == 2) // one survivor per source
+    // cap above every group size: all rows survive, zero dropped
+    val gotAll = Curation.sourceCap(docs, "doc_id", "text", "source", cap = 10)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(gotAll == expect(10) && gotAll.size == 4)
+    assert(gotAll.forall(_._5 == 0L))
+  }
+
+  test("lengthPercentiles nearest-rank values, hand-computed with ties") {
+    val d = ((1 to 10).map(n => (n.toLong, "a" * n, "p1")) ++
+      Seq((11L, "bb", "p2"), (12L, "cc", "p2"), (13L, "dd", "p2"),
+        (14L, "eeeeeee", "p2")))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.lengthPercentiles(d, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // p1: lens 1..10, idx = ceil(p*10/100) -> 3/5/8/10
+    // p2: lens [2,2,2,7], idx -> 1/2/3/4 -> values 2/2/2/7 (duplicate
+    // lengths collapse in the histogram; the cumulative count carries)
+    assert(got == Set(
+      ("p1", 25L, 3L, 10L), ("p1", 50L, 5L, 10L),
+      ("p1", 75L, 8L, 10L), ("p1", 95L, 10L, 10L),
+      ("p2", 25L, 2L, 4L), ("p2", 50L, 2L, 4L),
+      ("p2", 75L, 2L, 4L), ("p2", 95L, 7L, 4L)))
+  }
 }

@@ -443,4 +443,37 @@ class PlanSpec extends AnyFunSuite {
     assert(keyTypes.forall(_ == org.apache.spark.sql.types.LongType ||
       keyTypes.isEmpty), s"non-long join keys: $keyTypes")
   }
+
+  test("domain cap runs as WindowGroupLimit — partial top-cap ahead of the exchange") {
+    val p = plan("q_curate_domcap")
+    // the row_number<=cap filter must compile to the WindowGroupLimit
+    // operator (Partial before the shuffle, Final after): each input
+    // partition forwards at most cap rows per source, so a hot domain
+    // can't flood the exchange — the property that makes capping safe
+    // at skewed-web-corpus scale
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+    assert(p.contains("Partial"), s"no partial window-group pass:\n$p")
+  }
+
+  test("length percentiles window walks the histogram, not the corpus") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the only aggregation upstream of the running-count window must
+      // be the (source, len) histogram groupBy — i.e. the window's
+      // child contains a partial/final HashAggregate pair, so per-row
+      // corpus data never enters a per-source window partition
+      val exec = SparkEntry.queries("q_text_percentiles")(spark, sf)
+        .queryExecution.executedPlan
+      val wins = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, s"no window in the percentile plan:\n$exec")
+      val aggsBelow = wins.head.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggsBelow.nonEmpty,
+        "running-count window is not fed by the histogram aggregate")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
