@@ -1033,6 +1033,21 @@ object SparkEntry {
         length(col("text")).cast("long").as("n_cp"),
         TextAnalysis.charEntropy(col("text")).as("entropy_micro_nats"))),
 
+    // X97 training-text normalization (case-preserving control-char /
+    // whitespace cleanup) + the normalization-insensitive dedup key
+    // (lower + punct-strip). Both fingerprints hash-checked per doc —
+    // the oracle proves the full regex chain is byte-identical across
+    // engines. Narrow codegen'd pass, zero shuffle.
+    "q_text_normalize" -> ((s, dir) => {
+      val norm = TextAnalysis.normalizeText(col("text"))
+      T(s, dir, "documents").select(col("doc_id"),
+        md5(norm.cast("binary")).as("norm_fp"),
+        md5(TextAnalysis.normalizedKey(col("text")).cast("binary"))
+          .as("key_fp"),
+        length(norm).cast("long").as("n_chars_norm"),
+        (length(col("text")) - length(norm)).cast("long").as("n_removed"))
+    }),
+
     // JSONL import/export edge, proven LOSSLESS: export the corpus to
     // line-JSON, re-ingest with the explicit schema, emit per-source
     // content checksums the oracle computes from the ORIGINAL parquet
@@ -1765,6 +1780,16 @@ object SparkEntry {
     "q_text_entropy" ->
       (TextAnalysis.charEntropySql("doc_id", "text", "documents")
         + " ORDER BY id"),
+
+    "q_text_normalize" -> {
+      val norm = TextAnalysis.normalizeTextSql("text")
+      s"""SELECT doc_id,
+         |  md5($norm) AS norm_fp,
+         |  md5(${TextAnalysis.normalizedKeySql("text")}) AS key_fp,
+         |  length($norm)::BIGINT AS n_chars_norm,
+         |  (length(text) - length($norm))::BIGINT AS n_removed
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_pii" -> {
       val counts = TextAnalysis.piiCountsSql("text")

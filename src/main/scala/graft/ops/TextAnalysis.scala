@@ -243,6 +243,40 @@ object TextAnalysis {
   def md5FingerprintSql(e: String): String =
     s"md5(lower(regexp_replace(trim($e), '\\s+', ' ', 'g')))"
 
+  /** X97 training-text normalization: control chars (C0 + DEL — this
+    * covers every ASCII whitespace except the space itself) become
+    * spaces, space runs collapse, ends trim. CASE IS PRESERVED — this
+    * is the text a trainer consumes, unlike [[md5Fingerprint]]'s
+    * lowercased key. Character classes are spelled as explicit ASCII
+    * ranges (never \s or \p{...}) so Java regex and DuckDB's RE2
+    * agree by construction (Java's \s includes \x0B, RE2's does not —
+    * the one-char divergence an implicit class would smuggle in).
+    * ASCII contract: lowercase in [[normalizedKey]] is byte-wise on
+    * this corpus; locale-sensitive case folding (Turkish dotted i) is
+    * out of scope for the cross-engine oracle.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), " +", " "))
+
+  def normalizeTextSql(e: String): String =
+    s"trim(regexp_replace(regexp_replace($e, " +
+      s"'[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** The normalization-insensitive dedup key: [[normalizeText]] then
+    * lowercase, punctuation stripped, spaces re-collapsed — catches
+    * copies that differ only in case/punct/whitespace, which raw
+    * [[md5Fingerprint]] (case+whitespace only) misses.
+    */
+  def normalizedKey(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(normalizeText(text)), "[^a-z0-9 ]", ""),
+      " +", " "))
+
+  def normalizedKeySql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower(${normalizeTextSql(e)}), " +
+      s"'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
   /** Rolling (Karp-Rabin-style) fingerprint over token hashes:
     * fold h ← (h·B + hash60(w) mod P) mod P, left to right. Order
     * sensitive (unlike a bag-of-words hash); both engines fold

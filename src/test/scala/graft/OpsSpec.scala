@@ -1026,6 +1026,23 @@ class OpsSpec extends AnyFunSuite {
     assert(d == Seq((1L, 2L, 707107L)))
   }
 
+  test("normalizeText preserves case, kills control chars; key strips punct") {
+    val d = Seq(
+      (0L, "  Hello,\tWorld!  x  "),
+      (1L, "a\u000bb"), // vertical tab: the Java-\s vs RE2-\s divergence char
+      (2L, "NoChange here 123"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("n"),
+        TextAnalysis.normalizedKey(col("text")).as("k"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, "Hello, World! x", "hello world x"),
+      (1L, "a b", "a b"),
+      (2L, "NoChange here 123", "nochange here 123"),
+      (3L, "", "")))
+  }
+
   test("sourceCap == JVM reference top-cap per source; overflow counted") {
     // independent JVM reimplementation over the op's own quality scores
     val q = docs.select(col("source"), col("doc_id"),
