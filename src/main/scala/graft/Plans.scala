@@ -190,7 +190,25 @@ object Plans {
       """BPE merge table: the SERVE plan scans only the checkpointed
         |one-row round picks — no parquet scan at all (the corpus-sized
         |histogram pass ran ONCE at build; every round iterated on the
-        |bounded digest). PlanSpec asserts the no-corpus-scan shape.""".stripMargin)
+        |bounded digest). PlanSpec asserts the no-corpus-scan shape.""".stripMargin,
+    "q_curate_domcap" ->
+      """Per-source domain cap: the row_number<=cap filter compiles to
+        |WindowGroupLimit with a PARTIAL pass BEFORE the exchange —
+        |each input partition forwards at most cap rows per source, so
+        |the hot domain the cap exists for cannot flood the shuffle;
+        |the |sources|-row sizes aggregate rides a
+        |BroadcastExchange.""".stripMargin,
+    "q_text_percentiles" ->
+      """Exact nearest-rank length percentiles: the corpus-sized work
+        |is the partial-aggregated (source, length) HISTOGRAM groupBy;
+        |the running-count window sits ABOVE that aggregate and walks
+        |histogram rows only — a giant source never lands in one window
+        |task. PlanSpec asserts the window-over-aggregate shape.""".stripMargin,
+    "q_text_normalize" ->
+      """Normalization + dedup-key fingerprints: one narrow
+        |whole-stage-codegen Project over the pruned documents scan —
+        |no exchange anywhere; both md5 chains run at scan
+        |speed.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -760,8 +760,13 @@ object Curation {
     */
   def sourceCap(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, cap: Int): DataFrame = {
-    val q = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
-      TextAnalysis.qualityMicros(col(textCol)).as("quality_micros"))
+    // NULL text would rank with a NULL quality — Spark and DuckDB
+    // disagree on default NULL ordering (Spark ASC = NULLS FIRST,
+    // DuckDB = NULLS LAST), so NULL-text docs are out of scope by
+    // contract (both engines filter them)
+    val q = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        TextAnalysis.qualityMicros(col(textCol)).as("quality_micros"))
     val sizes = q.groupBy(col("source"))
       .agg(count(lit(1)).as("n_source"))
     val w = Window.partitionBy(col("source"))
@@ -779,7 +784,7 @@ object Curation {
     s"""WITH q AS (
        |  SELECT $id AS doc_id, $source AS source,
        |    ${TextAnalysis.qualityMicrosSql(text)} AS quality_micros
-       |  FROM $table),
+       |  FROM $table WHERE $text IS NOT NULL),
        |sizes AS (SELECT source, count(*) AS n FROM q GROUP BY 1),
        |r AS (
        |  SELECT doc_id, source, quality_micros, row_number() OVER (
@@ -810,7 +815,10 @@ object Curation {
     */
   def lengthPercentiles(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
-    val hist = docs
+    // NULL text → NULL length: its histogram row would sort first in
+    // Spark's running window but last in DuckDB's — NULL-text docs are
+    // out of the percentile population by contract (both engines)
+    val hist = docs.filter(col(textCol).isNotNull)
       .select(col(sourceCol).as("source"),
         length(col(textCol)).cast("long").as("len"))
       .groupBy(col("source"), col("len"))
@@ -836,7 +844,7 @@ object Curation {
     s"""WITH hist AS (
        |  SELECT $source AS source, length($text)::BIGINT AS len,
        |    count(*) AS c
-       |  FROM $table GROUP BY 1, 2),
+       |  FROM $table WHERE $text IS NOT NULL GROUP BY 1, 2),
        |cum AS (
        |  SELECT source, len, sum(c) OVER (
        |    PARTITION BY source ORDER BY len) AS hi

@@ -1062,12 +1062,20 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, String, Long, Long, Long)].collect().toSet
     assert(gotAll == expect(10) && gotAll.size == 4)
     assert(gotAll.forall(_._5 == 0L))
+    // NULL text is out of the population by contract (both engines
+    // would otherwise diverge on NULL ordering)
+    val withNull = docs.unionByName(
+      Seq((9L, null.asInstanceOf[String], "s0")).toDF("doc_id", "text", "source"))
+    val gotNull = Curation.sourceCap(withNull, "doc_id", "text", "source",
+      cap = 10).as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(gotNull == expect(10))
   }
 
   test("lengthPercentiles nearest-rank values, hand-computed with ties") {
     val d = ((1 to 10).map(n => (n.toLong, "a" * n, "p1")) ++
       Seq((11L, "bb", "p2"), (12L, "cc", "p2"), (13L, "dd", "p2"),
-        (14L, "eeeeeee", "p2")))
+        (14L, "eeeeeee", "p2"),
+        (15L, null.asInstanceOf[String], "p2"))) // excluded by contract
       .toDF("doc_id", "text", "source")
     val got = Curation.lengthPercentiles(d, "doc_id", "text", "source")
       .as[(String, Long, Long, Long)].collect().toSet
