@@ -598,6 +598,23 @@ object SparkEntry {
       Dedup.substringSpans(T(s, dir, "documents"), "doc_id", "text",
         k = 8, minTokens = 16, maxDf = 64)),
 
+    // X99 content-defined chunking: gear-style cuts where the 4-gram
+    // hash ≡ 0 mod 8 (expected chunk ≈ 11 tokens); the chunk table is
+    // ONE narrow in-row pass (native CdcChunks) + explode — zero
+    // shuffle. Proves the boundary rule + fingerprints byte-identical
+    // against the oracle's exploded positional-gram formulation.
+    "q_dedup_cchunks" -> ((s, dir) =>
+      Dedup.contentChunks(T(s, dir, "documents"), "doc_id", "text",
+        k = 4, divisor = 8L)),
+
+    // X99 per-doc shift-robust duplication gauge: fraction of each
+    // doc's tokens inside chunks whose fingerprint (>= 4 tokens) is
+    // claimed by 2+ docs — the cheap triage ahead of the spans pair
+    // join (fp partial-agg + fp join + doc_id partial-agg, all longs).
+    "q_dedup_cchunks_frac" -> ((s, dir) =>
+      Dedup.chunkDupFraction(T(s, dir, "documents"), "doc_id", "text",
+        k = 4, divisor = 8L, minDupTokens = 4)),
+
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(
         Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
@@ -1542,6 +1559,14 @@ object SparkEntry {
       (Dedup.substringSpansSql("doc_id", "text", "documents",
         k = 8, minTokens = 16, maxDf = 64)
         + " ORDER BY id1, id2, start1"),
+
+    "q_dedup_cchunks" ->
+      (Dedup.contentChunksSql("doc_id", "text", "documents",
+        k = 4, divisor = 8L) + " ORDER BY doc_id, start"),
+
+    "q_dedup_cchunks_frac" ->
+      (Dedup.chunkDupFractionSql("doc_id", "text", "documents",
+        k = 4, divisor = 8L, minDupTokens = 4) + " ORDER BY doc_id"),
 
     "q_dedup_clusters" ->
       (Dedup.dupClustersSql(Dedup.minhashPairsSql("doc_id", "text", "documents",

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -127,6 +127,13 @@ object ArrayExprs {
     */
   def repStats(tokens: Column): Column =
     Bridge.column(RepStats(Bridge.expression(tokens)))
+
+  /** Content-defined chunk boundaries + fingerprints of a token
+    * array, in one in-row pass — the zero-shuffle engine of
+    * ops.Dedup.contentChunks.
+    */
+  def cdcChunks(tokens: Column, k: Int, divisor: Long): Column =
+    Bridge.column(CdcChunks(Bridge.expression(tokens), k, divisor))
 
   /** The cross-engine 60-bit md5 hash (ops.Hashing.hash60) computed
     * JVM-side: low 60 bits = first 15 hex chars of the md5 of the
@@ -925,5 +932,79 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+/** `array<string>` tokens → `array<struct<start, chunk_tokens, fp>>`:
+  * content-defined chunking (the rsync/LBFS boundary idea applied to
+  * token streams). A cut falls AFTER every position p (1-based,
+  * p ∈ [1, n−k+1]) whose k-token gram satisfies
+  * `hash60(gram) % divisor == 0` and whose successor start p+k still
+  * lands inside the document; chunk starts are {1} ∪ {p+k : cut at p}
+  * (strictly increasing by construction — no sort, no dedup), each
+  * chunk runs to the next start − 1 (the last to n), and
+  * `fp = hash60(tokens[start..end] joined by " ")` is the chunk's
+  * cross-engine content fingerprint. Boundaries depend only on LOCAL
+  * k-gram content, so an insertion near the head of a copied document
+  * re-synchronizes at the first shared cut and every following chunk
+  * fingerprint matches verbatim — the shift-robustness fixed-stride
+  * windows (X75) fundamentally lack. Gram hashing reuses the md5
+  * `hash60` (identical in DuckDB), NOT a cheaper rolling hash: the
+  * oracle twin must spell the same boundary rule, and md5-per-gram is
+  * one in-row O(n·k) pass either way. Empty array → empty result;
+  * n < k → one whole-document chunk (no cut candidates exist).
+  */
+case class CdcChunks(child: Expression, k: Int, divisor: Long)
+    extends UnaryExpression {
+  require(k >= 1 && divisor >= 1)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", LongType, nullable = false),
+    StructField("chunk_tokens", LongType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  private val sep = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val starts = scala.collection.mutable.ArrayBuffer[Int](1)
+    if (n >= k) {
+      val parts = new Array[UTF8String](k)
+      var p = 1
+      while (p <= n - k + 1) {
+        var j = 0
+        while (j < k) { parts(j) = arr.getUTF8String(p - 1 + j); j += 1 }
+        if (ArrayExprs.hash60(UTF8String.concatWs(sep, parts: _*)) % divisor == 0L
+            && p + k <= n) starts += p + k
+        p += 1
+      }
+    }
+    val m = starts.length
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val s = starts(i)
+      val e = if (i + 1 < m) starts(i + 1) - 1 else n
+      val parts = new Array[UTF8String](e - s + 1)
+      var j = s
+      while (j <= e) { parts(j - s) = arr.getUTF8String(j - 1); j += 1 }
+      out(i) = new GenericInternalRow(Array[Any](s.toLong, (e - s + 1).toLong,
+        ArrayExprs.hash60(UTF8String.concatWs(sep, parts: _*))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdcChunks", this, classOf[CdcChunks].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
     copy(child = newChild)
 }

@@ -669,6 +669,113 @@ object Dedup {
        |HAVING count(*) + ${k - 1} >= $minTokens""".stripMargin
   }
 
+  // --------------------------------------- content-defined chunking
+
+  /** Content-defined chunking of every document (X99): the
+    * rsync/LBFS boundary rule on token streams. A cut falls after
+    * every position whose k-token gram hashes to 0 mod `divisor`
+    * (expected chunk length ≈ divisor + k − 1 tokens); chunks are the
+    * runs between cuts, each fingerprinted by `hash60` of its joined
+    * tokens. Because boundaries depend only on local gram content,
+    * an edit re-synchronizes at the first shared cut downstream and
+    * every later chunk fingerprint matches verbatim — this catches
+    * the insert-shifted near-copies that fixed-stride windows (X75)
+    * and whole-doc fingerprints (X1) both miss, without the pair
+    * join [[substringSpans]] needs.
+    *
+    * == 100 TB shape ==
+    *
+    * The entire chunker is ONE narrow in-row pass (native
+    * [[graft.functions.CdcChunks]], real `doGenCode`) + an explode:
+    * zero shuffle, scan speed at any corpus size. Downstream dedup
+    * work happens on (fp, chunk) rows — 8-byte keys, partial-agg
+    * friendly.
+    */
+  def contentChunks(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, divisor: Long): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.ArrayExprs.cdcChunks(
+          TextAnalysis.tokens(col(textCol)), k, divisor)).as("c"))
+      .select(col("doc_id"), col("c.start").as("start"),
+        col("c.chunk_tokens").as("chunk_tokens"), col("c.fp").as("fp"))
+
+  /** DuckDB twin of [[contentChunks]]: same boundary rule spelled as
+    * a positional-gram scan + cut filter + lead() window (the oracle
+    * is corpus-exploded where the engine is in-row — that asymmetry
+    * is the point: the simple formulation proves the fused one).
+    */
+  def contentChunksSql(id: String, text: String, table: String,
+      k: Int, divisor: Long): String = {
+    val ws = TextAnalysis.tokensSql(text)
+    val gram = (0 until k).map(o => s"ts[p + $o]").mkString("concat_ws(' ', ", ", ", ")")
+    s"""WITH d AS (SELECT $id AS id, $ws AS ts FROM $table
+       |           WHERE $text IS NOT NULL),
+       |dn AS (SELECT id, ts, len(ts) AS n FROM d WHERE len(ts) >= 1),
+       |posts AS (
+       |  SELECT id, n, unnest(generate_series(1, n - ${k - 1})) AS p, ts
+       |  FROM dn WHERE n >= $k),
+       |cuts AS (
+       |  SELECT id, p + $k AS start FROM posts
+       |  WHERE (${Hashing.hash60Sql(gram)}) % $divisor = 0 AND p + $k <= n),
+       |starts AS (SELECT id, 1 AS start FROM dn
+       |           UNION ALL SELECT id, start FROM cuts),
+       |seg AS (SELECT id, start,
+       |    lead(start) OVER (PARTITION BY id ORDER BY start) AS nxt
+       |  FROM starts)
+       |SELECT s.id AS doc_id, s.start::BIGINT AS start,
+       |  (coalesce(s.nxt - 1, dn.n) - s.start + 1)::BIGINT AS chunk_tokens,
+       |  ${Hashing.hash60Sql(
+             "array_to_string(list_slice(dn.ts, s.start, coalesce(s.nxt - 1, dn.n)), ' ')")} AS fp
+       |FROM seg s JOIN dn ON s.id = dn.id""".stripMargin
+  }
+
+  /** Per-document shift-robust duplication gauge over
+    * [[contentChunks]]: a chunk is CLAIMED when its fingerprint (at
+    * ≥ `minDupTokens` tokens — sub-gram slivers carry no signal)
+    * appears in 2+ documents; each doc reports its total tokens, the
+    * tokens inside claimed chunks, and the duplicated fraction in
+    * integer micros. This is the triage stage ahead of the exact
+    * [[substringSpans]] pair join: spans cost ∝ matched gram
+    * occurrences across PAIRS, this costs one fp partial-agg + one
+    * fp join + one doc_id partial-agg — all 8-byte keys, no pair
+    * blow-up — and tells you which slice of the corpus is worth the
+    * pair-level look.
+    */
+  def chunkDupFraction(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, divisor: Long, minDupTokens: Int): DataFrame = {
+    val ch = Caching.cachedOnce(contentChunks(docs, idCol, textCol, k, divisor))
+    val claimed = ch.filter(col("chunk_tokens") >= minDupTokens)
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("fp"), lit(1).as("dup"))
+    ch.join(claimed, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("chunk_tokens")).as("total_tokens"),
+        coalesce(sum(when(col("dup") === 1, col("chunk_tokens"))), lit(0L))
+          .as("dup_tokens"))
+      .selectExpr("doc_id",
+        "CAST(total_tokens AS BIGINT) AS total_tokens",
+        "CAST(dup_tokens AS BIGINT) AS dup_tokens",
+        "CAST((dup_tokens * 1000000) div total_tokens AS BIGINT) AS dup_frac_micros")
+  }
+
+  def chunkDupFractionSql(id: String, text: String, table: String,
+      k: Int, divisor: Long, minDupTokens: Int): String =
+    s"""WITH chunks AS (${contentChunksSql(id, text, table, k, divisor)}),
+       |claimed AS (
+       |  SELECT fp FROM chunks WHERE chunk_tokens >= $minDupTokens
+       |  GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT doc_id,
+       |  sum(chunk_tokens)::BIGINT AS total_tokens,
+       |  coalesce(sum(chunk_tokens) FILTER (
+       |    WHERE fp IN (SELECT fp FROM claimed)), 0)::BIGINT AS dup_tokens,
+       |  ((coalesce(sum(chunk_tokens) FILTER (
+       |    WHERE fp IN (SELECT fp FROM claimed)), 0) * 1000000)
+       |   // sum(chunk_tokens))::BIGINT AS dup_frac_micros
+       |FROM chunks GROUP BY doc_id""".stripMargin
+
   /** The deduplicated corpus with QUALITY-aware survivor choice: every
     * doc outside any near-dup cluster survives untouched; within a
     * cluster the highest-quality member (ties: lower id) survives and

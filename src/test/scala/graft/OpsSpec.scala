@@ -1088,4 +1088,74 @@ class OpsSpec extends AnyFunSuite {
       ("p2", 25L, 2L, 4L), ("p2", 50L, 2L, 4L),
       ("p2", 75L, 2L, 4L), ("p2", 95L, 7L, 4L)))
   }
+  // ------------------------------------ X99 content-defined chunking
+
+  /** Plain-Scala reference chunker: the same boundary rule computed
+    * independently of the native CdcChunks expression (spec pins the
+    * expression against this, the driver pins it against DuckDB).
+    */
+  private def refChunks(text: String, k: Int, divisor: Long): Seq[(Long, Long, Long)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String): Long = ArrayExprs.hash60(UTF8String.fromString(s))
+    val ts = text.split("\\s+", -1).toIndexedSeq
+    val n = ts.length
+    if (n == 0) return Seq.empty
+    val cutStarts = (1 to n - k + 1).filter { p =>
+      h(ts.slice(p - 1, p - 1 + k).mkString(" ")) % divisor == 0L && p + k <= n
+    }.map(_ + k)
+    val starts = 1 +: cutStarts
+    starts.zipAll(starts.drop(1).map(_ - 1), 0, n).map { case (s, e) =>
+      (s.toLong, (e - s + 1).toLong, h(ts.slice(s - 1, e).mkString(" ")))
+    }
+  }
+
+  test("content chunks match the plain reference, incl. edge docs") {
+    val texts = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "one"),                         // shorter than k: one chunk
+      (2L, "two words"),
+      (3L, (1 to 40).map(i => s"w${i % 7}t$i").mkString(" ")),
+      (4L, (1 to 40).map(i => s"w${i % 3}").mkString(" "))) // heavy repeats
+    val d = texts.toDF("doc_id", "text")
+    for (div <- Seq(2L, 4L)) {
+      val got = Dedup.contentChunks(d, "doc_id", "text", k = 3, divisor = div)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._2, c._3, c._4))).toMap
+      val want = texts.map { case (id, t) => id -> refChunks(t, 3, div) }.toMap
+      assert(got == want, s"divisor $div")
+    }
+    // a cut exists at one of the divisors (the test is vacuous if not)
+    assert(Seq(2L, 4L).exists(div =>
+      texts.exists { case (_, t) => refChunks(t, 3, div).length > 1 }))
+  }
+
+  test("content chunks re-synchronize after a head insertion") {
+    val base = (1 to 60).map(i => s"tok${i * 13 % 101}n$i").mkString(" ")
+    val shifted = "freshly inserted preamble words here " + base
+    val d = Seq((0L, base), (1L, shifted)).toDF("doc_id", "text")
+    val ch = Dedup.contentChunks(d, "doc_id", "text", k = 3, divisor = 4L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val baseCh = ch.filter(_._1 == 0L).sortBy(_._2)
+    val shiftFps = ch.filter(_._1 == 1L).map(_._4).toSet
+    assert(baseCh.length > 2, "need cuts for the property to bite")
+    // every base chunk AFTER the first re-appears verbatim in the
+    // shifted doc (boundaries are content-local, so they re-sync at
+    // the first shared cut; only the head chunk differs)
+    baseCh.drop(1).foreach { c => assert(shiftFps.contains(c._4)) }
+  }
+
+  test("chunk dup fraction: exact copies 1e6, unrelated 0") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different words about spark engines and nothing else"))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDupFraction(d, "doc_id", "text",
+        k = 2, divisor = 2L, minDupTokens = 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out(0) == (0L, 13L, 13L, 1000000L))
+    assert(out(1) == (1L, 13L, 13L, 1000000L))
+    assert(out(2)._3 == 0L && out(2)._4 == 0L)
+  }
 }

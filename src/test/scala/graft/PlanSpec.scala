@@ -476,4 +476,11 @@ class PlanSpec extends AnyFunSuite {
         "running-count window is not fed by the histogram aggregate")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+  test("content chunking is one narrow pass — zero exchanges") {
+    // the chunk table (X99) is a native in-row expression + explode:
+    // any Exchange here would mean the chunker shuffles corpus bytes
+    val p = plan("q_dedup_cchunks")
+    assert(!p.contains("Exchange"), s"content chunker shuffles:\n$p")
+    assert(p.contains("cdc_chunks"), s"native expression missing:\n$p")
+  }
 }
