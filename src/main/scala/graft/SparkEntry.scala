@@ -615,6 +615,15 @@ object SparkEntry {
       Dedup.chunkDupFraction(T(s, dir, "documents"), "doc_id", "text",
         k = 4, divisor = 8L, minDupTokens = 4)),
 
+    // X100 first-wins chunk admission (batch twin of the streaming
+    // ChunkDupStore): the lowest doc id claims each >= 4-token chunk
+    // fingerprint; a doc is kept iff tokens claimed by lower ids stay
+    // under 50%. Order-free (min over ids) — the rule the streaming
+    // store replays identically.
+    "q_dedup_cchunks_gate" -> ((s, dir) =>
+      Dedup.chunkDupGate(T(s, dir, "documents"), "doc_id", "text",
+        k = 4, divisor = 8L, minDupTokens = 4, maxDupFracMicros = 500000L)),
+
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(
         Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
@@ -1567,6 +1576,11 @@ object SparkEntry {
     "q_dedup_cchunks_frac" ->
       (Dedup.chunkDupFractionSql("doc_id", "text", "documents",
         k = 4, divisor = 8L, minDupTokens = 4) + " ORDER BY doc_id"),
+
+    "q_dedup_cchunks_gate" ->
+      (Dedup.chunkDupGateSql("doc_id", "text", "documents",
+        k = 4, divisor = 8L, minDupTokens = 4, maxDupFracMicros = 500000L)
+        + " ORDER BY doc_id"),
 
     "q_dedup_clusters" ->
       (Dedup.dupClustersSql(Dedup.minhashPairsSql("doc_id", "text", "documents",

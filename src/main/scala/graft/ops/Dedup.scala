@@ -761,6 +761,58 @@ object Dedup {
         "CAST((dup_tokens * 1000000) div total_tokens AS BIGINT) AS dup_frac_micros")
   }
 
+  /** First-wins admission over [[contentChunks]] (X100's batch twin):
+    * a ≥`minDupTokens` chunk fingerprint is CLAIMED by the lowest doc
+    * id carrying it; each doc counts the tokens inside chunks claimed
+    * by a LOWER id, and `kept = 1` iff that duplicated fraction stays
+    * under `maxDupFracMicros`. Unlike the symmetric
+    * [[chunkDupFraction]] (both copies flagged), first-wins is the
+    * ADMISSION semantics — the original survives, the shifted
+    * re-crawl drops — and it is order-free (min over ids), so the
+    * same rule replays identically in the streaming store
+    * (`streaming.ChunkDupStore` proves one-batch-from-empty
+    * equivalence against THIS operator). Cost: one fp partial-agg
+    * (min), one fp join, one doc_id partial-agg — all 8-byte keys.
+    */
+  def chunkDupGate(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, divisor: Long, minDupTokens: Int,
+      maxDupFracMicros: Long): DataFrame = {
+    val ch = Caching.cachedOnce(contentChunks(docs, idCol, textCol, k, divisor))
+    val claims = ch.filter(col("chunk_tokens") >= minDupTokens)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("claim_id"))
+    ch.join(claims, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("chunk_tokens")).as("total_tokens"),
+        coalesce(sum(when(col("chunk_tokens") >= minDupTokens
+            && col("claim_id") < col("doc_id"), col("chunk_tokens"))), lit(0L))
+          .as("dup_tokens"))
+      .selectExpr("doc_id",
+        "CAST(total_tokens AS BIGINT) AS total_tokens",
+        "CAST(dup_tokens AS BIGINT) AS dup_tokens",
+        "CAST((dup_tokens * 1000000) div total_tokens AS BIGINT) AS dup_frac_micros",
+        s"CAST(IF((dup_tokens * 1000000) div total_tokens < ${maxDupFracMicros}L, 1, 0) AS BIGINT) AS kept")
+  }
+
+  def chunkDupGateSql(id: String, text: String, table: String,
+      k: Int, divisor: Long, minDupTokens: Int,
+      maxDupFracMicros: Long): String = {
+    val dup = s"""coalesce(sum(c.chunk_tokens) FILTER (
+       |    WHERE c.chunk_tokens >= $minDupTokens
+       |      AND cl.claim_id < c.doc_id), 0)""".stripMargin
+    s"""WITH chunks AS (${contentChunksSql(id, text, table, k, divisor)}),
+       |claims AS (
+       |  SELECT fp, min(doc_id) AS claim_id FROM chunks
+       |  WHERE chunk_tokens >= $minDupTokens GROUP BY fp)
+       |SELECT c.doc_id,
+       |  sum(c.chunk_tokens)::BIGINT AS total_tokens,
+       |  $dup::BIGINT AS dup_tokens,
+       |  (($dup * 1000000) // sum(c.chunk_tokens))::BIGINT AS dup_frac_micros,
+       |  (CASE WHEN ($dup * 1000000) // sum(c.chunk_tokens)
+       |     < $maxDupFracMicros THEN 1 ELSE 0 END)::BIGINT AS kept
+       |FROM chunks c LEFT JOIN claims cl USING (fp)
+       |GROUP BY c.doc_id""".stripMargin
+  }
+
   def chunkDupFractionSql(id: String, text: String, table: String,
       k: Int, divisor: Long, minDupTokens: Int): String =
     s"""WITH chunks AS (${contentChunksSql(id, text, table, k, divisor)}),
