@@ -313,6 +313,14 @@ object SparkEntry {
     // per nation. Dims broadcast explicitly; money in integer cents
     // (round once per row, then BIGINT arithmetic) so the distributed
     // sum is associative and bit-identical to the single-node oracle.
+    // X101 key-skew profile: the salting/AQE pre-flight — top-20
+    // heaviest user_ids of the events stream (the sessions/retention
+    // family's shuffle key) with integer-micros shares and global
+    // context counts. Partial-agg + TakeOrdered + broadcast totals;
+    // never a global sort.
+    "q_diag_skew" -> ((s, dir) =>
+      Diagnostics.keyProfile(T(s, dir, "events"), "user_id", topN = 20)),
+
     "q_olap_revenue" -> ((s, dir) => {
       val cents = round(col("l_extendedprice") * 100).cast("long")
       val discPct = round(col("l_discount") * 100).cast("long")
@@ -1404,6 +1412,10 @@ object SparkEntry {
          |  (CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_current
          |FROM v WHERE op <> 'Delete'
          |ORDER BY db, "table", user_id, valid_from_us""".stripMargin,
+
+    "q_diag_skew" ->
+      (Diagnostics.keyProfileSql("user_id", "events", topN = 20)
+        + " ORDER BY rank"),
 
     "q_olap_revenue" ->
       """SELECT n_name,

@@ -1158,4 +1158,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1) == (1L, 13L, 13L, 1000000L))
     assert(out(2)._3 == 0L && out(2)._4 == 0L)
   }
+  // ------------------------------------------ X101 key-skew profile
+
+  test("key profile ranks heavy keys; nulls profile as the sentinel") {
+    val d = Seq(Some(1L), Some(1L), Some(1L), Some(2L), Some(2L),
+      None, None, None, None, Some(3L)).toDF("k")
+    val out = Diagnostics.keyProfile(d, "k", topN = 3)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, "<null>", 4L, 400000L, 10L, 4L),
+      (2L, "1", 3L, 300000L, 10L, 4L),
+      (3L, "2", 2L, 200000L, 10L, 4L)))
+  }
+
+  test("key profile ties break on the STRING key order (both engines agree)") {
+    val d = Seq(10L, 9L).toDF("k")
+    val out = Diagnostics.keyProfile(d, "k", topN = 2)
+      .select("rank", "key").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, "10"), (2L, "9"))) // '10' < '9' lexically
+  }
 }

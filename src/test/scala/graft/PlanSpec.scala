@@ -483,4 +483,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"content chunker shuffles:\n$p")
     assert(p.contains("cdc_chunks"), s"native expression missing:\n$p")
   }
+  test("key profile: top-N via TakeOrdered, totals broadcast") {
+    // the heavy-key cut must be TakeOrderedAndProject (per-partition
+    // top-N, never a global sort of the key counts) and the 1-row
+    // totals must broadcast onto it
+    val p = plan("q_diag_skew")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+    assert(p.contains("BroadcastExchange"), s"totals not broadcast:\n$p")
+  }
 }
