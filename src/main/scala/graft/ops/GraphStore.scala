@@ -317,6 +317,37 @@ object GraphStore {
     Seq(edgesDir, blocksDir, labelsDir).foreach(deleteDir)
   }
 
+  /** Offline file-count maintenance — [[Index.compact]]'s graph
+    * analog. [[append]] delta-appends `blocks` and `labels` (one file
+    * set per batch: incremental by construction), and every bucketed
+    * write can emit one file per (task × bucket) it holds, so a long
+    * maintenance history accretes small files even though the edges
+    * CONTENT compacts on each rewrite. This rewrites the three big
+    * tables with an explicit pre-partition on their bucket key —
+    * `repartition(n, key)` and `bucketBy(n, key)` share the same
+    * murmur3 hash partitioning, so each write task holds exactly one
+    * bucket and the table lands as ≤ nBuckets files. Content is
+    * byte-identical by construction (GraphStoreSpec asserts the
+    * serve surfaces and the post-compact file counts); fresh sibling
+    * dirs + catalog re-point + old-dir sweep, the artifact's
+    * single-writer maintenance contract throughout.
+    */
+  def compact(spark: SparkSession, name: String): Unit = {
+    val metaRow = spark.table(part(name, "meta")).collect()(0)
+    val nBuckets = metaRow.getAs[Int]("nBuckets")
+    Par.jobs(Seq(("edges", "src_id"), ("blocks", "cl"), ("labels", "id"))
+      .map { case (p, key) => () => {
+        val tbl = part(name, p)
+        val oldDir = dirOf(spark, tbl)
+        val rows = spark.read.parquet(oldDir.toString)
+          .repartition(nBuckets, col(key))
+        val newName = s"${p}_c${java.util.UUID.randomUUID().toString.take(8)}"
+        Bucketing.writeBucketed(rows, tbl, key, nBuckets,
+          Some(s"${oldDir.getParent}/$newName"))
+        deleteDir(oldDir)
+      }})
+  }
+
   /** The stored edge list, (src_id, rank, neighbor_id, cos_micros) —
     * the [[Similarity.knnGraph]] output shape (`cos_raw` stays
     * internal to the artifact).

@@ -236,4 +236,42 @@ class GraphStoreSpec extends AnyFunSuite {
       .select(countDistinct(col("src_id"))).as[Long].collect()(0)
     assert(srcs == embs.count())
   }
+  test("compact re-pins file counts at nBuckets; serves byte-identical; maintenance still works") {
+    val dir = tmpBase("cp")
+    val even = embs.filter(col("vec_id") % 2 === 0)
+    val odd1 = embs.filter(col("vec_id") % 4 === 1)
+    val odd3 = embs.filter(col("vec_id") % 4 === 3)
+    GraphStore.build(spark, even, "vec_id", "embedding", "label",
+      "g_cp", k = 4, iters = 2, massign = 2, nBuckets = 4,
+      baseDir = Some(dir))
+    GraphStore.append(spark, "g_cp", odd1, "vec_id", "embedding", "label")
+    GraphStore.append(spark, "g_cp", odd3, "vec_id", "embedding", "label")
+
+    def serve() = (
+      GraphStore.edges(spark, "g_cp").collect().map(_.toSeq).toSet,
+      GraphStore.classify(spark, "g_cp").collect().map(_.toSeq).toSet)
+    def parquetFiles(prefix: String): Int = {
+      val root = java.nio.file.Paths.get(s"$dir/g_cp")
+      val sub = Files.list(root).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(prefix)).toSeq
+      assert(sub.size == 1, s"expected one $prefix dir, got $sub")
+      Files.walk(sub.head).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    }
+
+    val before = serve()
+    val blocksBefore = parquetFiles("blocks")
+    assert(blocksBefore > 4, s"delta appends should accrete files, got $blocksBefore")
+
+    GraphStore.compact(spark, "g_cp")
+    assert(serve() == before)
+    for (p <- Seq("edges", "blocks", "labels")) {
+      val n = parquetFiles(p)
+      assert(n <= 4, s"$p has $n files after compact")
+    }
+    // maintenance still lands on the re-pointed tables: a replayed
+    // append (all ids already present) is a clean no-op
+    GraphStore.append(spark, "g_cp", odd1, "vec_id", "embedding", "label")
+    assert(serve() == before)
+  }
 }
