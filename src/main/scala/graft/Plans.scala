@@ -208,7 +208,22 @@ object Plans {
       """Normalization + dedup-key fingerprints: one narrow
         |whole-stage-codegen Project over the pruned documents scan —
         |no exchange anywhere; both md5 chains run at scan
-        |speed.""".stripMargin)
+        |speed.""".stripMargin,
+    "q_dedup_cchunks" ->
+      """Content-defined chunking: the entire boundary+fingerprint
+        |computation is ONE native in-row expression (cdc_chunks) under
+        |a Generate — zero exchanges, scan speed at any corpus size.
+        |PlanSpec asserts the no-exchange shape.""".stripMargin,
+    "q_dedup_cchunks_gate" ->
+      """First-wins chunk admission: the in-row chunker feeds one fp
+        |partial-agg (min claim), one fp-keyed join and one doc_id
+        |partial-agg — every exchange keys on 8-byte longs; no pair
+        |join anywhere.""".stripMargin,
+    "q_diag_skew" ->
+      """Key-skew profile: partial-agg count shuffle to |keys| rows,
+        |then TakeOrderedAndProject for the top-N (never a global
+        |sort) with the 1-row totals broadcast onto it. PlanSpec
+        |asserts both.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
