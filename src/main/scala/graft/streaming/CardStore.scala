@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Live corpus card (X103): per-source running (n_docs, n_tokens,
+  * max_tokens) maintained over an unbounded ingest stream — the
+  * monitoring twin of the batch dataset card
+  * ([[graft.ops.Curation.datasetCard]], X61), restricted to the
+  * MERGEABLE statistics (sum/sum/max). Median and language mode are
+  * deliberately absent: they don't merge without sketches, and the
+  * batch card remains the retrospective source of truth for them.
+  *
+  * == The exactly-once additive pattern ==
+  *
+  * Every other store in this family (dedup fingerprints, band keys,
+  * chunk fps, the bottom-k sample) is replay-safe because its merge
+  * is a SET operation — union-distinct of already-present rows is a
+  * no-op. Counters are not: an at-least-once replay of a foreachBatch
+  * micro-batch would double-add. The guard is a per-source
+  * (run, batch) HIGH-WATER: each state row carries the `run_id` and
+  * `last_batch` of the last micro-batch that contributed to it, and
+  * a delta is skipped iff it re-arrives under the SAME run with a
+  * batch id at or below the mark. That scoping matters: Structured
+  * Streaming's at-least-once replay window is per-CHECKPOINT (a
+  * replayed batch comes back under its original id in the same run;
+  * a fresh run reads fresh offsets and can never re-deliver old
+  * batches), while batch ids themselves RESTART at 0 in a fresh
+  * run — a bare batch high-water would silently drop the first
+  * batches of every later ingest run against already-seen sources.
+  * Re-delivery of any committed batch — immediate crash-replay or a
+  * stale late duplicate within the run — is a pure no-op on
+  * content; a new run always accumulates; work stays ∝ batch +
+  * touched buckets.
+  *
+  * NULL sources aggregate under the `'<null>'` sentinel (the
+  * [[graft.ops.Diagnostics]] convention — an unattributed-ingest
+  * spike is exactly what a live card must surface).
+  */
+object CardStore {
+
+  /** Merge one micro-batch's per-source delta into the card state;
+    * public for batch-mode reuse and tests — [[maintain]] is the
+    * streaming driver.
+    */
+  def applyBatch(batch: DataFrame, textCol: String, sourceCol: String,
+      tableDir: String, runId: String, batchId: Long,
+      nBucketsIfNew: Int, graceCommits: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    Files.createDirectories(Paths.get(tableDir))
+    val st = StateTable.loadManifestFull(tableDir)
+    val nBuckets = st.nBuckets.getOrElse(nBucketsIfNew)
+    val bucket = pmod(hash(col("source")), lit(nBuckets)).cast("int")
+
+    val delta = batch
+      .select(coalesce(col(sourceCol).cast("string"), lit("<null>"))
+          .as("source"),
+        graft.ops.TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("d_docs"),
+        coalesce(sum(col("n_tok")), lit(0L)).cast("long").as("d_tokens"),
+        coalesce(max(col("n_tok")), lit(0L)).cast("long").as("d_max"))
+      .withColumn("b", bucket)
+      .persist()
+    try {
+      val touched = delta.select(col("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return
+      val existingPaths = touched.flatMap(b =>
+        st.buckets.get(b).map(v => s"$tableDir/b$b/$v"))
+      val existing =
+        if (existingPaths.nonEmpty) spark.read.parquet(existingPaths: _*)
+        else spark.range(0).select(lit("").as("source"),
+          lit(0L).as("n_docs"), lit(0L).as("n_tokens"),
+          lit(0L).as("max_tokens"), lit("").as("run_id"),
+          lit(0L).as("last_batch")).limit(0)
+
+      // the high-water guard: a delta is stale iff it re-arrives
+      // under the SAME run at or below the source's stored mark; the
+      // stored row then passes through untouched
+      val stale = col("sn").isNotNull && col("srid") === lit(runId) &&
+        lit(batchId) <= col("slb")
+      val merged = existing
+        .select(col("source"), col("n_docs").as("sn"),
+          col("n_tokens").as("st"), col("max_tokens").as("sm"),
+          col("run_id").as("srid"), col("last_batch").as("slb"))
+        .join(delta, Seq("source"), "full_outer")
+        .select(col("source"),
+          when(col("d_docs").isNull, col("sn"))
+            .when(stale, col("sn"))
+            .otherwise(coalesce(col("sn"), lit(0L)) + col("d_docs"))
+            .as("n_docs"),
+          when(col("d_docs").isNull, col("st"))
+            .when(stale, col("st"))
+            .otherwise(coalesce(col("st"), lit(0L)) + col("d_tokens"))
+            .as("n_tokens"),
+          when(col("d_docs").isNull, col("sm"))
+            .when(stale, col("sm"))
+            .otherwise(greatest(coalesce(col("sm"), lit(-1L)), col("d_max")))
+            .as("max_tokens"),
+          when(col("d_docs").isNull, col("srid"))
+            .when(stale, col("srid"))
+            .otherwise(lit(runId)).as("run_id"),
+          when(col("d_docs").isNull, col("slb"))
+            .when(stale, col("slb"))
+            .otherwise(lit(batchId)).as("last_batch"))
+        .withColumn("b", bucket)
+
+      val version = s"v${batchId}_${java.util.UUID.randomUUID().toString.take(8)}"
+      StateTable.commitPartitioned(tableDir, merged, nBuckets, st, version,
+        graceCommits)
+    } finally delta.unpersist()
+  }
+
+  /** Run the maintenance query — state only; the card is SERVED from
+    * the store ([[card]]).
+    */
+  def maintain(docs: DataFrame, textCol: String, sourceCol: String,
+      tableDir: String, checkpointDir: String,
+      nBuckets: Int = StateTable.DefaultBuckets,
+      graceCommits: Int = 0): StreamingQuery = {
+    // one mark scope per streaming run: replays land under this id,
+    // a future run gets a fresh one (see the high-water contract)
+    val runId = java.util.UUID.randomUUID().toString
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, textCol, sourceCol, tableDir, runId, batchId,
+          nBuckets, graceCommits)
+      }
+      .start()
+  }
+
+  /** The current per-source card: (source, n_docs, n_tokens,
+    * max_tokens). The (run_id, last_batch) mark stays internal.
+    */
+  def card(spark: SparkSession, tableDir: String): DataFrame =
+    StateTable.read(spark, tableDir)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("max_tokens"))
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CardStore
+
+/** Live corpus card: additive per-source stats that stay correct
+  * under at-least-once replay. Set-semantics stores get replay-safety
+  * for free; counters need the (run, batch) high-water mark — and it
+  * must be scoped to the RUN, because a fresh checkpoint restarts
+  * batch ids at 0 while legitimately carrying new data.
+  */
+class CardStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (text, source): token counts are whitespace-split sizes
+  private val b0 = Seq(
+    ("one two three", Some("s0")),          // 3 tokens
+    ("four five", Some("s0")),              // 2
+    ("alpha beta gamma delta", Some("s1"))) // 4
+  private val b1 = Seq(
+    ("x", Some("s1")),                      // 1
+    ("p q r s t u", Some("s2")),            // 6
+    ("stray", None))                        // null source -> '<null>'
+
+  private def apply(rows: Seq[(String, Option[String])], dir: String,
+      run: String, id: Long): Unit =
+    CardStore.applyBatch(rows.toDF("text", "source"), "text", "source",
+      dir, runId = run, batchId = id, nBucketsIfNew = 4)
+
+  private def cardOf(tableDir: String) =
+    CardStore.card(spark, tableDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+
+  private val want01 = Set(
+    ("s0", 2L, 5L, 3L),
+    ("s1", 2L, 5L, 4L),
+    ("s2", 1L, 6L, 6L),
+    ("<null>", 1L, 1L, 1L))
+
+  test("split batches merge to the one-shot totals (sum/sum/max)") {
+    val dir = Files.createTempDirectory("cs_state").toString
+    apply(b0, dir, "runA", 0)
+    apply(b1, dir, "runA", 1)
+    assert(cardOf(dir) == want01)
+  }
+
+  test("same-run replayed and stale batches are content no-ops; a new run accumulates from id 0") {
+    val dir = Files.createTempDirectory("cs_rp_state").toString
+    apply(b0, dir, "runA", 0)
+    apply(b1, dir, "runA", 1)
+    // crash-replay of the last committed batch (same run, same id) —
+    // without the mark this would double-add s1/s2/<null>
+    apply(b1, dir, "runA", 1)
+    assert(cardOf(dir) == want01)
+    // a stale same-run re-delivery (id below the mark) is ignored too
+    apply(b0, dir, "runA", 0)
+    assert(cardOf(dir) == want01)
+    // a FRESH run restarts ids at 0 but carries NEW data — the
+    // run-scoped mark must let it through (a bare batch high-water
+    // would silently drop this batch for the already-seen source s0)
+    apply(Seq(("six seven", Some("s0"))), dir, "runB", 0)
+    assert(cardOf(dir) ==
+      (want01 - (("s0", 2L, 5L, 3L)) + (("s0", 3L, 7L, 3L))))
+  }
+
+  test("streaming maintenance; a second run keeps accumulating") {
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = Files.createTempDirectory("cs_str_state").toString
+
+    def runStream(rows: Seq[Seq[(String, Option[String])]]): Unit = {
+      val ckpt = Files.createTempDirectory("cs_ckpt").toString
+      val input = MemoryStream[(String, Option[String])]
+      val q = CardStore.maintain(input.toDF().toDF("text", "source"),
+        "text", "source", tableDir, ckpt, nBuckets = 4)
+      rows.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+    }
+
+    runStream(Seq(b0, b1))
+    assert(cardOf(tableDir) == want01)
+    // second run, fresh checkpoint, batch ids restart at 0: the card
+    // keeps accumulating (both for a seen source and a new one)
+    runStream(Seq(Seq(
+      ("brand new words here", Some("s9")), ("tail doc", Some("s2")))))
+    assert(cardOf(tableDir) ==
+      (want01 - (("s2", 1L, 6L, 6L)))
+        + (("s2", 2L, 8L, 6L)) + (("s9", 1L, 4L, 4L)))
+  }
+}
