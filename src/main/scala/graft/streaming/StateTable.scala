@@ -175,6 +175,35 @@ object StateTable {
     try s.iterator().asScala.toVector finally s.close()
   }
 
+  /** Operational snapshot of a committed table: one row per LIVE
+    * bucket — (bucket, version, n_files, bytes) straight from the
+    * filesystem, no data read, no Spark job — with the manifest
+    * header (gen, n_buckets, grace, n_retired) as constant columns.
+    * The numbers an operator checks before/after compact, a
+    * retraction, or grace-policy tuning: steady-state n_files is 1
+    * per bucket (commitPartitioned compacts on write), so anything
+    * larger names the bucket that needs [[compact]]; n_retired > 0
+    * says grace-window versions are still holding disk.
+    */
+  def describe(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val m = loadManifestFull(tableDir)
+    val rows = m.buckets.toSeq.sortBy(_._1).map { case (b, v) =>
+      val d = Paths.get(tableDir, s"b$b", v)
+      val files =
+        if (Files.isDirectory(d)) listDir(d).filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+        } else Seq.empty
+      (b, v, files.size.toLong, files.map(Files.size(_)).sum)
+    }
+    rows.toDF("bucket", "version", "n_files", "bytes")
+      .withColumn("gen", lit(m.gen))
+      .withColumn("n_buckets", lit(m.nBuckets.getOrElse(0)))
+      .withColumn("grace", lit(m.grace))
+      .withColumn("n_retired", lit(m.retired.size))
+  }
+
   /** The committed winners table (all buckets). */
   def read(spark: SparkSession, tableDir: String): DataFrame = {
     val (_, m) = loadManifest(tableDir)

@@ -669,4 +669,32 @@ class StreamingSpec extends AnyFunSuite {
     val m2 = perBatch(1).map(r => r._1 -> r._3).toMap
     assert(m2("B") > 300000L && m2("A") < 100000L)
   }
+  test("state table: describe reports the live layout without reading data") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_state_desc").toString
+    val tableDir = s"$root/table"
+    import graft.streaming.StateTable
+    import spark.implicits._
+
+    val seed = (1 to 16).map(i =>
+      KeyedChange(s"k$i", ChangeOp.Update, 1L, 1L, 1, s"p$i")).toDF()
+    StateTable.applyBatchBucketed(seed, tableDir, 0, 4, graceCommits = 2)
+    val d1 = StateTable.describe(spark, tableDir)
+      .as[(Int, String, Long, Long, Long, Int, Int, Int)].collect().toSeq
+    // all 4 buckets live, one file each (commit compacts on write),
+    // real bytes, gen 1, grace policy recorded, nothing retired yet
+    assert(d1.map(_._1).sorted == Seq(0, 1, 2, 3))
+    assert(d1.forall(_._3 == 1L) && d1.forall(_._4 > 0L))
+    assert(d1.forall(r => r._5 == 1L && r._6 == 4 && r._7 == 2 && r._8 == 0))
+
+    // a second commit retires the first versions inside the grace
+    // window — describe surfaces them in n_retired
+    StateTable.applyBatchBucketed(seed, tableDir, 1, 4, graceCommits = 2)
+    val d2 = StateTable.describe(spark, tableDir)
+      .as[(Int, String, Long, Long, Long, Int, Int, Int)].collect().toSeq
+    assert(d2.forall(r => r._5 == 2L && r._8 == 4))
+    // versions advanced for every bucket
+    assert(d1.map(r => (r._1, r._2)).toSet
+      .intersect(d2.map(r => (r._1, r._2)).toSet).isEmpty)
+  }
 }
