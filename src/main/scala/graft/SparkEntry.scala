@@ -1183,6 +1183,14 @@ object SparkEntry {
     "q_text_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(T(s, dir, "documents"), "doc_id", "text", k = 10)),
 
+    // X104 pseudo-relevance feedback: BM25 top-5 as pseudo-relevant,
+    // harvest the 5 most characteristic non-query terms, rescore the
+    // weighted expanded query. One shared index build; both scoring
+    // passes are broadcast posting joins.
+    "q_text_rm3" -> ((s, dir) =>
+      Retrieval.prfExpandTopK(T(s, dir, "documents"), "doc_id", "text",
+        k = 10, fbDocs = 5, fbTerms = 5)),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking
     // with the embedding cosine ranking for the same qids (doc_id and
     // vec_id share the id domain). Integer-nanos contributions.
@@ -1886,6 +1894,10 @@ object SparkEntry {
     "q_text_lm" ->
       (TextAnalysis.lmScoreSql("doc_id", "text", "documents",
         "lang = 'en'", nBuckets = 2048) + " ORDER BY doc_id"),
+
+    "q_text_rm3" ->
+      (Retrieval.prfExpandTopKSql("doc_id", "text", "documents",
+        k = 10, fbDocs = 5, fbTerms = 5) + " ORDER BY qid, rank"),
 
     "q_text_bm25" ->
       (Retrieval.bm25TopKSql("doc_id", "text", "documents", k = 10)

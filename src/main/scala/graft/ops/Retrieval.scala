@@ -158,6 +158,144 @@ object Retrieval {
         col("n_lists"))
   }
 
+  /** Pseudo-relevance feedback (X104) — the RM3/Rocchio move on the
+    * BM25 index: run the original query, treat its top `fbDocs` docs
+    * as pseudo-relevant, harvest the `fbTerms` most characteristic
+    * terms from them (weight = Σ over feedback docs of the doc's
+    * normalized term frequency, micro-quantized per (doc, term)
+    * BEFORE the sum — the float-sum rule), and rescore with the
+    * expanded weighted query (original terms at weight 10⁶,
+    * expansion terms at their harvested micros; per-term BM25
+    * contributions scale by weight in exact integer math:
+    * (w · c) div 10⁶, both non-negative so Spark `div` == DuckDB
+    * `//`). The PRF point: a document using only the VOCABULARY of
+    * the relevant set — never the query's literal terms — can enter
+    * the ranking (OpsSpec pins exactly that).
+    *
+    * == 100 TB shape ==
+    *
+    * One shared index build (the [[bm25TopK]] partial-agg shuffles,
+    * built once and reused by both scoring passes); the feedback
+    * set is k rows per query and BROADCASTS against tf to harvest
+    * expansion terms (cost ∝ feedback docs' vocabularies); the
+    * rescore is the same broadcast posting join as stage 1 with
+    * |queries|·(orig + fbTerms) terms — still ∝ matched postings,
+    * never corpus size.
+    */
+  def prfExpandTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, fbDocs: Int, fbTerms: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val tf = Caching.cachedOnce(
+      toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf")))
+    val dl = Caching.cachedOnce(
+      tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      .select(col("n"), (col("sumdl").cast("double") / col("n")).as("avgdl"))
+    val orig = queryDf(docs)
+
+    def scorePass(qterms: DataFrame): DataFrame = tf
+      .join(broadcast(qterms), "tok")
+      .join(dl, "id")
+      .join(broadcast(dfT), "tok")
+      .join(broadcast(corpus))
+      .select(col("qid"), col("id"), col("w_micros"),
+        contribMicros(col("tf"), col("df"), col("dl"), col("n"),
+          col("avgdl")).as("c"))
+      .selectExpr("qid", "id",
+        "CAST((w_micros * c) div 1000000 AS BIGINT) AS wc")
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("wc")).as("score_micros"))
+
+    def topK(scored: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score_micros").desc, col("id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= n)
+    }
+
+    // stage 1: the original query at uniform weight
+    val fb = topK(scorePass(
+        orig.withColumn("w_micros", lit(1000000L))), fbDocs)
+      .select(col("qid"), col("id"))
+    // stage 2: harvest expansion terms from the feedback docs —
+    // weight = Σ_d round(tf·10⁶/dl), original terms excluded
+    val wExp = broadcast(fb).join(tf, "id").join(dl, "id")
+      .select(col("qid"), col("tok"),
+        round(col("tf").cast("double") * 1e6 / col("dl").cast("double"))
+          .cast("long").as("wc"))
+      .groupBy(col("qid"), col("tok")).agg(sum(col("wc")).as("w_micros"))
+      .join(orig, Seq("qid", "tok"), "left_anti")
+    val wWin = Window.partitionBy(col("qid"))
+      .orderBy(col("w_micros").desc, col("tok").asc)
+    val expTerms = wExp.withColumn("rn", row_number().over(wWin))
+      .filter(col("rn") <= fbTerms)
+      .select(col("qid"), col("tok"), col("w_micros"))
+    // stage 3: weighted rescore with the expanded query
+    val qterms = orig.withColumn("w_micros", lit(1000000L))
+      .unionByName(expTerms)
+    topK(scorePass(qterms), k)
+      .select(col("qid"), col("rank"), col("id").as("doc_id"),
+        col("score_micros"))
+  }
+
+  /** DuckDB twin of [[prfExpandTopK]] — same three stages, same
+    * quantization points, same tie-breaks.
+    */
+  def prfExpandTopKSql(id: String, text: String, table: String,
+      k: Int, fbDocs: Int, fbTerms: Int): String = {
+    val contrib =
+      s"""round(ln(1.0 + (n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+         |      * (tf::DOUBLE * ${K1 + 1.0})
+         |      / (tf::DOUBLE + $K1 * (1.0 - $B + $B * dl::DOUBLE / avgdl))
+         |      * 1e6)::BIGINT""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT $id AS id, unnest(${TextAnalysis.tokensSql(text)}) AS tok
+       |  FROM $table),
+       |tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |corpus AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+       |qs(qid, tok) AS (VALUES $queriesValuesSql),
+       |s1 AS (
+       |  SELECT qs.qid, tf.id,
+       |    sum((1000000 * $contrib) // 1000000)::BIGINT AS score_micros
+       |  FROM tf JOIN qs ON qs.tok = tf.tok
+       |  JOIN dl ON dl.id = tf.id JOIN dft ON dft.tok = tf.tok
+       |  CROSS JOIN corpus GROUP BY 1, 2),
+       |fb AS (SELECT qid, id FROM (
+       |    SELECT qid, id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY score_micros DESC, id) AS rank
+       |    FROM s1) WHERE rank <= $fbDocs),
+       |wexp AS (
+       |  SELECT fb.qid, tf.tok,
+       |    sum(round(tf.tf::DOUBLE * 1e6 / dl.dl::DOUBLE)::BIGINT) AS w_micros
+       |  FROM fb JOIN tf ON tf.id = fb.id JOIN dl ON dl.id = fb.id
+       |  GROUP BY 1, 2),
+       |wexc AS (
+       |  SELECT w.* FROM wexp w LEFT JOIN qs
+       |    ON qs.qid = w.qid AND qs.tok = w.tok
+       |  WHERE qs.tok IS NULL),
+       |expt AS (SELECT qid, tok, w_micros FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY qid ORDER BY w_micros DESC, tok) AS rn
+       |    FROM wexc) WHERE rn <= $fbTerms),
+       |qw AS (SELECT qid, tok, 1000000::BIGINT AS w_micros FROM qs
+       |       UNION ALL SELECT qid, tok, w_micros FROM expt),
+       |s2 AS (
+       |  SELECT qw.qid, tf.id,
+       |    sum((qw.w_micros * $contrib) // 1000000)::BIGINT AS score_micros
+       |  FROM tf JOIN qw ON qw.tok = tf.tok
+       |  JOIN dl ON dl.id = tf.id JOIN dft ON dft.tok = tf.tok
+       |  CROSS JOIN corpus GROUP BY 1, 2),
+       |r AS (SELECT qid, id, score_micros, row_number() OVER (
+       |        PARTITION BY qid ORDER BY score_micros DESC, id) AS rank
+       |      FROM s2)
+       |SELECT qid, rank::BIGINT AS rank, id AS doc_id, score_micros
+       |FROM r WHERE rank <= $k""".stripMargin
+  }
+
   // ------------------------------------------- frozen-stats scoring
 
   /** Frozen BM25 statistics of a static reference corpus — the

@@ -463,4 +463,37 @@ class RetrievalSpec extends AnyFunSuite {
     assert(streamed.exists(_._2 == 100L))
     spark.sql("DROP TABLE IF EXISTS kw_out")
   }
+  test("PRF expansion pulls in a doc that never uses the query's literal terms") {
+    // q0 = ("dup", "spark"). The spark-docs all talk about "engine",
+    // so PRF harvests it; doc 20 uses ONLY that vocabulary.
+    val prfDocs = Seq(
+      (10L, "dup spark engine engine tuning"),
+      (11L, "spark engine engine engine pipeline"),
+      (12L, "dup spark engine tuning pipeline"),
+      (20L, "engine engine engine tuning pipeline"), // no query term
+      (30L, "hash join merge window agg vector"),
+      (31L, "fast query scan fast query scan"),
+      (32L, "unrelated words entirely outside everything"))
+      .toDF("doc_id", "text")
+
+    val plain = Retrieval.bm25TopK(prfDocs, "doc_id", "text", k = 7)
+      .filter($"qid" === 0L).select("doc_id").as[Long].collect().toSet
+    val prf = Retrieval.prfExpandTopK(prfDocs, "doc_id", "text",
+        k = 7, fbDocs = 3, fbTerms = 2)
+      .filter($"qid" === 0L).select("doc_id").as[Long].collect().toSet
+
+    assert(!plain.contains(20L), "doc 20 must be invisible to plain BM25")
+    assert(prf.contains(20L), "PRF must surface the vocabulary-only doc")
+    // the original hits don't vanish: originals keep weight 1e6
+    assert(Set(10L, 11L, 12L).subsetOf(prf))
+
+    // stage-1 parity: with w == 1e6 the weighted pass reproduces the
+    // plain ranking exactly (the (w*c) div 1e6 == c identity)
+    val viaPrfNoExp = Retrieval.prfExpandTopK(prfDocs, "doc_id", "text",
+        k = 7, fbDocs = 7, fbTerms = 0)
+      .collect().map(_.toSeq).toSet
+    val bm = Retrieval.bm25TopK(prfDocs, "doc_id", "text", k = 7)
+      .collect().map(_.toSeq).toSet
+    assert(viaPrfNoExp == bm)
+  }
 }
