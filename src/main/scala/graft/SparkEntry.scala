@@ -1152,6 +1152,22 @@ object SparkEntry {
       Curation.temperatureMix(T(s, dir, "documents"), "doc_id", "text",
         "source", alpha = 0.7)),
 
+    // X105 corpus snapshot diff: v1 drops ids ≡3 (mod 10), v2 drops
+    // ids ≡2 (mod 7) and edits a slice (≡0 mod 11 gains a word →
+    // changed; else ≡0 mod 5 gains trailing spaces → equivalent under
+    // the normalized key). Two fingerprint scans + one id-keyed
+    // full-outer join; statuses compare 16-byte md5s, never texts.
+    "q_curate_diff" -> ((s, dir) => {
+      val base = T(s, dir, "documents")
+      val v1 = base.filter(col("doc_id") % 10 =!= 3)
+      val v2 = base.filter(col("doc_id") % 7 =!= 2)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" edited")))
+            .when(col("doc_id") % 5 === 0, concat(col("text"), lit("  ")))
+            .otherwise(col("text")))
+      Curation.snapshotDiff(v1, v2, "doc_id", "text")
+    }),
+
     // X95 per-source cap (domain capping): keep the 10 highest-quality
     // docs per source; survivors carry their rank and the per-source
     // overflow count. row_number<=cap compiles to WindowGroupLimit
@@ -1882,6 +1898,16 @@ object SparkEntry {
     "q_curate_temperature" ->
       (Curation.temperatureMixSql("doc_id", "text", "source", "documents",
         alpha = 0.7) + " ORDER BY source"),
+
+    "q_curate_diff" ->
+      (Curation.snapshotDiffSql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3",
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 11 = 0 THEN text || ' edited'
+          |       WHEN doc_id % 5 = 0 THEN text || '  '
+          |       ELSE text END AS text
+          |FROM documents WHERE doc_id % 7 != 2""".stripMargin)
+        + " ORDER BY doc_id"),
 
     "q_curate_domcap" ->
       (Curation.sourceCapSql("doc_id", "text", "source", "documents",

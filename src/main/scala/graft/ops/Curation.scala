@@ -859,6 +859,60 @@ object Curation {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Corpus snapshot diff (X105): per-doc change classification
+    * between two corpus versions — the release-governance audit that
+    * answers "what actually changed since the last training set".
+    * Statuses: `added` (only in v2), `removed` (only in v1),
+    * `identical` (raw bytes equal), `equivalent` (raw differs but the
+    * [[TextAnalysis.normalizedKey]] matches — whitespace/case/punct
+    * churn a re-crawl or re-extraction introduces without changing
+    * content; counting these as "changed" would drown the real edits),
+    * `changed` (content actually differs). NULL-text rows are absent
+    * from their side (the X97 contract: normalize before comparing).
+    *
+    * == 100 TB shape ==
+    *
+    * Two narrow fingerprint scans (md5 of raw + of the normalized
+    * key — both codegen'd regex/md5 chains at scan speed) and ONE
+    * full-outer join keyed on the doc id; no pair joins, no windows.
+    * The classification compares 16-byte fingerprints, never texts.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def side(df: DataFrame, fp: String, nk: String) = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        md5(col(textCol).cast("binary")).as(fp),
+        md5(TextAnalysis.normalizedKey(col(textCol)).cast("binary")).as(nk))
+    side(v1, "fp_a", "nk_a")
+      .join(side(v2, "fp_b", "nk_b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") === col("fp_b"), lit("identical"))
+          .when(col("nk_a") === col("nk_b"), lit("equivalent"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** DuckDB twin of [[snapshotDiff]]; `aSql` / `bSql` are subqueries
+    * producing (doc_id, text) for the two versions.
+    */
+  def snapshotDiffSql(aSql: String, bSql: String): String =
+    s"""WITH va AS ($aSql), vb AS ($bSql),
+       |a AS (SELECT doc_id, md5(text) AS fp_a,
+       |  md5(${TextAnalysis.normalizedKeySql("text")}) AS nk_a
+       |  FROM va WHERE text IS NOT NULL),
+       |b AS (SELECT doc_id, md5(text) AS fp_b,
+       |  md5(${TextAnalysis.normalizedKeySql("text")}) AS nk_b
+       |  FROM vb WHERE text IS NOT NULL)
+       |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |  CASE WHEN a.fp_a IS NULL THEN 'added'
+       |       WHEN b.fp_b IS NULL THEN 'removed'
+       |       WHEN a.fp_a = b.fp_b THEN 'identical'
+       |       WHEN a.nk_a = b.nk_b THEN 'equivalent'
+       |       ELSE 'changed' END AS status
+       |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin
+
   def contaminationSql(id: String, text: String, table: String,
       evalPredSql: String, k: Int): String =
     s"""WITH base AS (

@@ -1177,4 +1177,24 @@ class OpsSpec extends AnyFunSuite {
       .select("rank", "key").as[(Long, String)].collect().toSeq.sortBy(_._1)
     assert(out == Seq((1L, "10"), (2L, "9"))) // '10' < '9' lexically
   }
+  // --------------------------------------- X105 corpus snapshot diff
+
+  test("snapshot diff classifies added/removed/identical/equivalent/changed") {
+    val v1 = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "hello world"),
+      (3L, "Spark engines, at scale!"),
+      (4L, "will be removed"),
+      (5L, "actual content v one")).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "the quick brown fox"),          // identical
+      (2L, "  Hello,   WORLD  "),            // equivalent (case/punct/ws)
+      (3L, "Spark engines at scale"),        // equivalent (punct dropped)
+      (5L, "entirely different now"),        // changed
+      (6L, "fresh arrival")).toDF("doc_id", "text") // added; 4 removed
+    val out = Curation.snapshotDiff(v1, v2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "identical", 2L -> "equivalent",
+      3L -> "equivalent", 4L -> "removed", 5L -> "changed", 6L -> "added"))
+  }
 }
