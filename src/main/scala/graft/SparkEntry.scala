@@ -1152,6 +1152,16 @@ object SparkEntry {
       Curation.temperatureMix(T(s, dir, "documents"), "doc_id", "text",
         "source", alpha = 0.7)),
 
+    // X106 cluster-aware split: the split hash keys on the near-dup
+    // cluster representative, so whole clusters land in one split and
+    // the X48 leakage is zero by construction for every clustered
+    // pair. Same pair op + params as q_dedup_clusters.
+    "q_curate_cluster_split" -> ((s, dir) =>
+      Curation.clusterSplit(T(s, dir, "documents"), "doc_id",
+        Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
+          k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2),
+        trainPct = 80, valPct = 10)),
+
     // X105 corpus snapshot diff: v1 drops ids ≡3 (mod 10), v2 drops
     // ids ≡2 (mod 7) and edits a slice (≡0 mod 11 gains a word →
     // changed; else ≡0 mod 5 gains trailing spaces → equivalent under
@@ -1898,6 +1908,12 @@ object SparkEntry {
     "q_curate_temperature" ->
       (Curation.temperatureMixSql("doc_id", "text", "source", "documents",
         alpha = 0.7) + " ORDER BY source"),
+
+    "q_curate_cluster_split" ->
+      (Curation.clusterSplitSql("doc_id", "documents",
+        Dedup.minhashPairsSql("doc_id", "text", "documents",
+          k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2),
+        trainPct = 80, valPct = 10) + " ORDER BY doc_id"),
 
     "q_curate_diff" ->
       (Curation.snapshotDiffSql(

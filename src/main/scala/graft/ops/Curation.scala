@@ -859,6 +859,37 @@ object Curation {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Cluster-aware split assignment (X106): [[splitOf]]'s hash rule
+    * applied to each doc's near-dup cluster REPRESENTATIVE instead of
+    * its own id (unclustered docs fall back to themselves), so a
+    * whole near-dup cluster lands in one split and the cross-split
+    * leakage [[splitLeakage]] measures is ZERO by construction — for
+    * every pair the cluster graph contains. The X48 report finds the
+    * leak; this is the fix: same reproducible hash bucketing, but the
+    * unit of assignment is the content cluster, not the doc. `pairs`
+    * is any near-dup pair operator (X2-X5, X14, X70); leakage through
+    * pairs BELOW the chosen threshold is out of contract (tighten the
+    * pair op, not the split). Cost beyond the pair graph: the X20
+    * components pass + one id-keyed left join + a narrow hash map.
+    */
+  def clusterSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int, valPct: Int): DataFrame = {
+    val comp = Dedup.dupClusters(pairs)
+    docs.select(col(idCol).as("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("rep_id"), col("doc_id")))
+      .select(col("doc_id"), col("rep_id"),
+        splitOf(col("rep_id"), trainPct, valPct).as("split"))
+  }
+
+  def clusterSplitSql(id: String, table: String, pairsSql: String,
+      trainPct: Int, valPct: Int): String =
+    s"""WITH comp AS (${Dedup.dupClustersSql(pairsSql)})
+       |SELECT d.$id AS doc_id,
+       |  coalesce(c.rep_id, d.$id) AS rep_id,
+       |  ${splitOfSql(s"coalesce(c.rep_id, d.$id)", trainPct, valPct)} AS split
+       |FROM $table d LEFT JOIN comp c ON c.id = d.$id""".stripMargin
+
   /** Corpus snapshot diff (X105): per-doc change classification
     * between two corpus versions — the release-governance audit that
     * answers "what actually changed since the last training set".

@@ -1197,4 +1197,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "identical", 2L -> "equivalent",
       3L -> "equivalent", 4L -> "removed", 5L -> "changed", 6L -> "added"))
   }
+  // --------------------------------------- X106 cluster-aware split
+
+  test("cluster split: near-dup clusters land whole; zero leakage over the pair graph") {
+    // docs 0/1/2 are one near-dup cluster; 3 and 4 are singletons
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words about spark engines here"),
+      (4L, "another unrelated document entirely on its own"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(d, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)
+    val out = Curation.clusterSplit(d, "doc_id", pairs,
+        trainPct = 80, valPct = 10)
+      .as[(Long, Long, String)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // cluster members share rep AND split; singletons rep themselves
+    assert(byId(0L)._2 == 0L && byId(1L)._2 == 0L && byId(2L)._2 == 0L)
+    assert(Set(byId(0L)._3, byId(1L)._3, byId(2L)._3).size == 1)
+    assert(byId(3L)._2 == 3L && byId(4L)._2 == 4L)
+    // zero cross-split pairs over the pair graph that built the split
+    val splits = out.map(r => r._1 -> r._3).toMap
+    val crossSplit = pairs.select("id1", "id2").as[(Long, Long)].collect()
+      .count { case (a, b) => splits(a) != splits(b) }
+    assert(crossSplit == 0)
+  }
 }
