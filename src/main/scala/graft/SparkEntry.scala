@@ -1152,6 +1152,15 @@ object SparkEntry {
       Curation.temperatureMix(T(s, dir, "documents"), "doc_id", "text",
         "source", alpha = 0.7)),
 
+    // X107 token-budget water-filling: allocate a 40k-token budget
+    // over temperature weights (alpha 0.7) under a 1.5-epoch cap —
+    // small sources cap out, their surplus redistributes at weights
+    // in one closed-form integer pass. Corpus work = one partial
+    // agg; everything else runs on the |sources|-row digest.
+    "q_curate_budget" -> ((s, dir) =>
+      Curation.tokenBudgetPlan(T(s, dir, "documents"), "doc_id", "text",
+        "source", alpha = 0.7, budget = 40000L, maxEpochsPct = 150)),
+
     // X106 cluster-aware split: the split hash keys on the near-dup
     // cluster representative, so whole clusters land in one split and
     // the X48 leakage is zero by construction for every clustered
@@ -1908,6 +1917,11 @@ object SparkEntry {
     "q_curate_temperature" ->
       (Curation.temperatureMixSql("doc_id", "text", "source", "documents",
         alpha = 0.7) + " ORDER BY source"),
+
+    "q_curate_budget" ->
+      (Curation.tokenBudgetPlanSql("doc_id", "text", "source", "documents",
+        alpha = 0.7, budget = 40000L, maxEpochsPct = 150)
+        + " ORDER BY source"),
 
     "q_curate_cluster_split" ->
       (Curation.clusterSplitSql("doc_id", "documents",

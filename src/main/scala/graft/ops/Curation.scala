@@ -859,6 +859,120 @@ object Curation {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Token-budget allocation plan (X107): exact integer WATER-FILLING
+    * of a training-token budget over sources at [[temperatureMix]]
+    * weights, under a repetition cap of `maxEpochsPct`/100 epochs per
+    * source — the planning step every pretraining run does between
+    * "here are my domain weights" and "here is the sampler config".
+    * Greedy proportional allocation over-draws small sources (their
+    * fair share exceeds what maxEpochs allows); water-filling caps
+    * them and redistributes the surplus across the rest at their
+    * weights, in ONE closed-form pass instead of an iterative loop:
+    *
+    *  1. fill order = the nano-quantized cap/weight ratio
+    *     `(cap·10⁹) div w` (ties by source) — sources that saturate
+    *     at the lowest water level come first; the quantization makes
+    *     the order integer-deterministic on both engines (two ratios
+    *     within a nano may swap vs the exact rational — documented,
+    *     deterministic, and immaterial at these magnitudes);
+    *  2. a source CAPS iff spreading the budget remaining at its turn
+    *     over the suffix at weights would give it ≥ its cap —
+    *     cross-multiplied to exact longs
+    *     ((B − capPrefix)·w ≥ cap·wSuffix; products stay < 2⁶³ for
+    *     budgets to ~10¹² at ppm weights), with a cumulative-AND so
+    *     the capped set is a prefix of the fill order;
+    *  3. capped sources take their cap; the rest take
+    *     `(R·w) div wUncapped` of the remaining budget R (truncation
+    *     slack stays unallocated; a `least(cap, ·)` guards the
+    *     quantized-order edge).
+    *
+    * Output per source: (source, avail_tokens, weight_ppm,
+    * cap_tokens, alloc_tokens, epochs_micros, capped). Zero-weight /
+    * zero-token sources are excluded (they draw nothing).
+    *
+    * == 100 TB shape ==
+    *
+    * Corpus-sized work is [[temperatureMix]]'s one partial-agg
+    * shuffle; everything after runs on the \|sources\|-row digest
+    * (the single-partition windows are over that digest, never the
+    * corpus — the [[lengthPercentiles]] argument).
+    */
+  def tokenBudgetPlan(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, alpha: Double, budget: Long,
+      maxEpochsPct: Int): DataFrame = {
+    val base = temperatureMix(docs, idCol, textCol, sourceCol, alpha)
+      .filter(col("n_tokens") > 0 && col("share_ppm") > 0)
+      .selectExpr("source", "n_tokens AS avail", "share_ppm AS w",
+        s"CAST((n_tokens * $maxEpochsPct) div 100 AS BIGINT) AS cap")
+      .selectExpr("*", "CAST((cap * 1000000000) div w AS BIGINT) AS q")
+    val tot = base.agg(sum(col("w")).as("tot_w"))
+    val ord = Window.orderBy(col("q"), col("source"))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s1 = base.crossJoin(broadcast(tot))
+      .withColumn("cap_pre", coalesce(sum(col("cap")).over(prev), lit(0L)))
+      .withColumn("w_pre", coalesce(sum(col("w")).over(prev), lit(0L)))
+      .withColumn("cond",
+        ((lit(budget) - col("cap_pre")) * col("w") >=
+          col("cap") * (col("tot_w") - col("w_pre"))).cast("int"))
+      .withColumn("capflag", min(col("cond")).over(upTo))
+    val ct = s1.agg(
+      coalesce(sum(when(col("capflag") === 1, col("cap"))), lit(0L))
+        .as("capped_tok"),
+      coalesce(sum(when(col("capflag") === 1, col("w"))), lit(0L))
+        .as("capped_w"))
+    s1.crossJoin(broadcast(ct))
+      .selectExpr("source", "avail", "w", "cap", "capflag",
+        s"""CAST(CASE WHEN capflag = 1 THEN cap
+           |  ELSE least(cap, (($budget - capped_tok) * w)
+           |    div (tot_w - capped_w)) END AS BIGINT) AS alloc""".stripMargin)
+      .selectExpr("source", "CAST(avail AS BIGINT) AS avail_tokens",
+        "CAST(w AS BIGINT) AS weight_ppm", "CAST(cap AS BIGINT) AS cap_tokens",
+        "CAST(alloc AS BIGINT) AS alloc_tokens",
+        "CAST((alloc * 1000000) div avail AS BIGINT) AS epochs_micros",
+        "CAST(capflag AS BIGINT) AS capped")
+  }
+
+  def tokenBudgetPlanSql(id: String, text: String, source: String,
+      table: String, alpha: Double, budget: Long,
+      maxEpochsPct: Int): String =
+    s"""WITH w0 AS (${temperatureMixSql(id, text, source, table, alpha)}),
+       |base AS (
+       |  SELECT source, n_tokens AS avail, share_ppm AS w,
+       |    (n_tokens * $maxEpochsPct) // 100 AS cap
+       |  FROM w0 WHERE n_tokens > 0 AND share_ppm > 0),
+       |qq AS (SELECT *, (cap * 1000000000) // w AS q FROM base),
+       |tot AS (SELECT sum(w) AS tot_w FROM qq),
+       |s1 AS (
+       |  SELECT qq.*, tot_w,
+       |    coalesce(sum(cap) OVER (ORDER BY q, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cap_pre,
+       |    coalesce(sum(w) OVER (ORDER BY q, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_pre
+       |  FROM qq CROSS JOIN tot),
+       |s2 AS (
+       |  SELECT *, CASE WHEN ($budget - cap_pre) * w
+       |      >= cap * (tot_w - w_pre) THEN 1 ELSE 0 END AS cond
+       |  FROM s1),
+       |s3 AS (
+       |  SELECT *, min(cond) OVER (ORDER BY q, source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capflag
+       |  FROM s2),
+       |ct AS (
+       |  SELECT coalesce(sum(CASE WHEN capflag = 1 THEN cap END), 0) AS capped_tok,
+       |    coalesce(sum(CASE WHEN capflag = 1 THEN w END), 0) AS capped_w
+       |  FROM s3),
+       |a AS (
+       |  SELECT s3.*, CASE WHEN capflag = 1 THEN cap
+       |    ELSE least(cap, (($budget - capped_tok) * w) // (tot_w - capped_w))
+       |    END AS alloc
+       |  FROM s3 CROSS JOIN ct)
+       |SELECT source, avail::BIGINT AS avail_tokens, w::BIGINT AS weight_ppm,
+       |  cap::BIGINT AS cap_tokens, alloc::BIGINT AS alloc_tokens,
+       |  ((alloc * 1000000) // avail)::BIGINT AS epochs_micros,
+       |  capflag::BIGINT AS capped
+       |FROM a""".stripMargin
+
   /** Cluster-aware split assignment (X106): [[splitOf]]'s hash rule
     * applied to each doc's near-dup cluster REPRESENTATIVE instead of
     * its own id (unclustered docs fall back to themselves), so a

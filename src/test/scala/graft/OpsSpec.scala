@@ -1224,4 +1224,24 @@ class OpsSpec extends AnyFunSuite {
       .count { case (a, b) => splits(a) != splits(b) }
     assert(crossSplit == 0)
   }
+  // ------------------------------------ X107 token-budget water-fill
+
+  test("token budget water-fills: small source caps, surplus redistributes exactly") {
+    // alpha 0 -> equal weights (333333 ppm each). Budget 150 over
+    // avail (10, 100, 100) at a 2-epoch cap: A caps at 20, the
+    // remaining 130 splits 65/65 -- hand-computed closed form.
+    def mk(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val d = Seq(
+      (1L, mk(10, "a"), "A"),
+      (2L, mk(50, "b"), "B"), (3L, mk(50, "c"), "B"),
+      (4L, mk(100, "d"), "C")).toDF("doc_id", "text", "source")
+    val out = Curation.tokenBudgetPlan(d, "doc_id", "text", "source",
+        alpha = 0.0, budget = 150L, maxEpochsPct = 200)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("A", 10L, 333333L, 20L, 20L, 2000000L, 1L),
+      ("B", 100L, 333333L, 200L, 65L, 650000L, 0L),
+      ("C", 100L, 333333L, 200L, 65L, 650000L, 0L)))
+    assert(out.toSeq.map(_._5).sum == 150L) // budget exhausted exactly here
+  }
 }
