@@ -223,7 +223,24 @@ object Plans {
       """Key-skew profile: partial-agg count shuffle to |keys| rows,
         |then TakeOrderedAndProject for the top-N (never a global
         |sort) with the 1-row totals broadcast onto it. PlanSpec
-        |asserts both.""".stripMargin)
+        |asserts both.""".stripMargin,
+    "q_text_rm3" ->
+      """Pseudo-relevance feedback: ONE shared index build (the tf
+        |cache) feeds both scoring passes; the query-term sets and the
+        |df/corpus stats ride BroadcastExchanges, so each pass costs
+        |its matched postings — the feedback harvest joins a k-row-per-
+        |query broadcast against tf. PlanSpec asserts the broadcast
+        |shape.""".stripMargin,
+    "q_curate_diff" ->
+      """Snapshot diff: two narrow fingerprint scans (codegen'd
+        |md5/regex chains) into ONE id-keyed full-outer SortMergeJoin —
+        |no pair joins, no windows; statuses compare 16-byte md5s,
+        |never texts.""".stripMargin,
+    "q_curate_budget" ->
+      """Token-budget water-fill: the only corpus-sized stage is the
+        |per-source token partial-agg; every window in the plan orders
+        |the |sources|-row digest (single-partition by design at 20
+        |rows), and the totals ride broadcasts.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

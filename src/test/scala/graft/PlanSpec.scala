@@ -491,4 +491,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
     assert(p.contains("BroadcastExchange"), s"totals not broadcast:\n$p")
   }
+  test("PRF rescoring rides broadcasts; snapshot diff has no pair join") {
+    val p = plan("q_text_rm3")
+    // query-term sets, df stats and corpus stats must broadcast —
+    // both scoring passes cost their matched postings only
+    assert(p.contains("BroadcastExchange"), s"no broadcast in PRF:\n$p")
+    val d = plan("q_curate_diff")
+    // one id-keyed join between the two fingerprint scans; any
+    // cartesian/nested-loop here would mean texts are being compared
+    assert(!d.contains("Cartesian") && !d.contains("BroadcastNestedLoop"),
+      s"diff plan degenerated:\n$d")
+  }
 }
