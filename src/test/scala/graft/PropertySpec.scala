@@ -249,4 +249,56 @@ class PropertySpec extends AnyFunSuite {
     assert(out.map(_._1).toSet.subsetOf(Set("c", "u", "d")))
     assert(out.map(_._2).toSet.subsetOf(Set("UPSERT", "DELETE")))
   }
+  test("cdc chunks: reference equality, partition invariant, shift re-sync (fuzz)") {
+    // JVM-side via compute: no Spark job per case
+    def ref(ts: IndexedSeq[String], k: Int, divisor: Long): Seq[(Long, Long, Long)] = {
+      def h(s: String): Long = ArrayExprs.hash60(UTF8String.fromString(s))
+      val n = ts.length
+      if (n == 0) return Seq.empty
+      val cutStarts = (1 to n - k + 1).filter { p =>
+        h(ts.slice(p - 1, p - 1 + k).mkString(" ")) % divisor == 0L && p + k <= n
+      }.map(_ + k)
+      val starts = 1 +: cutStarts
+      starts.zipAll(starts.drop(1).map(_ - 1), 0, n).map { case (s, e) =>
+        (s.toLong, (e - s + 1).toLong, h(ts.slice(s - 1, e).mkString(" ")))
+      }
+    }
+    def run(expr: CdcChunks, ts: Seq[String]): Seq[(Long, Long, Long)] = {
+      val out = expr.compute(strArray(ts))
+      (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 3)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+    }
+    val tokGen = Gen.listOf(Gen.oneOf(
+      Gen.identifier.map(_.take(4)), Gen.oneOf("a", "b", "ab", "")))
+    check(Prop.forAll(tokGen, Gen.chooseNum(1, 4), Gen.chooseNum(1L, 4L)) {
+      (ts0, k, div) =>
+        val ts = ts0.take(40).toIndexedSeq
+        val expr = CdcChunks(null, k, div)
+        val got = run(expr, ts)
+        val want = ref(ts, k, div)
+        // 1. exact reference equality
+        val eq = got == want
+        // 2. chunks PARTITION the doc: contiguous, covering, in order
+        val partitions = ts.isEmpty ||
+          (got.head._1 == 1L && got.map(_._2).sum == ts.length &&
+            got.sliding(2).forall {
+              case Seq((s1, l1, _), (s2, _, _)) => s2 == s1 + l1
+              case _ => true
+            })
+        eq && partitions
+    }, cases = 200)
+    // 3. head-insertion re-sync: all but the head chunk of the base
+    // reappear in the shifted doc (content-local boundaries)
+    val baseGen = Gen.listOfN(30, Gen.identifier.map(_.take(3)))
+    val insGen = Gen.listOfN(4, Gen.identifier.map(_.take(3)))
+    check(Prop.forAll(baseGen, insGen) { (base, ins) =>
+      val expr = CdcChunks(null, 2, 2L)
+      val b = run(expr, base.toIndexedSeq)
+      val s = run(expr, (ins ++ base).toIndexedSeq)
+      val shiftFps = s.map(_._3).toSet
+      b.drop(1).forall(c => shiftFps.contains(c._3))
+    }, cases = 100)
+  }
 }
