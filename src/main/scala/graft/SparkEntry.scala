@@ -1215,6 +1215,14 @@ object SparkEntry {
     // + Lucene-style BM25, top-10 per fixed keyword query. Contributions
     // are micro-quantized BEFORE the per-doc sum (exact long
     // arithmetic), rank ties break on doc_id.
+    // X109 CCNet perplexity buckets: per-source head/middle/tail
+    // terciles of the bigram-LM cross-entropy (reference = the
+    // lang='en' slice, like q_text_lm). Rank-based integer thirds;
+    // bigram-less docs surface as 'unscored'.
+    "q_text_ccnet" -> ((s, dir) =>
+      Curation.ccnetBuckets(T(s, dir, "documents"), "doc_id", "text",
+        "source", refPred = col("lang") === "en", nBuckets = 2048)),
+
     "q_text_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(T(s, dir, "documents"), "doc_id", "text", k = 10)),
 
@@ -1954,6 +1962,10 @@ object SparkEntry {
     "q_text_rm3" ->
       (Retrieval.prfExpandTopKSql("doc_id", "text", "documents",
         k = 10, fbDocs = 5, fbTerms = 5) + " ORDER BY qid, rank"),
+
+    "q_text_ccnet" ->
+      (Curation.ccnetBucketsSql("doc_id", "text", "source", "documents",
+        "lang = 'en'", nBuckets = 2048) + " ORDER BY doc_id"),
 
     "q_text_bm25" ->
       (Retrieval.bm25TopKSql("doc_id", "text", "documents", k = 10)

@@ -859,6 +859,73 @@ object Curation {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** CCNet-style perplexity buckets (X109): per-source head/middle/
+    * tail terciles of the [[TextAnalysis.lmScore]] per-token
+    * cross-entropy (lower = more reference-like = `head`). CCNet's
+    * observation stands at any scale: an absolute LM threshold is
+    * meaningless across domains (legal text and chat logs live at
+    * different perplexities), so the cut must be WITHIN-source and
+    * rank-based. Buckets by exact integer thirds (`3·rank ≤ n` head,
+    * `≤ 2n` middle — nearest-rank, no interpolated quantiles); docs
+    * the LM cannot score (no bigrams) surface as `unscored` instead
+    * of silently vanishing. Output: (doc_id, source, ce_micros,
+    * bucket).
+    *
+    * == 100 TB shape ==
+    *
+    * The LM pass is X76's broadcast-model scoring (cost ∝ tokens);
+    * the tercile windows key on the bounded source set and order
+    * per-source docs — the one sort-wide stage, same shape as
+    * [[qualityCalibrate]].
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, refPred: org.apache.spark.sql.Column,
+      nBuckets: Int): DataFrame = {
+    val lm = TextAnalysis.lmScore(docs, idCol, textCol, refPred, nBuckets)
+      .selectExpr("doc_id",
+        "CAST((-logp_micros) div n_bigrams AS BIGINT) AS ce_micros")
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .join(lm, Seq("doc_id"), "left")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("ce_micros").asc, col("doc_id").asc)
+    val scored = base.filter(col("ce_micros").isNotNull)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .selectExpr("doc_id", "source", "ce_micros",
+        """CASE WHEN rnk * 3 <= n THEN 'head'
+          |     WHEN rnk * 3 <= 2 * n THEN 'middle'
+          |     ELSE 'tail' END AS bucket""".stripMargin)
+    val unscored = base.filter(col("ce_micros").isNull)
+      .selectExpr("doc_id", "source", "CAST(NULL AS BIGINT) AS ce_micros",
+        "'unscored' AS bucket")
+    scored.unionByName(unscored)
+  }
+
+  def ccnetBucketsSql(id: String, text: String, source: String,
+      table: String, refPredSql: String, nBuckets: Int): String =
+    s"""WITH lm AS (${TextAnalysis.lmScoreSql(id, text, table, refPredSql, nBuckets)}),
+       |ce AS (SELECT doc_id,
+       |    ((-logp_micros) // n_bigrams)::BIGINT AS ce_micros FROM lm),
+       |base AS (
+       |  SELECT d.$id AS doc_id, d.$source AS source, ce.ce_micros
+       |  FROM $table d LEFT JOIN ce ON ce.doc_id = d.$id),
+       |scored AS (
+       |  SELECT doc_id, source, ce_micros,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ce_micros, doc_id) AS rnk,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM base WHERE ce_micros IS NOT NULL)
+       |SELECT doc_id, source, ce_micros,
+       |  CASE WHEN rnk * 3 <= n THEN 'head'
+       |       WHEN rnk * 3 <= 2 * n THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored
+       |UNION ALL
+       |SELECT doc_id, source, NULL::BIGINT AS ce_micros,
+       |  'unscored' AS bucket
+       |FROM base WHERE ce_micros IS NULL""".stripMargin
+
   /** Token-budget allocation plan (X107): exact integer WATER-FILLING
     * of a training-token budget over sources at [[temperatureMix]]
     * weights, under a repetition cap of `maxEpochsPct`/100 epochs per

@@ -1244,4 +1244,33 @@ class OpsSpec extends AnyFunSuite {
       ("C", 100L, 333333L, 200L, 65L, 650000L, 0L)))
     assert(out.toSeq.map(_._5).sum == 150L) // budget exhausted exactly here
   }
+  // --------------------------------------- X109 perplexity buckets
+
+  test("ccnet buckets: per-source integer terciles follow the ce order; unscored surfaces") {
+    // reference slice = source r; scored docs split head/middle/tail
+    // WITHIN each source by rank; the single-token doc has no bigrams
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the dog", "r", "s0"),
+      (2L, "the quick brown fox jumps over the dog", "x", "s0"),
+      (3L, "quick brown the over fox dog jumps the", "x", "s0"),
+      (4L, "zzz yyy xxx www vvv uuu ttt sss", "x", "s0"),
+      (5L, "the quick brown fox", "x", "s1"),
+      (6L, "fox brown quick the", "x", "s1"),
+      (7L, "solo", "x", "s1")) // 1 token -> no bigrams -> unscored
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Curation.ccnetBuckets(d, "doc_id", "text", "source",
+        refPred = col("lang") === "r", nBuckets = 64)
+      .as[(Long, String, Option[Long], String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 7)
+    assert(out(7L)._4 == "unscored" && out(7L)._3.isEmpty)
+    // s0 has 4 scored docs: 3*rank<=4 -> head={1}, <=8 -> middle={2},
+    // tail={3,4} by rank; verify the bucket boundaries follow the
+    // ce ordering the op itself reports
+    val s0 = (1L to 4L).map(i => out(i)).sortBy(r => (r._3.get, r._1))
+    assert(s0.map(_._4) == Seq("head", "middle", "tail", "tail"))
+    // s1: 2 scored docs -> 3*1<=2 false -> middle? 3*1 <= 4 -> middle={rank1}, tail={rank2}
+    val s1 = Seq(out(5L), out(6L)).sortBy(r => (r._3.get, r._1))
+    assert(s1.map(_._4) == Seq("middle", "tail"))
+  }
 }
