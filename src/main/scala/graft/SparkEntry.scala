@@ -1215,6 +1215,17 @@ object SparkEntry {
     // + Lucene-style BM25, top-10 per fixed keyword query. Contributions
     // are micro-quantized BEFORE the per-doc sum (exact long
     // arithmetic), rank ties break on doc_id.
+    // X110 frozen-PRF twin: freeze the expanded weighted queries +
+    // stats from the corpus, serve the ranking as a pure narrow map +
+    // top-k — shares q_text_rm3's oracle verbatim, proving the
+    // freeze/serve split output-invariant through the driver gate.
+    "q_text_rm3_frozen" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val frozen = Retrieval.freezePrf(docs, "doc_id", "text",
+        fbDocs = 5, fbTerms = 5)
+      Retrieval.prfFrozenTopK(docs, "doc_id", "text", frozen, k = 10)
+    }),
+
     // X109 CCNet perplexity buckets: per-source head/middle/tail
     // terciles of the bigram-LM cross-entropy (reference = the
     // lang='en' slice, like q_text_lm). Rank-based integer thirds;
@@ -1966,6 +1977,11 @@ object SparkEntry {
     "q_text_ccnet" ->
       (Curation.ccnetBucketsSql("doc_id", "text", "source", "documents",
         "lang = 'en'", nBuckets = 2048) + " ORDER BY doc_id"),
+
+    // the frozen twin shares the in-plan PRF oracle verbatim
+    "q_text_rm3_frozen" ->
+      (Retrieval.prfExpandTopKSql("doc_id", "text", "documents",
+        k = 10, fbDocs = 5, fbTerms = 5) + " ORDER BY qid, rank"),
 
     "q_text_bm25" ->
       (Retrieval.bm25TopKSql("doc_id", "text", "documents", k = 10)

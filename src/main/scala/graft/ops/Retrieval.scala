@@ -182,8 +182,11 @@ object Retrieval {
     * |queries|·(orig + fbTerms) terms — still ∝ matched postings,
     * never corpus size.
     */
-  def prfExpandTopK(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, fbDocs: Int, fbTerms: Int): DataFrame = {
+  /** The shared posting-index frames of the PRF stages: (tf, dl,
+    * dfT, corpus, orig). tf/dl are cache-once so both scoring passes
+    * reuse one build.
+    */
+  private def prfIndex(docs: DataFrame, idCol: String, textCol: String) = {
     val toks = docs.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val tf = Caching.cachedOnce(
@@ -193,34 +196,40 @@ object Retrieval {
     val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
       .select(col("n"), (col("sumdl").cast("double") / col("n")).as("avgdl"))
-    val orig = queryDf(docs)
+    (tf, dl, dfT, corpus, queryDf(docs))
+  }
 
-    def scorePass(qterms: DataFrame): DataFrame = tf
-      .join(broadcast(qterms), "tok")
-      .join(dl, "id")
-      .join(broadcast(dfT), "tok")
-      .join(broadcast(corpus))
-      .select(col("qid"), col("id"), col("w_micros"),
-        contribMicros(col("tf"), col("df"), col("dl"), col("n"),
-          col("avgdl")).as("c"))
-      .selectExpr("qid", "id",
-        "CAST((w_micros * c) div 1000000 AS BIGINT) AS wc")
-      .groupBy(col("qid"), col("id"))
-      .agg(sum(col("wc")).as("score_micros"))
+  private def prfScorePass(tf: DataFrame, dl: DataFrame, dfT: DataFrame,
+      corpus: DataFrame, qterms: DataFrame): DataFrame = tf
+    .join(broadcast(qterms), "tok")
+    .join(dl, "id")
+    .join(broadcast(dfT), "tok")
+    .join(broadcast(corpus))
+    .select(col("qid"), col("id"), col("w_micros"),
+      contribMicros(col("tf"), col("df"), col("dl"), col("n"),
+        col("avgdl")).as("c"))
+    .selectExpr("qid", "id",
+      "CAST((w_micros * c) div 1000000 AS BIGINT) AS wc")
+    .groupBy(col("qid"), col("id"))
+    .agg(sum(col("wc")).as("score_micros"))
 
-    def topK(scored: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("score_micros").desc, col("id").asc)
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= n)
-    }
+  private def prfTopK(scored: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micros").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
 
-    // stage 1: the original query at uniform weight
-    val fb = topK(scorePass(
+  /** Stages 1–2 over prebuilt index frames: the weighted expanded
+    * query (qid, tok, w_micros) — originals at 10⁶, harvested terms
+    * at their feedback weights.
+    */
+  private def prfQueryTerms(tf: DataFrame, dl: DataFrame, dfT: DataFrame,
+      corpus: DataFrame, orig: DataFrame, fbDocs: Int,
+      fbTerms: Int): DataFrame = {
+    val fb = prfTopK(prfScorePass(tf, dl, dfT, corpus,
         orig.withColumn("w_micros", lit(1000000L))), fbDocs)
       .select(col("qid"), col("id"))
-    // stage 2: harvest expansion terms from the feedback docs —
-    // weight = Σ_d round(tf·10⁶/dl), original terms excluded
     val wExp = broadcast(fb).join(tf, "id").join(dl, "id")
       .select(col("qid"), col("tok"),
         round(col("tf").cast("double") * 1e6 / col("dl").cast("double"))
@@ -232,13 +241,92 @@ object Retrieval {
     val expTerms = wExp.withColumn("rn", row_number().over(wWin))
       .filter(col("rn") <= fbTerms)
       .select(col("qid"), col("tok"), col("w_micros"))
-    // stage 3: weighted rescore with the expanded query
-    val qterms = orig.withColumn("w_micros", lit(1000000L))
-      .unionByName(expTerms)
-    topK(scorePass(qterms), k)
+    orig.withColumn("w_micros", lit(1000000L)).unionByName(expTerms)
+  }
+
+  def prfExpandTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, fbDocs: Int, fbTerms: Int): DataFrame = {
+    val (tf, dl, dfT, corpus, orig) = prfIndex(docs, idCol, textCol)
+    val qterms = prfQueryTerms(tf, dl, dfT, corpus, orig, fbDocs, fbTerms)
+    prfTopK(prfScorePass(tf, dl, dfT, corpus, qterms), k)
       .select(col("qid"), col("rank"), col("id").as("doc_id"),
         col("score_micros"))
   }
+
+  /** Frozen PRF artifact (X110): the expanded weighted query terms
+    * plus the corpus stats they score against — collected ONCE from a
+    * static reference corpus (|queries|·(orig+fbTerms) terms + as
+    * many idf doubles + one avgdl; driver-side size bounded by the
+    * query set, never the corpus). [[scorePrfFrozen]] then scores any
+    * frame — batch or stream — as a pure narrow map.
+    */
+  final case class FrozenPrf(avgdl: Double, idf: Map[String, Double],
+      weights: Map[Long, Seq[(String, Long)]])
+
+  def freezePrf(corpus: DataFrame, idCol: String, textCol: String,
+      fbDocs: Int, fbTerms: Int): FrozenPrf = {
+    val (tf, dl, dfT, corpusStats, orig) = prfIndex(corpus, idCol, textCol)
+    val qt = prfQueryTerms(tf, dl, dfT, corpusStats, orig, fbDocs, fbTerms)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val terms = qt.map(_._2).distinct.toSeq
+    val Seq(n, sumdl) = dl.agg(count(lit(1)), sum(col("dl")))
+      .collect().head.toSeq.map(_.toString.toLong)
+    val dfMap = dfT.filter(col("tok").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = terms.map { t =>
+      val d = dfMap.getOrElse(t, 0L).toDouble
+      t -> math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+    }.toMap
+    FrozenPrf(sumdl.toDouble / n, idf,
+      qt.groupBy(_._1).map { case (q, xs) =>
+        q -> xs.map(x => (x._2, x._3)).toSeq }.toMap)
+  }
+
+  /** Score documents against a [[FrozenPrf]] — the PRF analog of
+    * [[scoreFrozen]]: per-term tf via the native `stopwordHits`
+    * count, contributions quantized then weighted in exact integer
+    * math ((w·c − pmod)/10⁶ — same value as the posting join's
+    * `(w·c) div 10⁶`), summed per (doc, qid). Pure narrow map: no
+    * shuffle, no state; identical on batch and stream. Frozen-on-self
+    * reproduces the in-plan stage-3 scores exactly (spec + the
+    * shared-oracle twin query prove it).
+    */
+  def scorePrfFrozen(docs: DataFrame, idCol: String, textCol: String,
+      frozen: FrozenPrf): DataFrame = {
+    val toksC = TextAnalysis.tokens(col(textCol))
+    val dl = size(toksC).cast("double")
+    def scoreOf(ts: Seq[(String, Long)]): Column =
+      ts.map { case (t, wMicros) =>
+        val tf = graft.functions.ArrayExprs.stopwordHits(toksC, Seq(t))
+          .cast("double")
+        val c = lit(frozen.idf(t)) * (tf * (K1 + 1.0)) /
+          (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / frozen.avgdl))
+        val cl = round(c * 1e6).cast("long")
+        val prod = lit(wMicros) * cl
+        when(tf > 0,
+          ((prod - pmod(prod, lit(1000000L))) / lit(1000000L)).cast("long"))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val scored = frozen.weights.toSeq.sortBy(_._1).map { case (qid, ts) =>
+      struct(lit(qid).as("qid"), scoreOf(ts).as("score_micros"))
+    }
+    docs
+      .select(col(idCol).as("id"), explode(array(scored: _*)).as("q"))
+      .select(col("id"), col("q.qid").as("qid"),
+        col("q.score_micros").as("score_micros"))
+      .filter(col("score_micros") > 0)
+  }
+
+  /** [[prfExpandTopK]] served from a frozen artifact: rank the
+    * frozen scores — output-identical to the in-plan three-stage
+    * query when frozen on the same corpus (the twin shares its
+    * oracle verbatim).
+    */
+  def prfFrozenTopK(docs: DataFrame, idCol: String, textCol: String,
+      frozen: FrozenPrf, k: Int): DataFrame =
+    prfTopK(scorePrfFrozen(docs, idCol, textCol, frozen), k)
+      .select(col("qid"), col("rank"), col("id").as("doc_id"),
+        col("score_micros"))
 
   /** DuckDB twin of [[prfExpandTopK]] — same three stages, same
     * quantization points, same tie-breaks.

@@ -151,6 +151,21 @@ object Pipeline {
       minScoreMicros: Long): DataFrame =
     graft.ops.Retrieval.scoreFrozen(docs, "text", stats, minScoreMicros)
 
+  /** Ingest-time EXPANDED-query gate (X110 — [[keywordGate]] with the
+    * PRF vocabulary): scores arriving docs against the weighted
+    * expanded queries FROZEN from a static reference corpus
+    * ([[graft.ops.Retrieval.freezePrf]] — expansion terms + idf +
+    * avgdl, size bounded by the query set). Catches docs that match
+    * the relevant set's VOCABULARY without using the queries' literal
+    * terms — the recall the plain keyword gate structurally lacks.
+    * Pure narrow map, no shuffle, no state; emits one row per (doc,
+    * query) at score ≥ minScoreMicros.
+    */
+  def prfGate(docs: DataFrame, idCol: String, frozen: graft.ops.Retrieval.FrozenPrf,
+      minScoreMicros: Long): DataFrame =
+    graft.ops.Retrieval.scorePrfFrozen(docs, idCol, "text", frozen)
+      .filter(col("score_micros") >= minScoreMicros)
+
   /** Ingest-time DSIR gate (X72's streaming twin): weight each
     * arriving doc by target-likeness with bucket log-ratios FROZEN
     * from static corpora ([[graft.ops.Curation.freezeDsir]] — the

@@ -496,4 +496,28 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(viaPrfNoExp == bm)
   }
+  test("frozen PRF == in-plan PRF on self; the gate passes vocabulary-only docs") {
+    val prfDocs = Seq(
+      (10L, "dup spark engine engine tuning"),
+      (11L, "spark engine engine engine pipeline"),
+      (12L, "dup spark engine tuning pipeline"),
+      (20L, "engine engine engine tuning pipeline"),
+      (30L, "hash join merge window agg vector"),
+      (31L, "fast query scan fast query scan"))
+      .toDF("doc_id", "text")
+    val frozen = Retrieval.freezePrf(prfDocs, "doc_id", "text",
+      fbDocs = 3, fbTerms = 2)
+    // frozen-on-self reproduces the in-plan three-stage ranking
+    val served = Retrieval.prfFrozenTopK(prfDocs, "doc_id", "text",
+        frozen, k = 6).collect().map(_.toSeq).toSet
+    val inPlan = Retrieval.prfExpandTopK(prfDocs, "doc_id", "text",
+        k = 6, fbDocs = 3, fbTerms = 2).collect().map(_.toSeq).toSet
+    assert(served == inPlan)
+    // the streaming gate shape: the vocabulary-only doc 20 scores on
+    // q0 through the harvested expansion terms alone
+    val gated = graft.streaming.Pipeline.prfGate(
+        prfDocs, "doc_id", frozen, minScoreMicros = 1L)
+      .filter($"qid" === 0L).select("id").as[Long].collect().toSet
+    assert(gated.contains(20L))
+  }
 }
