@@ -926,6 +926,34 @@ object Curation {
        |  'unscored' AS bucket
        |FROM base WHERE ce_micros IS NULL""".stripMargin
 
+  /** Frozen CCNet cutpoints (X111): the per-source head/middle
+    * boundary CE values of [[ccnetBuckets]], collected once from a
+    * static reference corpus (2 longs per source — the production
+    * CCNet shape: train the LM offline, compute the cutoffs offline,
+    * bucket at ingest). `cut1` = max head CE, `cut2` = max
+    * head∪middle CE; sources whose head/scored set is empty are
+    * absent from the respective map.
+    */
+  final case class FrozenCcnet(cut1: Map[String, Long],
+      cut2: Map[String, Long])
+
+  def freezeCcnet(corpus: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, refPred: org.apache.spark.sql.Column,
+      nBuckets: Int): FrozenCcnet = {
+    val rows = ccnetBuckets(corpus, idCol, textCol, sourceCol, refPred,
+        nBuckets)
+      .filter(col("bucket").isin("head", "middle"))
+      .groupBy(col("source"))
+      .agg(max(when(col("bucket") === "head", col("ce_micros"))).as("c1"),
+        max(col("ce_micros")).as("c2"))
+      .collect()
+    FrozenCcnet(
+      rows.flatMap(r => Option(r.get(1))
+        .map(v => r.getString(0) -> v.asInstanceOf[Long])).toMap,
+      rows.flatMap(r => Option(r.get(2))
+        .map(v => r.getString(0) -> v.asInstanceOf[Long])).toMap)
+  }
+
   /** Token-budget allocation plan (X107): exact integer WATER-FILLING
     * of a training-token budget over sources at [[temperatureMix]]
     * weights, under a repetition cap of `maxEpochsPct`/100 epochs per

@@ -166,6 +166,36 @@ object Pipeline {
     graft.ops.Retrieval.scorePrfFrozen(docs, idCol, "text", frozen)
       .filter(col("score_micros") >= minScoreMicros)
 
+  /** Ingest-time CCNet bucketing (X111 — [[Curation.ccnetBuckets]]'s
+    * streaming half, the literal CCNet production shape): score each
+    * arriving doc under the FROZEN bigram LM and assign head/middle/
+    * tail against the FROZEN per-source cutpoint values
+    * ([[graft.ops.Curation.freezeCcnet]]). Value-threshold semantics:
+    * CE ties at a boundary go to the better bucket (the batch
+    * operator splits boundary ties by id — the one divergence, by
+    * design); sources unseen at freeze time go to `tail` (no
+    * evidence of head-ness); bigram-less docs surface as `unscored`.
+    * Pure narrow map, no shuffle, no state.
+    */
+  def ccnetGate(docs: DataFrame,
+      model: graft.ops.TextAnalysis.LmModel,
+      cuts: graft.ops.Curation.FrozenCcnet,
+      sourceCol: String = "source"): DataFrame = {
+    val c1 = typedLit(cuts.cut1)
+    val c2 = typedLit(cuts.cut2)
+    graft.ops.TextAnalysis.scoreLmFrozen(docs, "text", model)
+      .withColumn("ce_t", when(col("n_bigrams") > 0,
+        expr("CAST((-logp_micros) div n_bigrams AS BIGINT)")))
+      .withColumn("bucket",
+        when(col("n_bigrams") === 0, lit("unscored"))
+          .when(col("ce_t") <= coalesce(
+            element_at(c1, col(sourceCol)), lit(Long.MinValue)), "head")
+          .when(col("ce_t") <= coalesce(
+            element_at(c2, col(sourceCol)), lit(Long.MinValue)), "middle")
+          .otherwise(lit("tail")))
+      .drop("ce_micros")
+  }
+
   /** Ingest-time DSIR gate (X72's streaming twin): weight each
     * arriving doc by target-likeness with bucket log-ratios FROZEN
     * from static corpora ([[graft.ops.Curation.freezeDsir]] — the

@@ -520,4 +520,40 @@ class RetrievalSpec extends AnyFunSuite {
       .filter($"qid" === 0L).select("id").as[Long].collect().toSet
     assert(gated.contains(20L))
   }
+  test("ccnet gate: frozen-on-self == batch terciles; unknown source tails; short doc unscored") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the dog", "r", "s0"),
+      (2L, "the quick brown fox jumps over a dog", "x", "s0"),
+      (3L, "quick brown the over fox dog jumps the", "x", "s0"),
+      (4L, "zzz yyy xxx www vvv uuu ttt sss", "x", "s0"),
+      (5L, "the quick brown fox", "x", "s1"),
+      (6L, "fox brown quick the", "x", "s1"),
+      (7L, "solo", "x", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val ref = col("lang") === "r"
+    val batch = Curation.ccnetBuckets(d, "doc_id", "text", "source",
+        ref, nBuckets = 64)
+      .as[(Long, String, Option[Long], String)].collect()
+    // the equality below assumes no boundary CE ties — guard it
+    assert(batch.flatMap(_._3).distinct.length
+      == batch.count(_._3.isDefined), "corpus has tied CEs; pick other texts")
+
+    val model = TextAnalysis.freezeLm(d, "text", ref, nBuckets = 64)
+    val cuts = Curation.freezeCcnet(d, "doc_id", "text", "source",
+      ref, nBuckets = 64)
+    val gated = graft.streaming.Pipeline.ccnetGate(d, model, cuts)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(gated == batch.map(r => r._1 -> r._4).toMap)
+
+    // a source the freeze never saw: no evidence of head-ness -> tail
+    val fresh = Seq((9L, "the quick brown fox jumps over the dog", "x", "s9"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(graft.streaming.Pipeline.ccnetGate(fresh, model, cuts)
+      .select("bucket").as[String].head() == "tail")
+    // bigram-less docs stay visible as unscored
+    val short = Seq((10L, "one", "x", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(graft.streaming.Pipeline.ccnetGate(short, model, cuts)
+      .select("bucket").as[String].head() == "unscored")
+  }
 }
