@@ -135,6 +135,18 @@ object ArrayExprs {
   def cdcChunks(tokens: Column, k: Int, divisor: Long): Column =
     Bridge.column(CdcChunks(Bridge.expression(tokens), k, divisor))
 
+  /** Per-term counts of a FIXED term list over a token array, plus
+    * the total token count as the LAST element — one tokenization,
+    * one hash-probe pass, however many terms the model carries. The
+    * frozen-model scorers alias this ONCE and read tf/dl via
+    * element_at; a per-term [[stopwordHits]] chain re-evaluates the
+    * token split per term (CollapseProject will not inline a
+    * non-cheap alias referenced many times, so the single array IS
+    * computed once per row).
+    */
+  def termCounts(tokens: Column, terms: Seq[String]): Column =
+    Bridge.column(TermCounts(Bridge.expression(tokens), terms))
+
   /** The cross-engine 60-bit md5 hash (ops.Hashing.hash60) computed
     * JVM-side: low 60 bits = first 15 hex chars of the md5 of the
     * UTF-8 bytes — identical to `conv(substring(md5(x),1,15),16,10)`
@@ -1006,5 +1018,53 @@ case class CdcChunks(child: Expression, k: Int, divisor: Long)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+/** `array<string>` tokens → `array<long>` of length `terms.size + 1`:
+  * element i = occurrences of `terms(i)`, last element = the total
+  * token count (so a scorer needs no second pass for the doc
+  * length). Values identical to per-term `StopwordHits(_, Seq(t))`
+  * and `size(tokens)` — this is purely the fused evaluation.
+  */
+case class TermCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "term_counts"
+
+  @transient private lazy val index: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    terms.zipWithIndex.foreach { case (t, i) =>
+      m.put(UTF8String.fromString(t), i)
+    }
+    m
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val tally = new Array[Long](terms.size + 1)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val at = index.get(arr.getUTF8String(i))
+      if (at != null) tally(at) += 1
+      i += 1
+    }
+    tally(terms.size) = n
+    val out = new Array[Any](tally.length)
+    i = 0
+    while (i < tally.length) { out(i) = tally(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termCounts", this, classOf[TermCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
     copy(child = newChild)
 }

@@ -293,12 +293,19 @@ object Retrieval {
     */
   def scorePrfFrozen(docs: DataFrame, idCol: String, textCol: String,
       frozen: FrozenPrf): DataFrame = {
-    val toksC = TextAnalysis.tokens(col(textCol))
-    val dl = size(toksC).cast("double")
+    // ONE tokenization + one hash-probe pass per row for every term
+    // the model carries (+ the doc length as the array's last slot);
+    // the alias is referenced many times below, which is exactly why
+    // CollapseProject leaves it as its own computed-once projection
+    val allTerms = frozen.weights.values.flatten.map(_._1).toSeq.distinct.sorted
+    val pos = allTerms.zipWithIndex.toMap
+    val withTc = docs.select(col(idCol).as("id"),
+      graft.functions.ArrayExprs.termCounts(
+        TextAnalysis.tokens(col(textCol)), allTerms).as("__tc"))
+    val dl = element_at(col("__tc"), allTerms.size + 1).cast("double")
     def scoreOf(ts: Seq[(String, Long)]): Column =
       ts.map { case (t, wMicros) =>
-        val tf = graft.functions.ArrayExprs.stopwordHits(toksC, Seq(t))
-          .cast("double")
+        val tf = element_at(col("__tc"), pos(t) + 1).cast("double")
         val c = lit(frozen.idf(t)) * (tf * (K1 + 1.0)) /
           (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / frozen.avgdl))
         val cl = round(c * 1e6).cast("long")
@@ -310,8 +317,8 @@ object Retrieval {
     val scored = frozen.weights.toSeq.sortBy(_._1).map { case (qid, ts) =>
       struct(lit(qid).as("qid"), scoreOf(ts).as("score_micros"))
     }
-    docs
-      .select(col(idCol).as("id"), explode(array(scored: _*)).as("q"))
+    withTc
+      .select(col("id"), explode(array(scored: _*)).as("q"))
       .select(col("id"), col("q.qid").as("qid"),
         col("q.score_micros").as("score_micros"))
       .filter(col("score_micros") > 0)
