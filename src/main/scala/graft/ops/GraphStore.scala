@@ -348,6 +348,30 @@ object GraphStore {
       }})
   }
 
+  /** Operational snapshot — [[Index.describe]]'s graph analog: one
+    * row per table with its backing directory name and file
+    * count/bytes from the filesystem (no data read, no job). File
+    * counts creep with delta appends; [[compact]] re-pins them.
+    */
+  def describe(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val rows = Seq("edges", "labels", "blocks", "cents", "meta").map { p =>
+      val d = dirOf(spark, part(name, p))
+      val w = java.nio.file.Files.walk(d)
+      val files = try {
+        import scala.collection.JavaConverters._
+        w.iterator().asScala.filter { f =>
+          val n = f.getFileName.toString
+          java.nio.file.Files.isRegularFile(f) &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }.toVector
+      } finally w.close()
+      (p, d.getFileName.toString, files.size.toLong,
+        files.map(java.nio.file.Files.size(_)).sum)
+    }
+    rows.toDF("part", "dir", "n_files", "bytes")
+  }
+
   /** The stored edge list, (src_id, rank, neighbor_id, cos_micros) —
     * the [[Similarity.knnGraph]] output shape (`cos_raw` stays
     * internal to the artifact).

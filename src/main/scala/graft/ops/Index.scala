@@ -502,6 +502,42 @@ object Index {
     * meta table — never caller-supplied, so maintenance always acts on
     * the directory the catalog actually serves.
     */
+  /** Operational snapshot of the artifact — the
+    * [[graft.streaming.StateTable.describe]] analog for the index:
+    * one row per part with its committed state (current generation
+    * name, gen counter, grace policy, still-graced retiree count),
+    * its resolved segment count (a manifest-committed chain lists >1
+    * until [[compact]] collapses it) and the file count/bytes of the
+    * CURRENT generation's data, straight from the filesystem — no
+    * data read, no job. The numbers an operator checks before/after
+    * append chains, compact, delete, and grace tuning.
+    */
+  def describe(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val dir = indexDirOf(spark, name)
+    val rows = Parts.map { p =>
+      val st = loadPart(dir, p)
+      val segs = segmentsOf(dir, st.current)
+      val files = segs.flatMap { s =>
+        val d = java.nio.file.Paths.get(dir, s)
+        if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+        else {
+          val w = java.nio.file.Files.walk(d)
+          try w.iterator().asScala.filter { f =>
+            val n = f.getFileName.toString
+            java.nio.file.Files.isRegularFile(f) &&
+              !n.startsWith("_") && !n.startsWith(".")
+          }.toVector finally w.close()
+        }
+      }
+      (p, st.current, st.gen, st.grace, st.retired.size.toLong,
+        segs.size.toLong, files.size.toLong,
+        files.map(java.nio.file.Files.size(_)).sum)
+    }
+    rows.toDF("part", "current", "gen", "grace", "n_retired",
+      "n_segments", "n_files", "bytes")
+  }
+
   private def indexDirOf(spark: SparkSession, name: String): String = {
     val scan = spark.table(part(name, "meta")).queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>

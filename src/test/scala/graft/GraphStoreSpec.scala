@@ -262,6 +262,11 @@ class GraphStoreSpec extends AnyFunSuite {
     val before = serve()
     val blocksBefore = parquetFiles("blocks")
     assert(blocksBefore > 4, s"delta appends should accrete files, got $blocksBefore")
+    // describe reads the same story from the filesystem alone
+    val d1 = GraphStore.describe(spark, "g_cp")
+      .as[(String, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(d1.keySet == Set("edges", "labels", "blocks", "cents", "meta"))
+    assert(d1("blocks")._3 == blocksBefore && d1("blocks")._4 > 0L)
 
     GraphStore.compact(spark, "g_cp")
     assert(serve() == before)
@@ -269,6 +274,9 @@ class GraphStoreSpec extends AnyFunSuite {
       val n = parquetFiles(p)
       assert(n <= 4, s"$p has $n files after compact")
     }
+    val d2 = GraphStore.describe(spark, "g_cp")
+      .as[(String, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(d2("blocks")._3 < blocksBefore && d2("blocks")._2.startsWith("blocks_c"))
     // maintenance still lands on the re-pointed tables: a replayed
     // append (all ids already present) is a clean no-op
     GraphStore.append(spark, "g_cp", odd1, "vec_id", "embedding", "label")

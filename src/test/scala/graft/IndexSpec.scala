@@ -148,12 +148,26 @@ class IndexSpec extends AnyFunSuite {
     val before = search()
     val filesBefore = dataFiles("idx_cmp_postings").size
     assert(filesBefore > 4) // build + 2 appends
+    // describe reads the same story from the filesystem alone
+    val d1 = Index.describe(spark, "idx_cmp")
+      .as[(String, String, Long, Int, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(d1.keySet.size == 8)
+    assert(d1("postings")._7 == filesBefore && d1("postings")._8 > 0L)
+    // plain append is IN-PLACE by design (no generation commit):
+    // describe shows gen 0 until a commitPart op (appendCommitted /
+    // compact / delete) runs
+    assert(d1("postings")._3 == 0L)
     Index.compact(spark, "idx_cmp")
     // ≤ nBuckets: an empty bucket (few distinct list ids) writes none
     assert(dataFiles("idx_cmp_postings").size <= 4)
     assert(dataFiles("idx_cmp_postings").size < filesBefore)
     assert(dataFiles("idx_cmp_codes").size == 4)
     assert(search() == before)
+    val d2 = Index.describe(spark, "idx_cmp")
+      .as[(String, String, Long, Int, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(d2("postings")._7 < filesBefore && d2("postings")._6 == 1L)
     // the old directories are gone; the catalog points at the fresh ones
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/idx_cmp/postings")))
   }
