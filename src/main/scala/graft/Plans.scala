@@ -240,7 +240,20 @@ object Plans {
       """Token-budget water-fill: the only corpus-sized stage is the
         |per-source token partial-agg; every window in the plan orders
         |the |sources|-row digest (single-partition by design at 20
-        |rows), and the totals ride broadcasts.""".stripMargin)
+        |rows), and the totals ride broadcasts.""".stripMargin,
+    "q_text_ccnet" ->
+      """CCNet terciles: the LM pass scores with BROADCAST count
+        |tables (cost ∝ tokens); the tercile window partitions on the
+        |bounded source set — per-row corpus data enters a window only
+        |under its source key, never globally.""".stripMargin,
+    "q_text_rm3_frozen" ->
+      """Frozen-PRF serving: the SERVE side is one narrow Project —
+        |a single term_counts evaluation per row (aliased once;
+        |CollapseProject keeps a non-cheap alias referenced many
+        |times un-inlined) feeding every per-query fold — plus the
+        |top-k windows. The posting joins visible above it are the
+        |FREEZE (runs once per execution here BY DESIGN; production
+        |freezes once, serves many).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
