@@ -1152,6 +1152,14 @@ object SparkEntry {
       Curation.temperatureMix(T(s, dir, "documents"), "doc_id", "text",
         "source", alpha = 0.7)),
 
+    // X112 filter operating curve: per keep-rate decile, the exact
+    // quality threshold + precision/recall against the lang='en'
+    // proxy label — the read-before-you-pick table for the quality
+    // gate. Histogram partial-agg; windows walk histogram rows.
+    "q_curate_curve" -> ((s, dir) =>
+      Curation.filterCurve(T(s, dir, "documents"), "doc_id", "text",
+        labelPred = col("lang") === "en")),
+
     // X107 token-budget water-filling: allocate a 40k-token budget
     // over temperature weights (alpha 0.7) under a 1.5-epoch cap —
     // small sources cap out, their surplus redistributes at weights
@@ -1941,6 +1949,10 @@ object SparkEntry {
       (Curation.tokenBudgetPlanSql("doc_id", "text", "source", "documents",
         alpha = 0.7, budget = 40000L, maxEpochsPct = 150)
         + " ORDER BY source"),
+
+    "q_curate_curve" ->
+      (Curation.filterCurveSql("doc_id", "text", "documents",
+        "lang = 'en'") + " ORDER BY pct"),
 
     "q_curate_cluster_split" ->
       (Curation.clusterSplitSql("doc_id", "documents",

@@ -926,6 +926,91 @@ object Curation {
        |  'unscored' AS bucket
        |FROM base WHERE ce_micros IS NULL""".stripMargin
 
+  /** Quality-filter operating curve (X112): for each keep-rate
+    * decile, the exact quality threshold that achieves it plus the
+    * precision/recall a proxy label assigns to that cut — the table
+    * you read BEFORE picking a filter threshold, instead of
+    * hand-tuning one and hoping. `pct` is the TARGET keep rate;
+    * `t_micros` the lowest quality kept (= the smallest threshold
+    * whose keep count reaches ⌈pct·n/100⌉ — nearest-rank, ties keep
+    * everything at the boundary value so n_keep can exceed the
+    * target); precision = labeled-positive share of the kept set,
+    * recall = kept share of all positives (both integer ppm,
+    * zero-positive corpora report 0 instead of dividing by zero).
+    * NULL-text docs are excluded (the X97 contract — and Spark
+    * DESC sorts NULL last where DuckDB sorts it first, so keeping
+    * them would smuggle an ordering divergence).
+    *
+    * == 100 TB shape ==
+    *
+    * One narrow scoring pass + one partial-agg shuffle to the
+    * (quality, count, pos_count) HISTOGRAM; the cumulative window
+    * and the decile probe walk histogram rows only
+    * ([[lengthPercentiles]]'s argument) — never the corpus.
+    */
+  def filterCurve(docs: DataFrame, idCol: String, textCol: String,
+      labelPred: org.apache.spark.sql.Column,
+      pcts: Seq[Int] = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90)): DataFrame = {
+    val hist = docs.filter(col(textCol).isNotNull)
+      .select(TextAnalysis.qualityMicros(col(textCol)).as("q"),
+        labelPred.cast("long").as("pos"))
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("posc"))
+    val w = Window.orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Caching.cachedOnce(hist
+      .withColumn("ckeep", sum(col("cnt")).over(w))
+      .withColumn("cpos", sum(col("posc")).over(w)))
+    val tot = cum.agg(sum(col("cnt")).as("n"), sum(col("posc")).as("npos"))
+    val pctDf = docs.sparkSession.createDataFrame(pcts.map(Tuple1(_)))
+      .toDF("pct")
+    val th = pctDf.crossJoin(broadcast(tot))
+      .selectExpr("pct", "n", "npos",
+        "CAST((pct * n + 99) div 100 AS BIGINT) AS idx")
+      .join(cum.select(col("q"), col("ckeep")), col("ckeep") >= col("idx"))
+      .groupBy(col("pct"), col("npos"))
+      .agg(max(col("q")).as("t_micros"))
+    th.join(cum.select(col("q").as("t_micros"), col("ckeep"), col("cpos")),
+        Seq("t_micros"))
+      .selectExpr("CAST(pct AS BIGINT) AS pct", "t_micros",
+        "CAST(ckeep AS BIGINT) AS n_keep",
+        "CAST(cpos AS BIGINT) AS n_pos_keep",
+        "CAST((cpos * 1000000) div ckeep AS BIGINT) AS precision_ppm",
+        """CAST(CASE WHEN npos = 0 THEN 0
+          |  ELSE (cpos * 1000000) div npos END AS BIGINT) AS recall_ppm"""
+          .stripMargin)
+  }
+
+  def filterCurveSql(id: String, text: String, table: String,
+      labelPredSql: String,
+      pcts: Seq[Int] = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90)): String =
+    s"""WITH s AS (
+       |  SELECT ${TextAnalysis.qualityMicrosSql(text)} AS q,
+       |    CASE WHEN ($labelPredSql) THEN 1 ELSE 0 END AS pos
+       |  FROM $table WHERE $text IS NOT NULL),
+       |hist AS (SELECT q, count(*) AS cnt, sum(pos) AS posc
+       |         FROM s GROUP BY 1),
+       |cum AS (
+       |  SELECT q,
+       |    sum(cnt) OVER (ORDER BY q DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ckeep,
+       |    sum(posc) OVER (ORDER BY q DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos
+       |  FROM hist),
+       |tot AS (SELECT sum(cnt) AS n, sum(posc) AS npos FROM hist),
+       |pcts(pct) AS (VALUES ${pcts.map(p => s"($p)").mkString(", ")}),
+       |th AS (
+       |  SELECT p.pct, tot.npos, max(c.q) AS t_micros
+       |  FROM pcts p CROSS JOIN tot
+       |  JOIN cum c ON c.ckeep >= (p.pct * tot.n + 99) // 100
+       |  GROUP BY 1, 2)
+       |SELECT th.pct::BIGINT AS pct, th.t_micros,
+       |  c.ckeep::BIGINT AS n_keep, c.cpos::BIGINT AS n_pos_keep,
+       |  ((c.cpos * 1000000) // c.ckeep)::BIGINT AS precision_ppm,
+       |  (CASE WHEN th.npos = 0 THEN 0
+       |     ELSE (c.cpos * 1000000) // th.npos END)::BIGINT AS recall_ppm
+       |FROM th JOIN cum c ON c.q = th.t_micros""".stripMargin
+
   /** Frozen CCNet cutpoints (X111): the per-source head/middle
     * boundary CE values of [[ccnetBuckets]], collected once from a
     * static reference corpus (2 longs per source — the production

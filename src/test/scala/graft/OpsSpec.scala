@@ -1273,4 +1273,41 @@ class OpsSpec extends AnyFunSuite {
     val s1 = Seq(out(5L), out(6L)).sortBy(r => (r._3.get, r._1))
     assert(s1.map(_._4) == Seq("middle", "tail"))
   }
+  // ----------------------------------- X112 filter operating curve
+
+  test("filter curve matches an independent reference on the op's own scores") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "en"),
+      (2L, "zz zz zz zz zz zz", "xx"),
+      (3L, "a perfectly ordinary sentence with useful words inside", "en"),
+      (4L, "spam spam spam spam spam spam spam", "xx"),
+      (5L, "short but fine text", "en"),
+      (6L, "another reasonable document with some content here", "xx"),
+      (7L, null.asInstanceOf[String], "en")) // NULL text: excluded
+      .toDF("doc_id", "text", "lang")
+    val pcts = Seq(25, 50, 75)
+    val got = Curation.filterCurve(d, "doc_id", "text",
+        labelPred = col("lang") === "en", pcts = pcts)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // independent reference from the scored rows
+    val scored = d.filter($"text".isNotNull)
+      .select(graft.ops.TextAnalysis.qualityMicros($"text").as("q"),
+        ($"lang" === "en").cast("long").as("pos"))
+      .as[(Long, Long)].collect().sortBy(-_._1)
+    val n = scored.length
+    val npos = scored.map(_._2).sum
+    for (p <- pcts) {
+      val idx = (p * n + 99) / 100
+      // smallest threshold whose keep-count reaches idx: walk down
+      val t = scored.map(_._1).distinct.sortBy(-(_: Long))
+        .find(t0 => scored.count(_._1 >= t0) >= idx).get
+      val keep = scored.filter(_._1 >= t)
+      val want = (p.toLong, t, keep.length.toLong, keep.map(_._2).sum,
+        keep.map(_._2).sum * 1000000L / keep.length,
+        keep.map(_._2).sum * 1000000L / npos)
+      assert(got(p.toLong) == want, s"pct $p")
+    }
+  }
 }
