@@ -1049,22 +1049,36 @@ object Curation {
     * them and redistributes the surplus across the rest at their
     * weights, in ONE closed-form pass instead of an iterative loop:
     *
-    *  1. fill order = the nano-quantized cap/weight ratio
-    *     `(cap·10⁹) div w` (ties by source) — sources that saturate
-    *     at the lowest water level come first; the quantization makes
-    *     the order integer-deterministic on both engines (two ratios
-    *     within a nano may swap vs the exact rational — documented,
-    *     deterministic, and immaterial at these magnitudes);
+    *  1. fill order = the EXACT cap/weight ratio, encoded as the
+    *     two-part quotient key `(cap div w, ((cap mod w)·10¹²) div w)`
+    *     (ties by source). The key is a total order identical to the
+    *     rational order: two distinct fractions with denominators
+    *     ≤ 10⁶ (weights are ppm) differ by ≥ 1/(w₁w₂) ≥ 10⁻¹², so
+    *     their 10¹²-scaled floors differ — no quantization swap is
+    *     possible, and no product exceeds (10⁶−1)·10¹² < 2⁶³
+    *     regardless of source size (the naive `(cap·10⁹) div w`
+    *     overflowed Long past caps of ~9.2·10⁹ tokens — well inside
+    *     100 TB territory);
     *  2. a source CAPS iff spreading the budget remaining at its turn
-    *     over the suffix at weights would give it ≥ its cap —
-    *     cross-multiplied to exact longs
-    *     ((B − capPrefix)·w ≥ cap·wSuffix; products stay < 2⁶³ for
-    *     budgets to ~10¹² at ppm weights), with a cumulative-AND so
-    *     the capped set is a prefix of the fill order;
+    *     over the suffix at weights would give it ≥ its cap:
+    *     R/wSuffix ≥ cap/w with R = B − capPrefix, compared EXACTLY
+    *     via the same two-part keys (lexicographic ≥ on the pairs ==
+    *     ≥ on the rationals, by the same 10⁻¹² gap argument; R < 0
+    *     short-circuits to false before any division), with a
+    *     cumulative-AND so the capped set is a prefix of the fill
+    *     order;
     *  3. capped sources take their cap; the rest take
-    *     `(R·w) div wUncapped` of the remaining budget R (truncation
-    *     slack stays unallocated; a `least(cap, ·)` guards the
-    *     quantized-order edge).
+    *     `floor(R·w / wUncapped)` of the remaining budget R, computed
+    *     overflow-free as `w·(R div wU) + (w·(R mod wU)) div wU`
+    *     (exact: write R = a·wU + r, then floor(R·w/wU) =
+    *     a·w + floor(r·w/wU), and r·w < 10¹²); truncation slack stays
+    *     unallocated; a `least(cap, ·)` guards the tie edge.
+    *
+    * Residual overflow bound after these rewrites: only
+    * `epochs_micros` still forms a product with a corpus-sized
+    * operand — `(alloc mod avail)·10⁶` — requiring avail < 2⁶³/10⁶ ≈
+    * 9.2·10¹² tokens PER SOURCE (~37 TB of text in one source), vs
+    * the previous ~9.2·10⁹ whole-plan ceiling.
     *
     * Output per source: (source, avail_tokens, weight_ppm,
     * cap_tokens, alloc_tokens, epochs_micros, capped). Zero-weight /
@@ -1084,17 +1098,25 @@ object Curation {
       .filter(col("n_tokens") > 0 && col("share_ppm") > 0)
       .selectExpr("source", "n_tokens AS avail", "share_ppm AS w",
         s"CAST((n_tokens * $maxEpochsPct) div 100 AS BIGINT) AS cap")
-      .selectExpr("*", "CAST((cap * 1000000000) div w AS BIGINT) AS q")
+      .selectExpr("*",
+        "CAST(cap div w AS BIGINT) AS q1",
+        "CAST(((cap % w) * 1000000000000) div w AS BIGINT) AS q2")
     val tot = base.agg(sum(col("w")).as("tot_w"))
-    val ord = Window.orderBy(col("q"), col("source"))
+    val ord = Window.orderBy(col("q1"), col("q2"), col("source"))
     val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
     val upTo = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val s1 = base.crossJoin(broadcast(tot))
       .withColumn("cap_pre", coalesce(sum(col("cap")).over(prev), lit(0L)))
       .withColumn("w_pre", coalesce(sum(col("w")).over(prev), lit(0L)))
+      .withColumn("r", lit(budget) - col("cap_pre"))
+      .withColumn("wsuf", col("tot_w") - col("w_pre"))
+      .withColumn("rq1", expr("CAST(r div wsuf AS BIGINT)"))
+      .withColumn("rq2",
+        expr("CAST(((r % wsuf) * 1000000000000) div wsuf AS BIGINT)"))
       .withColumn("cond",
-        ((lit(budget) - col("cap_pre")) * col("w") >=
-          col("cap") * (col("tot_w") - col("w_pre"))).cast("int"))
+        (col("r") >= 0 && (col("rq1") > col("q1") ||
+          (col("rq1") === col("q1") && col("rq2") >= col("q2"))))
+          .cast("int"))
       .withColumn("capflag", min(col("cond")).over(upTo))
     val ct = s1.agg(
       coalesce(sum(when(col("capflag") === 1, col("cap"))), lit(0L))
@@ -1104,12 +1126,17 @@ object Curation {
     s1.crossJoin(broadcast(ct))
       .selectExpr("source", "avail", "w", "cap", "capflag",
         s"""CAST(CASE WHEN capflag = 1 THEN cap
-           |  ELSE least(cap, (($budget - capped_tok) * w)
-           |    div (tot_w - capped_w)) END AS BIGINT) AS alloc""".stripMargin)
+           |  ELSE least(cap,
+           |    w * (($budget - capped_tok) div (tot_w - capped_w))
+           |    + (w * (($budget - capped_tok) % (tot_w - capped_w)))
+           |      div (tot_w - capped_w)) END AS BIGINT) AS alloc"""
+          .stripMargin)
       .selectExpr("source", "CAST(avail AS BIGINT) AS avail_tokens",
         "CAST(w AS BIGINT) AS weight_ppm", "CAST(cap AS BIGINT) AS cap_tokens",
         "CAST(alloc AS BIGINT) AS alloc_tokens",
-        "CAST((alloc * 1000000) div avail AS BIGINT) AS epochs_micros",
+        """CAST((alloc div avail) * 1000000
+          |  + ((alloc % avail) * 1000000) div avail
+          |  AS BIGINT) AS epochs_micros""".stripMargin,
         "CAST(capflag AS BIGINT) AS capped")
   }
 
@@ -1121,35 +1148,46 @@ object Curation {
        |  SELECT source, n_tokens AS avail, share_ppm AS w,
        |    (n_tokens * $maxEpochsPct) // 100 AS cap
        |  FROM w0 WHERE n_tokens > 0 AND share_ppm > 0),
-       |qq AS (SELECT *, (cap * 1000000000) // w AS q FROM base),
+       |qq AS (SELECT *, cap // w AS q1,
+       |  ((cap % w) * 1000000000000) // w AS q2 FROM base),
        |tot AS (SELECT sum(w) AS tot_w FROM qq),
        |s1 AS (
        |  SELECT qq.*, tot_w,
-       |    coalesce(sum(cap) OVER (ORDER BY q, source
+       |    coalesce(sum(cap) OVER (ORDER BY q1, q2, source
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cap_pre,
-       |    coalesce(sum(w) OVER (ORDER BY q, source
+       |    coalesce(sum(w) OVER (ORDER BY q1, q2, source
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_pre
        |  FROM qq CROSS JOIN tot),
        |s2 AS (
-       |  SELECT *, CASE WHEN ($budget - cap_pre) * w
-       |      >= cap * (tot_w - w_pre) THEN 1 ELSE 0 END AS cond
+       |  SELECT *, ($budget - cap_pre) AS r, (tot_w - w_pre) AS wsuf,
+       |    ($budget - cap_pre) // (tot_w - w_pre) AS rq1,
+       |    ((($budget - cap_pre) % (tot_w - w_pre)) * 1000000000000)
+       |      // (tot_w - w_pre) AS rq2
        |  FROM s1),
-       |s3 AS (
-       |  SELECT *, min(cond) OVER (ORDER BY q, source
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capflag
+       |s2b AS (
+       |  SELECT *, CASE WHEN r >= 0 AND (rq1 > q1
+       |      OR (rq1 = q1 AND rq2 >= q2)) THEN 1 ELSE 0 END AS cond
        |  FROM s2),
+       |s3 AS (
+       |  SELECT *, min(cond) OVER (ORDER BY q1, q2, source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capflag
+       |  FROM s2b),
        |ct AS (
        |  SELECT coalesce(sum(CASE WHEN capflag = 1 THEN cap END), 0) AS capped_tok,
        |    coalesce(sum(CASE WHEN capflag = 1 THEN w END), 0) AS capped_w
        |  FROM s3),
        |a AS (
        |  SELECT s3.*, CASE WHEN capflag = 1 THEN cap
-       |    ELSE least(cap, (($budget - capped_tok) * w) // (tot_w - capped_w))
+       |    ELSE least(cap,
+       |      w * (($budget - capped_tok) // (tot_w - capped_w))
+       |      + (w * (($budget - capped_tok) % (tot_w - capped_w)))
+       |        // (tot_w - capped_w))
        |    END AS alloc
        |  FROM s3 CROSS JOIN ct)
        |SELECT source, avail::BIGINT AS avail_tokens, w::BIGINT AS weight_ppm,
        |  cap::BIGINT AS cap_tokens, alloc::BIGINT AS alloc_tokens,
-       |  ((alloc * 1000000) // avail)::BIGINT AS epochs_micros,
+       |  ((alloc // avail) * 1000000
+       |    + ((alloc % avail) * 1000000) // avail)::BIGINT AS epochs_micros,
        |  capflag::BIGINT AS capped
        |FROM a""".stripMargin
 

@@ -303,6 +303,15 @@ object Retrieval {
       graft.functions.ArrayExprs.termCounts(
         TextAnalysis.tokens(col(textCol)), allTerms).as("__tc"))
     val dl = element_at(col("__tc"), allTerms.size + 1).cast("double")
+    // the posting join keeps every doc that MATCHES a query term,
+    // including docs whose rounded contributions sum to 0 (possible
+    // when idf is tiny — a term in nearly all docs of a large
+    // corpus); the frozen path must reproduce that tail, so the
+    // filter below is on match count, not on score > 0
+    def matchesOf(ts: Seq[(String, Long)]): Column =
+      ts.map { case (t, _) =>
+        when(element_at(col("__tc"), pos(t) + 1) > 0, 1).otherwise(0)
+      }.reduce(_ + _)
     def scoreOf(ts: Seq[(String, Long)]): Column =
       ts.map { case (t, wMicros) =>
         val tf = element_at(col("__tc"), pos(t) + 1).cast("double")
@@ -315,13 +324,14 @@ object Retrieval {
           .otherwise(lit(0L))
       }.reduce(_ + _)
     val scored = frozen.weights.toSeq.sortBy(_._1).map { case (qid, ts) =>
-      struct(lit(qid).as("qid"), scoreOf(ts).as("score_micros"))
+      struct(lit(qid).as("qid"), scoreOf(ts).as("score_micros"),
+        matchesOf(ts).as("m"))
     }
     withTc
       .select(col("id"), explode(array(scored: _*)).as("q"))
+      .filter(col("q.m") > 0)
       .select(col("id"), col("q.qid").as("qid"),
         col("q.score_micros").as("score_micros"))
-      .filter(col("score_micros") > 0)
   }
 
   /** [[prfExpandTopK]] served from a frozen artifact: rank the

@@ -24,11 +24,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (run, batch) HIGH-WATER: each state row carries the `run_id` and
   * `last_batch` of the last micro-batch that contributed to it, and
   * a delta is skipped iff it re-arrives under the SAME run with a
-  * batch id at or below the mark. That scoping matters: Structured
-  * Streaming's at-least-once replay window is per-CHECKPOINT (a
-  * replayed batch comes back under its original id in the same run;
-  * a fresh run reads fresh offsets and can never re-deliver old
-  * batches), while batch ids themselves RESTART at 0 in a fresh
+  * batch id at or below the mark. "Run" is the CHECKPOINT LINEAGE,
+  * not the driver process ([[RunMark.forCheckpoint]]): crash
+  * recovery restarts the driver against the same checkpoint and
+  * replays the interrupted batch under its original id, so the
+  * restarted `maintain()` must resume the SAME run id for the mark
+  * to catch it — a process-scoped UUID would change across exactly
+  * that restart and double-add. A fresh checkpoint (fresh offsets,
+  * which can never re-deliver old batches) gets a fresh id, which
+  * matters because batch ids themselves RESTART at 0 in a fresh
   * run — a bare batch high-water would silently drop the first
   * batches of every later ingest run against already-seen sources.
   * Re-delivery of any committed batch — immediate crash-replay or a
@@ -122,9 +126,10 @@ object CardStore {
       tableDir: String, checkpointDir: String,
       nBuckets: Int = StateTable.DefaultBuckets,
       graceCommits: Int = 0): StreamingQuery = {
-    // one mark scope per streaming run: replays land under this id,
-    // a future run gets a fresh one (see the high-water contract)
-    val runId = java.util.UUID.randomUUID().toString
+    // one mark scope per checkpoint lineage: a crash-restart from the
+    // same checkpoint resumes this id (so its replays hit the mark);
+    // a fresh checkpoint gets a fresh one (see the high-water contract)
+    val runId = RunMark.forCheckpoint(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -36,11 +36,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  3. append admitted rows to `outDir`, then commit the bumped
   *     per-source token counters through the manifest protocol.
   *
-  * State: one long per source ever seen; work per trigger ∝ batch +
-  * touched buckets. The committed state is a pure function of (prior
-  * state, batch) — crash-replay between emit and commit re-admits
-  * identically (duplicate OUTPUT, correct state); a post-commit
-  * replay admits nothing (the bumped counters reject the batch), so
+  * State: one (spent, run_id, last_batch) row per source ever seen;
+  * work per trigger ∝ batch + touched buckets. Replay safety is the
+  * [[CardStore]] high-water, not the budget arithmetic: spending is
+  * additive, so a post-commit replay of a batch would re-admit its
+  * top-ranked prefix again whenever the source still has slack ≥
+  * that prefix's tokens (double-counting spend AND duplicating
+  * output). Each state row therefore carries the (run, batch) mark
+  * of the last micro-batch that spent against it — scoped to the
+  * checkpoint lineage via [[RunMark.forCheckpoint]] so a
+  * crash-restarted driver resumes the same run id — and a batch
+  * re-arriving at or below a source's mark admits NOTHING for that
+  * source. Crash-replay between emit and commit (mark not yet
+  * bumped) re-admits identically: duplicate output, correct state;
+  * post-commit replay is a pure no-op on both output and state, so
   * the budget can never over-spend. Which docs of a source survive
   * depends on arrival order across batches — that is what an online
   * budget IS; the retrospective plan is [[graft.ops.Curation
@@ -57,7 +66,7 @@ object TokenQuotaStore {
     */
   def applyBatch(batch: DataFrame, idCol: String, textCol: String,
       sourceCol: String, plan: DataFrame, tableDir: String,
-      outDir: String, batchId: Long, nBucketsIfNew: Int,
+      outDir: String, runId: String, batchId: Long, nBucketsIfNew: Int,
       graceCommits: Int = 0): Unit = {
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(tableDir))
@@ -86,27 +95,42 @@ object TokenQuotaStore {
       val existing =
         if (existingPaths.nonEmpty) spark.read.parquet(existingPaths: _*)
         else ranked.select(col("__src").as("source"),
-          lit(0L).as("tok_spent")).limit(0)
+          lit(0L).as("tok_spent"), lit("").as("run_id"),
+          lit(-1L).as("last_batch")).limit(0)
 
+      // the high-water guard: a source whose mark already covers this
+      // (run, batch) has spent this batch — admit nothing for it
+      // (post-commit replay), leaving both output and state untouched
+      val fresh = !(col("__srid").isNotNull &&
+        col("__srid") === lit(runId) && lit(batchId) <= col("__slb"))
       val admitted = ranked
         .join(broadcast(plan.select(col("source").as("__src"),
           col("alloc_tokens").as("__alloc"))), Seq("__src"), "left")
-        .join(existing.select(col("source").as("__src"), col("tok_spent")),
+        .join(existing.select(col("source").as("__src"), col("tok_spent"),
+          col("run_id").as("__srid"), col("last_batch").as("__slb")),
           Seq("__src"), "left")
-        .filter(coalesce(col("tok_spent"), lit(0L)) + col("__cum")
+        .filter(fresh && coalesce(col("tok_spent"), lit(0L)) + col("__cum")
           <= coalesce(col("__alloc"), lit(0L)))
         .persist()
       try {
         // emit BEFORE the state commit (the family's contract)
         admitted.drop("__src", "__q", "__tok", "__cum", "__b",
-            "__alloc", "tok_spent")
+            "__alloc", "tok_spent", "__srid", "__slb")
           .write.mode("append").parquet(outDir)
+        // sources that admitted rows get the bumped spend + this
+        // batch's mark; everyone else (stale sources included)
+        // passes through untouched
         val admTokens = admitted.groupBy(col("__src").as("source"))
           .agg(sum(col("__tok")).as("__nt"))
         val newState = existing.join(admTokens, Seq("source"), "full")
           .select(col("source"),
             (coalesce(col("tok_spent"), lit(0L))
-              + coalesce(col("__nt"), lit(0L))).as("tok_spent"))
+              + coalesce(col("__nt"), lit(0L))).as("tok_spent"),
+            when(col("__nt").isNotNull, lit(runId))
+              .otherwise(coalesce(col("run_id"), lit(""))).as("run_id"),
+            when(col("__nt").isNotNull, lit(batchId))
+              .otherwise(coalesce(col("last_batch"), lit(-1L)))
+              .as("last_batch"))
           .withColumn("b",
             pmod(hash(col("source")), lit(nBuckets)).cast("int"))
         val version =
@@ -124,14 +148,18 @@ object TokenQuotaStore {
       sourceCol: String, plan: DataFrame, tableDir: String,
       outDir: String, checkpointDir: String,
       nBuckets: Int = StateTable.DefaultBuckets,
-      graceCommits: Int = 0): StreamingQuery =
+      graceCommits: Int = 0): StreamingQuery = {
+    // mark scope = checkpoint lineage: a crash-restart resumes this
+    // id so its replayed batch ids hit the stored marks
+    val runId = RunMark.forCheckpoint(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, idCol, textCol, sourceCol, plan, tableDir,
-          outDir, batchId, nBuckets, graceCommits)
+          outDir, runId, batchId, nBuckets, graceCommits)
       }
       .start()
+  }
 
   /** Takedown companion: taken-down docs give their TOKENS back so
     * the source's budget re-opens. `dels` is (source, tokens);
@@ -158,7 +186,8 @@ object TokenQuotaStore {
       val newState = existing.join(rel.drop("__b"), Seq("source"), "left")
         .select(col("source"),
           greatest(col("tok_spent") - coalesce(col("__rel"), lit(0L)),
-            lit(0L)).as("tok_spent"))
+            lit(0L)).as("tok_spent"),
+          col("run_id"), col("last_batch"))
         .withColumn("b",
           pmod(hash(col("source")), lit(nBuckets)).cast("int"))
       val version = s"rel_${java.util.UUID.randomUUID().toString.take(8)}"

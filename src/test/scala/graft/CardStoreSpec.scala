@@ -68,6 +68,23 @@ class CardStoreSpec extends AnyFunSuite {
       (want01 - (("s0", 2L, 5L, 3L)) + (("s0", 3L, 7L, 3L))))
   }
 
+  test("crash-restart from the same checkpoint resumes the run id, so its replays are no-ops") {
+    val dir = Files.createTempDirectory("cs_cr_state").toString
+    val ckpt = Files.createTempDirectory("cs_cr_ckpt").toString
+    // what maintain() derives on first start
+    val r1 = graft.streaming.RunMark.forCheckpoint(ckpt)
+    apply(b0, dir, r1, 0)
+    val want = Set(("s0", 2L, 5L, 3L), ("s1", 1L, 4L, 4L))
+    assert(cardOf(dir) == want)
+    // driver crashes post-commit; the restarted maintain() re-derives
+    // the run id from the SAME checkpoint — a fresh UUID here is
+    // exactly the bug that would double-add the replayed batch
+    val r2 = graft.streaming.RunMark.forCheckpoint(ckpt)
+    assert(r2 == r1, "run id must be stable across restarts of one checkpoint")
+    apply(b0, dir, r2, 0) // Structured Streaming replays batch 0
+    assert(cardOf(dir) == want)
+  }
+
   test("streaming maintenance; a second run keeps accumulating") {
     implicit val sqlCtx = spark.sqlContext
     val tableDir = Files.createTempDirectory("cs_str_state").toString

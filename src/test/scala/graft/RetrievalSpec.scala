@@ -520,6 +520,23 @@ class RetrievalSpec extends AnyFunSuite {
       .filter($"qid" === 0L).select("id").as[Long].collect().toSet
     assert(gated.contains(20L))
   }
+  test("frozen PRF keeps zero-score rows that match a term (the in-plan posting join's tie tail)") {
+    // a near-ubiquitous term on a huge corpus has idf so small that
+    // round(c*1e6) == 0; the in-plan posting join still keeps the
+    // matched doc (score 0, ranked on the id tie-break). Pin the
+    // frozen path's parity with a hand-built model carrying such an
+    // idf — unreachable organically at unit-test corpus sizes.
+    val docs = Seq((1L, "common filler words"), (2L, "no hit here"))
+      .toDF("doc_id", "text")
+    val frozen = Retrieval.FrozenPrf(avgdl = 3.0,
+      idf = Map("common" -> 1e-9),
+      weights = Map(0L -> Seq(("common", 1000000L))))
+    val rows = Retrieval.scorePrfFrozen(docs, "doc_id", "text", frozen)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 0L, 0L)),
+      "doc 1 matches 'common' and must survive with score 0; doc 2 must not")
+  }
+
   test("ccnet gate: frozen-on-self == batch terciles; unknown source tails; short doc unscored") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the dog", "r", "s0"),

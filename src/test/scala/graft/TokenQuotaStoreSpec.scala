@@ -24,10 +24,10 @@ class TokenQuotaStoreSpec extends AnyFunSuite {
   private val plan = Seq(("A", 12L), ("B", 4L)).toDF("source", "alloc_tokens")
 
   private def apply(rows: Seq[(Long, String, String)], tableDir: String,
-      outDir: String, id: Long): Unit =
+      outDir: String, id: Long, runId: String = "run-1"): Unit =
     TokenQuotaStore.applyBatch(rows.toDF("doc_id", "text", "source"),
       "doc_id", "text", "source", plan, tableDir, outDir,
-      batchId = id, nBucketsIfNew = 4)
+      runId = runId, batchId = id, nBucketsIfNew = 4)
 
   private def admitted(outDir: String) =
     spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
@@ -65,6 +65,28 @@ class TokenQuotaStoreSpec extends AnyFunSuite {
     apply(Seq((7L, doc(2, "g"), "A")), tableDir, outDir, 2)
     assert(admitted(outDir) == Set(1L, 2L, 5L, 7L))
     assert(spend(tableDir) == Set(("A", 12L), ("B", 3L)))
+  }
+
+  test("post-commit replay with remaining slack is still a no-op (high-water, not budget arithmetic)") {
+    val tableDir = Files.createTempDirectory("tq_hw_state").toString
+    val outDir = Files.createTempDirectory("tq_hw_out").toString
+
+    // A spends 2 of 12 — plenty of slack left, so budget arithmetic
+    // alone WOULD re-admit the replay; the (run, batch) mark must not
+    apply(Seq((1L, doc(2, "a"), "A")), tableDir, outDir, 0)
+    assert(admitted(outDir) == Set(1L))
+    assert(spend(tableDir) == Set(("A", 2L)))
+
+    apply(Seq((1L, doc(2, "a"), "A")), tableDir, outDir, 0)
+    assert(admitted(outDir) == Set(1L),
+      "replayed batch re-emitted despite the high-water mark")
+    assert(spend(tableDir) == Set(("A", 2L)), "replay double-spent tokens")
+
+    // a FRESH run's batch 0 against the same source must accumulate
+    // (batch ids restart at 0 across runs — the mark is run-scoped)
+    apply(Seq((2L, doc(3, "b"), "A")), tableDir, outDir, 0, runId = "run-2")
+    assert(admitted(outDir) == Set(1L, 2L))
+    assert(spend(tableDir) == Set(("A", 5L)))
   }
 
   test("streaming maintenance across runs; release re-opens tokens") {
