@@ -1272,29 +1272,37 @@ object SparkEntry {
         Dedup.semanticPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
           "label", iters = 2, threshold = 0.35))),
 
-    // Multimodal: binary media column + typed per-partition decode
-    // (stub codec — see ops.Multimodal.StubCodec).
+    // Multimodal: REAL ImageIO decode over genuine PNG bytes (one
+    // formula-pixel fixture image per doc id, encoded in-plan). The
+    // oracle computes the expected stats from the pixel formula and
+    // never sees the bytes — agreement proves the codec path is
+    // pixel-exact end to end.
     "q_mm_decode" -> ((s, dir) =>
-      Multimodal.decode(Multimodal.mediaFromDocuments(T(s, dir, "documents")))
+      Multimodal.decodeImages(
+        Multimodal.imageFixture(T(s, dir, "documents")))
         .toDF()),
 
-    // Multimodal: frame sampling over the video modality.
+    // Multimodal: frame sampling over the video modality (av codec
+    // remains a documented stub — see ops.Multimodal.StubCodec).
     "q_mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.mediaFromDocuments(T(s, dir, "documents")),
         stride = 16, maxFrames = 4)
         .toDF()),
 
-    // Multimodal: aspect-preserving resize over the image modality.
+    // Multimodal: real aspect-preserving nearest-neighbor rescale;
+    // output carries the mean brightness of the actually-resampled
+    // pixels, oracle-checked through the formula.
     "q_mm_resize" -> ((s, dir) =>
-      Multimodal.resize(
-        Multimodal.mediaFromDocuments(T(s, dir, "documents")), maxDim = 256)
+      Multimodal.resizeImages(
+        Multimodal.imageFixture(T(s, dir, "documents")), maxDim = 16)
         .toDF()),
 
-    // Multimodal: feature extraction, one row per vector component.
+    // Multimodal: real per-channel moment features, one row per
+    // component (feat_idx 2c = mean, 2c+1 = second moment, both ·1e6).
     "q_mm_features" -> ((s, dir) =>
-      Multimodal.features(
-        Multimodal.mediaFromDocuments(T(s, dir, "documents")), dim = 8)
+      Multimodal.imageFeatures(
+        Multimodal.imageFixture(T(s, dir, "documents")))
         .toDF())
   )
 
@@ -2013,17 +2021,18 @@ object SparkEntry {
         + " ORDER BY id"),
 
     "q_mm_decode" ->
-      (Multimodal.decodeSql("documents") + " ORDER BY media_id"),
+      (Multimodal.decodeImagesSql("documents") + " ORDER BY media_id"),
 
     "q_mm_frames" ->
       (Multimodal.framesSql("documents", stride = 16, maxFrames = 4)
         + " ORDER BY media_id, frame_idx"),
 
     "q_mm_resize" ->
-      (Multimodal.resizeSql("documents", maxDim = 256) + " ORDER BY media_id"),
+      (Multimodal.resizeImagesSql("documents", maxDim = 16)
+        + " ORDER BY media_id"),
 
     "q_mm_features" ->
-      (Multimodal.featuresSql("documents", dim = 8)
+      (Multimodal.imageFeaturesSql("documents")
         + " ORDER BY media_id, feat_idx")
   )
 

@@ -10,15 +10,43 @@ import org.apache.spark.sql.functions._
   * the layout a 100 TB multimodal corpus actually uses (parquet binary
   * chunks + struct metadata, partitioned by kind/source so decode jobs
   * prune to one modality). Decode / feature-extraction runs as a
-  * TYPED per-partition pipeline ([[decode]]): one decoder instance is
-  * initialized per partition and streamed over the rows — the same
-  * batch shape as an `mapInPandas`/Arrow UDF, without materializing
-  * the partition. The codec itself is STUBBED (this container has no
-  * image/audio libraries): [[StubCodec]] derives deterministic fake
-  * dimensions/features from the content's md5, so the plumbing —
-  * schema, partitioning, per-partition init, output contract — is real
-  * and oracle-checkable while the native-library call is an explicit
-  * single swap point.
+  * TYPED per-partition pipeline: one codec instance is initialized per
+  * partition and the rows are streamed through it — the same batch
+  * shape as a `mapInPandas`/Arrow UDF, without materializing the
+  * partition.
+  *
+  * == The image codec is REAL ==
+  *
+  * [[ImageCodec]] decodes genuine PNG/JPEG bytes with the JDK's
+  * `javax.imageio.ImageIO` (no new dependency): real width / height /
+  * channels, real pixel reads for brightness and per-channel moments,
+  * and a real integer nearest-neighbor rescale for the resize path.
+  * 8-bit grayscale reads raw raster samples (TYPE_BYTE_GRAY's `getRGB`
+  * would color-manage the linear gray space — a known exactness trap);
+  * everything else reads packed sRGB via `getRGB` (alpha, if present,
+  * is dropped and the image reports 3 channels).
+  *
+  * == How the oracle checks a codec DuckDB cannot run ==
+  *
+  * The sandbox DuckDB can't decode PNGs, so the correctness queries
+  * stage a fixture whose pixel values are a pure integer FORMULA of
+  * (media_id, x, y, channel) ([[pixelValue]]), encode those pixels as
+  * real PNG bytes ([[imageFixture]] — PNG because it is lossless;
+  * JPEG decodes through the same swap point but is not bit-stable
+  * across codec builds), and run the real decode on the Spark side.
+  * The DuckDB twin computes the same statistics directly from the
+  * formula via range joins — it never sees the bytes. The two agree
+  * ONLY if encode → ImageIO decode → pixel reads reproduce every
+  * sample exactly, which makes the hash compare a genuine end-to-end
+  * proof of the codec path (spec-pinned against a hand-made 2×2 PNG
+  * as well). All derived statistics are integer math (`sum·10⁶ div
+  * n`), so both engines agree bit-for-bit.
+  *
+  * Audio/video remain a documented deterministic stub
+  * ([[StubCodec]] — frame "sampling" fingerprints byte slices): this
+  * container ships no audio/video libraries, and the Spark-side
+  * plumbing (binary column, modality pruning, per-partition codec
+  * lifecycle) is identical to the image path that IS real.
   */
 object Multimodal {
 
@@ -26,31 +54,187 @@ object Multimodal {
   case class MediaRow(media_id: Long, kind: String, content: Array[Byte],
       n_bytes: Long, source: String)
 
-  /** Decoded/feature-extracted output. */
-  case class DecodedMedia(media_id: Long, kind: String, width: Long,
-      height: Long, channels: Long, brightness_micros: Long, content_md5: String)
+  /** Decoded image: real dims/channels + integer mean brightness. */
+  case class DecodedImage(media_id: Long, kind: String, width: Long,
+      height: Long, channels: Long, brightness_micros: Long)
 
-  /** One sampled video frame. */
-  case class Frame(media_id: Long, frame_idx: Long, frame_md5: String)
-
-  /** Resize output: original + target dims, resized-content fingerprint. */
-  case class ResizedMedia(media_id: Long, width: Long, height: Long,
-      out_width: Long, out_height: Long, resized_md5: String)
+  /** Resize output: original + target dims, mean brightness of the
+    * actually-resampled pixels.
+    */
+  case class ResizedImage(media_id: Long, width: Long, height: Long,
+      out_width: Long, out_height: Long, resized_brightness_micros: Long)
 
   /** One extracted feature component (exploded layout — join-friendly
     * and oracle-comparable without array-ordering concerns).
+    * For images: feat_idx 2c = channel-c mean·10⁶, 2c+1 = channel-c
+    * second moment·10⁶.
     */
   case class MediaFeature(media_id: Long, kind: String, feat_idx: Long,
       feat_val: Long)
 
-  // ------------------------------------------------------------- codec stub
+  /** One sampled video frame. */
+  case class Frame(media_id: Long, frame_idx: Long, frame_md5: String)
 
-  /** THE swap point: a real implementation wraps ImageIO / ffmpeg /
-    * soundfile here. Deterministic fake: dimensions and features are
-    * arithmetic over the content md5, so the DuckDB oracle reproduces
-    * them exactly. One instance per partition (decoder init is the
-    * expensive part in real codecs — same lifecycle as a connection in
-    * a ForeachWriter).
+  // --------------------------------------------------------- fixture formula
+
+  /** The fixture's deterministic pixel law — the shared ground truth
+    * both engines compute from. Kept to small primes so the SQL twin
+    * is a one-liner; values cover the full 0..255 range.
+    */
+  def pixelValue(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + x * 7 + y * 13 + c * 101) % 256).toInt
+
+  /** Fixture geometry: width 4..32, height 4..26, alternating
+    * grayscale (1 channel) and RGB (3 channels) by id parity — small
+    * enough that the oracle's range-join stays trivial, varied enough
+    * to exercise non-square dims and both raster layouts.
+    */
+  def fixtureWidth(id: Long): Int = 4 + (id % 29).toInt
+  def fixtureHeight(id: Long): Int = 4 + ((id / 29) % 23).toInt
+  def fixtureChannels(id: Long): Int = if (id % 2 == 0) 1 else 3
+
+  private val DimsSqlBody =
+    """SELECT doc_id AS media_id, 4 + doc_id % 29 AS w,
+      |    4 + (doc_id // 29) % 23 AS h,
+      |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch""".stripMargin
+
+  /** The formula evaluated at (sx, sy): shared by the decode oracle
+    * (identity sampling) and the resize oracle (nearest-neighbor
+    * source coordinates).
+    */
+  private def pxSql(sx: String, sy: String): String =
+    s"(media_id * 31 + ($sx) * 7 + ($sy) * 13 + c * 101) % 256"
+
+  // ------------------------------------------------------------- image codec
+
+  /** THE codec: JDK ImageIO for stills. One instance per partition
+    * (decoder init and scratch buffers are the expensive part of real
+    * codecs — same lifecycle as a connection in a ForeachWriter).
+    */
+  final class ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per call
+
+    /** Encode the fixture's formula image as real PNG bytes. */
+    def encodeFixturePng(id: Long): Array[Byte] = {
+      val (w, h, ch) = (fixtureWidth(id), fixtureHeight(id), fixtureChannels(id))
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (ch == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (ch == 1) img.getRaster.setSample(x, y, 0, pixelValue(id, x, y, 0))
+          else img.setRGB(x, y,
+            (pixelValue(id, x, y, 0) << 16) | (pixelValue(id, x, y, 1) << 8) |
+              pixelValue(id, x, y, 2))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Real decode. None for undecodable bytes (callers drop such
+      * rows; a quarantine is one anti-join away and the count never
+      * scales with good data).
+      */
+    def read(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+
+    /** Channel count as reported: raw 1 for grayscale rasters,
+      * 3 otherwise (alpha dropped — see the object doc).
+      */
+    def channelsOf(img: java.awt.image.BufferedImage): Int =
+      if (img.getRaster.getNumBands == 1) 1 else 3
+
+    /** One pixel sample, exact: raster for gray, packed sRGB else. */
+    def sample(img: java.awt.image.BufferedImage, x: Int, y: Int,
+        c: Int): Int =
+      if (img.getRaster.getNumBands == 1) img.getRaster.getSample(x, y, 0)
+      else (img.getRGB(x, y) >> ((2 - c) * 8)) & 0xff
+
+    def decode(m: MediaRow): Option[DecodedImage] = read(m.content).map { img =>
+      val (w, h, ch) = (img.getWidth, img.getHeight, channelsOf(img))
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < ch) { sum += sample(img, x, y, c); c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(m.media_id, m.kind, w, h, ch,
+        sum * 1000000L / (w.toLong * h * ch))
+    }
+
+    /** Aspect-preserving integer nearest-neighbor rescale to `maxDim`
+      * on the longest side; reports the mean brightness of the pixels
+      * actually resampled (src coords `x·w div ow`, `y·h div oh`).
+      */
+    def resize(m: MediaRow, maxDim: Int): Option[ResizedImage] =
+      read(m.content).map { img =>
+        val (w, h, ch) = (img.getWidth, img.getHeight, channelsOf(img))
+        val longest = math.max(w, h)
+        val ow = math.max(1, w * maxDim / longest)
+        val oh = math.max(1, h * maxDim / longest)
+        var sum = 0L
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val (sx, sy) = (x * w / ow, y * h / oh)
+            var c = 0
+            while (c < ch) { sum += sample(img, sx, sy, c); c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        ResizedImage(m.media_id, w, h, ow, oh,
+          sum * 1000000L / (ow.toLong * oh * ch))
+      }
+
+    /** Per-channel first and second moments (·10⁶, exact integer
+      * division) — the cheap "embedding" every vision curation
+      * pipeline starts from (channel statistics, exposure checks).
+      */
+    def features(m: MediaRow): Iterator[MediaFeature] =
+      read(m.content).iterator.flatMap { img =>
+        val (w, h, ch) = (img.getWidth, img.getHeight, channelsOf(img))
+        val n = w.toLong * h
+        (0 until ch).iterator.flatMap { c =>
+          var s = 0L
+          var s2 = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = sample(img, x, y, c).toLong
+              s += v; s2 += v * v
+              x += 1
+            }
+            y += 1
+          }
+          Iterator(
+            MediaFeature(m.media_id, m.kind, 2L * c, s * 1000000L / n),
+            MediaFeature(m.media_id, m.kind, 2L * c + 1, s2 * 1000000L / n))
+        }
+      }
+  }
+
+  // ----------------------------------------------------- audio/video stub
+
+  /** Audio/video swap point — still a deterministic stub (this
+    * container has no av libraries): frame "sampling" fingerprints
+    * byte slices. The per-partition lifecycle and modality pruning
+    * are the same as the real image path.
     */
   final class StubCodec {
     private val md = java.security.MessageDigest.getInstance("MD5")
@@ -58,46 +242,6 @@ object Multimodal {
     def md5Hex(bytes: Array[Byte]): String = {
       md.reset()
       md.digest(bytes).map(b => f"$b%02x").mkString
-    }
-
-    private def hexField(hex: String, from: Int, len: Int): Long =
-      java.lang.Long.parseLong(hex.substring(from, from + len), 16)
-
-    def decode(m: MediaRow): DecodedMedia = {
-      val hex = md5Hex(m.content) // ??? real codec: decode m.content instead
-      DecodedMedia(
-        media_id = m.media_id,
-        kind = m.kind,
-        width = 1 + hexField(hex, 0, 4) % 1024,
-        height = 1 + hexField(hex, 4, 4) % 1024,
-        channels = 1 + hexField(hex, 8, 2) % 4,
-        brightness_micros = hexField(hex, 10, 6) % 1000000,
-        content_md5 = hex)
-    }
-
-    /** Aspect-preserving resize to `maxDim` on the longest side —
-      * real codec: an actual rescale; stub: integer-math target dims
-      * from the decoded (fake) dims, resized payload fingerprinted as
-      * md5 of the source md5 + target geometry.
-      */
-    def resize(m: MediaRow, maxDim: Int): ResizedMedia = {
-      val d = decode(m)
-      val longest = math.max(d.width, d.height)
-      val ow = math.max(1L, d.width * maxDim / longest)
-      val oh = math.max(1L, d.height * maxDim / longest)
-      ResizedMedia(m.media_id, d.width, d.height, ow, oh,
-        md5Hex(s"${d.content_md5}_${ow}x$oh".getBytes("UTF-8")))
-    }
-
-    /** Feature extraction: a `dim`-component vector — real codec: a
-      * vision/audio embedding model; stub: dim equal hex slices of the
-      * content md5 (dim must divide 32).
-      */
-    def features(m: MediaRow, dim: Int): Iterator[MediaFeature] = {
-      val hex = md5Hex(m.content)
-      val w = 32 / dim
-      (0 until dim).iterator.map(j =>
-        MediaFeature(m.media_id, m.kind, j.toLong, hexField(hex, j * w, w)))
     }
 
     /** Frame sampling: every `stride` bytes, up to `maxFrames` —
@@ -117,6 +261,8 @@ object Multimodal {
   /** Stage the driver's `documents` table as a media table: text bytes
     * as the opaque payload, modality round-robin by id. (A real corpus
     * reads parquet/tar shards of actual media bytes — shape-identical.)
+    * Feeds the audio/video stub paths; the image pipeline uses
+    * [[imageFixture]]'s real PNG bytes.
     */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
@@ -130,40 +276,58 @@ object Multimodal {
       col("source")).as[MediaRow]
   }
 
-  /** Per-partition decode: codec initialized once per partition,
-    * rows streamed through it.
+  /** Stage one REAL PNG per document id: formula pixels
+    * ([[pixelValue]]) encoded per-partition. Staging is part of the
+    * measured queries by necessity (the test dirs are read-only); a
+    * production corpus reads already-encoded bytes and skips straight
+    * to decode.
     */
-  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
-    val spark = media.sparkSession
+  def imageFixture(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
-      val codec = new StubCodec
-      it.map(codec.decode)
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val codec = new ImageCodec
+      it.map { id =>
+        val png = codec.encodeFixturePng(id)
+        MediaRow(id, "image", png, png.length.toLong, "fixture")
+      }
     }
   }
 
-  /** Aspect-preserving resize over the image modality only (filter →
-    * partition pruning on a kind-partitioned layout), per-partition
-    * codec lifecycle as [[decode]].
+  /** Per-partition real decode over the image modality (the filter
+    * prunes to one modality — partition pruning on a kind-partitioned
+    * layout). Undecodable rows drop (see [[ImageCodec.read]]).
     */
-  def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[ResizedMedia] = {
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind") === "image").mapPartitions { it =>
-      val codec = new StubCodec
-      it.map(m => codec.resize(m, maxDim))
+      val codec = new ImageCodec
+      it.flatMap(codec.decode)
     }
   }
 
-  /** Feature extraction for every modality, exploded to one row per
-    * vector component.
+  /** Real aspect-preserving nearest-neighbor resize over the image
+    * modality, per-partition codec lifecycle as [[decodeImages]].
     */
-  def features(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeature] = {
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int): Dataset[ResizedImage] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
-      val codec = new StubCodec
-      it.flatMap(m => codec.features(m, dim))
+    media.filter(col("kind") === "image").mapPartitions { it =>
+      val codec = new ImageCodec
+      it.flatMap(m => codec.resize(m, maxDim))
+    }
+  }
+
+  /** Real per-channel moment features, exploded to one row per
+    * component.
+    */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image").mapPartitions { it =>
+      val codec = new ImageCodec
+      it.flatMap(codec.features)
     }
   }
 
@@ -183,42 +347,62 @@ object Multimodal {
 
   // ------------------------------------------------------------- oracles
 
-  private def hexFieldSql(hex: String, from: Int, len: Int): String =
-    s"('0x' || substring($hex, ${from + 1}, $len))::BIGINT"
+  /** Decode oracle: pure formula, never touches bytes — agreement
+    * with the Spark side proves the PNG encode→decode→sample loop is
+    * pixel-exact. Range joins are bounded by the fixture's max dims
+    * (32×26×3), so the oracle stays |docs|·O(1).
+    */
+  def decodeImagesSql(table: String): String =
+    s"""WITH dims AS ($DimsSqlBody FROM $table),
+       |px AS (
+       |  SELECT media_id, w, h, ch, ${pxSql("x", "y")} AS v
+       |  FROM dims, range(0, 32) tx(x), range(0, 26) ty(y), range(0, 3) tc(c)
+       |  WHERE x < w AND y < h AND c < ch)
+       |SELECT media_id, 'image' AS kind, max(w)::BIGINT AS width,
+       |  max(h)::BIGINT AS height, max(ch)::BIGINT AS channels,
+       |  ((sum(v) * 1000000) // (max(w) * max(h) * max(ch)))::BIGINT
+       |    AS brightness_micros
+       |FROM px GROUP BY media_id""".stripMargin
+
+  /** Resize oracle: the same nearest-neighbor source-coordinate law
+    * (`x·w div ow`) evaluated through the formula.
+    */
+  def resizeImagesSql(table: String, maxDim: Int): String =
+    s"""WITH dims AS ($DimsSqlBody FROM $table),
+       |rd AS (
+       |  SELECT *, greatest(1, (w * $maxDim) // greatest(w, h)) AS ow,
+       |    greatest(1, (h * $maxDim) // greatest(w, h)) AS oh
+       |  FROM dims),
+       |px AS (
+       |  SELECT media_id, w, h, ow, oh, ch,
+       |    ${pxSql("(x * w) // ow", "(y * h) // oh")} AS v
+       |  FROM rd, range(0, $maxDim) tx(x), range(0, $maxDim) ty(y),
+       |    range(0, 3) tc(c)
+       |  WHERE x < ow AND y < oh AND c < ch)
+       |SELECT media_id, max(w)::BIGINT AS width, max(h)::BIGINT AS height,
+       |  max(ow)::BIGINT AS out_width, max(oh)::BIGINT AS out_height,
+       |  ((sum(v) * 1000000) // (max(ow) * max(oh) * max(ch)))::BIGINT
+       |    AS resized_brightness_micros
+       |FROM px GROUP BY media_id""".stripMargin
+
+  /** Features oracle: per-channel Σv and Σv² through the formula. */
+  def imageFeaturesSql(table: String): String =
+    s"""WITH dims AS ($DimsSqlBody FROM $table),
+       |px AS (
+       |  SELECT media_id, w, h, c, ${pxSql("x", "y")} AS v
+       |  FROM dims, range(0, 32) tx(x), range(0, 26) ty(y), range(0, 3) tc(c)
+       |  WHERE x < w AND y < h AND c < ch),
+       |mo AS (
+       |  SELECT media_id, c, max(w) * max(h) AS n, sum(v) AS s,
+       |    sum(v * v) AS s2
+       |  FROM px GROUP BY media_id, c)
+       |SELECT media_id, 'image' AS kind, (c * 2)::BIGINT AS feat_idx,
+       |  ((s * 1000000) // n)::BIGINT AS feat_val FROM mo
+       |UNION ALL
+       |SELECT media_id, 'image' AS kind, (c * 2 + 1)::BIGINT AS feat_idx,
+       |  ((s2 * 1000000) // n)::BIGINT AS feat_val FROM mo""".stripMargin
 
   val KindSql = "(['image', 'audio', 'video'])[doc_id % 3 + 1]"
-
-  def decodeSql(table: String): String =
-    s"""SELECT doc_id AS media_id, $KindSql AS kind,
-       |  1 + ${hexFieldSql("md5(text)", 0, 4)} % 1024 AS width,
-       |  1 + ${hexFieldSql("md5(text)", 4, 4)} % 1024 AS height,
-       |  1 + ${hexFieldSql("md5(text)", 8, 2)} % 4 AS channels,
-       |  ${hexFieldSql("md5(text)", 10, 6)} % 1000000 AS brightness_micros,
-       |  md5(text) AS content_md5
-       |FROM $table""".stripMargin
-
-  def resizeSql(table: String, maxDim: Int): String =
-    s"""WITH d AS (
-       |  SELECT doc_id AS media_id,
-       |    1 + ${hexFieldSql("md5(text)", 0, 4)} % 1024 AS width,
-       |    1 + ${hexFieldSql("md5(text)", 4, 4)} % 1024 AS height,
-       |    md5(text) AS content_md5
-       |  FROM $table WHERE $KindSql = 'image'),
-       |r AS (
-       |  SELECT *, greatest(width, height) AS longest,
-       |    greatest(1, width * $maxDim // greatest(width, height)) AS out_width,
-       |    greatest(1, height * $maxDim // greatest(width, height)) AS out_height
-       |  FROM d)
-       |SELECT media_id, width, height, out_width, out_height,
-       |  md5(content_md5 || '_' || out_width || 'x' || out_height) AS resized_md5
-       |FROM r""".stripMargin
-
-  def featuresSql(table: String, dim: Int): String = {
-    val w = 32 / dim
-    s"""SELECT doc_id AS media_id, $KindSql AS kind, j AS feat_idx,
-       |  ('0x' || substring(md5(text), (j * $w + 1)::INT, $w))::BIGINT AS feat_val
-       |FROM $table CROSS JOIN range(0, $dim) t(j)""".stripMargin
-  }
 
   /** NOTE (oracle contract): Spark slices `content` BYTE-wise (it is a
     * binary column) while DuckDB's substring()/length() here are

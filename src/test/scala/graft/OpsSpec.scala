@@ -693,46 +693,87 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Seq("en", "de", "und"))
   }
 
-  test("multimodal stub decode is deterministic and kind-routed") {
-    val media = Multimodal.mediaFromDocuments(
-      Seq((0L, "hello world frame data here ok!!", "s0"))
-        .toDF("doc_id", "text", "source")
-        .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text"))))
-    val dec = Multimodal.decode(media).collect().head
-    assert(dec.kind == "image") // doc_id 0 → kind[1]
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest("hello world frame data here ok!!".getBytes)
-      .map(b => f"$b%02x").mkString
-    assert(dec.content_md5 == hex)
-    assert(dec.width == 1 + java.lang.Long.parseLong(hex.substring(0, 4), 16) % 1024)
-
-    val frames = Multimodal.sampleFrames(media, stride = 16, maxFrames = 4).collect()
-    assert(frames.isEmpty) // kind image → no frames
+  test("hand-made 2x2 PNG decodes to exact pixels through the real codec") {
+    // known RGB pixels, encoded with BufferedImage directly (NOT via
+    // the codec's own encoder) — pins ImageIO decode + sample reads
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)
+    img.setRGB(1, 0, (40 << 16) | (50 << 8) | 60)
+    img.setRGB(0, 1, (70 << 16) | (80 << 8) | 90)
+    img.setRGB(1, 1, (255 << 16) | (0 << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((7L, "image", bos.toByteArray, 1L, "t"))
+      .toDF("media_id", "kind", "content", "n_bytes", "source")
+      .as[Multimodal.MediaRow]
+    val d = Multimodal.decodeImages(media).collect().head
+    assert(d.width == 2 && d.height == 2 && d.channels == 3)
+    // sum = 10+20+30+40+50+60+70+80+90+255+0+128 = 833 over 12 samples
+    assert(d.brightness_micros == 833L * 1000000 / 12)
+    val f = Multimodal.imageFeatures(media).collect()
+      .map(x => x.feat_idx -> x.feat_val).toMap
+    // channel 0 (R): 10+40+70+255 = 375; sq: 100+1600+4900+65025
+    assert(f(0L) == 375L * 1000000 / 4)
+    assert(f(1L) == 71625L * 1000000 / 4)
+    // channel 2 (B): 30+60+90+128 = 308
+    assert(f(4L) == 308L * 1000000 / 4)
   }
 
-  test("multimodal resize preserves aspect ratio; features slice the md5") {
+  test("fixture PNGs round-trip the pixel formula; resize resamples nearest-neighbor exactly") {
+    // ids cover gray + rgb and non-square dims
+    val ids = Seq(0L, 1L, 2L, 7L, 58L, 123L)
+    val docs = ids.toDF("doc_id")
+    val media = Multimodal.imageFixture(docs)
+    // every staged payload is a genuine PNG (magic bytes), not text
+    media.collect().foreach { m =>
+      assert(m.content.take(4).toSeq ==
+        Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    }
+    def expDecode(id: Long) = {
+      val (w, h, ch) = (Multimodal.fixtureWidth(id),
+        Multimodal.fixtureHeight(id), Multimodal.fixtureChannels(id))
+      val sum = (for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        yield Multimodal.pixelValue(id, x, y, c).toLong).sum
+      (id, w.toLong, h.toLong, ch.toLong, sum * 1000000 / (w * h * ch))
+    }
+    val got = Multimodal.decodeImages(media).collect()
+      .map(d => (d.media_id, d.width, d.height, d.channels,
+        d.brightness_micros)).toSet
+    assert(got == ids.map(expDecode).toSet)
+
+    val maxDim = 16
+    def expResize(id: Long) = {
+      val (w, h, ch) = (Multimodal.fixtureWidth(id),
+        Multimodal.fixtureHeight(id), Multimodal.fixtureChannels(id))
+      val longest = math.max(w, h)
+      val ow = math.max(1, w * maxDim / longest)
+      val oh = math.max(1, h * maxDim / longest)
+      val sum = (for (y <- 0 until oh; x <- 0 until ow; c <- 0 until ch)
+        yield Multimodal.pixelValue(id, x * w / ow, y * h / oh, c).toLong).sum
+      (id, ow.toLong, oh.toLong, sum * 1000000 / (ow * oh * ch))
+    }
+    val rz = Multimodal.resizeImages(media, maxDim).collect()
+      .map(r => (r.media_id, r.out_width, r.out_height,
+        r.resized_brightness_micros)).toSet
+    assert(rz == ids.map(expResize).toSet)
+  }
+
+  test("undecodable media bytes drop; video frames only sample the video modality") {
+    val junk = Seq((1L, "image", "not a png at all".getBytes("UTF-8"), 1L, "t"))
+      .toDF("media_id", "kind", "content", "n_bytes", "source")
+      .as[Multimodal.MediaRow]
+    assert(Multimodal.decodeImages(junk).collect().isEmpty)
+    assert(Multimodal.resizeImages(junk, 16).collect().isEmpty)
+    assert(Multimodal.imageFeatures(junk).collect().isEmpty)
+
     val media = Multimodal.mediaFromDocuments(
       Seq((0L, "hello world frame data here ok!!", "s0"))
         .toDF("doc_id", "text", "source")
         .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text"))))
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest("hello world frame data here ok!!".getBytes)
-      .map(b => f"$b%02x").mkString
-    val w = 1 + java.lang.Long.parseLong(hex.substring(0, 4), 16) % 1024
-    val h = 1 + java.lang.Long.parseLong(hex.substring(4, 8), 16) % 1024
-
-    val rz = Multimodal.resize(media, maxDim = 256).collect().head
-    assert(rz.width == w && rz.height == h)
-    val longest = math.max(w, h)
-    assert(rz.out_width == math.max(1L, w * 256 / longest))
-    assert(rz.out_height == math.max(1L, h * 256 / longest))
-    assert(math.max(rz.out_width, rz.out_height) == 256)
-
-    val feats = Multimodal.features(media, dim = 8).collect()
-      .sortBy(_.feat_idx)
-    assert(feats.length == 8)
-    assert(feats.map(_.feat_val).toSeq == (0 until 8).map(j =>
-      java.lang.Long.parseLong(hex.substring(j * 4, j * 4 + 4), 16)))
+    // doc_id 0 → kind image → the video frame sampler skips it
+    assert(Multimodal.sampleFrames(media, stride = 16, maxFrames = 4)
+      .collect().isEmpty)
   }
 
   test("substring spans: maximal verbatim run found with exact boundaries") {

@@ -173,9 +173,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("narrow passes stay shuffle-free and inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
-    val media = ops.Multimodal.mediaFromDocuments(
+    val media = ops.Multimodal.imageFixture(
       cdc.Io.table(spark, sf, "documents"))
-    val p = plan(ops.Multimodal.decode(media).toDF())
+    val p = plan(ops.Multimodal.decodeImages(media).toDF())
     assert(!p.contains("Exchange"), s"narrow decode plan shuffles:\n$p")
 
     // the text-stats projection itself (q_text_stats minus its output
