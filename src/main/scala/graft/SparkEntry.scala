@@ -811,17 +811,20 @@ object SparkEntry {
 
     // The maintenance delta, oracle-gated end-to-end: build the index
     // on the even half of the corpus, APPEND the odd half (encode-only,
-    // fixed centroids — no retrain), search the union. The oracle
-    // trains its unrolled Lloyd rounds on the even half only and
-    // assigns/encodes everything — exactly the append semantics.
+    // fixed centroids — no retrain) as an atomically-committed
+    // generation (hard-link mode; the only public append path), search
+    // the union. The oracle trains its unrolled Lloyd rounds on the
+    // even half only and assigns/encodes everything — exactly the
+    // append semantics. q_sim_index_append_commit is the same delta
+    // committed the object-store-safe manifest way.
     "q_sim_index_append" -> ((s, dir) => {
       val embs = T(s, dir, "embeddings")
       Index.build(s, embs.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", "label", "graft_idx2",
         itersIvf = 4, massign = 2, m = 16, ksub = 32, itersPq = 2,
         nBuckets = 8)
-      Index.append(s, "graft_idx2", embs.filter(col("vec_id") % 2 === 1),
-        "vec_id", "embedding")
+      Index.appendCommitted(s, "graft_idx2",
+        embs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
       Index.search(s, "graft_idx2", embs, "vec_id", "embedding",
         col("vec_id") < 8, k = 5, nprobe = 4, rerank = 40)
     }),

@@ -378,14 +378,20 @@ object Index {
     (postings, codes, sqCodes, bqCodes)
   }
 
-  /** Incremental maintenance: [[encode]] ONLY `newEmbs` (no
-    * retraining, no Lloyd rounds) and append into the bucketed
-    * postings/codes tables. Committed files are untouched — the delta
-    * lands as new files in the right buckets (IndexSpec proves
-    * byte-identity). Cost ∝ |delta|, never ∝ |corpus|.
+  /** IN-PLACE incremental append — the spec-only fast path, NOT a
+    * serving write path: [[encode]] ONLY `newEmbs` (no retraining, no
+    * Lloyd rounds) and drip the delta files straight into the live
+    * bucketed postings/codes tables. Committed files are untouched
+    * and cost stays ∝ |delta| (IndexSpec proves byte-identity), but
+    * the files become visible ONE BY ONE and a crash mid-append
+    * leaves a half-landed delta in the served index. Every public
+    * maintenance path therefore goes through [[appendCommitted]]
+    * (atomic generation swap; same results, spec-proven equal) —
+    * this method exists only so the specs can prove that equality
+    * and exercise compaction over dripped files.
     */
-  def append(spark: SparkSession, name: String, newEmbs: DataFrame,
-      idCol: String, vecCol: String): Unit = {
+  private[graft] def appendInPlace(spark: SparkSession, name: String,
+      newEmbs: DataFrame, idCol: String, vecCol: String): Unit = {
     val meta = readMeta(spark, name)
     val (postings, codes, sqCodes, bqCodes) =
       encode(spark, name, newEmbs, idCol, vecCol)
@@ -402,10 +408,11 @@ object Index {
         meta.nBuckets)))
   }
 
-  /** [[append]] with ATOMIC visibility and reader snapshots — the
+  /** THE append path: atomic visibility and reader snapshots — the
     * delta is published as a fresh GENERATION directory committed
     * through the part state file, never by dripping files into the
-    * live directory:
+    * live directory (the in-place drip survives only as the
+    * package-private [[appendInPlace]] spec fixture):
     *
     *  1. the encoded delta is bucket-written to `.staging/<uuid>`;
     *  2. a new generation directory is populated with HARD LINKS to
@@ -427,12 +434,17 @@ object Index {
     *     ([[commitPart]]), retiring the previous one under the grace
     *     window.
     *
-    * What this buys over [[append]] (whose delta files appear one by
-    * one in the live directory):
-    *  - a crash mid-append leaves NO trace in the served index (the
-    *    state file still names the old generation; orphans are swept
-    *    on the next commit) — with in-place append a half-landed
-    *    delta is visible immediately;
+    * What this buys over the in-place drip (whose delta files appear
+    * one by one in the live directory):
+    *  - a crash during the phase-1 delta writes leaves NO trace in
+    *    the served index (the state files still name the old
+    *    generations; staged orphans are swept on the next commit —
+    *    IndexSpec pins this) — with in-place append a half-landed
+    *    delta is visible immediately. A crash inside phase 2 (four
+    *    metadata-only state swaps, ~ms) can commit a prefix of the
+    *    parts; candidates probing the new postings simply lack code
+    *    rows until the replayed append re-commits, so the window
+    *    degrades to "delta not yet visible", never to corruption;
     *  - a cross-session reader that resolved [[register]] against a
     *    recent state keeps a consistent file set for `graceCommits`
     *    further commits — with in-place append there is no snapshot

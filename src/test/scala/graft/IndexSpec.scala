@@ -136,8 +136,8 @@ class IndexSpec extends AnyFunSuite {
     Index.build(spark, thirds(0), "vec_id", "embedding", "label", "idx_cmp",
       itersIvf = 1, massign = 2, m = 16, ksub = 32, itersPq = 1,
       nBuckets = 4, baseDir = Some(dir))
-    Index.append(spark, "idx_cmp", thirds(1), "vec_id", "embedding")
-    Index.append(spark, "idx_cmp", thirds(2), "vec_id", "embedding")
+    Index.appendInPlace(spark, "idx_cmp", thirds(1), "vec_id", "embedding")
+    Index.appendInPlace(spark, "idx_cmp", thirds(2), "vec_id", "embedding")
 
     def search() = Index.search(spark, "idx_cmp", embs, "vec_id",
         "embedding", col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
@@ -216,8 +216,8 @@ class IndexSpec extends AnyFunSuite {
     Index.build(spark, thirds(0), "vec_id", "embedding", "label", "idx_gen2",
       itersIvf = 1, massign = 2, m = 16, ksub = 32, itersPq = 1,
       nBuckets = 4, baseDir = Some(dir2))
-    Index.append(spark, "idx_gen2", thirds(1), "vec_id", "embedding")
-    Index.append(spark, "idx_gen2", thirds(2), "vec_id", "embedding")
+    Index.appendInPlace(spark, "idx_gen2", thirds(1), "vec_id", "embedding")
+    Index.appendInPlace(spark, "idx_gen2", thirds(2), "vec_id", "embedding")
     def searchOf(name: String) =
       Index.search(spark, name, embs, "vec_id", "embedding",
           col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
@@ -230,6 +230,38 @@ class IndexSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE idx_gen_$p")
     Index.register(spark, "idx_gen", dir)
     assert(searchOf("idx_gen") == got)
+  }
+
+  test("crash before the generation commit leaves the served index untouched; the next commit sweeps the orphans") {
+    val dir = tmpBase("crash")
+    val thirds = (0 to 2).map(r => embs.filter(col("vec_id") % 3 === r))
+    Index.build(spark, thirds(0), "vec_id", "embedding", "label", "idx_crash",
+      itersIvf = 1, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(dir))
+    val idxDir = s"$dir/idx_crash"
+    def searchOf() = Index.search(spark, "idx_crash", embs, "vec_id",
+        "embedding", col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val before = searchOf()
+    val hashesBefore = fileHashes(s"$idxDir/postings")
+
+    // simulate a writer killed during phase 1: staged delta files
+    // exist, no state swap ever ran — the drip-append failure mode
+    // that motivated retiring the in-place path from serving
+    val staging = java.nio.file.Paths.get(idxDir, ".staging",
+      "postings_deadbeef")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("part-00000.parquet"),
+      Array[Byte](0x50, 0x41, 0x52, 0x31))
+    assert(searchOf() == before, "staged orphans leaked into the served index")
+    assert(Index.loadPart(idxDir, "postings").gen == 0L)
+    assert(fileHashes(s"$idxDir/postings") == hashesBefore)
+
+    // the replayed append commits atomically and sweeps the orphan
+    Index.appendCommitted(spark, "idx_crash", thirds(1), "vec_id", "embedding")
+    assert(!Files.exists(staging))
+    assert(Index.loadPart(idxDir, "postings").gen == 1L)
+    assert(searchOf().nonEmpty)
   }
 
   test("manifest-mode appendCommitted: zero links/copies, search byte-identical to link mode, register + compact resolve the chain") {
@@ -316,7 +348,7 @@ class IndexSpec extends AnyFunSuite {
     val beforeCodes = fileHashes(s"$dir/idx_app/codes")
     val beforeBq = fileHashes(s"$dir/idx_app/bq_codes")
 
-    Index.append(spark, "idx_app", half2, "vec_id", "embedding")
+    Index.appendInPlace(spark, "idx_app", half2, "vec_id", "embedding")
 
     // committed files are never rewritten: every pre-append file still
     // exists with identical bytes, and the delta landed as NEW files

@@ -161,7 +161,7 @@ class IndexStreamSpec extends AnyFunSuite {
         "embedding", col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
       .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
     val clean = search()
-    Index.append(spark, "idx_mnt",
+    Index.appendInPlace(spark, "idx_mnt",
       embs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding") // dup!
     assert(search() == clean)
 
