@@ -87,8 +87,19 @@ object Bench {
     val cold = results.map(r => r._1 -> r._2)
     val warm = if (warmPass) results.map(r => r._1 -> r._3.get) else Nil
     val totalWarm = warm.map(_._2).sum
-    println(s"""{"metric":"bench_detail","queries":${fmtRaw(cold)}${
-      if (warmPass) s""","queries_warm":${fmtRaw(warm)}""" else ""},"sf":"$sfDir"}""")
+    val detailJson = s"""{"metric":"bench_detail","queries":${fmtRaw(cold)}${
+      if (warmPass) s""","queries_warm":${fmtRaw(warm)}""" else ""},"sf":"$sfDir"}"""
+    println(detailJson)
+    // the stdout tail the driver keeps has truncated this line every
+    // round (sample-limited judge comparisons) — persist the full
+    // per-query map as a FILE artifact too
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detailJson + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
     // the driver keeps only a ~2000-char stdout TAIL: at 90+ queries a
     // full per-query map no longer fits, so the FINAL line carries the
     // TOP-25 slowest cold queries (where the time actually goes) and

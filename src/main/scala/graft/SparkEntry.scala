@@ -21,6 +21,13 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Io.table(s, dir, name)
 
+  /** Session-cached frozen-PRF models per sf dir — the retrieval
+    * analog of the `graft_idx` build-once pattern: the freeze is paid
+    * once, `q_text_rm3_frozen_serve` times only the serving map.
+    */
+  private val prfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Retrieval.FrozenPrf]()
+
   /** Shared input of the as-of queries: change rows + session-start
     * marks. The envelope feeds both sides — cached (once per plan,
     * lifecycle per [[graft.ops.Caching.cachedOnce]]) so the events
@@ -1237,6 +1244,19 @@ object SparkEntry {
       Retrieval.prfFrozenTopK(docs, "doc_id", "text", frozen, k = 10)
     }),
 
+    // X110 serve-side steady state: the freeze is a session-cached
+    // artifact collected ONCE (the graft_idx build pattern), so this
+    // entry times what production serving actually runs — the pure
+    // narrow-map scoring + top-k, no index build, no feedback pass.
+    // Shares q_text_rm3's oracle verbatim, like the in-plan twin.
+    "q_text_rm3_frozen_serve" -> ((s, dir) => {
+      val frozen = prfCache.computeIfAbsent(dir, d =>
+        Retrieval.freezePrf(T(s, d, "documents"), "doc_id", "text",
+          fbDocs = 5, fbTerms = 5))
+      Retrieval.prfFrozenTopK(T(s, dir, "documents"), "doc_id", "text",
+        frozen, k = 10)
+    }),
+
     // X109 CCNet perplexity buckets: per-source head/middle/tail
     // terciles of the bigram-LM cross-entropy (reference = the
     // lang='en' slice, like q_text_lm). Rank-based integer thirds;
@@ -2003,6 +2023,12 @@ object SparkEntry {
 
     // the frozen twin shares the in-plan PRF oracle verbatim
     "q_text_rm3_frozen" ->
+      (Retrieval.prfExpandTopKSql("doc_id", "text", "documents",
+        k = 10, fbDocs = 5, fbTerms = 5) + " ORDER BY qid, rank"),
+
+    // the serve-only twin shares it too: caching the freeze cannot
+    // change the served ranking
+    "q_text_rm3_frozen_serve" ->
       (Retrieval.prfExpandTopKSql("doc_id", "text", "documents",
         k = 10, fbDocs = 5, fbTerms = 5) + " ORDER BY qid, rank"),
 

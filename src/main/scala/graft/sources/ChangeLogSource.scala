@@ -73,12 +73,32 @@ object ChangeLog {
     */
   val scansPerformed = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Log segments: JSONL envelopes or raw MySQL-framed `.binlog`
+    * files ([[Binlog]]) — one directory, one offset space; the
+    * lexicographic successor is the rotate target.
+    */
   def listLogFiles(dir: String): Seq[java.io.File] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".jsonl"))
+      .filter(f => f.isFile &&
+        (f.getName.endsWith(".jsonl") || f.getName.endsWith(".binlog")))
       .sortBy(_.getName).toSeq
   }
+
+  def isBinlog(path: String): Boolean = path.endsWith(".binlog")
+
+  /** Row count of one segment — lines for JSONL, decoded row-changes
+    * for binlog (events are not rows: a multi-row WRITE_ROWS is
+    * several, a TABLE_MAP is none).
+    */
+  def countFileRows(f: java.io.File): Long =
+    if (isBinlog(f.getName))
+      Binlog.decodeFile(java.nio.file.Files.readAllBytes(f.toPath))
+        .changes.size.toLong
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().count(_.nonEmpty) finally src.close()
+    }
 
   /** One JSON line → InternalRow. Field absence/null → SQL null for
     * before/after; ts is epoch seconds in the log (u32 in the
@@ -175,8 +195,7 @@ class ChangeLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long])
       case Some((`size`, n)) => n
       case _ =>
         ChangeLog.scansPerformed.incrementAndGet()
-        val src = scala.io.Source.fromFile(f)
-        val n = try src.getLines().count(_.nonEmpty) finally src.close()
+        val n = ChangeLog.countFileRows(f)
         rowCounts.update(path, (size, n))
         n
     }
@@ -268,7 +287,31 @@ case class ChangeLogPartition(file: String, from: Long, until: Long,
 class ChangeLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChangeLogPartition]
-    new PartitionReader[InternalRow] {
+    if (ChangeLog.isBinlog(p.file)) new PartitionReader[InternalRow] {
+      // wire-framed segment: decode events → row-changes, slice the
+      // same (from, until) row window the offsets planned
+      private val it = Binlog
+        .decodeFile(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p.file)))
+        .changes.iterator.zipWithIndex
+        .filter { case (_, i) => i >= p.from && i < p.until }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val (rc, i) = it.next()
+          current = InternalRow(
+            UTF8String.fromString(rc.op), UTF8String.fromString(rc.db),
+            UTF8String.fromString(rc.table),
+            rc.before.map(UTF8String.fromString).orNull,
+            rc.after.map(UTF8String.fromString).orNull,
+            rc.tsSec * 1000000L, // binlog header epoch sec → micros
+            UTF8String.EMPTY_UTF8, // pkey empty on live changes
+            p.seqBase + i)
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    } else new PartitionReader[InternalRow] {
       private val mapper = new ObjectMapper()
       private val src = scala.io.Source.fromFile(p.file)
       private val it = src.getLines().filter(_.nonEmpty).zipWithIndex

@@ -101,6 +101,105 @@ class ChangeLogSourceSpec extends AnyFunSuite {
     assert(seqs.size == 15) // distinct positions: no duplicates
   }
 
+  // ---- wire-framed binlog segments (S1's file half: real event
+  // framing, decoded by graft.sources.Binlog behind the same offsets)
+
+  import BinlogFixture._
+  import graft.sources.Binlog
+
+  private val UserTypes = Seq(Binlog.TypeLong, Binlog.TypeVarchar,
+    Binlog.TypeTiny, Binlog.TypeLongLong)
+  private val UserMetas = Seq(0, 255, 0, 0)
+
+  private def binlogSeg1(nextName: String): Array[Byte] = file(Seq(
+    (1700000000L, Binlog.FormatDescription, fdePayload()),
+    (1700000001L, Binlog.TableMapEvent,
+      tableMapPayload(23L, "shop", "users", UserTypes, UserMetas)),
+    // one multi-row insert (2 rows, one with a NULL and a negative)
+    (1700000001L, Binlog.WriteRowsV2,
+      rowsPayload(23L, UserTypes, UserMetas, Seq(
+        Seq(I(1), S("ada"), I(7), I(1234567890123L)),
+        Seq(I(2), NULL, I(-5), I(-42))))),
+    (1700000002L, Binlog.UpdateRowsV2,
+      updateRowsPayload(23L, UserTypes, UserMetas, Seq(
+        (Seq(I(1), S("ada"), I(7), I(1234567890123L)),
+          Seq(I(1), S("ada l."), I(8), I(1234567890123L)))))),
+    (1700000003L, Binlog.Rotate, rotatePayload(nextName))))
+
+  private def binlogSeg2(): Array[Byte] = file(Seq(
+    (1700000010L, Binlog.FormatDescription, fdePayload()),
+    (1700000011L, Binlog.TableMapEvent,
+      tableMapPayload(24L, "shop", "users", UserTypes, UserMetas)),
+    (1700000012L, Binlog.DeleteRowsV2,
+      rowsPayload(24L, UserTypes, UserMetas, Seq(
+        Seq(I(2), NULL, I(-5), I(-42)))))))
+
+  test("binlog decode: insert/update/delete images, nulls, negatives, multi-row events, rotate") {
+    val d = Binlog.decodeFile(binlogSeg1("log.000002.binlog"))
+    assert(d.changes.map(_.op) == Seq("Insert", "Insert", "Update"))
+    assert(d.changes.forall(c => c.db == "shop" && c.table == "users"))
+    val ins = d.changes.head
+    assert(ins.before.isEmpty)
+    assert(ins.after.get ==
+      """{"c0":1,"c1":"ada","c2":7,"c3":1234567890123}""")
+    // null bitmap + signed little-endian decode
+    assert(d.changes(1).after.get == """{"c0":2,"c1":null,"c2":-5,"c3":-42}""")
+    val upd = d.changes(2)
+    assert(upd.before.get.contains(""""c1":"ada"""") &&
+      upd.after.get.contains(""""c1":"ada l."""))
+    assert(upd.tsSec == 1700000002L)
+    // event positions are strictly increasing byte offsets
+    assert(d.changes.map(_.pos) == d.changes.map(_.pos).sorted)
+    // the rotate names the next segment — the continuation contract
+    assert(d.rotate.contains(
+      Binlog.RotateTo("log.000002.binlog", 4L)))
+
+    val d2 = Binlog.decodeFile(binlogSeg2())
+    assert(d2.changes.map(_.op) == Seq("Delete"))
+    assert(d2.changes.head.after.isEmpty)
+    assert(d2.changes.head.before.get ==
+      """{"c0":2,"c1":null,"c2":-5,"c3":-42}""")
+  }
+
+  test("binlog segments read through the DSv2 source: envelope rows, batch + resume across rotation") {
+    val dir = Files.createTempDirectory("cl_binlog").toString
+    val ckp = Files.createTempDirectory("cl_binlog_ckp").toString
+    val out = Files.createTempDirectory("cl_binlog_sink").toString + "/out"
+    Files.write(Paths.get(dir, "log.000001.binlog"),
+      binlogSeg1("log.000002.binlog"))
+
+    // batch: events are not rows — 3 row-changes from 5 events
+    val df = spark.read.format(Fmt).option("path", dir).load()
+    assert(df.count() == 3)
+    val r = df.filter(col("op") === "Update").head()
+    assert(r.getAs[String]("db") == "shop")
+    assert(r.getAs[String]("pkey") == "") // empty on live changes
+    assert(r.getAs[java.sql.Timestamp]("ts").getTime == 1700000002000L)
+
+    def drain(): Long = {
+      val q = spark.readStream.format(Fmt).option("path", dir)
+        .option("maxRowsPerTrigger", "2").load()
+        .writeStream
+        .option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }.start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+
+    assert(drain() == 3L)
+    // the rotate's named successor appears; resume picks up ONLY it
+    Files.write(Paths.get(dir, "log.000002.binlog"), binlogSeg2())
+    assert(drain() == 4L)
+    val got = spark.read.parquet(out)
+    assert(got.select("seq").as[Long].collect().toSet.size == 4)
+    assert(got.filter(col("op") === "Delete")
+      .select("before").as[String].head() ==
+      """{"c0":2,"c1":null,"c2":-5,"c3":-42}""")
+  }
+
   test("maxRowsPerTrigger bounds each micro-batch (admission control)") {
     val dir = Files.createTempDirectory("cl_limit").toString
     val ckp = Files.createTempDirectory("cl_limit_ckp").toString
