@@ -634,6 +634,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(payload.contains(""""op":"c""""))
   }
 
+  test("kafka sink frame: exact (key,value,topic) contract, one record per change; gated start is a no-op without brokers") {
+    val changes = ChangeSource.fromEvents(
+      (0L until 8L).map(i => (i, i % 4,
+        Seq("signup", "purchase", "page_view", "error")(i.toInt % 4),
+        s"""{"id":"$i"}""",
+        new java.sql.Timestamp(1700000000000L + i * 1000)))
+        .toDF("event_id", "user_id", "event_type", "props", "ts"))
+    val frame = graft.streaming.Sink.kafkaFrame(changes)
+    // the built-in kafka sink consumes exactly these columns; key and
+    // value must be binary
+    assert(frame.columns.toSeq == Seq("key", "value", "topic"))
+    assert(frame.schema("key").dataType.typeName == "binary")
+    assert(frame.schema("value").dataType.typeName == "binary")
+    // one record per change, no fan-out or drops
+    assert(frame.count() == changes.count())
+    val rows = frame.collect().map(r => (
+      new String(r.getAs[Array[Byte]]("key"), "UTF-8"),
+      new String(r.getAs[Array[Byte]]("value"), "UTF-8"),
+      r.getAs[String]("topic")))
+    // key = db.table (entity ordering key); topic = the routing rule
+    assert(rows.forall { case (k, _, t) =>
+      k.matches("db[0-3]\\.(users|orders|activity)") &&
+        t.startsWith("projects/my-project-id/topics/all_pims.")
+    })
+    // value is the Debezium wire payload
+    assert(rows.forall(_._2.contains(""""op":""")))
+    val sig = rows.find(_._2.contains(""""id":"0"""")).get
+    assert(sig._1 == "db0.users" &&
+      sig._3 == "projects/my-project-id/topics/all_pims.users")
+
+    // no broker env -> gated off: nothing starts, nothing throws
+    assert(graft.streaming.Sink.kafkaSink(changes, "/tmp/unused-ckp",
+      brokers = None).isEmpty)
+  }
+
   test("drift gauge: per-micro-batch JS equals the batch scorer on each batch") {
     implicit val sqlCtx = spark.sqlContext
     // reference frozen from a static corpus; the stream drifts in
