@@ -578,6 +578,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("skewed-slice ladder: the profile surfaces the hot key and salting provably spreads its reducer work") {
+    // the SkewBench fixture shape at spec scale: boilerplate in 20%
+    // of docs -> its shingles are the hot join keys
+    val docs = SkewBench.skewedDocs(
+      (0 until 50).map(i => (i.toLong,
+        s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h"))
+        .toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .withColumn("source", lit("s")))
+    val posts = docs.select(col("doc_id"),
+      explode(Dedup.hashedShingles(col("text"), 3)).as("h"))
+
+    // (a) the skew measurement says exactly "salt this": top key df =
+    // the boilerplate slice (10 docs of 50), skew factor >> 1
+    val top = Diagnostics.keyProfile(posts, "h", topN = 1).head()
+    assert(top.getAs[Long]("cnt") == 10L)
+    // skew factor (share · n_keys / 1e6): uniform hashing predicts ~1;
+    // the boilerplate key sits several-fold above it
+    assert(top.getAs[Long]("share_micros") * top.getAs[Long]("n_keys")
+      > 3L * 1000000L)
+
+    // (b) reducer spread, deterministically: the unsalted join groups
+    // all df postings of a hot key under ONE key (df^2 pair work);
+    // the salted build side splits them across `salts` (h, salt)
+    // groups, so the max per-group size - the straggler bound - drops
+    // by ~salts
+    val salts = 5
+    val df = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val hotDf = df.agg(max(col("df"))).head().getLong(0)
+    assert(hotDf == 10L)
+    val maxSalted = posts
+      .join(df.filter(col("df") === hotDf).select("h"), "h")
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(salts)))
+      .groupBy(col("h"), col("salt")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+    assert(maxSalted < hotDf,
+      s"salting left a whole hot key on one reducer ($maxSalted of $hotDf)")
+    assert(maxSalted <= hotDf / salts + 2) // ~df/salts under hash spread
+  }
+
   test("contamination: pasted benchmark text is full containment; split is hash-stable") {
     val bench = "alpha beta gamma delta epsilon zeta eta theta"
     val fixture = Seq(
