@@ -24,10 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object SkewBench {
 
-  val Boiler: String =
-    "standard confidentiality notice this document contains material " +
-    "that is proprietary and intended only for the named recipients " +
-    "please delete it if received in error"
+  /** Short on purpose: 5 words → 3 hot shingles. A long boilerplate
+    * paragraph spawns ~26 equally-hot keys, which 32 reducers already
+    * balance by accident; the straggler regime — the one salting
+    * exists for — is FEWER hot keys than reducers, each carrying df²
+    * pair work while the other reducers idle.
+    */
+  val Boiler: String = "please review this confidential legal notice"
 
   /** The derived hot-key corpus: boilerplate appended to 20% of docs. */
   def skewedDocs(docs: DataFrame): DataFrame =
