@@ -1305,8 +1305,16 @@ object SparkEntry {
         Multimodal.imageFixture(T(s, dir, "documents")))
         .toDF()),
 
-    // Multimodal: frame sampling over the video modality (av codec
-    // remains a documented stub — see ops.Multimodal.StubCodec).
+    // Multimodal: REAL JDK WAV decode over genuine RIFF/PCM bytes
+    // (formula-sample fixture, same oracle scheme as q_mm_decode):
+    // container properties + sample-exact integer signal stats.
+    "q_mm_audio" -> ((s, dir) =>
+      Multimodal.decodeAudio(
+        Multimodal.audioFixture(T(s, dir, "documents")))
+        .toDF()),
+
+    // Multimodal: frame sampling over the video modality (the video
+    // codec remains a documented stub — see ops.Multimodal.StubCodec).
     "q_mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.mediaFromDocuments(T(s, dir, "documents")),
@@ -2051,6 +2059,9 @@ object SparkEntry {
 
     "q_mm_decode" ->
       (Multimodal.decodeImagesSql("documents") + " ORDER BY media_id"),
+
+    "q_mm_audio" ->
+      (Multimodal.decodeAudioSql("documents") + " ORDER BY media_id"),
 
     "q_mm_frames" ->
       (Multimodal.framesSql("documents", stride = 16, maxFrames = 4)

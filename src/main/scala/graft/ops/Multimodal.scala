@@ -42,11 +42,14 @@ import org.apache.spark.sql.functions._
   * as well). All derived statistics are integer math (`sum·10⁶ div
   * n`), so both engines agree bit-for-bit.
   *
-  * Audio/video remain a documented deterministic stub
-  * ([[StubCodec]] — frame "sampling" fingerprints byte slices): this
-  * container ships no audio/video libraries, and the Spark-side
-  * plumbing (binary column, modality pruning, per-partition codec
-  * lifecycle) is identical to the image path that IS real.
+  * Audio is REAL too: [[AudioCodec]] parses RIFF/PCM WAV with the
+  * JDK's `javax.sound.sampled` (container properties + sample-exact
+  * signal stats, same formula-oracle scheme over [[sampleValue]]).
+  * Only VIDEO remains a documented deterministic stub ([[StubCodec]]
+  * — frame "sampling" fingerprints byte slices): the JDK ships no
+  * video codec, and the Spark-side plumbing (binary column, modality
+  * pruning, per-partition codec lifecycle) is identical to the
+  * image/audio paths that ARE real.
   */
 object Multimodal {
 
@@ -74,6 +77,15 @@ object Multimodal {
 
   /** One sampled video frame. */
   case class Frame(media_id: Long, frame_idx: Long, frame_md5: String)
+
+  /** Decoded audio: real container/stream properties + integer signal
+    * stats. `power` = mean of v² over all samples; `peak` = max |v| —
+    * both non-negative on purpose (a signed mean would hit the
+    * Spark-truncating vs DuckDB-flooring integer-division divergence).
+    */
+  case class DecodedAudio(media_id: Long, kind: String, sample_rate: Long,
+      channels: Long, n_frames: Long, duration_micros: Long, power: Long,
+      peak: Long)
 
   // --------------------------------------------------------- fixture formula
 
@@ -229,6 +241,98 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------------------ audio codec
+
+  /** Audio fixture geometry/signal law (the [[pixelValue]] analog):
+    * 16-bit signed PCM, frames 200..499, mono/stereo by parity,
+    * sample rate 8/12/16 kHz by id mod 3.
+    */
+  def audioFrames(id: Long): Int = 200 + (id % 300).toInt
+  def audioChannels(id: Long): Int = 1 + (id % 2).toInt
+  def audioRate(id: Long): Int = 8000 + (id % 3).toInt * 4000
+  def sampleValue(id: Long, i: Int, c: Int): Int =
+    (((id * 37 + i * 11 + c * 101) % 65536) - 32768).toInt
+
+  /** THE audio codec: JDK `javax.sound.sampled` WAV (RIFF/PCM)
+    * decode — real container parse (sample rate, channels, bit
+    * depth), real sample reads for the signal stats. 16-bit
+    * little-endian signed PCM only (the WAV interchange baseline);
+    * anything else — and undecodable bytes — returns None and drops,
+    * like [[ImageCodec.read]]. Compressed audio (MP3/AAC) needs
+    * codecs this container doesn't ship; the WAV path proves the
+    * decode plumbing on a format the JDK genuinely parses.
+    */
+  final class AudioCodec {
+
+    def encodeFixtureWav(id: Long): Array[Byte] = {
+      val (nf, ch, rate) = (audioFrames(id), audioChannels(id), audioRate(id))
+      val pcm = new Array[Byte](nf * ch * 2)
+      var i = 0
+      while (i < nf) {
+        var c = 0
+        while (c < ch) {
+          val v = sampleValue(id, i, c)
+          val off = (i * ch + c) * 2
+          pcm(off) = (v & 0xff).toByte
+          pcm(off + 1) = ((v >> 8) & 0xff).toByte
+          c += 1
+        }
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch,
+        true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nf.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    def decode(m: MediaRow): Option[DecodedAudio] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.content))
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16 || f.isBigEndian ||
+          f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val bytes = readFully(in)
+          val ch = f.getChannels
+          val nf = bytes.length / (2 * ch)
+          var sumSq = 0L
+          var peak = 0L
+          var s = 0
+          val total = nf * ch
+          while (s < total) {
+            val lo = bytes(2 * s) & 0xff
+            val hi = bytes(2 * s + 1).toInt
+            val v = (hi << 8) | lo // sign comes from the high byte
+            sumSq += v.toLong * v
+            val a = math.abs(v.toLong)
+            if (a > peak) peak = a
+            s += 1
+          }
+          val rate = f.getSampleRate.toLong
+          Some(DecodedAudio(m.media_id, m.kind, rate, ch.toLong, nf.toLong,
+            nf.toLong * 1000000L / rate,
+            if (total == 0) 0L else sumSq / total, peak))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
+    private def readFully(in: java.io.InputStream): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    }
+  }
+
   // ----------------------------------------------------- audio/video stub
 
   /** Audio/video swap point — still a deterministic stub (this
@@ -291,6 +395,35 @@ object Multimodal {
         val png = codec.encodeFixturePng(id)
         MediaRow(id, "image", png, png.length.toLong, "fixture")
       }
+    }
+  }
+
+  /** Stage one REAL RIFF/PCM WAV per document id: formula samples
+    * ([[sampleValue]]) encoded per-partition — the audio analog of
+    * [[imageFixture]].
+    */
+  def audioFixture(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val codec = new AudioCodec
+      it.map { id =>
+        val wav = codec.encodeFixtureWav(id)
+        MediaRow(id, "audio", wav, wav.length.toLong, "fixture")
+      }
+    }
+  }
+
+  /** Per-partition real WAV decode over the audio modality —
+    * container properties + integer signal stats; undecodable or
+    * non-PCM16 rows drop.
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio").mapPartitions { it =>
+      val codec = new AudioCodec
+      it.flatMap(codec.decode)
     }
   }
 
@@ -401,6 +534,27 @@ object Multimodal {
        |UNION ALL
        |SELECT media_id, 'image' AS kind, (c * 2 + 1)::BIGINT AS feat_idx,
        |  ((s2 * 1000000) // n)::BIGINT AS feat_val FROM mo""".stripMargin
+
+  /** Audio oracle: pure signal formula, never touches bytes —
+    * agreement proves the WAV encode→parse→sample loop is
+    * sample-exact (the [[decodeImagesSql]] argument, for sound).
+    */
+  def decodeAudioSql(table: String): String =
+    s"""WITH dims AS (
+       |  SELECT doc_id AS media_id, 200 + doc_id % 300 AS nf,
+       |    1 + doc_id % 2 AS ch, 8000 + (doc_id % 3) * 4000 AS rate
+       |  FROM $table),
+       |sm AS (
+       |  SELECT media_id, nf, ch, rate,
+       |    ((media_id * 37 + i * 11 + c * 101) % 65536) - 32768 AS v
+       |  FROM dims, range(0, 500) ti(i), range(0, 2) tc(c)
+       |  WHERE i < nf AND c < ch)
+       |SELECT media_id, 'audio' AS kind, max(rate)::BIGINT AS sample_rate,
+       |  max(ch)::BIGINT AS channels, max(nf)::BIGINT AS n_frames,
+       |  ((max(nf) * 1000000) // max(rate))::BIGINT AS duration_micros,
+       |  (sum(v * v) // (max(nf) * max(ch)))::BIGINT AS power,
+       |  max(abs(v))::BIGINT AS peak
+       |FROM sm GROUP BY media_id""".stripMargin
 
   val KindSql = "(['image', 'audio', 'video'])[doc_id % 3 + 1]"
 

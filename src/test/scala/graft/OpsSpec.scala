@@ -798,6 +798,53 @@ class OpsSpec extends AnyFunSuite {
     assert(rz == ids.map(expResize).toSet)
   }
 
+  test("hand-made WAV decodes to exact container properties and signal stats") {
+    // 4 known 16-bit samples, stereo, 4 kHz — encoded with the JDK
+    // directly (not via the codec's own encoder)
+    val pcmVals = Seq(100, -200, 32767, -32768) // (L,R),(L,R)
+    val pcm = pcmVals.flatMap(v =>
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val fmt = new javax.sound.sampled.AudioFormat(4000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 2L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq((3L, "audio", bos.toByteArray, 1L, "t"))
+      .toDF("media_id", "kind", "content", "n_bytes", "source")
+      .as[Multimodal.MediaRow]
+    val d = Multimodal.decodeAudio(media).collect().head
+    assert(d.sample_rate == 4000L && d.channels == 2 && d.n_frames == 2)
+    assert(d.duration_micros == 2L * 1000000 / 4000)
+    val sq = pcmVals.map(v => v.toLong * v).sum
+    assert(d.power == sq / 4)
+    assert(d.peak == 32768L)
+  }
+
+  test("fixture WAVs round-trip the sample formula; non-PCM16 and junk drop") {
+    val ids = Seq(0L, 1L, 2L, 5L, 58L)
+    val media = Multimodal.audioFixture(ids.toDF("doc_id"))
+    media.collect().foreach(m =>
+      assert(new String(m.content.take(4), "US-ASCII") == "RIFF"))
+    def exp(id: Long) = {
+      val (nf, ch, rate) = (Multimodal.audioFrames(id),
+        Multimodal.audioChannels(id), Multimodal.audioRate(id))
+      val vs = for (i <- 0 until nf; c <- 0 until ch)
+        yield Multimodal.sampleValue(id, i, c).toLong
+      (id, rate.toLong, ch.toLong, nf.toLong, nf.toLong * 1000000 / rate,
+        vs.map(v => v * v).sum / (nf * ch), vs.map(math.abs).max)
+    }
+    val got = Multimodal.decodeAudio(media).collect()
+      .map(d => (d.media_id, d.sample_rate, d.channels, d.n_frames,
+        d.duration_micros, d.power, d.peak)).toSet
+    assert(got == ids.map(exp).toSet)
+
+    val junk = Seq((9L, "audio", "RIFFnot really wav".getBytes("UTF-8"), 1L, "t"))
+      .toDF("media_id", "kind", "content", "n_bytes", "source")
+      .as[Multimodal.MediaRow]
+    assert(Multimodal.decodeAudio(junk).collect().isEmpty)
+  }
+
   test("undecodable media bytes drop; video frames only sample the video modality") {
     val junk = Seq((1L, "image", "not a png at all".getBytes("UTF-8"), 1L, "t"))
       .toDF("media_id", "kind", "content", "n_bytes", "source")
