@@ -253,7 +253,24 @@ object Plans {
         |times un-inlined) feeding every per-query fold — plus the
         |top-k windows. The posting joins visible above it are the
         |FREEZE (runs once per execution here BY DESIGN; production
-        |freezes once, serves many).""".stripMargin)
+        |freezes once, serves many).""".stripMargin,
+    "q_text_rm3_frozen_serve" ->
+      """The PRODUCTION serving shape of the frozen-PRF model: the
+        |freeze is session-cached (paid once, like the graft_idx
+        |build), so this plan is ONLY the narrow scoring Project +
+        |the per-query top-k windows — no posting joins, no index
+        |build, nothing corpus-wide but the one scan.""".stripMargin,
+    "q_mm_decode" ->
+      """REAL ImageIO decode: fixture staging (PNG encode) and decode
+        |fuse into one DeserializeToObject→MapPartitions→Serialize
+        |chain over the documents scan — a single narrow stage, zero
+        |Exchange. ReadSchema prunes to doc_id alone: the codec
+        |pipeline carries bytes it synthesizes, never the text
+        |column.""".stripMargin,
+    "q_mm_audio" ->
+      """REAL WAV decode, same shape as q_mm_decode: encode+parse in
+        |one per-partition chain, no shuffle, doc_id-only
+        |ReadSchema.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
