@@ -1313,8 +1313,20 @@ object SparkEntry {
         Multimodal.audioFixture(T(s, dir, "documents")))
         .toDF()),
 
-    // Multimodal: frame sampling over the video modality (the video
-    // codec remains a documented stub — see ops.Multimodal.StubCodec).
+    // Multimodal: REAL RIFF/AVI demux + per-frame ImageIO decode
+    // (MPNG fixture — every frame an independent lossless still):
+    // every 2nd frame up to 3 per video, real dims + brightness,
+    // formula-oracle-checked. Inter-frame codecs (H.264) remain the
+    // documented gap — the JDK ships none.
+    "q_mm_video" -> ((s, dir) =>
+      Multimodal.decodeVideoFrames(
+        Multimodal.videoFixture(T(s, dir, "documents")),
+        stride = 2, maxFrames = 3)
+        .toDF()),
+
+    // Multimodal: byte-slice frame sampling over the video modality
+    // of the documents-staged media table (the pre-demux stub shape,
+    // kept as the modality-pruning plumbing proof).
     "q_mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.mediaFromDocuments(T(s, dir, "documents")),
@@ -2062,6 +2074,10 @@ object SparkEntry {
 
     "q_mm_audio" ->
       (Multimodal.decodeAudioSql("documents") + " ORDER BY media_id"),
+
+    "q_mm_video" ->
+      (Multimodal.decodeVideoFramesSql("documents", stride = 2,
+        maxFrames = 3) + " ORDER BY media_id, frame_idx"),
 
     "q_mm_frames" ->
       (Multimodal.framesSql("documents", stride = 16, maxFrames = 4)

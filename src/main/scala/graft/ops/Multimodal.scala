@@ -45,11 +45,12 @@ import org.apache.spark.sql.functions._
   * Audio is REAL too: [[AudioCodec]] parses RIFF/PCM WAV with the
   * JDK's `javax.sound.sampled` (container properties + sample-exact
   * signal stats, same formula-oracle scheme over [[sampleValue]]).
-  * Only VIDEO remains a documented deterministic stub ([[StubCodec]]
-  * — frame "sampling" fingerprints byte slices): the JDK ships no
-  * video codec, and the Spark-side plumbing (binary column, modality
-  * pruning, per-partition codec lifecycle) is identical to the
-  * image/audio paths that ARE real.
+  * Video is real at the CONTAINER + STILL level: [[VideoCodec]]
+  * demuxes RIFF/AVI (avih header, movi frame chunks) and decodes
+  * each sampled frame with ImageIO — the MJPEG/MPNG family. The one
+  * honestly-absent piece is an inter-frame codec (H.264 etc.; the
+  * JDK ships none), plus the byte-slice [[StubCodec]] sampler kept
+  * as the pre-demux plumbing proof.
   */
 object Multimodal {
 
@@ -333,6 +334,178 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------ video codec
+
+  /** One decoded, sampled video frame: real dims + brightness from
+    * actual pixel reads of the demuxed frame.
+    */
+  case class DecodedFrame(media_id: Long, frame_idx: Long, width: Long,
+      height: Long, brightness_micros: Long)
+
+  /** Video fixture law: per-video frame count 4..8; frame `f`'s
+    * pixels extend [[pixelValue]] with a frame term.
+    */
+  def videoFrameCount(id: Long): Int = 4 + (id % 5).toInt
+  def framePixel(id: Long, f: Int, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + f * 59 + x * 7 + y * 13 + c * 101) % 256).toInt
+
+  /** A demuxed AVI: main-header fields + raw frame chunk payloads in
+    * stream order.
+    */
+  final case class AviFile(microSecPerFrame: Long, totalFrames: Long,
+      width: Long, height: Long, frames: IndexedSeq[Array[Byte]])
+
+  /** THE video swap point, now a real RIFF/AVI DEMUXER + real still
+    * decode: walks the public RIFF chunk structure (`RIFF…AVI `,
+    * `LIST hdrl` → `avih` main header, `LIST movi` → `00dc`/`00db`
+    * frame chunks, even-byte padding), then decodes each sampled
+    * frame with [[ImageCodec]] — the MJPEG/MPNG family, where every
+    * frame is an independent still. What remains honestly absent is
+    * an INTER-FRAME codec (H.264 etc.): the JDK ships none, so
+    * temporally-compressed streams are out of scope, and the fixture
+    * writes PNG frames (lossless → oracle-exact; a real MJPEG file
+    * decodes through the same path, just not bit-stably).
+    */
+  final class VideoCodec {
+    private val still = new ImageCodec
+
+    private def fourcc(b: Array[Byte], p: Int): String =
+      new String(b, p, 4, "US-ASCII")
+    private def u32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+
+    def parseAvi(bytes: Array[Byte]): Option[AviFile] = {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "AVI ") return None
+      var microSec, total, w, h = 0L
+      val frames = IndexedSeq.newBuilder[Array[Byte]]
+      def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+        var p = from
+        while (p + 8 <= until) {
+          val id = fourcc(bytes, p)
+          val len = u32(bytes, p + 4).toInt
+          val body = p + 8
+          id match {
+            case "LIST" =>
+              val listType = fourcc(bytes, body)
+              walk(body + 4, body + len, inMovi || listType == "movi")
+            case "avih" =>
+              microSec = u32(bytes, body)
+              total = u32(bytes, body + 16)
+              w = u32(bytes, body + 32)
+              h = u32(bytes, body + 36)
+            case c if inMovi && (c.endsWith("dc") || c.endsWith("db")) =>
+              frames += java.util.Arrays.copyOfRange(bytes, body, body + len)
+            case _ =>
+          }
+          p = body + len + (len & 1) // RIFF chunks pad to even
+        }
+      }
+      walk(12, bytes.length, inMovi = false)
+      Some(AviFile(microSec, total, w, h, frames.result()))
+    }
+
+    /** Demux + decode every `stride`-th frame (up to `maxFrames`),
+      * reporting real dims and brightness per sampled frame.
+      */
+    def sampleFrames(m: MediaRow, stride: Int,
+        maxFrames: Int): Iterator[DecodedFrame] =
+      parseAvi(m.content).iterator.flatMap { avi =>
+        avi.frames.iterator.zipWithIndex
+          .filter { case (_, i) => i % stride == 0 && i / stride < maxFrames }
+          .flatMap { case (frame, i) =>
+            still.read(frame).map { img =>
+              val (w, h, ch) = (img.getWidth, img.getHeight,
+                still.channelsOf(img))
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  var c = 0
+                  while (c < ch) { sum += still.sample(img, x, y, c); c += 1 }
+                  x += 1
+                }
+                y += 1
+              }
+              DecodedFrame(m.media_id, i.toLong, w.toLong, h.toLong,
+                sum * 1000000L / (w.toLong * h * ch))
+            }
+          }
+      }
+
+    /** Encode the fixture video: RIFF/AVI with a real `avih` header
+      * and one PNG per frame in `movi` ("MPNG": each frame an
+      * independent still — the lossless cousin of MJPEG).
+      */
+    def encodeFixtureAvi(id: Long): Array[Byte] = {
+      val (w, h) = (fixtureWidth(id), fixtureHeight(id))
+      val n = videoFrameCount(id)
+      val frames = (0 until n).map { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              (framePixel(id, f, x, y, 0) << 16) |
+                (framePixel(id, f, x, y, 1) << 8) |
+                framePixel(id, f, x, y, 2))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def u32w(v: Long): Unit = {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      }
+      val avih = { // 56-byte main header
+        val b = new java.io.ByteArrayOutputStream()
+        def u(v: Long): Unit = {
+          b.write((v & 0xff).toInt); b.write(((v >> 8) & 0xff).toInt)
+          b.write(((v >> 16) & 0xff).toInt); b.write(((v >> 24) & 0xff).toInt)
+        }
+        u(40000L); u(0); u(0); u(0) // 25 fps, maxBytesPerSec, padding, flags
+        u(n.toLong); u(0); u(1); u(0) // totalFrames, initial, streams, sugg
+        u(w.toLong); u(h.toLong); u(0); u(0); u(0); u(0)
+        b.toByteArray
+      }
+      val moviBody = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write("movi".getBytes("US-ASCII"))
+        frames.foreach { fr =>
+          b.write("00dc".getBytes("US-ASCII"))
+          var v = fr.length.toLong
+          (0 until 4).foreach { i => b.write(((v >> (8 * i)) & 0xff).toInt) }
+          b.write(fr)
+          if ((fr.length & 1) == 1) b.write(0) // even padding
+        }
+        b.toByteArray
+      }
+      val hdrlBody = "hdrl".getBytes("US-ASCII") ++
+        "avih".getBytes("US-ASCII") ++ {
+          val b = new java.io.ByteArrayOutputStream()
+          var v = avih.length.toLong
+          (0 until 4).foreach { i => b.write(((v >> (8 * i)) & 0xff).toInt) }
+          b.toByteArray
+        } ++ avih
+      val riffBody = 4 + // "AVI "
+        8 + hdrlBody.length + 8 + moviBody.length
+      cc("RIFF"); u32w(riffBody.toLong); cc("AVI ")
+      cc("LIST"); u32w(hdrlBody.length.toLong); out.write(hdrlBody)
+      cc("LIST"); u32w(moviBody.length.toLong); out.write(moviBody)
+      out.toByteArray
+    }
+  }
+
   // ----------------------------------------------------- audio/video stub
 
   /** Audio/video swap point — still a deterministic stub (this
@@ -424,6 +597,34 @@ object Multimodal {
     media.filter(col("kind") === "audio").mapPartitions { it =>
       val codec = new AudioCodec
       it.flatMap(codec.decode)
+    }
+  }
+
+  /** Stage one REAL RIFF/AVI video (PNG frames) per document id —
+    * the video analog of [[imageFixture]].
+    */
+  def videoFixture(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val codec = new VideoCodec
+      it.map { id =>
+        val avi = codec.encodeFixtureAvi(id)
+        MediaRow(id, "video", avi, avi.length.toLong, "fixture")
+      }
+    }
+  }
+
+  /** Per-partition real demux + frame decode over the video
+    * modality: every `stride`-th frame, up to `maxFrames` per video.
+    */
+  def decodeVideoFrames(media: Dataset[MediaRow], stride: Int,
+      maxFrames: Int): Dataset[DecodedFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").mapPartitions { it =>
+      val codec = new VideoCodec
+      it.flatMap(m => codec.sampleFrames(m, stride, maxFrames))
     }
   }
 
@@ -555,6 +756,29 @@ object Multimodal {
        |  (sum(v * v) // (max(nf) * max(ch)))::BIGINT AS power,
        |  max(abs(v))::BIGINT AS peak
        |FROM sm GROUP BY media_id""".stripMargin
+
+  /** Video oracle: the frame-extended pixel formula over the SAMPLED
+    * frame indices — proves demux picks the right chunks AND each
+    * frame decodes pixel-exactly.
+    */
+  def decodeVideoFramesSql(table: String, stride: Int,
+      maxFrames: Int): String =
+    s"""WITH dims AS (
+       |  SELECT doc_id AS media_id, 4 + doc_id % 29 AS w,
+       |    4 + (doc_id // 29) % 23 AS h, 4 + doc_id % 5 AS nf
+       |  FROM $table),
+       |px AS (
+       |  SELECT media_id, f, w, h,
+       |    (media_id * 31 + f * 59 + x * 7 + y * 13 + c * 101) % 256 AS v
+       |  FROM dims, range(0, 8) tf(f), range(0, 32) tx(x),
+       |    range(0, 26) ty(y), range(0, 3) tc(c)
+       |  WHERE f < nf AND f % $stride = 0 AND f // $stride < $maxFrames
+       |    AND x < w AND y < h)
+       |SELECT media_id, f::BIGINT AS frame_idx, max(w)::BIGINT AS width,
+       |  max(h)::BIGINT AS height,
+       |  ((sum(v) * 1000000) // (max(w) * max(h) * 3))::BIGINT
+       |    AS brightness_micros
+       |FROM px GROUP BY media_id, f""".stripMargin
 
   val KindSql = "(['image', 'audio', 'video'])[doc_id % 3 + 1]"
 

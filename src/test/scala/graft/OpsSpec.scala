@@ -845,6 +845,44 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio(junk).collect().isEmpty)
   }
 
+  test("fixture AVIs demux through the real RIFF parser; sampled frames decode to the formula") {
+    val ids = Seq(0L, 1L, 3L, 58L)
+    val media = Multimodal.videoFixture(ids.toDF("doc_id"))
+    media.collect().foreach { m =>
+      assert(new String(m.content.take(4), "US-ASCII") == "RIFF")
+      assert(new String(m.content.slice(8, 12), "US-ASCII") == "AVI ")
+    }
+    // the demuxer reads the real avih header + all frame chunks
+    val codec = new Multimodal.VideoCodec
+    val one = codec.parseAvi(codec.encodeFixtureAvi(3L)).get
+    assert(one.totalFrames == Multimodal.videoFrameCount(3L))
+    assert(one.width == Multimodal.fixtureWidth(3L))
+    assert(one.microSecPerFrame == 40000L)
+    assert(one.frames.size == one.totalFrames)
+
+    val (stride, maxFrames) = (2, 3)
+    def exp(id: Long) = {
+      val (w, h) = (Multimodal.fixtureWidth(id), Multimodal.fixtureHeight(id))
+      (0 until Multimodal.videoFrameCount(id))
+        .filter(f => f % stride == 0 && f / stride < maxFrames)
+        .map { f =>
+          val sum = (for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+            yield Multimodal.framePixel(id, f, x, y, c).toLong).sum
+          (id, f.toLong, w.toLong, h.toLong, sum * 1000000 / (w * h * 3))
+        }
+    }
+    val got = Multimodal.decodeVideoFrames(media, stride, maxFrames)
+      .collect().map(d => (d.media_id, d.frame_idx, d.width, d.height,
+        d.brightness_micros)).toSet
+    assert(got == ids.flatMap(exp).toSet)
+
+    // non-AVI bytes drop (magic check), as do non-decodable frames
+    val junk = Seq((9L, "video", "RIFFxxxxNOPE".getBytes("UTF-8"), 1L, "t"))
+      .toDF("media_id", "kind", "content", "n_bytes", "source")
+      .as[Multimodal.MediaRow]
+    assert(Multimodal.decodeVideoFrames(junk, 1, 4).collect().isEmpty)
+  }
+
   test("undecodable media bytes drop; video frames only sample the video modality") {
     val junk = Seq((1L, "image", "not a png at all".getBytes("UTF-8"), 1L, "t"))
       .toDF("media_id", "kind", "content", "n_bytes", "source")
