@@ -845,6 +845,36 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio(junk).collect().isEmpty)
   }
 
+  test("JPEG and RGBA PNGs decode through the same swap point (dims exact; alpha drops to 3 channels)") {
+    def png(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // JPEG: lossy, so pixel values aren't bit-checked — dims/channels
+    // are, and brightness must land near the uniform gray we encoded
+    val j = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 6) j.setRGB(x, y, 0x808080)
+    // RGBA: 4-band raster reports 3 channels (alpha dropped)
+    val a = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 2; x <- 0 until 3) a.setRGB(x, y, 0x80ff0000) // half-alpha red
+    val media = Seq(
+      (1L, "image", png(j, "jpg"), 1L, "t"),
+      (2L, "image", png(a, "png"), 1L, "t"))
+      .toDF("media_id", "kind", "content", "n_bytes", "source")
+      .as[Multimodal.MediaRow]
+    val d = Multimodal.decodeImages(media).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(d(1L).width == 6 && d(1L).height == 4 && d(1L).channels == 3)
+    assert(math.abs(d(1L).brightness_micros - 128L * 1000000) < 3000000,
+      s"jpeg gray decoded far from encoded value: ${d(1L).brightness_micros}")
+    assert(d(2L).width == 3 && d(2L).height == 2 && d(2L).channels == 3)
+    // alpha dropped, color kept: mean of (255, 0, 0) = 85
+    assert(d(2L).brightness_micros == 255L * 1000000 / 3)
+  }
+
   test("fixture AVIs demux through the real RIFF parser; sampled frames decode to the formula") {
     val ids = Seq(0L, 1L, 3L, 58L)
     val media = Multimodal.videoFixture(ids.toDF("doc_id"))
