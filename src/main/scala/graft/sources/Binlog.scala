@@ -35,8 +35,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *    fixture writes checksum-free files, `binlog_checksum=NONE`);
   *    unknown event types are skipped by event_size.
   *
-  * Column types decoded: TINY/SHORT/INT24/LONG/LONGLONG (signed LE)
-  * and VARCHAR (1- or 2-byte length prefix by metadata max-length).
+  * Column types decoded: TINY/SHORT/INT24/LONG/LONGLONG (signed LE),
+  * VARCHAR (1- or 2-byte length prefix by metadata max-length),
+  * DATE (3-byte packed) and DATETIME2 at fsp=0 (5-byte big-endian
+  * packed) — temporals emitted in the §2.6 TypeMap wire forms.
   * The binlog carries no column NAMES or signedness — real deployments
   * fetch schema out-of-band; here the row images name columns
   * `c0..cN−1` (the typed layer re-keys with `from_json` + a schema,
@@ -60,7 +62,9 @@ object Binlog {
   val TypeLong = 3
   val TypeLongLong = 8
   val TypeInt24 = 9
+  val TypeDate = 10
   val TypeVarchar = 15
+  val TypeDatetime2 = 18
 
   val Magic: Array[Byte] = Array(0xfe.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)
 
@@ -121,7 +125,11 @@ object Binlog {
     c.lenenc() // metadata block length (we re-derive per type)
     val meta = types.map {
       case TypeVarchar => c.u16() // max length
-      case _ => 0 // the integer types carry no metadata
+      case TypeDatetime2 =>
+        val fsp = c.u8() // fractional-second precision
+        require(fsp == 0, s"DATETIME($fsp) unsupported (fsp > 0)")
+        fsp
+      case _ => 0 // the integer types and DATE carry no metadata
     }
     TableMap(tableId, db, table, types, meta)
   }
@@ -148,6 +156,21 @@ object Binlog {
           case TypeVarchar =>
             val len = if (tm.meta(i) < 256) c.u8() else c.u16()
             node.put(name, new String(c.bytes(len), "UTF-8"))
+          case TypeDate =>
+            // 3 bytes LE packed: day(5) | month(4)<<5 | year<<9 —
+            // emitted in the §2.6 TypeMap wire form
+            val v = c.u8() | (c.u8() << 8) | (c.u8() << 16)
+            node.put(name, f"${v >> 9}%04d-${(v >> 5) & 0xf}%02d-${v & 0x1f}%02d")
+          case TypeDatetime2 =>
+            // 5 bytes BIG-endian: sign(1) ym=year*13+month(17) day(5)
+            // hour(5) minute(6) second(6); non-negative ⇒ sign bit set
+            var v = 0L
+            (0 until 5).foreach(_ => v = (v << 8) | c.u8())
+            v &= (1L << 39) - 1 // clear the sign bit (dates ≥ epoch here)
+            val ym = (v >> 22) & 0x1ffff
+            node.put(name,
+              f"${ym / 13}%04d-${ym % 13}%02d-${(v >> 17) & 0x1f}%02d " +
+                f"${(v >> 12) & 0x1f}%02d:${(v >> 6) & 0x3f}%02d:${v & 0x3f}%02d")
           case t => sys.error(s"unsupported column type $t in ${tm.table}")
         }
         imgIdx += 1

@@ -161,6 +161,69 @@ class ChangeLogSourceSpec extends AnyFunSuite {
       """{"c0":2,"c1":null,"c2":-5,"c3":-42}""")
   }
 
+  test("binlog temporals decode to the TypeMap wire forms") {
+    val types = Seq(Binlog.TypeLong, Binlog.TypeDate, Binlog.TypeDatetime2)
+    val metas = Seq(0, 0, 0) // fsp = 0
+    val bytes = file(Seq(
+      (1L, Binlog.TableMapEvent, tableMapPayload(7L, "d", "t", types, metas)),
+      (2L, Binlog.WriteRowsV2, rowsPayload(7L, types, metas, Seq(
+        Seq(I(5), D(2024, 2, 29), DT(2023, 12, 31, 23, 59, 58)),
+        Seq(I(6), D(1000, 1, 1), DT(9999, 1, 1, 0, 0, 0)))))))
+    val d = Binlog.decodeFile(bytes)
+    assert(d.changes.map(_.after.get) == Seq(
+      """{"c0":5,"c1":"2024-02-29","c2":"2023-12-31 23:59:58"}""",
+      """{"c0":6,"c1":"1000-01-01","c2":"9999-01-01 00:00:00"}"""))
+  }
+
+  test("binlog fuzz: random schemas and rows round-trip encode->decode") {
+    val rnd = new scala.util.Random(42)
+    val allTypes = Seq(Binlog.TypeTiny, Binlog.TypeShort, Binlog.TypeInt24,
+      Binlog.TypeLong, Binlog.TypeLongLong, Binlog.TypeVarchar,
+      Binlog.TypeDate, Binlog.TypeDatetime2)
+    def randVal(t: Int): V = t match {
+      case Binlog.TypeTiny => I(rnd.nextInt(256) - 128)
+      case Binlog.TypeShort => I(rnd.nextInt(65536) - 32768)
+      case Binlog.TypeInt24 => I(rnd.nextInt(1 << 24) - (1 << 23))
+      case Binlog.TypeLong => I(rnd.nextInt())
+      case Binlog.TypeLongLong => I(rnd.nextLong())
+      case Binlog.TypeVarchar =>
+        S(rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+      case Binlog.TypeDate =>
+        D(1000 + rnd.nextInt(9000), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28))
+      case Binlog.TypeDatetime2 =>
+        DT(1000 + rnd.nextInt(9000), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28),
+          rnd.nextInt(24), rnd.nextInt(60), rnd.nextInt(60))
+    }
+    def jsonOf(v: V): String = v match {
+      case NULL => "null"
+      case I(x) => x.toString
+      case S(s) => "\"" + s + "\"" // fuzz strings are alnum: no escaping
+      case D(y, m, d) => f""""$y%04d-$m%02d-$d%02d""""
+      case DT(y, mo, d, h, mi, se) =>
+        f""""$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$se%02d""""
+    }
+    for (trial <- 1 to 40) {
+      val nCols = 1 + rnd.nextInt(6)
+      val types = Seq.fill(nCols)(allTypes(rnd.nextInt(allTypes.size)))
+      val metas = types.map {
+        case Binlog.TypeVarchar => if (rnd.nextBoolean()) 255 else 300
+        case _ => 0
+      }
+      val rows = Seq.fill(1 + rnd.nextInt(4))(
+        types.map(t => if (rnd.nextInt(5) == 0) NULL else randVal(t)))
+      val bytes = file(Seq(
+        (1L, Binlog.TableMapEvent,
+          tableMapPayload(trial.toLong, "fz", s"t$trial", types, metas)),
+        (2L, Binlog.WriteRowsV2,
+          rowsPayload(trial.toLong, types, metas, rows))))
+      val got = Binlog.decodeFile(bytes).changes.map(_.after.get)
+      val want = rows.map(r => r.zipWithIndex
+        .map { case (v, i) => s""""c$i":${jsonOf(v)}""" }
+        .mkString("{", ",", "}"))
+      assert(got == want, s"trial $trial types=$types")
+    }
+  }
+
   test("binlog segments read through the DSv2 source: envelope rows, batch + resume across rotation") {
     val dir = Files.createTempDirectory("cl_binlog").toString
     val ckp = Files.createTempDirectory("cl_binlog_ckp").toString
