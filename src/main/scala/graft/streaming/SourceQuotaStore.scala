@@ -36,13 +36,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * == Failure contract ==
   *
   * Admitted rows are written BEFORE the count commit (the family's
-  * at-least-once output contract). The committed state is a pure
-  * function of (prior state, batch) — old + |admitted(batch, old)| —
-  * so a crash between emit and commit replays into the SAME
-  * admissions and the SAME final counts (duplicate output rows,
-  * correct state); a replay after the commit admits nothing further
-  * (the already-bumped counts reject the batch), so the cap can never
-  * over-admit.
+  * at-least-once output contract). Replay safety is the
+  * [[CardStore]]/[[TokenQuotaStore]] high-water, NOT the count
+  * arithmetic: admission is additive, so a post-commit replay would
+  * re-admit its ranked prefix again whenever the source still has
+  * slots free (double-count + duplicate output). Each state row
+  * carries the (run, batch) mark of the last batch that spent
+  * against it — run = the checkpoint lineage via
+  * [[RunMark.forCheckpoint]], so a crash-restarted driver resumes
+  * the same id — and a batch re-arriving at or below a source's
+  * mark admits NOTHING for that source. Crash between emit and
+  * commit (mark not yet bumped) replays into the same admissions:
+  * duplicate output, correct state; post-commit replay is a pure
+  * no-op on both, so the cap can never over-admit.
   *
   * == Ordering caveat (by design) ==
   *
@@ -60,7 +66,7 @@ object SourceQuotaStore {
     */
   def applyBatch(batch: DataFrame, idCol: String, textCol: String,
       sourceCol: String, cap: Int, tableDir: String, outDir: String,
-      batchId: Long, nBucketsIfNew: Int,
+      runId: String, batchId: Long, nBucketsIfNew: Int,
       graceCommits: Int = 0): Unit = {
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(tableDir))
@@ -88,25 +94,37 @@ object SourceQuotaStore {
       val existing =
         if (existingPaths.nonEmpty) spark.read.parquet(existingPaths: _*)
         else ranked.select(col("__src").as("source"),
-          lit(0L).as("n_spent")).limit(0)
+          lit(0L).as("n_spent"), lit("").as("run_id"),
+          lit(-1L).as("last_batch")).limit(0)
 
+      // the high-water guard: a source whose mark covers this
+      // (run, batch) already spent it — admit nothing for it
+      val fresh = !(col("__srid").isNotNull &&
+        col("__srid") === lit(runId) && lit(batchId) <= col("__slb"))
       val admitted = ranked
-        .join(existing.select(col("source").as("__src"), col("n_spent")),
+        .join(existing.select(col("source").as("__src"), col("n_spent"),
+          col("run_id").as("__srid"), col("last_batch").as("__slb")),
           Seq("__src"), "left")
-        .filter(coalesce(col("n_spent"), lit(0L)) + col("__rn") <= cap)
+        .filter(fresh && coalesce(col("n_spent"), lit(0L)) + col("__rn") <= cap)
         .persist()
       try {
         // emit BEFORE the state commit (see failure contract)
-        admitted.drop("__src", "__q", "__rn", "__b", "n_spent")
+        admitted.drop("__src", "__q", "__rn", "__b", "n_spent",
+            "__srid", "__slb")
           .write.mode("append").parquet(outDir)
         // bumped counts: every touched-bucket source carries forward;
-        // batch sources add their admitted row count
+        // batch sources that admitted rows add their count + the mark
         val admCounts = admitted.groupBy(col("__src").as("source"))
           .agg(count(lit(1)).as("__na"))
         val newState = existing.join(admCounts, Seq("source"), "full")
           .select(col("source"),
             (coalesce(col("n_spent"), lit(0L))
-              + coalesce(col("__na"), lit(0L))).as("n_spent"))
+              + coalesce(col("__na"), lit(0L))).as("n_spent"),
+            when(col("__na").isNotNull, lit(runId))
+              .otherwise(coalesce(col("run_id"), lit(""))).as("run_id"),
+            when(col("__na").isNotNull, lit(batchId))
+              .otherwise(coalesce(col("last_batch"), lit(-1L)))
+              .as("last_batch"))
           .withColumn("b",
             pmod(hash(col("source")), lit(nBuckets)).cast("int"))
         val version =
@@ -124,14 +142,17 @@ object SourceQuotaStore {
   def maintain(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, cap: Int, tableDir: String, outDir: String,
       checkpointDir: String, nBuckets: Int = StateTable.DefaultBuckets,
-      graceCommits: Int = 0): StreamingQuery =
+      graceCommits: Int = 0): StreamingQuery = {
+    // mark scope = checkpoint lineage (see failure contract)
+    val runId = RunMark.forCheckpoint(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, idCol, textCol, sourceCol, cap, tableDir,
-          outDir, batchId, nBuckets, graceCommits)
+          outDir, runId, batchId, nBuckets, graceCommits)
       }
       .start()
+  }
 
   /** Takedown companion (the X94 family move for quota STATE): docs
     * removed from the corpus give their admission slots back, so
@@ -161,7 +182,8 @@ object SourceQuotaStore {
       val newState = existing.join(rel.drop("__b"), Seq("source"), "left")
         .select(col("source"),
           greatest(col("n_spent") - coalesce(col("__rel"), lit(0L)),
-            lit(0L)).as("n_spent"))
+            lit(0L)).as("n_spent"),
+          col("run_id"), col("last_batch"))
         .withColumn("b",
           pmod(hash(col("source")), lit(nBuckets)).cast("int"))
       val version =

@@ -44,7 +44,8 @@ class SourceQuotaStoreSpec extends AnyFunSuite {
     val docs = cdc.Io.table(spark, "/root/testdata/sf0.001", "documents")
 
     SourceQuotaStore.applyBatch(docs, "doc_id", "text", "source",
-      cap = 10, tableDir, outDir, batchId = 0L, nBucketsIfNew = 4)
+      cap = 10, tableDir, outDir, runId = "run-1", batchId = 0L,
+      nBucketsIfNew = 4)
 
     val streamed = spark.read.parquet(outDir)
       .select("doc_id").as[Long].collect().toSet
@@ -83,7 +84,7 @@ class SourceQuotaStoreSpec extends AnyFunSuite {
     SourceQuotaStore.applyBatch(
       Seq(doc(3, "A", 30), doc(4, "A", 20)).toDF("doc_id", "text", "source"),
       "doc_id", "text", "source", cap = 3, tableDir, outDir,
-      batchId = 99L, nBucketsIfNew = 4)
+      runId = "run-x", batchId = 99L, nBucketsIfNew = 4)
     assert(SourceQuotaStore.spend(spark, tableDir)
       .as[(String, Long)].collect().toMap == Map("A" -> 3L, "B" -> 2L))
 
@@ -91,6 +92,33 @@ class SourceQuotaStoreSpec extends AnyFunSuite {
     graft.streaming.StateTable.compact(spark, tableDir)
     assert(SourceQuotaStore.spend(spark, tableDir)
       .as[(String, Long)].collect().toMap == Map("A" -> 3L, "B" -> 2L))
+  }
+
+  test("post-commit replay with free slots is still a no-op (high-water, not count arithmetic)") {
+    val tableDir = Files.createTempDirectory("sqs_hw_state").toString
+    val outDir = Files.createTempDirectory("sqs_hw_out").toString
+    def apply(rows: Seq[(Long, String, String)], runId: String,
+        id: Long): Unit =
+      SourceQuotaStore.applyBatch(rows.toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", cap = 10, tableDir, outDir,
+        runId = runId, batchId = id, nBucketsIfNew = 4)
+
+    // A spends 2 of 10 — plenty of slots left, so count arithmetic
+    // alone WOULD re-admit the replay; the (run, batch) mark must not
+    apply(Seq(doc(1, "A", 5), doc(2, "A", 9)), "run-1", 0)
+    assert(spark.read.parquet(outDir).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    apply(Seq(doc(1, "A", 5), doc(2, "A", 9)), "run-1", 0) // replay
+    assert(spark.read.parquet(outDir).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L), "replay re-emitted despite the mark")
+    assert(SourceQuotaStore.spend(spark, tableDir)
+      .as[(String, Long)].collect().toMap == Map("A" -> 2L),
+      "replay double-counted admissions")
+
+    // a FRESH run's batch 0 must still accumulate (ids restart at 0)
+    apply(Seq(doc(3, "A", 7)), "run-2", 0)
+    assert(SourceQuotaStore.spend(spark, tableDir)
+      .as[(String, Long)].collect().toMap == Map("A" -> 3L))
   }
 
   test("release gives takedown slots back; untouched sources keep their spend") {
