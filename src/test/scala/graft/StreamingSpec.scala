@@ -634,6 +634,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(payload.contains(""""op":"c""""))
   }
 
+  test("media decode is streaming-compatible as-is: per-batch codec output equals the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    // the whole codec pipeline is a stateless narrow map, so it runs
+    // unchanged on a stream — decode-on-ingest, the 100 TB shape
+    // where media never lands undecoded
+    val input = MemoryStream[Long]
+    val out = Files.createTempDirectory("mm_stream_out").toString + "/o"
+    val q = graft.ops.Multimodal.decodeImages(
+        graft.ops.Multimodal.imageFixture(input.toDF().toDF("doc_id")))
+      .toDF()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("mm_stream_ckp").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+      }.start()
+    input.addData(0L, 1L, 2L); q.processAllAvailable()
+    input.addData(7L, 58L); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Multimodal.decodeImages(
+        graft.ops.Multimodal.imageFixture(
+          Seq(0L, 1L, 2L, 7L, 58L).toDF("doc_id")))
+      .toDF().orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch && batch.size == 5)
+  }
+
   test("kafka sink frame: exact (key,value,topic) contract, one record per change; gated start is a no-op without brokers") {
     val changes = ChangeSource.fromEvents(
       (0L until 8L).map(i => (i, i % 4,
