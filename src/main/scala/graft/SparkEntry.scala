@@ -28,6 +28,13 @@ object SparkEntry {
   private val prfCache =
     new java.util.concurrent.ConcurrentHashMap[String, Retrieval.FrozenPrf]()
 
+  /** Session-staged media fixture dirs (fixture encode paid once per
+    * sf dir) — so the serve-side decode queries time what production
+    * runs: reading ALREADY-ENCODED bytes and decoding them.
+    */
+  private val mediaStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Shared input of the as-of queries: change rows + session-start
     * marks. The envelope feeds both sides — cached (once per plan,
     * lifecycle per [[graft.ops.Caching.cachedOnce]]) so the events
@@ -1324,6 +1331,26 @@ object SparkEntry {
         stride = 2, maxFrames = 3)
         .toDF()),
 
+    // The serve-side steady state of q_mm_video: the fixture encode
+    // is staged to parquet ONCE per session (a production corpus
+    // stores encoded bytes), so this entry times only what ingest
+    // actually runs — demux + frame decode. Shares q_mm_video's
+    // oracle verbatim (staging cannot change results).
+    "q_mm_video_decode" -> ((s, dir) => {
+      val staged = mediaStage.computeIfAbsent(dir, d => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_mm_stage").toString
+        Multimodal.videoFixture(T(s, d, "documents"))
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+      Multimodal.decodeVideoFrames(
+        s.read.parquet(staged)
+          .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]),
+        stride = 2, maxFrames = 3)
+        .toDF()
+    }),
+
     // Multimodal: byte-slice frame sampling over the video modality
     // of the documents-staged media table (the pre-demux stub shape,
     // kept as the modality-pruning plumbing proof).
@@ -2076,6 +2103,11 @@ object SparkEntry {
       (Multimodal.decodeAudioSql("documents") + " ORDER BY media_id"),
 
     "q_mm_video" ->
+      (Multimodal.decodeVideoFramesSql("documents", stride = 2,
+        maxFrames = 3) + " ORDER BY media_id, frame_idx"),
+
+    // the serve-only twin shares it: pre-staged bytes, same frames
+    "q_mm_video_decode" ->
       (Multimodal.decodeVideoFramesSql("documents", stride = 2,
         maxFrames = 3) + " ORDER BY media_id, frame_idx"),
 
