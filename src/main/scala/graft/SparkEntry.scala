@@ -1099,6 +1099,65 @@ object SparkEntry {
         (length(col("text")) - length(norm)).cast("long").as("n_removed"))
     }),
 
+    // X113 mergeable log-histogram quantile sketch: per-source p50/
+    // p90/p99 token-length brackets from HdrHistogram-style integer
+    // bins (≤ 12.5% relative width, exact below 16) — the rank stats
+    // the streaming HistStore can maintain incrementally because
+    // binned counts merge by addition where raw ranks don't. One
+    // partial-agg shuffle to the (source, bin) histogram; the walk
+    // runs on histogram rows only.
+    "q_diag_quantiles" -> ((s, dir) =>
+      Diagnostics.lengthQuantileSketch(T(s, dir, "documents"),
+        "text", "source", pcts = Seq(50, 90, 99))),
+
+    // X115 mergeable distinct-token sketch: per-source exact distinct
+    // (the oracle-checkable truth) + an in-band verdict that the
+    // Datasketches HLL estimate landed within its rsd band — the
+    // q_cdc_approx_stats tolerance-flag pattern; sketch VALUES are
+    // engine-specific by design. The same sketch rides CardStore, so
+    // the live card serves distinctness mergeably (union = register
+    // max, idempotent under replay).
+    "q_text_distinct_sketch" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(coalesce(col("source").cast("string"), lit("<null>"))
+            .as("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(count_distinct(col("tok")).as("n_distinct"),
+          hll_sketch_estimate(
+            hll_sketch_agg(col("tok"), lit(12))).as("est"))
+        .select(col("source"), col("n_distinct"),
+          (abs(col("est") - col("n_distinct")).cast("double")
+            <= greatest(lit(5.0), col("n_distinct") * 0.05))
+            .cast("long").as("hll_within_tol"))),
+
+    // X116 SEMANTIC split leakage: the X48 audit over the embedding-
+    // cosine pair graph instead of n-gram Jaccard — a paraphrased
+    // duplicate straddling train/test defeats every lexical gate but
+    // not this one. Same blocked pair join as q_dedup_embed.
+    "q_curate_semleak" -> ((s, dir) =>
+      Curation.semanticLeakage(T(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", threshold = 0.3, trainPct = 80, valPct = 10)),
+
+    // X114 within-doc token-run collapse: runs of the same token are
+    // trimmed to their first maxRun occurrences — the repair twin of
+    // the X54 repetition GATES (which can only drop a stuttered doc,
+    // not fix it). One narrow in-row pass, zero shuffle; the cleaned
+    // text is fingerprinted so the oracle proves the rebuilt string
+    // byte-identical across engines.
+    "q_text_runcollapse" -> ((s, dir) => {
+      val clean =
+        array_join(TextAnalysis.runCollapse(col("ts"), maxRun = 2), " ")
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+        .select(col("doc_id"),
+          md5(clean.cast("binary")).as("fp_clean"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          (size(col("ts")) -
+            size(TextAnalysis.runCollapse(col("ts"), maxRun = 2)))
+            .cast("long").as("n_removed"))
+    }),
+
     // JSONL import/export edge, proven LOSSLESS: export the corpus to
     // line-JSON, re-ingest with the explicit schema, emit per-source
     // content checksums the oracle computes from the ORIGINAL parquet
@@ -1988,6 +2047,35 @@ object SparkEntry {
          |  length($norm)::BIGINT AS n_chars_norm,
          |  (length(text) - length($norm))::BIGINT AS n_removed
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_diag_quantiles" ->
+      (Diagnostics.lengthQuantileSketchSql("text", "source",
+        "documents", pcts = Seq(50, 90, 99)) + " ORDER BY source, pct"),
+
+    "q_text_distinct_sketch" ->
+      s"""SELECT coalesce(source::VARCHAR, '<null>') AS source,
+         |  count(DISTINCT tok)::BIGINT AS n_distinct,
+         |  1::BIGINT AS hll_within_tol
+         |FROM (SELECT source, unnest(${TextAnalysis.tokensSql("text")}) AS tok
+         |      FROM documents)
+         |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q_curate_semleak" ->
+      (Curation.semanticLeakageSql("vec_id", "embedding", "label",
+        "embeddings", threshold = 0.3, trainPct = 80, valPct = 10)
+        + " ORDER BY split_a, split_b"),
+
+    "q_text_runcollapse" -> {
+      val ts = TextAnalysis.tokensSql("text")
+      val clean = TextAnalysis.runCollapseSql("ts", maxRun = 2)
+      s"""WITH base AS (
+         |  SELECT doc_id, $ts AS ts FROM documents)
+         |SELECT doc_id,
+         |  md5(array_to_string($clean, ' ')) AS fp_clean,
+         |  len(ts)::BIGINT AS n_tokens,
+         |  (len(ts) - len($clean))::BIGINT AS n_removed
+         |FROM base ORDER BY doc_id""".stripMargin
     },
 
     "q_text_pii" -> {

@@ -338,6 +338,52 @@ object Curation {
        |WHERE s1.split <> s2.split
        |GROUP BY 1, 2""".stripMargin
 
+  /** X116 SEMANTIC split leakage: [[splitLeakage]]'s n-gram pairs
+    * catch near-verbatim copies straddling the split; this twin runs
+    * the same audit over the embedding-cosine pair graph
+    * ([[Dedup.cosinePairs]], blocked by the label column), so a
+    * paraphrased or re-templated duplicate — lexically disjoint,
+    * semantically identical — still counts as leakage. This is the
+    * decontamination check model-eval pipelines actually need: a
+    * benchmark item rephrased into the training set defeats every
+    * lexical gate but not the embedding.
+    *
+    * == 100 TB shape ==
+    *
+    * Pair cost is the blocked cosine join's (within-block pairs,
+    * never all-pairs — swap in the trained-kmeans blocks of X70 for
+    * unlabeled corpora); the split columns are narrow hash maps
+    * joined by id; output is ≤ 3 rows.
+    */
+  def semanticLeakage(embs: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double, trainPct: Int,
+      valPct: Int): DataFrame = {
+    val pairs = Dedup.cosinePairs(embs, idCol, vecCol, blockCol, threshold)
+    val splits = embs.select(col(idCol).as("id"),
+      splitOf(col(idCol), trainPct, valPct).as("split"))
+    pairs
+      .join(splits.select(col("id").as("id1"), col("split").as("sp1")), "id1")
+      .join(splits.select(col("id").as("id2"), col("split").as("sp2")), "id2")
+      .filter(col("sp1") =!= col("sp2"))
+      .groupBy(least(col("sp1"), col("sp2")).as("split_a"),
+        greatest(col("sp1"), col("sp2")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("cos_micros")).as("worst_cos_micros"))
+  }
+
+  def semanticLeakageSql(id: String, vec: String, block: String,
+      table: String, threshold: Double, trainPct: Int, valPct: Int): String =
+    s"""WITH pairs AS (${Dedup.cosinePairsSql(id, vec, block, table, threshold)}),
+       |s AS (SELECT $id AS id, ${splitOfSql(id, trainPct, valPct)} AS split
+       |      FROM $table)
+       |SELECT least(s1.split, s2.split) AS split_a,
+       |  greatest(s1.split, s2.split) AS split_b,
+       |  count(*)::BIGINT AS n_pairs,
+       |  max(p.cos_micros)::BIGINT AS worst_cos_micros
+       |FROM pairs p JOIN s s1 ON p.id1 = s1.id JOIN s s2 ON p.id2 = s2.id
+       |WHERE s1.split <> s2.split
+       |GROUP BY 1, 2""".stripMargin
+
   /** Benchmark contamination: for each eval doc, the best n-gram
     * containment against the (disjoint) training corpus —
     * |shingles(eval) ∩ shingles(train)| / |shingles(eval)| — plus the

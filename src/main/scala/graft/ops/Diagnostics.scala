@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,141 @@ object Diagnostics {
         "CAST((cnt * 1000000) div total_rows AS BIGINT) AS share_micros",
         "CAST(total_rows AS BIGINT) AS total_rows",
         "CAST(n_keys AS BIGINT) AS n_keys")
+  }
+
+  // ------------- X113: mergeable log-histogram quantile sketch -------------
+
+  /** HdrHistogram-style integer binning for non-negative longs: values
+    * below 2^SubBits map to themselves (EXACT); above, the value lands
+    * in the power-of-two bucket `b = floor(log2 n)` subdivided into 8
+    * equal-width sub-bins, so every bin's relative width is ≤ 1/8
+    * (12.5%). All integer math — `length(bin(n))` is the bit length,
+    * the divisor is an exact power-of-two — so Spark and DuckDB agree
+    * on every boundary by construction (a float `log2` would disagree
+    * at exact powers of two).
+    *
+    * Why bins at all: rank statistics (median, p99) are NOT mergeable
+    * — the batch card computes them with corpus ranks a stream can
+    * never have, which is exactly why [[graft.streaming.CardStore]]
+    * documents median as batch-only. Binned counts ARE mergeable
+    * (plain addition), and the bin walk answers any quantile with a
+    * GUARANTEED bracket: the true nearest-rank value lies in
+    * [q_lo, q_hi], and (q_hi−q_lo)/q_lo ≤ 1/8. That trade — exact
+    * rank over the bins, bounded value error inside one — is the
+    * whole sketch.
+    */
+  val SubBits = 4
+  private val SubCount = 1 << SubBits // 16
+  private val HalfSub = SubCount / 2  // 8
+
+  /** Bin id of a non-negative long count (`n < 16` → identity). */
+  def binId(n: Column): Column = {
+    val shift = (length(bin(n)) - lit(SubBits)).cast("long")
+    val p = pow(lit(2.0), shift.cast("double")).cast("long")
+    when(n < lit(SubCount.toLong), n)
+      .otherwise(lit(HalfSub.toLong) * shift + (n / p).cast("long"))
+  }
+
+  def binIdSql(n: String): String = {
+    val shift = s"(length(bin(($n)::BIGINT)) - $SubBits)"
+    val p = s"CAST(pow(2, $shift) AS BIGINT)"
+    s"(CASE WHEN ($n) < $SubCount THEN ($n) " +
+      s"ELSE $HalfSub * $shift + (($n) // $p) END)::BIGINT"
+  }
+
+  /** Inclusive [lo, hi] value range of a bin id (inverse of [[binId]]). */
+  def binLo(id: Column): Column = {
+    val shift = (id / lit(HalfSub.toLong)).cast("long") - lit(1L)
+    val u = id - lit(HalfSub.toLong) * shift
+    val p = pow(lit(2.0), shift.cast("double")).cast("long")
+    when(id < lit(SubCount.toLong), id).otherwise(u * p)
+  }
+
+  def binHi(id: Column): Column = {
+    val shift = (id / lit(HalfSub.toLong)).cast("long") - lit(1L)
+    val u = id - lit(HalfSub.toLong) * shift
+    val p = pow(lit(2.0), shift.cast("double")).cast("long")
+    when(id < lit(SubCount.toLong), id).otherwise((u + lit(1L)) * p - lit(1L))
+  }
+
+  def binLoSql(id: String): String = {
+    val shift = s"(($id) // $HalfSub - 1)"
+    val p = s"CAST(pow(2, $shift) AS BIGINT)"
+    s"(CASE WHEN ($id) < $SubCount THEN ($id) " +
+      s"ELSE (($id) - $HalfSub * $shift) * $p END)::BIGINT"
+  }
+
+  def binHiSql(id: String): String = {
+    val shift = s"(($id) // $HalfSub - 1)"
+    val p = s"CAST(pow(2, $shift) AS BIGINT)"
+    s"(CASE WHEN ($id) < $SubCount THEN ($id) " +
+      s"ELSE (($id) - $HalfSub * $shift + 1) * $p - 1 END)::BIGINT"
+  }
+
+  /** The quantile walk over a (source, bin, cnt) histogram: for each
+    * requested percentile, nearest-rank r = ⌈pct·n/100⌉ and the first
+    * bin whose cumulative count reaches it → (source, pct, n_docs,
+    * q_lo, q_hi) with the true nearest-rank value GUARANTEED inside
+    * [q_lo, q_hi]. Shared verbatim by the batch sketch and the
+    * streaming store's serve path ([[graft.streaming.HistStore]]) —
+    * the walk runs on histogram rows only (≤ ~200 bins per source),
+    * never corpus rows.
+    */
+  def sketchServe(hist: DataFrame, pcts: Seq[Int]): DataFrame = {
+    val wCum = Window.partitionBy(col("source")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("source"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_docs", sum(col("cnt")).over(wAll))
+      .withColumn("pct", explode(array(pcts.map(p => lit(p.toLong)): _*)))
+      .withColumn("r", expr("(pct * n_docs + 99) div 100"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("source"), col("pct"), col("n_docs"))
+      .agg(min(col("bin")).as("qbin"))
+      .select(col("source"), col("pct"), col("n_docs").cast("long").as("n_docs"),
+        binLo(col("qbin")).as("q_lo"), binHi(col("qbin")).as("q_hi"))
+  }
+
+  /** X113 batch op: per-source token-length quantile sketch — ONE
+    * partial-agg shuffle from corpus rows to the (source, bin) counts,
+    * then the [[sketchServe]] walk on the tiny histogram. The same
+    * numbers the streaming store serves after ingesting the same rows
+    * in any batch split (counter addition is associative, the binning
+    * is deterministic) — that equality is HistStoreSpec's pin.
+    */
+  def lengthQuantileSketch(docs: DataFrame, textCol: String,
+      sourceCol: String, pcts: Seq[Int]): DataFrame = {
+    val hist = docs
+      .select(coalesce(col(sourceCol).cast("string"), lit("<null>"))
+          .as("source"),
+        binId(TextAnalysis.tokenCount(col(textCol))).as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
+    sketchServe(hist, pcts)
+  }
+
+  def lengthQuantileSketchSql(text: String, source: String,
+      table: String, pcts: Seq[Int]): String = {
+    val n = TextAnalysis.tokenCountSql(text)
+    val pctList = pcts.mkString(", ")
+    s"""WITH h AS (
+       |  SELECT coalesce(($source)::VARCHAR, '<null>') AS source,
+       |    ${binIdSql(n)} AS bin, count(*) AS cnt
+       |  FROM $table GROUP BY 1, 2),
+       |c AS (
+       |  SELECT source, bin, cnt,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+       |    sum(cnt) OVER (PARTITION BY source) AS n_docs
+       |  FROM h),
+       |pr AS (
+       |  SELECT c.source, p.pct, c.bin, c.cum, c.n_docs,
+       |    (p.pct * c.n_docs + 99) // 100 AS r
+       |  FROM c, (SELECT unnest([$pctList]) AS pct) p),
+       |q AS (
+       |  SELECT source, pct, n_docs, min(bin) AS qbin
+       |  FROM pr WHERE cum >= r GROUP BY 1, 2, 3)
+       |SELECT source, pct::BIGINT AS pct, n_docs::BIGINT AS n_docs,
+       |  ${binLoSql("qbin")} AS q_lo, ${binHiSql("qbin")} AS q_hi
+       |FROM q""".stripMargin
   }
 
   def keyProfileSql(keyExpr: String, table: String, topN: Int): String =

@@ -277,6 +277,44 @@ object TextAnalysis {
     s"trim(regexp_replace(regexp_replace(lower(${normalizeTextSql(e)}), " +
       s"'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
+  /** X114 within-document token-run collapse: runs of the SAME token
+    * longer than `maxRun` are trimmed to their first `maxRun`
+    * occurrences ("batch batch batch batch" → "batch batch" at
+    * maxRun = 2) — the crawl-artifact cleanup (stuttered OCR, pasted
+    * repetition, template echo) that document-level gates like the
+    * [[repetitionStats]] shares can only DROP a doc for, never
+    * repair. Within-doc and order-preserving, which no cross-doc
+    * dedup op in the family touches.
+    *
+    * Shape: a single narrow in-row pass — tokenize once (the alias
+    * is non-cheap and referenced per kept token, so CollapseProject
+    * keeps it materialized once per row), keep token i iff fewer
+    * than `maxRun` immediate predecessors equal it, re-join on
+    * single spaces. Zero shuffle; scan speed at any corpus size.
+    * The `maxRun` comparison window is unrolled at PLAN time (it is
+    * a Scala constant), so the per-token work is O(maxRun), not
+    * O(run length).
+    */
+  def runCollapse(ts: Column, maxRun: Int): Column = {
+    require(maxRun >= 1, "maxRun must be >= 1")
+    filter(ts, (t, i) => {
+      // 0-based current index i; 1-based predecessors at i, i-1, ...
+      // CaseWhen (not ||) so the element_at probes only run when
+      // every probed index is >= 1 (ANSI mode throws on index 0)
+      val anyDiff = (1 to maxRun)
+        .map(j => element_at(ts, i + lit(1 - j)) =!= t)
+        .reduce(_ || _)
+      when(i < lit(maxRun), lit(true)).otherwise(anyDiff)
+    })
+  }
+
+  def runCollapseSql(tsExpr: String, maxRun: Int): String = {
+    val t = s"($tsExpr)"
+    val anyDiff = (1 to maxRun)
+      .map(j => s"$t[i-$j] != $t[i]").mkString(" OR ")
+    s"[$t[i] for i in range(1, len($t)+1) if i <= $maxRun OR ($anyDiff)]"
+  }
+
   /** Rolling (Karp-Rabin-style) fingerprint over token hashes:
     * fold h ← (h·B + hash60(w) mod P) mod P, left to right. Order
     * sensitive (unlike a bag-of-words hash); both engines fold

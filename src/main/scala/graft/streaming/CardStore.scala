@@ -10,9 +10,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * max_tokens) maintained over an unbounded ingest stream — the
   * monitoring twin of the batch dataset card
   * ([[graft.ops.Curation.datasetCard]], X61), restricted to the
-  * MERGEABLE statistics (sum/sum/max). Median and language mode are
-  * deliberately absent: they don't merge without sketches, and the
-  * batch card remains the retrospective source of truth for them.
+  * MERGEABLE statistics (sum/sum/max), plus a Datasketches HLL
+  * distinct-token sketch (X115 — HLL union is register-wise max, so
+  * distinctness DOES merge; the estimate serves within its published
+  * rsd band). Median/percentiles live in the binned-count companion
+  * [[HistStore]] (X113 — rank stats merge once the values are
+  * binned); language MODE remains batch-only (a top-1 over an
+  * unbounded key domain doesn't merge without heavy-hitter sketches,
+  * and the batch card stays the retrospective source of truth).
   *
   * == The exactly-once additive pattern ==
   *
@@ -59,14 +64,28 @@ object CardStore {
     val nBuckets = st.nBuckets.getOrElse(nBucketsIfNew)
     val bucket = pmod(hash(col("source")), lit(nBuckets)).cast("int")
 
-    val delta = batch
+    val base = batch
       .select(coalesce(col(sourceCol).cast("string"), lit("<null>"))
           .as("source"),
-        graft.ops.TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
+        col(textCol).as("text"))
+    val docAgg = base
+      .select(col("source"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("d_docs"),
         coalesce(sum(col("n_tok")), lit(0L)).cast("long").as("d_tokens"),
         coalesce(max(col("n_tok")), lit(0L)).cast("long").as("d_max"))
+    // X115: distinct-token sketch per source — the Datasketches HLL is
+    // MERGEABLE (register-wise max), so the live card can carry the
+    // one distinct stat the batch card computes exactly; the union is
+    // idempotent (set-like), so replay safety doesn't even need the
+    // high-water — it rides it anyway for uniformity
+    val tokAgg = base
+      .select(col("source"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("tok"), HllLgK).as("d_hll"))
+    val delta = docAgg.join(tokAgg, Seq("source"), "left")
       .withColumn("b", bucket)
       .persist()
     try {
@@ -79,8 +98,8 @@ object CardStore {
         if (existingPaths.nonEmpty) spark.read.parquet(existingPaths: _*)
         else spark.range(0).select(lit("").as("source"),
           lit(0L).as("n_docs"), lit(0L).as("n_tokens"),
-          lit(0L).as("max_tokens"), lit("").as("run_id"),
-          lit(0L).as("last_batch")).limit(0)
+          lit(0L).as("max_tokens"), lit(null).cast("binary").as("tok_hll"),
+          lit("").as("run_id"), lit(0L).as("last_batch")).limit(0)
 
       // the high-water guard: a delta is stale iff it re-arrives
       // under the SAME run at or below the source's stored mark; the
@@ -90,6 +109,7 @@ object CardStore {
       val merged = existing
         .select(col("source"), col("n_docs").as("sn"),
           col("n_tokens").as("st"), col("max_tokens").as("sm"),
+          col("tok_hll").as("sh"),
           col("run_id").as("srid"), col("last_batch").as("slb"))
         .join(delta, Seq("source"), "full_outer")
         .select(col("source"),
@@ -105,6 +125,11 @@ object CardStore {
             .when(stale, col("sm"))
             .otherwise(greatest(coalesce(col("sm"), lit(-1L)), col("d_max")))
             .as("max_tokens"),
+          when(col("d_docs").isNull, col("sh"))
+            .when(stale, col("sh"))
+            .when(col("sh").isNull, col("d_hll"))
+            .when(col("d_hll").isNull, col("sh"))
+            .otherwise(hll_union(col("sh"), col("d_hll"))).as("tok_hll"),
           when(col("d_docs").isNull, col("srid"))
             .when(stale, col("srid"))
             .otherwise(lit(runId)).as("run_id"),
@@ -139,11 +164,22 @@ object CardStore {
       .start()
   }
 
+  /** lgConfigK of the distinct-token HLL sketch: rsd ≈ 1.04/√2¹² ≈
+    * 1.6% at a few KB of state per source.
+    */
+  val HllLgK = 12
+
   /** The current per-source card: (source, n_docs, n_tokens,
-    * max_tokens). The (run_id, last_batch) mark stays internal.
+    * max_tokens, n_distinct_tokens≈). The (run_id, last_batch) mark
+    * and the raw sketch bytes stay internal; the distinct count is
+    * the HLL estimate (within its published rsd band — the batch
+    * card remains the exact source of truth).
     */
   def card(spark: SparkSession, tableDir: String): DataFrame =
     StateTable.read(spark, tableDir)
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        col("max_tokens"))
+        col("max_tokens"),
+        when(col("tok_hll").isNull, lit(0L))
+          .otherwise(hll_sketch_estimate(col("tok_hll")))
+          .as("n_distinct_tokens"))
 }

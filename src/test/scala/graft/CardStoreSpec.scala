@@ -34,13 +34,16 @@ class CardStoreSpec extends AnyFunSuite {
 
   private def cardOf(tableDir: String) =
     CardStore.card(spark, tableDir)
-      .as[(String, Long, Long, Long)].collect().toSet
+      .as[(String, Long, Long, Long, Long)].collect().toSet
 
+  // last element = n_distinct_tokens: the HLL estimate is EXACT at
+  // these cardinalities (the sketch is still in its exact coupon
+  // mode), so the spec can pin precise values
   private val want01 = Set(
-    ("s0", 2L, 5L, 3L),
-    ("s1", 2L, 5L, 4L),
-    ("s2", 1L, 6L, 6L),
-    ("<null>", 1L, 1L, 1L))
+    ("s0", 2L, 5L, 3L, 5L),
+    ("s1", 2L, 5L, 4L, 5L),
+    ("s2", 1L, 6L, 6L, 6L),
+    ("<null>", 1L, 1L, 1L, 1L))
 
   test("split batches merge to the one-shot totals (sum/sum/max)") {
     val dir = Files.createTempDirectory("cs_state").toString
@@ -65,7 +68,7 @@ class CardStoreSpec extends AnyFunSuite {
     // would silently drop this batch for the already-seen source s0)
     apply(Seq(("six seven", Some("s0"))), dir, "runB", 0)
     assert(cardOf(dir) ==
-      (want01 - (("s0", 2L, 5L, 3L)) + (("s0", 3L, 7L, 3L))))
+      (want01 - (("s0", 2L, 5L, 3L, 5L)) + (("s0", 3L, 7L, 3L, 7L))))
   }
 
   test("crash-restart from the same checkpoint resumes the run id, so its replays are no-ops") {
@@ -74,7 +77,7 @@ class CardStoreSpec extends AnyFunSuite {
     // what maintain() derives on first start
     val r1 = graft.streaming.RunMark.forCheckpoint(ckpt)
     apply(b0, dir, r1, 0)
-    val want = Set(("s0", 2L, 5L, 3L), ("s1", 1L, 4L, 4L))
+    val want = Set(("s0", 2L, 5L, 3L, 5L), ("s1", 1L, 4L, 4L, 4L))
     assert(cardOf(dir) == want)
     // driver crashes post-commit; the restarted maintain() re-derives
     // the run id from the SAME checkpoint — a fresh UUID here is
@@ -105,7 +108,7 @@ class CardStoreSpec extends AnyFunSuite {
     runStream(Seq(Seq(
       ("brand new words here", Some("s9")), ("tail doc", Some("s2")))))
     assert(cardOf(tableDir) ==
-      (want01 - (("s2", 1L, 6L, 6L)))
-        + (("s2", 2L, 8L, 6L)) + (("s9", 1L, 4L, 4L)))
+      (want01 - (("s2", 1L, 6L, 6L, 6L)))
+        + (("s2", 2L, 8L, 6L, 8L)) + (("s9", 1L, 4L, 4L, 4L)))
   }
 }

@@ -1505,4 +1505,93 @@ class OpsSpec extends AnyFunSuite {
       assert(got(p.toLong) == want, s"pct $p")
     }
   }
+
+  test("runCollapse trims token runs to maxRun, order preserved") {
+    def collapse(text: String, maxRun: Int): String =
+      Seq(text).toDF("text")
+        .select(array_join(TextAnalysis.runCollapse(
+          TextAnalysis.tokens(col("text")), maxRun), " "))
+        .as[String].head()
+    assert(collapse("a a a b b c a", 2) == "a a b b c a")
+    assert(collapse("a a a b b c a", 1) == "a b c a")
+    // runs at the very start and very end; a maxRun-long run survives
+    assert(collapse("x x x x y z z z", 2) == "x x y z z")
+    assert(collapse("solo", 1) == "solo")
+    assert(collapse("", 1) == "") // split("") = [""] — kept, rejoined
+    // the final fp matches a plain-Scala reference on mixed runs
+    val ref = "p p q q q p r r r r p"
+      .split(" ").foldLeft(Vector.empty[String]) { (acc, t) =>
+        if (acc.length >= 2 && acc.takeRight(2).forall(_ == t)) acc
+        else acc :+ t
+      }.mkString(" ")
+    assert(collapse("p p q q q p r r r r p", 2) == ref)
+  }
+
+  test("log-histogram bins: inverse law and <= 1/8 relative width") {
+    val rows = spark.range(0, 5000)
+      .select(Diagnostics.binId(col("id")).as("bin"), col("id"))
+      .select(col("id"), col("bin"),
+        Diagnostics.binLo(col("bin")).as("lo"),
+        Diagnostics.binHi(col("bin")).as("hi"))
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (n, _, lo, hi) =>
+      assert(lo <= n && n <= hi, s"n=$n not in [$lo,$hi]")
+      if (n >= 16) assert((hi + 1 - lo) * 8 <= lo, s"bin too wide at n=$n")
+      else assert(lo == n && hi == n, s"exact region broken at n=$n")
+    }
+    // bins tile the domain: each hi is the next bin's lo - 1
+    val bounds = rows.map(r => (r._2, r._3, r._4)).distinct.sortBy(_._1)
+    bounds.sliding(2).foreach { case Array((_, _, h), (_, l2, _)) =>
+      assert(l2 == h + 1, s"gap between bins at $h/$l2")
+    }
+  }
+
+  test("quantile sketch brackets the true nearest-rank value per source") {
+    val lens = Map(
+      "sA" -> Seq(1, 2, 3, 4, 5, 17, 40, 100, 999, 3000),
+      "sB" -> Seq(7, 7, 7, 8), // all < 16 -> sketch is EXACT
+      "sC" -> Seq(250))
+    val d = lens.toSeq.flatMap { case (s, ns) =>
+      ns.map(n => (Seq.fill(n)("w").mkString(" "), s))
+    }.toDF("text", "source")
+    val pcts = Seq(50, 90, 99)
+    val got = Diagnostics.lengthQuantileSketch(d, "text", "source", pcts)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    for ((s, ns) <- lens; p <- pcts) {
+      val sorted = ns.sorted
+      val exact = sorted((p * ns.length + 99) / 100 - 1).toLong
+      val (n, lo, hi) = got((s, p.toLong))
+      assert(n == ns.length)
+      assert(lo <= exact && exact <= hi, s"$s p$p: $exact not in [$lo,$hi]")
+      if (sorted.last < 16) assert(lo == exact && hi == exact)
+    }
+  }
+
+  test("semantic leakage == reference aggregation over cosinePairs x splitOf") {
+    // two identical vectors in one block, a third orthogonal, plus a
+    // second block with its own identical pair — ids chosen 0..7
+    val e1 = Array(1.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f)
+    val embs = Seq(
+      (0L, e1, "b0"), (1L, e1, "b0"), (2L, e2, "b0"),
+      (4L, e2, "b1"), (5L, e2, "b1"), (6L, e1, "b1"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Curation.semanticLeakage(embs, "vec_id", "embedding",
+        "label", threshold = 0.5, trainPct = 50, valPct = 25)
+      .as[(String, String, Long, Long)].collect().toSet
+    // reference: same-block pairs at cos >= 0.5 are exactly the
+    // identical ones; aggregate over the op's own split assignment
+    val splits = embs.select(col("vec_id"),
+        Curation.splitOf(col("vec_id"), 50, 25).as("sp"))
+      .as[(Long, String)].collect().toMap
+    val pairs = Seq((0L, 1L), (4L, 5L)) // cos_micros = 1e6 pairs
+    val want = pairs.map { case (a, b) => (splits(a), splits(b)) }
+      .filter { case (x, y) => x != y }
+      .groupBy { case (x, y) =>
+        (Seq(x, y).min, Seq(x, y).max) }
+      .map { case ((x, y), g) => (x, y, g.size.toLong, 1000000L) }.toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must straddle the split to test anything")
+  }
 }
