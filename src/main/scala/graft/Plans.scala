@@ -224,6 +224,36 @@ object Plans {
         |then TakeOrderedAndProject for the top-N (never a global
         |sort) with the 1-row totals broadcast onto it. PlanSpec
         |asserts both.""".stripMargin,
+    "q_diag_quantiles" ->
+      """Log-histogram quantile sketch: corpus rows leave through ONE
+        |partial-agg shuffle to (source, bin) histogram rows — the
+        |binning (bit length + power-of-two sub-bins) is a codegen'd
+        |narrow map on the scan side, so the shuffle carries bins, not
+        |lengths. Both walk windows (cumulative + per-source total)
+        |and the percentile explode ride the tiny histogram. What to
+        |check: `ReadSchema` holds only (text, source); exactly one
+        |corpus-sized Exchange.""".stripMargin,
+    "q_text_runcollapse" ->
+      """Within-doc run collapse: a ZERO-exchange narrow pass — the
+        |token array materializes once per row (non-cheap alias,
+        |referenced four times, so CollapseProject keeps the project
+        |boundary), the keep-filter unrolls its maxRun comparisons at
+        |plan time, and the md5 of the re-joined text is computed in
+        |the same projection. PlanSpec asserts no Exchange
+        |anywhere.""".stripMargin,
+    "q_text_distinct_sketch" ->
+      """Distinct-token sketch: explode → ONE partial-agg shuffle per
+        |source carrying both the exact distinct (oracle truth) and
+        |the HLL sketch partials — Datasketches HLL merges in the
+        |aggregation buffer, so the shuffle moves fixed-size register
+        |arrays, never token sets. At 100 TB the exact half is dropped
+        |and the sketch column is the answer.""".stripMargin,
+    "q_curate_semleak" ->
+      """Semantic split leakage: the blocked cosine self-join (block
+        |key equi-join — never all-pairs) feeds two narrow id-keyed
+        |split-map joins and a 3-row aggregate. What to check: no
+        |Cartesian/NestedLoop anywhere (PlanSpec asserts it); the
+        |split maps are hash joins on id.""".stripMargin,
     "q_text_rm3" ->
       """Pseudo-relevance feedback: ONE shared index build (the tf
         |cache) feeds both scoring passes; the query-term sets and the

@@ -502,4 +502,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!d.contains("Cartesian") && !d.contains("BroadcastNestedLoop"),
       s"diff plan degenerated:\n$d")
   }
+
+  test("round-8 sketch/cleanup ops keep their scale shapes") {
+    // X114 run collapse: a pure narrow pass — any exchange here means
+    // the in-row rewrite accidentally grew a shuffle
+    val rc = plan("q_text_runcollapse")
+    assert(!rc.contains("Exchange"), s"shuffle in narrow collapse:\n$rc")
+    // X113 quantile sketch: corpus rows leave through ONE partial-agg
+    // shuffle to (source, bin) histogram rows; the walk's windows ride
+    // the tiny histogram. doc_id must not reach the scan.
+    val qs = plan("q_diag_quantiles")
+    assert(qs.contains("HashAggregate"), s"no partial agg:\n$qs")
+    assert(!qs.contains("doc_id"), "unreferenced documents column scanned")
+    // X116 semantic leakage: blocked equi-joins only — a nested-loop
+    // or cartesian would mean the pair predicate left the block key
+    val sl = plan("q_curate_semleak")
+    assert(!sl.contains("Cartesian") && !sl.contains("NestedLoop"),
+      s"semleak pair join degenerated:\n$sl")
+  }
 }
