@@ -248,6 +248,14 @@ object Plans {
         |aggregation buffer, so the shuffle moves fixed-size register
         |arrays, never token sets. At 100 TB the exact half is dropped
         |and the sketch column is the answer.""".stripMargin,
+    "q_curate_contamination_bloom" ->
+      """Bloom-pre-filtered contamination: the one-row bit-array frame
+        |enters as a BroadcastNestedLoopJoin (a single-row cross, by
+        |design), the membership test is a codegen'd Filter of shifts/
+        |element_at on the train shingle stream BEFORE the posting
+        |join's Exchange — so the shuffle carries only might-match
+        |shingles. Output identical to q_curate_contamination (shared
+        |oracle); the Bloom stage is pure prune.""".stripMargin,
     "q_curate_semleak" ->
       """Semantic split leakage: the blocked cosine self-join (block
         |key equi-join — never all-pairs) feeds two narrow id-keyed

@@ -1054,6 +1054,17 @@ object SparkEntry {
       Curation.contamination(T(s, dir, "documents"), "doc_id", "text",
         col("doc_id") % 20 === 0, k = 3)),
 
+    // X117 Bloom-pre-filtered contamination: the same audit through a
+    // hand-built runtime filter — a broadcast zero-UDF Bloom of the
+    // eval shingles prunes the training shingle stream BEFORE the
+    // posting join (no false negatives by construction; false
+    // positives die in the exact join) — so the pair proves the
+    // two-stage plan output-identical through q_curate_contamination's
+    // oracle, shared verbatim.
+    "q_curate_contamination_bloom" -> ((s, dir) =>
+      Curation.contaminationBloom(T(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") % 20 === 0, k = 3, mBits = 1 << 16, probes = 4)),
+
     // Cross-source near-dup matrix: which sources systematically
     // duplicate each other (the drop-which-crawl audit); diagonal =
     // within-source dup baseline.
@@ -2002,6 +2013,12 @@ object SparkEntry {
         keepPct = 60) + " ORDER BY source"),
 
     "q_curate_contamination" ->
+      (Curation.contaminationSql("doc_id", "text", "documents",
+        "doc_id % 20 = 0", k = 3) + " ORDER BY bench_id"),
+
+    // X117 shares X46's oracle VERBATIM: the Bloom stage is a pure
+    // prune, so the two plans must hash-match through the driver.
+    "q_curate_contamination_bloom" ->
       (Curation.contaminationSql("doc_id", "text", "documents",
         "doc_id % 20 = 0", k = 3) + " ORDER BY bench_id"),
 

@@ -395,12 +395,47 @@ object Curation {
     */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
       evalPred: Column, k: Int): DataFrame = {
+    val (ev, tr) = contaminationPosts(docs, idCol, textCol, evalPred, k)
+    contaminationScore(ev, tr)
+  }
+
+  /** X117 Bloom-pre-filtered contamination: output-IDENTICAL to
+    * [[contamination]] (it shares the oracle), but the training-side
+    * shingle stream is pruned by a broadcast [[Bloom]] of the eval
+    * shingles BEFORE the posting join — a hand-built runtime filter.
+    * False positives survive the prune and die in the exact join;
+    * false negatives cannot exist (build and probe share the position
+    * expression), so the prune is pure savings: the join's shuffle
+    * carries only train shingles that MIGHT be contaminated
+    * (∝ shared content + fp·|train shingles|) instead of every train
+    * shingle. At benchmark-suite scale the Bloom is 1-2 orders
+    * smaller than the exact eval-shingle set a broadcast semi-join
+    * would ship.
+    */
+  def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
+      evalPred: Column, k: Int, mBits: Int = 1 << 16,
+      probes: Int = 4): DataFrame = {
+    val (ev, tr) = contaminationPosts(docs, idCol, textCol, evalPred, k)
+    val evC = Caching.cachedOnce(ev)
+    val words = Bloom.build(evC.select(col("h")).distinct(), "h",
+      mBits, probes)
+    val trPruned = tr
+      .crossJoin(Bloom.frame(tr, words))
+      .filter(Bloom.mightContain(col("bloom_bm"), col("h"), mBits, probes))
+      .drop("bloom_bm")
+    contaminationScore(evC, trPruned)
+  }
+
+  private def contaminationPosts(docs: DataFrame, idCol: String,
+      textCol: String, evalPred: Column, k: Int): (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).as("id"),
       Dedup.hashedShingles(col(textCol), k).as("hs"), evalPred.as("is_eval"))
     val posts = base.select(col("id"), col("is_eval"), size(col("hs")).as("n"),
       explode(col("hs")).as("h"))
-    val ev = posts.filter(col("is_eval"))
-    val tr = posts.filter(!col("is_eval"))
+    (posts.filter(col("is_eval")), posts.filter(!col("is_eval")))
+  }
+
+  private def contaminationScore(ev: DataFrame, tr: DataFrame): DataFrame = {
     val overlap = ev.as("e")
       .join(tr.as("t"), col("e.h") === col("t.h"))
       .groupBy(col("e.id").as("bench_id"), col("t.id").as("doc_id"),

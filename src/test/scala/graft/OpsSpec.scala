@@ -1568,6 +1568,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom: no false negatives ever; false positives exist but are rare") {
+    val mBits = 1 << 12
+    val probes = 4
+    val members = (0L until 200L).map(i => i * 7919L + 13L)
+    val bmWords = Bloom.build(members.toDF("h"), "h", mBits, probes)
+    val nonMembers = (0L until 2000L).map(i => i * 104729L + 5L)
+      .filterNot(members.contains)
+    val probed = (members ++ nonMembers).toDF("h")
+      .crossJoin(Bloom.frame(members.toDF("h"), bmWords))
+      .select(col("h"),
+        Bloom.mightContain(col("bloom_bm"), col("h"), mBits, probes)
+          .as("hit"))
+      .as[(Long, Boolean)].collect().toMap
+    // the law: membership NEVER misses (build and probe share the
+    // position expression)
+    members.foreach(m => assert(probed(m), s"false negative at $m"))
+    // fp sanity at this load (200·4 bits in 4096): well under 50%
+    val fps = nonMembers.count(probed(_))
+    assert(fps < nonMembers.size / 2, s"$fps false positives")
+  }
+
+  test("bloom contamination == plain contamination (prune-only law)") {
+    val d = docs // 0/2 exact dups across the eval boundary
+    val plain = Curation.contamination(d, "doc_id", "text",
+        col("doc_id") % 2 === 0, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloomed = Curation.contaminationBloom(d, "doc_id", "text",
+        col("doc_id") % 2 === 0, k = 3, mBits = 1 << 10, probes = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(plain == bloomed)
+    assert(plain.nonEmpty, "fixture must overlap to test anything")
+  }
+
   test("semantic leakage == reference aggregation over cosinePairs x splitOf") {
     // two identical vectors in one block, a third orthogonal, plus a
     // second block with its own identical pair — ids chosen 0..7
