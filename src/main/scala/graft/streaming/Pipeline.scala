@@ -258,6 +258,44 @@ object Pipeline {
     * they ever reach a training mix. `bench` needs a `text` column;
     * `docs` needs (doc_id, text, ts).
     */
+  /** X117's streaming half — the Bloom-gated contamination check as a
+    * pure NARROW map: the benchmark shingles freeze into a
+    * [[graft.ops.Bloom]] bit array (a plan-time literal, mBits/8
+    * bytes), and each arriving doc counts its might-match shingles
+    * IN-ROW. No join, no aggregation, no watermark, no state: a doc
+    * is flagged in the same micro-batch it arrives in, where
+    * [[contaminationGate]] holds every doc until the watermark
+    * passes it.
+    *
+    * Semantics: the reported containment is an UPPER BOUND (Bloom
+    * false positives only ADD hits — the no-false-negative law means
+    * every truly-contaminated doc is flagged; a clean doc flags with
+    * probability ≤ the fp rate compounded over its shingles). That is
+    * the correct polarity for an ingest gate: flagged docs go to the
+    * exact offline audit (X46/X117), unflagged docs are PROVEN clean.
+    */
+  def bloomContaminationGate(docs: DataFrame, bench: DataFrame, k: Int,
+      threshold: Double, mBits: Int = 1 << 16,
+      probes: Int = 4): DataFrame = {
+    val words = graft.ops.Bloom.build(
+      bench.select(explode(
+        graft.ops.Dedup.hashedShingles(col("text"), k)).as("h")).distinct(),
+      "h", mBits, probes)
+    val bm = typedLit(words.toSeq)
+    val hs = graft.ops.Dedup.hashedShingles(col("text"), k)
+    docs
+      .withColumn("hs", hs)
+      .withColumn("n", size(col("hs")))
+      .withColumn("common",
+        size(filter(col("hs"),
+          h => graft.ops.Bloom.mightContain(bm, h, mBits, probes))))
+      .select(col("doc_id"), col("ts"),
+        round(col("common").cast("double") / col("n") * 1e6)
+          .cast("long").as("containment_micros"))
+      .withColumn("contaminated",
+        col("containment_micros") >= (threshold * 1e6).toLong)
+  }
+
   def contaminationGate(docs: DataFrame, bench: DataFrame, k: Int,
       watermark: String, threshold: Double): DataFrame = {
     val benchHashes = bench

@@ -404,6 +404,38 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS contam_out")
   }
 
+  test("bloom contamination gate flags in the SAME batch, no watermark dance") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("alpha beta gamma delta epsilon zeta eta theta")
+      .toDF("text")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def t(s: Long) = new java.sql.Timestamp(1767225600000L + s * 1000)
+    val q = graft.streaming.Pipeline.bloomContaminationGate(
+        input.toDF().toDF("doc_id", "text", "ts"), bench, k = 3,
+        threshold = 0.5)
+      .writeStream.format("memory").queryName("bcontam_out")
+      .outputMode("append").start()
+
+    // ONE batch — the narrow map needs no watermark to finalize
+    input.addData(Seq(
+      (1L, "intro then alpha beta gamma delta epsilon zeta eta theta end", t(0)),
+      (2L, "totally unrelated words without any benchmark trigrams inside", t(1))))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("bcontam_out")
+      .select("doc_id", "contaminated", "containment_micros")
+      .as[(Long, Boolean, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(1L, 2L), "both docs emitted in batch one")
+    assert(out(1L)._1 && !out(2L)._1)
+    // upper-bound law on this fixture: doc 2 shares no trigram with
+    // the bench and the Bloom stays quiet at this load -> exact zero;
+    // doc 1's containment can only be >= the true value
+    assert(out(2L)._2 == 0L)
+    assert(out(1L)._2 >= 500000L)
+    spark.sql("DROP TABLE IF EXISTS bcontam_out")
+  }
+
   test("LWW state runs on the RocksDB state store (big-state deployment path)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
