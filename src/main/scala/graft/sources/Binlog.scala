@@ -37,8 +37,11 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *
   * Column types decoded: TINY/SHORT/INT24/LONG/LONGLONG (signed LE),
   * VARCHAR (1- or 2-byte length prefix by metadata max-length),
-  * DATE (3-byte packed) and DATETIME2 at fsp=0 (5-byte big-endian
-  * packed) — temporals emitted in the §2.6 TypeMap wire forms.
+  * DATE (3-byte packed) and DATETIME2 at any fsp 0-6 (5-byte
+  * big-endian packed + ⌈fsp/2⌉ big-endian fractional bytes in
+  * centi/then-10⁻⁴/then-micro units) — temporals emitted in the
+  * §2.6 TypeMap wire forms, fractional seconds as exactly fsp
+  * digits (MySQL's own text form).
   * The binlog carries no column NAMES or signedness — real deployments
   * fetch schema out-of-band; here the row images name columns
   * `c0..cN−1` (the typed layer re-keys with `from_json` + a schema,
@@ -126,8 +129,8 @@ object Binlog {
     val meta = types.map {
       case TypeVarchar => c.u16() // max length
       case TypeDatetime2 =>
-        val fsp = c.u8() // fractional-second precision
-        require(fsp == 0, s"DATETIME($fsp) unsupported (fsp > 0)")
+        val fsp = c.u8() // fractional-second precision, 0-6
+        require(fsp >= 0 && fsp <= 6, s"DATETIME($fsp) out of range")
         fsp
       case _ => 0 // the integer types and DATE carry no metadata
     }
@@ -163,14 +166,28 @@ object Binlog {
             node.put(name, f"${v >> 9}%04d-${(v >> 5) & 0xf}%02d-${v & 0x1f}%02d")
           case TypeDatetime2 =>
             // 5 bytes BIG-endian: sign(1) ym=year*13+month(17) day(5)
-            // hour(5) minute(6) second(6); non-negative ⇒ sign bit set
+            // hour(5) minute(6) second(6); non-negative ⇒ sign bit set.
+            // fsp > 0 appends ⌈fsp/2⌉ BIG-endian bytes holding the
+            // fraction in 10^-(2·⌈fsp/2⌉)-second units; the text form
+            // prints exactly fsp digits (MySQL semantics).
             var v = 0L
             (0 until 5).foreach(_ => v = (v << 8) | c.u8())
             v &= (1L << 39) - 1 // clear the sign bit (dates ≥ epoch here)
             val ym = (v >> 22) & 0x1ffff
-            node.put(name,
+            val base =
               f"${ym / 13}%04d-${ym % 13}%02d-${(v >> 17) & 0x1f}%02d " +
-                f"${(v >> 12) & 0x1f}%02d:${(v >> 6) & 0x3f}%02d:${v & 0x3f}%02d")
+                f"${(v >> 12) & 0x1f}%02d:${(v >> 6) & 0x3f}%02d:${v & 0x3f}%02d"
+            val fsp = tm.meta(i)
+            if (fsp == 0) node.put(name, base)
+            else {
+              val fracBytes = (fsp + 1) / 2
+              var frac = 0L
+              (0 until fracBytes).foreach(_ => frac = (frac << 8) | c.u8())
+              // stored unit has 2·fracBytes digits; print fsp of them
+              val printed = frac / (if (fsp % 2 == 1) 10 else 1)
+              node.put(name, base + "." +
+                ("%0" + fsp + "d").format(printed))
+            }
           case t => sys.error(s"unsupported column type $t in ${tm.table}")
         }
         imgIdx += 1

@@ -175,6 +175,28 @@ class ChangeLogSourceSpec extends AnyFunSuite {
       """{"c0":6,"c1":"1000-01-01","c2":"9999-01-01 00:00:00"}"""))
   }
 
+  test("binlog DATETIME2 fsp 1-6: fractional bytes decode to exactly fsp digits") {
+    // one column per fsp class: odd/even widths at 1, 2 and 3 frac
+    // bytes, plus a .000000 zero fraction — every byte-width path
+    val types = Seq.fill(5)(Binlog.TypeDatetime2)
+    val metas = Seq(1, 2, 3, 6, 6) // fsp per column
+    val bytes = file(Seq(
+      (1L, Binlog.TableMapEvent, tableMapPayload(9L, "d", "t", types, metas)),
+      (2L, Binlog.WriteRowsV2, rowsPayload(9L, types, metas, Seq(Seq(
+        DT(2024, 6, 1, 12, 0, 1, 900000),  // fsp=1 -> ".9"
+        DT(2024, 6, 1, 12, 0, 2, 120000),  // fsp=2 -> ".12"
+        DT(2024, 6, 1, 12, 0, 3, 123000),  // fsp=3 -> ".123"
+        DT(2024, 6, 1, 12, 0, 4, 123456),  // fsp=6 -> ".123456"
+        DT(2024, 6, 1, 12, 0, 5, 0)))))))  // fsp=6 -> ".000000"
+    val d = Binlog.decodeFile(bytes)
+    assert(d.changes.head.after.get ==
+      """{"c0":"2024-06-01 12:00:01.9",""" +
+      """"c1":"2024-06-01 12:00:02.12",""" +
+      """"c2":"2024-06-01 12:00:03.123",""" +
+      """"c3":"2024-06-01 12:00:04.123456",""" +
+      """"c4":"2024-06-01 12:00:05.000000"}""")
+  }
+
   test("binlog fuzz: random schemas and rows round-trip encode->decode") {
     val rnd = new scala.util.Random(42)
     val allTypes = Seq(Binlog.TypeTiny, Binlog.TypeShort, Binlog.TypeInt24,
@@ -194,23 +216,37 @@ class ChangeLogSourceSpec extends AnyFunSuite {
         DT(1000 + rnd.nextInt(9000), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28),
           rnd.nextInt(24), rnd.nextInt(60), rnd.nextInt(60))
     }
-    def jsonOf(v: V): String = v match {
+    def jsonOf(v: V, fsp: Int): String = v match {
       case NULL => "null"
       case I(x) => x.toString
       case S(s) => "\"" + s + "\"" // fuzz strings are alnum: no escaping
       case D(y, m, d) => f""""$y%04d-$m%02d-$d%02d""""
-      case DT(y, mo, d, h, mi, se) =>
-        f""""$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$se%02d""""
+      case DT(y, mo, d, h, mi, se, us) =>
+        val base = f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$se%02d"
+        val frac = if (fsp == 0) ""
+          else "." + ("%0" + fsp + "d").format(
+            us / math.pow(10, 6 - fsp).toLong)
+        "\"" + base + frac + "\""
     }
     for (trial <- 1 to 40) {
       val nCols = 1 + rnd.nextInt(6)
       val types = Seq.fill(nCols)(allTypes(rnd.nextInt(allTypes.size)))
       val metas = types.map {
         case Binlog.TypeVarchar => if (rnd.nextBoolean()) 255 else 300
+        case Binlog.TypeDatetime2 => rnd.nextInt(7) // fsp 0-6
         case _ => 0
       }
       val rows = Seq.fill(1 + rnd.nextInt(4))(
-        types.map(t => if (rnd.nextInt(5) == 0) NULL else randVal(t)))
+        types.zip(metas).map { case (t, m) =>
+          if (rnd.nextInt(5) == 0) NULL
+          else randVal(t) match {
+            // fraction representable at this column's fsp
+            case dt: DT => dt.copy(micros =
+              rnd.nextInt(math.pow(10, m).toInt) *
+                math.pow(10, 6 - m).toLong.toInt)
+            case v => v
+          }
+        })
       val bytes = file(Seq(
         (1L, Binlog.TableMapEvent,
           tableMapPayload(trial.toLong, "fz", s"t$trial", types, metas)),
@@ -218,7 +254,7 @@ class ChangeLogSourceSpec extends AnyFunSuite {
           rowsPayload(trial.toLong, types, metas, rows))))
       val got = Binlog.decodeFile(bytes).changes.map(_.after.get)
       val want = rows.map(r => r.zipWithIndex
-        .map { case (v, i) => s""""c$i":${jsonOf(v)}""" }
+        .map { case (v, i) => s""""c$i":${jsonOf(v, metas(i))}""" }
         .mkString("{", ",", "}"))
       assert(got == want, s"trial $trial types=$types")
     }
