@@ -116,6 +116,60 @@ object HistStore {
       .start()
   }
 
+  /** Takedown (the X94 family, for THIS artifact): binned counts are
+    * the rare sketch state that is exactly SUBTRACTABLE — removing a
+    * doc decrements its (source, bin) cell, and the served quantiles
+    * equal a from-scratch build over the survivors (spec-pinned).
+    * `removals` carries the removed docs' (textCol, sourceCol) — a
+    * takedown manifest knows the content it removes.
+    *
+    * Contract: apply each removal batch ONCE (a driver-invoked
+    * maintenance op, like compact). Subtraction is not idempotent —
+    * the store has no doc ids to anti-join on (that's what makes it
+    * a sketch), so replay protection is the caller's manifest, not
+    * the state. Cells floor at the removal count reaching zero; rows
+    * at zero drop (an emptied bucket keeps its schema-bearing
+    * version, the StateTable convention).
+    */
+  def forget(removals: DataFrame, textCol: String, sourceCol: String,
+      tableDir: String, graceCommits: Int = 0): Unit = {
+    val spark = removals.sparkSession
+    val st = StateTable.loadManifestFull(tableDir)
+    val nBuckets = st.nBuckets.getOrElse(StateTable.DefaultBuckets)
+    val bucket = pmod(hash(col("source")), lit(nBuckets)).cast("int")
+    val delta = removals
+      .select(coalesce(col(sourceCol).cast("string"), lit("<null>"))
+          .as("source"),
+        Diagnostics.binId(
+          graft.ops.TextAnalysis.tokenCount(col(textCol))).as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).cast("long").as("d_cnt"))
+      .withColumn("b", bucket)
+      .persist()
+    try {
+      val touched = delta.select(col("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+        .filter(st.buckets.contains)
+      if (touched.isEmpty) return
+      val merged = spark.read.parquet(
+          touched.map(b => s"$tableDir/b$b/${st.buckets(b)}"): _*)
+        .join(delta.drop("b"), Seq("source", "bin"), "left")
+        .select(col("source"), col("bin"),
+          (col("cnt") - coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+          col("run_id"), col("last_batch"))
+        .filter(col("cnt") > 0)
+        .withColumn("b", bucket)
+        .persist()
+      try {
+        val keptBuckets = merged.select(col("b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        StateTable.commitPartitioned(tableDir, merged, nBuckets, st,
+          s"f${java.util.UUID.randomUUID().toString.take(8)}",
+          graceCommits, emptied = touched.filterNot(keptBuckets))
+      } finally merged.unpersist()
+    } finally delta.unpersist()
+  }
+
   /** The raw maintained histogram: (source, bin, cnt). */
   def histogram(spark: SparkSession, tableDir: String): DataFrame =
     StateTable.read(spark, tableDir)

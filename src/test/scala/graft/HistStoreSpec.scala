@@ -67,6 +67,24 @@ class HistStoreSpec extends AnyFunSuite {
     assert(served(dir) == batchSketch(b0 ++ b1 ++ b2))
   }
 
+  test("forget decrements exactly: served == from-scratch over survivors") {
+    val dir = Files.createTempDirectory("hs_fg_state").toString
+    applyB(b0, dir, "runA", 0)
+    applyB(b1, dir, "runA", 1)
+    // take down one s0 doc and one s1 doc (by content, the takedown
+    // manifest's shape) — binned counts subtract exactly
+    val removed = Seq(doc(17, "s0"), doc(7, "s1"))
+    HistStore.forget(removed.toDF("text", "source"), "text", "source", dir)
+    val survivors = (b0 ++ b1).diff(removed)
+    assert(served(dir) == batchSketch(survivors))
+    // removing every remaining s1 doc empties its rows but keeps the
+    // store readable; s0 and the rest are untouched
+    val s1Rest = survivors.filter(_._2.contains("s1"))
+    HistStore.forget(s1Rest.toDF("text", "source"), "text", "source", dir)
+    assert(served(dir) == batchSketch(survivors.diff(s1Rest)))
+    assert(!served(dir).exists(_._1 == "s1"))
+  }
+
   test("streaming maintenance equals the batch sketch on the union") {
     implicit val sqlCtx = spark.sqlContext
     val tableDir = Files.createTempDirectory("hs_str_state").toString
