@@ -503,6 +503,20 @@ object SparkEntry {
       Drift.tokenJsDrift(T(s, dir, "documents"), "text", "source",
         maxVocab = 500)),
 
+    // X118 length-distribution drift: the X93 JS gauge pointed at the
+    // X113 length BINS instead of tokens — "did this crawl refresh
+    // change document SHAPES?" (truncation bugs, boilerplate floods,
+    // chunking changes move length mass before any token-level gauge
+    // reacts). The bin domain is ~8·log2(maxLen) ≈ 100 values, so
+    // maxVocab=256 makes the support FULL — this is exact JS over the
+    // binned length distribution, not a top-N approximation.
+    "q_diag_lendrift" -> ((s, dir) =>
+      Drift.tokenJsDrift(
+        T(s, dir, "documents").select(col("source"),
+          Diagnostics.binId(TextAnalysis.tokenCount(col("text")))
+            .cast("string").as("lenbin")),
+        "lenbin", "source", maxVocab = 256)),
+
     // The embedding-space companion of X93: per-label centroid cosine
     // vs the corpus centroid (integer-exact quantized means — no
     // transcendentals). Catches semantic drift the token gauge can't.
@@ -1726,6 +1740,13 @@ object SparkEntry {
     "q_text_drift" ->
       (Drift.tokenJsDriftSql("text", "source", "documents",
         maxVocab = 500) + " ORDER BY source"),
+
+    "q_diag_lendrift" -> {
+      val lb =
+        s"(${Diagnostics.binIdSql(TextAnalysis.tokenCountSql("text"))})::VARCHAR"
+      Drift.tokenJsDriftSql(lb, "source", "documents", maxVocab = 256) +
+        " ORDER BY source"
+    },
 
     "q_sim_drift" ->
       (Drift.embeddingDriftSql("vec_id", "embedding", "label",

@@ -48,6 +48,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * NULL sources aggregate under the `'<null>'` sentinel (the
   * [[graft.ops.Diagnostics]] convention — an unattributed-ingest
   * spike is exactly what a live card must surface).
+  *
+  * Takedown: REBUILD, by design. n_docs/n_tokens could subtract, but
+  * max_tokens cannot un-max and the HLL cannot un-merge — a partial
+  * forget would serve a mixed-freshness card that looks exact and
+  * isn't. Contrast [[HistStore.forget]]: binned counts subtract
+  * exactly, which is why the quantile sketch gets a real takedown
+  * path and the card doesn't.
   */
 object CardStore {
 

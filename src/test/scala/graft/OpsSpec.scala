@@ -1568,6 +1568,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("length drift: a length-shifted source scores above conforming twins") {
+    def mk(n: Int, s: String) = (Seq.fill(n)("w").mkString(" "), s)
+    // s0 and s1 share the corpus length profile; s2's mass sits three
+    // octaves away — the binned JS must separate them
+    val d = (Seq(5, 10, 20).flatMap(n => Seq(mk(n, "s0"), mk(n, "s1"))) ++
+      Seq(500, 800, 1000).map(n => mk(n, "s2"))).toDF("text", "source")
+    val binned = d.select(col("source"),
+      Diagnostics.binId(TextAnalysis.tokenCount(col("text")))
+        .cast("string").as("lenbin"))
+    val js = Drift.tokenJsDrift(binned, "lenbin", "source", maxVocab = 256)
+      .select(col("source"), col("js_micros"))
+      .as[(String, Long)].collect().toMap
+    assert(js("s0") == js("s1"), "identical profiles must score identically")
+    assert(js("s2") > js("s0") * 2, s"shifted source not separated: $js")
+  }
+
   test("bloom: no false negatives ever; false positives exist but are rare") {
     val mBits = 1 << 12
     val probes = 4
