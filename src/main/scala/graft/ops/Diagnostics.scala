@@ -152,7 +152,10 @@ object Diagnostics {
     */
   def lengthQuantileSketch(docs: DataFrame, textCol: String,
       sourceCol: String, pcts: Seq[Int]): DataFrame = {
-    val hist = docs
+    // NULL-text docs are excluded (the X97 contract, same as the
+    // filter curve): a NULL length has no bin, and a NULL bin row
+    // would order differently across engines
+    val hist = docs.filter(col(textCol).isNotNull)
       .select(coalesce(col(sourceCol).cast("string"), lit("<null>"))
           .as("source"),
         binId(TextAnalysis.tokenCount(col(textCol))).as("bin"))
@@ -167,7 +170,7 @@ object Diagnostics {
     s"""WITH h AS (
        |  SELECT coalesce(($source)::VARCHAR, '<null>') AS source,
        |    ${binIdSql(n)} AS bin, count(*) AS cnt
-       |  FROM $table GROUP BY 1, 2),
+       |  FROM $table WHERE $text IS NOT NULL GROUP BY 1, 2),
        |c AS (
        |  SELECT source, bin, cnt,
        |    sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,

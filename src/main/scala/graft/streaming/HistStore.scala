@@ -49,7 +49,9 @@ object HistStore {
     val nBuckets = st.nBuckets.getOrElse(nBucketsIfNew)
     val bucket = pmod(hash(col("source")), lit(nBuckets)).cast("int")
 
-    val delta = batch
+    // NULL-text docs are excluded (the X97 contract — matches the
+    // batch sketch, so the union-equality law holds)
+    val delta = batch.filter(col(textCol).isNotNull)
       .select(coalesce(col(sourceCol).cast("string"), lit("<null>"))
           .as("source"),
         Diagnostics.binId(
@@ -137,7 +139,7 @@ object HistStore {
     val st = StateTable.loadManifestFull(tableDir)
     val nBuckets = st.nBuckets.getOrElse(StateTable.DefaultBuckets)
     val bucket = pmod(hash(col("source")), lit(nBuckets)).cast("int")
-    val delta = removals
+    val delta = removals.filter(col(textCol).isNotNull)
       .select(coalesce(col(sourceCol).cast("string"), lit("<null>"))
           .as("source"),
         Diagnostics.binId(
