@@ -479,6 +479,17 @@ object SparkEntry {
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("tok")).limit(50)),
 
+    // X119 Misra-Gries heavy-hitter summary: per-source vocabulary
+    // collapsed to k=10 counters by the mergeable-summaries compress
+    // (subtract the (k+1)-th largest, drop the zeros) — est <= true,
+    // true - est <= n/(k+1), any token above that share guaranteed
+    // present. Deterministic threshold (a VALUE at the rank-(k+1)
+    // row), hence oracle-exact; the streaming TopKStore merges the
+    // same compress across batches/runs.
+    "q_text_vocab_mg" -> ((s, dir) =>
+      TextAnalysis.mgSummary(T(s, dir, "documents"), "text", "source",
+        k = 10)),
+
     // BPE vocabulary induction (X92): 12 merge rounds trained on the
     // top-2000 word histogram — the tokenizer-training step. The
     // corpus-sized work is ONE histogram pass; every round then
@@ -1728,6 +1739,10 @@ object SparkEntry {
       s"""SELECT tok, count(*)::BIGINT AS n
          |FROM (SELECT unnest(${TextAnalysis.tokensSql("text")}) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    "q_text_vocab_mg" ->
+      (TextAnalysis.mgSummarySql("text", "source", "documents", k = 10)
+        + " ORDER BY source, tok"),
 
     "q_text_bpe" ->
       (Bpe.mergesSql("text", "documents", rounds = 12, maxWords = 2000)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-data-pipeline surface (builder
@@ -276,6 +277,84 @@ object TextAnalysis {
   def normalizedKeySql(e: String): String =
     s"trim(regexp_replace(regexp_replace(lower(${normalizeTextSql(e)}), " +
       s"'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** X119 Misra-Gries heavy-hitter summary (the COMPRESS half): per
+    * source, exact (token, cnt) counts collapse to at most `k`
+    * counters by subtracting the (k+1)-th largest count `t` from
+    * everything and dropping what hits zero — the Agarwal-et-al
+    * mergeable-summaries rule. The estimates carry the classic MG
+    * guarantee: `est ≤ true` and `true − est ≤ n/(k+1)` (every
+    * compress step removes ≥ (k+1)·t mass, and total mass is n), so
+    * any token with share > 1/(k+1) is GUARANTEED present. Fully
+    * deterministic (threshold by (cnt desc, tok asc) rank — a VALUE,
+    * so threshold ties all drop together), hence oracle-exact.
+    *
+    * Why it exists: exact top-k ([[q_text_vocab]]'s shape) needs
+    * corpus ranks, which don't merge — this is the fourth and last
+    * mergeable statistic the live card family needs (counts X103,
+    * ranks-via-bins X113, distincts X115, heavy hitters here); the
+    * streaming half is [[graft.streaming.TopKStore]]: combine exact
+    * batch counts into the stored summary, re-compress, bound
+    * preserved across any number of merges.
+    *
+    * Output: (source, tok, est_cnt, thresh, n_src) — thresh is this
+    * compress's subtracted threshold (the per-step error witness),
+    * n_src the source's total token count.
+    */
+  def mgSummary(docs: DataFrame, textCol: String, sourceCol: String,
+      k: Int): DataFrame = {
+    val counts = docs
+      .select(coalesce(col(sourceCol).cast("string"), lit("<null>"))
+          .as("source"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    mgCompress(counts, k)
+  }
+
+  /** The compress step over exact or already-summarized (source, tok,
+    * cnt) rows — shared verbatim by the batch op and the streaming
+    * store's merge.
+    */
+  def mgCompress(counts: DataFrame, k: Int): DataFrame = {
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+    val wSrc = Window.partitionBy(col("source"))
+    counts
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("thresh",
+        max(when(col("rn") === k + 1, col("cnt")).otherwise(lit(0L)))
+          .over(wSrc))
+      .withColumn("n_src", sum(col("cnt")).over(wSrc))
+      .filter(col("cnt") > col("thresh"))
+      .select(col("source"), col("tok"),
+        (col("cnt") - col("thresh")).cast("long").as("est_cnt"),
+        col("thresh").cast("long").as("thresh"),
+        col("n_src").cast("long").as("n_src"))
+  }
+
+  def mgSummarySql(text: String, source: String, table: String,
+      k: Int): String =
+    s"""WITH c AS (
+       |  SELECT coalesce(($source)::VARCHAR, '<null>') AS source, tok,
+       |    count(*) AS cnt
+       |  FROM (SELECT $source, unnest(${tokensSql(text)}) AS tok
+       |        FROM $table)
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT source, tok, cnt,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY cnt DESC, tok ASC) AS rn,
+       |    sum(cnt) OVER (PARTITION BY source) AS n_src
+       |  FROM c),
+       |t AS (
+       |  SELECT source, tok, cnt, n_src,
+       |    max(CASE WHEN rn = ${k + 1} THEN cnt ELSE 0 END)
+       |      OVER (PARTITION BY source) AS thresh
+       |  FROM r)
+       |SELECT source, tok, (cnt - thresh)::BIGINT AS est_cnt,
+       |  thresh::BIGINT AS thresh, n_src::BIGINT AS n_src
+       |FROM t WHERE cnt > thresh""".stripMargin
 
   /** X114 within-document token-run collapse: runs of the SAME token
     * longer than `maxRun` are trimmed to their first `maxRun`
