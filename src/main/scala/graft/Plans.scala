@@ -248,6 +248,18 @@ object Plans {
         |aggregation buffer, so the shuffle moves fixed-size register
         |arrays, never token sets. At 100 TB the exact half is dropped
         |and the sketch column is the answer.""".stripMargin,
+    "q_text_vocab_mg" ->
+      """Misra-Gries summary: ONE partial-agg shuffle to (source,
+        |token) counts, then the compress windows (rank, threshold,
+        |total) partition on the bounded source set — corpus rows
+        |never enter a window un-aggregated. The threshold subtraction
+        |and the capacity filter are narrow projections over count
+        |rows.""".stripMargin,
+    "q_diag_lendrift" ->
+      """Length drift: a codegen'd narrow binning map feeds the X93
+        |JS grid — the support is the ~100-value bin domain, so the
+        |vocab/totals broadcasts are tiny and the only corpus-sized
+        |stage is the binned partial agg.""".stripMargin,
     "q_curate_contamination_bloom" ->
       """Bloom-pre-filtered contamination: the one-row bit-array frame
         |enters as a BroadcastNestedLoopJoin (a single-row cross, by
