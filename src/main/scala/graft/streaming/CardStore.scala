@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -15,9 +13,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * distinctness DOES merge; the estimate serves within its published
   * rsd band). Median/percentiles live in the binned-count companion
   * [[HistStore]] (X113 — rank stats merge once the values are
-  * binned); language MODE remains batch-only (a top-1 over an
-  * unbounded key domain doesn't merge without heavy-hitter sketches,
-  * and the batch card stays the retrospective source of truth).
+  * binned); heavy hitters (the top-1 language/token question) live in
+  * [[TopKStore]] (X119 — the Misra-Gries summary merges with its
+  * classic bound); the batch card stays the retrospective source of
+  * exact truth for all of them.
   *
   * == The exactly-once additive pattern ==
   *
@@ -66,15 +65,13 @@ object CardStore {
       tableDir: String, runId: String, batchId: Long,
       nBucketsIfNew: Int, graceCommits: Int = 0): Unit = {
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(tableDir))
-    val st = StateTable.loadManifestFull(tableDir)
-    val nBuckets = st.nBuckets.getOrElse(nBucketsIfNew)
-    val bucket = pmod(hash(col("source")), lit(nBuckets)).cast("int")
-
+    // one scan: both aggregations below reuse the cached projection
+    // instead of re-reading and re-tokenizing the micro-batch
     val base = batch
       .select(coalesce(col(sourceCol).cast("string"), lit("<null>"))
           .as("source"),
         col(textCol).as("text"))
+      .persist()
     val docAgg = base
       .select(col("source"),
         graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tok"))
@@ -93,20 +90,20 @@ object CardStore {
       .groupBy(col("source"))
       .agg(hll_sketch_agg(col("tok"), HllLgK).as("d_hll"))
     val delta = docAgg.join(tokAgg, Seq("source"), "left")
-      .withColumn("b", bucket)
-      .persist()
-    try {
-      val touched = delta.select(col("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
-      if (touched.isEmpty) return
-      val existingPaths = touched.flatMap(b =>
-        st.buckets.get(b).map(v => s"$tableDir/b$b/$v"))
+
+    StateTable.mergeBucketedBySource(delta, tableDir, nBucketsIfNew,
+      emptyState = spark.range(0).select(lit("").as("source"),
+        lit(0L).as("n_docs"), lit(0L).as("n_tokens"),
+        lit(0L).as("max_tokens"), lit(null).cast("binary").as("tok_hll"),
+        lit("").as("run_id"), lit(0L).as("last_batch")).limit(0),
+      version = s"v${batchId}_${java.util.UUID.randomUUID().toString.take(8)}",
+      graceCommits) { (existing0, d) =>
+      // in-place upgrade from pre-sketch state (no tok_hll column):
+      // a NULL sketch means "distincts unknown so far" — the next
+      // delta's sketch takes over, exactly the fresh-source path
       val existing =
-        if (existingPaths.nonEmpty) spark.read.parquet(existingPaths: _*)
-        else spark.range(0).select(lit("").as("source"),
-          lit(0L).as("n_docs"), lit(0L).as("n_tokens"),
-          lit(0L).as("max_tokens"), lit(null).cast("binary").as("tok_hll"),
-          lit("").as("run_id"), lit(0L).as("last_batch")).limit(0)
+        if (existing0.columns.contains("tok_hll")) existing0
+        else existing0.withColumn("tok_hll", lit(null).cast("binary"))
 
       // the high-water guard: a delta is stale iff it re-arrives
       // under the SAME run at or below the source's stored mark; the
@@ -118,7 +115,7 @@ object CardStore {
           col("n_tokens").as("st"), col("max_tokens").as("sm"),
           col("tok_hll").as("sh"),
           col("run_id").as("srid"), col("last_batch").as("slb"))
-        .join(delta, Seq("source"), "full_outer")
+        .join(d, Seq("source"), "full_outer")
         .select(col("source"),
           when(col("d_docs").isNull, col("sn"))
             .when(stale, col("sn"))
@@ -143,12 +140,8 @@ object CardStore {
           when(col("d_docs").isNull, col("slb"))
             .when(stale, col("slb"))
             .otherwise(lit(batchId)).as("last_batch"))
-        .withColumn("b", bucket)
-
-      val version = s"v${batchId}_${java.util.UUID.randomUUID().toString.take(8)}"
-      StateTable.commitPartitioned(tableDir, merged, nBuckets, st, version,
-        graceCommits)
-    } finally delta.unpersist()
+      (merged, () => { base.unpersist(); () })
+    }
   }
 
   /** Run the maintenance query — state only; the card is SERVED from
@@ -182,11 +175,16 @@ object CardStore {
     * the HLL estimate (within its published rsd band — the batch
     * card remains the exact source of truth).
     */
-  def card(spark: SparkSession, tableDir: String): DataFrame =
-    StateTable.read(spark, tableDir)
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        col("max_tokens"),
-        when(col("tok_hll").isNull, lit(0L))
-          .otherwise(hll_sketch_estimate(col("tok_hll")))
-          .as("n_distinct_tokens"))
+  def card(spark: SparkSession, tableDir: String): DataFrame = {
+    val t0 = StateTable.read(spark, tableDir)
+    // same pre-sketch tolerance as applyBatch: old tables serve 0
+    // until their first post-upgrade delta
+    val t = if (t0.columns.contains("tok_hll")) t0
+      else t0.withColumn("tok_hll", lit(null).cast("binary"))
+    t.select(col("source"), col("n_docs"), col("n_tokens"),
+      col("max_tokens"),
+      when(col("tok_hll").isNull, lit(0L))
+        .otherwise(hll_sketch_estimate(col("tok_hll")))
+        .as("n_distinct_tokens"))
+  }
 }

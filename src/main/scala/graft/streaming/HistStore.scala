@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -44,11 +42,6 @@ object HistStore {
       tableDir: String, runId: String, batchId: Long,
       nBucketsIfNew: Int, graceCommits: Int = 0): Unit = {
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(tableDir))
-    val st = StateTable.loadManifestFull(tableDir)
-    val nBuckets = st.nBuckets.getOrElse(nBucketsIfNew)
-    val bucket = pmod(hash(col("source")), lit(nBuckets)).cast("int")
-
     // NULL-text docs are excluded (the X97 contract — matches the
     // batch sketch, so the union-equality law holds)
     val delta = batch.filter(col(textCol).isNotNull)
@@ -58,20 +51,13 @@ object HistStore {
           graft.ops.TextAnalysis.tokenCount(col(textCol))).as("bin"))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).cast("long").as("d_cnt"))
-      .withColumn("b", bucket)
-      .persist()
-    try {
-      val touched = delta.select(col("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
-      if (touched.isEmpty) return
-      val existingPaths = touched.flatMap(b =>
-        st.buckets.get(b).map(v => s"$tableDir/b$b/$v"))
-      val existing =
-        if (existingPaths.nonEmpty) spark.read.parquet(existingPaths: _*)
-        else spark.range(0).select(lit("").as("source"), lit(0L).as("bin"),
-          lit(0L).as("cnt"), lit("").as("run_id"),
-          lit(0L).as("last_batch")).limit(0)
 
+    StateTable.mergeBucketedBySource(delta, tableDir, nBucketsIfNew,
+      emptyState = spark.range(0).select(lit("").as("source"),
+        lit(0L).as("bin"), lit(0L).as("cnt"), lit("").as("run_id"),
+        lit(0L).as("last_batch")).limit(0),
+      version = s"v${batchId}_${java.util.UUID.randomUUID().toString.take(8)}",
+      graceCommits) { (existing, d) =>
       // the CardStore high-water guard, per (source, bin) row: a
       // replayed batch re-derives the same delta rows, so each stored
       // row's (run, batch) mark catches its own replay
@@ -80,7 +66,7 @@ object HistStore {
       val merged = existing
         .select(col("source"), col("bin"), col("cnt").as("sc"),
           col("run_id").as("srid"), col("last_batch").as("slb"))
-        .join(delta, Seq("source", "bin"), "full_outer")
+        .join(d, Seq("source", "bin"), "full_outer")
         .select(col("source"), col("bin"),
           when(col("d_cnt").isNull, col("sc"))
             .when(stale, col("sc"))
@@ -92,13 +78,8 @@ object HistStore {
           when(col("d_cnt").isNull, col("slb"))
             .when(stale, col("slb"))
             .otherwise(lit(batchId)).as("last_batch"))
-        .withColumn("b", bucket)
-
-      val version =
-        s"v${batchId}_${java.util.UUID.randomUUID().toString.take(8)}"
-      StateTable.commitPartitioned(tableDir, merged, nBuckets, st, version,
-        graceCommits)
-    } finally delta.unpersist()
+      (merged, () => ())
+    }
   }
 
   /** Run the maintenance query — state only; quantiles are SERVED

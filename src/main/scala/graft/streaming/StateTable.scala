@@ -251,6 +251,47 @@ object StateTable {
     } finally bdf.unpersist()
   }
 
+  /** The shared scaffold for the source-keyed aggregate stores
+    * ([[CardStore]], [[HistStore]], [[TopKStore]]): load the
+    * manifest, bucket the delta by `hash(source)`, read ONLY the
+    * touched buckets, hand (existing, delta-with-b) to the
+    * store-specific merge, and commit the merged rows through
+    * [[commitPartitioned]]. The merge returns its frame plus a
+    * cleanup hook (run after the commit — for any persists the merge
+    * plan holds). `emptyState` supplies the store's 0-row schema
+    * frame when a touched bucket has no committed version yet.
+    *
+    * Why one scaffold: the protocol (touched-bucket pruning, staging
+    * version naming, the read-before-write rule, GC interaction) is
+    * load-bearing for every store at once — three hand-rolled copies
+    * of it is how a protocol fix misses a store.
+    */
+  private[streaming] def mergeBucketedBySource(deltaNoB: DataFrame,
+      tableDir: String, nBucketsIfNew: Int, emptyState: => DataFrame,
+      version: String, graceCommits: Int)(
+      merge: (DataFrame, DataFrame) => (DataFrame, () => Unit)): Unit = {
+    val spark = deltaNoB.sparkSession
+    Files.createDirectories(Paths.get(tableDir))
+    val st = loadManifestFull(tableDir)
+    val nBuckets = st.nBuckets.getOrElse(nBucketsIfNew)
+    val bucket = pmod(hash(col("source")), lit(nBuckets)).cast("int")
+    val delta = deltaNoB.withColumn("b", bucket).persist()
+    try {
+      val touched = delta.select(col("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return
+      val existingPaths = touched.flatMap(b =>
+        st.buckets.get(b).map(v => s"$tableDir/b$b/$v"))
+      val existing =
+        if (existingPaths.nonEmpty) spark.read.parquet(existingPaths: _*)
+        else emptyState
+      val (merged, cleanup) = merge(existing, delta)
+      try commitPartitioned(tableDir, merged.withColumn("b", bucket),
+        nBuckets, st, version, graceCommits)
+      finally cleanup()
+    } finally delta.unpersist()
+  }
+
   /** Stage `withB` (winners + int bucket column `b`), move each bucket
     * dir into place, commit the manifest, then GC: superseded versions
     * past their grace window, crashed-attempt orphans, and stale

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -32,6 +30,15 @@ import graft.ops.TextAnalysis
   * source's rows always commit together), and a delta is stale iff
   * the source's mark says this (run, batch) already applied.
   *
+  * Every source additionally keeps ONE sentinel row (tok = NULL — a
+  * real token can never be NULL) carrying its n_src total and the
+  * mark: a compress is allowed to drop EVERY counter (all counts
+  * tying at the threshold do exactly that), and without the sentinel
+  * that batch would silently lose the source's total and replay
+  * mark — and, if the source was its bucket's only content, stage
+  * nothing so the stale pre-batch bucket kept serving. The sentinel
+  * guarantees a live source always commits at least one row.
+  *
   * Takedown: REBUILD, like the card — an MG summary cannot
   * un-subtract (contrast [[HistStore.forget]], where binned counts
   * subtract exactly).
@@ -42,31 +49,19 @@ object TopKStore {
       tableDir: String, runId: String, batchId: Long, k: Int,
       nBucketsIfNew: Int, graceCommits: Int = 0): Unit = {
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(tableDir))
-    val st = StateTable.loadManifestFull(tableDir)
-    val nBuckets = st.nBuckets.getOrElse(nBucketsIfNew)
-    val bucket = pmod(hash(col("source")), lit(nBuckets)).cast("int")
-
     val delta = batch.filter(col(textCol).isNotNull)
       .select(coalesce(col(sourceCol).cast("string"), lit("<null>"))
           .as("source"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).cast("long").as("d_cnt"))
-      .withColumn("b", bucket)
-      .persist()
-    try {
-      val touched = delta.select(col("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
-      if (touched.isEmpty) return
-      val existingPaths = touched.flatMap(b =>
-        st.buckets.get(b).map(v => s"$tableDir/b$b/$v"))
-      val existing =
-        if (existingPaths.nonEmpty) spark.read.parquet(existingPaths: _*)
-        else spark.range(0).select(lit("").as("source"), lit("").as("tok"),
-          lit(0L).as("est"), lit(0L).as("n_src"), lit("").as("run_id"),
-          lit(0L).as("last_batch")).limit(0)
 
+    StateTable.mergeBucketedBySource(delta, tableDir, nBucketsIfNew,
+      emptyState = spark.range(0).select(lit("").as("source"),
+        lit("").as("tok"), lit(0L).as("est"), lit(0L).as("n_src"),
+        lit("").as("run_id"), lit(0L).as("last_batch")).limit(0),
+      version = s"v${batchId}_${java.util.UUID.randomUUID().toString.take(8)}",
+      graceCommits) { (existing, d) =>
       // per-SOURCE staleness: all of a source's rows commit together
       // and carry the same mark, so one lookup row per source decides
       val marks = existing
@@ -74,21 +69,23 @@ object TopKStore {
         .agg(max(col("run_id")).as("srid"), max(col("last_batch")).as("slb"))
       val stale = col("srid").isNotNull && col("srid") === lit(runId) &&
         lit(batchId) <= col("slb")
-      val liveDelta = delta.join(marks, Seq("source"), "left")
+      val liveDelta = d.join(marks, Seq("source"), "left")
         .filter(!stale).select(col("source"), col("tok"), col("d_cnt"))
+        .persist()
 
       // sources whose delta is stale (or absent) pass through untouched
       val untouchedRows = existing.join(
         liveDelta.select(col("source")).distinct(), Seq("source"),
         "left_anti")
 
-      // combine: token-wise addition of the stored summary and the
-      // exact batch counts (an MG summary with zero error), then one
+      // combine: token-wise addition of the stored summary's COUNTER
+      // rows (tok != NULL — sentinels carry no mass) and the exact
+      // batch counts (an MG summary with zero error), then one
       // compress back to capacity k
       val combined = existing
+        .filter(col("tok").isNotNull)
         .join(liveDelta.select(col("source")).distinct(), Seq("source"))
-        .select(col("source"), col("tok"), col("est").as("cnt"),
-          col("n_src"))
+        .select(col("source"), col("tok"), col("est").as("cnt"))
         .join(liveDelta, Seq("source", "tok"), "full_outer")
         .select(col("source"), col("tok"),
           (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
@@ -106,14 +103,17 @@ object TopKStore {
         .select(col("source"), col("tok"), col("est_cnt").as("est"),
           col("n_src2").as("n_src"),
           lit(runId).as("run_id"), lit(batchId).as("last_batch"))
+      // the per-source sentinel: survives even a compress that drops
+      // every counter, so n_src and the replay mark always commit
+      val sentinels = newTotals.select(col("source"),
+        lit(null).cast("string").as("tok"), lit(0L).as("est"),
+        col("n_src2").as("n_src"),
+        lit(runId).as("run_id"), lit(batchId).as("last_batch"))
 
       val merged = untouchedRows.unionByName(compressed)
-        .withColumn("b", bucket)
-      val version =
-        s"v${batchId}_${java.util.UUID.randomUUID().toString.take(8)}"
-      StateTable.commitPartitioned(tableDir, merged, nBuckets, st, version,
-        graceCommits)
-    } finally delta.unpersist()
+        .unionByName(sentinels)
+      (merged, () => { liveDelta.unpersist(); () })
+    }
   }
 
   def maintain(docs: DataFrame, textCol: String, sourceCol: String,
@@ -131,9 +131,21 @@ object TopKStore {
   }
 
   /** The served summary: (source, tok, est, n_src) — estimates carry
-    * the MG bound over the union of everything ingested.
+    * the MG bound over the union of everything ingested. Sentinel
+    * rows stay internal; a source whose compress dropped every
+    * counter serves no summary rows (every est is 0) but keeps its
+    * total in [[totals]].
     */
   def summary(spark: SparkSession, tableDir: String): DataFrame =
     StateTable.read(spark, tableDir)
+      .filter(col("tok").isNotNull)
       .select(col("source"), col("tok"), col("est"), col("n_src"))
+
+  /** Per-source ingested token totals — served from the sentinel
+    * rows, present even when the summary is empty.
+    */
+  def totals(spark: SparkSession, tableDir: String): DataFrame =
+    StateTable.read(spark, tableDir)
+      .filter(col("tok").isNull)
+      .select(col("source"), col("n_src"))
 }

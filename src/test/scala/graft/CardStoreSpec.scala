@@ -88,6 +88,37 @@ class CardStoreSpec extends AnyFunSuite {
     assert(cardOf(dir) == want)
   }
 
+  test("pre-sketch state upgrades in place: old buckets read, distincts resume") {
+    val dir = Files.createTempDirectory("cs_up_state").toString
+    apply(b0, dir, "runA", 0)
+    // simulate a pre-X115 table: rewrite every committed bucket
+    // version without the tok_hll column (same manifest, same paths)
+    def stripColumn(root: java.io.File): Unit =
+      for (bdir <- root.listFiles if bdir.getName.startsWith("b");
+           vdir <- bdir.listFiles if vdir.isDirectory) {
+        val tmp = Files.createTempDirectory("cs_up_tmp").toFile
+        spark.read.parquet(vdir.toString).drop("tok_hll")
+          .write.mode("overwrite").parquet(tmp.toString)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+        }
+        rm(vdir)
+        Files.move(tmp.toPath, vdir.toPath)
+      }
+    stripColumn(new java.io.File(dir))
+    // the old table still SERVES (distincts 0 = unknown) ...
+    assert(cardOf(dir) ==
+      Set(("s0", 2L, 5L, 3L, 0L), ("s1", 1L, 4L, 4L, 0L)))
+    // ... and still MERGES: the first post-upgrade delta re-seeds the
+    // sketch for the sources it touches; untouched sources stay 0
+    apply(b1, dir, "runA", 1)
+    assert(cardOf(dir) == Set(
+      ("s0", 2L, 5L, 3L, 0L),
+      ("s1", 2L, 5L, 4L, 1L), // distincts resume from b1's {x} only
+      ("s2", 1L, 6L, 6L, 6L),
+      ("<null>", 1L, 1L, 1L, 1L)))
+  }
+
   test("streaming maintenance; a second run keeps accumulating") {
     implicit val sqlCtx = spark.sqlContext
     val tableDir = Files.createTempDirectory("cs_str_state").toString

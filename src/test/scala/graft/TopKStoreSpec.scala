@@ -47,7 +47,12 @@ class TopKStoreSpec extends AnyFunSuite {
     val truth = exactCounts(rows)
     val nSrc = truth.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
     val served = servedOf(dir)
-    // served totals are the true ingested mass
+    // totals are served from the sentinels — for EVERY source, even
+    // one whose whole summary compressed away — and match the true
+    // ingested mass; counter rows agree
+    val totals = TopKStore.totals(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(totals == nSrc, s"totals $totals != $nSrc")
     served.groupBy(_._1).foreach { case (s, g) =>
       assert(g.map(_._4).toSet == Set(nSrc(s)), s"n_src wrong for $s")
     }
@@ -85,6 +90,26 @@ class TopKStoreSpec extends AnyFunSuite {
     val b2 = Seq(("a a a q", Some("s0")))
     applyB(b2, dir, "runB", 0) // fresh run, ids restart
     checkLaws(dir, b0 ++ b1 ++ b2)
+  }
+
+  test("a compress that drops EVERY counter keeps totals and the mark") {
+    val dir = Files.createTempDirectory("tk_drop_state").toString
+    // 4 distinct tokens x2 each at k=3: thresh = 2, every counter
+    // drops — the sentinel must carry n_src=8 and the replay mark
+    val b = Seq(("t1 t1 t2 t2 t3 t3 t4 t4", Some("s0")))
+    applyB(b, dir, "runA", 0)
+    assert(servedOf(dir).isEmpty, "summary should be empty after the tie")
+    assert(TopKStore.totals(spark, dir)
+      .as[(String, Long)].collect().toMap == Map("s0" -> 8L))
+    // replay of the same batch must still be a no-op (the mark lives
+    // on the sentinel)
+    applyB(b, dir, "runA", 0)
+    assert(TopKStore.totals(spark, dir)
+      .as[(String, Long)].collect().toMap == Map("s0" -> 8L))
+    // the next batch merges against the true total: bound n/(k+1)
+    val b2 = Seq(("q q q q q", Some("s0")))
+    applyB(b2, dir, "runA", 1)
+    checkLaws(dir, b ++ b2)
   }
 
   test("vocab within capacity: the summary IS the exact counts") {
