@@ -1175,6 +1175,16 @@ object SparkEntry {
       Curation.semanticLeakage(T(s, dir, "embeddings"), "vec_id",
         "embedding", "label", threshold = 0.3, trainPct = 80, valPct = 10)),
 
+    // X120 value-quantile brackets per event type: the X113 binning
+    // over SIGNED micro-quantized doubles — the deterministic,
+    // mergeable upgrade of percentile_approx's opaque band
+    // (q_cdc_approx_stats can only verdict-check its sketch; this
+    // serves a guaranteed [q_lo, q_hi] bracket both engines compute
+    // bit-identically). Same one-shuffle histogram shape.
+    "q_olap_value_quantiles" -> ((s, dir) =>
+      Diagnostics.valueQuantileSketch(T(s, dir, "events"), "value",
+        "event_type", pcts = Seq(50, 95, 99))),
+
     // X114 within-doc token-run collapse: runs of the same token are
     // trimmed to their first maxRun occurrences — the repair twin of
     // the X54 repetition GATES (which can only drop a stuttered doc,
@@ -2118,6 +2128,10 @@ object SparkEntry {
       (Curation.semanticLeakageSql("vec_id", "embedding", "label",
         "embeddings", threshold = 0.3, trainPct = 80, valPct = 10)
         + " ORDER BY split_a, split_b"),
+
+    "q_olap_value_quantiles" ->
+      (Diagnostics.valueQuantileSketchSql("value", "event_type", "events",
+        pcts = Seq(50, 95, 99)) + " ORDER BY source, pct"),
 
     "q_text_runcollapse" -> {
       val ts = TextAnalysis.tokensSql("text")

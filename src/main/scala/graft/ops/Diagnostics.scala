@@ -119,6 +119,35 @@ object Diagnostics {
       s"ELSE (($id) - $HalfSub * $shift + 1) * $p - 1 END)::BIGINT"
   }
 
+  /** Signed extension: negative values mirror into negative bin ids
+    * (`-binId(-v) - 1` — the offset keeps them disjoint from bin 0),
+    * which stays MONOTONE in v, so the same cumulative walk serves
+    * signed domains; the inverse mirrors back ([lo,hi] of a negative
+    * bin is the negated, swapped range of its mirror). For b ≥ 0
+    * these reduce to [[binId]]/[[binLo]]/[[binHi]] exactly, so the
+    * non-negative token-length path is unchanged.
+    */
+  def signedBinId(v: Column): Column =
+    when(v >= 0, binId(v)).otherwise(-binId(-v) - lit(1L))
+
+  def signedLo(b: Column): Column =
+    when(b >= 0, binLo(b)).otherwise(-binHi(-b - lit(1L)))
+
+  def signedHi(b: Column): Column =
+    when(b >= 0, binHi(b)).otherwise(-binLo(-b - lit(1L)))
+
+  def signedBinIdSql(v: String): String =
+    s"(CASE WHEN ($v) >= 0 THEN ${binIdSql(v)} " +
+      s"ELSE -${binIdSql(s"-($v)")} - 1 END)::BIGINT"
+
+  def signedLoSql(b: String): String =
+    s"(CASE WHEN ($b) >= 0 THEN ${binLoSql(b)} " +
+      s"ELSE -${binHiSql(s"(-($b) - 1)")} END)::BIGINT"
+
+  def signedHiSql(b: String): String =
+    s"(CASE WHEN ($b) >= 0 THEN ${binHiSql(b)} " +
+      s"ELSE -${binLoSql(s"(-($b) - 1)")} END)::BIGINT"
+
   /** The quantile walk over a (source, bin, cnt) histogram: for each
     * requested percentile, nearest-rank r = ⌈pct·n/100⌉ and the first
     * bin whose cumulative count reaches it → (source, pct, n_docs,
@@ -140,7 +169,7 @@ object Diagnostics {
       .groupBy(col("source"), col("pct"), col("n_docs"))
       .agg(min(col("bin")).as("qbin"))
       .select(col("source"), col("pct"), col("n_docs").cast("long").as("n_docs"),
-        binLo(col("qbin")).as("q_lo"), binHi(col("qbin")).as("q_hi"))
+        signedLo(col("qbin")).as("q_lo"), signedHi(col("qbin")).as("q_hi"))
   }
 
   /** X113 batch op: per-source token-length quantile sketch — ONE
@@ -185,6 +214,52 @@ object Diagnostics {
        |  FROM pr WHERE cum >= r GROUP BY 1, 2, 3)
        |SELECT source, pct::BIGINT AS pct, n_docs::BIGINT AS n_docs,
        |  ${binLoSql("qbin")} AS q_lo, ${binHiSql("qbin")} AS q_hi
+       |FROM q""".stripMargin
+  }
+
+  /** X120: the [[lengthQuantileSketch]] machinery over a SIGNED
+    * numeric column — values micro-quantize (the house `round(x·10⁶)`
+    * rule, identical expression shape on both engines), bin through
+    * [[signedBinId]], and serve bracket quantiles per key. This is
+    * the deterministic, mergeable upgrade of `percentile_approx`'s
+    * opaque band: the bracket is a guarantee ([q_lo, q_hi] contains
+    * the true nearest-rank micro value, relative width ≤ 12.5%), the
+    * counts merge by addition, and two engines agree bit-for-bit.
+    * NULL values are excluded (no bin — the X97-style contract).
+    */
+  def valueQuantileSketch(df: DataFrame, valueCol: String,
+      keyCol: String, pcts: Seq[Int]): DataFrame = {
+    val vMicros = round(col(valueCol) * 1e6).cast("long")
+    val hist = df.filter(col(valueCol).isNotNull)
+      .select(coalesce(col(keyCol).cast("string"), lit("<null>"))
+          .as("source"),
+        signedBinId(vMicros).as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
+    sketchServe(hist, pcts)
+  }
+
+  def valueQuantileSketchSql(value: String, key: String, table: String,
+      pcts: Seq[Int]): String = {
+    val v = s"CAST(round(($value) * 1e6) AS BIGINT)"
+    val pctList = pcts.mkString(", ")
+    s"""WITH h AS (
+       |  SELECT coalesce(($key)::VARCHAR, '<null>') AS source,
+       |    ${signedBinIdSql(v)} AS bin, count(*) AS cnt
+       |  FROM $table WHERE $value IS NOT NULL GROUP BY 1, 2),
+       |c AS (
+       |  SELECT source, bin, cnt,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+       |    sum(cnt) OVER (PARTITION BY source) AS n_docs
+       |  FROM h),
+       |pr AS (
+       |  SELECT c.source, p.pct, c.bin, c.cum, c.n_docs,
+       |    (p.pct * c.n_docs + 99) // 100 AS r
+       |  FROM c, (SELECT unnest([$pctList]) AS pct) p),
+       |q AS (
+       |  SELECT source, pct, n_docs, min(bin) AS qbin
+       |  FROM pr WHERE cum >= r GROUP BY 1, 2, 3)
+       |SELECT source, pct::BIGINT AS pct, n_docs::BIGINT AS n_docs,
+       |  ${signedLoSql("qbin")} AS q_lo, ${signedHiSql("qbin")} AS q_hi
        |FROM q""".stripMargin
   }
 

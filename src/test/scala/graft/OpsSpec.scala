@@ -1546,6 +1546,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("signed bins: inverse law holds and ids stay monotone across zero") {
+    val rows = spark.range(-3000, 3000)
+      .select(col("id"), Diagnostics.signedBinId(col("id")).as("bin"))
+      .select(col("id"), col("bin"),
+        Diagnostics.signedLo(col("bin")).as("lo"),
+        Diagnostics.signedHi(col("bin")).as("hi"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    rows.foreach { case (v, _, lo, hi) =>
+      assert(lo <= v && v <= hi, s"v=$v not in [$lo,$hi]")
+    }
+    rows.sliding(2).foreach { case Array((_, b1, _, _), (_, b2, _, _)) =>
+      assert(b1 <= b2, "bin ids must be monotone in v")
+    }
+  }
+
+  test("value sketch brackets the true nearest-rank micro value, signed") {
+    val vals = Map(
+      "kA" -> Seq(-250.5, -3.0, 0.0, 0.01, 4.25, 77.7, 1000.0),
+      "kB" -> Seq(-10.0, -10.0, -9.5))
+    val d = vals.toSeq.flatMap { case (k2, vs) => vs.map(v => (v, k2)) }
+      .toDF("value", "key")
+    val pcts = Seq(50, 95, 99)
+    val got = Diagnostics.valueQuantileSketch(d, "value", "key", pcts)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    for ((k2, vs) <- vals; p <- pcts) {
+      val micros = vs.map(v => math.round(v * 1e6)).sorted
+      val exact = micros((p * vs.length + 99) / 100 - 1)
+      val (n, lo, hi) = got((k2, p.toLong))
+      assert(n == vs.length)
+      assert(lo <= exact && exact <= hi, s"$k2 p$p: $exact not in [$lo,$hi]")
+    }
+  }
+
   test("quantile sketch brackets the true nearest-rank value per source") {
     val lens = Map(
       "sA" -> Seq(1, 2, 3, 4, 5, 17, 40, 100, 999, 3000),
