@@ -1223,6 +1223,25 @@ object SparkEntry {
         nShards = 16,
         "target/qtmp/shards_" + dir.replaceAll("[^0-9a-zA-Z.]", "_"))),
 
+    // X121 WARC ingestion (the Common Crawl source format): REAL ISO
+    // 28500 framing — plain .warc and per-record-gzip-member .warc.gz
+    // both staged with formula records, parsed by the byte-level
+    // reader, every field + payload md5 hash-gated against an oracle
+    // that recomputes them from the formula without seeing the bytes
+    // (the multimodal scheme). Parallelism unit = the file, Common
+    // Crawl's own sharding contract.
+    "q_io_warc" -> ((s, dir) => {
+      val out = "target/qtmp/warc_" + dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      IoFormats.stageWarcFixture(out, n = 64)
+      IoFormats.readWarc(s, out)
+        .select(
+          when(col("file").endsWith(".gz"), "gz").otherwise("plain")
+            .as("kind"),
+          col("rec_idx"), col("warc_type"), col("uri"),
+          col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+    }),
+
     // PII scrub: email/phone/IPv4 redaction + per-doc audit counts —
     // a narrow codegen'd pass at scan speed (regex subset chosen to
     // behave identically under Java regex and RE2).
@@ -2143,6 +2162,18 @@ object SparkEntry {
          |  len(ts)::BIGINT AS n_tokens,
          |  (len(ts) - len($clean))::BIGINT AS n_removed
          |FROM base ORDER BY doc_id""".stripMargin
+    },
+
+    "q_io_warc" -> {
+      val pay = IoFormats.warcPayloadSql("i")
+      s"""WITH r AS (SELECT unnest(range(0, 64)) AS i),
+         |k AS (SELECT unnest(['gz', 'plain']) AS kind),
+         |p AS (SELECT kind, i, $pay AS pay FROM r, k)
+         |SELECT kind, i::BIGINT AS rec_idx, 'response' AS warc_type,
+         |  ${IoFormats.warcUriSql("i")} AS uri,
+         |  length(pay)::BIGINT AS content_length,
+         |  md5(pay) AS payload_md5
+         |FROM p ORDER BY kind, rec_idx""".stripMargin
     },
 
     "q_text_pii" -> {

@@ -1602,6 +1602,49 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("warc: plain and per-member-gzip files parse to identical records") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_fix").toString
+    IoFormats.stageWarcFixture(dir, n = 9)
+    val rows = IoFormats.readWarc(spark, dir)
+      .as[IoFormats.WarcRow].collect()
+    assert(rows.length == 18)
+    val byKind = rows.groupBy(_.file.endsWith(".gz"))
+    for ((_, g) <- byKind; r <- g.sortBy(_.rec_idx)) {
+      assert(r.warc_type == "response")
+      assert(r.uri == IoFormats.warcUri(r.rec_idx))
+      val want = IoFormats.warcPayload(r.rec_idx)
+      assert(new String(r.payload, "UTF-8") == want)
+      assert(r.content_length == want.getBytes("UTF-8").length)
+    }
+    // the gz leg equals the plain leg record-for-record
+    val plain = byKind(false).sortBy(_.rec_idx).map(r => new String(r.payload))
+    val gz = byKind(true).sortBy(_.rec_idx).map(r => new String(r.payload))
+    assert(plain.toSeq == gz.toSeq)
+  }
+
+  test("warc: framing relies on Content-Length, not delimiters — binary-safe") {
+    // a payload containing the record terminator AND a fake header
+    // start must parse intact (real web content contains anything)
+    val evil = "first\r\n\r\nWARC/1.0\r\nsecond".getBytes("UTF-8")
+    val rec = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Target-URI: http://e/x\r\n" +
+      s"Content-Length: ${evil.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      evil ++ "\r\n\r\n".getBytes("ISO-8859-1") ++
+      ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+        "WARC-Target-URI: http://e/y\r\nContent-Length: 2\r\n\r\n")
+        .getBytes("ISO-8859-1") ++
+      "ok".getBytes("UTF-8") ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val dir = java.nio.file.Files.createTempDirectory("warc_evil")
+    java.nio.file.Files.write(dir.resolve("evil.warc"), rec)
+    val rows = IoFormats.readWarc(spark, dir.toString)
+      .as[IoFormats.WarcRow].collect().sortBy(_.rec_idx)
+    assert(rows.length == 2)
+    assert(new String(rows(0).payload, "UTF-8") ==
+      "first\r\n\r\nWARC/1.0\r\nsecond")
+    assert(rows(1).uri == "http://e/y" &&
+      new String(rows(1).payload, "UTF-8") == "ok")
+  }
+
   test("length drift: a length-shifted source scores above conforming twins") {
     def mk(n: Int, s: String) = (Seq.fill(n)("w").mkString(" "), s)
     // s0 and s1 share the corpus length profile; s2's mass sits three
