@@ -1223,6 +1223,21 @@ object SparkEntry {
         nShards = 16,
         "target/qtmp/shards_" + dir.replaceAll("[^0-9a-zA-Z.]", "_"))),
 
+    // X122 HTML -> text extraction (the WARC->WET hop): each doc's
+    // text wrapped in a hazard-bearing HTML shell (script/style with
+    // code content, attributes, entities incl. the &amp;amp;
+    // single-decode case), extracted by the shared regex chain, and
+    // fingerprinted — the oracle runs the identical chain in RE2, so
+    // hash match proves the extraction byte-for-byte.
+    "q_text_html" -> ((s, dir) => {
+      val html = concat(lit(TextAnalysis.HtmlWrapPrefix), col("text"),
+        lit(TextAnalysis.HtmlWrapSuffix))
+      val extracted = TextAnalysis.htmlToText(html)
+      T(s, dir, "documents").select(col("doc_id"),
+        md5(extracted.cast("binary")).as("fp_text"),
+        length(extracted).cast("long").as("n_chars"))
+    }),
+
     // X121 WARC ingestion (the Common Crawl source format): REAL ISO
     // 28500 framing — plain .warc and per-record-gzip-member .warc.gz
     // both staged with formula records, parsed by the byte-level
@@ -2162,6 +2177,15 @@ object SparkEntry {
          |  len(ts)::BIGINT AS n_tokens,
          |  (len(ts) - len($clean))::BIGINT AS n_removed
          |FROM base ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_html" -> {
+      val html = s"'${TextAnalysis.HtmlWrapPrefix}' || text || " +
+        s"'${TextAnalysis.HtmlWrapSuffix}'"
+      val extracted = TextAnalysis.htmlToTextSql(html)
+      s"""SELECT doc_id, md5($extracted) AS fp_text,
+         |  length($extracted)::BIGINT AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin
     },
 
     "q_io_warc" -> {

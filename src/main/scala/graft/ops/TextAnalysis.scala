@@ -394,6 +394,50 @@ object TextAnalysis {
     s"[$t[i] for i in range(1, len($t)+1) if i <= $maxRun OR ($anyDiff)]"
   }
 
+  /** X122 HTML → text extraction: the WARC→WET hop of a crawl
+    * pipeline — strip `<script>`/`<style>` blocks wholesale (their
+    * CONTENT is code, not text), drop every remaining tag, decode
+    * the five predefined XML entities (`&amp;` LAST, so `&amp;lt;`
+    * decodes to the literal `&lt;` and never double-decodes — the
+    * classic extraction bug), then collapse whitespace. Regexes stay
+    * in the Java∩RE2 common subset with explicit `(?is)` flags, so
+    * both engines run the identical chain — the oracle proves it
+    * byte-for-byte. One narrow codegen'd pass, scan speed at any
+    * corpus size.
+    */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
+  /** The gate's HTML wrapper (no single quotes — it inlines into the
+    * oracle's SQL literal verbatim): script/style blocks with real
+    * hazards (`1 < 2` inside code, attributes), entities including
+    * the `&amp;amp;` single-decode case.
+    */
+  val HtmlWrapPrefix: String = "<html><head><title>T</title>" +
+    "<script type=\"x\">var j = 1 < 2;</script>" +
+    "<style>p{color:red}</style></head><body><p>"
+  val HtmlWrapSuffix: String = "</p><br><b>bold</b> &amp;amp; " +
+    "&lt;tag&gt; &#39;q&#39; tail</body></html>"
+
+  def htmlToTextSql(e: String): String = {
+    val noBlocks =
+      s"regexp_replace($e, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')"
+    val noTags = s"regexp_replace($noBlocks, '(?s)<[^>]*>', ' ', 'g')"
+    val decoded = "regexp_replace(regexp_replace(regexp_replace(" +
+      s"regexp_replace(regexp_replace($noTags, " +
+      "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '\"', 'g'), " +
+      "'&#39;', '''', 'g'), '&amp;', '&', 'g')"
+    s"trim(regexp_replace($decoded, '[ \\t\\r\\n]+', ' ', 'g'))"
+  }
+
   /** Rolling (Karp-Rabin-style) fingerprint over token hashes:
     * fold h ← (h·B + hash60(w) mod P) mod P, left to right. Order
     * sensitive (unlike a bag-of-words hash); both engines fold

@@ -1602,6 +1602,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("htmlToText: blocks die whole, tags die, entities decode ONCE") {
+    def x(h: String): String =
+      Seq(h).toDF("h").select(TextAnalysis.htmlToText(col("h")))
+        .as[String].head()
+    assert(x("<p>hello <b>world</b></p>") == "hello world")
+    // script/style CONTENT is removed, not just the tags — and code
+    // containing '<' must not derail the tag stripper afterwards
+    assert(x("<script>if (1 < 2) alert('x')</script>keep") == "keep")
+    assert(x("<style>p { color: red }</style>kept") == "kept")
+    // the five entities; &amp; decodes LAST and exactly once
+    assert(x("a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; b")
+      == "a <tag> \"q\" 's' & b")
+    assert(x("&amp;lt;") == "&lt;", "double-decode is the classic bug")
+    // whitespace collapses across removed structure
+    assert(x("<div>\n  a\n  <br/>\n  b\n</div>") == "a b")
+  }
+
   test("warc: plain and per-member-gzip files parse to identical records") {
     val dir = java.nio.file.Files.createTempDirectory("warc_fix").toString
     IoFormats.stageWarcFixture(dir, n = 9)
