@@ -248,6 +248,22 @@ object Plans {
         |aggregation buffer, so the shuffle moves fixed-size register
         |arrays, never token sets. At 100 TB the exact half is dropped
         |and the sketch column is the answer.""".stripMargin,
+    "q_olap_value_quantiles" ->
+      """Signed value-quantile brackets: the micro-quantization and
+        |signed binning are one codegen'd narrow map on the scan, ONE
+        |partial-agg shuffle to (event_type, bin) rows, then the walk
+        |windows ride the tiny histogram — same shape as
+        |q_diag_quantiles with a signed inverse.""".stripMargin,
+    "q_io_warc" ->
+      """WARC ingestion: binaryFile scan (one task per file — Common
+        |Crawl's sharding contract), per-partition byte-level parse in
+        |mapPartitions (the codec-boundary justification), NO shuffle
+        |anywhere: record rows land partitioned exactly as their
+        |files.""".stripMargin,
+    "q_text_html" ->
+      """HTML extraction: a single narrow Project of chained
+        |regexp_replace — no Exchange, no UDF; the whole WET hop runs
+        |at scan speed inside whole-stage codegen.""".stripMargin,
     "q_text_vocab_mg" ->
       """Misra-Gries summary: ONE partial-agg shuffle to (source,
         |token) counts, then the compress windows (rank, threshold,

@@ -192,14 +192,15 @@ object Diagnostics {
     sketchServe(hist, pcts)
   }
 
-  def lengthQuantileSketchSql(text: String, source: String,
-      table: String, pcts: Seq[Int]): String = {
-    val n = TextAnalysis.tokenCountSql(text)
+  /** The SQL twin of [[sketchServe]]'s walk — ONE copy of the
+    * load-bearing nearest-rank rule shared by the length and value
+    * twins (two hand-maintained copies is how the rank rule drifts).
+    * `histCte` must yield (source, bin, cnt).
+    */
+  private def sketchWalkSql(histCte: String, pcts: Seq[Int]): String = {
     val pctList = pcts.mkString(", ")
     s"""WITH h AS (
-       |  SELECT coalesce(($source)::VARCHAR, '<null>') AS source,
-       |    ${binIdSql(n)} AS bin, count(*) AS cnt
-       |  FROM $table WHERE $text IS NOT NULL GROUP BY 1, 2),
+       |$histCte),
        |c AS (
        |  SELECT source, bin, cnt,
        |    sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
@@ -213,8 +214,18 @@ object Diagnostics {
        |  SELECT source, pct, n_docs, min(bin) AS qbin
        |  FROM pr WHERE cum >= r GROUP BY 1, 2, 3)
        |SELECT source, pct::BIGINT AS pct, n_docs::BIGINT AS n_docs,
-       |  ${binLoSql("qbin")} AS q_lo, ${binHiSql("qbin")} AS q_hi
+       |  ${signedLoSql("qbin")} AS q_lo, ${signedHiSql("qbin")} AS q_hi
        |FROM q""".stripMargin
+  }
+
+  def lengthQuantileSketchSql(text: String, source: String,
+      table: String, pcts: Seq[Int]): String = {
+    val n = TextAnalysis.tokenCountSql(text)
+    sketchWalkSql(
+      s"""  SELECT coalesce(($source)::VARCHAR, '<null>') AS source,
+         |    ${binIdSql(n)} AS bin, count(*) AS cnt
+         |  FROM $table WHERE $text IS NOT NULL GROUP BY 1, 2""".stripMargin,
+      pcts)
   }
 
   /** X120: the [[lengthQuantileSketch]] machinery over a SIGNED
@@ -241,26 +252,11 @@ object Diagnostics {
   def valueQuantileSketchSql(value: String, key: String, table: String,
       pcts: Seq[Int]): String = {
     val v = s"CAST(round(($value) * 1e6) AS BIGINT)"
-    val pctList = pcts.mkString(", ")
-    s"""WITH h AS (
-       |  SELECT coalesce(($key)::VARCHAR, '<null>') AS source,
-       |    ${signedBinIdSql(v)} AS bin, count(*) AS cnt
-       |  FROM $table WHERE $value IS NOT NULL GROUP BY 1, 2),
-       |c AS (
-       |  SELECT source, bin, cnt,
-       |    sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
-       |    sum(cnt) OVER (PARTITION BY source) AS n_docs
-       |  FROM h),
-       |pr AS (
-       |  SELECT c.source, p.pct, c.bin, c.cum, c.n_docs,
-       |    (p.pct * c.n_docs + 99) // 100 AS r
-       |  FROM c, (SELECT unnest([$pctList]) AS pct) p),
-       |q AS (
-       |  SELECT source, pct, n_docs, min(bin) AS qbin
-       |  FROM pr WHERE cum >= r GROUP BY 1, 2, 3)
-       |SELECT source, pct::BIGINT AS pct, n_docs::BIGINT AS n_docs,
-       |  ${signedLoSql("qbin")} AS q_lo, ${signedHiSql("qbin")} AS q_hi
-       |FROM q""".stripMargin
+    sketchWalkSql(
+      s"""  SELECT coalesce(($key)::VARCHAR, '<null>') AS source,
+         |    ${signedBinIdSql(v)} AS bin, count(*) AS cnt
+         |  FROM $table WHERE $value IS NOT NULL GROUP BY 1, 2""".stripMargin,
+      pcts)
   }
 
   def keyProfileSql(keyExpr: String, table: String, topN: Int): String =

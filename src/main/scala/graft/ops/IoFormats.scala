@@ -200,9 +200,14 @@ object IoFormats {
           case _ => None
         }
       }.toMap
-      val len = hdrs("content-length").toLong.toInt
       val payStart = hdrEnd + 4
-      require(payStart + len <= data.length, s"truncated payload at $p")
+      // validate on the LONG before narrowing: a corrupt/hostile
+      // Content-Length >= 2^31 must fail loud here, not wrap into a
+      // small int and misparse the rest of the file
+      val lenL = hdrs("content-length").toLong
+      require(lenL >= 0 && lenL <= data.length - payStart,
+        s"bad Content-Length $lenL at $p (file has ${data.length} bytes)")
+      val len = lenL.toInt
       out += ((hdrs.getOrElse("warc-type", ""),
         hdrs.getOrElse("warc-target-uri", ""),
         java.util.Arrays.copyOfRange(data, payStart, payStart + len)))

@@ -406,8 +406,14 @@ object TextAnalysis {
     * corpus size.
     */
   def htmlToText(html: Column): Column = {
-    val noBlocks = regexp_replace(html,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    // two SEQUENTIAL block passes, not one alternation: RE2 has no
+    // backreferences, so <(script|style)>.*?</(script|style)> would
+    // let a <script> block close at an embedded </style> (the
+    // document.write('</style>') pattern) and leak script code into
+    // the text — spec-pinned
+    val noBlocks = regexp_replace(
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
     val decoded = regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(regexp_replace(noTags,
@@ -429,7 +435,9 @@ object TextAnalysis {
 
   def htmlToTextSql(e: String): String = {
     val noBlocks =
-      s"regexp_replace($e, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')"
+      s"regexp_replace(regexp_replace($e, " +
+        "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+        "'(?is)<style[^>]*>.*?</style>', ' ', 'g')"
     val noTags = s"regexp_replace($noBlocks, '(?s)<[^>]*>', ' ', 'g')"
     val decoded = "regexp_replace(regexp_replace(regexp_replace(" +
       s"regexp_replace(regexp_replace($noTags, " +

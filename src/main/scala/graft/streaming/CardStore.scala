@@ -91,13 +91,15 @@ object CardStore {
       .agg(hll_sketch_agg(col("tok"), HllLgK).as("d_hll"))
     val delta = docAgg.join(tokAgg, Seq("source"), "left")
 
-    StateTable.mergeBucketedBySource(delta, tableDir, nBucketsIfNew,
+    // try/finally, not the merge-closure cleanup: the scaffold
+    // returns early on an empty batch WITHOUT invoking the closure,
+    // and base must not leak in the cache across idle triggers
+    try StateTable.mergeBucketedBySource(delta, tableDir, nBucketsIfNew,
       emptyState = spark.range(0).select(lit("").as("source"),
         lit(0L).as("n_docs"), lit(0L).as("n_tokens"),
         lit(0L).as("max_tokens"), lit(null).cast("binary").as("tok_hll"),
         lit("").as("run_id"), lit(0L).as("last_batch")).limit(0),
-      version = s"v${batchId}_${java.util.UUID.randomUUID().toString.take(8)}",
-      graceCommits) { (existing0, d) =>
+      batchId, graceCommits) { (existing0, d) =>
       // in-place upgrade from pre-sketch state (no tok_hll column):
       // a NULL sketch means "distincts unknown so far" — the next
       // delta's sketch takes over, exactly the fresh-source path
@@ -140,8 +142,9 @@ object CardStore {
           when(col("d_docs").isNull, col("slb"))
             .when(stale, col("slb"))
             .otherwise(lit(batchId)).as("last_batch"))
-      (merged, () => { base.unpersist(); () })
+      (merged, () => ())
     }
+    finally base.unpersist()
   }
 
   /** Run the maintenance query — state only; the card is SERVED from

@@ -56,8 +56,7 @@ object HistStore {
       emptyState = spark.range(0).select(lit("").as("source"),
         lit(0L).as("bin"), lit(0L).as("cnt"), lit("").as("run_id"),
         lit(0L).as("last_batch")).limit(0),
-      version = s"v${batchId}_${java.util.UUID.randomUUID().toString.take(8)}",
-      graceCommits) { (existing, d) =>
+      batchId, graceCommits) { (existing, d) =>
       // the CardStore high-water guard, per (source, bin) row: a
       // replayed batch re-derives the same delta rows, so each stored
       // row's (run, batch) mark catches its own replay

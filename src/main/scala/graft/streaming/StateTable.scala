@@ -268,7 +268,7 @@ object StateTable {
     */
   private[streaming] def mergeBucketedBySource(deltaNoB: DataFrame,
       tableDir: String, nBucketsIfNew: Int, emptyState: => DataFrame,
-      version: String, graceCommits: Int)(
+      batchId: Long, graceCommits: Int)(
       merge: (DataFrame, DataFrame) => (DataFrame, () => Unit)): Unit = {
     val spark = deltaNoB.sparkSession
     Files.createDirectories(Paths.get(tableDir))
@@ -282,10 +282,20 @@ object StateTable {
       if (touched.isEmpty) return
       val existingPaths = touched.flatMap(b =>
         st.buckets.get(b).map(v => s"$tableDir/b$b/$v"))
+      // mergeSchema: bucket versions can straddle a store-schema
+      // upgrade (some rewritten, some not); the default single-donor
+      // schema would silently DROP the new column from every bucket
+      // in the read — and the next commit would persist the loss
       val existing =
-        if (existingPaths.nonEmpty) spark.read.parquet(existingPaths: _*)
+        if (existingPaths.nonEmpty)
+          spark.read.option("mergeSchema", "true").parquet(existingPaths: _*)
         else emptyState
       val (merged, cleanup) = merge(existing, delta)
+      // fresh uuid version per attempt: a replayed batch never writes
+      // into a directory it is reading from (the protocol rule every
+      // store must follow — owned here, not copy-pasted per store)
+      val version =
+        s"v${batchId}_${java.util.UUID.randomUUID().toString.take(8)}"
       try commitPartitioned(tableDir, merged.withColumn("b", bucket),
         nBuckets, st, version, graceCommits)
       finally cleanup()

@@ -60,8 +60,7 @@ object TopKStore {
       emptyState = spark.range(0).select(lit("").as("source"),
         lit("").as("tok"), lit(0L).as("est"), lit(0L).as("n_src"),
         lit("").as("run_id"), lit(0L).as("last_batch")).limit(0),
-      version = s"v${batchId}_${java.util.UUID.randomUUID().toString.take(8)}",
-      graceCommits) { (existing, d) =>
+      batchId, graceCommits) { (existing, d) =>
       // per-SOURCE staleness: all of a source's rows commit together
       // and carry the same mark, so one lookup row per source decides
       val marks = existing

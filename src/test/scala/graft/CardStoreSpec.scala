@@ -119,6 +119,39 @@ class CardStoreSpec extends AnyFunSuite {
       ("<null>", 1L, 1L, 1L, 1L)))
   }
 
+  test("MIXED pre/post-upgrade buckets: new-bucket sketches survive the read") {
+    // the single-schema-donor hazard: reading old (no tok_hll) and
+    // new buckets together must not drop the new buckets' sketches
+    val dir = Files.createTempDirectory("cs_mix_state").toString
+    apply(b0, dir, "runA", 0) // buckets now have tok_hll
+    // strip the column from ONLY the buckets s1 does NOT hash into,
+    // by rewriting every bucket EXCEPT s1's
+    val s1Bucket = {
+      import org.apache.spark.sql.functions.{hash, pmod, lit}
+      Seq("s1").toDF("source")
+        .select(pmod(hash($"source"), lit(4)).cast("int")).as[Int].head()
+    }
+    for (bdir <- new java.io.File(dir).listFiles
+           if bdir.getName.startsWith("b") &&
+             bdir.getName != s"b$s1Bucket";
+         vdir <- bdir.listFiles if vdir.isDirectory) {
+      val tmp = Files.createTempDirectory("cs_mix_tmp").toFile
+      spark.read.parquet(vdir.toString).drop("tok_hll")
+        .write.mode("overwrite").parquet(tmp.toString)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(vdir)
+      Files.move(tmp.toPath, vdir.toPath)
+    }
+    // a batch touching BOTH an old-schema bucket (s0/<null>/s2 side)
+    // and s1's new-schema bucket: s1's stored sketch must survive
+    apply(b1, dir, "runA", 1)
+    val got = cardOf(dir)
+    assert(got.contains(("s1", 2L, 5L, 4L, 5L)),
+      s"s1's pre-existing sketch was dropped by the mixed read: $got")
+  }
+
   test("streaming maintenance; a second run keeps accumulating") {
     implicit val sqlCtx = spark.sqlContext
     val tableDir = Files.createTempDirectory("cs_str_state").toString

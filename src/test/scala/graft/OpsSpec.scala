@@ -1615,6 +1615,11 @@ class OpsSpec extends AnyFunSuite {
     assert(x("a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; b")
       == "a <tag> \"q\" 's' & b")
     assert(x("&amp;lt;") == "&lt;", "double-decode is the classic bug")
+    // a script block must NOT close at an embedded </style> (RE2 has
+    // no backreferences — the alternation form had exactly this leak)
+    assert(x("<script>var s = \"</style>\"; steal()</script>Hello")
+      == "Hello", "script code leaked past an embedded </style>")
+    assert(x("<style>p:after{content:\"</script>\"}</style>ok") == "ok")
     // whitespace collapses across removed structure
     assert(x("<div>\n  a\n  <br/>\n  b\n</div>") == "a b")
   }
@@ -1660,6 +1665,22 @@ class OpsSpec extends AnyFunSuite {
       "first\r\n\r\nWARC/1.0\r\nsecond")
     assert(rows(1).uri == "http://e/y" &&
       new String(rows(1).payload, "UTF-8") == "ok")
+  }
+
+  test("warc: a Content-Length beyond int range fails loud, never wraps") {
+    val rec = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Target-URI: http://e/z\r\n" +
+      "Content-Length: 4294967296\r\n\r\n").getBytes("ISO-8859-1") ++
+      "tiny".getBytes("UTF-8")
+    val dir = java.nio.file.Files.createTempDirectory("warc_bad")
+    java.nio.file.Files.write(dir.resolve("bad.warc"), rec)
+    val e = intercept[org.apache.spark.SparkException] {
+      IoFormats.readWarc(spark, dir.toString).collect()
+    }
+    // the long wraps to int 0 — the validation must catch it on the
+    // LONG, not misparse the rest of the file as records
+    assert(e.getMessage.contains("bad Content-Length") ||
+      Option(e.getCause).exists(_.getMessage.contains("bad Content-Length")))
   }
 
   test("length drift: a length-shifted source scores above conforming twins") {
