@@ -1223,6 +1223,23 @@ object SparkEntry {
         nShards = 16,
         "target/qtmp/shards_" + dir.replaceAll("[^0-9a-zA-Z.]", "_"))),
 
+    // X123 URL canonicalization + URL-level dedup: every logical page
+    // in the messy fixture appears twice (scheme/host case, default
+    // port, trailing slash, unsorted params, fragment vs clean) and
+    // must collapse to ONE canonical URL with n_dup = 2 — the crawl
+    // step that is orders of magnitude cheaper than fetching and
+    // content-deduping the copy. Both engines canonicalize the same
+    // messy strings independently, so the hash match proves the
+    // RFC 3986 §6 chain byte-for-byte.
+    "q_curate_urldedup" -> ((s, dir) => {
+      val out = "target/qtmp/warcu_" + dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      IoFormats.stageWarcMessy(out, n = 64)
+      IoFormats.readWarc(s, out)
+        .select(Urls.canonicalize(col("uri")).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_dup"))
+    }),
+
     // X122 HTML -> text extraction (the WARC->WET hop): each doc's
     // text wrapped in a hazard-bearing HTML shell (script/style with
     // code content, attributes, entities incl. the &amp;amp;
@@ -2178,6 +2195,13 @@ object SparkEntry {
          |  (len(ts) - len($clean))::BIGINT AS n_removed
          |FROM base ORDER BY doc_id""".stripMargin
     },
+
+    "q_curate_urldedup" ->
+      s"""WITH r AS (SELECT unnest(range(0, 64)) AS i),
+         |u AS (SELECT ${Urls.canonicalizeSql(
+             IoFormats.messyUriSql("i", 64))} AS canon_url FROM r)
+         |SELECT canon_url, count(*)::BIGINT AS n_dup
+         |FROM u GROUP BY 1 ORDER BY canon_url""".stripMargin,
 
     "q_text_html" -> {
       val html = s"'${TextAnalysis.HtmlWrapPrefix}' || text || " +

@@ -226,6 +226,16 @@ object IoFormats {
   def warcPayloadSql(i: String): String =
     s"'warc payload body ' || $i || ' ' || repeat('x', ($i % 7)::INT)"
 
+  private def warcRecordBytes(uri: String, payload: String): Array[Byte] = {
+    val pay = payload.getBytes("UTF-8")
+    val hdr = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"Content-Length: ${pay.length}\r\n\r\n").getBytes("ISO-8859-1")
+    hdr ++ pay ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
   /** Stage the fixture pair — one plain .warc, one .warc.gz with a
     * gzip member PER RECORD (the Common Crawl layout) — carrying the
     * formula records. Returns the directory.
@@ -233,15 +243,8 @@ object IoFormats {
   def stageWarcFixture(dir: String, n: Int): String = {
     val d = new java.io.File(dir)
     d.mkdirs()
-    def record(i: Long): Array[Byte] = {
-      val pay = warcPayload(i).getBytes("UTF-8")
-      val hdr = ("WARC/1.0\r\n" +
-        "WARC-Type: response\r\n" +
-        s"WARC-Target-URI: ${warcUri(i)}\r\n" +
-        "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
-        s"Content-Length: ${pay.length}\r\n\r\n").getBytes("ISO-8859-1")
-      hdr ++ pay ++ "\r\n\r\n".getBytes("ISO-8859-1")
-    }
+    def record(i: Long): Array[Byte] =
+      warcRecordBytes(warcUri(i), warcPayload(i))
     val plain = new java.io.FileOutputStream(s"$dir/fixture.warc")
     try (0L until n.toLong).foreach(i => plain.write(record(i)))
     finally plain.close()
@@ -252,6 +255,34 @@ object IoFormats {
       g.write(record(i)); g.close()
       gz.write(bos.toByteArray)
     } finally gz.close()
+    dir
+  }
+
+  // X123's messy-URL fixture: each logical page appears TWICE — once
+  // with every normalization hazard (scheme/host case, default port,
+  // trailing slash, unsorted params, fragment), once clean — and the
+  // two must collapse under canonicalization. Shared with the oracle.
+  def messyUri(i: Long, n: Int): String = {
+    val j = i % (n / 2)
+    if (i / (n / 2) == 0)
+      s"HTTP://Example.COM:80/page/$j/?b=2&a=1#frag$j"
+    else s"http://example.com/page/$j?a=1&b=2"
+  }
+
+  def messyUriSql(i: String, n: Int): String = {
+    val j = s"(($i) % ${n / 2})"
+    s"(CASE WHEN ($i) // ${n / 2} = 0 " +
+      s"THEN 'HTTP://Example.COM:80/page/' || $j || '/?b=2&a=1#frag' || $j " +
+      s"ELSE 'http://example.com/page/' || $j || '?a=1&b=2' END)"
+  }
+
+  /** Stage one plain .warc of [[messyUri]] records. */
+  def stageWarcMessy(dir: String, n: Int): String = {
+    new java.io.File(dir).mkdirs()
+    val plain = new java.io.FileOutputStream(s"$dir/messy.warc")
+    try (0L until n.toLong).foreach(i =>
+      plain.write(warcRecordBytes(messyUri(i, n), s"body $i")))
+    finally plain.close()
     dir
   }
 }

@@ -1624,6 +1624,29 @@ class OpsSpec extends AnyFunSuite {
     assert(x("<div>\n  a\n  <br/>\n  b\n</div>") == "a b")
   }
 
+  test("url canonicalization: the RFC 3986 hazards, one by one") {
+    def c(u: String): String =
+      Seq(u).toDF("u").select(Urls.canonicalize(col("u")))
+        .as[String].head()
+    // scheme/host case-fold; PATH case preserved
+    assert(c("HTTP://Example.COM/A/b") == "http://example.com/A/b")
+    // default ports strip only for their scheme
+    assert(c("http://h:80/x") == "http://h/x")
+    assert(c("https://h:443/x") == "https://h/x")
+    assert(c("http://h:8080/x") == "http://h:8080/x")
+    assert(c("https://h:80/x") == "https://h:80/x")
+    // fragment dies; empty path becomes /; trailing slash strips
+    assert(c("http://h#frag") == "http://h/")
+    assert(c("http://h/a/") == "http://h/a")
+    assert(c("http://h/") == "http://h/")
+    // params sort bytewise; empties drop; ?-only disappears
+    assert(c("http://h/p?b=2&a=1") == "http://h/p?a=1&b=2")
+    assert(c("http://h/p?") == "http://h/p")
+    assert(c("http://h/p?a=1&&b=2") == "http://h/p?a=1&b=2")
+    // the fixture's two variants collapse
+    assert(c(IoFormats.messyUri(3, 64)) == c(IoFormats.messyUri(35, 64)))
+  }
+
   test("warc: plain and per-member-gzip files parse to identical records") {
     val dir = java.nio.file.Files.createTempDirectory("warc_fix").toString
     IoFormats.stageWarcFixture(dir, n = 9)
