@@ -156,6 +156,34 @@ object IoFormats {
       }.toDF()
   }
 
+  /** Streaming twin of [[readWarc]]: new segments appearing in `dir`
+    * are parsed per micro-batch through the SAME byte-level pass —
+    * crawl ingestion as a live source (compose with the extraction
+    * and curation gates in [[graft.streaming.Pipeline]]). The file
+    * stream source tracks seen files in the checkpoint, so each
+    * segment is parsed exactly once per run; the parallelism unit
+    * stays the file.
+    */
+  def streamWarc(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    // the binaryFile source's fixed schema — the streaming source
+    // requires it stated (no inference on a possibly-empty dir)
+    spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length LONG, content BINARY")
+      .load(dir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .mapPartitions { files =>
+        files.flatMap { case (path, raw) =>
+          val data = if (path.endsWith(".gz")) gunzipAll(raw) else raw
+          parseWarc(data).zipWithIndex.map { case ((t, uri, pay), i) =>
+            WarcRow(path, i.toLong, t, uri, pay.length.toLong, pay)
+          }
+        }
+      }.toDF()
+  }
+
   /** Decompress a stream of CONCATENATED gzip members to one byte
     * array (the .warc.gz layout).
     */

@@ -404,6 +404,39 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS contam_out")
   }
 
+  test("streaming WARC ingest: arriving segments parse once, equal batch read") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_str").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_str_ck").toString
+    // segment 1 exists before the stream starts
+    graft.ops.IoFormats.stageWarcMessy(s"$dir", n = 8)
+    val q = graft.ops.IoFormats.streamWarc(spark, dir)
+      .writeStream.format("memory").queryName("warc_stream_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val n1 = spark.table("warc_stream_out").count()
+    assert(n1 == 8L, s"segment 1 records: $n1")
+    // segment 2 arrives mid-stream (a fresh crawl shard lands)
+    val seg2 = graft.ops.IoFormats.stageWarcFixture(
+      java.nio.file.Files.createTempDirectory("warc_seg2").toString, n = 5)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$seg2/fixture.warc"),
+      java.nio.file.Paths.get(s"$dir/seg2.warc"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("warc_stream_out")
+      .as[graft.ops.IoFormats.WarcRow].collect()
+    // each segment parsed exactly once; union equals the batch read
+    assert(rows.length == 13)
+    val batch = graft.ops.IoFormats.readWarc(spark, dir)
+      .as[graft.ops.IoFormats.WarcRow].collect()
+    def key(r: graft.ops.IoFormats.WarcRow) =
+      (r.file, r.rec_idx, r.uri, r.content_length,
+        new String(r.payload, "UTF-8"))
+    assert(rows.map(key).toSet == batch.map(key).toSet)
+    spark.sql("DROP TABLE IF EXISTS warc_stream_out")
+  }
+
   test("bloom contamination gate flags in the SAME batch, no watermark dance") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq("alpha beta gamma delta epsilon zeta eta theta")
