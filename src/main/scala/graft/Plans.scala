@@ -260,6 +260,12 @@ object Plans {
         |mapPartitions (the codec-boundary justification), NO shuffle
         |anywhere: record rows land partitioned exactly as their
         |files.""".stripMargin,
+    "q_curate_urldedup" ->
+      """URL dedup: binaryFile scan → per-partition WARC parse → the
+        |canonicalization chain as one narrow Project → a single
+        |partial-agg shuffle on the canonical key. Nothing else is
+        |wide; the canonical URL is computed once per record inside
+        |codegen.""".stripMargin,
     "q_text_html" ->
       """HTML extraction: a single narrow Project of chained
         |regexp_replace — no Exchange, no UDF; the whole WET hop runs

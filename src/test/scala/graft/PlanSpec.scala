@@ -519,5 +519,10 @@ class PlanSpec extends AnyFunSuite {
     val sl = plan("q_curate_semleak")
     assert(!sl.contains("Cartesian") && !sl.contains("NestedLoop"),
       s"semleak pair join degenerated:\n$sl")
+    // X122 HTML extraction: pure narrow chain, no exchange, no UDF
+    val ht = plan("q_text_html")
+    assert(!ht.contains("Exchange"), s"shuffle in HTML extraction:\n$ht")
+    assert(!ht.contains("BatchEvalPython") && !ht.contains("ScalaUDF"),
+      "extraction must stay native")
   }
 }
