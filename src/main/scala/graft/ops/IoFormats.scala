@@ -146,14 +146,7 @@ object IoFormats {
     import spark.implicits._
     spark.read.format("binaryFile").load(dir)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
-      .mapPartitions { files =>
-        files.flatMap { case (path, raw) =>
-          val data = if (path.endsWith(".gz")) gunzipAll(raw) else raw
-          parseWarc(data).zipWithIndex.map { case ((t, uri, pay), i) =>
-            WarcRow(path, i.toLong, t, uri, pay.length.toLong, pay)
-          }
-        }
-      }.toDF()
+      .mapPartitions(warcRows).toDF()
   }
 
   /** Streaming twin of [[readWarc]]: new segments appearing in `dir`
@@ -174,15 +167,22 @@ object IoFormats {
         "length LONG, content BINARY")
       .load(dir)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
-      .mapPartitions { files =>
-        files.flatMap { case (path, raw) =>
-          val data = if (path.endsWith(".gz")) gunzipAll(raw) else raw
-          parseWarc(data).zipWithIndex.map { case ((t, uri, pay), i) =>
-            WarcRow(path, i.toLong, t, uri, pay.length.toLong, pay)
-          }
-        }
-      }.toDF()
+      .mapPartitions(warcRows).toDF()
   }
+
+  /** The shared file → records pass (gz sniff, member-concatenated
+    * gunzip, byte-level parse) — ONE copy serving both the batch and
+    * the streaming reader, so the spec-pinned stream == batch
+    * equality can't drift.
+    */
+  private def warcRows(
+      files: Iterator[(String, Array[Byte])]): Iterator[WarcRow] =
+    files.flatMap { case (path, raw) =>
+      val data = if (path.endsWith(".gz")) gunzipAll(raw) else raw
+      parseWarc(data).zipWithIndex.map { case ((t, uri, pay), i) =>
+        WarcRow(path, i.toLong, t, uri, pay.length.toLong, pay)
+      }
+    }
 
   /** Decompress a stream of CONCATENATED gzip members to one byte
     * array (the .warc.gz layout).

@@ -1643,6 +1643,14 @@ class OpsSpec extends AnyFunSuite {
     assert(c("http://h/p?b=2&a=1") == "http://h/p?a=1&b=2")
     assert(c("http://h/p?") == "http://h/p")
     assert(c("http://h/p?a=1&&b=2") == "http://h/p?a=1&b=2")
+    // userinfo is case-SENSITIVE per RFC 3986 — only the host folds
+    assert(c("http://TokenA@Example.COM/x") == "http://TokenA@example.com/x")
+    assert(c("http://TokenA@h/x") != c("http://tokena@h/x"))
+    // non-hierarchical URIs pass through UNCHANGED (dns:/relative
+    // records exist in real Common Crawl WARCs — guessing a host
+    // there would fold case on text that isn't one)
+    assert(c("dns:Example.com") == "dns:Example.com")
+    assert(c("Example.com/Path") == "Example.com/Path")
     // the fixture's two variants collapse
     assert(c(IoFormats.messyUri(3, 64)) == c(IoFormats.messyUri(35, 64)))
   }
