@@ -304,6 +304,12 @@ object IoFormats {
       s"ELSE 'http://example.com/page/' || $j || '?a=1&b=2' END)"
   }
 
+  /** Test hook: one framed record with caller-chosen uri/payload —
+    * the composition specs build small custom segments with it.
+    */
+  private[graft] def warcRecordForTest(uri: String,
+      payload: String): Array[Byte] = warcRecordBytes(uri, payload)
+
   /** Stage one plain .warc of [[messyUri]] records. */
   def stageWarcMessy(dir: String, n: Int): String = {
     new java.io.File(dir).mkdirs()

@@ -404,6 +404,44 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS contam_out")
   }
 
+  test("the crawl chain composes: streamWarc -> htmlToText -> canonical URL, one query") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("crawl_chain").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("crawl_ck").toString
+    // two records = one page crawled twice (messy vs clean URL), HTML
+    // bodies with extraction hazards
+    val recs = Seq(
+      ("HTTP://Example.COM:80/p/?b=2&a=1#f",
+        "<html><script>var j=1<2;</script><body><p>hello  crawl</p></body></html>"),
+      ("http://example.com/p?a=1&b=2",
+        "<html><body><p>hello&amp;again</p></body></html>"))
+    val out = new java.io.FileOutputStream(s"$dir/seg.warc")
+    try recs.foreach { case (u, body) =>
+      out.write(graft.ops.IoFormats.warcRecordForTest(u, body))
+    } finally out.close()
+
+    val q = graft.ops.IoFormats.streamWarc(spark, dir)
+      .select(
+        graft.ops.Urls.canonicalize(col("uri")).as("canon_url"),
+        graft.ops.TextAnalysis.htmlToText(
+          col("payload").cast("string")).as("text"))
+      .writeStream.format("memory").queryName("crawl_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("crawl_out")
+      .as[(String, String)].collect().sortBy(_._2)
+    assert(rows.length == 2)
+    // both crawls collapse to ONE canonical URL...
+    assert(rows.map(_._1).distinct.toSeq ==
+      Seq("http://example.com/p?a=1&b=2"))
+    // ...and the extraction survived the binary payload round trip
+    assert(rows.map(_._2).toSeq == Seq("hello crawl", "hello&again"))
+    spark.sql("DROP TABLE IF EXISTS crawl_out")
+  }
+
   test("streaming WARC ingest: arriving segments parse once, equal batch read") {
     val dir = java.nio.file.Files.createTempDirectory("warc_str").toString
     val ckpt = java.nio.file.Files.createTempDirectory("warc_str_ck").toString
