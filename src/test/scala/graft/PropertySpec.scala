@@ -301,4 +301,91 @@ class PropertySpec extends AnyFunSuite {
       b.drop(1).forall(c => shiftFps.contains(c._3))
     }, cases = 100)
   }
+
+  // plain-Scala mirror of TextAnalysis.mgCompress for one source:
+  // threshold = (k+1)-th largest by (cnt desc, tok asc), survivors
+  // cnt > t at est = cnt - t
+  private def mgCompressRef(counts: Map[String, Long],
+      k: Int): Map[String, Long] = {
+    val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+    val thresh = if (ranked.length > k) ranked(k)._2 else 0L
+    ranked.filter(_._2 > thresh)
+      .map { case (t, c) => t -> (c - thresh) }.toMap
+  }
+
+  test("MG merge law: est <= true, undershoot <= n/(k+1), any merge sequence (fuzz)") {
+    val k = 4
+    // random multi-batch streams over a small skewed alphabet — the
+    // compress/merge sequence must keep the Agarwal bound vs exact
+    val tokGen = Gen.frequency(5 -> Gen.const("hot"),
+      3 -> Gen.oneOf("w1", "w2"), 2 -> Gen.oneOf((1 to 12).map("t" + _)))
+    val batchGen = Gen.listOf(tokGen)
+    check(Prop.forAll(Gen.listOfN(5, batchGen)) { batches =>
+      var summary = Map.empty[String, Long]
+      val truth = scala.collection.mutable.Map.empty[String, Long]
+      for (b <- batches) {
+        val exact = b.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+        exact.foreach { case (t, c) => truth(t) = truth.getOrElse(t, 0L) + c }
+        val combined = (summary.keySet ++ exact.keySet).map(t =>
+          t -> (summary.getOrElse(t, 0L) + exact.getOrElse(t, 0L))).toMap
+        summary = mgCompressRef(combined, k)
+      }
+      val n = truth.values.sum
+      truth.forall { case (t, c) =>
+        val e = summary.getOrElse(t, 0L)
+        e <= c && c - e <= n / (k + 1) &&
+          (c <= n / (k + 1) || summary.contains(t))
+      } && summary.size <= k
+    }, cases = 200)
+  }
+
+  test("MG compress: the Spark op equals the plain-Scala mirror (fuzz)") {
+    val tokGen = Gen.oneOf((1 to 9).map("x" + _))
+    check(Prop.forAll(Gen.nonEmptyListOf(tokGen), Gen.chooseNum(1, 5)) {
+      (toks, k) =>
+        val counts = toks.groupBy(identity)
+          .map { case (t, g) => t -> g.size.toLong }
+        val got = graft.ops.TextAnalysis.mgCompress(
+            counts.toSeq.map { case (t, c) => ("s", t, c) }
+              .toDF("source", "tok", "cnt"), k)
+          .select($"tok", $"est_cnt").as[(String, Long)].collect().toMap
+        got == mgCompressRef(counts, k)
+    }, cases = 15) // each case runs a Spark job
+  }
+
+  // plain-Scala mirror of Diagnostics.binId / binLo / binHi
+  private def binRef(n: Long): (Long, Long, Long) =
+    if (n < 16) (n, n, n)
+    else {
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(n)
+      val shift = bitlen - 4
+      val id = 8L * shift + (n >>> shift)
+      val u = id - 8L * shift
+      (id, u << shift, ((u + 1) << shift) - 1)
+    }
+
+  test("log-histogram bins: inverse/width/monotone laws up to 2^50 (fuzz)") {
+    check(Prop.forAll(Gen.chooseNum(0L, 1L << 50)) { n =>
+      val (_, lo, hi) = binRef(n)
+      lo <= n && n <= hi && (n < 16 || (hi + 1 - lo) * 8 <= lo)
+    }, cases = 500)
+    // monotone: id non-decreasing across each value and its successor
+    check(Prop.forAll(Gen.chooseNum(0L, (1L << 50) - 1)) { n =>
+      binRef(n)._1 <= binRef(n + 1)._1
+    }, cases = 500)
+    // the Column implementation equals the mirror on random values
+    val vals = new scala.util.Random(7)
+      .shuffle((0L to 200L) ++ Seq.fill(300)(
+        math.abs(new scala.util.Random(11).nextLong()) % (1L << 50)))
+      .distinct
+    val got = vals.toDF("n")
+      .select($"n", graft.ops.Diagnostics.binId($"n").as("b"))
+      .select($"n", $"b", graft.ops.Diagnostics.binLo($"b").as("lo"),
+        graft.ops.Diagnostics.binHi($"b").as("hi"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (n, b, lo, hi) =>
+      val (rb, rlo, rhi) = binRef(n)
+      assert((b, lo, hi) == ((rb, rlo, rhi)), s"mirror mismatch at n=$n")
+    }
+  }
 }
