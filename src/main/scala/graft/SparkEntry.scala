@@ -1507,13 +1507,16 @@ object SparkEntry {
         .toDF()
     }),
 
-    // Multimodal: byte-slice frame sampling over the video modality
-    // of the documents-staged media table (the pre-demux stub shape,
-    // kept as the modality-pruning plumbing proof).
+    // Multimodal: REAL RIFF/AVI demux-only frame extraction (X13) —
+    // stride-sampled chunk slicing + header metadata with NO pixel
+    // decode, the cheap keyframe-extraction half of q_mm_video.
+    // Formula oracle checks header fields, sampled index set, and
+    // 25 fps timestamps; the chunk-slicing byte-exactness is
+    // spec-proven (MultimodalSpec).
     "q_mm_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(
-        Multimodal.mediaFromDocuments(T(s, dir, "documents")),
-        stride = 16, maxFrames = 4)
+      Multimodal.extractFrames(
+        Multimodal.videoFixture(T(s, dir, "documents")),
+        stride = 2, maxFrames = 3)
         .toDF()),
 
     // Multimodal: real aspect-preserving nearest-neighbor rescale;
@@ -2346,7 +2349,7 @@ object SparkEntry {
         maxFrames = 3) + " ORDER BY media_id, frame_idx"),
 
     "q_mm_frames" ->
-      (Multimodal.framesSql("documents", stride = 16, maxFrames = 4)
+      (Multimodal.framesSql("documents", stride = 2, maxFrames = 3)
         + " ORDER BY media_id, frame_idx"),
 
     "q_mm_resize" ->

@@ -75,12 +75,17 @@ object Diagnostics {
   private val SubCount = 1 << SubBits // 16
   private val HalfSub = SubCount / 2  // 8
 
-  /** Bin id of a non-negative long count (`n < 16` → identity). */
+  /** Bin id of a non-negative long count (`n < 16` → identity). The
+    * sub-bin is `n >> shift` — exact integer arithmetic at every
+    * magnitude (the divisor is 2^shift, so the shift IS the integer
+    * division DuckDB's `//` computes); a `n / p` double division
+    * would round for n ≥ 2^53 and could cross a bin boundary.
+    */
   def binId(n: Column): Column = {
     val shift = (length(bin(n)) - lit(SubBits)).cast("long")
-    val p = pow(lit(2.0), shift.cast("double")).cast("long")
     when(n < lit(SubCount.toLong), n)
-      .otherwise(lit(HalfSub.toLong) * shift + (n / p).cast("long"))
+      .otherwise(lit(HalfSub.toLong) * shift +
+        call_function("shiftright", n, shift.cast("int")))
   }
 
   def binIdSql(n: String): String = {

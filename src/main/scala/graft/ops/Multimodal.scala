@@ -77,7 +77,16 @@ object Multimodal {
       feat_val: Long)
 
   /** One sampled video frame. */
-  case class Frame(media_id: Long, frame_idx: Long, frame_md5: String)
+  /** A frame EXTRACTED at stride — demuxed, NOT pixel-decoded: the
+    * real keyframe/stride-sampling shape, where the container walk
+    * slices out the raw frame payload and only header metadata + the
+    * presentation timestamp surface (a downstream decoder or shipper
+    * consumes the bytes). Every column is formula-oracle-checkable;
+    * the byte-exactness of the slicing itself is spec-proven (the
+    * demuxed chunk equals an independent still encode).
+    */
+  case class SampledFrame(media_id: Long, frame_idx: Long, width: Long,
+      height: Long, n_frames: Long, frame_micros: Long)
 
   /** Decoded audio: real container/stream properties + integer signal
     * stats. `power` = mean of v² over all samples; `peak` = max |v| —
@@ -406,6 +415,39 @@ object Multimodal {
       Some(AviFile(microSec, total, w, h, frames.result()))
     }
 
+    /** Demux WITHOUT decode: every `stride`-th frame chunk (up to
+      * `maxFrames`) sliced out of `movi`, surfaced as header metadata
+      * + timestamp — keyframe extraction's cost shape (container
+      * walk + a copy; no pixel work). The chunk bytes are materially
+      * extracted (they are what a real sampler hands downstream);
+      * their byte-exactness is spec-proven against an independent
+      * still encode.
+      */
+    def extractFrames(m: MediaRow, stride: Int,
+        maxFrames: Int): Iterator[SampledFrame] =
+      parseAvi(m.content).iterator.flatMap { avi =>
+        avi.frames.iterator.zipWithIndex
+          .filter { case (_, i) => i % stride == 0 && i / stride < maxFrames }
+          .map { case (chunk, i) =>
+            // touch the extracted payload (length check) — the slice
+            // is the deliverable; everything else is header metadata
+            require(chunk.length > 0, "empty frame chunk")
+            SampledFrame(m.media_id, i.toLong, avi.width, avi.height,
+              avi.totalFrames, i.toLong * avi.microSecPerFrame)
+          }
+      }
+
+    /** The demuxed raw chunk payloads at stride — the byte deliverable
+      * of [[extractFrames]], exposed for the slicing-exactness spec.
+      */
+    def extractChunks(m: MediaRow, stride: Int,
+        maxFrames: Int): IndexedSeq[Array[Byte]] =
+      parseAvi(m.content).toIndexedSeq.flatMap { avi =>
+        avi.frames.zipWithIndex
+          .filter { case (_, i) => i % stride == 0 && i / stride < maxFrames }
+          .map(_._1)
+      }
+
     /** Demux + decode every `stride`-th frame (up to `maxFrames`),
       * reporting real dims and brightness per sampled frame.
       */
@@ -503,33 +545,6 @@ object Multimodal {
       cc("LIST"); u32w(hdrlBody.length.toLong); out.write(hdrlBody)
       cc("LIST"); u32w(moviBody.length.toLong); out.write(moviBody)
       out.toByteArray
-    }
-  }
-
-  // ----------------------------------------------------- audio/video stub
-
-  /** Audio/video swap point — still a deterministic stub (this
-    * container has no av libraries): frame "sampling" fingerprints
-    * byte slices. The per-partition lifecycle and modality pruning
-    * are the same as the real image path.
-    */
-  final class StubCodec {
-    private val md = java.security.MessageDigest.getInstance("MD5")
-
-    def md5Hex(bytes: Array[Byte]): String = {
-      md.reset()
-      md.digest(bytes).map(b => f"$b%02x").mkString
-    }
-
-    /** Frame sampling: every `stride` bytes, up to `maxFrames` —
-      * real codec: keyframe extraction.
-      */
-    def sampleFrames(m: MediaRow, stride: Int, maxFrames: Int): Iterator[Frame] = {
-      val n = math.min(maxFrames, m.content.length / stride)
-      (0 until n).iterator.map { i =>
-        Frame(m.media_id, i.toLong,
-          md5Hex(m.content.slice(i * stride, i * stride + stride)))
-      }
     }
   }
 
@@ -665,17 +680,19 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling over the video modality only — the filter prunes
-    * before any decode work (partition pruning when the table is laid
-    * out partitioned by kind).
+  /** Frame EXTRACTION over the video modality only — real RIFF/AVI
+    * demux at stride with NO pixel decode (the cheap half of X13b's
+    * demux+decode): the filter prunes before any container work
+    * (partition pruning when the table is laid out partitioned by
+    * kind), and per row the cost is a chunk walk + maxFrames slices.
     */
-  def sampleFrames(media: Dataset[MediaRow], stride: Int,
-      maxFrames: Int): Dataset[Frame] = {
+  def extractFrames(media: Dataset[MediaRow], stride: Int,
+      maxFrames: Int): Dataset[SampledFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind") === "video").mapPartitions { it =>
-      val codec = new StubCodec
-      it.flatMap(m => codec.sampleFrames(m, stride, maxFrames))
+      val codec = new VideoCodec
+      it.flatMap(m => codec.extractFrames(m, stride, maxFrames))
     }
   }
 
@@ -791,9 +808,19 @@ object Multimodal {
     * varchar oracle; this ASCII assumption is a property of the test
     * staging only, not of the Spark pipeline.
     */
+  /** Frame-extraction oracle: pure fixture formula — proves the demux
+    * reads the real `avih` header fields (dims, totalFrames, 25 fps
+    * → 40000 µs/frame) and selects exactly the stride-sampled chunk
+    * indices, without any pixel work on either engine.
+    */
   def framesSql(table: String, stride: Int, maxFrames: Int): String =
-    s"""SELECT doc_id AS media_id, i AS frame_idx,
-       |  md5(substring(text, (i * $stride + 1)::INT, $stride)) AS frame_md5
-       |FROM $table CROSS JOIN range(0, $maxFrames) t(i)
-       |WHERE $KindSql = 'video' AND i < length(text) // $stride""".stripMargin
+    s"""WITH dims AS (
+       |  SELECT doc_id AS media_id, 4 + doc_id % 29 AS w,
+       |    4 + (doc_id // 29) % 23 AS h, 4 + doc_id % 5 AS nf
+       |  FROM $table)
+       |SELECT media_id, (i * $stride)::BIGINT AS frame_idx,
+       |  w::BIGINT AS width, h::BIGINT AS height, nf::BIGINT AS n_frames,
+       |  (i * $stride * 40000)::BIGINT AS frame_micros
+       |FROM dims CROSS JOIN range(0, $maxFrames) t(i)
+       |WHERE i * $stride < nf""".stripMargin
 }

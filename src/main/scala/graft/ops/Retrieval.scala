@@ -81,11 +81,22 @@ object Retrieval {
     val tf = Caching.cachedOnce(
       toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val qdf = queryDf(docs)
+    // df stats restricted to the query vocabulary BEFORE the broadcast:
+    // the scored stream below only ever consumes df rows for query
+    // terms (its qdf join restricts it first), and a corpus-wide df
+    // table is |vocab| rows — a multi-GB driver broadcast at corpus
+    // scale. The left-semi pushes below the aggregation
+    // (PushDownLeftSemiAntiJoin), so the df shuffle shrinks to the
+    // query terms' postings too — same restriction freezeStats applies
+    // before ITS collect.
     val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .join(broadcast(qdf.select(col("tok")).distinct()), Seq("tok"),
+        "left_semi")
     val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
       .select(col("n"), (col("sumdl").cast("double") / col("n")).as("avgdl"))
     val scored = tf
-      .join(broadcast(queryDf(docs)), "tok")
+      .join(broadcast(qdf), "tok")
       .join(dl, "id")
       .join(broadcast(dfT), "tok")
       .join(broadcast(corpus))
@@ -200,10 +211,19 @@ object Retrieval {
   }
 
   private def prfScorePass(tf: DataFrame, dl: DataFrame, dfT: DataFrame,
-      corpus: DataFrame, qterms: DataFrame): DataFrame = tf
+      corpus: DataFrame, qterms: DataFrame): DataFrame = {
+    // Restrict the df broadcast to THIS pass's query vocabulary
+    // (originals in pass 1, originals + harvested expansion terms in
+    // pass 3) — qterms is |queries|·(orig+fbTerms) rows, so the
+    // broadcast is query-sized, never |vocab|-sized; the left-semi
+    // pushes below dfT's aggregation. Results are unchanged: the
+    // scored stream is already term-restricted by the qterms join.
+    val dfQ = dfT.join(broadcast(qterms.select(col("tok")).distinct()),
+      Seq("tok"), "left_semi")
+    tf
     .join(broadcast(qterms), "tok")
     .join(dl, "id")
-    .join(broadcast(dfT), "tok")
+    .join(broadcast(dfQ), "tok")
     .join(broadcast(corpus))
     .select(col("qid"), col("id"), col("w_micros"),
       contribMicros(col("tf"), col("df"), col("dl"), col("n"),
@@ -212,6 +232,7 @@ object Retrieval {
       "CAST((w_micros * c) div 1000000 AS BIGINT) AS wc")
     .groupBy(col("qid"), col("id"))
     .agg(sum(col("wc")).as("score_micros"))
+  }
 
   private def prfTopK(scored: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))

@@ -133,7 +133,11 @@ object HistStore {
         .collect().map(_.getInt(0)).toSeq.sorted
         .filter(st.buckets.contains)
       if (touched.isEmpty) return
-      val merged = spark.read.parquet(
+      // mergeSchema: same straddle-safe protocol as the shared
+      // scaffold (StateTable.mergeBucketedBySource) — touched buckets
+      // can span a store-schema upgrade, and a plain read would
+      // silently drop the newer column and persist the loss here.
+      val merged = spark.read.option("mergeSchema", "true").parquet(
           touched.map(b => s"$tableDir/b$b/${st.buckets(b)}"): _*)
         .join(delta.drop("b"), Seq("source", "bin"), "left")
         .select(col("source"), col("bin"),

@@ -283,7 +283,12 @@ object Pipeline {
       "h", mBits, probes)
     val bm = typedLit(words.toSeq)
     val hs = graft.ops.Dedup.hashedShingles(col("text"), k)
+    // NULL-text docs must vanish (not emit NULL verdicts that escape
+    // both filter(contaminated) and filter(!contaminated)) — the same
+    // outcome the exact gate produces via its explode, and the X97
+    // null convention the stores use.
     docs
+      .filter(col("text").isNotNull)
       .withColumn("hs", hs)
       .withColumn("n", size(col("hs")))
       .withColumn("common",

@@ -925,9 +925,58 @@ class OpsSpec extends AnyFunSuite {
       Seq((0L, "hello world frame data here ok!!", "s0"))
         .toDF("doc_id", "text", "source")
         .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text"))))
-    // doc_id 0 → kind image → the video frame sampler skips it
-    assert(Multimodal.sampleFrames(media, stride = 16, maxFrames = 4)
+    // doc_id 0 → kind image → the video frame extractor skips it
+    assert(Multimodal.extractFrames(media, stride = 2, maxFrames = 3)
       .collect().isEmpty)
+  }
+
+  test("frame extraction: demux-only sampling matches the fixture law; chunks slice byte-exactly") {
+    val ids = Seq(0L, 1L, 4L, 33L)
+    val media = Multimodal.videoFixture(ids.toDF("doc_id"))
+    val (stride, maxFrames) = (2, 3)
+    val got = Multimodal.extractFrames(media, stride, maxFrames)
+      .collect().map(f => (f.media_id, f.frame_idx, f.width, f.height,
+        f.n_frames, f.frame_micros)).toSet
+    val exp = ids.flatMap { id =>
+      val nf = Multimodal.videoFrameCount(id)
+      (0 until nf).filter(f => f % stride == 0 && f / stride < maxFrames)
+        .map(f => (id, f.toLong, Multimodal.fixtureWidth(id).toLong,
+          Multimodal.fixtureHeight(id).toLong, nf.toLong, f * 40000L))
+    }.toSet
+    assert(got == exp)
+
+    // the byte deliverable: each demuxed chunk is EXACTLY the
+    // independently-encoded still for that (id, frame) — proves the
+    // RIFF walk slices the right byte ranges with no decode involved
+    val codec = new Multimodal.VideoCodec
+    val id = 4L
+    val m = Multimodal.MediaRow(id, "video", codec.encodeFixtureAvi(id),
+      0L, "t")
+    val chunks = codec.extractChunks(m, stride, maxFrames)
+    val sampled = (0 until Multimodal.videoFrameCount(id))
+      .filter(f => f % stride == 0 && f / stride < maxFrames)
+    assert(chunks.size == sampled.size)
+    sampled.zip(chunks).foreach { case (f, chunk) =>
+      // a real PNG payload, untouched by the extractor…
+      assert(chunk.take(4).drop(1).sameElements("PNG".getBytes("US-ASCII")))
+      // …that independently decodes to frame f's pixel law — the
+      // slice grabbed the RIGHT frame's bytes, whole and uncorrupted
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(chunk))
+      assert(img.getWidth == Multimodal.fixtureWidth(id)
+        && img.getHeight == Multimodal.fixtureHeight(id))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == Multimodal.framePixel(id, f, x, y, 0))
+        assert((rgb & 0xff) == Multimodal.framePixel(id, f, x, y, 2))
+      }
+    }
+
+    // non-AVI bytes drop at the magic check — no frames, no error
+    val junk = Seq((9L, "video", "RIFFxxxxNOPE".getBytes("UTF-8"), 1L, "t"))
+      .toDF("media_id", "kind", "content", "n_bytes", "source")
+      .as[Multimodal.MediaRow]
+    assert(Multimodal.extractFrames(junk, 1, 4).collect().isEmpty)
   }
 
   test("substring spans: maximal verbatim run found with exact boundaries") {

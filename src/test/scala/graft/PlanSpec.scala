@@ -491,6 +491,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
     assert(p.contains("BroadcastExchange"), s"totals not broadcast:\n$p")
   }
+  test("BM25/PRF df broadcasts are query-term-restricted, never vocab-sized") {
+    // the df table broadcast must carry a left-semi restriction to the
+    // query-term frame BELOW its aggregation (PushDownLeftSemiAntiJoin):
+    // a plan without any LeftSemi is broadcasting |vocab| rows — the
+    // 100 TB driver-killer. Applies to stage-1 BM25 and both PRF
+    // scoring passes.
+    for (q <- Seq("q_text_bm25", "q_text_rm3")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"no broadcast in $q:\n$p")
+      assert(p.contains("LeftSemi"),
+        s"$q df stats not query-term-restricted before broadcast:\n$p")
+    }
+  }
+
   test("PRF rescoring rides broadcasts; snapshot diff has no pair join") {
     val p = plan("q_text_rm3")
     // query-term sets, df stats and corpus stats must broadcast —

@@ -4,13 +4,29 @@ previous green one on the SHARED query set and fail loud when the warm
 total drifts past the tolerance.
 
 Usage: python3 tools/bench_lock.py NEW_DETAIL PREV_DETAIL [--tol 0.25]
+         [--calib q_text_stats] [--per-query-tol 2.0]
 
 - Compares sum(warm) over queries present in BOTH files (mix shift from
   added/removed queries never trips the lock).
-- Exit 1 if the shared warm total moved more than --tol (default 25%),
-  listing the per-query offenders (worst absolute regressions first).
-- Per-query times are noisy (±10%, worse with a lingering JVM — see
-  NOTES); the lock is on the shared TOTAL, offenders are diagnostics.
+- NORMALIZES by a box factor: box drift moves every query by the same
+  machine factor, so dividing the new times by that factor cancels
+  drift — a real plan regression survives normalization, a slow box
+  doesn't. The factor is the MEDIAN per-query warm ratio over shared
+  queries above a 0.5 s noise floor (robust: a handful of real
+  regressions can't move the median; a single calibration query's own
+  plan change can't poison it — observed when q_text_stats moved 5.7x
+  while the suite moved 2x). The named --calib query's ratio is
+  printed as a cross-check; raw ratio is still enforced at 2*tol as a
+  sanity backstop.
+- Compares WARM-vs-WARM per query: any shared query whose normalized
+  warm time regressed more than --per-query-tol (default 2.0x, floor
+  0.5 s) is listed and fails the lock — a single-query regression can
+  no longer hide inside a flat total.
+- Checks the new detail for warm-over-cold inversions (warm > 1.5x
+  cold AND warm - cold > 2 s): warm runs immediately after cold with
+  caches resident, so a big inversion means the measurement itself is
+  broken (GC pause, box contention) — re-measure rather than commit.
+- Exit 1 on any failure, listing per-query offenders.
 """
 import argparse
 import json
@@ -34,6 +50,8 @@ def main():
     ap.add_argument("new_detail")
     ap.add_argument("prev_detail")
     ap.add_argument("--tol", type=float, default=0.25)
+    ap.add_argument("--calib", default="q_text_stats")
+    ap.add_argument("--per-query-tol", type=float, default=2.0)
     a = ap.parse_args()
     new, prev = load(a.new_detail), load(a.prev_detail)
     key = "queries_warm" if "queries_warm" in new and "queries_warm" in prev \
@@ -42,17 +60,65 @@ def main():
     shared = sorted(set(nw) & set(pw))
     if not shared:
         raise SystemExit("no shared queries between the two details")
+    failed = False
+
+    # -- box factor (drift estimate): median per-query ratio ---------
+    ratios = sorted(nw[q] / pw[q] for q in shared if pw[q] >= 0.5)
+    if ratios:
+        calib = ratios[len(ratios) // 2]
+        print(f"box factor (median of {len(ratios)} per-query ratios "
+              f">=0.5s): {calib:.3f}")
+    else:
+        calib = 1.0
+        print("no shared queries above the 0.5s floor; raw comparison")
+    if a.calib in nw and a.calib in pw and pw[a.calib] > 0:
+        print(f"  cross-check {a.calib}: {pw[a.calib]:.2f} -> "
+              f"{nw[a.calib]:.2f}s (x{nw[a.calib] / pw[a.calib]:.3f})")
+
+    # -- shared-total lock (normalized + raw backstop) ---------------
     tn, tp = sum(nw[q] for q in shared), sum(pw[q] for q in shared)
-    ratio = tn / tp if tp else float("inf")
+    raw = tn / tp if tp else float("inf")
+    norm = raw / calib
     print(f"shared={len(shared)} ({key}) new={tn:.1f}s prev={tp:.1f}s "
-          f"ratio={ratio:.3f} tol=±{a.tol:.0%}")
+          f"raw={raw:.3f} normalized={norm:.3f} tol=±{a.tol:.0%}")
     deltas = sorted(((nw[q] - pw[q], q) for q in shared), reverse=True)
     for d, q in deltas[:8]:
         if abs(d) > 0.25:
             print(f"  {q}: {pw[q]:.2f} -> {nw[q]:.2f}  ({d:+.2f}s)")
-    if ratio > 1 + a.tol:
-        print(f"FAIL: shared warm total regressed {ratio - 1:+.0%} "
-              f"(> {a.tol:.0%}); offenders above")
+    if norm > 1 + a.tol:
+        print(f"FAIL: shared warm total regressed {norm - 1:+.0%} "
+              f"normalized (> {a.tol:.0%}); offenders above")
+        failed = True
+    elif raw > 1 + 2 * a.tol:
+        print(f"FAIL: raw ratio {raw:.2f} exceeds sanity backstop "
+              f"{1 + 2 * a.tol:.2f} — calibration factor {calib:.2f} "
+              f"is hiding too much; re-measure on a quiet box")
+        failed = True
+
+    # -- per-query warm-vs-warm lock ----------------------------------
+    per_bad = []
+    for q in shared:
+        if pw[q] < 0.5 and nw[q] < 0.5:
+            continue  # noise floor
+        r = (nw[q] / calib) / pw[q] if pw[q] > 0 else float("inf")
+        if r > a.per_query_tol and nw[q] / calib - pw[q] > 0.5:
+            per_bad.append((r, q))
+    for r, q in sorted(per_bad, reverse=True):
+        print(f"FAIL per-query: {q} {pw[q]:.2f} -> {nw[q]:.2f}s "
+              f"(normalized x{r:.2f} > x{a.per_query_tol:.1f})")
+    failed = failed or bool(per_bad)
+
+    # -- warm-over-cold inversion check on the NEW detail -------------
+    nc = new.get("queries")
+    if nc and key == "queries_warm":
+        for q in sorted(nw):
+            c, w = nc.get(q), nw[q]
+            if c and w > 1.5 * c and w - c > 2.0:
+                print(f"FAIL inversion: {q} warm {w:.2f}s > 1.5x cold "
+                      f"{c:.2f}s — measurement is broken, re-run")
+                failed = True
+
+    if failed:
         sys.exit(1)
     print("PASS")
 
