@@ -92,13 +92,24 @@ object Bench {
     println(detailJson)
     // the stdout tail the driver keeps has truncated this line every
     // round (sample-limited judge comparisons) — persist the full
-    // per-query map as a FILE artifact too
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_DETAIL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (detailJson + "\n").getBytes("UTF-8"))
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    // per-query map as a FILE artifact too. Details are PER-SF files
+    // (BENCH_DETAIL.sf0.1.json etc.): a cross-SF gate run must never
+    // clobber the sf0.1 per-query reference tools/bench_lock.py
+    // compares against (the round-9 trap: an sf0.001 run silently
+    // replaced the lock baseline). The un-suffixed BENCH_DETAIL.json
+    // is additionally kept as the lock's canonical path, written ONLY
+    // for sf0.1 runs.
+    val sfBase = new java.io.File(sfDir).getName // e.g. "sf0.1"
+    val detailPaths = sys.env.get("SPARK_GRAFT_BENCH_DETAIL")
+      .map(Seq(_))
+      .getOrElse(Seq(s"BENCH_DETAIL.$sfBase.json") ++
+        (if (sfBase == "sf0.1") Seq("BENCH_DETAIL.json") else Nil))
+    detailPaths.foreach { detailPath =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (detailJson + "\n").getBytes("UTF-8"))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+      }
     }
     // the driver keeps only a ~2000-char stdout TAIL: at 90+ queries a
     // full per-query map no longer fits, so the FINAL line carries the

@@ -49,8 +49,9 @@ import org.apache.spark.sql.functions._
   * demuxes RIFF/AVI (avih header, movi frame chunks) and decodes
   * each sampled frame with ImageIO — the MJPEG/MPNG family. The one
   * honestly-absent piece is an inter-frame codec (H.264 etc.; the
-  * JDK ships none), plus the byte-slice [[StubCodec]] sampler kept
-  * as the pre-demux plumbing proof.
+  * JDK ships none). The round-8 byte-slice stub sampler is deleted;
+  * frame extraction is demux-only ([[VideoCodec.extractFrames]]) and
+  * spec-proven byte-exact against independent still encodes.
   */
 object Multimodal {
 

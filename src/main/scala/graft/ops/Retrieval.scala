@@ -268,7 +268,16 @@ object Retrieval {
   def prfExpandTopK(docs: DataFrame, idCol: String, textCol: String,
       k: Int, fbDocs: Int, fbTerms: Int): DataFrame = {
     val (tf, dl, dfT, corpus, orig) = prfIndex(docs, idCol, textCol)
-    val qterms = prfQueryTerms(tf, dl, dfT, corpus, orig, fbDocs, fbTerms)
+    // The expanded query is an EXPENSIVE subtree (it embeds the whole
+    // pass-1 scoring + harvest window), and the rescore references it
+    // from two separate exchanges (the qterms broadcast and the df
+    // restriction's distinct) — each broadcast executes its subtree
+    // independently, so without a cache pass 1 runs once per
+    // reference (the r9 q_text_rm3 warm inversion). Cache-once
+    // collapses that to one build; the frame is |queries|·(orig +
+    // fbTerms) rows, so the cache is query-sized at any corpus scale.
+    val qterms = Caching.cachedOnce(
+      prfQueryTerms(tf, dl, dfT, corpus, orig, fbDocs, fbTerms))
     prfTopK(prfScorePass(tf, dl, dfT, corpus, qterms), k)
       .select(col("qid"), col("rank"), col("id").as("doc_id"),
         col("score_micros"))

@@ -174,6 +174,15 @@ object BinlogClient {
 
   // --------------------------------------------------------------- dump
 
+  /** One drained dump: the raw wire events (verbatim packet bodies,
+    * virtual log_pos-0 preamble events excluded), the decoded
+    * changes/rotate, and the resume position — the last real event's
+    * `next_position`, i.e. the master-stamped continuation offset
+    * (== `startPos` when the suffix was empty).
+    */
+  final case class Fetched(events: IndexedSeq[Array[Byte]],
+      decoded: Binlog.Decoded, endPos: Long)
+
   /** Connect, authenticate, register as a replica, and drain the
     * binlog from `(filename, startPos)` to the server's current end
     * (NON_BLOCK). Returns the decoded changes with TRUE file offsets
@@ -183,7 +192,16 @@ object BinlogClient {
     * over the wire instead.
     */
   def dump(host: String, port: Int, user: String, password: String,
-      serverId: Long, filename: String, startPos: Long): Binlog.Decoded = {
+      serverId: Long, filename: String, startPos: Long): Binlog.Decoded =
+    fetch(host, port, user, password, serverId, filename, startPos).decoded
+
+  /** [[dump]] plus the raw bytes and resume offset — what
+    * [[ChangeLog.syncFromMaster]] mirrors into local `.binlog`
+    * segments (the wire events are byte-identical to file events, so
+    * the mirrored segment is byte-equal to the master's file suffix).
+    */
+  def fetch(host: String, port: Int, user: String, password: String,
+      serverId: Long, filename: String, startPos: Long): Fetched = {
     val socket = new Socket(host, port)
     try {
       val in = new DataInputStream(socket.getInputStream)
@@ -211,7 +229,16 @@ object BinlogClient {
           case b => throw new ProtocolException(f"unexpected 0x$b%02x in dump")
         }
       }
-      decodeStream(events.result())
+      val all = events.result()
+      // virtual preamble events (the server re-sends the format
+      // description with log_pos 0 at the head of every dump) carry
+      // no file position and must not reach the mirror's byte-append
+      def logPos(e: Array[Byte]): Long =
+        (e(13) & 0xffL) | ((e(14) & 0xffL) << 8) |
+          ((e(15) & 0xffL) << 16) | ((e(16) & 0xffL) << 24)
+      val real = all.filter(e => e.length >= 19 && logPos(e) != 0L)
+      Fetched(real, decodeStream(all),
+        real.lastOption.map(logPos).getOrElse(startPos))
     } finally socket.close()
   }
 

@@ -87,6 +87,86 @@ object ChangeLog {
 
   def isBinlog(path: String): Boolean = path.endsWith(".binlog")
 
+  /** Mirror state of [[syncFromMaster]]: the (filename, pos) resume
+    * pair — exactly the reference's SQLite offsets row
+    * (reference/src/main.rs:238-255), persisted as a sidecar JSON in
+    * the log directory (not a `.binlog`/`.jsonl` suffix, so
+    * [[listLogFiles]] never serves it as a segment).
+    */
+  final case class MasterState(filename: String, pos: Long)
+
+  private def stateFile(dir: String) =
+    new java.io.File(dir, "_binlog_master.json")
+
+  def readMasterState(dir: String): Option[MasterState] = {
+    val f = stateFile(dir)
+    if (!f.isFile) None
+    else {
+      val n = new ObjectMapper().readTree(f)
+      Some(MasterState(n.get("filename").asText, n.get("pos").asLong))
+    }
+  }
+
+  private def writeMasterState(dir: String, s: MasterState): Unit =
+    java.nio.file.Files.write(stateFile(dir).toPath,
+      s"""{"filename":"${s.filename}","pos":${s.pos}}""".getBytes("UTF-8"))
+
+  /** LIVE ingest (S1's network half): pull the master's binlog over
+    * the wire ([[BinlogClient.fetch]] — handshake, REGISTER_SLAVE,
+    * BINLOG_DUMP NON_BLOCK) and mirror the streamed events into local
+    * `.binlog` segments in `dir`, one per master file, following
+    * rotates until the master has no more. The wire events are
+    * byte-identical to file events, so a fully-mirrored segment is
+    * byte-equal to the master's file and the existing DSv2 source
+    * ([[ChangeLogSource]]) serves it through the SAME decode and
+    * (fileIdx, row) offset machinery — the wire client replaces only
+    * the directory listing's feed, exactly as [[Binlog]]'s scaladoc
+    * promised. The (filename, pos) resume pair persists in a sidecar
+    * (`_binlog_master.json`); repeated calls are incremental
+    * (each dump starts at the last mirrored event's master-stamped
+    * `next_position`).
+    *
+    * Integration-gated like the Kafka sink
+    * ([[graft.streaming.Sink.kafkaSink]]): returns None (and opens no
+    * socket) unless a `host:port` master is supplied — by default
+    * from `SPARK_GRAFT_BINLOG_MASTER`.
+    */
+  def syncFromMaster(dir: String,
+      master: Option[String] = sys.env.get("SPARK_GRAFT_BINLOG_MASTER"),
+      user: String = sys.env.getOrElse("SPARK_GRAFT_BINLOG_USER", "repl"),
+      password: String = sys.env.getOrElse("SPARK_GRAFT_BINLOG_PASSWORD", ""),
+      serverId: Long = 7777L,
+      firstFile: String = "binlog.000001"): Option[MasterState] =
+    master.map { hp =>
+      val (host, port) = hp.lastIndexOf(':') match {
+        case i if i > 0 => (hp.substring(0, i), hp.substring(i + 1).toInt)
+        case _ => (hp, 3306)
+      }
+      new java.io.File(dir).mkdirs()
+      var state = readMasterState(dir).getOrElse(MasterState(firstFile, 4L))
+      var more = true
+      while (more) {
+        val f = BinlogClient.fetch(host, port, user, password, serverId,
+          state.filename, state.pos)
+        if (f.events.nonEmpty) {
+          val local = new java.io.File(dir, state.filename + ".binlog")
+          val out = new java.io.FileOutputStream(local, true)
+          try {
+            if (local.length() == 0L) out.write(Binlog.Magic)
+            f.events.foreach(out.write)
+          } finally out.close()
+        }
+        state = f.decoded.rotate match {
+          // a rotate whose target we just crossed into: resume there
+          case Some(r) => MasterState(r.nextFile, math.max(r.pos, 4L))
+          case None => MasterState(state.filename, math.max(f.endPos, state.pos))
+        }
+        more = f.decoded.rotate.isDefined
+        writeMasterState(dir, state)
+      }
+      state
+    }
+
   /** Row count of one segment — lines for JSONL, decoded row-changes
     * for binlog (events are not rows: a multi-row WRITE_ROWS is
     * several, a TABLE_MAP is none).

@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Binlog, BinlogClient, ChangeLog}
+import graft.sources.Binlog._
+import BinlogFixture._
+
+/** The replica WIRE client (SURVEY §2.1 S1's network half; reference
+  * src/main.rs:222-228 `get_binlog_stream`) against a scripted master
+  * socket ([[BinlogMasterFixture]]): handshake + scramble verified
+  * byte-for-byte by the SERVER side, dump == file decode including a
+  * mid-segment resume (the true-offset rebase), ERR paths, and the
+  * env-gated mirror ingest ([[ChangeLog.syncFromMaster]]) feeding the
+  * unchanged DSv2 source.
+  */
+class BinlogClientSpec extends AnyFunSuite {
+
+  private val T = Seq(TypeLong, TypeVarchar)
+  private val M = Seq(0, 64)
+
+  private def seg1: Array[Byte] = file(Seq(
+    (1700000000L, FormatDescription, fdePayload()),
+    (1700000001L, TableMapEvent, tableMapPayload(7, "db0", "users", T, M)),
+    (1700000001L, WriteRowsV2,
+      rowsPayload(7, T, M, Seq(Seq(I(1), S("a")), Seq(I(2), S("b"))))),
+    (1700000002L, TableMapEvent, tableMapPayload(7, "db0", "users", T, M)),
+    (1700000002L, UpdateRowsV2,
+      updateRowsPayload(7, T, M, Seq((Seq(I(1), S("a")), Seq(I(1), S("a2")))))),
+    (1700000003L, Rotate, rotatePayload("fix-bin.000002"))))
+
+  private def seg2Events(extra: Boolean) = Seq(
+    (1700000010L, FormatDescription, fdePayload()),
+    (1700000011L, TableMapEvent, tableMapPayload(7, "db0", "users", T, M)),
+    (1700000011L, DeleteRowsV2, rowsPayload(7, T, M, Seq(Seq(I(2), S("b")))))
+  ) ++ (if (extra) Seq(
+    (1700000012L, TableMapEvent, tableMapPayload(7, "db0", "users", T, M)),
+    (1700000012L, WriteRowsV2, rowsPayload(7, T, M, Seq(Seq(I(3), S("c")))))
+  ) else Nil)
+
+  private def seg2: Array[Byte] = file(seg2Events(extra = false))
+  private def seg2Grown: Array[Byte] = file(seg2Events(extra = true))
+
+  /** (event type, file offset) walk of a fixture file's headers. */
+  private def eventOffsets(bytes: Array[Byte]): Seq[(Int, Long)] = {
+    var p = 4
+    val out = Seq.newBuilder[(Int, Long)]
+    while (p + 19 <= bytes.length) {
+      val typ = bytes(p + 4) & 0xff
+      val size = ((bytes(p + 9) & 0xffL) | ((bytes(p + 10) & 0xffL) << 8) |
+        ((bytes(p + 11) & 0xffL) << 16) |
+        ((bytes(p + 12) & 0xffL) << 24)).toInt
+      out += ((typ, p.toLong))
+      p += size
+    }
+    out.result()
+  }
+
+  private def withMaster[A](password: String,
+      segs: Map[String, Array[Byte]])(f: BinlogMasterFixture => A): A = {
+    val m = new BinlogMasterFixture(password, segs)
+    try f(m) finally m.close()
+  }
+
+  test("native-password scramble: empty password and 20-byte shape") {
+    assert(BinlogClient.nativePasswordScramble("", Array.fill[Byte](20)(1)).isEmpty)
+    val s = BinlogClient.nativePasswordScramble("secret",
+      Array.tabulate[Byte](20)(_.toByte))
+    assert(s.length == 20)
+  }
+
+  test("full dump over the socket == Binlog.decodeFile, rotate included") {
+    withMaster("secret", Map("fix-bin.000001" -> seg1)) { m =>
+      val d = BinlogClient.dump("127.0.0.1", m.port, "repl", "secret",
+        99L, "fix-bin.000001", 4L)
+      val exp = Binlog.decodeFile(seg1)
+      assert(d.changes == exp.changes) // values AND true positions
+      assert(d.rotate == exp.rotate)
+      assert(m.registeredServerIds.contains(99L))
+      // the master verified the scramble byte-for-byte with its OWN
+      // composition before serving; pin the bytes it saw against the
+      // client's published function
+      assert(java.util.Arrays.equals(m.lastAuth,
+        BinlogClient.nativePasswordScramble("secret", m.salt)))
+      assert(m.lastUser == "repl")
+    }
+  }
+
+  test("mid-segment resume reports TRUE file offsets (the rebase)") {
+    val mapOffsets = eventOffsets(seg1).filter(_._1 == TableMapEvent)
+    assert(mapOffsets.size == 2)
+    val resumeAt = mapOffsets(1)._2 // second statement's TABLE_MAP
+    withMaster("secret", Map("fix-bin.000001" -> seg1)) { m =>
+      val d = BinlogClient.dump("127.0.0.1", m.port, "repl", "secret",
+        99L, "fix-bin.000001", resumeAt)
+      val exp = Binlog.decodeFile(seg1)
+      // same suffix a file decode of the WHOLE segment reports from
+      // resumeAt on — including each change's absolute position, which
+      // the wire stream cannot know from buffer offsets alone
+      assert(d.changes == exp.changes.filter(_.pos >= resumeAt))
+      assert(d.changes.nonEmpty && d.changes.head.op == graft.cdc.ChangeOp.Update)
+      assert(d.rotate == exp.rotate)
+    }
+  }
+
+  test("wrong password: the master's independent scramble check ERRs") {
+    withMaster("secret", Map("fix-bin.000001" -> seg1)) { m =>
+      val e = intercept[BinlogClient.ProtocolException] {
+        BinlogClient.dump("127.0.0.1", m.port, "repl", "WRONG",
+          99L, "fix-bin.000001", 4L)
+      }
+      assert(e.getMessage.contains("1045") &&
+        e.getMessage.contains("Access denied"))
+    }
+  }
+
+  test("unknown segment name: server ERR 1236 surfaces") {
+    withMaster("secret", Map("fix-bin.000001" -> seg1)) { m =>
+      val e = intercept[BinlogClient.ProtocolException] {
+        BinlogClient.dump("127.0.0.1", m.port, "repl", "secret",
+          99L, "no-such-bin.000009", 4L)
+      }
+      assert(e.getMessage.contains("1236"))
+    }
+  }
+
+  test("mirror ingest: socket -> byte-equal local segments -> DSv2 source") {
+    val spark = TestSpark.spark
+    val dir = Files.createTempDirectory("binlog_mirror").toString
+    withMaster("secret",
+        Map("fix-bin.000001" -> seg1, "fix-bin.000002" -> seg2)) { m =>
+      // gated: no master configured -> no socket, no files
+      assert(ChangeLog.syncFromMaster(dir, None).isEmpty)
+
+      val st = ChangeLog.syncFromMaster(dir, Some(s"127.0.0.1:${m.port}"),
+        user = "repl", password = "secret", serverId = 5L,
+        firstFile = "fix-bin.000001").get
+      // followed the rotate and drained the active segment to its end
+      assert(st == ChangeLog.MasterState("fix-bin.000002", seg2.length.toLong))
+      // mirrored segments are BYTE-EQUAL to the master's files (wire
+      // events are file events; the virtual preamble never lands)
+      def local(n: String) =
+        Files.readAllBytes(java.nio.file.Paths.get(dir, n + ".binlog"))
+      assert(java.util.Arrays.equals(local("fix-bin.000001"), seg1))
+      assert(java.util.Arrays.equals(local("fix-bin.000002"), seg2))
+
+      // the unchanged DSv2 source serves the mirrored log
+      val df = spark.read.format("graft-changelog").option("path", dir).load()
+      assert(df.count() == 4) // 2 inserts + 1 update + 1 delete
+      assert(df.filter(org.apache.spark.sql.functions.col("op") === "Delete")
+        .count() == 1)
+
+      // incremental resume: grow the active segment on the master,
+      // sync again — the dump starts at the persisted pos (not 4) and
+      // only the suffix is appended
+      m.segments = Map("fix-bin.000001" -> seg1, "fix-bin.000002" -> seg2Grown)
+      val st2 = ChangeLog.syncFromMaster(dir, Some(s"127.0.0.1:${m.port}"),
+        user = "repl", password = "secret", serverId = 5L,
+        firstFile = "fix-bin.000001").get
+      assert(st2 == ChangeLog.MasterState("fix-bin.000002",
+        seg2Grown.length.toLong))
+      val lastDump = {
+        val it = m.dumps.iterator(); var d = it.next(); while (it.hasNext) d = it.next(); d
+      }
+      assert(lastDump == (("fix-bin.000002", seg2.length.toLong)))
+      assert(java.util.Arrays.equals(local("fix-bin.000002"), seg2Grown))
+      assert(spark.read.format("graft-changelog").option("path", dir).load()
+        .count() == 5)
+    }
+  }
+}

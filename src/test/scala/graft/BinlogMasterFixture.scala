@@ -1,0 +1,213 @@
+package graft
+
+import java.io.{DataInputStream, OutputStream}
+import java.net.{InetAddress, ServerSocket, SocketException}
+
+/** Scripted MySQL MASTER fixture — the server half of the replica
+  * wire protocol [[graft.sources.BinlogClient]] speaks, so the
+  * client's handshake parsing, `mysql_native_password` scramble,
+  * REGISTER_SLAVE/BINLOG_DUMP layouts and dump-stream draining are
+  * exercised against a real socket, byte-for-byte. The fixture:
+  *
+  *  - serves HandshakeV10 with a FIXED 20-byte salt (split 8 + 12+NUL
+  *    across the two auth-data parts, exactly the server layout);
+  *  - parses HandshakeResponse41 and verifies the client's scramble
+  *    against its OWN independently-written composition
+  *    `SHA1(pwd) XOR SHA1(salt ++ SHA1(SHA1(pwd)))` — a wrong
+  *    password (or a wrong client composition) gets the real ERR
+  *    1045 packet;
+  *  - accepts COM_REGISTER_SLAVE (recording the server id) and
+  *    COM_BINLOG_DUMP (recording the (filename, pos) resume pair);
+  *  - streams the requested segment's events from byte offset `pos`
+  *    as dump packets (`0x00` + event), preceded by the virtual
+  *    format-description preamble with log_pos ZEROED (what a real
+  *    master sends at the head of every dump), then the 5-byte EOF
+  *    packet (NON_BLOCK semantics: EOF at log end, no parking).
+  *
+  * Framing and parsing here are written independently of the client
+  * (own byte helpers) — the spec is client bytes vs server bytes,
+  * not one implementation vs itself.
+  */
+final class BinlogMasterFixture(password: String,
+    @volatile var segments: Map[String, Array[Byte]]) extends AutoCloseable {
+
+  /** Fixed handshake salt (20 bytes, deterministic). */
+  val salt: Array[Byte] = Array.tabulate[Byte](20)(i => (i * 7 + 3).toByte)
+
+  // observability for the spec
+  @volatile var lastAuth: Array[Byte] = Array.emptyByteArray
+  @volatile var lastUser: String = ""
+  val registeredServerIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+  val dumps = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]
+
+  private val server =
+    new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    try while (true) {
+      val s = server.accept()
+      try serve(s)
+      catch { case _: Exception => () } // one bad session ≠ dead master
+      finally s.close()
+    } catch { case _: SocketException => () } // closed
+  }, "binlog-master-fixture")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = server.close()
+
+  // ------------------------------------------------------------ bytes
+
+  private def u16le(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+
+  private def readPacket(in: DataInputStream): Array[Byte] = {
+    val h = new Array[Byte](4)
+    in.readFully(h)
+    val len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
+    val body = new Array[Byte](len)
+    in.readFully(body)
+    body
+  }
+
+  private def writePacket(out: OutputStream, seq: Int,
+      body: Array[Byte]): Unit = {
+    out.write(body.length & 0xff)
+    out.write((body.length >> 8) & 0xff)
+    out.write((body.length >> 16) & 0xff)
+    out.write(seq & 0xff)
+    out.write(body)
+    out.flush()
+  }
+
+  private def okPacket: Array[Byte] =
+    Array[Byte](0x00, 0x00, 0x00, 0x02, 0x00, 0x00, 0x00)
+
+  private def errPacket(code: Int, state: String, msg: String): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(0xff); b.write(code & 0xff); b.write((code >> 8) & 0xff)
+    b.write('#'); b.write(state.getBytes("UTF-8").take(5))
+    b.write(msg.getBytes("UTF-8"))
+    b.toByteArray
+  }
+
+  private def eofPacket: Array[Byte] =
+    Array[Byte](0xfe.toByte, 0x00, 0x00, 0x02, 0x00)
+
+  // -------------------------------------------------------- handshake
+
+  private def handshakeV10: Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = b.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Unit = (0 until 4).foreach(i => u8((v >> (8 * i)).toInt))
+    u8(10) // protocol version
+    b.write("8.0.99-graft-master".getBytes("UTF-8")); u8(0)
+    u32(42L) // thread id
+    b.write(salt, 0, 8); u8(0) // auth-plugin-data-part-1 + filler
+    u16(0xffff) // capability flags (lower)
+    u8(33) // charset utf8_general_ci
+    u16(0x0002) // status: autocommit
+    u16(0x0008) // capability flags (upper): CLIENT_PLUGIN_AUTH
+    u8(21) // auth plugin data len: 20 salt + trailing NUL
+    (0 until 10).foreach(_ => u8(0)) // reserved
+    b.write(salt, 8, 12); u8(0) // part-2: max(13, 21-8) incl. NUL
+    b.write("mysql_native_password".getBytes("UTF-8")); u8(0)
+    b.toByteArray
+  }
+
+  /** The server-side expectation, composed independently of
+    * [[graft.sources.BinlogClient.nativePasswordScramble]]:
+    * stage-wise update/digest instead of concat-then-digest.
+    */
+  private def expectedScramble(pwd: String): Array[Byte] = {
+    if (pwd.isEmpty) return Array.emptyByteArray
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val h1 = md.digest(pwd.getBytes("UTF-8"))
+    md.reset()
+    val h2 = md.digest(h1)
+    md.reset()
+    md.update(salt)
+    md.update(h2)
+    val h3 = md.digest()
+    h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
+  }
+
+  private def parseAuthResponse(body: Array[Byte]): (String, Array[Byte]) = {
+    // caps u32, max-packet u32, charset u8, 23 reserved
+    var p = 4 + 4 + 1 + 23
+    val uEnd = body.indexOf(0.toByte, p)
+    val user = new String(body.slice(p, uEnd), "UTF-8"); p = uEnd + 1
+    val n = body(p) & 0xff; p += 1
+    (user, body.slice(p, p + n))
+  }
+
+  // ------------------------------------------------------------ serve
+
+  private def serve(s: java.net.Socket): Unit = {
+    val in = new DataInputStream(s.getInputStream)
+    val out = s.getOutputStream
+
+    writePacket(out, 0, handshakeV10)
+    val (user, auth) = parseAuthResponse(readPacket(in))
+    lastUser = user
+    lastAuth = auth
+    if (!java.util.Arrays.equals(auth, expectedScramble(password))) {
+      writePacket(out, 2, errPacket(1045, "28000",
+        s"Access denied for user '$user'"))
+      return
+    }
+    writePacket(out, 2, okPacket)
+
+    val reg = readPacket(in)
+    if ((reg(0) & 0xff) != 0x15) {
+      writePacket(out, 1, errPacket(1047, "08S01", "expected REGISTER_SLAVE"))
+      return
+    }
+    registeredServerIds.add(u32le(reg, 1))
+    writePacket(out, 1, okPacket)
+
+    val dump = readPacket(in)
+    if ((dump(0) & 0xff) != 0x12) {
+      writePacket(out, 1, errPacket(1047, "08S01", "expected BINLOG_DUMP"))
+      return
+    }
+    val pos = u32le(dump, 1)
+    // flags u16 at 5, server_id u32 at 7, filename from 11
+    val filename = new String(dump.drop(11), "UTF-8")
+    dumps.add((filename, pos))
+
+    segments.get(filename) match {
+      case None =>
+        writePacket(out, 1, errPacket(1236, "HY000",
+          s"Could not find first log file name in binary log index file ($filename)"))
+      case Some(bytes) =>
+        var seq = 1
+        def send(ev: Array[Byte]): Unit = {
+          val b = new Array[Byte](ev.length + 1)
+          b(0) = 0x00
+          System.arraycopy(ev, 0, b, 1, ev.length)
+          writePacket(out, seq, b); seq += 1
+        }
+        // virtual preamble: the file's format-description event with
+        // log_pos zeroed — sent at the head of EVERY dump
+        if (bytes.length >= 4 + 19) {
+          val size = u32le(bytes, 4 + 9).toInt
+          val pre = java.util.Arrays.copyOfRange(bytes, 4, 4 + size)
+          pre(13) = 0; pre(14) = 0; pre(15) = 0; pre(16) = 0
+          send(pre)
+        }
+        var p = 4
+        while (p + 19 <= bytes.length) {
+          val size = u32le(bytes, p + 9).toInt
+          if (p >= pos) send(java.util.Arrays.copyOfRange(bytes, p, p + size))
+          p += size
+        }
+        writePacket(out, seq, eofPacket)
+    }
+  }
+}

@@ -5,6 +5,17 @@ total drifts past the tolerance.
 
 Usage: python3 tools/bench_lock.py NEW_DETAIL PREV_DETAIL [--tol 0.25]
          [--calib q_text_stats] [--per-query-tol 2.0]
+         [--allow tools/bench_allow.json]
+
+- An ALLOWLIST (--allow, default tools/bench_allow.json if present)
+  waives NAMED per-query regressions/inversions: a JSON object of
+  {query: reason}. A waived query prints WAIVED with its reason
+  instead of failing — the attribution lives next to the lock, not in
+  a side channel. The shared-total lock is NEVER waived (a page of
+  allowances can't hide an aggregate regression), and stale entries
+  are flagged: an allowlisted query that did NOT regress prints a
+  "stale allow" warning so entries get retired the round after they
+  land.
 
 - Compares sum(warm) over queries present in BOTH files (mix shift from
   added/removed queries never trips the lock).
@@ -52,7 +63,23 @@ def main():
     ap.add_argument("--tol", type=float, default=0.25)
     ap.add_argument("--calib", default="q_text_stats")
     ap.add_argument("--per-query-tol", type=float, default=2.0)
+    ap.add_argument("--allow", default=None,
+                    help="JSON {query: reason} waiving named per-query "
+                         "regressions/inversions (default: "
+                         "tools/bench_allow.json when it exists)")
     a = ap.parse_args()
+    import os
+    allow_path = a.allow
+    if allow_path is None:
+        cand = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_allow.json")
+        allow_path = cand if os.path.exists(cand) else None
+    allow = {}
+    if allow_path:
+        with open(allow_path) as f:
+            allow = json.load(f)
+        print(f"allowlist: {len(allow)} entries from {allow_path}")
+    waived = set()
     new, prev = load(a.new_detail), load(a.prev_detail)
     key = "queries_warm" if "queries_warm" in new and "queries_warm" in prev \
         else "queries"
@@ -104,9 +131,14 @@ def main():
         if r > a.per_query_tol and nw[q] / calib - pw[q] > 0.5:
             per_bad.append((r, q))
     for r, q in sorted(per_bad, reverse=True):
-        print(f"FAIL per-query: {q} {pw[q]:.2f} -> {nw[q]:.2f}s "
-              f"(normalized x{r:.2f} > x{a.per_query_tol:.1f})")
-    failed = failed or bool(per_bad)
+        if q in allow:
+            waived.add(q)
+            print(f"WAIVED per-query: {q} {pw[q]:.2f} -> {nw[q]:.2f}s "
+                  f"(normalized x{r:.2f}) — {allow[q]}")
+        else:
+            print(f"FAIL per-query: {q} {pw[q]:.2f} -> {nw[q]:.2f}s "
+                  f"(normalized x{r:.2f} > x{a.per_query_tol:.1f})")
+            failed = True
 
     # -- warm-over-cold inversion check on the NEW detail -------------
     nc = new.get("queries")
@@ -114,13 +146,21 @@ def main():
         for q in sorted(nw):
             c, w = nc.get(q), nw[q]
             if c and w > 1.5 * c and w - c > 2.0:
-                print(f"FAIL inversion: {q} warm {w:.2f}s > 1.5x cold "
-                      f"{c:.2f}s — measurement is broken, re-run")
-                failed = True
+                if q in allow:
+                    waived.add(q)
+                    print(f"WAIVED inversion: {q} warm {w:.2f}s > 1.5x "
+                          f"cold {c:.2f}s — {allow[q]}")
+                else:
+                    print(f"FAIL inversion: {q} warm {w:.2f}s > 1.5x cold "
+                          f"{c:.2f}s — measurement is broken, re-run")
+                    failed = True
+
+    for q in sorted(set(allow) - waived):
+        print(f"stale allow: {q} did not trip this run — retire its entry")
 
     if failed:
         sys.exit(1)
-    print("PASS")
+    print("PASS" + (f" ({len(waived)} waived)" if waived else ""))
 
 
 if __name__ == "__main__":
