@@ -65,7 +65,12 @@ object Bench {
     }
 
     run("q_cdc_changes") // warmup, untimed
+    // optional subset (comma-separated) — the sf1.0 scale point runs
+    // only the heavy residents, not the whole 138-query sweep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // the warm run follows its cold run immediately, while that
     // query's own cached bases are still resident
     val results = names.map { n =>
@@ -100,10 +105,14 @@ object Bench {
     // is additionally kept as the lock's canonical path, written ONLY
     // for sf0.1 runs.
     val sfBase = new java.io.File(sfDir).getName // e.g. "sf0.1"
+    // a SUBSET run (SPARK_GRAFT_BENCH_ONLY) must never overwrite a
+    // full sweep's detail — it lands in a .partial file instead
+    val suffix = if (only.isDefined) ".partial" else ""
     val detailPaths = sys.env.get("SPARK_GRAFT_BENCH_DETAIL")
       .map(Seq(_))
-      .getOrElse(Seq(s"BENCH_DETAIL.$sfBase.json") ++
-        (if (sfBase == "sf0.1") Seq("BENCH_DETAIL.json") else Nil))
+      .getOrElse(Seq(s"BENCH_DETAIL.$sfBase$suffix.json") ++
+        (if (sfBase == "sf0.1" && only.isEmpty) Seq("BENCH_DETAIL.json")
+         else Nil))
     detailPaths.foreach { detailPath =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detailJson + "\n").getBytes("UTF-8"))

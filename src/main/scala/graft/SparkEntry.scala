@@ -1223,6 +1223,17 @@ object SparkEntry {
         nShards = 16,
         "target/qtmp/shards_" + dir.replaceAll("[^0-9a-zA-Z.]", "_"))),
 
+    // X124 WET export: the crawl chain's exit — per-doc extracted
+    // text re-framed as WARC `conversion` records (.warc.wet.gz,
+    // gzip member per record, file per shard task), read back
+    // through the standard reader and proven LOSSLESS per shard
+    // (X84 checksum scheme; oracle recomputes from the original
+    // table without seeing a written byte).
+    "q_io_wet" -> ((s, dir) =>
+      IoFormats.wetExport(T(s, dir, "documents"), "doc_id", "text",
+        nShards = 8,
+        "target/qtmp/wet_" + dir.replaceAll("[^0-9a-zA-Z.]", "_"))),
+
     // X123 URL canonicalization + URL-level dedup: every logical page
     // in the messy fixture appears twice (scheme/host case, default
     // port, trailing slash, unsorted params, fragment vs clean) and
@@ -2151,6 +2162,9 @@ object SparkEntry {
     "q_io_shards" ->
       (IoFormats.shardedExportSql("doc_id", "text", "documents",
         nShards = 16) + " ORDER BY shard"),
+
+    "q_io_wet" ->
+      IoFormats.wetExportSql("doc_id", "text", "documents", nShards = 8),
 
     "q_text_entropy" ->
       (TextAnalysis.charEntropySql("doc_id", "text", "documents")

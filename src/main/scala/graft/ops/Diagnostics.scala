@@ -107,7 +107,11 @@ object Diagnostics {
     val shift = (id / lit(HalfSub.toLong)).cast("long") - lit(1L)
     val u = id - lit(HalfSub.toLong) * shift
     val p = pow(lit(2.0), shift.cast("double")).cast("long")
-    when(id < lit(SubCount.toLong), id).otherwise((u + lit(1L)) * p - lit(1L))
+    // u*p + (p-1), NOT (u+1)*p - 1: for the top bin (u = 15,
+    // shift = 59) the latter's intermediate 16*2^59 = 2^63 overflows
+    // (ANSI error); the re-association peaks at exactly Long.MaxValue
+    when(id < lit(SubCount.toLong), id)
+      .otherwise(u * p + (p - lit(1L)))
   }
 
   def binLoSql(id: String): String = {
@@ -120,8 +124,10 @@ object Diagnostics {
   def binHiSql(id: String): String = {
     val shift = s"(($id) // $HalfSub - 1)"
     val p = s"CAST(pow(2, $shift) AS BIGINT)"
+    // same re-association as binHi: (u+1)*p would overflow BIGINT on
+    // the top bin before the -1 brings it back in range
     s"(CASE WHEN ($id) < $SubCount THEN ($id) " +
-      s"ELSE (($id) - $HalfSub * $shift + 1) * $p - 1 END)::BIGINT"
+      s"ELSE (($id) - $HalfSub * $shift) * $p + ($p - 1) END)::BIGINT"
   }
 
   /** Signed extension: negative values mirror into negative bin ids

@@ -254,10 +254,11 @@ object IoFormats {
   def warcPayloadSql(i: String): String =
     s"'warc payload body ' || $i || ' ' || repeat('x', ($i % 7)::INT)"
 
-  private def warcRecordBytes(uri: String, payload: String): Array[Byte] = {
+  private def warcRecordBytes(uri: String, payload: String,
+      warcType: String = "response"): Array[Byte] = {
     val pay = payload.getBytes("UTF-8")
     val hdr = ("WARC/1.0\r\n" +
-      "WARC-Type: response\r\n" +
+      s"WARC-Type: $warcType\r\n" +
       s"WARC-Target-URI: $uri\r\n" +
       "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
       s"Content-Length: ${pay.length}\r\n\r\n").getBytes("ISO-8859-1")
@@ -309,6 +310,109 @@ object IoFormats {
     */
   private[graft] def warcRecordForTest(uri: String,
       payload: String): Array[Byte] = warcRecordBytes(uri, payload)
+
+  // ----------------------------- X124: WET export (crawl chain exit)
+
+  /** WET export — the crawl chain's standard EXIT format: each
+    * page's extracted plain text as a `WARC-Type: conversion` record
+    * (what Common Crawl publishes beside every crawl segment as
+    * `.warc.wet.gz`), one gzip member per record, one file per shard
+    * partition. With X121 (WARC ingest) → X122 (HTML→text) → X123
+    * (URL dedup) this closes the loop: crawl → extract → dedup →
+    * WET round-trips entirely through standard formats.
+    *
+    * The extraction hop IS part of the export (wrap → [[TextAnalysis.
+    * htmlToText]] → record), and the return value is the round-trip
+    * PROOF: the written directory read back through the standard
+    * reader ([[readWarc]]), reduced to per-shard order-free checksums
+    * (the X84 sharded-export scheme) that a DuckDB oracle recomputes
+    * from the ORIGINAL table without seeing a single written byte —
+    * n/type/id-xor/text-fp-xor/char-sum all have to survive framing,
+    * gzip, and re-parse losslessly for the hash gate to pass.
+    *
+    * == 100 TB shape ==
+    *
+    * ONE hash exchange (repartition on the salted shard key), then
+    * each task streams its rows through a gzip member encoder
+    * straight to the target filesystem via the Hadoop FS API (HDFS /
+    * S3A / local all serve; no driver collect, no temp staging, no
+    * second shuffle). The gzip-member-per-record layout keeps the
+    * output streamable AND record-seekable, and file = read-back
+    * parallelism unit — Common Crawl's own contract. Read-back for
+    * the proof frame is file-parallel with one partial-agg shuffle
+    * of shard-sized checksum rows.
+    */
+  def wetExport(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, outDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val html = concat(lit(TextAnalysis.HtmlWrapPrefix), col(textCol),
+      lit(TextAnalysis.HtmlWrapSuffix))
+    val rows = docs.select(col(idCol).cast("long").as("id"),
+        TextAnalysis.htmlToText(html).as("wet"))
+      .withColumn("shard", shardCol("id", nShards))
+    // clean target through the Hadoop FS so any scheme works
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val dfs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dfs.delete(outPath, true)
+    dfs.mkdirs(outPath)
+    rows.repartition(nShards, col("shard"))
+      .select($"id", $"wet").as[(Long, String)]
+      .foreachPartition { (it: Iterator[(Long, String)]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path = new org.apache.hadoop.fs.Path(outDir,
+            f"part-$pid%05d.warc.wet.gz")
+          val fs = path.getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          fs.setWriteChecksum(false) // no .crc sidecars next to segments
+          val out = fs.create(path, true)
+          try it.foreach { case (id, wet) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(warcRecordBytes(warcUri(id), wet, "conversion"))
+            g.close()
+            out.write(bos.toByteArray)
+          } finally out.close()
+        }
+      }
+    // round-trip: parse the written files back and reduce to the
+    // lossless per-shard checksums (shard recomputed from the parsed
+    // id by the SAME salted hash — file names stay layout-private)
+    readWarc(spark, outDir)
+      .select(col("warc_type"),
+        regexp_extract(col("uri"), "/doc/(\\d+)$", 1).cast("long").as("id"),
+        col("payload").cast("string").as("wet"))
+      .withColumn("shard", shardCol("id", nShards))
+      .withColumn("fp", Hashing.hash60(col("wet")))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("warc_type") === "conversion", 1L).otherwise(0L))
+          .as("n_conversion"),
+        expr("bit_xor(id)").as("ids_xor"),
+        expr("bit_xor(fp)").as("fp_xor"),
+        sum(length(col("wet"))).as("sum_chars"))
+  }
+
+  /** DuckDB twin of [[wetExport]] over the ORIGINAL table: the same
+    * wrap → extract chain (RE2) and the same order-free checksums —
+    * the oracle never reads the written WET bytes.
+    */
+  def wetExportSql(id: String, text: String, table: String,
+      nShards: Int): String = {
+    val wet = TextAnalysis.htmlToTextSql(
+      s"'${TextAnalysis.HtmlWrapPrefix}' || $text || " +
+        s"'${TextAnalysis.HtmlWrapSuffix}'")
+    s"""WITH w AS (SELECT $id AS id, $wet AS wet FROM $table)
+       |SELECT (${Hashing.hash60Sql(s"id::VARCHAR || ':shard'")}
+       |    % $nShards)::INT AS shard,
+       |  count(*)::BIGINT AS n_docs,
+       |  count(*)::BIGINT AS n_conversion,
+       |  bit_xor(id)::BIGINT AS ids_xor,
+       |  bit_xor(${Hashing.hash60Sql("wet")})::BIGINT AS fp_xor,
+       |  sum(length(wet))::BIGINT AS sum_chars
+       |FROM w GROUP BY 1 ORDER BY shard""".stripMargin
+  }
 
   /** Stage one plain .warc of [[messyUri]] records. */
   def stageWarcMessy(dir: String, n: Int): String = {

@@ -1724,6 +1724,37 @@ class OpsSpec extends AnyFunSuite {
     assert(plain.toSeq == gz.toSeq)
   }
 
+  test("wet export: conversion records round-trip losslessly per shard") {
+    val dir = java.nio.file.Files.createTempDirectory("wet_out").toString
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "gamma <not-a-tag"), (2L, "d & e"),
+      (3L, "x"), (4L, "y z"), (5L, "w"), (6L, "p q r"), (7L, "s"))
+      .toDF("doc_id", "text")
+    val proof = IoFormats.wetExport(docs, "doc_id", "text", nShards = 4, dir)
+      .collect()
+    // every doc accounted for, every record typed `conversion`
+    assert(proof.map(_.getAs[Long]("n_docs")).sum == 8)
+    proof.foreach(r => assert(
+      r.getAs[Long]("n_conversion") == r.getAs[Long]("n_docs")))
+    // the written layout is the CC convention: .warc.wet.gz files,
+    // and the standard reader parses them as conversion records whose
+    // payload IS the X122 extraction of the wrapped doc
+    val files = new java.io.File(dir).listFiles().filter(_.isFile)
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".warc.wet.gz")))
+    val back = IoFormats.readWarc(spark, dir).as[IoFormats.WarcRow].collect()
+    assert(back.length == 8 && back.forall(_.warc_type == "conversion"))
+    val byId = back.map(r =>
+      r.uri.split("/doc/").last.toLong -> new String(r.payload, "UTF-8")).toMap
+    val expected = docs.select(col("doc_id"),
+      graft.ops.TextAnalysis.htmlToText(concat(
+        lit(graft.ops.TextAnalysis.HtmlWrapPrefix), col("text"),
+        lit(graft.ops.TextAnalysis.HtmlWrapSuffix))))
+      .as[(Long, String)].collect().toMap
+    assert(byId == expected)
+    // the extraction hop really ran (entities decoded, tags gone)
+    assert(byId(2L).contains("d & e") && !byId(1L).contains("<html"))
+  }
+
   test("warc: framing relies on Content-Length, not delimiters — binary-safe") {
     // a payload containing the record terminator AND a fake header
     // start must parse intact (real web content contains anything)

@@ -361,22 +361,34 @@ class PropertySpec extends AnyFunSuite {
       val shift = bitlen - 4
       val id = 8L * shift + (n >>> shift)
       val u = id - 8L * shift
-      (id, u << shift, ((u + 1) << shift) - 1)
+      // hi = u<<shift + (2^shift - 1): overflow-free form (the
+      // ((u+1)<<shift) - 1 association would wrap at the top bin)
+      (id, u << shift, (u << shift) + ((1L << shift) - 1))
     }
 
-  test("log-histogram bins: inverse/width/monotone laws up to 2^50 (fuzz)") {
-    check(Prop.forAll(Gen.chooseNum(0L, 1L << 50)) { n =>
+  test("log-histogram bins: inverse/width/monotone laws up to 2^63-1 (fuzz)") {
+    // full Long range: the r9 shiftright fix exists FOR n >= 2^53,
+    // where a double division rounds and can cross a bin boundary —
+    // the law must hold there, not just below the double-exact regime
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { n =>
       val (_, lo, hi) = binRef(n)
       lo <= n && n <= hi && (n < 16 || (hi + 1 - lo) * 8 <= lo)
     }, cases = 500)
     // monotone: id non-decreasing across each value and its successor
-    check(Prop.forAll(Gen.chooseNum(0L, (1L << 50) - 1)) { n =>
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue - 1)) { n =>
       binRef(n)._1 <= binRef(n + 1)._1
     }, cases = 500)
     // the Column implementation equals the mirror on random values
+    // drawn across the WHOLE range plus the exact double-rounding
+    // boundary cases around 2^53/2^54 and the top bin (where the
+    // inverse's (u+1)<<shift wraps consistently on both paths)
+    val boundary = Seq(1L << 53, 1L << 54, 1L << 62).flatMap(p =>
+      Seq(p - 1, p, p + 1, p + (p >> 4) - 1, p + (p >> 4))) ++
+      Seq(Long.MaxValue, Long.MaxValue - 1)
+    val rnd = new scala.util.Random(11)
     val vals = new scala.util.Random(7)
-      .shuffle((0L to 200L) ++ Seq.fill(300)(
-        math.abs(new scala.util.Random(11).nextLong()) % (1L << 50)))
+      .shuffle((0L to 200L) ++ boundary ++
+        Seq.fill(300)(rnd.nextLong() & Long.MaxValue))
       .distinct
     val got = vals.toDF("n")
       .select($"n", graft.ops.Diagnostics.binId($"n").as("b"))
