@@ -288,7 +288,14 @@ object Curation {
     */
   def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, k: Int, threshold: Double): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, k, threshold)
+    // prefix-filtered pair generation (X14), NOT the plain posting
+    // join: output is property-proven identical at the threshold, but
+    // posted volume is bounded by the pigeonhole prefix — the sf1.0
+    // scale point measured the plain join at ~60x for 10x docs
+    // (fixed-vocab synthetic corpora make df grow linearly with the
+    // corpus, so unbounded posting joins go quadratic), and the
+    // prefix path cut the same audit to posted-volume growth
+    val pairs = Dedup.ngramJaccardPairsPrefix(docs, idCol, textCol, k, threshold)
     val src = docs.select(col(idCol).as("id"), col(sourceCol).as("source"))
     pairs
       .join(src.select(col("id").as("id1"), col("source").as("s1")), "id1")
@@ -312,7 +319,8 @@ object Curation {
 
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, trainPct: Int, valPct: Int): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, k, threshold)
+    // prefix-filtered for the same reason as [[sourceOverlap]]
+    val pairs = Dedup.ngramJaccardPairsPrefix(docs, idCol, textCol, k, threshold)
     val splits = docs.select(col(idCol).as("id"),
       splitOf(col(idCol), trainPct, valPct).as("split"))
     pairs
