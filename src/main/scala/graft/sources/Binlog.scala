@@ -31,9 +31,16 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *    present columns (LSB-first) + values of present non-null
   *    columns; UPDATE rows come as (before, after) image pairs;
   *  - ROTATE_EVENT (4): position u64 + next file name (rest);
-  *  - events with per-event CRC32 checksums are NOT parsed (the
-  *    fixture writes checksum-free files, `binlog_checksum=NONE`);
-  *    unknown event types are skipped by event_size.
+  *  - per-event CRC32 checksums (`binlog_checksum=CRC32`, the MySQL
+  *    5.6+ DEFAULT): the FORMAT_DESCRIPTION event's trailing
+  *    `checksum_alg` byte (present when its server-version is
+  *    ≥ 5.6.1) switches the file; when on, every subsequent event
+  *    (and the FDE itself) ends in 4 CRC-32 bytes over
+  *    header+payload, which are VERIFIED (corruption fails loud,
+  *    never a silently-wrong row) and excluded from payload parsing
+  *    — without the exclusion the rows loop would read the CRC as
+  *    another row image; unknown event types are skipped by
+  *    event_size.
   *
   * Column types decoded: TINY/SHORT/INT24/LONG/LONGLONG (signed LE),
   * VARCHAR (1- or 2-byte length prefix by metadata max-length),
@@ -202,6 +209,22 @@ object Binlog {
     * table_id — the protocol contract; MySQL re-emits maps after
     * rotates, so files stay self-contained).
     */
+  /** Read the FDE's trailing checksum-algorithm byte: present only
+    * when the event's server-version field (5.6.1+) knows checksums.
+    * Returns true for CRC32 (alg 1); 0xff/0 mean off.
+    */
+  private def fdeChecksumOn(bytes: Array[Byte], p: Int, size: Int): Boolean = {
+    // payload: u16 version, 50-byte server-version (NUL-padded), ...
+    if (size < 19 + 2 + 50 + 4 + 1 + 1) return false
+    val ver = new String(bytes, p + 19 + 2, 50, "ISO-8859-1")
+      .takeWhile(c => c != 0)
+    val nums = ver.takeWhile(c => c.isDigit || c == '.')
+      .split('.').filter(_.nonEmpty).map(_.toInt).padTo(3, 0)
+    val supportsChecksum = nums(0) > 5 ||
+      (nums(0) == 5 && (nums(1) > 6 || (nums(1) == 6 && nums(2) >= 1)))
+    supportsChecksum && (bytes(p + size - 5) & 0xff) == 1
+  }
+
   def decodeFile(bytes: Array[Byte]): Decoded = {
     require(bytes.length >= 4 && bytes.take(4).sameElements(Magic),
       "not a binlog file (bad magic)")
@@ -209,6 +232,7 @@ object Binlog {
     val tableMaps = scala.collection.mutable.HashMap.empty[Long, TableMap]
     val out = IndexedSeq.newBuilder[RowChange]
     var rotate: Option[RotateTo] = None
+    var checksummed = false
     var p = 4
     while (p + 19 <= bytes.length) {
       val h = new Cursor(bytes, p)
@@ -219,8 +243,26 @@ object Binlog {
       h.u32(); h.u16() // next_position, flags
       require(size >= 19 && p + size <= bytes.length,
         s"truncated event at $p (size $size)")
+      // the FDE announces the file's checksum mode (it applies to the
+      // FDE itself too); a dump-stream preamble FDE re-announces it
+      if (typ == FormatDescription)
+        checksummed = fdeChecksumOn(bytes, p, size)
+      if (checksummed) {
+        require(size >= 19 + 4, s"checksummed event at $p too small")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, p, size - 4)
+        val stored = (bytes(p + size - 4) & 0xffL) |
+          ((bytes(p + size - 3) & 0xffL) << 8) |
+          ((bytes(p + size - 2) & 0xffL) << 16) |
+          ((bytes(p + size - 1) & 0xffL) << 24)
+        require(crc.getValue == stored,
+          f"CRC32 mismatch at offset $p (event type $typ): " +
+            f"stored 0x$stored%08x, computed 0x${crc.getValue}%08x")
+      }
       val c = new Cursor(bytes, p + 19)
-      val end = p + size
+      // payload ends BEFORE the checksum — the rows loop must never
+      // read the CRC bytes as a row image
+      val end = p + size - (if (checksummed) 4 else 0)
       typ match {
         case TableMapEvent =>
           val tm = parseTableMap(c)

@@ -126,6 +126,58 @@ class BinlogClientSpec extends AnyFunSuite {
     }
   }
 
+  test("CRC32 checksums (the 5.6+ default): verified, excluded, corruption loud") {
+    val events = Seq(
+      (1700000000L, FormatDescription, fdePayload()),
+      (1700000001L, TableMapEvent, tableMapPayload(7, "db0", "users", T, M)),
+      (1700000001L, WriteRowsV2,
+        rowsPayload(7, T, M, Seq(Seq(I(1), S("a")), Seq(I(2), S("b"))))),
+      (1700000002L, Rotate, rotatePayload("fix-bin.000002")))
+    val plainF = file(events)
+    val crcF = file(events, checksum = true)
+    // same changes, same rotate — the 4 CRC bytes never reach the
+    // row parser (without the exclusion the rows loop would read
+    // them as another row image and corrupt the decode)
+    val plain = Binlog.decodeFile(plainF)
+    val crc = Binlog.decodeFile(crcF)
+    assert(crc.changes.map(c => (c.op, c.before, c.after, c.tsSec)) ==
+      plain.changes.map(c => (c.op, c.before, c.after, c.tsSec)))
+    assert(crc.rotate.map(_.nextFile) == plain.rotate.map(_.nextFile))
+    // flip one payload byte inside the rows event: fails LOUD with a
+    // CRC message, never a silently-wrong row
+    val bad = crcF.clone()
+    val rowsOff = {
+      var p = 4; var found = -1
+      while (found < 0) {
+        val typ = bad(p + 4) & 0xff
+        val size = ((bad(p + 9) & 0xffL) | ((bad(p + 10) & 0xffL) << 8) |
+          ((bad(p + 11) & 0xffL) << 16) |
+          ((bad(p + 12) & 0xffL) << 24)).toInt
+        if (typ == WriteRowsV2) found = p else p += size
+      }
+      found
+    }
+    bad(rowsOff + 25) = (bad(rowsOff + 25) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException](Binlog.decodeFile(bad))
+    assert(e.getMessage.contains("CRC32 mismatch"))
+  }
+
+  test("checksummed segment over the wire == file decode (preamble re-stamp)") {
+    val crcSeg = file(Seq(
+      (1700000000L, FormatDescription, fdePayload()),
+      (1700000001L, TableMapEvent, tableMapPayload(7, "db0", "users", T, M)),
+      (1700000001L, WriteRowsV2, rowsPayload(7, T, M, Seq(Seq(I(9), S("z")))))),
+      checksum = true)
+    withMaster("secret", Map("crc-bin.000001" -> crcSeg)) { m =>
+      // the master's virtual preamble (log_pos zeroed) must carry a
+      // RE-STAMPED CRC or the client's decode rejects the stream
+      val d = BinlogClient.dump("127.0.0.1", m.port, "repl", "secret",
+        99L, "crc-bin.000001", 4L)
+      val exp = Binlog.decodeFile(crcSeg)
+      assert(d.changes == exp.changes)
+    }
+  }
+
   test("mirror ingest: socket -> byte-equal local segments -> DSv2 source") {
     val spark = TestSpark.spark
     val dir = Files.createTempDirectory("binlog_mirror").toString

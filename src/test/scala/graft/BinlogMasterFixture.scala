@@ -194,11 +194,26 @@ final class BinlogMasterFixture(password: String,
           writePacket(out, seq, b); seq += 1
         }
         // virtual preamble: the file's format-description event with
-        // log_pos zeroed — sent at the head of EVERY dump
+        // log_pos zeroed — sent at the head of EVERY dump. On a
+        // checksummed file the edit invalidates the FDE's CRC, so the
+        // master RE-STAMPS it (what a real master does — it sends a
+        // freshly-built, validly-checksummed FDE).
         if (bytes.length >= 4 + 19) {
           val size = u32le(bytes, 4 + 9).toInt
           val pre = java.util.Arrays.copyOfRange(bytes, 4, 4 + size)
           pre(13) = 0; pre(14) = 0; pre(15) = 0; pre(16) = 0
+          // checksum detection: 5.6.1+ FDE carries the alg byte at
+          // end-5 (1 = CRC32); the fixture's own version strings are
+          // all 8.x, so the byte position is authoritative
+          if (size >= 24 && (pre(size - 5) & 0xff) == 1) {
+            val crc = new java.util.zip.CRC32()
+            crc.update(pre, 0, size - 4)
+            val v = crc.getValue
+            pre(size - 4) = (v & 0xff).toByte
+            pre(size - 3) = ((v >> 8) & 0xff).toByte
+            pre(size - 2) = ((v >> 16) & 0xff).toByte
+            pre(size - 1) = ((v >> 24) & 0xff).toByte
+          }
           send(pre)
         }
         var p = 4
