@@ -70,11 +70,19 @@ object Binlog {
   val TypeTiny = 1
   val TypeShort = 2
   val TypeLong = 3
+  val TypeFloat = 4
+  val TypeDouble = 5
   val TypeLongLong = 8
   val TypeInt24 = 9
   val TypeDate = 10
+  val TypeYear = 13
   val TypeVarchar = 15
+  val TypeTimestamp2 = 17
   val TypeDatetime2 = 18
+  val TypeTime2 = 19
+  val TypeNewDecimal = 246
+  val TypeBlob = 252
+  val TypeString = 254 // CHAR; metadata carries the REAL type
 
   val Magic: Array[Byte] = Array(0xfe.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)
 
@@ -123,6 +131,68 @@ object Binlog {
   private def bit(bitmap: Array[Byte], i: Int): Boolean =
     ((bitmap(i / 8) >> (i % 8)) & 1) != 0
 
+  /** Bytes of a packed-decimal digit group: full groups are 9 digits
+    * in 4 bytes; leftovers use this table (public format).
+    */
+  private val Dig2Bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+  /** Decode MySQL's packed NEWDECIMAL: big-endian 9-digit/4-byte
+    * groups for int and fraction parts, leftover digits in 1-4 bytes,
+    * sign in the MSB of byte 0 (1 = positive; negative values store
+    * ALL bytes inverted). Emits MySQL's own text form: optional `-`,
+    * integer digits without leading zeros ("0" if none), exactly
+    * `scale` fraction digits.
+    */
+  private[sources] def decodeDecimal(raw: Array[Byte], precision: Int,
+      scale: Int): String = {
+    val b = raw.clone()
+    val positive = (b(0) & 0x80) != 0
+    b(0) = (b(0) ^ 0x80).toByte
+    if (!positive) (0 until b.length).foreach(i => b(i) = (~b(i)).toByte)
+    var p = 0
+    def group(nBytes: Int): Long = {
+      var v = 0L
+      (0 until nBytes).foreach(_ => { v = (v << 8) | (b(p) & 0xffL); p += 1 })
+      v
+    }
+    val intDigits = precision - scale
+    val intFull = intDigits / 9
+    val intLeft = intDigits % 9
+    val fracFull = scale / 9
+    val fracLeft = scale % 9
+    val sb = new StringBuilder
+    if (intLeft > 0) sb.append(group(Dig2Bytes(intLeft)).toString
+      .reverse.padTo(intLeft, '0').reverse)
+    (0 until intFull).foreach(_ =>
+      sb.append(group(4).toString.reverse.padTo(9, '0').reverse))
+    val intStr = sb.toString.dropWhile(_ == '0') match {
+      case "" => "0"
+      case s => s
+    }
+    val fb = new StringBuilder
+    (0 until fracFull).foreach(_ =>
+      fb.append(group(4).toString.reverse.padTo(9, '0').reverse))
+    if (fracLeft > 0) fb.append(group(Dig2Bytes(fracLeft)).toString
+      .reverse.padTo(fracLeft, '0').reverse)
+    val body = if (scale > 0) s"$intStr.${fb.toString}" else intStr
+    if (positive || (intStr == "0" && !fb.exists(_ != '0'))) body
+    else "-" + body
+  }
+
+  private def hexUpper(bytes: Array[Byte]): String =
+    bytes.map(b => f"${b & 0xff}%02X").mkString
+
+  /** The reference's `Value::Bytes` rule (main.rs:494-502): UTF-8
+    * text stays text, anything else becomes uppercase hex.
+    */
+  private def bytesValue(bytes: Array[Byte]): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException =>
+      hexUpper(bytes)
+    }
+  }
+
   private def parseTableMap(c: Cursor): TableMap = {
     val tableId = c.u48()
     c.u16() // flags
@@ -135,11 +205,21 @@ object Binlog {
     c.lenenc() // metadata block length (we re-derive per type)
     val meta = types.map {
       case TypeVarchar => c.u16() // max length
-      case TypeDatetime2 =>
+      case TypeDatetime2 | TypeTimestamp2 | TypeTime2 =>
         val fsp = c.u8() // fractional-second precision, 0-6
-        require(fsp >= 0 && fsp <= 6, s"DATETIME($fsp) out of range")
+        require(fsp >= 0 && fsp <= 6, s"temporal fsp $fsp out of range")
         fsp
-      case _ => 0 // the integer types and DATE carry no metadata
+      case TypeFloat | TypeDouble => c.u8() // pack length (4 / 8)
+      case TypeNewDecimal =>
+        val p = c.u8(); val s = c.u8() // precision, scale
+        (p << 8) | s
+      case TypeBlob => c.u8() // number of length-prefix bytes (1-4)
+      case TypeString =>
+        // two packed bytes: the REAL type hides in the high bits of
+        // byte 0 when its 0x30 bits are cleared (public layout quirk)
+        val m0 = c.u8(); val m1 = c.u8()
+        (m0 << 8) | m1
+      case _ => 0 // integer types, DATE and YEAR carry no metadata
     }
     TableMap(tableId, db, table, types, meta)
   }
@@ -195,6 +275,82 @@ object Binlog {
               node.put(name, base + "." +
                 ("%0" + fsp + "d").format(printed))
             }
+          case TypeFloat =>
+            var bits = 0
+            (0 until 4).foreach(i => bits |= c.u8() << (8 * i))
+            node.put(name, java.lang.Float.intBitsToFloat(bits))
+          case TypeDouble =>
+            var bits = 0L
+            (0 until 8).foreach(i => bits |= c.u8().toLong << (8 * i))
+            node.put(name, java.lang.Double.longBitsToDouble(bits))
+          case TypeYear =>
+            // stored year-1900; 0 means the literal 0000
+            val v = c.u8()
+            node.put(name, if (v == 0) 0 else 1900 + v)
+          case TypeTimestamp2 =>
+            // 4 bytes BIG-endian epoch seconds + the DATETIME2-style
+            // fraction; emitted as the UTC datetime string (the
+            // session timezone is pinned UTC engine-wide)
+            var sec = 0L
+            (0 until 4).foreach(_ => sec = (sec << 8) | c.u8())
+            val dt = java.time.LocalDateTime.ofEpochSecond(sec, 0,
+              java.time.ZoneOffset.UTC)
+            val base = f"${dt.getYear}%04d-${dt.getMonthValue}%02d-" +
+              f"${dt.getDayOfMonth}%02d ${dt.getHour}%02d:" +
+              f"${dt.getMinute}%02d:${dt.getSecond}%02d"
+            val fsp = tm.meta(i)
+            if (fsp == 0) node.put(name, base)
+            else {
+              val fracBytes = (fsp + 1) / 2
+              var frac = 0L
+              (0 until fracBytes).foreach(_ => frac = (frac << 8) | c.u8())
+              val printed = frac / (if (fsp % 2 == 1) 10 else 1)
+              node.put(name, base + "." + ("%0" + fsp + "d").format(printed))
+            }
+          case TypeTime2 =>
+            // 3 bytes BIG-endian packed hms biased by 0x800000; the
+            // fraction extends the SAME fixed-point number, so a
+            // negative time complements int and fraction together —
+            // take |v| of the combined value, then split
+            val fsp = tm.meta(i)
+            val fracBytes = (fsp + 1) / 2
+            var v = 0L
+            (0 until 3 + fracBytes).foreach(_ => v = (v << 8) | c.u8())
+            val signed = v - (0x800000L << (8 * fracBytes))
+            val av = math.abs(signed)
+            val hms = av >> (8 * fracBytes)
+            val frac = av & ((1L << (8 * fracBytes)) - 1)
+            val micros = (frac / (if (fsp % 2 == 1) 10 else 1)) *
+              math.pow(10, 6 - fsp).toLong
+            // the reference's text form (main.rs:468-491): hours fold
+            // days in, 3-digit minimum; micros print 6 digits or none
+            val base = f"${(hms >> 12) & 0x3ff}%03d:${(hms >> 6) & 0x3f}%02d:" +
+              f"${hms & 0x3f}%02d"
+            val txt = (if (signed < 0) "-" else "") +
+              (if (micros == 0) base else base + f".$micros%06d")
+            node.put(name, txt)
+          case TypeNewDecimal =>
+            val (precision, scale) = (tm.meta(i) >> 8, tm.meta(i) & 0xff)
+            val intB = 4 * ((precision - scale) / 9) +
+              Dig2Bytes((precision - scale) % 9)
+            val fracB = 4 * (scale / 9) + Dig2Bytes(scale % 9)
+            node.put(name, decodeDecimal(c.bytes(intB + fracB),
+              precision, scale))
+          case TypeBlob =>
+            var len = 0L
+            (0 until tm.meta(i)).foreach(j => len |= c.u8().toLong << (8 * j))
+            node.put(name, bytesValue(c.bytes(len.toInt)))
+          case TypeString =>
+            // unpack the real type / max length from the two packed
+            // metadata bytes; CHAR is the supported real type here
+            val (m0, m1) = (tm.meta(i) >> 8, tm.meta(i) & 0xff)
+            val (realType, maxLen) =
+              if ((m0 & 0x30) != 0x30) (m0 | 0x30, m1 | (((m0 & 0x30) ^ 0x30) << 4))
+              else (m0, m1)
+            require(realType == TypeString,
+              s"unsupported STRING-family real type $realType in ${tm.table}")
+            val len = if (maxLen < 256) c.u8() else c.u16()
+            node.put(name, bytesValue(c.bytes(len)))
           case t => sys.error(s"unsupported column type $t in ${tm.table}")
         }
         imgIdx += 1

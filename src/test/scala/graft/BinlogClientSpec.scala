@@ -126,6 +126,50 @@ class BinlogClientSpec extends AnyFunSuite {
     }
   }
 
+  test("full column-type surface decodes to the reference's value forms") {
+    // FLOAT, DOUBLE, YEAR, TIMESTAMP(3), TIME(6), DECIMAL(13,3),
+    // BLOB(2-byte len), CHAR(10) — the types a real table mix hits
+    // beyond the integer/varchar/date core (reference value surface:
+    // main.rs:453-502 — numbers stay numbers, temporals/decimal
+    // stringify, bytes go utf8-or-hex)
+    val types = Seq(TypeFloat, TypeDouble, TypeYear, TypeTimestamp2,
+      TypeTime2, TypeNewDecimal, TypeBlob, TypeString)
+    val metas = Seq(4, 8, 0, 3, 6, (13 << 8) | 3, 2, (0xfe << 8) | 10)
+    val epoch2026 = 1767225600L // 2026-01-01T00:00:00Z
+    val rows = Seq(
+      Seq(F(1.5f), DBL(-2.25), Y(1999), TS(epoch2026, 123400),
+        TM(neg = true, 0, 0, 1, 500000), DEC("-1234.500"),
+        BLOB("hello".getBytes("UTF-8")), CH("padded")),
+      Seq(F(0f), NULL, Y(0), TS(epoch2026 + 86399),
+        TM(neg = false, 123, 2, 3), DEC("9999999999.999"),
+        BLOB(Array[Byte](0xff.toByte, 0x00, 0xc3.toByte)), NULL))
+    val f = file(Seq(
+      (1700000000L, FormatDescription, fdePayload()),
+      (1700000001L, TableMapEvent,
+        tableMapPayload(9, "db0", "mix", types, metas)),
+      (1700000001L, WriteRowsV2, rowsPayload(9, types, metas, rows))))
+    val changes = Binlog.decodeFile(f).changes
+    assert(changes.size == 2)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val r0 = m.readTree(changes(0).after.get)
+    assert(r0.get("c0").floatValue == 1.5f)
+    assert(r0.get("c1").doubleValue == -2.25)
+    assert(r0.get("c2").asInt == 1999)
+    assert(r0.get("c3").asText == "2026-01-01 00:00:00.123")
+    assert(r0.get("c4").asText == "-000:00:01.500000")
+    assert(r0.get("c5").asText == "-1234.500")
+    assert(r0.get("c6").asText == "hello")
+    assert(r0.get("c7").asText == "padded")
+    val r1 = m.readTree(changes(1).after.get)
+    assert(r1.get("c0").floatValue == 0f)
+    assert(r1.get("c1").isNull && r1.get("c7").isNull)
+    assert(r1.get("c2").asInt == 0) // YEAR 0 is the literal 0000
+    assert(r1.get("c3").asText == "2026-01-01 23:59:59.000")
+    assert(r1.get("c4").asText == "123:02:03") // no frac when micros=0
+    assert(r1.get("c5").asText == "9999999999.999") // 10 int digits: 2 groups
+    assert(r1.get("c6").asText == "FF00C3") // non-UTF-8 -> uppercase hex
+  }
+
   test("CRC32 checksums (the 5.6+ default): verified, excluded, corruption loud") {
     val events = Seq(
       (1700000000L, FormatDescription, fdePayload()),
