@@ -222,6 +222,38 @@ class BinlogClientSpec extends AnyFunSuite {
     }
   }
 
+  test("live tail: repeated mirror syncs feed the STREAMING source incrementally") {
+    val spark = TestSpark.spark
+    val dir = Files.createTempDirectory("binlog_tail").toString
+    val ckp = Files.createTempDirectory("binlog_tail_ckp").toString
+    val seg = (extra: Boolean) => file(seg2Events(extra))
+    withMaster("secret", Map("fix-bin.000002" -> seg(false))) { m =>
+      ChangeLog.syncFromMaster(dir, Some(s"127.0.0.1:${m.port}"),
+        user = "repl", password = "secret", serverId = 6L,
+        firstFile = "fix-bin.000002")
+      val q = spark.readStream.format("graft-changelog")
+        .option("path", dir).load()
+        .writeStream.format("memory").queryName("binlog_tail")
+        .option("checkpointLocation", ckp).start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("binlog_tail").count() == 1) // the delete row
+        // the master's active segment grows; a new sync appends the
+        // suffix and the RUNNING stream picks it up — the live loop
+        m.segments = Map("fix-bin.000002" -> seg(true))
+        ChangeLog.syncFromMaster(dir, Some(s"127.0.0.1:${m.port}"),
+          user = "repl", password = "secret", serverId = 6L,
+          firstFile = "fix-bin.000002")
+        q.processAllAvailable()
+        val rows = spark.table("binlog_tail")
+          .select("op", "seq").collect().sortBy(_.getLong(1))
+        assert(rows.length == 2)
+        assert(rows.map(_.getString(0)).toSeq == Seq("Delete", "Insert"))
+        assert(rows(0).getLong(1) < rows(1).getLong(1)) // seq monotonic
+      } finally q.stop()
+    }
+  }
+
   test("mirror ingest: socket -> byte-equal local segments -> DSv2 source") {
     val spark = TestSpark.spark
     val dir = Files.createTempDirectory("binlog_mirror").toString
