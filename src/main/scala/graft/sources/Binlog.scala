@@ -43,12 +43,21 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *    event_size.
   *
   * Column types decoded: TINY/SHORT/INT24/LONG/LONGLONG (signed LE),
-  * VARCHAR (1- or 2-byte length prefix by metadata max-length),
-  * DATE (3-byte packed) and DATETIME2 at any fsp 0-6 (5-byte
-  * big-endian packed + ⌈fsp/2⌉ big-endian fractional bytes in
-  * centi/then-10⁻⁴/then-micro units) — temporals emitted in the
-  * §2.6 TypeMap wire forms, fractional seconds as exactly fsp
-  * digits (MySQL's own text form).
+  * FLOAT/DOUBLE (LE IEEE), YEAR (0 ⇒ literal 0000), VARCHAR and CHAR
+  * (length prefix by metadata max-length; CHAR's real type unpacks
+  * from the two packed STRING metadata bytes), BLOB/TEXT
+  * (length-prefixed; UTF-8 stays text, other bytes become uppercase
+  * hex — the reference's `Value::Bytes` rule, main.rs:494-502),
+  * packed-BCD NEWDECIMAL (MySQL text form, exactly `scale` fraction
+  * digits), DATE (3-byte packed), DATETIME2/TIMESTAMP2/TIME2 at any
+  * fsp 0-6 (big-endian packed; TIME2 decodes int+fraction as one
+  * biased two's-complement fixed-point — byte-equivalent to the
+  * server's per-fsp split layouts, negative times exact) — temporals
+  * emitted in the §2.6 TypeMap wire forms, fractional seconds as
+  * exactly fsp digits (MySQL's own text form). Honestly absent:
+  * ENUM/SET (binlog stores indexes; naming them needs out-of-band
+  * table defs) and the JSON binary format — both fail loud, never
+  * misparse.
   * The binlog carries no column NAMES or signedness — real deployments
   * fetch schema out-of-band; here the row images name columns
   * `c0..cN−1` (the typed layer re-keys with `from_json` + a schema,
