@@ -970,6 +970,23 @@ object SparkEntry {
       GraphStore.edges(s, "graft_knng")
     }),
 
+    // The SCALE-CORRECT seeding of the same build, oracle-gated: the
+    // label-seeded twin above freezes nlist at the 10 labels (per-
+    // list occupancy, and with it the Σ|list|² block join, then grows
+    // linearly with the corpus — the sf1.0 point measured ~quadratic
+    // growth, and ScaleProbe measured 13x from the seeding alone).
+    // Here nlist derives from a hash of the id space (32 ≈ √n at the
+    // gate SF; real deployments size nlist ∝ √n), so list occupancy
+    // — not list COUNT — is what stays bounded as data grows. Same
+    // operator, same oracle machinery, different seed expression.
+    "q_sim_knngraph_sqrtn" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+        .withColumn("seed", pmod(col("vec_id"), lit(32L)))
+      GraphStore.build(s, embs, "vec_id", "embedding", "seed",
+        "graft_knng_sq", k = 5, iters = 2, massign = 2, nBuckets = 8)
+      GraphStore.edges(s, "graft_knng_sq")
+    }),
+
     // The graph takedown delta, oracle-gated end-to-end: build the
     // graph on the FULL corpus, DELETE every third vector (deleted
     // sources drop; survivors that lost a neighbor re-rank from their
@@ -2077,6 +2094,11 @@ object SparkEntry {
     "q_sim_knngraph" ->
       (Similarity.knnGraphSql("vec_id", "embedding", "label", "embeddings",
         k = 5, iters = 2, dim = 64, massign = 2)
+        + " ORDER BY src_id, rank"),
+
+    "q_sim_knngraph_sqrtn" ->
+      (Similarity.knnGraphSql("vec_id", "embedding", "(vec_id % 32)",
+        "embeddings", k = 5, iters = 2, dim = 64, massign = 2)
         + " ORDER BY src_id, rank"),
 
     // train on everything, membership = survivors on both sides —
