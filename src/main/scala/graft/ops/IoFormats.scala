@@ -346,10 +346,7 @@ object IoFormats {
       nShards: Int, outDir: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val html = concat(lit(TextAnalysis.HtmlWrapPrefix), col(textCol),
-      lit(TextAnalysis.HtmlWrapSuffix))
-    val rows = docs.select(col(idCol).cast("long").as("id"),
-        TextAnalysis.htmlToText(html).as("wet"))
+    val rows = wetRows(docs, idCol, textCol)
       .withColumn("shard", shardCol("id", nShards))
     // clean target through the Hadoop FS so any scheme works
     val outPath = new org.apache.hadoop.fs.Path(outDir)
@@ -359,22 +356,8 @@ object IoFormats {
     rows.repartition(nShards, col("shard"))
       .select($"id", $"wet").as[(Long, String)]
       .foreachPartition { (it: Iterator[(Long, String)]) =>
-        if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val path = new org.apache.hadoop.fs.Path(outDir,
-            f"part-$pid%05d.warc.wet.gz")
-          val fs = path.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
-          fs.setWriteChecksum(false) // no .crc sidecars next to segments
-          val out = fs.create(path, true)
-          try it.foreach { case (id, wet) =>
-            val bos = new java.io.ByteArrayOutputStream()
-            val g = new java.util.zip.GZIPOutputStream(bos)
-            g.write(warcRecordBytes(warcUri(id), wet, "conversion"))
-            g.close()
-            out.write(bos.toByteArray)
-          } finally out.close()
-        }
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        writeWetSegment(it, outDir, f"part-$pid%05d.warc.wet.gz")
       }
     // round-trip: parse the written files back and reduce to the
     // lossless per-shard checksums (shard recomputed from the parsed
@@ -392,6 +375,39 @@ object IoFormats {
         expr("bit_xor(id)").as("ids_xor"),
         expr("bit_xor(fp)").as("fp_xor"),
         sum(length(col("wet"))).as("sum_chars"))
+  }
+
+  /** Executor-side WET segment writer: stream (id, extracted text)
+    * rows through per-record gzip members into ONE `.warc.wet.gz`
+    * at a DETERMINISTIC name (overwrite on create — a task or batch
+    * retry rewrites its own file, so at-least-once execution yields
+    * exactly-once segments). Empty iterators write nothing.
+    */
+  private[graft] def writeWetSegment(it: Iterator[(Long, String)],
+      outDir: String, fileName: String): Unit = {
+    if (!it.hasNext) return
+    val path = new org.apache.hadoop.fs.Path(outDir, fileName)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.setWriteChecksum(false) // no .crc sidecars next to segments
+    val out = fs.create(path, true)
+    try it.foreach { case (id, wet) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(warcRecordBytes(warcUri(id), wet, "conversion"))
+      g.close()
+      out.write(bos.toByteArray)
+    } finally out.close()
+  }
+
+  /** The wrap → X122-extract projection shared by [[wetExport]] and
+    * the streaming sink: (id, wet).
+    */
+  private[graft] def wetRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val html = concat(lit(TextAnalysis.HtmlWrapPrefix), col(textCol),
+      lit(TextAnalysis.HtmlWrapSuffix))
+    docs.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.htmlToText(html).as("wet"))
   }
 
   /** DuckDB twin of [[wetExport]] over the ORIGINAL table: the same

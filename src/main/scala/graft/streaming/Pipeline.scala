@@ -321,4 +321,35 @@ object Pipeline {
       .withColumn("contaminated",
         col("containment_micros") >= (threshold * 1e6).toLong)
   }
+
+  /** Streaming WET sink — the crawl chain's live EXIT (X124's
+    * streaming twin): each micro-batch of documents runs the shared
+    * wrap → X122 extraction projection and lands as CC-convention
+    * `.warc.wet.gz` segments (gzip member per record), one file per
+    * (batch, partition) at a DETERMINISTIC name — so Structured
+    * Streaming's at-least-once batch replay yields exactly-once
+    * segments (a replayed batch rewrites its own files byte-for-byte,
+    * never duplicates them). Compose after the curation gates:
+    * `wetSink(curated(piiScrubbed(docs), …), …)` is live crawl →
+    * scrub → gate → dedup → standard-format export, end to end.
+    * Segments are immediately servable by [[graft.ops.IoFormats
+    * .readWarc]]/`streamWarc` — the chain round-trips while running.
+    */
+  def wetSink(docs: DataFrame, idCol: String, textCol: String,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    graft.ops.IoFormats.wetRows(docs, idCol, textCol)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        batch.as[(Long, String)].foreachPartition {
+          (it: Iterator[(Long, String)]) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            graft.ops.IoFormats.writeWetSegment(it, outDir,
+              f"batch-$batchId%06d-part-$pid%05d.warc.wet.gz")
+        }
+        ()
+      }
+      .start()
 }

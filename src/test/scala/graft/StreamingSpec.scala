@@ -442,6 +442,40 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS crawl_out")
   }
 
+  test("streaming WET sink: live exit == batch export content; replay-safe names") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("wet_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("wet_sink_ck").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDS().toDF("doc_id", "text")
+    val q = graft.streaming.Pipeline.wetSink(docs, "doc_id", "text",
+      out, ckpt)
+    try {
+      input.addData((0L, "alpha beta"), (1L, "g & h"))
+      q.processAllAvailable()
+      input.addData((2L, "late arrival"))
+      q.processAllAvailable()
+      val back = graft.ops.IoFormats.readWarc(spark, out)
+        .as[graft.ops.IoFormats.WarcRow].collect()
+      assert(back.length == 3 && back.forall(_.warc_type == "conversion"))
+      // file names carry (batch, partition) — the replay-idempotence
+      // contract — and the two batches landed as separate segments
+      val files = back.map(_.file.split("/").last).distinct.sorted
+      assert(files.forall(_.matches("batch-\\d{6}-part-\\d{5}\\.warc\\.wet\\.gz")))
+      assert(files.map(_.take(12)).distinct.length == 2) // two batch ids
+      // content equals the BATCH export's extraction of the same docs
+      val batchDocs = Seq((0L, "alpha beta"), (1L, "g & h"),
+        (2L, "late arrival")).toDF("doc_id", "text")
+      val expected = graft.ops.IoFormats
+        .wetRows(batchDocs, "doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      val got = back.map(r => r.uri.split("/doc/").last.toLong ->
+        new String(r.payload, "UTF-8")).toMap
+      assert(got == expected)
+      assert(got(1L).contains("g & h")) // the extraction hop ran
+    } finally q.stop()
+  }
+
   test("streaming WARC ingest: arriving segments parse once, equal batch read") {
     val dir = java.nio.file.Files.createTempDirectory("warc_str").toString
     val ckpt = java.nio.file.Files.createTempDirectory("warc_str_ck").toString
