@@ -167,6 +167,61 @@ object ChangeLog {
       state
     }
 
+  /** A running master tail: the [[syncFromMaster]] loop on its own
+    * daemon thread. `stop()` is graceful (finishes the in-flight
+    * sync, then exits); `lastError` surfaces the most recent failed
+    * poll (the loop keeps polling through transient master outages —
+    * the reference process restarts on error under its supervisor,
+    * reference/flake.nix:125-152; here the resume pair makes retry
+    * free).
+    */
+  final class MasterTail private[ChangeLog] (dir: String,
+      master: String, user: String, password: String, serverId: Long,
+      firstFile: String, pollMillis: Long) {
+    @volatile private var running = true
+    @volatile var lastError: Option[Throwable] = None
+    @volatile var syncs: Long = 0L
+    private val thread = new Thread(() => {
+      while (running) {
+        try {
+          syncFromMaster(dir, Some(master), user, password, serverId,
+            firstFile)
+          syncs += 1
+          lastError = None
+        } catch { case e: Exception => lastError = Some(e) }
+        val deadline = System.nanoTime() + pollMillis * 1000000L
+        while (running && System.nanoTime() < deadline) Thread.sleep(10)
+      }
+    }, s"binlog-master-tail($master)")
+    thread.setDaemon(true)
+    thread.start()
+    def stop(): Unit = { running = false; thread.join(30000) }
+  }
+
+  /** Turnkey LIVE ingest: keep mirroring the master into `dir` every
+    * `pollMillis` while a streaming query consumes the directory —
+    * the complete reference drive loop (connect → dump → decode →
+    * stream) as one call next to one `readStream`:
+    * {{{
+    *   val tail = ChangeLog.tailMaster(dir).get // env-gated
+    *   val q = spark.readStream.format("graft-changelog")
+    *     .option("path", dir).load() ... .start()
+    *   // ... q.stop(); tail.stop()
+    * }}}
+    * Env-gated like [[syncFromMaster]]: None (no thread, no socket)
+    * unless a master is configured.
+    */
+  def tailMaster(dir: String,
+      master: Option[String] = sys.env.get("SPARK_GRAFT_BINLOG_MASTER"),
+      user: String = sys.env.getOrElse("SPARK_GRAFT_BINLOG_USER", "repl"),
+      password: String = sys.env.getOrElse("SPARK_GRAFT_BINLOG_PASSWORD", ""),
+      serverId: Long = 7777L,
+      firstFile: String = "binlog.000001",
+      pollMillis: Long = 1000L): Option[MasterTail] =
+    master.map(hp =>
+      new MasterTail(dir, hp, user, password, serverId, firstFile,
+        pollMillis))
+
   /** Row count of one segment — lines for JSONL, decoded row-changes
     * for binlog (events are not rows: a multi-row WRITE_ROWS is
     * several, a TABLE_MAP is none).

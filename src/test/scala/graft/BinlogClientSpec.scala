@@ -254,6 +254,41 @@ class BinlogClientSpec extends AnyFunSuite {
     }
   }
 
+  test("tailMaster: the turnkey loop keeps syncing, survives outages, stops clean") {
+    val dir = Files.createTempDirectory("binlog_tailloop").toString
+    // env-gated: no master -> no thread
+    assert(ChangeLog.tailMaster(dir, None).isEmpty)
+    withMaster("secret", Map("fix-bin.000002" -> seg2)) { m =>
+      val tail = ChangeLog.tailMaster(dir, Some(s"127.0.0.1:${m.port}"),
+        user = "repl", password = "secret", serverId = 8L,
+        firstFile = "fix-bin.000002", pollMillis = 50L).get
+      try {
+        val t0 = System.nanoTime()
+        while (tail.syncs < 2 && System.nanoTime() - t0 < 10e9) Thread.sleep(20)
+        assert(tail.syncs >= 2 && tail.lastError.isEmpty)
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(java.nio.file.Paths.get(dir,
+            "fix-bin.000002.binlog")), seg2))
+        // outage: wrong-password rejections surface but don't kill
+        // the loop; recovery clears the error
+        val goodSyncs = tail.syncs
+        m.segments = Map.empty // 1236 on every poll
+        val t1 = System.nanoTime()
+        while (tail.lastError.isEmpty && System.nanoTime() - t1 < 10e9)
+          Thread.sleep(20)
+        assert(tail.lastError.exists(_.getMessage.contains("1236")))
+        m.segments = Map("fix-bin.000002" -> seg2Grown)
+        val t2 = System.nanoTime()
+        while ((tail.lastError.nonEmpty || tail.syncs <= goodSyncs) &&
+          System.nanoTime() - t2 < 10e9) Thread.sleep(20)
+        assert(tail.lastError.isEmpty)
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(java.nio.file.Paths.get(dir,
+            "fix-bin.000002.binlog")), seg2Grown))
+      } finally tail.stop()
+    }
+  }
+
   test("mirror ingest: socket -> byte-equal local segments -> DSv2 source") {
     val spark = TestSpark.spark
     val dir = Files.createTempDirectory("binlog_mirror").toString
