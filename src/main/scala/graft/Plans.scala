@@ -301,7 +301,11 @@ object Plans {
         |cache) feeds both scoring passes; the query-term sets and the
         |df/corpus stats ride BroadcastExchanges, so each pass costs
         |its matched postings — the feedback harvest joins a k-row-per-
-        |query broadcast against tf. PlanSpec asserts the broadcast
+        |query broadcast against tf. The EXPANDED query frame is
+        |cache-once (round 10): the rescore references it from two
+        |exchanges, and without the cache each broadcast re-ran the
+        |whole pass-1 scoring (the r9 warm inversion — warm 9.4 s,
+        |now 1.4 s). PlanSpec asserts the broadcast + LeftSemi
         |shape.""".stripMargin,
     "q_curate_diff" ->
       """Snapshot diff: two narrow fingerprint scans (codegen'd
@@ -339,6 +343,22 @@ object Plans {
         |Exchange. ReadSchema prunes to doc_id alone: the codec
         |pipeline carries bytes it synthesizes, never the text
         |column.""".stripMargin,
+    "q_io_wet" ->
+      """WET export round trip: the WRITE half is one hash exchange
+        |(salted shard key) then task-direct gzip segment writes (no
+        |driver collect, not in this read-back plan); the plan shown
+        |is the PROOF half — file-parallel WARC parse (binaryFile
+        |scan, one task per segment), narrow re-extraction of shard
+        |and fingerprint, ONE partial-agg shuffle of shard-sized
+        |checksum rows.""".stripMargin,
+    "q_sim_knngraph_sqrtn" ->
+      """The scale-correct seeding of the blocked kNN graph: same
+        |serve-side plan as q_sim_knngraph (pure bucketed edge scan —
+        |the build pays the Σ|list|² self-join once in setup), but the
+        |build seeded nlist from the id space instead of the 10
+        |labels, so list OCCUPANCY stays bounded as the corpus grows
+        |(the sf1.0 point measured the label seeding at ~quadratic;
+        |ScaleProbe: 13× from the seeding alone).""".stripMargin,
     "q_mm_audio" ->
       """REAL WAV decode, same shape as q_mm_decode: encode+parse in
         |one per-partition chain, no shuffle, doc_id-only
