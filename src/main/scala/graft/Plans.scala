@@ -362,7 +362,22 @@ object Plans {
     "q_mm_audio" ->
       """REAL WAV decode, same shape as q_mm_decode: encode+parse in
         |one per-partition chain, no shuffle, doc_id-only
-        |ReadSchema.""".stripMargin)
+        |ReadSchema.""".stripMargin,
+    "q_curate_epochshuffle" ->
+      """Reproducible epoch shuffle: ONE hash exchange on the salted
+        |shard id, then the within-shard order is a LOCAL sort (the
+        |window partitions on `shard` — no global Sort node, no
+        |single-partition window), collapsing into the per-shard
+        |digest agg. The terasort-per-shard shape production uses to
+        |lay out training data.""".stripMargin,
+    "q_curate_nbclassify" ->
+      """Hashed-NB classifier, train+serve in one plan: the hashed
+        |gram base is ONE cached scan (InMemoryTableScan) feeding the
+        |model aggs and the scoring agg; the ≤ K·nBuckets model and
+        |the K-row class digest enter scoring as BroadcastExchanges
+        |(the hashing trick's bounded-model contract), so corpus rows
+        |cross only the (doc,bucket) compression and (doc,class)
+        |partial-agg shuffles; the argmax is a per-doc window.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -1107,6 +1107,26 @@ object SparkEntry {
       Curation.contaminationBloom(T(s, dir, "documents"), "doc_id", "text",
         col("doc_id") % 20 === 0, k = 3, mBits = 1 << 16, probes = 4)),
 
+    // X126 reproducible epoch shuffle: the deterministic global
+    // permutation between curation and the data loader — X89's stable
+    // shard hash + an epoch-salted within-shard order, audited by an
+    // order-SENSITIVE per-shard fingerprint (pos-tagged XOR), so the
+    // hash match proves the full sequence both engines would replay.
+    "q_curate_epochshuffle" -> ((s, dir) =>
+      Curation.epochShuffle(T(s, dir, "documents"), "doc_id",
+        nShards = 32, salt = "e1")),
+
+    // X125 hashed multinomial Naive Bayes source classifier: train on
+    // the doc_id % 5 != 0 slice (priors + Laplace-smoothed hashed
+    // unigram+bigram counts, every log term quantized to integer
+    // micros), score EVERY doc against every class, argmax with
+    // deterministic ties — reported as the train/eval confusion
+    // matrix. The supervised quality/domain filter of the fastText
+    // pipelines, exact enough to oracle.
+    "q_curate_nbclassify" -> ((s, dir) =>
+      Curation.nbConfusion(T(s, dir, "documents"), "doc_id", "text",
+        "source", col("doc_id") % 5 =!= 0, nBuckets = 512)),
+
     // Cross-source near-dup matrix: which sources systematically
     // duplicate each other (the drop-which-crawl audit); diagonal =
     // within-source dup baseline.
@@ -2168,6 +2188,15 @@ object SparkEntry {
     "q_curate_overlap" ->
       (Curation.sourceOverlapSql("doc_id", "text", "source", "documents",
         k = 3, threshold = 0.2) + " ORDER BY source_a, source_b"),
+
+    "q_curate_nbclassify" ->
+      (Curation.nbConfusionSql("doc_id", "text", "source", "documents",
+        "doc_id % 5 <> 0", nBuckets = 512)
+        + " ORDER BY label, predicted, split"),
+
+    "q_curate_epochshuffle" ->
+      (Curation.epochShuffleSql("doc_id", "documents",
+        nShards = 32, salt = "e1") + " ORDER BY shard"),
 
     "q_curate_stratified" ->
       (Curation.stratifiedSampleSql("doc_id", "source", "documents", n = 100)

@@ -125,6 +125,67 @@ object Curation {
        |  FROM $table)
        |WHERE rank <= $n""".stripMargin
 
+  /** X126 — reproducible epoch shuffle (the training-order plan):
+    * the deterministic global permutation every training run needs
+    * between curation and the data loader. Each doc lands in a shard
+    * by the X89 salted shard hash (stable across epochs — a doc's
+    * FILE never moves, so shard-level caching and resume hold), and
+    * WITHIN its shard is ordered by an epoch-salted hash — a fresh
+    * reproducible permutation per epoch from `salt` alone, no RNG
+    * state, no coordination, any-engine replayable. A doc's (shard,
+    * pos) is a pure function of (id, salts, nShards): audits,
+    * resumes, and loss-spike forensics ("what exactly did step K
+    * see?") replay it bit-for-bit.
+    *
+    * Output is the per-shard audit digest (nShards rows): doc count,
+    * the shard's first doc id (`head_id`, the resume anchor), and an
+    * ORDER-SENSITIVE fingerprint `ord_fp` = bit-XOR over docs of
+    * (pos·2³¹ + okey mod 2³¹) — any transposition of two docs
+    * changes both terms, so engines (and re-runs) agreeing on the
+    * fingerprint proves the full sequence, not just membership.
+    * 2³¹-packing keeps every term positive and < 2⁶³ for any shard
+    * under 2³² docs.
+    *
+    * == 100 TB shape ==
+    *
+    * ONE hash exchange on the shard id + a per-shard LOCAL sort (the
+    * window partitions on `shard`) — the terasort-per-shard shape
+    * production uses to write training data; NO global sort, no
+    * driver-side permutation table. Shard count is the knob: size
+    * shards to the loader's file budget and the per-task sort stays
+    * in memory.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, nShards: Int,
+      salt: String): DataFrame = {
+    val d = docs.select(col(idCol).as("id"))
+      .withColumn("shard",
+        pmod(Hashing.hash60(concat(col("id").cast("string"), lit(":shard"))),
+          lit(nShards.toLong)).cast("int"))
+      .withColumn("okey",
+        Hashing.hash60(concat(lit(s"epoch_${salt}_"), col("id").cast("string"))))
+    val w = Window.partitionBy(col("shard")).orderBy(col("okey"), col("id"))
+    d.withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("pos") === 1, col("id"))).as("head_id"),
+        expr("bit_xor(pos * 2147483648 + okey % 2147483648)").as("ord_fp"))
+  }
+
+  def epochShuffleSql(id: String, table: String, nShards: Int,
+      salt: String): String =
+    s"""WITH p AS (
+       |  SELECT id, shard, okey, row_number() OVER (
+       |      PARTITION BY shard ORDER BY okey, id)::BIGINT AS pos
+       |  FROM (SELECT $id AS id,
+       |    (${Hashing.hash60Sql(s"$id::VARCHAR || ':shard'")}
+       |      % $nShards)::INT AS shard,
+       |    ${Hashing.hash60Sql(s"'epoch_${salt}_' || $id::VARCHAR")} AS okey
+       |  FROM $table))
+       |SELECT shard, count(*)::BIGINT AS n_docs,
+       |  max(CASE WHEN pos = 1 THEN id END)::BIGINT AS head_id,
+       |  bit_xor(pos * 2147483648 + okey % 2147483648)::BIGINT AS ord_fp
+       |FROM p GROUP BY 1""".stripMargin
+
   /** Dataset card: the per-source summary a corpus release publishes —
     * doc/token counts, rank-based median and max document length, the
     * dominant predicted language and the number of distinct ones. All
@@ -530,15 +591,11 @@ object Curation {
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, nBuckets: Int): DataFrame = {
-    val ts = TextAnalysis.tokens(col(textCol))
-    val bigrams = when(size(col("ts")) >= 2,
-      transform(sequence(lit(1), size(col("ts")) - 1),
-        i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1))))
-      .otherwise(array().cast("array<string>"))
     val feats = docs
-      .select(col(idCol).as("id"), targetPred.as("is_tgt"), ts.as("ts"))
+      .select(col(idCol).as("id"), targetPred.as("is_tgt"),
+        TextAnalysis.tokens(col(textCol)).as("ts"))
       .select(col("id"), col("is_tgt"),
-        explode(concat(col("ts"), bigrams)).as("g"))
+        explode(unigramsAndBigrams(col("ts"))).as("g"))
       .select(col("id"), col("is_tgt"),
         pmod(Hashing.hash60(col("g")), lit(nBuckets.toLong)).as("b"))
     val cached = Caching.cachedOnce(feats)
@@ -568,15 +625,11 @@ object Curation {
     */
   def freezeDsir(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, nBuckets: Int): IndexedSeq[Long] = {
-    val ts = TextAnalysis.tokens(col(textCol))
-    val bigrams = when(size(col("ts")) >= 2,
-      transform(sequence(lit(1), size(col("ts")) - 1),
-        i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1))))
-      .otherwise(array().cast("array<string>"))
     val feats = docs
-      .select(col(idCol).as("id"), targetPred.as("is_tgt"), ts.as("ts"))
+      .select(col(idCol).as("id"), targetPred.as("is_tgt"),
+        TextAnalysis.tokens(col(textCol)).as("ts"))
       .select(col("is_tgt"),
-        explode(concat(col("ts"), bigrams)).as("g"))
+        explode(unigramsAndBigrams(col("ts"))).as("g"))
       .select(col("is_tgt"),
         pmod(Hashing.hash60(col("g")), lit(nBuckets.toLong)).as("b"))
     val rows = feats.groupBy(col("b")).agg(
@@ -602,12 +655,7 @@ object Curation {
   def scoreDsirFrozen(docs: DataFrame, textCol: String,
       lrMicros: IndexedSeq[Long]): DataFrame = {
     val nB = lrMicros.size
-    val ts = TextAnalysis.tokens(col(textCol))
-    val bigrams = when(size(ts) >= 2,
-      transform(sequence(lit(1), size(ts) - 1),
-        i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val grams = concat(ts, bigrams)
+    val grams = unigramsAndBigrams(TextAnalysis.tokens(col(textCol)))
     val lrArr = typedLit(lrMicros)
     val contribs = transform(grams, g =>
       element_at(lrArr, pmod(Hashing.hash60(g), lit(nB.toLong)).cast("int") + 1))
@@ -1364,6 +1412,255 @@ object Curation {
        |       WHEN a.nk_a = b.nk_b THEN 'equivalent'
        |       ELSE 'changed' END AS status
        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin
+
+  /** Shared gram extractor of the hashed-feature family (DSIR X72,
+    * NB X125): unigrams ++ adjacent bigrams of `ts` (an already-split
+    * token array column). The bigram arm is guarded so one-token docs
+    * contribute their unigram only.
+    */
+  private def unigramsAndBigrams(ts: Column): Column = {
+    val bigrams = when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(ts, bigrams)
+  }
+
+  /** X125 — hashed multinomial Naive Bayes classifier (train + serve
+    * in one plan): the supervised quality/domain classifier every
+    * production LLM corpus pipeline runs (the role fastText's linear
+    * classifier plays in the GPT-3 / LLaMA / CCNet data recipes),
+    * expressed as exact integer math over hashed gram counts so the
+    * oracle can prove it.
+    *
+    * Features are [[unigramsAndBigrams]] hashed into `nBuckets`
+    * buckets (the Weinberger-et-al hashing trick — fastText's own
+    * vocabulary bound). Docs matching `trainPred` train the model:
+    * per-class gram-bucket counts `cnt(c,b)`, per-class totals
+    * `tot_c`, and doc-count priors. Every doc (train AND held-out)
+    * then scores against every trained class in log-space micros:
+    *
+    *   score(d,c) = round(ln(nd_c / n_tr)·1e6)
+    *              + Σ_g round(ln((cnt(c,b(g)) + 1) / (tot_c + nBuckets))·1e6)
+    *
+    * — Laplace-smoothed multinomial NB, each log term quantized to an
+    * integer ONCE (the house `round(x·1e6)` contract, the same shape
+    * [[dsirWeights]] and `TextAnalysis.lmScore` prove cross-engine)
+    * and summed exactly as longs. The prediction is the max-score
+    * class, ties broken to the lexicographically smallest label
+    * (`row_number` over (score DESC, label ASC) — deterministic on
+    * both engines). Docs whose label never appears in training still
+    * score and predict among the trained classes; docs with NULL text
+    * carry prior-only scores.
+    *
+    * Output: one row per doc — (doc_id, label, split, predicted)
+    * with split ∈ train/eval from `trainPred`. [[nbConfusion]] is the
+    * bounded (≤ K²·2 rows) gate aggregate over this frame.
+    *
+    * == 100 TB shape ==
+    *
+    * One narrow gram pass over the corpus (cached once — it feeds the
+    * model aggs and the scoring agg). The model is ≤ K·nBuckets
+    * (class, bucket) count rows — two partial-agg shuffles over
+    * COUNTS, never gram instances — and is broadcast BY CONSTRUCTION
+    * bounded: the hashing trick caps it at K·nBuckets longs
+    * independent of vocabulary, which is the entire reason fastText
+    * ships this shape. Scoring compresses to distinct (doc, bucket)
+    * pairs (one partial-agg shuffle ∝ corpus tokens), expands by the
+    * K-row class digest (broadcast), and aggregates per (doc, class);
+    * the argmax is a per-doc window (ndocs partitions, no skew).
+    * Nothing anywhere scales with vocabulary or pairs of docs.
+    */
+  def nbPredict(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, trainPred: Column, nBuckets: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(labelCol).as("label"),
+      trainPred.as("is_tr"), TextAnalysis.tokens(col(textCol)).as("ts"))
+    val d = Caching.cachedOnce(base.select(col("id"), col("label"), col("is_tr")))
+    val feats = Caching.cachedOnce(base
+      .select(col("id"), col("label"), col("is_tr"),
+        explode(unigramsAndBigrams(col("ts"))).as("g"))
+      .select(col("id"), col("label"), col("is_tr"),
+        pmod(Hashing.hash60(col("g")), lit(nBuckets.toLong)).as("b")))
+    // model: priors from train docs, bucket counts from train grams
+    val pri = d.filter(col("is_tr"))
+      .groupBy(col("label").as("c_label")).agg(count(lit(1)).as("nd"))
+    val ntr = d.filter(col("is_tr")).agg(count(lit(1)).as("n_tr"))
+    val tot = feats.filter(col("is_tr"))
+      .groupBy(col("label").as("c_label")).agg(count(lit(1)).as("tot_c"))
+    val classes = Caching.cachedOnce(
+      pri.join(tot, Seq("c_label"), "left").crossJoin(broadcast(ntr))
+        .select(col("c_label"),
+          round(log(col("nd").cast("double") / col("n_tr").cast("double")) * 1e6)
+            .cast("long").as("prior_lp"),
+          round(log(lit(1.0) /
+              (coalesce(col("tot_c"), lit(0L)) + nBuckets).cast("double")) * 1e6)
+            .cast("long").as("unseen_lp"),
+          coalesce(col("tot_c"), lit(0L)).as("tot_c")))
+    val model = feats.filter(col("is_tr"))
+      .groupBy(col("label").as("c_label"), col("b")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(classes.select(col("c_label"), col("tot_c"))), "c_label")
+      .select(col("c_label"), col("b"),
+        round(log((col("cnt") + 1).cast("double") /
+            (col("tot_c") + nBuckets).cast("double")) * 1e6)
+          .cast("long").as("lp"))
+    // scoring: distinct (doc, bucket) counts × class digest, model left-joined
+    val db = feats.groupBy(col("id"), col("b")).agg(count(lit(1)).as("dn"))
+    val fs = db
+      .crossJoin(broadcast(classes.select(col("c_label"), col("unseen_lp"))))
+      .join(broadcast(model), Seq("c_label", "b"), "left")
+      .groupBy(col("id"), col("c_label"))
+      .agg(sum(col("dn") * coalesce(col("lp"), col("unseen_lp"))).as("fsum"))
+    val scores = d.select(col("id"))
+      .crossJoin(broadcast(classes.select(col("c_label"), col("prior_lp"))))
+      .join(fs, Seq("id", "c_label"), "left")
+      .select(col("id"), col("c_label"),
+        (col("prior_lp") + coalesce(col("fsum"), lit(0L))).as("score"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("c_label").asc)
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("c_label").as("predicted"))
+      .join(d, "id")
+      .select(col("id").as("doc_id"), col("label"),
+        when(col("is_tr"), "train").otherwise("eval").as("split"),
+        col("predicted"))
+  }
+
+  /** The gate aggregate of [[nbPredict]]: the train/eval confusion
+    * matrix — (label, predicted, split, n_docs), ≤ K²·2 rows. The
+    * eval slice is the held-out accuracy audit a pipeline reads
+    * before trusting the classifier's keep/drop verdicts.
+    */
+  def nbConfusion(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, trainPred: Column, nBuckets: Int): DataFrame =
+    nbPredict(docs, idCol, textCol, labelCol, trainPred, nBuckets)
+      .groupBy(col("label"), col("predicted"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  def nbConfusionSql(id: String, text: String, label: String,
+      table: String, trainPredSql: String, nBuckets: Int): String =
+    s"""WITH d AS (
+       |  SELECT $id AS id, $label AS label, ($trainPredSql) AS is_tr,
+       |    ${TextAnalysis.tokensSql(text)} AS ts FROM $table),
+       |feats AS (
+       |  SELECT id, label, is_tr, ${Hashing.hash60Sql("g")} % $nBuckets AS b
+       |  FROM (SELECT id, label, is_tr, unnest(list_concat(ts,
+       |    list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+       |      i -> ts[i] || ' ' || ts[i + 1]))) AS g FROM d)),
+       |pri AS (SELECT label AS c_label, count(*) AS nd
+       |        FROM d WHERE is_tr GROUP BY 1),
+       |ntr AS (SELECT count(*) AS n_tr FROM d WHERE is_tr),
+       |tot AS (SELECT label AS c_label, count(*) AS tot_c
+       |        FROM feats WHERE is_tr GROUP BY 1),
+       |classes AS (
+       |  SELECT p.c_label,
+       |    round(ln(nd::DOUBLE / n_tr::DOUBLE) * 1e6)::BIGINT AS prior_lp,
+       |    round(ln(1::DOUBLE
+       |      / (coalesce(tot_c, 0) + $nBuckets)::DOUBLE) * 1e6)::BIGINT AS unseen_lp,
+       |    coalesce(tot_c, 0) AS tot_c
+       |  FROM pri p LEFT JOIN tot t ON p.c_label = t.c_label CROSS JOIN ntr),
+       |model AS (
+       |  SELECT cb.c_label, cb.b,
+       |    round(ln((cb.cnt + 1)::DOUBLE
+       |      / (c.tot_c + $nBuckets)::DOUBLE) * 1e6)::BIGINT AS lp
+       |  FROM (SELECT label AS c_label, b, count(*) AS cnt
+       |        FROM feats WHERE is_tr GROUP BY 1, 2) cb
+       |  JOIN classes c ON cb.c_label = c.c_label),
+       |db AS (SELECT id, b, count(*) AS dn FROM feats GROUP BY 1, 2),
+       |fs AS (
+       |  SELECT db.id, c.c_label,
+       |    sum(db.dn * coalesce(m.lp, c.unseen_lp)) AS fsum
+       |  FROM db CROSS JOIN classes c
+       |  LEFT JOIN model m ON m.c_label = c.c_label AND m.b = db.b
+       |  GROUP BY 1, 2),
+       |scores AS (
+       |  SELECT d.id, c.c_label, c.prior_lp + coalesce(f.fsum, 0) AS score
+       |  FROM d CROSS JOIN classes c
+       |  LEFT JOIN fs f ON f.id = d.id AND f.c_label = c.c_label),
+       |pred AS (
+       |  SELECT id, c_label AS predicted FROM (
+       |    SELECT id, c_label, row_number() OVER (
+       |      PARTITION BY id ORDER BY score DESC, c_label ASC) AS rn
+       |    FROM scores) WHERE rn = 1)
+       |SELECT d.label, p.predicted,
+       |  CASE WHEN d.is_tr THEN 'train' ELSE 'eval' END AS split,
+       |  count(*)::BIGINT AS n_docs
+       |FROM d JOIN pred p ON d.id = p.id
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** The frozen NB model: labels sorted ascending, per-class prior
+    * log-micros, and per-class FULL bucket→lp arrays (absent buckets
+    * carry the smoothed unseen lp baked in). K·(nBuckets + 1) longs —
+    * the whole model, bounded by the hashing trick regardless of
+    * vocabulary, exactly the artifact fastText serializes.
+    */
+  final case class NbModel(labels: IndexedSeq[String],
+      priorLp: IndexedSeq[Long], lp: IndexedSeq[IndexedSeq[Long]]) {
+    def nBuckets: Int = lp.head.size
+  }
+
+  /** The offline half of the streaming NB gate: collect
+    * [[nbPredict]]'s count tables into arrays. One action over the
+    * STATIC labeled corpus at stage construction.
+    */
+  def freezeNb(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, trainPred: Column, nBuckets: Int): NbModel = {
+    val base = docs.filter(trainPred)
+      .select(col(labelCol).as("label"), TextAnalysis.tokens(col(textCol)).as("ts"))
+    val nd = base.groupBy(col("label")).agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cnts = base
+      .select(col("label"), explode(unigramsAndBigrams(col("ts"))).as("g"))
+      .select(col("label"), pmod(Hashing.hash60(col("g")), lit(nBuckets.toLong)).as("b"))
+      .groupBy(col("label"), col("b")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val labels = nd.keys.toIndexedSeq.sorted
+    val nTr = nd.values.sum
+    val tot = labels.map(l => l ->
+      cnts.collect { case ((`l`, _), n) => n }.sum).toMap
+    NbModel(labels,
+      labels.map(l => math.round(math.log(nd(l).toDouble / nTr.toDouble) * 1e6)),
+      labels.map { l =>
+        val tc = tot(l) + nBuckets
+        (0 until nBuckets).map { b =>
+          math.round(math.log((cnts.getOrElse((l, b.toLong), 0L) + 1).toDouble
+            / tc.toDouble) * 1e6)
+        }
+      })
+  }
+
+  /** Score docs against a frozen NB model — a pure narrow map (the
+    * per-class bucket arrays are literals; per-doc grams hash and
+    * look up in-row, no shuffle, no state). On the SAME corpus the
+    * model was frozen from, `predicted` matches [[nbPredict]] on
+    * every doc (spec-pinned): the labels array is sorted, so
+    * `array_position`'s first-max equals the batch row_number's
+    * min-label tie-break. Output: (…docs columns…, predicted,
+    * score_micros).
+    */
+  def scoreNbFrozen(docs: DataFrame, textCol: String,
+      model: NbModel): DataFrame = {
+    val nB = model.nBuckets
+    // NULL text coalesces to zero grams so the score degrades to the
+    // prior (matching the batch path, where a NULL-text doc simply
+    // contributes no feature rows) instead of going NULL.
+    val grams = coalesce(unigramsAndBigrams(TextAnalysis.tokens(col(textCol))),
+      array().cast("array<string>"))
+    val scoreCols = model.labels.indices.map { k =>
+      val arr = typedLit(model.lp(k))
+      lit(model.priorLp(k)) + aggregate(
+        transform(grams, g => element_at(arr,
+          pmod(Hashing.hash60(g), lit(nB.toLong)).cast("int") + 1)),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val scores = array(scoreCols: _*)
+    val labelsLit = typedLit(model.labels)
+    docs
+      .withColumn("nb_scores", scores)
+      .withColumn("score_micros", array_max(col("nb_scores")))
+      .withColumn("predicted", element_at(labelsLit,
+        array_position(col("nb_scores"), col("score_micros")).cast("int")))
+      .drop("nb_scores")
+  }
 
   def contaminationSql(id: String, text: String, table: String,
       evalPredSql: String, k: Int): String =

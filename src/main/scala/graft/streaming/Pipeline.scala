@@ -209,6 +209,20 @@ object Pipeline {
     graft.ops.Curation.scoreDsirFrozen(docs, "text", lrMicros)
       .filter(col("logw_micros") >= minLogwMicros)
 
+  /** Ingest-time classifier gate (X125's streaming twin — the
+    * fastText-filter production shape): classify each arriving doc
+    * under a hashed-NB model FROZEN from a static labeled corpus
+    * ([[graft.ops.Curation.freezeNb]] — K·(nBuckets+1) longs IS the
+    * model) and keep docs whose predicted class lands in `keep`
+    * (e.g. the high-quality reference domains). Pure narrow map, no
+    * state; the `predicted`/`score_micros` columns ride along for
+    * downstream audit.
+    */
+  def nbGate(docs: DataFrame, model: graft.ops.Curation.NbModel,
+      keep: Set[String]): DataFrame =
+    graft.ops.Curation.scoreNbFrozen(docs, "text", model)
+      .filter(col("predicted").isin(keep.toSeq: _*))
+
   /** Ingest-time LM fluency gate (X76's streaming twin — the CCNet
     * shape): score each arriving doc's per-token cross-entropy under a
     * bigram LM FROZEN from a static reference corpus

@@ -1040,6 +1040,47 @@ class OpsSpec extends AnyFunSuite {
     assert(all.count() == 100)
   }
 
+  test("epoch shuffle: plain-Scala reference, epoch-fresh order, stable shards") {
+    val many = spark.range(60).select(col("id").as("doc_id"))
+    val nS = 4
+    val out = Curation.epochShuffle(many, "doc_id", nS, salt = "e1")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // plain-collections reference of the whole digest
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    def digest(salt: String): Map[Int, (Long, Long, Long)] =
+      (0L until 60L).map { id =>
+        (id, (h60(s"$id:shard") % nS).toInt, h60(s"epoch_${salt}_$id"))
+      }.groupBy(_._2).map { case (s, rows) =>
+        val ordered = rows.sortBy(r => (r._3, r._1))
+        val fp = ordered.zipWithIndex.map { case (r, i) =>
+          (i + 1).toLong * 2147483648L + r._3 % 2147483648L
+        }.reduce(_ ^ _)
+        s -> (ordered.size.toLong, ordered.head._1, fp)
+      }
+    assert(out == digest("e1"))
+
+    // a different epoch salt keeps membership, changes the order
+    val e2 = Curation.epochShuffle(many, "doc_id", nS, salt = "e2")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(e2 == digest("e2"))
+    assert(out.keySet == e2.keySet)
+    assert(out.forall { case (s, (n, _, _)) => e2(s)._1 == n }) // same docs
+    assert(out.exists { case (s, (_, _, fp)) => e2(s)._3 != fp }) // new order
+
+    // rerun replays bit-for-bit
+    val again = Curation.epochShuffle(many, "doc_id", nS, salt = "e1")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == out)
+  }
+
   test("dataset card: rank-based median, dominant language, exact counts") {
     val d = Seq(
       (0L, "the of and", "a"),     // 3 tokens, en

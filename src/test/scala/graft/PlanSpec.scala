@@ -505,6 +505,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch shuffle: shard-local sorts only, no global sort") {
+    val p = plan("q_curate_epochshuffle")
+    // the permutation must be per-shard (one hash exchange + local
+    // window sorts) — a rangepartitioning here would mean the plan
+    // degenerated into a corpus-wide global sort
+    assert(p.contains("Window"), s"no window:\n$p")
+    assert(p.contains("hashpartitioning"), s"no shard exchange:\n$p")
+    assert(!p.contains("rangepartitioning"), s"global sort crept in:\n$p")
+  }
+
+  test("NB classifier: model rides broadcasts, gram base is cached once") {
+    val p = plan("q_curate_nbclassify")
+    // the (class, bucket) model and the K-row class digest must enter
+    // the scoring side as broadcasts — a shuffle join keyed on the
+    // bucket would re-partition the corpus-sized (doc, bucket) frame
+    // by model key, defeating the hashing trick's bounded-model point
+    assert(p.contains("BroadcastExchange"), s"model not broadcast:\n$p")
+    // the hashed-gram base feeds the model aggs AND the scoring agg:
+    // it must resolve to one cached scan, not re-derive per reference
+    // (the q_text_rm3 round-9 lesson: every exchange re-executes its
+    // uncached subtree)
+    assert(p.contains("InMemoryTableScan"), s"gram base not cached:\n$p")
+  }
+
   test("PRF rescoring rides broadcasts; snapshot diff has no pair join") {
     val p = plan("q_text_rm3")
     // query-term sets, df stats and corpus stats must broadcast —

@@ -232,6 +232,114 @@ class RetrievalSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS dsir_out")
   }
 
+  test("nbPredict: brute-force reference matches scores, predictions, confusion") {
+    val rows = Seq(
+      (0L, "alpha beta alpha beta gamma", "A"),
+      (1L, "alpha beta gamma", "A"),
+      (2L, "delta epsilon zeta delta", "B"),
+      (3L, "delta zeta epsilon", "B"),
+      (4L, "alpha beta gamma beta", "A"),   // held out
+      (5L, "epsilon delta zeta", "B"))      // held out
+    val corpus = rows.toDF("doc_id", "text", "source")
+    val nB = 64
+    val got = Curation.nbPredict(corpus, "doc_id", "text", "source",
+        col("doc_id") <= 3, nB)
+      .select("doc_id", "label", "split", "predicted")
+      .as[(Long, String, String, String)].collect().toSet
+
+    // plain-collections reference of the exact integer formula
+    def grams(t: String): Seq[String] = {
+      val ts = t.split("\\s+").toSeq
+      ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val train = rows.filter(_._1 <= 3)
+    val labels = train.map(_._3).distinct.sorted
+    val nd = train.groupBy(_._3).map { case (l, rs) => l -> rs.size }
+    val nTr = train.size
+    val feats = train.flatMap { case (_, t, l) => grams(t).map(g => (l, h60(g) % nB)) }
+    val tot = labels.map(l => l -> feats.count(_._1 == l)).toMap
+    val cnt = feats.groupBy(identity).map { case (k, fs) => k -> fs.size }
+    def score(t: String, c: String): Long =
+      math.round(math.log(nd(c).toDouble / nTr.toDouble) * 1e6) +
+        grams(t).map { g =>
+          val b = h60(g) % nB
+          math.round(math.log((cnt.getOrElse((c, b), 0) + 1).toDouble /
+            (tot(c) + nB).toDouble) * 1e6)
+        }.sum
+    val want = rows.map { case (id, t, l) =>
+      val best = labels.map(c => score(t, c)).max
+      (id, l, if (id <= 3) "train" else "eval",
+        labels.filter(c => score(t, c) == best).min)
+    }.toSet
+    assert(got == want)
+    // the disjoint-vocabulary held-out docs classify correctly
+    assert(got.contains((4L, "A", "eval", "A")))
+    assert(got.contains((5L, "B", "eval", "B")))
+
+    val conf = Curation.nbConfusion(corpus, "doc_id", "text", "source",
+        col("doc_id") <= 3, nB)
+      .select("label", "predicted", "split", "n_docs")
+      .as[(String, String, String, Long)].collect().toSet
+    val wantConf = want.groupBy(r => (r._2, r._4, r._3))
+      .map { case ((l, p, s), rs) => (l, p, s, rs.size.toLong) }.toSet
+    assert(conf == wantConf)
+  }
+
+  test("nbPredict ties break to the smallest label; NULL text scores prior-only") {
+    // identical training text per class -> every score ties across
+    // classes -> predicted must be the lexicographically smallest
+    val corpus = Seq(
+      (0L, Some("x y z"), "B"), (1L, Some("x y z"), "A"),
+      (2L, Some("x y"), "B"), (3L, None: Option[String], "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.nbPredict(corpus, "doc_id", "text", "source",
+        col("doc_id") <= 1, 32)
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "A", 1L -> "A", 2L -> "A", 3L -> "A"))
+  }
+
+  test("scoreNbFrozen reproduces nbPredict; streaming nbGate keeps the kept class") {
+    val corpus = Seq(
+      (0L, Some("alpha beta alpha gamma"), "A"),
+      (1L, Some("alpha beta gamma"), "A"),
+      (2L, Some("delta epsilon zeta"), "B"),
+      (3L, Some("delta zeta epsilon delta"), "B"),
+      (4L, Some("alpha gamma beta"), "A"),
+      (5L, None: Option[String], "B"))
+      .toDF("doc_id", "text", "source")
+    val nB = 64
+    val trainPred = col("doc_id") <= 3
+    val model = Curation.freezeNb(corpus, "doc_id", "text", "source",
+      trainPred, nB)
+    assert(model.labels == IndexedSeq("A", "B")) // sorted
+    val frozen = Curation.scoreNbFrozen(corpus, "text", model)
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    val batch = Curation.nbPredict(corpus, "doc_id", "text", "source",
+        trainPred, nB)
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(frozen == batch) // includes the NULL-text prior-only doc
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.Pipeline.nbGate(
+        input.toDF().toDF("doc_id", "text"), model, keep = Set("A"))
+      .writeStream.format("memory").queryName("nb_out")
+      .outputMode("append").start()
+    input.addData(Seq((100L, "alpha beta gamma"), (101L, "delta epsilon zeta")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("nb_out").select("doc_id", "predicted")
+      .as[(Long, String)].collect().toSet
+    assert(kept == Set((100L, "A"))) // the B-styled doc dropped
+    spark.sql("DROP TABLE IF EXISTS nb_out")
+  }
+
   test("lmScore: fluent-by-reference text scores lower ce; brute-force matches") {
     val corpus = Seq(
       (0L, "alpha beta gamma alpha beta", "en"),  // reference style
