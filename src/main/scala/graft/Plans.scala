@@ -363,6 +363,14 @@ object Plans {
       """REAL WAV decode, same shape as q_mm_decode: encode+parse in
         |one per-partition chain, no shuffle, doc_id-only
         |ReadSchema.""".stripMargin,
+    "q_curate_clustersample" ->
+      """Cluster-balanced sample: centroids train in the bounded
+        |Lloyd loop, the corpus assigns through ONE BroadcastExchange
+        |(the collapsed centroid row — no shuffle), and the
+        |per-cluster quota compiles to WindowGroupLimit: each input
+        |partition forwards at most n rows per cluster BEFORE the
+        |exchange, so the sample's shuffle carries ≤ nlist·n·tasks
+        |rows, never the corpus.""".stripMargin,
     "q_curate_epochshuffle" ->
       """Reproducible epoch shuffle: ONE hash exchange on the salted
         |shard id, then the within-shard order is a LOCAL sort (the

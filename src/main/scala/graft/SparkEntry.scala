@@ -1107,6 +1107,15 @@ object SparkEntry {
       Curation.contaminationBloom(T(s, dir, "documents"), "doc_id", "text",
         col("doc_id") % 20 === 0, k = 3, mBits = 1 << 16, probes = 4)),
 
+    // X127 cluster-balanced sample: exact per-cluster quota over the
+    // TRAINED k-means partition of embedding space — topic-balanced
+    // subset selection (a corpus-wide sample reproduces topic skew;
+    // this one can't). Training oracle-unrolled; the quota window
+    // compiles to WindowGroupLimit (the X95 shape).
+    "q_curate_clustersample" -> ((s, dir) =>
+      Similarity.clusterSample(T(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", iters = 2, n = 40)),
+
     // X126 reproducible epoch shuffle: the deterministic global
     // permutation between curation and the data loader — X89's stable
     // shard hash + an epoch-salted within-shard order, audited by an
@@ -2197,6 +2206,11 @@ object SparkEntry {
     "q_curate_epochshuffle" ->
       (Curation.epochShuffleSql("doc_id", "documents",
         nShards = 32, salt = "e1") + " ORDER BY shard"),
+
+    "q_curate_clustersample" ->
+      (Similarity.clusterSampleSql("vec_id", "embedding", "label",
+        "embeddings", iters = 2, dim = 64, n = 40)
+        + " ORDER BY cl, rank"),
 
     "q_curate_stratified" ->
       (Curation.stratifiedSampleSql("doc_id", "source", "documents", n = 100)

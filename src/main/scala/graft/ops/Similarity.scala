@@ -269,6 +269,54 @@ object Similarity {
       queryPred, k, nprobe, dedupCands = massign > 1)
   }
 
+  /** X127 — cluster-balanced sample: an exact per-CLUSTER quota over
+    * the trained k-means partition of embedding space — the
+    * topic-balanced subset selection step (eval-set construction,
+    * diversity-budgeted training mixes) where a plain corpus-wide
+    * sample would reproduce the corpus's topic skew. [[kmeans]]
+    * trains the centroids (deterministic, oracle-unrolled), every
+    * vector single-assigns to its nearest list, and each cluster
+    * yields its `n` lowest-salted-hash members ([[
+    * Curation.stratifiedSample]]'s exact-quota shape, keyed on the
+    * LEARNED cluster instead of a metadata column) — reproducible,
+    * unbiased w.r.t. ingest order, independent of the split/mix/shard
+    * salts. Output: (cl, vec_id, rank), ≤ nlist·n rows.
+    *
+    * == 100 TB shape ==
+    *
+    * Training cost is the bounded Lloyd loop (nlist-row centroid
+    * table per round); assignment is [[assignToNearest]]'s
+    * zero-shuffle narrow map; the quota is a per-cluster window that
+    * compiles to WindowGroupLimit — each input partition forwards at
+    * most n rows per cluster BEFORE the exchange (the X95 domain-cap
+    * shape), so the corpus never rides the sample's shuffle.
+    */
+  def clusterSample(embs: DataFrame, idCol: String, vecCol: String,
+      seedCol: String, iters: Int, n: Int): DataFrame = {
+    val base = baseOf(embs, idCol, vecCol)
+    val cents = withCNorm(kmeans(embs, idCol, vecCol, seedCol, iters))
+    val w = Window.partitionBy(col("cl")).orderBy(col("h"), col("id"))
+    assignToNearest(base, cents)
+      .withColumn("h",
+        Hashing.hash60(concat(lit("clsample_"), col("id").cast("string"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col("cl"), col("id").as("vec_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[clusterSample]]: the [[ivfTrainedPrefixSql]]
+    * training/assignment CTEs (query side unused), then the same
+    * salted-hash quota window over the final assignment.
+    */
+  def clusterSampleSql(id: String, vec: String, seed: String,
+      table: String, iters: Int, dim: Int, n: Int): String =
+    s"""${ivfTrainedPrefixSql(id, vec, seed, table, "false", 1, iters, dim)}
+       |SELECT cl, id AS vec_id, rank FROM (
+       |  SELECT cl, id, row_number() OVER (PARTITION BY cl
+       |    ORDER BY ${Hashing.hash60Sql("'clsample_' || id::VARCHAR")}, id
+       |  )::BIGINT AS rank FROM af)
+       |WHERE rank <= $n""".stripMargin
+
   /** Approximate kNN GRAPH: every corpus vector's k nearest neighbors
     * among vectors sharing at least one of its assigned trained-IVF
     * lists (a blocked kNN self-join). The building block under kNN

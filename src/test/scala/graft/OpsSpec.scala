@@ -143,6 +143,40 @@ class OpsSpec extends AnyFunSuite {
     assert(rec == Map(0L -> 1000000L, 1L -> 1000000L))
   }
 
+  test("cluster-balanced sample: exact quota per learned cluster, reproducible") {
+    val embs = Seq( // two separable clusters of 5 and 3 members
+      (0L, Seq(1f, 0.00f), 0), (1L, Seq(1f, 0.05f), 0),
+      (2L, Seq(1f, 0.10f), 0), (3L, Seq(1f, 0.15f), 0),
+      (4L, Seq(1f, 0.20f), 0),
+      (5L, Seq(0f, 1f), 1), (6L, Seq(0.05f, 1f), 1), (7L, Seq(0.1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterSample(embs, "vec_id", "embedding",
+        "label", iters = 2, n = 2)
+      .select("cl", "vec_id", "rank")
+      .as[(Int, Long, Long)].collect().toSeq
+    // exact quota: 2 members per non-empty cluster, ranks 1..2
+    assert(out.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+      .forall(_._2 == Seq(1L, 2L)))
+    assert(out.size == 4)
+    // membership respects the LEARNED partition: the separable halves
+    // never mix inside one cluster's sample
+    out.groupBy(_._1).values.foreach { rows =>
+      val ids = rows.map(_._2).toSet
+      assert(ids.subsetOf(Set(0L, 1L, 2L, 3L, 4L)) ||
+        ids.subsetOf(Set(5L, 6L, 7L)))
+    }
+    // a quota above the stratum takes the whole stratum
+    val all = Similarity.clusterSample(embs, "vec_id", "embedding",
+      "label", iters = 2, n = 100)
+    assert(all.count() == 8)
+    // rerun replays bit-for-bit
+    val again = Similarity.clusterSample(embs, "vec_id", "embedding",
+        "label", iters = 2, n = 2)
+      .select("cl", "vec_id", "rank")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(again.toSet == out.toSet)
+  }
+
   test("knnGraph: full-coverage assignment equals brute force; blocks confine neighbors") {
     val embs = Seq(
       (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0.1f), 0),

@@ -505,6 +505,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster sample quota runs as WindowGroupLimit over the narrow assignment") {
+    val p = plan("q_curate_clustersample")
+    // the per-cluster quota must compile to the partial-top-n shape
+    // (each input partition forwards ≤ n rows per cluster BEFORE the
+    // exchange) — and the assignment side must stay broadcast-narrow
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+    assert(p.contains("BroadcastExchange"), s"centroids not broadcast:\n$p")
+  }
+
   test("epoch shuffle: shard-local sorts only, no global sort") {
     val p = plan("q_curate_epochshuffle")
     // the permutation must be per-shard (one hash exchange + local
