@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Vocabulary-growth probe for the sf1.0 point: the posting-join
+  * family's work is Σdf² over gram document frequencies, and the
+  * synthetic corpus has a FIXED ~40-word vocabulary, so every gram's
+  * df grows ∝ corpus and the measured sf0.1→sf1.0 ratios
+  * (`q_dedup_ngram_prefix` 20×, `q_curate_overlap` 15.6×) are the
+  * fixture's df regime, not the operators'. Real corpora grow
+  * vocabulary with size (Heaps' law): tail grams keep ~constant df
+  * as the corpus grows and only the head grows linearly — which is
+  * the regime the df-cap/prefix/salting knobs exist for.
+  *
+  * This probe makes that claim empirical on the SAME data scale: it
+  * derives a vocabulary-growing twin of the sf1.0 documents table —
+  * half the word TYPES (chosen by a type-level hash, so the choice
+  * is identical in every copy) become copy-LOCAL by suffixing the
+  * replica index; within-copy structure, lengths, dup pairs, and the
+  * in-copy df profile are untouched, while cross-copy df for tail
+  * words stops growing (df constant in corpus size, the Heaps-law
+  * tail) — then times the two heaviest posting joins on the fixed
+  * and the growing corpus and prints both.
+  *
+  * Usage: `runMain graft.VocabProbe [sfDir] [copies]`
+  */
+object VocabProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("testdata-sf1.0")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fixed = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDoc = fixed.count() / copies // ScaleGen offsets doc_id by k*nDoc
+    val grownPath = s"$sfDir/documents_vocabgrow.parquet"
+    val k = (col("doc_id") / lit(nDoc)).cast("int")
+    val words = split(col("text"), " ")
+    // type-level coin: the SAME words go copy-local in every copy, so
+    // within-copy df profiles match the fixed corpus exactly
+    val grownText = array_join(transform(words, w =>
+      when(pmod(xxhash64(w), lit(2L)) === 0, w)
+        .otherwise(concat(w, lit("~"), k))), " ")
+    fixed.withColumn("text", grownText)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(4).write.mode("overwrite").parquet(grownPath)
+    val grown = spark.read.parquet(grownPath)
+
+    def timed(label: String)(f: => Long): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[vocabprobe] $label: $s%.1f s ($n rows)"); s
+    }
+
+    val oFixed = timed("overlap, fixed vocab") {
+      graft.ops.Curation.sourceOverlap(fixed, "doc_id", "text",
+        "source", k = 3, threshold = 0.2).count()
+    }
+    val oGrown = timed("overlap, growing vocab") {
+      graft.ops.Curation.sourceOverlap(grown, "doc_id", "text",
+        "source", k = 3, threshold = 0.2).count()
+    }
+    val nFixed = timed("ngram prefix pairs, fixed vocab") {
+      graft.ops.Dedup.ngramJaccardPairsPrefix(fixed, "doc_id", "text",
+        k = 3, threshold = 0.8).count()
+    }
+    val nGrown = timed("ngram prefix pairs, growing vocab") {
+      graft.ops.Dedup.ngramJaccardPairsPrefix(grown, "doc_id", "text",
+        k = 3, threshold = 0.8).count()
+    }
+    println(f"""{"metric":"vocabprobe","sf":"$sfDir","overlap_fixed_sec":$oFixed%.1f,"overlap_grown_sec":$oGrown%.1f,"ngram_fixed_sec":$nFixed%.1f,"ngram_grown_sec":$nGrown%.1f}""")
+    spark.stop()
+  }
+}
