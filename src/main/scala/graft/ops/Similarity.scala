@@ -304,6 +304,47 @@ object Similarity {
       .select(col("cl"), col("id").as("vec_id"), col("rank"))
   }
 
+  /** The frozen centroid set: cluster ids (cl asc — the order
+    * [[assignToNearest]]'s collapsed array uses, so frozen and batch
+    * tie-breaks agree positionally), centroid vectors, and their
+    * norms AS COMPUTED by the batch expression (collected, not
+    * recomputed — double math stays bit-identical). nlist·(dim+2)
+    * doubles IS the model.
+    */
+  final case class CentroidModel(cls: IndexedSeq[Long],
+      cents: IndexedSeq[IndexedSeq[Double]], cnrms: IndexedSeq[Double])
+
+  /** The offline half of the streaming cluster assignment: train
+    * [[kmeans]] on the static corpus and collect the centroid table.
+    * One bounded action (nlist rows) at stage construction.
+    */
+  def freezeCentroids(embs: DataFrame, idCol: String, vecCol: String,
+      seedCol: String, iters: Int): CentroidModel = {
+    val rows = withCNorm(kmeans(embs, idCol, vecCol, seedCol, iters))
+      .select(col("cl").cast("long"), col("cent"), col("cnrm"))
+      .orderBy(col("cl")).collect()
+    CentroidModel(
+      rows.map(_.getLong(0)).toIndexedSeq,
+      rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq,
+      rows.map(_.getDouble(2)).toIndexedSeq)
+  }
+
+  /** Assign docs to their nearest frozen centroid — a pure narrow
+    * map (the centroid matrix is a literal; the per-row pick is the
+    * codegen'd arg-top-m expression, cos-desc/cl-asc tie-breaks
+    * identical to [[assignToNearest]]'s, so on the corpus the model
+    * was frozen from the assignment matches the in-plan training
+    * path exactly). Adds a `cl` column (long).
+    */
+  def assignFrozen(docs: DataFrame, vecCol: String,
+      model: CentroidModel): DataFrame = {
+    val v = Vectors.toDouble(col(vecCol))
+    docs
+      .withColumn("cl", element_at(typedLit(model.cls),
+        graft.functions.ArrayExprs.argTopMCos(v, Vectors.norm(v),
+          typedLit(model.cents), typedLit(model.cnrms), 1)(0).cast("int") + 1))
+  }
+
   /** DuckDB twin of [[clusterSample]]: the [[ivfTrainedPrefixSql]]
     * training/assignment CTEs (query side unused), then the same
     * salted-hash quota window over the final assignment.

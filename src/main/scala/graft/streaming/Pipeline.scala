@@ -209,6 +209,26 @@ object Pipeline {
     graft.ops.Curation.scoreDsirFrozen(docs, "text", lrMicros)
       .filter(col("logw_micros") >= minLogwMicros)
 
+  /** Streaming cluster-balanced sample (X127's live twin): arriving
+    * vectors assign to FROZEN k-means centroids
+    * ([[graft.ops.Similarity.freezeCentroids]] — nlist·(dim+2)
+    * doubles IS the model) as a pure narrow map, then stream into the
+    * X102 bottom-k [[SampleStore]] with the cluster as the stratum
+    * and [[graft.ops.Similarity.clusterSample]]'s own rank salt —
+    * bottom-k merges exactly, so the served sample equals the batch
+    * operator on the union of everything ever ingested (spec-pinned;
+    * serve via `SampleStore.sample`).
+    */
+  def clusterSampleMaintain(vecs: DataFrame, vecCol: String,
+      model: graft.ops.Similarity.CentroidModel, idCol: String,
+      tableDir: String, checkpointDir: String, n: Int,
+      nBuckets: Int = StateTable.DefaultBuckets)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    SampleStore.maintain(
+      graft.ops.Similarity.assignFrozen(vecs, vecCol, model),
+      idCol, "cl", tableDir, checkpointDir, n, nBuckets,
+      salt = "clsample_")
+
   /** Ingest-time classifier gate (X125's streaming twin — the
     * fastText-filter production shape): classify each arriving doc
     * under a hashed-NB model FROZEN from a static labeled corpus

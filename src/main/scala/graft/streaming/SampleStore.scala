@@ -36,18 +36,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * bottom-k trade: an evicted candidate cannot be resurrected, so a
   * forgotten slot stays short until new ingest refills it (or a
   * batch rebuild over the surviving corpus re-levels it).
+  *
+  * The rank salt is pluggable (default = X60's `strat_`), so bottom-k
+  * twins of OTHER stratifications ride the same store — e.g. the
+  * X127 cluster-balanced sample streams through this store with the
+  * stratum = the frozen-centroid cluster and the `clsample_` salt,
+  * and the served sample equals `Similarity.clusterSample` on the
+  * union corpus (spec-pinned).
   */
 object SampleStore {
 
-  private def hCol(idc: String) =
-    graft.ops.Hashing.hash60(concat(lit("strat_"), col(idc).cast("string")))
+  private def hCol(idc: String, salt: String) =
+    graft.ops.Hashing.hash60(concat(lit(salt), col(idc).cast("string")))
 
   /** Merge one batch into the sample state; public for batch-mode
     * reuse and tests — [[maintain]] is the streaming driver.
     */
   def applyBatch(batch: DataFrame, idCol: String, sourceCol: String,
       tableDir: String, batchId: Long, n: Int,
-      nBucketsIfNew: Int, graceCommits: Int = 0): Unit = {
+      nBucketsIfNew: Int, graceCommits: Int = 0,
+      salt: String = "strat_"): Unit = {
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(tableDir))
     val st = StateTable.loadManifestFull(tableDir)
@@ -56,7 +64,7 @@ object SampleStore {
 
     val cand = batch
       .select(col(sourceCol).as("source"), col(idCol).as("id"))
-      .withColumn("h", hCol("id"))
+      .withColumn("h", hCol("id", salt))
       .withColumn("b", bucket.cast("int"))
       .persist()
     try {
@@ -93,12 +101,12 @@ object SampleStore {
   def maintain(docs: DataFrame, idCol: String, sourceCol: String,
       tableDir: String, checkpointDir: String, n: Int,
       nBuckets: Int = StateTable.DefaultBuckets,
-      graceCommits: Int = 0): StreamingQuery =
+      graceCommits: Int = 0, salt: String = "strat_"): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, idCol, sourceCol, tableDir, batchId, n,
-          nBuckets, graceCommits)
+          nBuckets, graceCommits, salt)
       }
       .start()
 

@@ -69,6 +69,40 @@ class SampleStoreSpec extends AnyFunSuite {
     assert(served(tableDir) == batchSample(all))
   }
 
+  test("frozen-centroid cluster sample: stream == batch clusterSample on the union") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // two separable clusters; enough members that the quota bites
+    val vecs = (0L until 12L).map(i =>
+      (i, Seq(1f, 0.01f * i), 0)) ++ (12L until 20L).map(i =>
+      (i, Seq(0.01f * (i - 12), 1f), 1))
+    val corpus = vecs.toDF("vec_id", "embedding", "label")
+    val model = graft.ops.Similarity.freezeCentroids(
+      corpus, "vec_id", "embedding", "label", iters = 2)
+
+    val batch = graft.ops.Similarity.clusterSample(
+        corpus, "vec_id", "embedding", "label", iters = 2, n = 3)
+      .select(col("cl").cast("long"), col("vec_id"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    val tableDir = Files.createTempDirectory("clsmp_state").toString
+    val ckpt = Files.createTempDirectory("clsmp_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Pipeline.clusterSampleMaintain(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", model,
+      "vec_id", tableDir, ckpt, n = 3, nBuckets = 4)
+    // interleaved arrival across the two clusters, in two batches
+    val rows = vecs.map(v => (v._1, v._2))
+    input.addData(rows.filter(_._1 % 2 == 0): _*); q.processAllAvailable()
+    input.addData(rows.filter(_._1 % 2 == 1): _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = SampleStore.sample(spark, tableDir)
+      .select(col("source").cast("long"), col("doc_id"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("forget retracts a sampled id; later ranks close up; no resurrection") {
     val tableDir = Files.createTempDirectory("smp_fg_state").toString
     SampleStore.applyBatch(all.toDF("doc_id", "source"), "doc_id", "source",
