@@ -140,11 +140,16 @@ object Curation {
     * Output is the per-shard audit digest (nShards rows): doc count,
     * the shard's first doc id (`head_id`, the resume anchor), and an
     * ORDER-SENSITIVE fingerprint `ord_fp` = bit-XOR over docs of
-    * (pos·2³¹ + okey mod 2³¹) — any transposition of two docs
-    * changes both terms, so engines (and re-runs) agreeing on the
-    * fingerprint proves the full sequence, not just membership.
-    * 2³¹-packing keeps every term positive and < 2⁶³ for any shard
-    * under 2³² docs.
+    * hash60(pos ":" okey) — the position is coupled to the doc's
+    * order key INSIDE the hash, so the per-doc terms are
+    * non-separable: transposing two docs replaces both terms with
+    * hashes of different payloads and the XOR changes. (A linear
+    * packing like pos·2³¹ + okeyLow would NOT work: XOR factors over
+    * independent bit fields, positions always XOR to a
+    * membership-independent constant, and swapped payloads cancel
+    * pairwise — order-insensitive despite appearances.) Engines and
+    * re-runs agreeing on the fingerprint proves the full sequence,
+    * not just membership.
     *
     * == 100 TB shape ==
     *
@@ -165,10 +170,12 @@ object Curation {
         Hashing.hash60(concat(lit(s"epoch_${salt}_"), col("id").cast("string"))))
     val w = Window.partitionBy(col("shard")).orderBy(col("okey"), col("id"))
     d.withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("ph", Hashing.hash60(concat(col("pos").cast("string"),
+        lit(":"), col("okey").cast("string"))))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         max(when(col("pos") === 1, col("id"))).as("head_id"),
-        expr("bit_xor(pos * 2147483648 + okey % 2147483648)").as("ord_fp"))
+        expr("bit_xor(ph)").as("ord_fp"))
   }
 
   def epochShuffleSql(id: String, table: String, nShards: Int,
@@ -183,7 +190,8 @@ object Curation {
        |  FROM $table))
        |SELECT shard, count(*)::BIGINT AS n_docs,
        |  max(CASE WHEN pos = 1 THEN id END)::BIGINT AS head_id,
-       |  bit_xor(pos * 2147483648 + okey % 2147483648)::BIGINT AS ord_fp
+       |  bit_xor(${Hashing.hash60Sql("pos::VARCHAR || ':' || okey::VARCHAR")})::BIGINT
+       |    AS ord_fp
        |FROM p GROUP BY 1""".stripMargin
 
   /** Dataset card: the per-source summary a corpus release publishes —
@@ -1595,6 +1603,8 @@ object Curation {
     */
   final case class NbModel(labels: IndexedSeq[String],
       priorLp: IndexedSeq[Long], lp: IndexedSeq[IndexedSeq[Long]]) {
+    require(labels.nonEmpty,
+      "empty NB model: trainPred matched no docs at freeze time")
     def nBuckets: Int = lp.head.size
   }
 
@@ -1608,6 +1618,10 @@ object Curation {
       .select(col(labelCol).as("label"), TextAnalysis.tokens(col(textCol)).as("ts"))
     val nd = base.groupBy(col("label")).agg(count(lit(1)).as("nd"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(!nd.contains(null),
+      "NULL training label at freeze time: the frozen model's sorted " +
+        "label array cannot represent a null class (the batch path " +
+        "carries it; filter or fill labels before freezing)")
     val cnts = base
       .select(col("label"), explode(unigramsAndBigrams(col("ts"))).as("g"))
       .select(col("label"), pmod(Hashing.hash60(col("g")), lit(nBuckets.toLong)).as("b"))
@@ -1645,21 +1659,24 @@ object Curation {
     // contributes no feature rows) instead of going NULL.
     val grams = coalesce(unigramsAndBigrams(TextAnalysis.tokens(col(textCol))),
       array().cast("array<string>"))
+    // tokenize + hash ONCE into a bucket array; the K per-class score
+    // columns then pay array lookups only (an md5 per gram PER CLASS
+    // would multiply the gate's dominant cost by K for nothing)
+    val bucketsCol = transform(grams, g =>
+      pmod(Hashing.hash60(g), lit(nB.toLong)).cast("int"))
     val scoreCols = model.labels.indices.map { k =>
       val arr = typedLit(model.lp(k))
-      lit(model.priorLp(k)) + aggregate(
-        transform(grams, g => element_at(arr,
-          pmod(Hashing.hash60(g), lit(nB.toLong)).cast("int") + 1)),
-        lit(0L), (acc, x) => acc + x)
+      lit(model.priorLp(k)) + aggregate(col("nb_buckets"),
+        lit(0L), (acc, b) => acc + element_at(arr, b + 1))
     }
-    val scores = array(scoreCols: _*)
     val labelsLit = typedLit(model.labels)
     docs
-      .withColumn("nb_scores", scores)
+      .withColumn("nb_buckets", bucketsCol)
+      .withColumn("nb_scores", array(scoreCols: _*))
       .withColumn("score_micros", array_max(col("nb_scores")))
       .withColumn("predicted", element_at(labelsLit,
         array_position(col("nb_scores"), col("score_micros")).cast("int")))
-      .drop("nb_scores")
+      .drop("nb_buckets", "nb_scores")
   }
 
   def contaminationSql(id: String, text: String, table: String,

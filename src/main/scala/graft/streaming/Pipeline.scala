@@ -214,10 +214,15 @@ object Pipeline {
     * ([[graft.ops.Similarity.freezeCentroids]] — nlist·(dim+2)
     * doubles IS the model) as a pure narrow map, then stream into the
     * X102 bottom-k [[SampleStore]] with the cluster as the stratum
-    * and [[graft.ops.Similarity.clusterSample]]'s own rank salt —
-    * bottom-k merges exactly, so the served sample equals the batch
-    * operator on the union of everything ever ingested (spec-pinned;
-    * serve via `SampleStore.sample`).
+    * and [[graft.ops.Similarity.clusterSample]]'s own rank salt.
+    * Bottom-k merges exactly, so PER CLUSTER the served sample is the
+    * exact quota over everything ever ingested; the cluster
+    * PARTITION itself is the frozen one — the build/serve contract
+    * shared by every frozen twin here (the batch operator RETRAINS
+    * on its input, so batch == stream is pinned on the freeze corpus
+    * (spec), and post-freeze ingest that shifts cluster structure is
+    * a model-refresh event, exactly as for the ANN index). Serve via
+    * `SampleStore.sample`.
     */
   def clusterSampleMaintain(vecs: DataFrame, vecCol: String,
       model: graft.ops.Similarity.CentroidModel, idCol: String,

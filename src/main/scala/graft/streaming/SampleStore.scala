@@ -40,9 +40,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * The rank salt is pluggable (default = X60's `strat_`), so bottom-k
   * twins of OTHER stratifications ride the same store — e.g. the
   * X127 cluster-balanced sample streams through this store with the
-  * stratum = the frozen-centroid cluster and the `clsample_` salt,
-  * and the served sample equals `Similarity.clusterSample` on the
-  * union corpus (spec-pinned).
+  * stratum = the frozen-centroid cluster and the `clsample_` salt;
+  * the per-cluster quota is exact over everything ingested, and
+  * equality with `Similarity.clusterSample` is pinned on the freeze
+  * corpus (the batch op retrains its centroids — post-freeze ingest
+  * that shifts cluster structure is a model-refresh event).
   */
 object SampleStore {
 

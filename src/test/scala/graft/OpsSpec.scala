@@ -1075,35 +1075,33 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("epoch shuffle: plain-Scala reference, epoch-fresh order, stable shards") {
+    val ids = 0L until 60L
     val many = spark.range(60).select(col("id").as("doc_id"))
     val nS = 4
     val out = Curation.epochShuffle(many, "doc_id", nS, salt = "e1")
       .collect().map(r => r.getInt(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == PlainRefs.epochDigest(ids, nS, "e1"))
 
-    // plain-collections reference of the whole digest
-    def h60(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(md.take(15), 16)
+    // the fingerprint must SEE order, not just membership: the same
+    // docs with positions reversed (or any two transposed) must land
+    // a DIFFERENT ord_fp in every multi-doc shard
+    val reversed = PlainRefs.epochDigest(ids, nS, "e1",
+      posOf = (p, n) => n + 1 - p)
+    out.foreach { case (s, (n, _, fp)) =>
+      if (n > 1) assert(reversed(s)._3 != fp, s"shard $s fp order-blind")
     }
-    def digest(salt: String): Map[Int, (Long, Long, Long)] =
-      (0L until 60L).map { id =>
-        (id, (h60(s"$id:shard") % nS).toInt, h60(s"epoch_${salt}_$id"))
-      }.groupBy(_._2).map { case (s, rows) =>
-        val ordered = rows.sortBy(r => (r._3, r._1))
-        val fp = ordered.zipWithIndex.map { case (r, i) =>
-          (i + 1).toLong * 2147483648L + r._3 % 2147483648L
-        }.reduce(_ ^ _)
-        s -> (ordered.size.toLong, ordered.head._1, fp)
-      }
-    assert(out == digest("e1"))
+    val swapped = PlainRefs.epochDigest(ids, nS, "e1",
+      posOf = (p, _) => if (p == 1) 2 else if (p == 2) 1 else p)
+    out.foreach { case (s, (n, _, fp)) =>
+      if (n > 1) assert(swapped(s)._3 != fp, s"shard $s fp misses transposition")
+    }
 
     // a different epoch salt keeps membership, changes the order
     val e2 = Curation.epochShuffle(many, "doc_id", nS, salt = "e2")
       .collect().map(r => r.getInt(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(e2 == digest("e2"))
+    assert(e2 == PlainRefs.epochDigest(ids, nS, "e2"))
     assert(out.keySet == e2.keySet)
     assert(out.forall { case (s, (n, _, _)) => e2(s)._1 == n }) // same docs
     assert(out.exists { case (s, (_, _, fp)) => e2(s)._3 != fp }) // new order

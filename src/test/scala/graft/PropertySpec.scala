@@ -401,12 +401,6 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  private def h60Jvm(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(md.take(15), 16)
-  }
-
   test("epoch shuffle digest equals the plain reference, any ids/shards/salt") {
     import org.apache.spark.sql.functions.col
     val gen = for {
@@ -420,19 +414,8 @@ class PropertySpec extends AnyFunSuite {
         .select(col("shard"), col("n_docs"), col("head_id"), col("ord_fp"))
         .as[(Int, Long, Long, Long)].collect()
         .map(r => r._1 -> (r._2, r._3, r._4)).toMap
-      val want = ids
-        .map(id => (id, (h60Jvm(s"$id:shard") % nS).toInt,
-          h60Jvm(s"epoch_${salt}_$id")))
-        .groupBy(_._2).map { case (s, rows) =>
-          val ordered = rows.sortBy(r => (r._3, r._1))
-          val fp = ordered.zipWithIndex.map { case (r, i) =>
-            (i + 1).toLong * 2147483648L + r._3 % 2147483648L
-          }.reduce(_ ^ _)
-          s -> (ordered.size.toLong, ordered.head._1, fp)
-        }
-      got == want
+      got == PlainRefs.epochDigest(ids, nS, salt)
     }, cases = 10) // each case runs a Spark job
-
   }
 
   test("NB classifier equals the plain reference, any corpus/labels/buckets") {
@@ -453,31 +436,7 @@ class PropertySpec extends AnyFunSuite {
           "doc_id", "text", "source", col("doc_id") % 2 === 0, nB)
         .select("doc_id", "label", "split", "predicted")
         .as[(Long, String, String, String)].collect().toSet
-      // plain reference of the exact integer formula
-      def grams(t: String): Seq[String] = {
-        val ts = t.split("\\s+").toSeq
-        ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
-      }
-      val train = rows.filter(_._1 % 2 == 0)
-      val labels = train.map(_._3).distinct.sorted
-      val nd = train.groupBy(_._3).map { case (l, rs) => l -> rs.size }
-      val feats = train.flatMap { case (_, t, l) =>
-        grams(t).map(g => (l, h60Jvm(g) % nB)) }
-      val tot = labels.map(l => l -> feats.count(_._1 == l)).toMap
-      val cnt = feats.groupBy(identity).map { case (k, fs) => k -> fs.size }
-      def score(t: String, c: String): Long =
-        math.round(math.log(nd(c).toDouble / train.size.toDouble) * 1e6) +
-          grams(t).map { g =>
-            val bk = h60Jvm(g) % nB
-            math.round(math.log((cnt.getOrElse((c, bk), 0) + 1).toDouble /
-              (tot(c) + nB).toDouble) * 1e6)
-          }.sum
-      val want = rows.map { case (id, t, l) =>
-        val best = labels.map(c => score(t, c)).max
-        (id, l, if (id % 2 == 0) "train" else "eval",
-          labels.filter(c => score(t, c) == best).min)
-      }.toSet
-      got == want
+      got == PlainRefs.nbReference(rows, _ % 2 == 0, nB)
     }, cases = 8) // each case runs a multi-stage Spark job
   }
 }

@@ -248,34 +248,7 @@ class RetrievalSpec extends AnyFunSuite {
       .as[(Long, String, String, String)].collect().toSet
 
     // plain-collections reference of the exact integer formula
-    def grams(t: String): Seq[String] = {
-      val ts = t.split("\\s+").toSeq
-      ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
-    }
-    def h60(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(md.take(15), 16)
-    }
-    val train = rows.filter(_._1 <= 3)
-    val labels = train.map(_._3).distinct.sorted
-    val nd = train.groupBy(_._3).map { case (l, rs) => l -> rs.size }
-    val nTr = train.size
-    val feats = train.flatMap { case (_, t, l) => grams(t).map(g => (l, h60(g) % nB)) }
-    val tot = labels.map(l => l -> feats.count(_._1 == l)).toMap
-    val cnt = feats.groupBy(identity).map { case (k, fs) => k -> fs.size }
-    def score(t: String, c: String): Long =
-      math.round(math.log(nd(c).toDouble / nTr.toDouble) * 1e6) +
-        grams(t).map { g =>
-          val b = h60(g) % nB
-          math.round(math.log((cnt.getOrElse((c, b), 0) + 1).toDouble /
-            (tot(c) + nB).toDouble) * 1e6)
-        }.sum
-    val want = rows.map { case (id, t, l) =>
-      val best = labels.map(c => score(t, c)).max
-      (id, l, if (id <= 3) "train" else "eval",
-        labels.filter(c => score(t, c) == best).min)
-    }.toSet
+    val want = PlainRefs.nbReference(rows, _ <= 3, nB)
     assert(got == want)
     // the disjoint-vocabulary held-out docs classify correctly
     assert(got.contains((4L, "A", "eval", "A")))
