@@ -39,7 +39,12 @@ object VocabProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val fixed = spark.read.parquet(s"$sfDir/documents.parquet")
-    val nDoc = fixed.count() / copies // ScaleGen offsets doc_id by k*nDoc
+    val total = fixed.count()
+    require(copies > 0 && total % copies == 0 && total / copies > 0,
+      s"copies=$copies does not divide the corpus ($total docs) — the " +
+        "replica-index derivation (doc_id div nDoc) would mis-bucket " +
+        "copies and silently break the type-level rewrite invariant")
+    val nDoc = total / copies // ScaleGen offsets doc_id by k*nDoc
     val grownPath = s"$sfDir/documents_vocabgrow.parquet"
     val k = (col("doc_id") / lit(nDoc)).cast("int")
     val words = split(col("text"), " ")
@@ -53,11 +58,19 @@ object VocabProbe {
       .coalesce(4).write.mode("overwrite").parquet(grownPath)
     val grown = spark.read.parquet(grownPath)
 
+    // two rounds, report the SECOND (warm-vs-warm): a single-shot
+    // fixed-then-grown order would hand the session's JIT warm-up
+    // cost to the fixed side — a bias in the direction of the claim
+    // this probe exists to test
     def timed(label: String)(f: => Long): Double = {
-      spark.catalog.clearCache(); System.gc()
-      val t0 = System.nanoTime(); val n = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[vocabprobe] $label: $s%.1f s ($n rows)"); s
+      var s = 0.0
+      for (round <- 1 to 2) {
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime(); val n = f
+        s = (System.nanoTime() - t0) / 1e9
+        println(f"[vocabprobe] $label (round $round): $s%.1f s ($n rows)")
+      }
+      s
     }
 
     val oFixed = timed("overlap, fixed vocab") {

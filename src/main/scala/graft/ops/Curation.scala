@@ -1523,8 +1523,12 @@ object Curation {
       .join(fs, Seq("id", "c_label"), "left")
       .select(col("id"), col("c_label"),
         (col("prior_lp") + coalesce(col("fsum"), lit(0L))).as("score"))
+    // asc_nulls_last: Spark sorts NULLS FIRST on asc by default while
+    // DuckDB sorts them last — with a NULL training label (a real,
+    // carried class) a score tie would otherwise pick different
+    // predictions per engine
     val w = Window.partitionBy(col("id"))
-      .orderBy(col("score").desc, col("c_label").asc)
+      .orderBy(col("score").desc, col("c_label").asc_nulls_last)
     scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("id"), col("c_label").as("predicted"))
       .join(d, "id")

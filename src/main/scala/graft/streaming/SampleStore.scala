@@ -51,6 +51,22 @@ object SampleStore {
   private def hCol(idc: String, salt: String) =
     graft.ops.Hashing.hash60(concat(lit(salt), col(idc).cast("string")))
 
+  /** The store's rank salt, pinned in a sidecar on first commit: a
+    * bottom-k over h values from MIXED salts is the bottom-k of no
+    * hash family at all, so opening an existing store under a
+    * different salt must fail loudly, not merge silently.
+    */
+  private def pinSalt(tableDir: String, salt: String): Unit = {
+    val p = Paths.get(tableDir, "salt.txt")
+    if (Files.exists(p)) {
+      val stored = new String(Files.readAllBytes(p), "UTF-8").trim
+      require(stored == salt,
+        s"SampleStore at $tableDir was built with rank salt '$stored' " +
+          s"but was opened with '$salt' — mixed-salt bottom-k state is " +
+          "meaningless; use the original salt or a fresh tableDir")
+    } else Files.write(p, salt.getBytes("UTF-8"))
+  }
+
   /** Merge one batch into the sample state; public for batch-mode
     * reuse and tests — [[maintain]] is the streaming driver.
     */
@@ -60,6 +76,7 @@ object SampleStore {
       salt: String = "strat_"): Unit = {
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(tableDir))
+    pinSalt(tableDir, salt)
     val st = StateTable.loadManifestFull(tableDir)
     val nBuckets = st.nBuckets.getOrElse(nBucketsIfNew)
     val bucket = pmod(hash(col("source")), lit(nBuckets))

@@ -103,6 +103,23 @@ class SampleStoreSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("reopening a store under a different rank salt fails loudly") {
+    val tableDir = Files.createTempDirectory("smp_salt_state").toString
+    SampleStore.applyBatch(all.take(5).toDF("doc_id", "source"), "doc_id",
+      "source", tableDir, batchId = 0, n = N, nBucketsIfNew = 4)
+    // mixed-salt bottom-k state is meaningless — must refuse, not merge
+    val e = intercept[IllegalArgumentException] {
+      SampleStore.applyBatch(all.drop(5).toDF("doc_id", "source"), "doc_id",
+        "source", tableDir, batchId = 1, n = N, nBucketsIfNew = 4,
+        salt = "clsample_")
+    }
+    assert(e.getMessage.contains("salt"))
+    // the original salt keeps working
+    SampleStore.applyBatch(all.drop(5).toDF("doc_id", "source"), "doc_id",
+      "source", tableDir, batchId = 1, n = N, nBucketsIfNew = 4)
+    assert(served(tableDir) == batchSample(all))
+  }
+
   test("forget retracts a sampled id; later ranks close up; no resurrection") {
     val tableDir = Files.createTempDirectory("smp_fg_state").toString
     SampleStore.applyBatch(all.toDF("doc_id", "source"), "doc_id", "source",
