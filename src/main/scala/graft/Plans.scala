@@ -363,6 +363,14 @@ object Plans {
       """REAL WAV decode, same shape as q_mm_decode: encode+parse in
         |one per-partition chain, no shuffle, doc_id-only
         |ReadSchema.""".stripMargin,
+    "q_curate_nbtopgrams" ->
+      """NB introspection: the gram pass partial-aggregates to
+        |DISTINCT (class,bucket)/(gram,bucket) digests (gram
+        |instances never shuffle), bucket stats ride
+        |BroadcastExchanges back onto the gram frame, and the
+        |per-class top-m compiles to WindowGroupLimit — each input
+        |partition forwards ≤ m rows per class before the
+        |exchange.""".stripMargin,
     "q_curate_clustersample" ->
       """Cluster-balanced sample: centroids train in the bounded
         |Lloyd loop, the corpus assigns through ONE BroadcastExchange

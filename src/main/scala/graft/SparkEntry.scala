@@ -1116,6 +1116,15 @@ object SparkEntry {
       Similarity.clusterSample(T(s, dir, "embeddings"), "vec_id",
         "embedding", "label", iters = 2, n = 40)),
 
+    // X128 NB model introspection: the m most class-indicative grams
+    // per class by bucket log-ratio vs the training corpus — "what
+    // did the filter learn", the audit a deployed classifier gate
+    // owes its operators. Colliding grams share their bucket's score
+    // (the hashing-trick caveat, surfaced not hidden).
+    "q_curate_nbtopgrams" -> ((s, dir) =>
+      Curation.nbTopGrams(T(s, dir, "documents"), "doc_id", "text",
+        "source", col("doc_id") % 5 =!= 0, nBuckets = 512, m = 10)),
+
     // X126 reproducible epoch shuffle: the deterministic global
     // permutation between curation and the data loader — X89's stable
     // shard hash + an epoch-salted within-shard order, audited by an
@@ -2206,6 +2215,11 @@ object SparkEntry {
     "q_curate_epochshuffle" ->
       (Curation.epochShuffleSql("doc_id", "documents",
         nShards = 32, salt = "e1") + " ORDER BY shard"),
+
+    "q_curate_nbtopgrams" ->
+      (Curation.nbTopGramsSql("doc_id", "text", "source", "documents",
+        "doc_id % 5 <> 0", nBuckets = 512, m = 10)
+        + " ORDER BY c_label, rank"),
 
     "q_curate_clustersample" ->
       (Similarity.clusterSampleSql("vec_id", "embedding", "label",

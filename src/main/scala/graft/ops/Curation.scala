@@ -1599,6 +1599,94 @@ object Curation {
        |FROM d JOIN pred p ON d.id = p.id
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** X128 — NB model introspection: the m most class-INDICATIVE
+    * grams per class, by the DSIR-style log-ratio of the gram's
+    * bucket under the class model vs the whole training corpus:
+    *
+    *   lr(c,b) = round(ln( ((cnt(c,b)+1)/(tot_c+nB))
+    *                     / ((cnt(b)+1)/(tot+nB)) )·1e6)
+    *
+    * — "what did the filter learn", the audit a deployed [[
+    * nbPredict]] gate owes its operators (why is this source
+    * draining away? which boilerplate token is carrying the class?).
+    * Grams score through their BUCKET (the hashing-trick caveat,
+    * stated rather than hidden: colliding grams share a score, and
+    * the gram column is exactly how you see which grams ride a hot
+    * bucket). Ties and ranks deterministic: (lr desc, gram asc).
+    * Output: (c_label, gram, lr_micros, rank), ≤ K·m rows.
+    *
+    * == 100 TB shape ==
+    *
+    * One gram pass partial-aggregated to DISTINCT (class, bucket) and
+    * (gram, bucket) frames — the shuffles carry model-/vocab-sized
+    * digests, never gram instances; the bucket stats broadcast back;
+    * the per-class top-m compiles to WindowGroupLimit (each input
+    * partition forwards ≤ m rows per class before the exchange).
+    */
+  def nbTopGrams(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, trainPred: Column, nBuckets: Int,
+      m: Int): DataFrame = {
+    val feats = Caching.cachedOnce(docs.filter(trainPred)
+      .select(col(labelCol).as("label"),
+        explode(unigramsAndBigrams(TextAnalysis.tokens(col(textCol)))).as("g"))
+      .select(col("label"), col("g"),
+        pmod(Hashing.hash60(col("g")), lit(nBuckets.toLong)).as("b")))
+    val tot = feats.agg(count(lit(1)).as("tot"))
+    val bAll = feats.groupBy(col("b")).agg(count(lit(1)).as("cnt_b"))
+    val bCls = feats.groupBy(col("label").as("c_label"), col("b"))
+      .agg(count(lit(1)).as("cnt_cb"))
+    val totC = feats.groupBy(col("label").as("c_label"))
+      .agg(count(lit(1)).as("tot_c"))
+    val lr = bCls
+      .join(broadcast(totC), "c_label")
+      .join(broadcast(bAll), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("c_label"), col("b"),
+        round(log(((col("cnt_cb") + 1).cast("double") /
+            (col("tot_c") + nBuckets).cast("double")) /
+          ((col("cnt_b") + 1).cast("double") /
+            (col("tot") + nBuckets).cast("double"))) * 1e6)
+          .cast("long").as("lr_micros"))
+    val grams = feats.select(col("g"), col("b")).distinct()
+    val w = Window.partitionBy(col("c_label"))
+      .orderBy(col("lr_micros").desc, col("g").asc)
+    grams.join(broadcast(lr), "b")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= m)
+      .select(col("c_label"), col("g").as("gram"), col("lr_micros"),
+        col("rank"))
+  }
+
+  def nbTopGramsSql(id: String, text: String, label: String,
+      table: String, trainPredSql: String, nBuckets: Int, m: Int): String =
+    s"""WITH feats AS (
+       |  SELECT label, g, ${Hashing.hash60Sql("g")} % $nBuckets AS b
+       |  FROM (SELECT $label AS label, unnest(list_concat(ts,
+       |    list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+       |      i -> ts[i] || ' ' || ts[i + 1]))) AS g
+       |  FROM (SELECT $label, ${TextAnalysis.tokensSql(text)} AS ts
+       |        FROM $table WHERE $trainPredSql))),
+       |tot AS (SELECT count(*) AS tot FROM feats),
+       |ball AS (SELECT b, count(*) AS cnt_b FROM feats GROUP BY 1),
+       |bcls AS (SELECT label AS c_label, b, count(*) AS cnt_cb
+       |         FROM feats GROUP BY 1, 2),
+       |totc AS (SELECT label AS c_label, count(*) AS tot_c
+       |         FROM feats GROUP BY 1),
+       |lr AS (
+       |  SELECT bc.c_label, bc.b,
+       |    round(ln(((cnt_cb + 1)::DOUBLE / (tot_c + $nBuckets)::DOUBLE)
+       |      / ((cnt_b + 1)::DOUBLE / (tot + $nBuckets)::DOUBLE))
+       |      * 1e6)::BIGINT AS lr_micros
+       |  FROM bcls bc JOIN totc tc ON bc.c_label = tc.c_label
+       |  JOIN ball ba ON bc.b = ba.b CROSS JOIN tot),
+       |grams AS (SELECT DISTINCT g, b FROM feats)
+       |SELECT c_label, gram, lr_micros, rank FROM (
+       |  SELECT lr.c_label, grams.g AS gram, lr.lr_micros,
+       |    row_number() OVER (PARTITION BY lr.c_label
+       |      ORDER BY lr.lr_micros DESC, grams.g ASC)::BIGINT AS rank
+       |  FROM grams JOIN lr ON grams.b = lr.b)
+       |WHERE rank <= $m""".stripMargin
+
   /** The frozen NB model: labels sorted ascending, per-class prior
     * log-micros, and per-class FULL bucket→lp arrays (absent buckets
     * carry the smoothed unseen lp baked in). K·(nBuckets + 1) longs —

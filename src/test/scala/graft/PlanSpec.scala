@@ -514,6 +514,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"centroids not broadcast:\n$p")
   }
 
+  test("NB top-grams: digest shuffles, broadcast stats, partial top-m") {
+    val p = plan("q_curate_nbtopgrams")
+    // bucket stats enter the gram-side join as broadcasts, and the
+    // per-class top-m must compile to the partial WindowGroupLimit —
+    // vocab-sized rows must not ride an unbounded window shuffle
+    assert(p.contains("BroadcastExchange"), s"stats not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no partial top-m:\n$p")
+  }
+
   test("epoch shuffle: shard-local sorts only, no global sort") {
     val p = plan("q_curate_epochshuffle")
     // the permutation must be per-shard (one hash exchange + local

@@ -276,6 +276,42 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == Map(0L -> "A", 1L -> "A", 2L -> "A", 3L -> "A"))
   }
 
+  test("nbTopGrams: plain reference matches; class-exclusive grams rank top") {
+    val rows = Seq(
+      (0L, "alpha beta alpha", "A"), (1L, "alpha gamma beta", "A"),
+      (2L, "delta epsilon zeta", "B"), (3L, "delta zeta zeta", "B"))
+    val nB = 64
+    val m = 3
+    val got = Curation.nbTopGrams(rows.toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", col("doc_id") >= 0, nB, m)
+      .select("c_label", "gram", "lr_micros", "rank")
+      .as[(String, String, Long, Long)].collect().toSet
+
+    // plain reference of the exact bucket log-ratio formula
+    val feats = rows.flatMap { case (_, t, l) =>
+      PlainRefs.grams(t).map(g => (l, g, PlainRefs.h60(g) % nB)) }
+    val tot = feats.size
+    val cntB = feats.groupBy(_._3).map { case (b, fs) => b -> fs.size }
+    val totC = feats.groupBy(_._1).map { case (l, fs) => l -> fs.size }
+    val cntCB = feats.groupBy(f => (f._1, f._3)).map { case (k, fs) => k -> fs.size }
+    def lr(c: String, b: Long): Long =
+      math.round(math.log(((cntCB.getOrElse((c, b), 0) + 1).toDouble /
+          (totC(c) + nB)) /
+        ((cntB(b) + 1).toDouble / (tot + nB))) * 1e6)
+    val want = totC.keys.flatMap { c =>
+      feats.map(f => (f._2, f._3)).distinct
+        .map { case (g, b) => (c, g, lr(c, b)) }
+        .sortBy { case (_, g, s) => (-s, g) }
+        .take(m).zipWithIndex
+        .map { case ((cl, g, s), i) => (cl, g, s, (i + 1).toLong) }
+    }.toSet
+    assert(got == want)
+    // the class-exclusive vocabularies surface as their class's top grams
+    val topA = got.filter(r => r._1 == "A" && r._4 == 1L).map(_._2)
+    assert(topA.forall(g => g.contains("alpha") || g.contains("beta")
+      || g.contains("gamma")))
+  }
+
   test("scoreNbFrozen reproduces nbPredict; streaming nbGate keeps the kept class") {
     val corpus = Seq(
       (0L, Some("alpha beta alpha gamma"), "A"),
