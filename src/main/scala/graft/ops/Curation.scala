@@ -1612,8 +1612,12 @@ object Curation {
     * Grams score through their BUCKET (the hashing-trick caveat,
     * stated rather than hidden: colliding grams share a score, and
     * the gram column is exactly how you see which grams ride a hot
-    * bucket). Ties and ranks deterministic: (lr desc, gram asc).
-    * Output: (c_label, gram, lr_micros, rank), ≤ K·m rows.
+    * bucket). A class ranks only grams whose bucket it actually
+    * trained on (the lr ⋈ grams inner join): a gram a class never
+    * uses cannot be indicative of it, and scoring it would only
+    * surface the all-unseen noise floor. Ties and ranks
+    * deterministic: (lr desc, gram asc). Output: (c_label, gram,
+    * lr_micros, rank), ≤ K·m rows.
     *
     * == 100 TB shape ==
     *
@@ -1626,6 +1630,7 @@ object Curation {
   def nbTopGrams(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, trainPred: Column, nBuckets: Int,
       m: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val feats = Caching.cachedOnce(docs.filter(trainPred)
       .select(col(labelCol).as("label"),
         explode(unigramsAndBigrams(TextAnalysis.tokens(col(textCol)))).as("g"))

@@ -69,4 +69,36 @@ object PlainRefs {
         labels.filter(c => score(t, c) == best).min)
     }.toSet
   }
+
+  /** `Curation.nbTopGrams` reference: (c_label, gram, lr_micros,
+    * rank) rows over `(id, text, label)` docs, training on
+    * `isTrain(id)`.
+    */
+  def nbTopGramsReference(rows: Seq[(Long, String, String)],
+      isTrain: Long => Boolean, nB: Int,
+      m: Int): Set[(String, String, Long, Long)] = {
+    val feats = rows.filter(r => isTrain(r._1)).flatMap { case (_, t, l) =>
+      grams(t).map(g => (l, g, h60(g) % nB)) }
+    val tot = feats.size
+    val cntB = feats.groupBy(_._3).map { case (b, fs) => b -> fs.size }
+    val totC = feats.groupBy(_._1).map { case (l, fs) => l -> fs.size }
+    val cntCB = feats.groupBy(f => (f._1, f._3))
+      .map { case (k, fs) => k -> fs.size }
+    def lr(c: String, b: Long): Long =
+      math.round(math.log(((cntCB.getOrElse((c, b), 0) + 1).toDouble /
+          (totC(c) + nB)) /
+        ((cntB(b) + 1).toDouble / (tot + nB))) * 1e6)
+    // a class ranks only grams whose bucket it actually trained on
+    // (the op's inner join lr ⋈ grams): a gram a class never uses
+    // cannot be indicative of it, and scoring it would only surface
+    // the all-unseen noise floor
+    totC.keys.flatMap { c =>
+      feats.map(f => (f._2, f._3)).distinct
+        .filter { case (_, b) => cntCB.contains((c, b)) }
+        .map { case (g, b) => (c, g, lr(c, b)) }
+        .sortBy { case (_, g, s) => (-s, g) }
+        .take(m).zipWithIndex
+        .map { case ((cl, g, s), i) => (cl, g, s, (i + 1).toLong) }
+    }.toSet
+  }
 }

@@ -439,4 +439,27 @@ class PropertySpec extends AnyFunSuite {
       got == PlainRefs.nbReference(rows, _ % 2 == 0, nB)
     }, cases = 8) // each case runs a multi-stage Spark job
   }
+
+  test("NB top-grams equals the plain reference, any corpus/buckets/quota") {
+    import org.apache.spark.sql.functions.col
+    val tokGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "ab", "x"))
+    val docGen = for {
+      toks <- tokGen
+      lab <- Gen.oneOf("A", "B", "C")
+    } yield (toks.mkString(" "), lab)
+    val gen = for {
+      docs <- Gen.nonEmptyListOf(docGen).map(_.take(10))
+      nB <- Gen.oneOf(16, 64)
+      m <- Gen.chooseNum(1, 5)
+    } yield (docs, nB, m)
+    check(Prop.forAll(gen) { case (docList, nB, m) =>
+      val rows = docList.zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) }
+      val got = graft.ops.Curation
+        .nbTopGrams(rows.toDF("doc_id", "text", "source"),
+          "doc_id", "text", "source", col("doc_id") >= 0, nB, m)
+        .select("c_label", "gram", "lr_micros", "rank")
+        .as[(String, String, Long, Long)].collect().toSet
+      got == PlainRefs.nbTopGramsReference(rows, _ >= 0, nB, m)
+    }, cases = 6) // each case runs a multi-stage Spark job
+  }
 }

@@ -288,23 +288,7 @@ class RetrievalSpec extends AnyFunSuite {
       .as[(String, String, Long, Long)].collect().toSet
 
     // plain reference of the exact bucket log-ratio formula
-    val feats = rows.flatMap { case (_, t, l) =>
-      PlainRefs.grams(t).map(g => (l, g, PlainRefs.h60(g) % nB)) }
-    val tot = feats.size
-    val cntB = feats.groupBy(_._3).map { case (b, fs) => b -> fs.size }
-    val totC = feats.groupBy(_._1).map { case (l, fs) => l -> fs.size }
-    val cntCB = feats.groupBy(f => (f._1, f._3)).map { case (k, fs) => k -> fs.size }
-    def lr(c: String, b: Long): Long =
-      math.round(math.log(((cntCB.getOrElse((c, b), 0) + 1).toDouble /
-          (totC(c) + nB)) /
-        ((cntB(b) + 1).toDouble / (tot + nB))) * 1e6)
-    val want = totC.keys.flatMap { c =>
-      feats.map(f => (f._2, f._3)).distinct
-        .map { case (g, b) => (c, g, lr(c, b)) }
-        .sortBy { case (_, g, s) => (-s, g) }
-        .take(m).zipWithIndex
-        .map { case ((cl, g, s), i) => (cl, g, s, (i + 1).toLong) }
-    }.toSet
+    val want = PlainRefs.nbTopGramsReference(rows, _ >= 0, nB, m)
     assert(got == want)
     // the class-exclusive vocabularies surface as their class's top grams
     val topA = got.filter(r => r._1 == "A" && r._4 == 1L).map(_._2)
