@@ -554,8 +554,10 @@ object Multimodal {
   /** Stage the driver's `documents` table as a media table: text bytes
     * as the opaque payload, modality round-robin by id. (A real corpus
     * reads parquet/tar shards of actual media bytes — shape-identical.)
-    * Feeds the audio/video stub paths; the image pipeline uses
-    * [[imageFixture]]'s real PNG bytes.
+    * Feeds modality routing/metadata queries over opaque payloads;
+    * the decode pipelines use the REAL fixtures — [[imageFixture]]
+    * (PNG), [[audioFixture]] (RIFF/WAVE PCM16), [[videoFixture]]
+    * (RIFF/AVI with PNG frames).
     */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
