@@ -6,14 +6,25 @@ import java.security.MessageDigest
 
 /** Minimal MySQL replica WIRE client — the network half the reference
   * runs in `get_binlog_stream(server_id, pos, filename)`
-  * (reference/src/main.rs:222-228): connect, authenticate
-  * (`mysql_native_password`), `COM_REGISTER_SLAVE`, then
-  * `COM_BINLOG_DUMP` from a (filename, pos) resume pair and stream
-  * binlog events. Everything here is the public client/server
-  * protocol: 4-byte packet framing (3-byte LE length + sequence id),
-  * the v10 initial handshake, HandshakeResponse41, the native-password
-  * scramble `SHA1(pwd) XOR SHA1(salt ++ SHA1(SHA1(pwd)))`, and the
-  * dump command layouts.
+  * (reference/src/main.rs:222-228): connect, authenticate,
+  * `COM_REGISTER_SLAVE`, then `COM_BINLOG_DUMP` from a
+  * (filename, pos) resume pair and stream binlog events. Everything
+  * here is the public client/server protocol: 4-byte packet framing
+  * (3-byte LE length + sequence id), the v10 initial handshake,
+  * HandshakeResponse41, and the dump command layouts.
+  *
+  * Both production auth plugins are spoken:
+  *  - `mysql_native_password` — scramble
+  *    `SHA1(pwd) XOR SHA1(salt ++ SHA1(SHA1(pwd)))`;
+  *  - `caching_sha2_password` (the MySQL 8.0+ DEFAULT; 8.4 disables
+  *    native password) — fast path scramble
+  *    `SHA256(pwd) XOR SHA256(SHA256(SHA256(pwd)) ++ nonce)`, and
+  *    when the server's cache misses (AuthMoreData 0x04 "perform
+  *    full authentication") the insecure-channel full-auth exchange:
+  *    request the server's RSA public key (0x02), receive the PEM
+  *    SubjectPublicKeyInfo, send `RSA-OAEP(pwd ++ NUL XOR nonce)`.
+  *  - `AuthSwitchRequest` (0xfe) in EITHER direction: the client
+  *    re-scrambles with the requested plugin over the fresh salt.
   *
   * The streamed events are byte-identical to binlog FILE events (each
   * dump packet is `0x00` + one event), so decode is delegated
@@ -26,10 +37,12 @@ import java.security.MessageDigest
   * micro-batches: each poll drains the available suffix, the
   * (filename, pos) checkpoint carries the continuation.
   *
-  * No TLS/caching_sha2/compression — this is the smallest protocol
-  * slice that feeds the existing decoder; spec'd against a scripted
+  * No TLS/compression — the full-auth RSA step covers the one thing
+  * TLS is REQUIRED for in this protocol slice (never sending a
+  * cleartext password over the wire); spec'd against a scripted
   * master fixture (`BinlogMasterFixture`) that verifies the client's
-  * scramble bytes before serving.
+  * scramble bytes — and decrypts the full-auth RSA blob — with its
+  * own independent compositions before serving.
   */
 object BinlogClient {
 
@@ -130,8 +143,54 @@ object BinlogClient {
     p1.zip(p3).map { case (a, b) => (a ^ b).toByte }
   }
 
+  /** `caching_sha2_password` fast path:
+    * SHA256(pwd) XOR SHA256(SHA256(SHA256(pwd)) ++ nonce) — 32 bytes.
+    */
+  def sha2PasswordScramble(password: String,
+      nonce: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.emptyByteArray
+    val sha = MessageDigest.getInstance("SHA-256")
+    val p1 = sha.digest(password.getBytes("UTF-8"))
+    val p2 = sha.digest(p1)
+    sha.update(p2 ++ nonce)
+    val p3 = sha.digest()
+    p1.zip(p3).map { case (a, b) => (a ^ b).toByte }
+  }
+
+  /** Dispatch on the auth plugin the SERVER asked for; anything
+    * outside the two production plugins refuses loudly (never a
+    * silent wrong-scramble retry loop).
+    */
+  private[sources] def scrambleFor(plugin: String, password: String,
+      salt: Array[Byte]): Array[Byte] = plugin match {
+    case "" | "mysql_native_password" => nativePasswordScramble(password, salt)
+    case "caching_sha2_password" => sha2PasswordScramble(password, salt)
+    case p => throw new ProtocolException(s"unsupported auth plugin $p")
+  }
+
+  /** Full-auth password blob for an insecure channel: the server's
+    * PEM RSA public key encrypts `XOR(pwd ++ NUL, nonce repeated)`
+    * with OAEP (MySQL's RSA_PKCS1_OAEP_PADDING = SHA-1 OAEP/MGF1) —
+    * the cleartext password never crosses the wire.
+    */
+  private[sources] def rsaEncryptPassword(password: String,
+      nonce: Array[Byte], pem: String): Array[Byte] = {
+    val der = java.util.Base64.getMimeDecoder.decode(
+      pem.replaceAll("-----[A-Z ]+-----", "").trim)
+    val key = java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.X509EncodedKeySpec(der))
+    val pw = password.getBytes("UTF-8") :+ 0.toByte
+    val xored = pw.zipWithIndex.map { case (b, i) =>
+      (b ^ nonce(i % nonce.length)).toByte
+    }
+    val c = javax.crypto.Cipher.getInstance(
+      "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE, key)
+    c.doFinal(xored)
+  }
+
   private def handshakeResponse(user: String, password: String,
-      salt: Array[Byte]): Array[Byte] = {
+      salt: Array[Byte], plugin: String): Array[Byte] = {
     val b = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = b.write(v & 0xff)
     def u32(v: Long): Unit = (0 until 4).foreach(i => u8((v >> (8 * i)).toInt))
@@ -142,10 +201,59 @@ object BinlogClient {
     u8(33) // charset: utf8_general_ci
     (0 until 23).foreach(_ => u8(0)) // reserved
     b.write(user.getBytes("UTF-8")); u8(0)
-    val token = nativePasswordScramble(password, salt)
+    val token = scrambleFor(plugin, password, salt)
     u8(token.length); b.write(token) // 1-byte-length auth response
-    b.write("mysql_native_password".getBytes("UTF-8")); u8(0)
+    val named = if (plugin.isEmpty) "mysql_native_password" else plugin
+    b.write(named.getBytes("UTF-8")); u8(0)
     b.toByteArray
+  }
+
+  /** Drive the post-HandshakeResponse auth negotiation to OK/ERR:
+    * fast-auth success (AuthMoreData 0x03) falls through to the OK;
+    * perform-full-authentication (0x04) runs the RSA key fetch +
+    * encrypted-password send; AuthSwitchRequest (0xfe) re-scrambles
+    * with the requested plugin over the fresh salt — in EITHER
+    * direction between the two production plugins.
+    */
+  private[sources] def authenticate(in: DataInputStream, out: OutputStream,
+      password: String, firstSalt: Array[Byte]): Unit = {
+    var salt = firstSalt
+    var done = false
+    while (!done) {
+      val (seq, body) = readPacket(in)
+      (body(0) & 0xff) match {
+        case 0x00 => done = true
+        case 0xff => err(body)
+        case 0x01 => // AuthMoreData
+          val data = body.drop(1)
+          if (data.length == 1 && data(0) == 0x03) {
+            () // fast-auth success: the real OK follows
+          } else if (data.length == 1 && data(0) == 0x04) {
+            // full authentication over an insecure channel: fetch the
+            // server's RSA public key, send the encrypted password
+            writePacket(out, seq + 1, Array[Byte](0x02))
+            val (seq2, keyBody) = readPacket(in)
+            if ((keyBody(0) & 0xff) == 0xff) err(keyBody)
+            if ((keyBody(0) & 0xff) != 0x01)
+              throw new ProtocolException(
+                f"unexpected 0x${keyBody(0) & 0xff}%02x awaiting RSA key")
+            val pem = new String(keyBody.drop(1), "UTF-8")
+            writePacket(out, seq2 + 1, rsaEncryptPassword(password, salt, pem))
+          } else {
+            throw new ProtocolException(
+              s"unexpected AuthMoreData payload (${data.length} bytes)")
+          }
+        case 0xfe => // AuthSwitchRequest: plugin NUL salt
+          val pEnd = body.indexOf(0.toByte, 1)
+          if (pEnd < 0)
+            throw new ProtocolException("malformed AuthSwitchRequest")
+          val plugin = new String(body.slice(1, pEnd), "UTF-8")
+          salt = body.slice(pEnd + 1, pEnd + 21) // 20 bytes, NUL excluded
+          writePacket(out, seq + 1, scrambleFor(plugin, password, salt))
+        case b =>
+          throw new ProtocolException(f"unexpected 0x$b%02x during auth")
+      }
+    }
   }
 
   // ----------------------------------------------------------- commands
@@ -209,10 +317,9 @@ object BinlogClient {
 
       val (seq0, hello) = readPacket(in)
       val hs = parseHandshake(hello)
-      if (hs.authPlugin.nonEmpty && hs.authPlugin != "mysql_native_password")
-        throw new ProtocolException(s"unsupported auth plugin ${hs.authPlugin}")
-      writePacket(out, seq0 + 1, handshakeResponse(user, password, hs.salt))
-      expectOk(in, "auth")
+      writePacket(out, seq0 + 1,
+        handshakeResponse(user, password, hs.salt, hs.authPlugin))
+      authenticate(in, out, password, hs.salt)
 
       writePacket(out, 0, registerSlave(serverId))
       expectOk(in, "COM_REGISTER_SLAVE")

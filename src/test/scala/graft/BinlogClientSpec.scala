@@ -59,8 +59,12 @@ class BinlogClientSpec extends AnyFunSuite {
   }
 
   private def withMaster[A](password: String,
-      segs: Map[String, Array[Byte]])(f: BinlogMasterFixture => A): A = {
-    val m = new BinlogMasterFixture(password, segs)
+      segs: Map[String, Array[Byte]],
+      authPlugin: String = "mysql_native_password",
+      sha2Cached: Boolean = true,
+      switchTo: Option[String] = None)(f: BinlogMasterFixture => A): A = {
+    val m = new BinlogMasterFixture(password, segs, authPlugin, sha2Cached,
+      switchTo)
     try f(m) finally m.close()
   }
 
@@ -102,6 +106,113 @@ class BinlogClientSpec extends AnyFunSuite {
       assert(d.changes == exp.changes.filter(_.pos >= resumeAt))
       assert(d.changes.nonEmpty && d.changes.head.op == graft.cdc.ChangeOp.Update)
       assert(d.rotate == exp.rotate)
+    }
+  }
+
+  test("caching_sha2 scramble: empty password and 32-byte shape") {
+    assert(BinlogClient.sha2PasswordScramble("",
+      Array.fill[Byte](20)(1)).isEmpty)
+    val s = BinlogClient.sha2PasswordScramble("secret",
+      Array.tabulate[Byte](20)(_.toByte))
+    assert(s.length == 32)
+    // distinct nonces must move the token (it is salted, not a hash
+    // of the password alone)
+    val s2 = BinlogClient.sha2PasswordScramble("secret",
+      Array.tabulate[Byte](20)(i => (i + 1).toByte))
+    assert(!java.util.Arrays.equals(s, s2))
+  }
+
+  test("caching_sha2 FAST path (cache hit): dump == file decode, scramble " +
+      "verified by the master's independent SHA-256 composition") {
+    withMaster("secret", Map("fix-bin.000001" -> seg1),
+        authPlugin = "caching_sha2_password") { m =>
+      val d = BinlogClient.dump("127.0.0.1", m.port, "repl", "secret",
+        99L, "fix-bin.000001", 4L)
+      val exp = Binlog.decodeFile(seg1)
+      assert(d.changes == exp.changes && d.rotate == exp.rotate)
+      assert(m.lastClientPlugin == "caching_sha2_password")
+      assert(m.lastAuth.length == 32)
+      assert(java.util.Arrays.equals(m.lastAuth,
+        BinlogClient.sha2PasswordScramble("secret", m.salt)))
+      assert(m.fullAuthExchanges == 0)
+    }
+  }
+
+  test("caching_sha2 fast path, wrong password: ERR 1045") {
+    withMaster("secret", Map("fix-bin.000001" -> seg1),
+        authPlugin = "caching_sha2_password") { m =>
+      val e = intercept[BinlogClient.ProtocolException] {
+        BinlogClient.dump("127.0.0.1", m.port, "repl", "WRONG",
+          99L, "fix-bin.000001", 4L)
+      }
+      assert(e.getMessage.contains("1045"))
+    }
+  }
+
+  test("caching_sha2 FULL auth (cache miss): RSA public-key exchange, " +
+      "cleartext never on the wire") {
+    withMaster("secret", Map("fix-bin.000001" -> seg1),
+        authPlugin = "caching_sha2_password", sha2Cached = false) { m =>
+      val d = BinlogClient.dump("127.0.0.1", m.port, "repl", "secret",
+        99L, "fix-bin.000001", 4L)
+      assert(d.changes == Binlog.decodeFile(seg1).changes)
+      assert(m.fullAuthExchanges == 1)
+      // the blob is one RSA-2048 block, and the password bytes appear
+      // nowhere in it (OAEP + nonce-XOR — the master DECRYPTED it
+      // with its private key and compared cleartext server-side)
+      assert(m.lastEncryptedBlob.length == 256)
+      val blob = new String(m.lastEncryptedBlob, "ISO-8859-1")
+      assert(!blob.contains("secret"))
+    }
+  }
+
+  test("caching_sha2 full auth, wrong password: the master's RSA decrypt " +
+      "+ compare ERRs 1045") {
+    withMaster("secret", Map("fix-bin.000001" -> seg1),
+        authPlugin = "caching_sha2_password", sha2Cached = false) { m =>
+      val e = intercept[BinlogClient.ProtocolException] {
+        BinlogClient.dump("127.0.0.1", m.port, "repl", "WRONG",
+          99L, "fix-bin.000001", 4L)
+      }
+      assert(e.getMessage.contains("1045"))
+      assert(m.fullAuthExchanges == 1)
+    }
+  }
+
+  test("AuthSwitchRequest sha2->native: client re-scrambles under the " +
+      "switched plugin and the FRESH salt") {
+    withMaster("secret", Map("fix-bin.000001" -> seg1),
+        authPlugin = "caching_sha2_password",
+        switchTo = Some("mysql_native_password")) { m =>
+      val d = BinlogClient.dump("127.0.0.1", m.port, "repl", "secret",
+        99L, "fix-bin.000001", 4L)
+      assert(d.changes == Binlog.decodeFile(seg1).changes)
+      assert(m.lastAuth.length == 20) // a SHA-1 scramble, not SHA-256
+      assert(java.util.Arrays.equals(m.lastAuth,
+        BinlogClient.nativePasswordScramble("secret", m.switchSalt)))
+    }
+  }
+
+  test("AuthSwitchRequest native->sha2: the reverse direction") {
+    withMaster("secret", Map("fix-bin.000001" -> seg1),
+        switchTo = Some("caching_sha2_password")) { m =>
+      val d = BinlogClient.dump("127.0.0.1", m.port, "repl", "secret",
+        99L, "fix-bin.000001", 4L)
+      assert(d.changes == Binlog.decodeFile(seg1).changes)
+      assert(m.lastAuth.length == 32)
+      assert(java.util.Arrays.equals(m.lastAuth,
+        BinlogClient.sha2PasswordScramble("secret", m.switchSalt)))
+    }
+  }
+
+  test("unknown auth plugin refuses loudly (no silent wrong scramble)") {
+    withMaster("secret", Map("fix-bin.000001" -> seg1),
+        authPlugin = "sha256_password") { m =>
+      val e = intercept[BinlogClient.ProtocolException] {
+        BinlogClient.dump("127.0.0.1", m.port, "repl", "secret",
+          99L, "fix-bin.000001", 4L)
+      }
+      assert(e.getMessage.contains("unsupported auth plugin"))
     }
   }
 

@@ -5,17 +5,28 @@ import java.net.{InetAddress, ServerSocket, SocketException}
 
 /** Scripted MySQL MASTER fixture — the server half of the replica
   * wire protocol [[graft.sources.BinlogClient]] speaks, so the
-  * client's handshake parsing, `mysql_native_password` scramble,
+  * client's handshake parsing, auth scrambles,
   * REGISTER_SLAVE/BINLOG_DUMP layouts and dump-stream draining are
   * exercised against a real socket, byte-for-byte. The fixture:
   *
   *  - serves HandshakeV10 with a FIXED 20-byte salt (split 8 + 12+NUL
-  *    across the two auth-data parts, exactly the server layout);
+  *    across the two auth-data parts, exactly the server layout),
+  *    advertising `authPlugin` (`mysql_native_password` default, or
+  *    `caching_sha2_password` — the stock MySQL 8 configuration);
   *  - parses HandshakeResponse41 and verifies the client's scramble
-  *    against its OWN independently-written composition
-  *    `SHA1(pwd) XOR SHA1(salt ++ SHA1(SHA1(pwd)))` — a wrong
-  *    password (or a wrong client composition) gets the real ERR
-  *    1045 packet;
+  *    against its OWN independently-written composition —
+  *    `SHA1(pwd) XOR SHA1(salt ++ SHA1(SHA1(pwd)))` for native,
+  *    `SHA256(pwd) XOR SHA256(SHA256(SHA256(pwd)) ++ salt)` for
+  *    caching_sha2 — a wrong password (or a wrong client
+  *    composition) gets the real ERR 1045 packet;
+  *  - for caching_sha2 with `sha2Cached = false` scripts the FULL
+  *    authentication exchange a cache-miss triggers on a real
+  *    server: AuthMoreData 0x04, the client's 0x02 public-key
+  *    request, a PEM RSA key, then RSA-OAEP decrypt + nonce-unXOR of
+  *    the client's blob and a cleartext compare;
+  *  - with `switchTo` set, answers the handshake response with an
+  *    AuthSwitchRequest (0xfe + plugin + fresh salt) and verifies
+  *    the client's re-scramble under the SWITCHED plugin/salt;
   *  - accepts COM_REGISTER_SLAVE (recording the server id) and
   *    COM_BINLOG_DUMP (recording the (filename, pos) resume pair);
   *  - streams the requested segment's events from byte offset `pos`
@@ -29,14 +40,39 @@ import java.net.{InetAddress, ServerSocket, SocketException}
   * not one implementation vs itself.
   */
 final class BinlogMasterFixture(password: String,
-    @volatile var segments: Map[String, Array[Byte]]) extends AutoCloseable {
+    @volatile var segments: Map[String, Array[Byte]],
+    authPlugin: String = "mysql_native_password",
+    sha2Cached: Boolean = true,
+    switchTo: Option[String] = None) extends AutoCloseable {
 
   /** Fixed handshake salt (20 bytes, deterministic). */
   val salt: Array[Byte] = Array.tabulate[Byte](20)(i => (i * 7 + 3).toByte)
 
+  /** Fresh salt served inside an AuthSwitchRequest (distinct from the
+    * handshake salt so a client that re-uses the old one fails).
+    */
+  val switchSalt: Array[Byte] = Array.tabulate[Byte](20)(i => (i * 5 + 11).toByte)
+
+  /** Per-fixture RSA keypair for the caching_sha2 full-auth step. */
+  private val rsa: java.security.KeyPair = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
+
+  /** PEM SubjectPublicKeyInfo — exactly what a real server sends. */
+  def publicKeyPem: String =
+    "-----BEGIN PUBLIC KEY-----\n" +
+      java.util.Base64.getMimeEncoder(64, "\n".getBytes)
+        .encodeToString(rsa.getPublic.getEncoded) +
+      "\n-----END PUBLIC KEY-----\n"
+
   // observability for the spec
   @volatile var lastAuth: Array[Byte] = Array.emptyByteArray
   @volatile var lastUser: String = ""
+  @volatile var lastClientPlugin: String = ""
+  @volatile var lastEncryptedBlob: Array[Byte] = Array.emptyByteArray
+  @volatile var fullAuthExchanges: Int = 0
   val registeredServerIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]
   val dumps = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]
 
@@ -116,34 +152,63 @@ final class BinlogMasterFixture(password: String,
     u8(21) // auth plugin data len: 20 salt + trailing NUL
     (0 until 10).foreach(_ => u8(0)) // reserved
     b.write(salt, 8, 12); u8(0) // part-2: max(13, 21-8) incl. NUL
-    b.write("mysql_native_password".getBytes("UTF-8")); u8(0)
+    b.write(authPlugin.getBytes("UTF-8")); u8(0)
     b.toByteArray
   }
 
-  /** The server-side expectation, composed independently of
+  /** The server-side native-password expectation, composed
+    * independently of
     * [[graft.sources.BinlogClient.nativePasswordScramble]]:
     * stage-wise update/digest instead of concat-then-digest.
     */
-  private def expectedScramble(pwd: String): Array[Byte] = {
+  private def expectedNative(pwd: String, nonce: Array[Byte]): Array[Byte] = {
     if (pwd.isEmpty) return Array.emptyByteArray
     val md = java.security.MessageDigest.getInstance("SHA-1")
     val h1 = md.digest(pwd.getBytes("UTF-8"))
     md.reset()
     val h2 = md.digest(h1)
     md.reset()
-    md.update(salt)
+    md.update(nonce)
     md.update(h2)
     val h3 = md.digest()
     h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
   }
 
-  private def parseAuthResponse(body: Array[Byte]): (String, Array[Byte]) = {
+  /** The server-side caching_sha2 expectation — independent stage-wise
+    * composition of
+    * `SHA256(pwd) XOR SHA256(SHA256(SHA256(pwd)) ++ nonce)`.
+    */
+  private def expectedSha2(pwd: String, nonce: Array[Byte]): Array[Byte] = {
+    if (pwd.isEmpty) return Array.emptyByteArray
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val h1 = md.digest(pwd.getBytes("UTF-8"))
+    md.reset()
+    val h2 = md.digest(h1)
+    md.reset()
+    md.update(h2)
+    md.update(nonce)
+    val h3 = md.digest()
+    h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
+  }
+
+  private def expected(plugin: String, pwd: String,
+      nonce: Array[Byte]): Array[Byte] = plugin match {
+    case "caching_sha2_password" => expectedSha2(pwd, nonce)
+    case _ => expectedNative(pwd, nonce)
+  }
+
+  private def parseAuthResponse(
+      body: Array[Byte]): (String, Array[Byte], String) = {
     // caps u32, max-packet u32, charset u8, 23 reserved
     var p = 4 + 4 + 1 + 23
     val uEnd = body.indexOf(0.toByte, p)
     val user = new String(body.slice(p, uEnd), "UTF-8"); p = uEnd + 1
     val n = body(p) & 0xff; p += 1
-    (user, body.slice(p, p + n))
+    val auth = body.slice(p, p + n); p += n
+    val pEnd = body.indexOf(0.toByte, p)
+    val plugin =
+      new String(body.slice(p, if (pEnd < 0) body.length else pEnd), "UTF-8")
+    (user, auth, plugin)
   }
 
   // ------------------------------------------------------------ serve
@@ -153,15 +218,62 @@ final class BinlogMasterFixture(password: String,
     val out = s.getOutputStream
 
     writePacket(out, 0, handshakeV10)
-    val (user, auth) = parseAuthResponse(readPacket(in))
+    val (user, auth0, clientPlugin) = parseAuthResponse(readPacket(in))
     lastUser = user
-    lastAuth = auth
-    if (!java.util.Arrays.equals(auth, expectedScramble(password))) {
-      writePacket(out, 2, errPacket(1045, "28000",
+    lastClientPlugin = clientPlugin
+    var seq = 2
+    def deny(): Unit =
+      writePacket(out, seq, errPacket(1045, "28000",
         s"Access denied for user '$user'"))
-      return
+
+    val ok: Boolean = switchTo match {
+      case Some(next) =>
+        // AuthSwitchRequest: 0xfe + plugin NUL + fresh 20-byte salt NUL
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(0xfe)
+        b.write(next.getBytes("UTF-8")); b.write(0)
+        b.write(switchSalt); b.write(0)
+        writePacket(out, seq, b.toByteArray); seq += 1
+        val re = readPacket(in); seq += 1
+        lastAuth = re
+        java.util.Arrays.equals(re, expected(next, password, switchSalt))
+      case None if authPlugin == "caching_sha2_password" && !sha2Cached =>
+        // cache miss: perform full authentication (insecure channel —
+        // RSA public-key exchange; a real server ignores the fast
+        // scramble it can't check without a cache entry)
+        fullAuthExchanges += 1
+        writePacket(out, seq, Array[Byte](0x01, 0x04)); seq += 1
+        val req = readPacket(in); seq += 1
+        if (req.length != 1 || req(0) != 0x02) {
+          writePacket(out, seq, errPacket(1047, "08S01",
+            "expected public key request")); return
+        }
+        writePacket(out, seq,
+          Array[Byte](0x01) ++ publicKeyPem.getBytes("UTF-8")); seq += 1
+        val blob = readPacket(in); seq += 1
+        lastEncryptedBlob = blob
+        val c = javax.crypto.Cipher.getInstance(
+          "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE, rsa.getPrivate)
+        val clear = try c.doFinal(blob)
+        catch { case _: Exception => Array.emptyByteArray }
+        val unxored = clear.zipWithIndex.map { case (v, i) =>
+          (v ^ salt(i % salt.length)).toByte
+        }
+        java.util.Arrays.equals(unxored,
+          password.getBytes("UTF-8") :+ 0.toByte)
+      case None =>
+        lastAuth = auth0
+        val match0 =
+          java.util.Arrays.equals(auth0, expected(authPlugin, password, salt))
+        if (match0 && authPlugin == "caching_sha2_password") {
+          // fast-auth success marker precedes the OK on a cache hit
+          writePacket(out, seq, Array[Byte](0x01, 0x03)); seq += 1
+        }
+        match0
     }
-    writePacket(out, 2, okPacket)
+    if (!ok) { deny(); return }
+    writePacket(out, seq, okPacket)
 
     val reg = readPacket(in)
     if ((reg(0) & 0xff) != 0x15) {
