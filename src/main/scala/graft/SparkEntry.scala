@@ -993,9 +993,15 @@ object SparkEntry {
     // stored blocks; the rest stay untouched), serve the edges. The
     // oracle trains on everything and restricts graph MEMBERSHIP to
     // the survivors — exactly the fixed-centroid delete semantics.
+    // Seeded SQRT-N (round 12): nlist from a hash of the id space,
+    // not the 10 labels — list OCCUPANCY stays bounded as the corpus
+    // grows, so the Σ|list|² block join scales ~n^1.5 instead of the
+    // ~quadratic growth the label seeding measured at sf1.0
+    // (BASELINE.md; ScaleProbe isolated 13x from the seeding alone).
     "q_sim_graph_delete" -> ((s, dir) => {
       val embs = T(s, dir, "embeddings")
-      GraphStore.build(s, embs, "vec_id", "embedding", "label",
+        .withColumn("seed", pmod(col("vec_id"), lit(32L)))
+      GraphStore.build(s, embs, "vec_id", "embedding", "seed",
         "graft_knng_d", k = 5, iters = 2, massign = 2, nBuckets = 8)
       GraphStore.delete(s, "graft_knng_d",
         embs.filter(col("vec_id") % 3 === 0).select(col("vec_id")),
@@ -1034,14 +1040,20 @@ object SparkEntry {
     // oracle trains on the even half only and blocks the whole
     // corpus — exactly the append semantics; equality proves the
     // incremental merge == a full rebuild at fixed centroids.
+    // Seeded sqrt-n (round 12) like q_sim_graph_delete — see there.
+    // Training sees only the EVEN half, whose residues mod 64 are the
+    // 32 even values — the same 32-seed budget as the full-corpus
+    // queries' mod 32 (a plain mod 32 over even ids would collapse to
+    // 16 seeds and give back a 2x occupancy penalty).
     "q_sim_graph_append" -> ((s, dir) => {
       val embs = T(s, dir, "embeddings")
+        .withColumn("seed", pmod(col("vec_id"), lit(64L)))
       GraphStore.build(s, embs.filter(col("vec_id") % 2 === 0), "vec_id",
-        "embedding", "label", "graft_knng2", k = 5, iters = 2,
+        "embedding", "seed", "graft_knng2", k = 5, iters = 2,
         massign = 2, nBuckets = 8)
       GraphStore.append(s, "graft_knng2",
         embs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
-        "label")
+        "seed")
       GraphStore.edges(s, "graft_knng2")
     }),
 
@@ -2140,18 +2152,19 @@ object SparkEntry {
         + " ORDER BY src_id, rank"),
 
     // train on everything, membership = survivors on both sides —
-    // the graph delete contract
+    // the graph delete contract (sqrt-n seeded, round 12)
     "q_sim_graph_delete" ->
-      (Similarity.knnGraphSql("vec_id", "embedding", "label", "embeddings",
-        k = 5, iters = 2, dim = 64, massign = 2,
+      (Similarity.knnGraphSql("vec_id", "embedding", "(vec_id % 32)",
+        "embeddings", k = 5, iters = 2, dim = 64, massign = 2,
         memberPredSql = "a1.id % 3 <> 0 AND a2.id % 3 <> 0")
         + " ORDER BY src_id, rank"),
 
     // train on the even half only, block the whole corpus — the
     // fixed-centroid rebuild the Spark-side append must equal
+    // (sqrt-n seeded, round 12)
     "q_sim_graph_append" ->
-      (Similarity.knnGraphSql("vec_id", "embedding", "label", "embeddings",
-        k = 5, iters = 2, dim = 64, massign = 2,
+      (Similarity.knnGraphSql("vec_id", "embedding", "(vec_id % 64)",
+        "embeddings", k = 5, iters = 2, dim = 64, massign = 2,
         trainPredSql = "id % 2 = 0")
         + " ORDER BY src_id, rank"),
 
