@@ -30,14 +30,48 @@ import org.apache.spark.sql.functions._
   *  - `events` replicate with fresh user ids per copy — per-user
   *    session/event counts stay constant, user COUNT scales.
   *
-  * Usage: `runMain graft.ScaleGen [srcDir] [outDir] [copies]`
+  *  - with `--vocab-grow`, additionally writes
+  *    `documents_vocabgrow.parquet` — the Heaps-law twin
+  *    ([[vocabGrown]]): half the word TYPES (type-level hash coin,
+  *    identical in every copy) become copy-LOCAL by suffixing the
+  *    replica index, so tail-gram document frequency stops growing
+  *    with corpus size while within-copy structure, lengths, dup
+  *    pairs, and the in-copy df profile are untouched. This is the
+  *    realistic-vocabulary regime `graft.VocabProbe` measured
+  *    (round 10); the flag makes it a REUSABLE scale point instead
+  *    of a probe-side derivation.
+  *
+  * Usage: `runMain graft.ScaleGen [srcDir] [outDir] [copies] [--vocab-grow]`
   * (defaults: /root/testdata/sf0.1 → testdata-sf1.0, 10 copies).
   */
 object ScaleGen {
+
+  /** The Heaps-law vocabulary rewrite over a ScaleGen-replicated
+    * documents frame: words whose type-hash coin lands odd get
+    * suffixed with the row's replica index (`doc_id div nDoc` — the
+    * inverse of ScaleGen's id offsetting), making them copy-local.
+    * Shared by the `--vocab-grow` generator flag and
+    * [[graft.VocabProbe]], so the probe measures exactly the corpus
+    * the generator ships.
+    */
+  def vocabGrown(docs: DataFrame, nDoc: Long): DataFrame = {
+    val k = (col("doc_id") / lit(nDoc)).cast("int")
+    val words = split(col("text"), " ")
+    val grownText = array_join(transform(words, w =>
+      when(pmod(xxhash64(w), lit(2L)) === 0, w)
+        .otherwise(concat(w, lit("~"), k))), " ")
+    docs.withColumn("text", grownText)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   def main(args: Array[String]): Unit = {
-    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(1).getOrElse("testdata-sf1.0")
-    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val vocabGrow = flags.contains("--vocab-grow")
+    val unknown = flags.filterNot(_ == "--vocab-grow")
+    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")
+    val src = positional.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = positional.lift(1).getOrElse("testdata-sf1.0")
+    val copies = positional.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -111,6 +145,13 @@ object ScaleGen {
         .withColumn("text", permuted)
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
+
+    // Heaps-law vocabulary twin of the documents table just written
+    // (reads it back so the rewrite sees the final replicated frame)
+    if (vocabGrow) {
+      write("documents_vocabgrow",
+        vocabGrown(spark.read.parquet(s"$out/documents.parquet"), nDoc))
+    }
 
     // embeddings: ±0.05 hash noise per coordinate, renormalized
     write("embeddings", rep(t("embeddings")) { (d, k) =>

@@ -46,15 +46,11 @@ object VocabProbe {
         "copies and silently break the type-level rewrite invariant")
     val nDoc = total / copies // ScaleGen offsets doc_id by k*nDoc
     val grownPath = s"$sfDir/documents_vocabgrow.parquet"
-    val k = (col("doc_id") / lit(nDoc)).cast("int")
-    val words = split(col("text"), " ")
     // type-level coin: the SAME words go copy-local in every copy, so
-    // within-copy df profiles match the fixed corpus exactly
-    val grownText = array_join(transform(words, w =>
-      when(pmod(xxhash64(w), lit(2L)) === 0, w)
-        .otherwise(concat(w, lit("~"), k))), " ")
-    fixed.withColumn("text", grownText)
-      .withColumn("n_chars", length(col("text")).cast("long"))
+    // within-copy df profiles match the fixed corpus exactly — the
+    // derivation is ScaleGen's (shared helper; the generator's
+    // --vocab-grow flag ships the identical corpus)
+    ScaleGen.vocabGrown(fixed, nDoc)
       .coalesce(4).write.mode("overwrite").parquet(grownPath)
     val grown = spark.read.parquet(grownPath)
 
