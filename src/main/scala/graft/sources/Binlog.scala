@@ -74,6 +74,7 @@ object Binlog {
   val WriteRowsV2 = 30
   val UpdateRowsV2 = 31
   val DeleteRowsV2 = 32
+  val GtidEvent = 33 // GTID_LOG_EVENT: transaction boundary marker
 
   // column type codes
   val TypeTiny = 1

@@ -49,7 +49,9 @@ object BinlogClient {
   // command bytes (public protocol)
   val ComRegisterSlave = 0x15
   val ComBinlogDump = 0x12
+  val ComBinlogDumpGtid = 0x1e
   val BinlogDumpNonBlock = 0x01
+  val BinlogThroughGtid = 0x04
 
   // capability flags the client advertises
   val ClientLongPassword = 0x00000001L
@@ -280,6 +282,67 @@ object BinlogClient {
     b.toByteArray
   }
 
+  // ---------------------------------------------------------------- GTID
+
+  /** An executed-GTID set: 32-hex-char source id → INCLUSIVE
+    * (first, last) gno intervals. [[encode]] is the
+    * COM_BINLOG_DUMP_GTID wire form (n_sids u64; per sid 16 raw
+    * bytes + n_intervals u64 + per interval start u64, end u64 with
+    * the wire's end EXCLUSIVE — the +1 happens here, callers think
+    * in inclusive gnos).
+    */
+  final case class GtidSet(intervals: Map[String, Seq[(Long, Long)]]) {
+    def encode: Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      def u64(v: Long): Unit =
+        (0 until 8).foreach(i => b.write(((v >> (8 * i)) & 0xff).toInt))
+      u64(intervals.size.toLong)
+      intervals.toSeq.sortBy(_._1).foreach { case (sidHex, ivs) =>
+        require(sidHex.length == 32, s"sid must be 32 hex chars: $sidHex")
+        b.write(sidHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        u64(ivs.size.toLong)
+        ivs.foreach { case (first, last) => u64(first); u64(last + 1) }
+      }
+      b.toByteArray
+    }
+  }
+  object GtidSet { val empty: GtidSet = GtidSet(Map.empty) }
+
+  /** GTID events seen in a drained dump — `(sid hex, gno)` in stream
+    * order: what a caller unions into its executed set to build the
+    * NEXT [[fetchGtid]] resume argument. (GTID_LOG_EVENT payload:
+    * flags u8, sid 16 bytes, gno u64 LE; later 5.7+ fields follow and
+    * are ignored.)
+    */
+  def gtidsOf(events: IndexedSeq[Array[Byte]]): Seq[(String, Long)] =
+    events.filter(e => e.length >= 19 + 25 && (e(4) & 0xff) == Binlog.GtidEvent)
+      .map { e =>
+        val sid = e.slice(20, 36).map(b => f"${b & 0xff}%02x").mkString
+        val gno = (0 until 8).map(i => (e(36 + i) & 0xffL) << (8 * i)).sum
+        (sid, gno)
+      }.toSeq
+
+  /** COM_BINLOG_DUMP_GTID, auto-position: empty filename + pos 4 +
+    * the encoded executed set — the server decides where to start
+    * and skips transactions the set already covers.
+    */
+  private def binlogDumpGtid(serverId: Long, gtids: GtidSet): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = b.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Unit = (0 until 4).foreach(i => u8((v >> (8 * i)).toInt))
+    def u64(v: Long): Unit = (0 until 8).foreach(i => u8((v >> (8 * i)).toInt))
+    u8(ComBinlogDumpGtid)
+    u16(BinlogDumpNonBlock | BinlogThroughGtid)
+    u32(serverId)
+    u32(0L) // filename length (auto-position: empty)
+    u64(4L) // position
+    val data = gtids.encode
+    u32(data.length.toLong)
+    b.write(data)
+    b.toByteArray
+  }
+
   // --------------------------------------------------------------- dump
 
   /** One drained dump: the raw wire events (verbatim packet bodies,
@@ -309,44 +372,73 @@ object BinlogClient {
     * the mirrored segment is byte-equal to the master's file suffix).
     */
   def fetch(host: String, port: Int, user: String, password: String,
-      serverId: Long, filename: String, startPos: Long): Fetched = {
+      serverId: Long, filename: String, startPos: Long): Fetched =
+    replicaSession(host, port, user, password, serverId) { (in, out) =>
+      writePacket(out, 0, binlogDump(serverId, filename, startPos))
+      drainDump(in, startPos)
+    }
+
+  /** [[fetch]]'s GTID twin: COM_BINLOG_DUMP_GTID with an
+    * executed-GTID set instead of a (filename, pos) pair — the resume
+    * mode real MySQL 8 deployments run (the reference carries it
+    * commented out, reference/src/main.rs:225). The server skips
+    * every transaction `executed` covers; [[gtidsOf]] over the
+    * returned events builds the next call's set. The mirror ingest
+    * ([[ChangeLog.syncFromMaster]]) stays position-based on purpose —
+    * byte-mirroring needs file offsets, which auto-position
+    * deliberately abstracts away.
+    */
+  def fetchGtid(host: String, port: Int, user: String, password: String,
+      serverId: Long, executed: GtidSet): Fetched =
+    replicaSession(host, port, user, password, serverId) { (in, out) =>
+      writePacket(out, 0, binlogDumpGtid(serverId, executed))
+      drainDump(in, 4L)
+    }
+
+  /** Connect, authenticate, REGISTER_SLAVE, then hand the framed
+    * streams to the dump command — the shared session prelude of
+    * [[fetch]] and [[fetchGtid]].
+    */
+  private def replicaSession[A](host: String, port: Int, user: String,
+      password: String, serverId: Long)(
+      f: (DataInputStream, OutputStream) => A): A = {
     val socket = new Socket(host, port)
     try {
       val in = new DataInputStream(socket.getInputStream)
       val out = socket.getOutputStream
-
       val (seq0, hello) = readPacket(in)
       val hs = parseHandshake(hello)
       writePacket(out, seq0 + 1,
         handshakeResponse(user, password, hs.salt, hs.authPlugin))
       authenticate(in, out, password, hs.salt)
-
       writePacket(out, 0, registerSlave(serverId))
       expectOk(in, "COM_REGISTER_SLAVE")
-
-      writePacket(out, 0, binlogDump(serverId, filename, startPos))
-      val events = IndexedSeq.newBuilder[Array[Byte]]
-      var done = false
-      while (!done) {
-        val (_, body) = readPacket(in)
-        (body(0) & 0xff) match {
-          case 0x00 => events += body.drop(1) // one binlog event
-          case 0xfe if body.length < 9 => done = true // EOF
-          case 0xff => err(body)
-          case b => throw new ProtocolException(f"unexpected 0x$b%02x in dump")
-        }
-      }
-      val all = events.result()
-      // virtual preamble events (the server re-sends the format
-      // description with log_pos 0 at the head of every dump) carry
-      // no file position and must not reach the mirror's byte-append
-      def logPos(e: Array[Byte]): Long =
-        (e(13) & 0xffL) | ((e(14) & 0xffL) << 8) |
-          ((e(15) & 0xffL) << 16) | ((e(16) & 0xffL) << 24)
-      val real = all.filter(e => e.length >= 19 && logPos(e) != 0L)
-      Fetched(real, decodeStream(all),
-        real.lastOption.map(logPos).getOrElse(startPos))
+      f(in, out)
     } finally socket.close()
+  }
+
+  private def drainDump(in: DataInputStream, startPos: Long): Fetched = {
+    val events = IndexedSeq.newBuilder[Array[Byte]]
+    var done = false
+    while (!done) {
+      val (_, body) = readPacket(in)
+      (body(0) & 0xff) match {
+        case 0x00 => events += body.drop(1) // one binlog event
+        case 0xfe if body.length < 9 => done = true // EOF
+        case 0xff => err(body)
+        case b => throw new ProtocolException(f"unexpected 0x$b%02x in dump")
+      }
+    }
+    val all = events.result()
+    // virtual preamble events (the server re-sends the format
+    // description with log_pos 0 at the head of every dump) carry
+    // no file position and must not reach the mirror's byte-append
+    def logPos(e: Array[Byte]): Long =
+      (e(13) & 0xffL) | ((e(14) & 0xffL) << 8) |
+        ((e(15) & 0xffL) << 16) | ((e(16) & 0xffL) << 24)
+    val real = all.filter(e => e.length >= 19 && logPos(e) != 0L)
+    Fetched(real, decodeStream(all),
+      real.lastOption.map(logPos).getOrElse(startPos))
   }
 
   /** Re-frame streamed events as a binlog file, decode through the

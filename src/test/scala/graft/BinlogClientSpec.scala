@@ -237,6 +237,85 @@ class BinlogClientSpec extends AnyFunSuite {
     }
   }
 
+  private val Sid: Array[Byte] = Array.tabulate[Byte](16)(i => (i * 11 + 2).toByte)
+  private val SidHex: String = Sid.map(b => f"${b & 0xff}%02x").mkString
+
+  /** Three single-statement transactions, each opened by a GTID event
+    * (gno 1..3): inserts (1,"a"), (2,"b"), then delete (1,"a").
+    */
+  private def gtidSeg: Array[Byte] = file(Seq(
+    (1700000000L, FormatDescription, fdePayload()),
+    (1700000001L, GtidEvent, gtidPayload(Sid, 1L)),
+    (1700000001L, TableMapEvent, tableMapPayload(7, "db0", "users", T, M)),
+    (1700000001L, WriteRowsV2, rowsPayload(7, T, M, Seq(Seq(I(1), S("a"))))),
+    (1700000002L, GtidEvent, gtidPayload(Sid, 2L)),
+    (1700000002L, TableMapEvent, tableMapPayload(7, "db0", "users", T, M)),
+    (1700000002L, WriteRowsV2, rowsPayload(7, T, M, Seq(Seq(I(2), S("b"))))),
+    (1700000003L, GtidEvent, gtidPayload(Sid, 3L)),
+    (1700000003L, TableMapEvent, tableMapPayload(7, "db0", "users", T, M)),
+    (1700000003L, DeleteRowsV2, rowsPayload(7, T, M, Seq(Seq(I(1), S("a")))))))
+
+  test("GTID dump, empty executed set == full file decode; gtidsOf " +
+      "recovers the stream's gnos") {
+    withMaster("secret", Map("gtid-bin.000001" -> gtidSeg)) { m =>
+      val d = BinlogClient.fetchGtid("127.0.0.1", m.port, "repl", "secret",
+        99L, BinlogClient.GtidSet.empty)
+      val exp = Binlog.decodeFile(gtidSeg)
+      assert(d.decoded.changes == exp.changes) // values AND true positions
+      assert(BinlogClient.gtidsOf(d.events) ==
+        Seq((SidHex, 1L), (SidHex, 2L), (SidHex, 3L)))
+      // the fixture's INDEPENDENT command parse saw auto-position +
+      // THROUGH_GTID flags and an empty set
+      val (flags, set) = m.gtidDumps.peek()
+      assert((flags & BinlogClient.BinlogThroughGtid) != 0)
+      assert(set.isEmpty)
+    }
+  }
+
+  test("GTID dump resumes by executed set: covered transactions are " +
+      "skipped server-side") {
+    withMaster("secret", Map("gtid-bin.000001" -> gtidSeg)) { m =>
+      val d = BinlogClient.fetchGtid("127.0.0.1", m.port, "repl", "secret",
+        99L, BinlogClient.GtidSet(Map(SidHex -> Seq((1L, 2L)))))
+      val exp = Binlog.decodeFile(gtidSeg)
+      // only transaction gno=3 (the delete) arrives — with its TRUE
+      // file position, same as a file decode's suffix
+      assert(d.decoded.changes == exp.changes.drop(2))
+      assert(d.decoded.changes.map(_.op) ==
+        Seq(graft.cdc.ChangeOp.Delete))
+      assert(BinlogClient.gtidsOf(d.events) == Seq((SidHex, 3L)))
+      // the fixture parsed the client's encoding back to the
+      // INCLUSIVE interval it was built from
+      val (_, set) = m.gtidDumps.peek()
+      assert(set == Map(SidHex -> Seq((1L, 2L))))
+    }
+  }
+
+  test("GTID resume loop: gtidsOf of one dump is the next dump's " +
+      "executed set, and the next dump is empty until new commits") {
+    withMaster("secret", Map("gtid-bin.000001" -> gtidSeg)) { m =>
+      val d1 = BinlogClient.fetchGtid("127.0.0.1", m.port, "repl", "secret",
+        99L, BinlogClient.GtidSet.empty)
+      val gnos = BinlogClient.gtidsOf(d1.events).map(_._2)
+      val executed = BinlogClient.GtidSet(
+        Map(SidHex -> Seq((gnos.min, gnos.max))))
+      val d2 = BinlogClient.fetchGtid("127.0.0.1", m.port, "repl", "secret",
+        99L, executed)
+      assert(d2.decoded.changes.isEmpty) // everything already executed
+      assert(BinlogClient.gtidsOf(d2.events).isEmpty)
+    }
+  }
+
+  test("GTID dump works over caching_sha2 auth (the stock MySQL 8 pairing)") {
+    withMaster("secret", Map("gtid-bin.000001" -> gtidSeg),
+        authPlugin = "caching_sha2_password", sha2Cached = false) { m =>
+      val d = BinlogClient.fetchGtid("127.0.0.1", m.port, "repl", "secret",
+        99L, BinlogClient.GtidSet(Map(SidHex -> Seq((1L, 1L)))))
+      assert(d.decoded.changes == Binlog.decodeFile(gtidSeg).changes.drop(1))
+      assert(m.fullAuthExchanges == 1)
+    }
+  }
+
   test("full column-type surface decodes to the reference's value forms") {
     // FLOAT, DOUBLE, YEAR, TIMESTAMP(3), TIME(6), DECIMAL(13,3),
     // BLOB(2-byte len), CHAR(10) — the types a real table mix hits

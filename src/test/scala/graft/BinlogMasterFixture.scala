@@ -75,6 +75,12 @@ final class BinlogMasterFixture(password: String,
   @volatile var fullAuthExchanges: Int = 0
   val registeredServerIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]
   val dumps = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]
+  /** GTID dumps seen: (flags, executed set as sidHex -> inclusive
+    * (first, last) intervals) — parsed INDEPENDENTLY of the client's
+    * encoder.
+    */
+  val gtidDumps = new java.util.concurrent.ConcurrentLinkedQueue[
+    (Int, Map[String, Seq[(Long, Long)]])]
 
   private val server =
     new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
@@ -284,57 +290,119 @@ final class BinlogMasterFixture(password: String,
     writePacket(out, 1, okPacket)
 
     val dump = readPacket(in)
-    if ((dump(0) & 0xff) != 0x12) {
-      writePacket(out, 1, errPacket(1047, "08S01", "expected BINLOG_DUMP"))
-      return
+    var dumpSeq = 1
+    def send(ev: Array[Byte]): Unit = {
+      val b = new Array[Byte](ev.length + 1)
+      b(0) = 0x00
+      System.arraycopy(ev, 0, b, 1, ev.length)
+      writePacket(out, dumpSeq, b); dumpSeq += 1
     }
-    val pos = u32le(dump, 1)
-    // flags u16 at 5, server_id u32 at 7, filename from 11
-    val filename = new String(dump.drop(11), "UTF-8")
-    dumps.add((filename, pos))
+    // virtual preamble: the file's format-description event with
+    // log_pos zeroed — sent at the head of EVERY dump. On a
+    // checksummed file the edit invalidates the FDE's CRC, so the
+    // master RE-STAMPS it (what a real master does — it sends a
+    // freshly-built, validly-checksummed FDE).
+    def sendPreamble(bytes: Array[Byte]): Unit =
+      if (bytes.length >= 4 + 19) {
+        val size = u32le(bytes, 4 + 9).toInt
+        val pre = java.util.Arrays.copyOfRange(bytes, 4, 4 + size)
+        pre(13) = 0; pre(14) = 0; pre(15) = 0; pre(16) = 0
+        // checksum detection: 5.6.1+ FDE carries the alg byte at
+        // end-5 (1 = CRC32); the fixture's own version strings are
+        // all 8.x, so the byte position is authoritative
+        if (size >= 24 && (pre(size - 5) & 0xff) == 1) {
+          val crc = new java.util.zip.CRC32()
+          crc.update(pre, 0, size - 4)
+          val v = crc.getValue
+          pre(size - 4) = (v & 0xff).toByte
+          pre(size - 3) = ((v >> 8) & 0xff).toByte
+          pre(size - 2) = ((v >> 16) & 0xff).toByte
+          pre(size - 1) = ((v >> 24) & 0xff).toByte
+        }
+        send(pre)
+      }
 
-    segments.get(filename) match {
-      case None =>
-        writePacket(out, 1, errPacket(1236, "HY000",
-          s"Could not find first log file name in binary log index file ($filename)"))
-      case Some(bytes) =>
-        var seq = 1
-        def send(ev: Array[Byte]): Unit = {
-          val b = new Array[Byte](ev.length + 1)
-          b(0) = 0x00
-          System.arraycopy(ev, 0, b, 1, ev.length)
-          writePacket(out, seq, b); seq += 1
+    (dump(0) & 0xff) match {
+      case 0x12 =>
+        val pos = u32le(dump, 1)
+        // flags u16 at 5, server_id u32 at 7, filename from 11
+        val filename = new String(dump.drop(11), "UTF-8")
+        dumps.add((filename, pos))
+        segments.get(filename) match {
+          case None =>
+            writePacket(out, dumpSeq, errPacket(1236, "HY000",
+              "Could not find first log file name in binary log index " +
+                s"file ($filename)"))
+          case Some(bytes) =>
+            sendPreamble(bytes)
+            var p = 4
+            while (p + 19 <= bytes.length) {
+              val size = u32le(bytes, p + 9).toInt
+              if (p >= pos)
+                send(java.util.Arrays.copyOfRange(bytes, p, p + size))
+              p += size
+            }
+            writePacket(out, dumpSeq, eofPacket)
         }
-        // virtual preamble: the file's format-description event with
-        // log_pos zeroed — sent at the head of EVERY dump. On a
-        // checksummed file the edit invalidates the FDE's CRC, so the
-        // master RE-STAMPS it (what a real master does — it sends a
-        // freshly-built, validly-checksummed FDE).
-        if (bytes.length >= 4 + 19) {
-          val size = u32le(bytes, 4 + 9).toInt
-          val pre = java.util.Arrays.copyOfRange(bytes, 4, 4 + size)
-          pre(13) = 0; pre(14) = 0; pre(15) = 0; pre(16) = 0
-          // checksum detection: 5.6.1+ FDE carries the alg byte at
-          // end-5 (1 = CRC32); the fixture's own version strings are
-          // all 8.x, so the byte position is authoritative
-          if (size >= 24 && (pre(size - 5) & 0xff) == 1) {
-            val crc = new java.util.zip.CRC32()
-            crc.update(pre, 0, size - 4)
-            val v = crc.getValue
-            pre(size - 4) = (v & 0xff).toByte
-            pre(size - 3) = ((v >> 8) & 0xff).toByte
-            pre(size - 2) = ((v >> 16) & 0xff).toByte
-            pre(size - 1) = ((v >> 24) & 0xff).toByte
+
+      case 0x1e => // COM_BINLOG_DUMP_GTID (auto-position)
+        // flags u16 at 1, server_id u32 at 3, name_len u32 at 7,
+        // name, pos u64, data_len u32, executed-GTID-set data
+        val flags = u16le(dump, 1)
+        var p = 7
+        val nameLen = u32le(dump, p).toInt; p += 4 + nameLen
+        p += 8 // position (auto-position sends 4; unused here)
+        val dataLen = u32le(dump, p).toInt; p += 4
+        def u64le(off: Int): Long =
+          (0 until 8).map(i => (dump(off + i) & 0xffL) << (8 * i)).sum
+        val dataEnd = p + dataLen
+        val nSids = u64le(p).toInt; p += 8
+        val executed = (0 until nSids).map { _ =>
+          val sid = dump.slice(p, p + 16)
+            .map(b => f"${b & 0xff}%02x").mkString; p += 16
+          val nIv = u64le(p).toInt; p += 8
+          val ivs = (0 until nIv).map { _ =>
+            val first = u64le(p); val endExcl = u64le(p + 8); p += 16
+            (first, endExcl - 1) // wire end is exclusive
           }
-          send(pre)
+          sid -> ivs
+        }.toMap
+        require(p == dataEnd, s"GTID set data length mismatch ($p != $dataEnd)")
+        gtidDumps.add((flags, executed))
+        def covered(sid: String, gno: Long): Boolean =
+          executed.getOrElse(sid, Nil)
+            .exists { case (a, b) => gno >= a && gno <= b }
+
+        // auto-position: serve every segment in name order, skipping
+        // transactions the executed set covers — a transaction is a
+        // GTID event (type 33) plus everything until the next GTID
+        // event; FDE/ROTATE pass through regardless
+        val names = segments.keys.toSeq.sorted
+        names.headOption.foreach(n => sendPreamble(segments(n)))
+        names.foreach { n =>
+          val bytes = segments(n)
+          var q = 4
+          var skipping = false
+          while (q + 19 <= bytes.length) {
+            val size = u32le(bytes, q + 9).toInt
+            val typ = bytes(q + 4) & 0xff
+            if (typ == 33) {
+              val sid = bytes.slice(q + 20, q + 36)
+                .map(b => f"${b & 0xff}%02x").mkString
+              val gno = (0 until 8)
+                .map(i => (bytes(q + 36 + i) & 0xffL) << (8 * i)).sum
+              skipping = covered(sid, gno)
+            }
+            val always = typ == 15 || typ == 4 // FDE, ROTATE
+            if (always || !skipping)
+              send(java.util.Arrays.copyOfRange(bytes, q, q + size))
+            q += size
+          }
         }
-        var p = 4
-        while (p + 19 <= bytes.length) {
-          val size = u32le(bytes, p + 9).toInt
-          if (p >= pos) send(java.util.Arrays.copyOfRange(bytes, p, p + size))
-          p += size
-        }
-        writePacket(out, seq, eofPacket)
+        writePacket(out, dumpSeq, eofPacket)
+
+      case _ =>
+        writePacket(out, dumpSeq, errPacket(1047, "08S01", "expected BINLOG_DUMP"))
     }
   }
 }
