@@ -37,10 +37,16 @@ import java.security.MessageDigest
   * micro-batches: each poll drains the available suffix, the
   * (filename, pos) checkpoint carries the continuation.
   *
-  * No TLS/compression — the full-auth RSA step covers the one thing
-  * TLS is REQUIRED for in this protocol slice (never sending a
-  * cleartext password over the wire); spec'd against a scripted
-  * master fixture (`BinlogMasterFixture`) that verifies the client's
+  * TLS (round 12): pass `tlsTrustPem` to upgrade via SSLRequest —
+  * the 32-byte capability prefix in the clear, then the JSSE
+  * handshake on the same socket, then the full HandshakeResponse41
+  * inside the tunnel. Trust is PINNED to the given PEM certificate
+  * (no trust-all hole, no system-CA dependence). Over TLS the
+  * caching_sha2 full-auth step sends the NUL-terminated cleartext
+  * password through the tunnel (the real client behavior — the RSA
+  * exchange exists only for insecure channels). No compression —
+  * irrelevant to correctness; spec'd against a scripted master
+  * fixture (`BinlogMasterFixture`) that verifies the client's
   * scramble bytes — and decrypts the full-auth RSA blob — with its
   * own independent compositions before serving.
   */
@@ -56,6 +62,7 @@ object BinlogClient {
   // capability flags the client advertises
   val ClientLongPassword = 0x00000001L
   val ClientProtocol41 = 0x00000200L
+  val ClientSsl = 0x00000800L
   val ClientSecureConnection = 0x00008000L
   val ClientPluginAuth = 0x00080000L
 
@@ -191,14 +198,17 @@ object BinlogClient {
     c.doFinal(xored)
   }
 
+  private def baseCaps(withSsl: Boolean): Long =
+    ClientLongPassword | ClientProtocol41 | ClientSecureConnection |
+      ClientPluginAuth | (if (withSsl) ClientSsl else 0L)
+
   private def handshakeResponse(user: String, password: String,
-      salt: Array[Byte], plugin: String): Array[Byte] = {
+      salt: Array[Byte], plugin: String,
+      withSsl: Boolean = false): Array[Byte] = {
     val b = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = b.write(v & 0xff)
     def u32(v: Long): Unit = (0 until 4).foreach(i => u8((v >> (8 * i)).toInt))
-    val caps = ClientLongPassword | ClientProtocol41 |
-      ClientSecureConnection | ClientPluginAuth
-    u32(caps)
+    u32(baseCaps(withSsl))
     u32(1L << 24) // max packet size
     u8(33) // charset: utf8_general_ci
     (0 until 23).foreach(_ => u8(0)) // reserved
@@ -210,6 +220,47 @@ object BinlogClient {
     b.toByteArray
   }
 
+  /** SSLRequest: the 32-byte HandshakeResponse41 PREFIX (caps with
+    * CLIENT_SSL, max packet, charset, 23 reserved) sent in the clear;
+    * the TLS handshake follows on the same socket and the full
+    * response travels inside the tunnel.
+    */
+  private def sslRequest: Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = b.write(v & 0xff)
+    def u32(v: Long): Unit = (0 until 4).foreach(i => u8((v >> (8 * i)).toInt))
+    u32(baseCaps(withSsl = true))
+    u32(1L << 24)
+    u8(33)
+    (0 until 23).foreach(_ => u8(0))
+    b.toByteArray
+  }
+
+  /** Upgrade the socket to TLS, trusting EXACTLY the given PEM
+    * certificate (pinning — no trust-all hole, no system CA
+    * dependence: the deployment hands the client its master's cert).
+    */
+  private def tlsUpgrade(socket: Socket, host: String, port: Int,
+      trustPem: String): javax.net.ssl.SSLSocket = {
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val cert = cf.generateCertificate(
+      new java.io.ByteArrayInputStream(trustPem.getBytes("UTF-8")))
+    val ks = java.security.KeyStore.getInstance(
+      java.security.KeyStore.getDefaultType)
+    ks.load(null, null)
+    ks.setCertificateEntry("binlog-master", cert)
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    val ssl = ctx.getSocketFactory.createSocket(socket, host, port, false)
+      .asInstanceOf[javax.net.ssl.SSLSocket]
+    ssl.setUseClientMode(true)
+    ssl.startHandshake()
+    ssl
+  }
+
   /** Drive the post-HandshakeResponse auth negotiation to OK/ERR:
     * fast-auth success (AuthMoreData 0x03) falls through to the OK;
     * perform-full-authentication (0x04) runs the RSA key fetch +
@@ -218,7 +269,8 @@ object BinlogClient {
     * direction between the two production plugins.
     */
   private[sources] def authenticate(in: DataInputStream, out: OutputStream,
-      password: String, firstSalt: Array[Byte]): Unit = {
+      password: String, firstSalt: Array[Byte],
+      overTls: Boolean = false): Unit = {
     var salt = firstSalt
     var done = false
     while (!done) {
@@ -230,6 +282,13 @@ object BinlogClient {
           val data = body.drop(1)
           if (data.length == 1 && data(0) == 0x03) {
             () // fast-auth success: the real OK follows
+          } else if (data.length == 1 && data(0) == 0x04 && overTls) {
+            // full authentication over TLS: the channel is the
+            // protection — send the NUL-terminated cleartext password
+            // inside the tunnel (what a real client does; the RSA
+            // step exists only for insecure channels)
+            writePacket(out, seq + 1,
+              password.getBytes("UTF-8") :+ 0.toByte)
           } else if (data.length == 1 && data(0) == 0x04) {
             // full authentication over an insecure channel: fetch the
             // server's RSA public key, send the encrypted password
@@ -363,8 +422,10 @@ object BinlogClient {
     * over the wire instead.
     */
   def dump(host: String, port: Int, user: String, password: String,
-      serverId: Long, filename: String, startPos: Long): Binlog.Decoded =
-    fetch(host, port, user, password, serverId, filename, startPos).decoded
+      serverId: Long, filename: String, startPos: Long,
+      tlsTrustPem: Option[String] = None): Binlog.Decoded =
+    fetch(host, port, user, password, serverId, filename, startPos,
+      tlsTrustPem).decoded
 
   /** [[dump]] plus the raw bytes and resume offset — what
     * [[ChangeLog.syncFromMaster]] mirrors into local `.binlog`
@@ -372,8 +433,10 @@ object BinlogClient {
     * the mirrored segment is byte-equal to the master's file suffix).
     */
   def fetch(host: String, port: Int, user: String, password: String,
-      serverId: Long, filename: String, startPos: Long): Fetched =
-    replicaSession(host, port, user, password, serverId) { (in, out) =>
+      serverId: Long, filename: String, startPos: Long,
+      tlsTrustPem: Option[String] = None): Fetched =
+    replicaSession(host, port, user, password, serverId,
+        tlsTrustPem) { (in, out) =>
       writePacket(out, 0, binlogDump(serverId, filename, startPos))
       drainDump(in, startPos)
     }
@@ -389,8 +452,10 @@ object BinlogClient {
     * deliberately abstracts away.
     */
   def fetchGtid(host: String, port: Int, user: String, password: String,
-      serverId: Long, executed: GtidSet): Fetched =
-    replicaSession(host, port, user, password, serverId) { (in, out) =>
+      serverId: Long, executed: GtidSet,
+      tlsTrustPem: Option[String] = None): Fetched =
+    replicaSession(host, port, user, password, serverId,
+        tlsTrustPem) { (in, out) =>
       writePacket(out, 0, binlogDumpGtid(serverId, executed))
       drainDump(in, 4L)
     }
@@ -400,17 +465,26 @@ object BinlogClient {
     * [[fetch]] and [[fetchGtid]].
     */
   private def replicaSession[A](host: String, port: Int, user: String,
-      password: String, serverId: Long)(
+      password: String, serverId: Long,
+      tlsTrustPem: Option[String] = None)(
       f: (DataInputStream, OutputStream) => A): A = {
     val socket = new Socket(host, port)
     try {
-      val in = new DataInputStream(socket.getInputStream)
-      val out = socket.getOutputStream
+      var in = new DataInputStream(socket.getInputStream)
+      var out: OutputStream = socket.getOutputStream
       val (seq0, hello) = readPacket(in)
       val hs = parseHandshake(hello)
-      writePacket(out, seq0 + 1,
-        handshakeResponse(user, password, hs.salt, hs.authPlugin))
-      authenticate(in, out, password, hs.salt)
+      var seq = seq0 + 1
+      tlsTrustPem.foreach { pem =>
+        writePacket(out, seq, sslRequest); seq += 1
+        val ssl = tlsUpgrade(socket, host, port, pem)
+        in = new DataInputStream(ssl.getInputStream)
+        out = ssl.getOutputStream
+      }
+      writePacket(out, seq, handshakeResponse(user, password, hs.salt,
+        hs.authPlugin, withSsl = tlsTrustPem.nonEmpty))
+      authenticate(in, out, password, hs.salt,
+        overTls = tlsTrustPem.nonEmpty)
       writePacket(out, 0, registerSlave(serverId))
       expectOk(in, "COM_REGISTER_SLAVE")
       f(in, out)

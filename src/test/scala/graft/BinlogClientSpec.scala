@@ -62,9 +62,10 @@ class BinlogClientSpec extends AnyFunSuite {
       segs: Map[String, Array[Byte]],
       authPlugin: String = "mysql_native_password",
       sha2Cached: Boolean = true,
-      switchTo: Option[String] = None)(f: BinlogMasterFixture => A): A = {
+      switchTo: Option[String] = None,
+      tls: Boolean = false)(f: BinlogMasterFixture => A): A = {
     val m = new BinlogMasterFixture(password, segs, authPlugin, sha2Cached,
-      switchTo)
+      switchTo, tls)
     try f(m) finally m.close()
   }
 
@@ -202,6 +203,44 @@ class BinlogClientSpec extends AnyFunSuite {
       assert(m.lastAuth.length == 32)
       assert(java.util.Arrays.equals(m.lastAuth,
         BinlogClient.sha2PasswordScramble("secret", m.switchSalt)))
+    }
+  }
+
+  test("TLS upgrade: SSLRequest + pinned cert, dump == file decode") {
+    withMaster("secret", Map("fix-bin.000001" -> seg1),
+        tls = true) { m =>
+      val d = BinlogClient.dump("127.0.0.1", m.port, "repl", "secret",
+        99L, "fix-bin.000001", 4L, tlsTrustPem = Some(m.certPem))
+      val exp = Binlog.decodeFile(seg1)
+      assert(d.changes == exp.changes && d.rotate == exp.rotate)
+      assert(m.sslUpgrades == 1)
+      // the scramble still travels (inside the tunnel) and verifies
+      assert(java.util.Arrays.equals(m.lastAuth,
+        BinlogClient.nativePasswordScramble("secret", m.salt)))
+    }
+  }
+
+  test("TLS + caching_sha2 full auth: cleartext through the tunnel, no RSA step") {
+    withMaster("secret", Map("fix-bin.000001" -> seg1),
+        authPlugin = "caching_sha2_password", sha2Cached = false,
+        tls = true) { m =>
+      val d = BinlogClient.dump("127.0.0.1", m.port, "repl", "secret",
+        99L, "fix-bin.000001", 4L, tlsTrustPem = Some(m.certPem))
+      assert(d.changes == Binlog.decodeFile(seg1).changes)
+      assert(m.sslUpgrades == 1 && m.fullAuthExchanges == 1)
+      assert(m.lastFullAuthMode == "cleartext-tls")
+      assert(m.lastEncryptedBlob.isEmpty) // the RSA path never ran
+    }
+  }
+
+  test("TLS pin mismatch: a foreign certificate fails the handshake loudly") {
+    withMaster("secret", Map("fix-bin.000001" -> seg1), tls = true) { m =>
+      withMaster("secret", Map.empty, tls = true) { other =>
+        intercept[javax.net.ssl.SSLHandshakeException] {
+          BinlogClient.dump("127.0.0.1", m.port, "repl", "secret",
+            99L, "fix-bin.000001", 4L, tlsTrustPem = Some(other.certPem))
+        }
+      }
     }
   }
 

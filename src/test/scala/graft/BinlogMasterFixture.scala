@@ -43,7 +43,8 @@ final class BinlogMasterFixture(password: String,
     @volatile var segments: Map[String, Array[Byte]],
     authPlugin: String = "mysql_native_password",
     sha2Cached: Boolean = true,
-    switchTo: Option[String] = None) extends AutoCloseable {
+    switchTo: Option[String] = None,
+    tls: Boolean = false) extends AutoCloseable {
 
   /** Fixed handshake salt (20 bytes, deterministic). */
   val salt: Array[Byte] = Array.tabulate[Byte](20)(i => (i * 7 + 3).toByte)
@@ -67,12 +68,52 @@ final class BinlogMasterFixture(password: String,
         .encodeToString(rsa.getPublic.getEncoded) +
       "\n-----END PUBLIC KEY-----\n"
 
+  /** TLS identity, minted by the JDK's own keytool (a real PKCS12
+    * keystore with a self-signed RSA cert, like a default MySQL
+    * install's auto-generated server certs). Only built when
+    * `tls = true`.
+    */
+  private lazy val tlsContext: javax.net.ssl.SSLContext = {
+    val dir = java.nio.file.Files.createTempDirectory("binlog_tls")
+    val ksPath = dir.resolve("ks.p12").toString
+    val pr = new ProcessBuilder("keytool", "-genkeypair", "-alias",
+      "master", "-keyalg", "RSA", "-keysize", "2048", "-storetype",
+      "PKCS12", "-keystore", ksPath, "-storepass", "changeit", "-dname",
+      "CN=binlog-master-fixture", "-validity", "1")
+      .redirectErrorStream(true).start()
+    require(pr.waitFor() == 0, "keytool keypair generation failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ksPath)
+    try ks.load(fis, "changeit".toCharArray) finally fis.close()
+    tlsCert = Some(ks.getCertificate("master"))
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+  @volatile private var tlsCert: Option[java.security.cert.Certificate] = None
+
+  /** The server certificate PEM — what a deployment hands the client
+    * to PIN (forces tlsContext init on first call).
+    */
+  def certPem: String = {
+    tlsContext
+    "-----BEGIN CERTIFICATE-----\n" +
+      java.util.Base64.getMimeEncoder(64, "\n".getBytes)
+        .encodeToString(tlsCert.get.getEncoded) +
+      "\n-----END CERTIFICATE-----\n"
+  }
+
   // observability for the spec
   @volatile var lastAuth: Array[Byte] = Array.emptyByteArray
   @volatile var lastUser: String = ""
   @volatile var lastClientPlugin: String = ""
   @volatile var lastEncryptedBlob: Array[Byte] = Array.emptyByteArray
   @volatile var fullAuthExchanges: Int = 0
+  @volatile var lastFullAuthMode: String = ""
+  @volatile var sslUpgrades: Int = 0
   val registeredServerIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]
   val dumps = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]
   /** GTID dumps seen: (flags, executed set as sidHex -> inclusive
@@ -220,11 +261,29 @@ final class BinlogMasterFixture(password: String,
   // ------------------------------------------------------------ serve
 
   private def serve(s: java.net.Socket): Unit = {
-    val in = new DataInputStream(s.getInputStream)
-    val out = s.getOutputStream
+    var in = new DataInputStream(s.getInputStream)
+    var out: OutputStream = s.getOutputStream
 
     writePacket(out, 0, handshakeV10)
-    val (user, auth0, clientPlugin) = parseAuthResponse(readPacket(in))
+    var first = readPacket(in)
+    // SSLRequest: a 32-byte capability prefix with CLIENT_SSL set —
+    // upgrade the SAME socket to TLS (server mode) and read the real
+    // HandshakeResponse41 inside the tunnel
+    var sessionTls = false
+    if (first.length == 32 && (u32le(first, 0) & 0x0800L) != 0) {
+      require(tls, "client requested TLS but the fixture has no identity")
+      sslUpgrades += 1
+      sessionTls = true
+      val ssl = tlsContext.getSocketFactory
+        .createSocket(s, null, s.getPort, false)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      ssl.setUseClientMode(false)
+      ssl.startHandshake()
+      in = new DataInputStream(ssl.getInputStream)
+      out = ssl.getOutputStream
+      first = readPacket(in)
+    }
+    val (user, auth0, clientPlugin) = parseAuthResponse(first)
     lastUser = user
     lastClientPlugin = clientPlugin
     var seq = 2
@@ -244,30 +303,38 @@ final class BinlogMasterFixture(password: String,
         lastAuth = re
         java.util.Arrays.equals(re, expected(next, password, switchSalt))
       case None if authPlugin == "caching_sha2_password" && !sha2Cached =>
-        // cache miss: perform full authentication (insecure channel —
-        // RSA public-key exchange; a real server ignores the fast
-        // scramble it can't check without a cache entry)
+        // cache miss: perform full authentication (a real server
+        // ignores the fast scramble it can't check without a cache
+        // entry). Over TLS the client sends the cleartext password
+        // through the tunnel; in the clear it runs the RSA
+        // public-key exchange.
         fullAuthExchanges += 1
         writePacket(out, seq, Array[Byte](0x01, 0x04)); seq += 1
         val req = readPacket(in); seq += 1
-        if (req.length != 1 || req(0) != 0x02) {
+        if (sessionTls && !(req.length == 1 && req(0) == 0x02)) {
+          lastFullAuthMode = "cleartext-tls"
+          java.util.Arrays.equals(req,
+            password.getBytes("UTF-8") :+ 0.toByte)
+        } else if (req.length == 1 && req(0) == 0x02) {
+          lastFullAuthMode = "rsa"
+          writePacket(out, seq,
+            Array[Byte](0x01) ++ publicKeyPem.getBytes("UTF-8")); seq += 1
+          val blob = readPacket(in); seq += 1
+          lastEncryptedBlob = blob
+          val c = javax.crypto.Cipher.getInstance(
+            "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+          c.init(javax.crypto.Cipher.DECRYPT_MODE, rsa.getPrivate)
+          val clear = try c.doFinal(blob)
+          catch { case _: Exception => Array.emptyByteArray }
+          val unxored = clear.zipWithIndex.map { case (v, i) =>
+            (v ^ salt(i % salt.length)).toByte
+          }
+          java.util.Arrays.equals(unxored,
+            password.getBytes("UTF-8") :+ 0.toByte)
+        } else {
           writePacket(out, seq, errPacket(1047, "08S01",
             "expected public key request")); return
         }
-        writePacket(out, seq,
-          Array[Byte](0x01) ++ publicKeyPem.getBytes("UTF-8")); seq += 1
-        val blob = readPacket(in); seq += 1
-        lastEncryptedBlob = blob
-        val c = javax.crypto.Cipher.getInstance(
-          "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
-        c.init(javax.crypto.Cipher.DECRYPT_MODE, rsa.getPrivate)
-        val clear = try c.doFinal(blob)
-        catch { case _: Exception => Array.emptyByteArray }
-        val unxored = clear.zipWithIndex.map { case (v, i) =>
-          (v ^ salt(i % salt.length)).toByte
-        }
-        java.util.Arrays.equals(unxored,
-          password.getBytes("UTF-8") :+ 0.toByte)
       case None =>
         lastAuth = auth0
         val match0 =
