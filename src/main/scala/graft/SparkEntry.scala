@@ -958,6 +958,21 @@ object SparkEntry {
         "embedding", "label", col("vec_id") < 8, k = 5,
         nprobes = Seq(1, 2, 4), iters = 4, massign = 2)),
 
+    // X129 Matryoshka truncation recall: recall@5 of prefix-dim
+    // cosine search (dims 8/16/32 of 64) vs the full-dim truth — the
+    // byte-budget/recall curve that drives MRL serving (a d-prefix
+    // scan reads d/64 of the vector bytes).
+    "q_sim_mrl_recall" -> ((s, dir) =>
+      Similarity.mrlRecall(T(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, dims = Seq(8, 16, 32))),
+
+    // X129's serving form — truncate-then-rerank (adaptive
+    // retrieval): 4k candidates from the 16-dim prefix scan, exact
+    // full-dim re-score of ONLY those, top-5. Oracle-exact.
+    "q_sim_mrl_rerank" -> ((s, dir) =>
+      Similarity.mrlRerank(T(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, dim = 16, factor = 4)),
+
     // Blocked kNN graph, build/serve split (ops.GraphStore — the
     // Index pattern applied to the graph family): ONE training +
     // blocked Σ|list|² self-join pass persists the edge list as a
@@ -1508,6 +1523,20 @@ object SparkEntry {
 
     "q_text_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(T(s, dir, "documents"), "doc_id", "text", k = 10)),
+
+    // X130 impact-ordered posting pruning: per-term top-15 postings
+    // by BM25 contribution (query-independent, so the pruned index
+    // is a build-time artifact); serving reads 15 postings per query
+    // term instead of df. Oracle-exact output contract.
+    "q_text_bm25_pruned" -> ((s, dir) =>
+      Retrieval.bm25PrunedTopK(T(s, dir, "documents"), "doc_id", "text",
+        k = 10, m = 15)),
+
+    // X130's measured recall@10 vs full BM25 per query — the
+    // posting-budget/recall curve.
+    "q_text_bm25_pruned_recall" -> ((s, dir) =>
+      Retrieval.bm25PrunedRecall(T(s, dir, "documents"), "doc_id", "text",
+        k = 10, m = 15)),
 
     // X104 pseudo-relevance feedback: BM25 top-5 as pseudo-relevant,
     // harvest the 5 most characteristic non-query terms, rescore the
@@ -2141,6 +2170,14 @@ object SparkEntry {
         "id < 8", k = 5, nprobes = Seq(1, 2, 4), iters = 4, dim = 64,
         massign = 2),
 
+    "q_sim_mrl_recall" ->
+      (Similarity.mrlRecallSql("vec_id", "embedding", "embeddings",
+        "id < 8", k = 5, dims = Seq(8, 16, 32)) + " ORDER BY dim, qid"),
+
+    "q_sim_mrl_rerank" ->
+      (Similarity.mrlRerankSql("vec_id", "embedding", "embeddings",
+        "id < 8", k = 5, dim = 16, factor = 4) + " ORDER BY qid, rank"),
+
     "q_sim_knngraph" ->
       (Similarity.knnGraphSql("vec_id", "embedding", "label", "embeddings",
         k = 5, iters = 2, dim = 64, massign = 2)
@@ -2425,6 +2462,14 @@ object SparkEntry {
     "q_text_bm25" ->
       (Retrieval.bm25TopKSql("doc_id", "text", "documents", k = 10)
         + " ORDER BY qid, rank"),
+
+    "q_text_bm25_pruned" ->
+      (Retrieval.bm25PrunedTopKSql("doc_id", "text", "documents",
+        k = 10, m = 15) + " ORDER BY qid, rank"),
+
+    "q_text_bm25_pruned_recall" ->
+      (Retrieval.bm25PrunedRecallSql("doc_id", "text", "documents",
+        k = 10, m = 15) + " ORDER BY qid"),
 
     "q_hybrid_rrf" ->
       (Retrieval.rrfFuseSql(

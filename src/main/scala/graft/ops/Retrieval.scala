@@ -146,6 +146,112 @@ object Retrieval {
        |SELECT qid, rank::BIGINT AS rank, id AS doc_id, score_micros
        |FROM r WHERE rank <= $k""".stripMargin
 
+  /** X130 impact-ordered posting pruning: per TERM, keep only the m
+    * postings with the highest BM25 contribution — which is
+    * query-INDEPENDENT (a function of tf/df/dl/avgdl only), so the
+    * pruned index is a build-time artifact and serving reads m
+    * postings per query term instead of df. Corpus stats (df, dl,
+    * avgdl) stay the FULL corpus's: pruning drops which postings
+    * score, never what they score. Output contract = [[bm25TopK]]'s.
+    */
+  def bm25PrunedTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, m: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val tf = Caching.cachedOnce(
+      toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val qdf = queryDf(docs)
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .join(broadcast(qdf.select(col("tok")).distinct()), Seq("tok"),
+        "left_semi")
+    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      .select(col("n"), (col("sumdl").cast("double") / col("n")).as("avgdl"))
+    // per-posting impact; the per-term top-m is the pruned index
+    // (row_number over tok → partial WindowGroupLimit, the X95 shape)
+    val impact = tf
+      .join(broadcast(dfT), "tok") // restricts to query terms first
+      .join(dl, "id")
+      .join(broadcast(corpus))
+      .select(col("tok"), col("id"),
+        contribMicros(col("tf"), col("df"), col("dl"), col("n"),
+          col("avgdl")).as("c"))
+    val wm = Window.partitionBy(col("tok"))
+      .orderBy(col("c").desc, col("id").asc)
+    val pruned = impact.withColumn("rn", row_number().over(wm))
+      .filter(col("rn") <= m)
+    val scored = pruned
+      .join(broadcast(qdf), "tok")
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("c")).as("score_micros"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micros").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("doc_id"),
+        col("score_micros"))
+  }
+
+  def bm25PrunedTopKSql(id: String, text: String, table: String,
+      k: Int, m: Int): String =
+    s"""WITH toks AS (
+       |  SELECT $id AS id, unnest(${TextAnalysis.tokensSql(text)}) AS tok
+       |  FROM $table),
+       |tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |corpus AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+       |qs(qid, tok) AS (VALUES $queriesValuesSql),
+       |imp AS (
+       |  SELECT tf.tok, tf.id,
+       |    round(ln(1.0 + (n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+       |      * (tf::DOUBLE * ${K1 + 1.0})
+       |      / (tf::DOUBLE + $K1 * (1.0 - $B + $B * dl::DOUBLE / avgdl))
+       |      * 1e6)::BIGINT AS c
+       |  FROM tf JOIN dl ON dl.id = tf.id
+       |  JOIN dft ON dft.tok = tf.tok
+       |  CROSS JOIN corpus
+       |  WHERE tf.tok IN (SELECT tok FROM qs)),
+       |pr AS (SELECT tok, id, c, row_number() OVER (
+       |         PARTITION BY tok ORDER BY c DESC, id) AS rn FROM imp),
+       |scored AS (
+       |  SELECT qs.qid, pr.id, sum(c)::BIGINT AS score_micros
+       |  FROM pr JOIN qs ON qs.tok = pr.tok WHERE rn <= $m GROUP BY 1, 2),
+       |r AS (SELECT qid, id, score_micros, row_number() OVER (
+       |        PARTITION BY qid ORDER BY score_micros DESC, id) AS rank
+       |      FROM scored)
+       |SELECT qid, rank::BIGINT AS rank, id AS doc_id, score_micros
+       |FROM r WHERE rank <= $k""".stripMargin
+
+  /** Recall@k of the pruned index vs full BM25 per query — the
+    * posting-budget/recall curve (the [[graft.ops.Similarity]]
+    * measured-recall discipline applied to retrieval). The
+    * denominator is the query's ACTUAL truth size (a sparse query can
+    * match fewer than k docs; dividing by k would under-report it).
+    */
+  def bm25PrunedRecall(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, m: Int): DataFrame = {
+    val truth = bm25TopK(docs, idCol, textCol, k)
+    val approx = bm25PrunedTopK(docs, idCol, textCol, k, m)
+    truth.as("t")
+      .join(approx.as("a"),
+        col("t.qid") === col("a.qid") &&
+          col("t.doc_id") === col("a.doc_id"), "left")
+      .groupBy(col("t.qid").as("qid"))
+      .agg(round(count(col("a.doc_id")).cast("double")
+        / count(col("t.doc_id")) * 1e6).cast("long").as("recall_micros"))
+  }
+
+  def bm25PrunedRecallSql(id: String, text: String, table: String,
+      k: Int, m: Int): String =
+    s"""SELECT t.qid AS qid,
+       |  round(count(a.doc_id)::DOUBLE / count(t.doc_id) * 1e6)::BIGINT
+       |    AS recall_micros
+       |FROM (${bm25TopKSql(id, text, table, k)}) t
+       |LEFT JOIN (${bm25PrunedTopKSql(id, text, table, k, m)}) a
+       |  ON t.qid = a.qid AND t.doc_id = a.doc_id
+       |GROUP BY 1""".stripMargin
+
   /** Reciprocal-rank fusion of two rankings (qid, rank, doc col):
     * fused score = Σ round(1e9 / (RrfK + rank)) over the lists a doc
     * appears in — integer nanos, so the cross-list sum is exact.

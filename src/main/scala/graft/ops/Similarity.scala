@@ -39,8 +39,10 @@ object Similarity {
   def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int): DataFrame = {
     // norms once per row, not once per (query, row) pair — identical
-    // fold order, so cosine values (and the oracle) are unchanged
-    val base = baseOf(embs, idCol, vecCol)
+    // fold order, so cosine values (and the oracle) are unchanged.
+    // Zero-norm vectors DROP (cosine is undefined; under ANSI the
+    // division would throw — hit by all-zero MRL prefixes, round 12)
+    val base = baseOf(embs, idCol, vecCol).filter(col("nrm") > 0)
     val queries = base.filter(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = base.join(broadcast(queries), col("id") =!= col("qid"))
@@ -56,7 +58,8 @@ object Similarity {
 
   def bruteForceTopKSql(id: String, vec: String, table: String,
       queryPredSql: String, k: Int): String =
-    s"""WITH e AS (SELECT $id AS id, ${Vectors.toDoubleSql(vec)} AS v FROM $table),
+    s"""WITH e0 AS (SELECT $id AS id, ${Vectors.toDoubleSql(vec)} AS v FROM $table),
+       |e AS (SELECT id, v FROM e0 WHERE ${Vectors.normSql("v")} > 0),
        |q AS (SELECT id AS qid, v AS qv FROM e WHERE $queryPredSql),
        |scored AS (
        |  SELECT qid, e.id AS neighbor_id, ${Vectors.cosineSql("qv", "e.v")} AS cos
@@ -541,6 +544,117 @@ object Similarity {
       .agg(round(count(col("a.neighbor_id")).cast("double") / k * 1e6)
         .cast("long").as("recall_micros"))
   }
+
+  /** X129 Matryoshka truncation recall: recall@k of brute-force
+    * cosine search over PREFIX sub-embeddings (`embedding[0:d]`, the
+    * MRL layout where nested prefixes are trained to be usable
+    * embeddings) against the full-dimension truth, one row per
+    * (dim, query). The dim column is the serving knob this measures:
+    * at 100 TB a d-of-D prefix scan reads d/D of the vector bytes
+    * and the recall curve tells you what that costs — the same
+    * measured-recall discipline as [[ivfRecall]].
+    */
+  def mrlRecall(embs: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, dims: Seq[Int]): DataFrame = {
+    val truth = bruteForceTopK(embs, idCol, vecCol, queryPred, k)
+    dims.map { d =>
+      val approx = bruteForceTopK(
+        embs.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol)),
+        idCol, vecCol, queryPred, k)
+      truth.as("t")
+        .join(approx.as("a"),
+          col("t.qid") === col("a.qid") &&
+            col("t.neighbor_id") === col("a.neighbor_id"), "left")
+        .groupBy(col("t.qid").as("qid"))
+        .agg(round(count(col("a.neighbor_id")).cast("double") / k * 1e6)
+          .cast("long").as("recall_micros"))
+        .withColumn("dim", lit(d.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("dim"), col("qid"), col("recall_micros"))
+  }
+
+  /** [[bruteForceTopKSql]] over a dimension prefix (dim = 0 → full). */
+  private def bruteForceTopKSqlAt(id: String, vec: String, table: String,
+      queryPredSql: String, k: Int, dim: Int): String = {
+    val vExpr =
+      if (dim > 0) s"(${Vectors.toDoubleSql(vec)})[1:$dim]"
+      else Vectors.toDoubleSql(vec)
+    s"""WITH e0 AS (SELECT $id AS id, $vExpr AS v FROM $table),
+       |e AS (SELECT id, v FROM e0 WHERE ${Vectors.normSql("v")} > 0),
+       |q AS (SELECT id AS qid, v AS qv FROM e WHERE $queryPredSql),
+       |scored AS (
+       |  SELECT qid, e.id AS neighbor_id, ${Vectors.cosineSql("qv", "e.v")} AS cos
+       |  FROM q JOIN e ON e.id <> qid),
+       |r AS (SELECT qid, neighbor_id, cos, row_number() OVER (
+       |        PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM scored)
+       |SELECT qid, rank::BIGINT AS rank, neighbor_id,
+       |  round(cos * 1e6)::BIGINT AS cos_micros
+       |FROM r WHERE rank <= $k""".stripMargin
+  }
+
+  def mrlRecallSql(id: String, vec: String, table: String,
+      queryPredSql: String, k: Int, dims: Seq[Int]): String =
+    dims.map { d =>
+      s"""SELECT $d::BIGINT AS dim, t.qid AS qid,
+         |  round(count(a.neighbor_id)::DOUBLE / $k * 1e6)::BIGINT AS recall_micros
+         |FROM (${bruteForceTopKSqlAt(id, vec, table, queryPredSql, k, 0)}) t
+         |LEFT JOIN (${bruteForceTopKSqlAt(id, vec, table, queryPredSql, k, d)}) a
+         |  ON t.qid = a.qid AND t.neighbor_id = a.neighbor_id
+         |GROUP BY 1, 2""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\n")
+
+  /** X129's serving form — truncate-then-rerank (adaptive retrieval):
+    * stage 1 scans the d-prefix for `k·factor` candidates (d/D of the
+    * vector bytes), stage 2 re-scores ONLY those candidates at full
+    * dimension. Exact output contract (top-k of the candidate set,
+    * ties on id), so the oracle pins it end-to-end; recall vs the
+    * full scan is [[mrlRecall]] at the widened k.
+    */
+  def mrlRerank(embs: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, dim: Int, factor: Int): DataFrame = {
+    val cand = bruteForceTopK(
+      embs.select(col(idCol), slice(col(vecCol), 1, dim).as(vecCol)),
+      idCol, vecCol, queryPred, k * factor)
+      .select(col("qid"), col("neighbor_id"))
+    val base = baseOf(embs, idCol, vecCol).filter(col("nrm") > 0)
+    val queries = base.filter(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // candidates are |queries|·k·factor rows — broadcast against the
+    // full-vector base, never a second full scan pairing
+    val scored = broadcast(cand)
+      .join(base, col("id") === col("neighbor_id"))
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("neighbor_id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          .as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        round(col("cos") * 1e6).cast("long").as("cos_micros"))
+  }
+
+  def mrlRerankSql(id: String, vec: String, table: String,
+      queryPredSql: String, k: Int, dim: Int, factor: Int): String =
+    s"""WITH cand AS (
+       |  SELECT qid, neighbor_id
+       |  FROM (${bruteForceTopKSqlAt(id, vec, table, queryPredSql,
+                   k * factor, dim)})),
+       |e0 AS (SELECT $id AS id, ${Vectors.toDoubleSql(vec)} AS v FROM $table),
+       |e AS (SELECT id, v FROM e0 WHERE ${Vectors.normSql("v")} > 0),
+       |q AS (SELECT id AS qid, v AS qv FROM e WHERE $queryPredSql),
+       |scored AS (
+       |  SELECT c.qid, c.neighbor_id, ${Vectors.cosineSql("q.qv", "e.v")} AS cos
+       |  FROM cand c JOIN e ON e.id = c.neighbor_id
+       |    JOIN q ON q.qid = c.qid),
+       |r AS (SELECT qid, neighbor_id, cos, row_number() OVER (
+       |        PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM scored)
+       |SELECT qid, rank::BIGINT AS rank, neighbor_id,
+       |  round(cos * 1e6)::BIGINT AS cos_micros
+       |FROM r WHERE rank <= $k""".stripMargin
 
   /** Deterministic random hyperplanes for the RP-LSH path: component
     * d of plane (table, bit) = hash60("rp_{table}_{bit}_{d}") mod P,

@@ -90,6 +90,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("MRL: full-width recall is perfect, a blind prefix is not; " +
+      "rerank with a full-corpus budget equals brute force") {
+    // 1-D cosine is just the SIGN, so every positive coord-0 vector
+    // ties at 1.0 and the id tie-break picks {1,2} — but the full
+    // geometry ranks id 3 above id 2, so the dim-1 prefix pays recall
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 0.1f, 0f, 0f)),
+      (2L, Seq(0.5f, 0.5f, 0f, 0f)), // cos .707
+      (3L, Seq(0.6f, 0.1f, 0f, 0f)), // cos .986 — truth, blind at dim 1
+      (4L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val rec = Similarity.mrlRecall(embs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 2, dims = Seq(1, 4))
+      .select("dim", "recall_micros").as[(Long, Long)].collect().toMap
+    assert(rec(4L) == 1000000L) // dim 4 IS the full vector
+    assert(rec(1L) == 500000L) // {1,2} by tie-break vs truth {1,3}
+    // rerank with factor covering the corpus == brute force exactly
+    val truth = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 2)
+      .select("rank", "neighbor_id", "cos_micros")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val got = Similarity.mrlRerank(embs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 2, dim = 1, factor = 2)
+      .select("rank", "neighbor_id", "cos_micros")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == truth)
+  }
+
   test("SQ8 top-k with full rerank budget equals the brute-force truth") {
     val embs = Seq(
       (0L, Seq(1f, 0f), 0),

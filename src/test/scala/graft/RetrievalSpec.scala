@@ -79,6 +79,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(top == 4L)
   }
 
+  test("bm25 pruning: a corpus-covering budget equals full BM25 exactly; " +
+      "m=1 keeps only each term's top-impact posting") {
+    // m >= max df: nothing pruned — output must be BIT-identical
+    val full = Retrieval.bm25TopK(docs, "doc_id", "text", k = 3)
+      .select("qid", "rank", "doc_id", "score_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val wide = Retrieval.bm25PrunedTopK(docs, "doc_id", "text", k = 3, m = 6)
+      .select("qid", "rank", "doc_id", "score_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(wide == full)
+    // m=1: per term only the highest-contribution posting survives —
+    // q0's 'dup' keeps doc 4 (tf=3 beats doc 0's tf=1), so doc 4
+    // still tops the pruned ranking and recall@1 for q0 stays 1.0
+    val pruned1 = Retrieval.bm25PrunedTopK(docs, "doc_id", "text",
+        k = 1, m = 1)
+      .filter(col("qid") === 0 && col("rank") === 1)
+      .select("doc_id").as[Long].head()
+    assert(pruned1 == 4L)
+    val rec = Retrieval.bm25PrunedRecall(docs, "doc_id", "text",
+        k = 3, m = 6)
+      .select("recall_micros").as[Long].collect()
+    assert(rec.forall(_ == 1000000L)) // unpruned budget -> recall 1.0
+  }
+
   test("rrfFuse: doc in both lists beats single-list docs at equal ranks") {
     val a = Seq((0L, 1L, 10L), (0L, 2L, 11L)).toDF("qid", "rank", "doc_id")
     val b = Seq((0L, 1L, 11L), (0L, 2L, 12L)).toDF("qid", "rank", "doc_id")
