@@ -514,6 +514,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"centroids not broadcast:\n$p")
   }
 
+  test("BM25 pruning: per-term top-m is WindowGroupLimit; df stays " +
+      "query-restricted") {
+    val p = plan("q_text_bm25_pruned")
+    // the per-term posting cut must compile to the partial-top-n
+    // shape (a head term's corpus-sized posting list must not flood
+    // the window exchange) and the df broadcast keeps X103's
+    // query-term LeftSemi restriction
+    assert(p.contains("WindowGroupLimit"), s"no partial top-m:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"df stats not query-term-restricted:\n$p")
+  }
+
+  test("MRL rerank: candidates broadcast onto the full vectors — " +
+      "one scan pairing, not two") {
+    val p = plan("q_sim_mrl_rerank")
+    // stage 2 must join the k*factor candidate frame to the corpus
+    // via broadcast; a SortMergeJoin here would mean the rerank
+    // re-shuffles the corpus it already scanned in stage 1
+    assert(p.contains("BroadcastExchange"), s"candidates not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rerank shuffles the corpus:\n$p")
+  }
+
   test("NB top-grams: digest shuffles, broadcast stats, partial top-m") {
     val p = plan("q_curate_nbtopgrams")
     // bucket stats enter the gram-side join as broadcasts, and the
