@@ -1109,6 +1109,15 @@ object SparkEntry {
         "source", Map("src0" -> 1.0, "src1" -> 0.8, "src2" -> 0.1),
         default = 0.5)),
 
+    // X131 per-source exemplar selection: three in-row quality
+    // signals (heuristic score, entropy, inverted dup-token
+    // fraction), min-max normalized within source (two broadcast
+    // values per source per signal — never a per-source rank over
+    // the corpus), weighted 0.4/0.3/0.3, top-20 per source.
+    "q_curate_exemplars" -> ((s, dir) =>
+      Curation.qualityFuseTopN(T(s, dir, "documents"), "doc_id", "text",
+        "source", n = 20)),
+
     // Rank-based quality-threshold calibration: the per-source cutoff
     // that keeps the best 60% by quality — pure integer math (no
     // interpolated quantiles), one per-source window.
@@ -2232,6 +2241,10 @@ object SparkEntry {
     "q_curate_calibrate" ->
       (Curation.qualityCalibrateSql("doc_id", "text", "source", "documents",
         keepPct = 60) + " ORDER BY source"),
+
+    "q_curate_exemplars" ->
+      (Curation.qualityFuseTopNSql("doc_id", "text", "source", "documents",
+        n = 20) + " ORDER BY source, rank"),
 
     "q_curate_contamination" ->
       (Curation.contaminationSql("doc_id", "text", "documents",

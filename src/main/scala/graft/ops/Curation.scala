@@ -1776,6 +1776,102 @@ object Curation {
       .drop("nb_buckets", "nb_scores")
   }
 
+  /** X131 per-source exemplar selection: fuse three independent
+    * in-row quality signals — the heuristic quality score (length
+    * prior + stopword + alpha ratios), code-point entropy, and the
+    * duplicate-token fraction (inverted) — each min-max normalized
+    * WITHIN its source, weighted 0.4/0.3/0.3, and keep each source's
+    * top n by the fused score. Normalization is what makes a
+    * weighted sum of unlike signals principled, and per-source
+    * min/max is a TWO-VALUE aggregate per (source, signal): the
+    * ranges broadcast, the signals and the fusion are one narrow
+    * codegen'd pass, and the top-n compiles to partial
+    * WindowGroupLimit — no per-source rank over the corpus (the
+    * rank-fusion alternative would put every doc of a source through
+    * one window partition; min-max fusion buys the same
+    * scale-invariance for two broadcast doubles per source).
+    * Degenerate ranges (max == min) pin the signal to 0.5 on both
+    * engines. Docs with NULL text or zero tokens drop (no signal).
+    * Output: (source, rank, doc_id, fused_micros).
+    */
+  def qualityFuseTopN(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, n: Int): DataFrame = {
+    val st = graft.functions.ArrayExprs.repStats(TextAnalysis.tokens(col("text")))
+    // signals are computed in a projection ABOVE the drop filters:
+    // qualityMicros divides by length(text), which an empty text
+    // would trip under ANSI — the Filter boundary keeps CollapseProject
+    // from evaluating signals on rows the guards remove
+    val sig = Caching.cachedOnce(docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        col(textCol).as("text"))
+      .withColumn("st", st)
+      .filter(col("st").isNotNull && element_at(col("st"), 1) > 0)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityMicros(col("text")).as("q"),
+        TextAnalysis.charEntropy(col("text")).as("e"),
+        round((lit(1.0) - element_at(col("st"), 2).cast("double")
+          / element_at(col("st"), 1)) * 1e6).cast("long").as("dup")))
+    val ranges = sig.groupBy(col("source")).agg(
+      min(col("q")).as("qlo"), max(col("q")).as("qhi"),
+      min(col("e")).as("elo"), max(col("e")).as("ehi"),
+      min(col("dup")).as("dlo"), max(col("dup")).as("dhi"))
+    def nrm(v: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0.5))
+        .otherwise((v - lo).cast("double") / (hi - lo).cast("double"))
+    val fused = sig.join(broadcast(ranges), "source")
+      .withColumn("fused_micros", round(
+        (nrm(col("q"), col("qlo"), col("qhi")) * 0.4
+          + nrm(col("e"), col("elo"), col("ehi")) * 0.3
+          + (lit(1.0) - nrm(col("dup"), col("dlo"), col("dhi"))) * 0.3)
+          * 1e6).cast("long"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("fused_micros").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col("source"), col("rank"), col("doc_id"),
+        col("fused_micros"))
+  }
+
+  def qualityFuseTopNSql(id: String, text: String, source: String,
+      table: String, n: Int): String =
+    s"""WITH d AS (
+       |  SELECT $id AS doc_id, $source AS source, $text AS text
+       |  FROM $table WHERE $text IS NOT NULL AND length($text) > 0),
+       |toks AS (SELECT doc_id, unnest(${TextAnalysis.tokensSql("text")}) AS tok
+       |         FROM d),
+       |uc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |ua AS (SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct
+       |       FROM uc GROUP BY 1),
+       |sig AS (
+       |  SELECT d.doc_id, d.source,
+       |    ${TextAnalysis.qualityMicrosSql("d.text")} AS q,
+       |    ent.entropy_micro_nats AS e,
+       |    round((1.0 - ua.n_distinct::DOUBLE / ua.n_tokens) * 1e6)::BIGINT AS dup
+       |  FROM d
+       |  JOIN ua ON ua.doc_id = d.doc_id AND ua.n_tokens > 0
+       |  JOIN (${TextAnalysis.charEntropySql(id, text, table)}) ent
+       |    ON ent.id = d.doc_id),
+       |rng AS (SELECT source, min(q) AS qlo, max(q) AS qhi,
+       |          min(e) AS elo, max(e) AS ehi,
+       |          min(dup) AS dlo, max(dup) AS dhi
+       |        FROM sig GROUP BY 1),
+       |f AS (
+       |  SELECT sig.source, sig.doc_id, round(
+       |    ((CASE WHEN qhi = qlo THEN 0.5
+       |           ELSE (q - qlo)::DOUBLE / (qhi - qlo)::DOUBLE END) * 0.4
+       |     + (CASE WHEN ehi = elo THEN 0.5
+       |             ELSE (e - elo)::DOUBLE / (ehi - elo)::DOUBLE END) * 0.3
+       |     + (1.0 - (CASE WHEN dhi = dlo THEN 0.5
+       |               ELSE (dup - dlo)::DOUBLE / (dhi - dlo)::DOUBLE END)) * 0.3)
+       |    * 1e6)::BIGINT AS fused_micros
+       |  FROM sig JOIN rng ON rng.source = sig.source),
+       |r AS (SELECT source, doc_id, fused_micros, row_number() OVER (
+       |        PARTITION BY source ORDER BY fused_micros DESC, doc_id) AS rank
+       |      FROM f)
+       |SELECT source, rank::BIGINT AS rank, doc_id, fused_micros
+       |FROM r WHERE rank <= $n""".stripMargin
+
   def contaminationSql(id: String, text: String, table: String,
       evalPredSql: String, k: Int): String =
     s"""WITH base AS (

@@ -1142,6 +1142,35 @@ class OpsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("exemplars: a signal-dominant doc ranks first; degenerate ranges " +
+      "pin to 0.5; empty/null text drops") {
+    // src A: doc 0 dominates every signal (longer, diverse, no
+    // repetition) vs doc 1 (short, repetitive). src B: two docs with
+    // IDENTICAL signals — both ranges degenerate, fused = 0.5
+    // everywhere, tie broken by doc_id
+    val docs = Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot golf hotel india", "A"),
+      (1L, "spam spam spam spam", "A"),
+      (2L, "same words here", "B"),
+      (3L, "same words here", "B"),
+      (4L, null.asInstanceOf[String], "A"),
+      (5L, "", "A"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.qualityFuseTopN(docs, "doc_id", "text", "source",
+        n = 2)
+      .select("source", "rank", "doc_id", "fused_micros")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    // null text (4) and zero-token text (5) never surface
+    assert(!out.exists(r => r._3 == 4L || r._3 == 5L))
+    val a = out.filter(_._1 == "A")
+    assert(a.map(r => (r._2, r._3)) == Seq((1L, 0L), (2L, 1L)))
+    assert(a.head._4 > a(1)._4) // dominance is strict, not a tie-break
+    val b = out.filter(_._1 == "B")
+    // all three B ranges are degenerate → 0.4·0.5 + 0.3·0.5 + 0.3·0.5
+    assert(b.map(_._4).distinct == Seq(500000L))
+    assert(b.map(r => (r._2, r._3)) == Seq((1L, 2L), (2L, 3L)))
+  }
+
   test("dataset card: rank-based median, dominant language, exact counts") {
     val d = Seq(
       (0L, "the of and", "a"),     // 3 tokens, en
