@@ -1794,14 +1794,16 @@ object Curation {
     * engines. Docs with NULL text or zero tokens drop (no signal).
     * Output: (source, rank, doc_id, fused_micros).
     */
-  def qualityFuseTopN(docs: DataFrame, idCol: String, textCol: String,
-      sourceCol: String, n: Int): DataFrame = {
+  /** The X131 per-doc signal frame (doc_id, source, q, e, dup).
+    * Signals are computed in a projection ABOVE the drop filters:
+    * qualityMicros divides by length(text), which an empty text
+    * would trip under ANSI — the Filter boundary keeps CollapseProject
+    * from evaluating signals on rows the guards remove.
+    */
+  private def qualitySignals(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String): DataFrame = {
     val st = graft.functions.ArrayExprs.repStats(TextAnalysis.tokens(col("text")))
-    // signals are computed in a projection ABOVE the drop filters:
-    // qualityMicros divides by length(text), which an empty text
-    // would trip under ANSI — the Filter boundary keeps CollapseProject
-    // from evaluating signals on rows the guards remove
-    val sig = Caching.cachedOnce(docs
+    docs
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
         col(textCol).as("text"))
@@ -1811,26 +1813,91 @@ object Curation {
         TextAnalysis.qualityMicros(col("text")).as("q"),
         TextAnalysis.charEntropy(col("text")).as("e"),
         round((lit(1.0) - element_at(col("st"), 2).cast("double")
-          / element_at(col("st"), 1)) * 1e6).cast("long").as("dup")))
-    val ranges = sig.groupBy(col("source")).agg(
-      min(col("q")).as("qlo"), max(col("q")).as("qhi"),
-      min(col("e")).as("elo"), max(col("e")).as("ehi"),
-      min(col("dup")).as("dlo"), max(col("dup")).as("dhi"))
-    def nrm(v: Column, lo: Column, hi: Column): Column =
-      when(hi === lo, lit(0.5))
-        .otherwise((v - lo).cast("double") / (hi - lo).cast("double"))
-    val fused = sig.join(broadcast(ranges), "source")
+          / element_at(col("st"), 1)) * 1e6).cast("long").as("dup"))
+  }
+
+  private def fuseAt(ranges: DataFrame, sig: DataFrame,
+      clamp: Boolean): DataFrame = {
+    def nrm(v: Column, lo: Column, hi: Column): Column = {
+      val raw = (v - lo).cast("double") / (hi - lo).cast("double")
+      val bounded = if (clamp) least(greatest(raw, lit(0.0)), lit(1.0)) else raw
+      when(hi === lo, lit(0.5)).otherwise(bounded)
+    }
+    sig.join(broadcast(ranges), "source")
       .withColumn("fused_micros", round(
         (nrm(col("q"), col("qlo"), col("qhi")) * 0.4
           + nrm(col("e"), col("elo"), col("ehi")) * 0.3
           + (lit(1.0) - nrm(col("dup"), col("dlo"), col("dhi"))) * 0.3)
           * 1e6).cast("long"))
+  }
+
+  def qualityFuseTopN(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, n: Int): DataFrame = {
+    val sig = Caching.cachedOnce(
+      qualitySignals(docs, idCol, textCol, sourceCol))
+    val ranges = sig.groupBy(col("source")).agg(
+      min(col("q")).as("qlo"), max(col("q")).as("qhi"),
+      min(col("e")).as("elo"), max(col("e")).as("ehi"),
+      min(col("dup")).as("dlo"), max(col("dup")).as("dhi"))
+    val fused = fuseAt(ranges, sig, clamp = false)
     val w = Window.partitionBy(col("source"))
       .orderBy(col("fused_micros").desc, col("doc_id").asc)
     fused.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= n)
       .select(col("source"), col("rank"), col("doc_id"),
         col("fused_micros"))
+  }
+
+  /** X132 frozen quality ranges: the X131 normalization model is six
+    * longs per source — freeze it from a static reference corpus and
+    * [[scoreQualityFrozen]] fuses any frame (batch or stream) as a
+    * pure narrow map + one tiny broadcast join. Frozen-on-self
+    * reproduces [[qualityFuseTopN]]'s fused scores exactly (every
+    * value sits inside its own range, so the clamp is a no-op —
+    * spec-pinned).
+    */
+  final case class QualityRanges(
+      ranges: Map[String, (Long, Long, Long, Long, Long, Long)])
+
+  def freezeQualityRanges(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String): QualityRanges =
+    QualityRanges(
+      qualitySignals(docs, idCol, textCol, sourceCol)
+        .groupBy(col("source")).agg(
+          min(col("q")).as("qlo"), max(col("q")).as("qhi"),
+          min(col("e")).as("elo"), max(col("e")).as("ehi"),
+          min(col("dup")).as("dlo"), max(col("dup")).as("dhi"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+        .toMap)
+
+  /** Score docs against frozen per-source ranges: signals in-row,
+    * normalization CLAMPED to [0, 1] (post-freeze ingest can exceed
+    * the frozen ranges; extrapolating would let one outlier dominate
+    * the fusion — the clamp saturates it at "best/worst seen at
+    * freeze time"). Docs from sources the freeze never saw DROP (no
+    * model — a new source is a model-refresh event, the standing
+    * frozen-twin contract). Output: (doc_id, source, fused_micros).
+    */
+  def scoreQualityFrozen(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, frozen: QualityRanges): DataFrame = {
+    val spark = docs.sparkSession
+    import scala.jdk.CollectionConverters._
+    val rows = frozen.ranges.toSeq.sortBy(_._1).map { case (s, t) =>
+      org.apache.spark.sql.Row(s, t._1, t._2, t._3, t._4, t._5, t._6)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("source" -> "string", "qlo" -> "long", "qhi" -> "long",
+        "elo" -> "long", "ehi" -> "long", "dlo" -> "long",
+        "dhi" -> "long").map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.DataType.fromDDL(t))
+      })
+    val ranges = spark.createDataFrame(rows.asJava, schema)
+    fuseAt(ranges, qualitySignals(docs, idCol, textCol, sourceCol),
+      clamp = true)
+      .select(col("doc_id"), col("source"), col("fused_micros"))
   }
 
   def qualityFuseTopNSql(id: String, text: String, source: String,

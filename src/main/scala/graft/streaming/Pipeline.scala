@@ -209,6 +209,20 @@ object Pipeline {
     graft.ops.Curation.scoreDsirFrozen(docs, "text", lrMicros)
       .filter(col("logw_micros") >= minLogwMicros)
 
+  /** Ingest-time exemplar gate (X131's streaming twin): fuse each
+    * arriving doc's quality signals at ranges FROZEN from a static
+    * reference corpus ([[graft.ops.Curation.freezeQualityRanges]] —
+    * six longs per source IS the model; normalization clamped, unseen
+    * sources drop) and keep docs whose fused score clears the
+    * threshold. Pure narrow map + one tiny broadcast, no state.
+    */
+  def exemplarGate(docs: DataFrame,
+      frozen: graft.ops.Curation.QualityRanges,
+      minFusedMicros: Long): DataFrame =
+    graft.ops.Curation.scoreQualityFrozen(docs, "doc_id", "text",
+        "source", frozen)
+      .filter(col("fused_micros") >= minFusedMicros)
+
   /** Streaming cluster-balanced sample (X127's live twin): arriving
     * vectors assign to FROZEN k-means centroids
     * ([[graft.ops.Similarity.freezeCentroids]] — nlist·(dim+2)

@@ -1171,6 +1171,74 @@ class OpsSpec extends AnyFunSuite {
     assert(b.map(r => (r._2, r._3)) == Seq((1L, 2L), (2L, 3L)))
   }
 
+  test("exemplar freeze/serve: frozen-on-self == batch fusion exactly; " +
+      "out-of-range clamps; unseen source drops; stream == batch") {
+    val freeze = Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot golf hotel india", "A"),
+      (1L, "spam spam spam spam", "A"),
+      (2L, "mid quality words mixed spam spam", "A"),
+      (10L, "other source words here entirely", "B"))
+      .toDF("doc_id", "text", "source")
+    val frozen = Curation.freezeQualityRanges(freeze, "doc_id", "text",
+      "source")
+    // frozen-on-self: every value inside its own range -> clamp is a
+    // no-op and fused scores equal the batch operator's exactly
+    val batch = Curation.qualityFuseTopN(freeze, "doc_id", "text",
+        "source", n = 100)
+      .select("doc_id", "fused_micros").as[(Long, Long)].collect().toMap
+    val served = Curation.scoreQualityFrozen(freeze, "doc_id", "text",
+        "source", frozen)
+      .select("doc_id", "fused_micros").as[(Long, Long)].collect().toMap
+    assert(served == batch)
+    // post-freeze ingest: an off-the-scale doc CLAMPS at the frozen
+    // range ends instead of extrapolating past them (hand-computed
+    // expectation below proves at least one raw norm left [0,1]);
+    // an unseen source never surfaces
+    val arrivalText = "zz" + (1 to 300).map(i => s"w$i").mkString(" ", " ", "")
+    val arrivals = Seq((20L, arrivalText, "A"), (21L, "whatever", "C"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.scoreQualityFrozen(arrivals, "doc_id", "text",
+        "source", frozen)
+      .select("doc_id", "fused_micros").as[(Long, Long)].collect().toMap
+    assert(!out.contains(21L))
+    // raw signals of the arrival through the same column functions
+    val (qv, ev, dupv) = Seq((20L, arrivalText)).toDF("doc_id", "text")
+      .select(TextAnalysis.qualityMicros(col("text")),
+        TextAnalysis.charEntropy(col("text")),
+        round((lit(1.0) -
+          size(array_distinct(TextAnalysis.tokens(col("text")))).cast("double")
+          / size(TextAnalysis.tokens(col("text")))) * 1e6).cast("long"))
+      .as[(Long, Long, Long)].head()
+    val (qlo, qhi, elo, ehi, dlo, dhi) = frozen.ranges("A")
+    def nrm(v: Long, lo: Long, hi: Long): Double =
+      if (hi == lo) 0.5
+      else math.min(1.0, math.max(0.0, (v - lo).toDouble / (hi - lo)))
+    assert(qv > qhi || ev > ehi || dupv < dlo) // the clamp is exercised
+    val want = math.round((nrm(qv, qlo, qhi) * 0.4 + nrm(ev, elo, ehi) * 0.3
+      + (1.0 - nrm(dupv, dlo, dhi)) * 0.3) * 1e6)
+    assert(out(20L) == want)
+    // the streaming gate is the same map: memory-stream batches gate
+    // to exactly the threshold-clearing docs
+    val cut = batch.values.toSeq.sorted.apply(1) // keep top half
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    in.addData(Seq((0L, "alpha bravo charlie delta echo foxtrot golf hotel india", "A"),
+      (1L, "spam spam spam spam", "A")))
+    val q = streaming.Pipeline.exemplarGate(
+        in.toDF().toDF("doc_id", "text", "source"), frozen,
+        minFusedMicros = cut)
+      .writeStream.format("memory").queryName("exemplar_gate").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("exemplar_gate")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == batch.filter(_._2 >= cut).keySet
+        .intersect(Set(0L, 1L)))
+      assert(kept.contains(0L) && !kept.contains(1L))
+    } finally q.stop()
+  }
+
   test("dataset card: rank-based median, dominant language, exact counts") {
     val d = Seq(
       (0L, "the of and", "a"),     // 3 tokens, en
