@@ -528,6 +528,15 @@ object SparkEntry {
             .cast("string").as("lenbin")),
         "lenbin", "source", maxVocab = 256)),
 
+    // X133 embedding SNAPSHOT drift: per label, the cosine between
+    // the two snapshots' centroids (fixture snapshots = even/odd
+    // vec_ids) plus both counts — the re-embed/re-crawl regression
+    // check a corpus owes its ANN/dedup consumers before frozen
+    // centroids or persisted indexes are trusted against it.
+    "q_diag_embdrift" -> ((s, dir) =>
+      Diagnostics.embeddingSnapshotDrift(T(s, dir, "embeddings"),
+        "embedding", "label", col("vec_id") % 2 === 0)),
+
     // The embedding-space companion of X93: per-label centroid cosine
     // vs the corpus centroid (integer-exact quantized means — no
     // transcendentals). Catches semantic drift the token gauge can't.
@@ -1942,6 +1951,10 @@ object SparkEntry {
       Drift.tokenJsDriftSql(lb, "source", "documents", maxVocab = 256) +
         " ORDER BY source"
     },
+
+    "q_diag_embdrift" ->
+      (Diagnostics.embeddingSnapshotDriftSql("embedding", "label",
+        "embeddings", "vec_id % 2 = 0") + " ORDER BY label"),
 
     "q_sim_drift" ->
       (Drift.embeddingDriftSql("vec_id", "embedding", "label",

@@ -284,4 +284,60 @@ object Diagnostics {
        |  ((cnt * 1000000) // total_rows)::BIGINT AS share_micros,
        |  total_rows::BIGINT AS total_rows, n_keys::BIGINT AS n_keys
        |FROM top, t""".stripMargin
+
+  /** X133 embedding drift between two corpus snapshots (the
+    * snapshot axis — [[graft.ops.Drift.embeddingDrift]] is the
+    * label-vs-corpus axis within ONE snapshot): per label,
+    * the cosine between the snapshots' centroids plus both counts —
+    * the "did the embedding model (or the corpus mix) move" check a
+    * re-embedded or re-crawled corpus owes its ANN/dedup consumers
+    * before they trust frozen centroids, thresholds, or persisted
+    * indexes against it. Centroids are the deterministic
+    * micro-quantized means ([[Similarity.centroids]]); labels present
+    * in only one snapshot drop (no pair to compare — their appearance
+    * IS the drift signal, visible in the count columns of the labels
+    * that remain, and in [[keyProfile]] over the label column).
+    * Zero-norm centroids drop like [[Similarity.bruteForceTopK]]'s
+    * zero-norm vectors (cosine undefined; ANSI would throw).
+    *
+    * == 100 TB shape ==
+    *
+    * Two partial-agg shuffles over (label, dim) cells — 64·|labels|
+    * rows each, never vector instances — then a |labels|-row join.
+    * Cost ∝ corpus scan.
+    */
+  def embeddingSnapshotDrift(embs: DataFrame, vecCol: String, labelCol: String,
+      snapshotPred: Column): DataFrame = {
+    def side(pred: Column, centName: String, nName: String): DataFrame =
+      Similarity.centroids(embs.filter(pred), labelCol, vecCol)
+        .select(col("cl"), col("cent").as(centName))
+        .join(embs.filter(pred).groupBy(col(labelCol).as("cl"))
+          .agg(count(lit(1)).as(nName)), "cl")
+    side(snapshotPred, "cent1", "n_v1")
+      .join(side(!snapshotPred, "cent2", "n_v2"), "cl")
+      .filter(Vectors.norm(col("cent1")) > 0 &&
+        Vectors.norm(col("cent2")) > 0)
+      .select(col("cl").as("label"), col("n_v1"), col("n_v2"),
+        Vectors.cosineMicros(col("cent1"), col("cent2"))
+          .as("centroid_cos_micros"))
+  }
+
+  def embeddingSnapshotDriftSql(vec: String, label: String, table: String,
+      predSql: String): String = {
+    val t1 = s"(SELECT * FROM $table WHERE $predSql)"
+    val t2 = s"(SELECT * FROM $table WHERE NOT ($predSql))"
+    s"""WITH c1 AS (${Similarity.centroidsSql(label, vec, t1)}),
+       |c2 AS (${Similarity.centroidsSql(label, vec, t2)}),
+       |n1 AS (SELECT $label AS cl, count(*) AS n_v1 FROM $table
+       |       WHERE $predSql GROUP BY 1),
+       |n2 AS (SELECT $label AS cl, count(*) AS n_v2 FROM $table
+       |       WHERE NOT ($predSql) GROUP BY 1)
+       |SELECT c1.cl AS label, n_v1, n_v2,
+       |  ${Vectors.cosineMicrosSql("c1.cent", "c2.cent")} AS centroid_cos_micros
+       |FROM c1 JOIN c2 ON c2.cl = c1.cl
+       |JOIN n1 ON n1.cl = c1.cl
+       |JOIN n2 ON n2.cl = c1.cl
+       |WHERE ${Vectors.normSql("c1.cent")} > 0
+       |  AND ${Vectors.normSql("c2.cent")} > 0""".stripMargin
+  }
 }

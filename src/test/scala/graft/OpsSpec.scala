@@ -1142,6 +1142,26 @@ class OpsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("embedding snapshot drift: orthogonal move -> 0, identical -> 1e6, " +
+      "single-snapshot labels drop") {
+    // label 0 rotates 90 degrees between snapshots; label 1 is
+    // unchanged; label 2 exists only in snapshot 1 (even ids)
+    val embs = Seq(
+      (0L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0),   // v1 centroid (1,0)
+      (1L, Seq(0f, 1f), 0), (3L, Seq(0f, 1f), 0),   // v2 centroid (0,1)
+      (4L, Seq(0.6f, 0.8f), 1), (5L, Seq(0.6f, 0.8f), 1),
+      (6L, Seq(1f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Diagnostics.embeddingSnapshotDrift(embs, "embedding",
+        "label", col("vec_id") % 2 === 0)
+      .select("label", "n_v1", "n_v2", "centroid_cos_micros")
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0) == ((2L, 2L, 0L)))       // orthogonal: cos 0
+    assert(out(1) == ((1L, 1L, 1000000L))) // unchanged: cos 1
+    assert(!out.contains(2))               // no v2 side -> no pair
+  }
+
   test("exemplars: a signal-dominant doc ranks first; degenerate ranges " +
       "pin to 0.5; empty/null text drops") {
     // src A: doc 0 dominates every signal (longer, diverse, no
