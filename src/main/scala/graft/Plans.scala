@@ -393,7 +393,28 @@ object Plans {
         |the K-row class digest enter scoring as BroadcastExchanges
         |(the hashing trick's bounded-model contract), so corpus rows
         |cross only the (doc,bucket) compression and (doc,class)
-        |partial-agg shuffles; the argmax is a per-doc window.""".stripMargin)
+        |partial-agg shuffles; the argmax is a per-doc window.""".stripMargin,
+    "q_sim_mrl_rerank" ->
+      """Matryoshka truncate-then-rerank (round 12): stage 1 scores the
+        |16-dim PREFIX against broadcast queries (the corpus never
+        |shuffles); stage 2's k·factor candidate frame enters the
+        |full-vector re-score as a BroadcastExchange — no SortMergeJoin
+        |anywhere, so the rerank never re-shuffles the corpus it
+        |already scanned. PlanSpec pins both properties.""".stripMargin,
+    "q_text_bm25_pruned" ->
+      """Impact-ordered posting pruning (round 12): the per-term top-m
+        |posting cut compiles to WindowGroupLimit (Partial before the
+        |exchange — a head term's corpus-sized posting list forwards
+        |at most m rows per input partition), and the df stats keep
+        |X103's query-term LeftSemi restriction below their
+        |aggregation, so no vocab-sized broadcast exists.""".stripMargin,
+    "q_curate_exemplars" ->
+      """Multi-signal exemplar fusion (round 12): the three quality
+        |signals are ONE narrow codegen'd projection over the pruned
+        |documents scan; the per-source min/max ranges enter the
+        |fusion as a tiny BroadcastExchange (six longs per source —
+        |the reason this is min-max fusion and not rank fusion); the
+        |per-source top-n compiles to WindowGroupLimit.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
