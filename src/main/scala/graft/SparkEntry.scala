@@ -1204,6 +1204,15 @@ object SparkEntry {
       Curation.stratifiedSample(T(s, dir, "documents"), "doc_id",
         "source", n = 100)),
 
+    // X134 dedup-aware sample: the same exact-quota sample drawn over
+    // duplicate-cluster REPRESENTATIVES (MinHash pairs -> connected
+    // components -> non-reps drop) — "no two sampled docs share a
+    // cluster" is structural, not probabilistic.
+    "q_curate_dedupsample" -> ((s, dir) =>
+      Curation.dedupedSample(T(s, dir, "documents"), "doc_id", "text",
+        "source", n = 50, k = 3, numHashes = 32, bands = 8, rows = 4,
+        threshold = 0.2)),
+
     // Dataset card: per-source release summary (docs, tokens,
     // rank-based median/max length, dominant + distinct languages) —
     // all integer/rank math, no interpolation.
@@ -2305,6 +2314,11 @@ object SparkEntry {
     "q_curate_stratified" ->
       (Curation.stratifiedSampleSql("doc_id", "source", "documents", n = 100)
         + " ORDER BY source, rank"),
+
+    "q_curate_dedupsample" ->
+      (Curation.dedupedSampleSql("doc_id", "text", "source", "documents",
+        n = 50, k = 3, numHashes = 32, bands = 8, rows = 4,
+        threshold = 0.2) + " ORDER BY source, rank"),
 
     "q_curate_card" ->
       (Curation.datasetCardSql("doc_id", "text", "source", "documents")

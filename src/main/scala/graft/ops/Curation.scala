@@ -1848,6 +1848,39 @@ object Curation {
         col("fused_micros"))
   }
 
+  /** X134 dedup-aware stratified sampling: the [[X60]] exact-quota
+    * sample drawn over duplicate-cluster REPRESENTATIVES instead of
+    * raw docs — near-dup pairs ([[Dedup.minhashPairs]]) contract to
+    * connected components ([[Dedup.dupClusters]]), every non-rep
+    * member drops, then the per-source bottom-n rank sample runs over
+    * the survivors. The ordering is the point: sampling BEFORE dedup
+    * puts both twins of a duplicated page into an eval set with
+    * probability ∝ dup-rate — this operator makes "no two sampled
+    * docs share a cluster" structural. Output = [[stratifiedSample]]'s
+    * (source, doc_id, rank).
+    */
+  def dedupedSample(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, n: Int, k: Int, numHashes: Int, bands: Int,
+      rows: Int, threshold: Double): DataFrame = {
+    val pairs = Dedup.minhashPairs(docs, idCol, textCol, k, numHashes,
+      bands, rows, threshold)
+    val losers = Dedup.dupClusters(pairs)
+      .filter(col("id") =!= col("rep_id")).select(col("id"))
+    val kept = docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+    stratifiedSample(kept, idCol, sourceCol, n)
+  }
+
+  def dedupedSampleSql(id: String, text: String, source: String,
+      table: String, n: Int, k: Int, numHashes: Int, bands: Int,
+      rows: Int, threshold: Double): String = {
+    val labels = Dedup.dupClustersSql(Dedup.minhashPairsSql(id, text,
+      table, k, numHashes, bands, rows, threshold))
+    val kept = s"""(SELECT d.* FROM $table d
+       |  WHERE d.$id NOT IN (
+       |    SELECT id FROM ($labels) WHERE id <> rep_id))""".stripMargin
+    stratifiedSampleSql(id, source, kept, n)
+  }
+
   /** X132 frozen quality ranges: the X131 normalization model is six
     * longs per source — freeze it from a static reference corpus and
     * [[scoreQualityFrozen]] fuses any frame (batch or stream) as a

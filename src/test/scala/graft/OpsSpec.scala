@@ -1142,6 +1142,32 @@ class OpsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("dedup-aware sample: cluster losers never sampled, the rep " +
+      "survives, equals the plain sample over survivors") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, dup, "A"), // rep (min id of the dup cluster)
+      (7L, dup, "A"), // exact twin -> cluster loser
+      (1L, "one completely different document here", "A"),
+      (2L, "another unrelated piece of text entirely", "A"),
+      (3L, "yet more unique words nothing shared", "B"))
+      .toDF("doc_id", "text", "source")
+    val sampled = Curation.dedupedSample(docs, "doc_id", "text", "source",
+        n = 10, k = 3, numHashes = 32, bands = 8, rows = 4,
+        threshold = 0.2)
+      .select("source", "doc_id", "rank")
+      .as[(String, Long, Long)].collect().toSet
+    val ids = sampled.map(_._2)
+    assert(!ids.contains(7L)) // the loser twin is structurally absent
+    assert(ids.contains(0L)) // the rep is sampleable (n covers all)
+    // == the plain stratified sample over docs-minus-losers
+    val want = Curation.stratifiedSample(docs.filter(col("doc_id") =!= 7),
+        "doc_id", "source", n = 10)
+      .select("source", "doc_id", "rank")
+      .as[(String, Long, Long)].collect().toSet
+    assert(sampled == want)
+  }
+
   test("embedding snapshot drift: orthogonal move -> 0, identical -> 1e6, " +
       "single-snapshot labels drop") {
     // label 0 rotates 90 degrees between snapshots; label 1 is
