@@ -462,4 +462,65 @@ class PropertySpec extends AnyFunSuite {
       got == PlainRefs.nbTopGramsReference(rows, _ >= 0, nB, m)
     }, cases = 6) // each case runs a multi-stage Spark job
   }
+
+  test("BM25 pruning law: a corpus-covering budget == full BM25, and " +
+      "pruned candidate sets only shrink with m (fuzz)") {
+    // random small corpora over the query vocabulary: words the fixed
+    // Queries actually hit, plus noise words that don't
+    val wordGen = Gen.oneOf("dup", "spark", "hash", "join", "merge",
+      "window", "agg", "vector", "fast", "query", "scan", "noise", "blah")
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.take(12).mkString(" "))
+    val corpusGen = Gen.nonEmptyListOf(docGen).map(_.take(8))
+    check(Prop.forAll(corpusGen, Gen.chooseNum(1, 3)) { (texts, m) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val full = graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text", k = 5)
+        .select("qid", "rank", "doc_id", "score_micros")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val wide = graft.ops.Retrieval.bm25PrunedTopK(docs, "doc_id", "text",
+          k = 5, m = texts.size)
+        .select("qid", "rank", "doc_id", "score_micros")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val narrow = graft.ops.Retrieval.bm25PrunedTopK(docs, "doc_id",
+          "text", k = 5, m = m)
+        .select("qid", "doc_id").as[(Long, Long)].collect().toSet
+      val narrowDocsPerQ = narrow.groupBy(_._1).view.mapValues(_.size)
+      // m >= |corpus| covers every posting: bit-identical to full;
+      // and a narrower budget can never SURFACE more than m docs per
+      // query term could contribute (here: m * |query terms| bound)
+      (wide == full) &&
+        narrowDocsPerQ.forall { case (qid, cnt) =>
+          cnt <= m * graft.ops.Retrieval.Queries
+            .find(_._1 == qid).map(_._2.size).getOrElse(0)
+        }
+    }, cases = 8) // each case runs several Spark jobs
+  }
+
+  test("MRL rerank law: a corpus-covering candidate budget == brute " +
+      "force at full dimension, any vectors/prefix (fuzz)") {
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-5.0, 5.0)
+      .map(v => math.rint(v * 8) / 8.0f)).map(_.map(_.toFloat))
+      // avoid the all-zero vector (drops by the zero-norm rule and
+      // would shrink the corpus the law counts)
+      .suchThat(_.exists(_ != 0f))
+    val corpusGen = Gen.nonEmptyListOf(vecGen).map(_.take(6))
+      .suchThat(_.size >= 2)
+    check(Prop.forAll(corpusGen, Gen.chooseNum(1, 4)) { (vecs, dim) =>
+      val embs = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val truth = graft.ops.Similarity.bruteForceTopK(embs, "vec_id",
+          "embedding", org.apache.spark.sql.functions.col("vec_id") === 0, k = 2)
+        .select("rank", "neighbor_id", "cos_micros")
+        .as[(Long, Long, Long)].collect().toSet
+      val got = graft.ops.Similarity.mrlRerank(embs, "vec_id",
+          "embedding", org.apache.spark.sql.functions.col("vec_id") === 0, k = 2, dim = dim,
+          factor = vecs.size)
+        .select("rank", "neighbor_id", "cos_micros")
+        .as[(Long, Long, Long)].collect().toSet
+      // candidates from the prefix scan can drop zero-norm PREFIXES,
+      // so the law conditions on every prefix being rankable
+      val allPrefixesLive = vecs.forall(_.take(dim).exists(_ != 0f))
+      !allPrefixesLive || got == truth
+    }, cases = 8)
+  }
 }
