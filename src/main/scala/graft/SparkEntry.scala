@@ -490,6 +490,27 @@ object SparkEntry {
       TextAnalysis.mgSummary(T(s, dir, "documents"), "text", "source",
         k = 10)),
 
+    // X135 PMI collocations: top-40 adjacent bigrams by pointwise
+    // mutual information at min count 3 — multi-word units the
+    // heavy-hitter counts can't see. Count digests only on the
+    // shuffles; global top-m is TakeOrderedAndProject.
+    "q_text_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(T(s, dir, "documents"), "text",
+        minCount = 3, topM = 40)),
+
+    // X136 vocabulary coverage curve: token-occurrence coverage of
+    // the top {64, 256, 1024, 4096} types — the OOV-rate-vs-vocab-
+    // budget curve, priced before training a tokenizer.
+    "q_text_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(T(s, dir, "documents"), "text",
+        sizes = Seq(64, 256, 1024, 4096))),
+
+    // X137 Zipf rank-frequency fit over the top 256 ranks: the
+    // one-row natural-text diagnostic (slope near -1 for natural
+    // language; templated corpora flatten toward 0).
+    "q_text_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(T(s, dir, "documents"), "text", topR = 256)),
+
     // BPE vocabulary induction (X92): 12 merge rounds trained on the
     // top-2000 word histogram — the tokenizer-training step. The
     // corpus-sized work is ONE histogram pass; every round then
@@ -607,6 +628,14 @@ object SparkEntry {
       Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
         k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)
         ),
+
+    // X138 measured LSH recall curve: truth (exact posting-join
+    // Jaccard) vs the banding's verified pairs, per true-Jaccard
+    // decile — the on-this-corpus version of the 1-(1-s^r)^b S-curve
+    // a (bands x rows) choice is priced from.
+    "q_dedup_minhash_recall" -> ((s, dir) =>
+      Dedup.minhashLshRecall(T(s, dir, "documents"), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)),
 
     // SimHash(60-bit) near-dup pairs, hamming ≤ 5 via the full-recall
     // pigeonhole chunk join (6 chunks of 10 bits).
@@ -1942,6 +1971,17 @@ object SparkEntry {
       (TextAnalysis.mgSummarySql("text", "source", "documents", k = 10)
         + " ORDER BY source, tok"),
 
+    "q_text_pmi" ->
+      TextAnalysis.pmiCollocationsSql("text", "documents",
+        minCount = 3, topM = 40),
+
+    "q_text_vocab_coverage" ->
+      (TextAnalysis.vocabCoverageSql("text", "documents",
+        sizes = Seq(64, 256, 1024, 4096)) + " ORDER BY vocab_size"),
+
+    "q_text_zipf" ->
+      TextAnalysis.zipfFitSql("text", "documents", topR = 256),
+
     "q_text_bpe" ->
       (Bpe.mergesSql("text", "documents", rounds = 12, maxWords = 2000)
         + " ORDER BY round"),
@@ -2007,6 +2047,11 @@ object SparkEntry {
       (Dedup.minhashPairsSql("doc_id", "text", "documents",
         k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)
         + " ORDER BY id1, id2"),
+
+    "q_dedup_minhash_recall" ->
+      (Dedup.minhashLshRecallSql("doc_id", "text", "documents",
+        k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)
+        + " ORDER BY bucket"),
 
     "q_dedup_simhash" ->
       (Dedup.simhashPairsSql("doc_id", "text", "documents", maxDist = 5)

@@ -987,4 +987,58 @@ object Dedup {
        |FROM cands JOIN base b1 ON b1.id = cands.id1
        |  JOIN base b2 ON b2.id = cands.id2
        |WHERE levenshtein(b1.text, b2.text) <= $maxDist""".stripMargin
+
+  // ----------------------------------------- LSH quality measurement (X138)
+
+  /** X138 MinHash-LSH measured recall curve: which truth pairs the
+    * banding misses, bucketed by TRUE Jaccard decile — the measured
+    * version of the 1−(1−s^r)^b S-curve every (bands × rows) choice is
+    * made from, on this corpus instead of on the formula's iid
+    * assumption. Truth = [[ngramJaccardPairs]] (exact, posting-join
+    * bounded); found = [[minhashPairs]] (banding + exact verify over
+    * the SAME hashed-shingle universe, so found ⊆ truth and the two
+    * jacc values agree bit-for-bit — the join needs only the id pair).
+    * Output one row per occupied decile bucket (bucket = ⌊jacc/1e5⌋,
+    * so 1.0 lands in bucket 10 — always recall 1e6: identical docs
+    * have identical signatures): (bucket, n_true, n_found,
+    * recall_micros).
+    *
+    * The ANN family's measured-recall discipline ([[graft.ops
+    * .Similarity.rpLshRecallSweep]]) applied to dedup. Scale: the
+    * truth pass is the measurement harness — exact but Σdf²-bounded;
+    * at full corpus scale run it on a SAMPLE (recall per bucket is a
+    * ratio estimator, unbiased under uniform pair sampling) or swap in
+    * [[ngramJaccardPairsPrefix]]; the found pass is the production
+    * LSH itself.
+    */
+  def minhashLshRecall(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int, rows: Int,
+      threshold: Double): DataFrame = {
+    val truth = ngramJaccardPairs(docs, idCol, textCol, k, threshold)
+    val found = minhashPairs(docs, idCol, textCol, k, numHashes, bands,
+        rows, threshold)
+      .select(col("id1"), col("id2"), lit(1L).as("hit"))
+    truth.join(found, Seq("id1", "id2"), "left")
+      .groupBy(floor(col("jacc_micros") / 1e5).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("bucket"), col("n_true"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_true") * 1e6)
+          .cast("long").as("recall_micros"))
+  }
+
+  def minhashLshRecallSql(id: String, text: String, table: String,
+      k: Int, numHashes: Int, bands: Int, rows: Int,
+      threshold: Double): String =
+    s"""WITH truth AS (
+       |${ngramJaccardPairsSql(id, text, table, k, threshold)}),
+       |found AS (
+       |${minhashPairsSql(id, text, table, k, numHashes, bands, rows, threshold)})
+       |SELECT floor(t.jacc_micros / 1e5)::BIGINT AS bucket,
+       |  count(*)::BIGINT AS n_true,
+       |  sum(CASE WHEN f.id1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_found,
+       |  round(sum(CASE WHEN f.id1 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*) * 1e6)::BIGINT AS recall_micros
+       |FROM truth t LEFT JOIN found f ON t.id1 = f.id1 AND t.id2 = f.id2
+       |GROUP BY 1""".stripMargin
 }

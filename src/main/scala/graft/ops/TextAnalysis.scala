@@ -648,4 +648,234 @@ object TextAnalysis {
        |  sum(lp)::BIGINT AS logp_micros,
        |  round(-sum(lp)::DOUBLE / count(*))::BIGINT AS ce_micros
        |FROM scored GROUP BY 1""".stripMargin
+
+  // --------------------------------- Corpus vocabulary statistics (X135-X137)
+
+  /** round(ln(x)·1e6) as a long — the house "quantize every ln term
+    * ONCE, then integer-sum" rule (the [[graft.ops.Curation]] NB
+    * discipline) that keeps log-sum formulas bit-identical across
+    * engines.
+    */
+  private def lnMicros(x: Column): Column =
+    round(log(x.cast("double")) * 1e6).cast("long")
+
+  /** Adjacent token bigrams as strings ("a b"), NON-distinct —
+    * occurrence counts are the PMI denominator's event space, unlike
+    * the per-doc-distinct shingle universe dedup uses. Caller filters
+    * `size(ts) >= 2` first (Spark's `sequence(1, 0)` would DESCEND).
+    */
+  private def adjacentBigrams(ts: Column): Column =
+    transform(sequence(lit(1), size(ts) - 1),
+      i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1)))
+
+  /** X135 PMI collocations: the top-m adjacent-token bigrams by
+    * pointwise mutual information, PMI(a,b) = ln(p(ab)/(p(a)p(b)))
+    * with p from corpus OCCURRENCE counts (Church-Hanks collocation
+    * extraction — the "what multi-word units does this corpus carry"
+    * diagnostic that heavy-hitter token counts ([[mgSummary]]) can't
+    * see, since PMI surfaces pairs whose parts are individually rare).
+    * `minCount` suppresses the classic PMI pathology (a hapax pair of
+    * two hapax tokens scores ln N — pure noise).
+    *
+    * Integer math: PMI decomposes as ln(c_ab) + 2·ln(N) − ln(B)
+    * − ln(c_a) − ln(c_b); each term quantizes to micros ONCE, the sum
+    * is exact long arithmetic (never c_ab·N²/…, which overflows at
+    * corpus scale). Output (bigram, n_pair, pmi_micros), total order
+    * (pmi desc, bigram asc).
+    *
+    * Scale: two partial-agg count shuffles (unigrams, bigrams) over
+    * the token stream; the scoring joins carry only COUNT DIGESTS
+    * (vocab- and bigram-type-sized, Heaps-bounded) keyed on tokens —
+    * never token instances; corpus totals ride two broadcast one-row
+    * frames; the global top-m compiles to TakeOrderedAndProject
+    * (per-partition top-m, driver merges m·partitions rows).
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Int, topM: Int): DataFrame = {
+    // cached: unigram and bigram counts both consume the token arrays
+    val ts = Caching.cachedOnce(docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(tokens(col(textCol)).as("ts")))
+    val uni = ts.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val big = ts.filter(size(col("ts")) >= 2)
+      .select(explode(adjacentBigrams(col("ts"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val nBig = ts.filter(size(col("ts")) >= 2)
+      .agg(sum(size(col("ts")) - 1).cast("long").as("n_big"))
+    big
+      .withColumn("tok_a", substring_index(col("bigram"), " ", 1))
+      .withColumn("tok_b", substring_index(col("bigram"), " ", -1))
+      .join(uni.as("ua"), col("tok_a") === col("ua.tok"))
+      .join(uni.as("ub"), col("tok_b") === col("ub.tok"))
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBig))
+      .select(col("bigram"), col("n_pair"),
+        (lnMicros(col("n_pair")) + lit(2L) * lnMicros(col("n_uni"))
+          - lnMicros(col("n_big")) - lnMicros(col("ua.c"))
+          - lnMicros(col("ub.c"))).as("pmi_micros"))
+      .orderBy(col("pmi_micros").desc, col("bigram").asc)
+      .limit(topM)
+  }
+
+  def pmiCollocationsSql(text: String, table: String,
+      minCount: Int, topM: Int): String =
+    s"""WITH d AS (
+       |  SELECT ${tokensSql(text)} AS ts FROM $table
+       |  WHERE $text IS NOT NULL AND length($text) > 0),
+       |uni AS (
+       |  SELECT tok, count(*) AS c FROM (SELECT unnest(ts) AS tok FROM d)
+       |  GROUP BY 1),
+       |big AS (
+       |  SELECT bigram, count(*) AS n_pair FROM (
+       |    SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+       |    FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |          FROM d WHERE len(ts) >= 2))
+       |  GROUP BY 1 HAVING count(*) >= $minCount),
+       |tot AS (SELECT sum(c)::BIGINT AS n_uni FROM uni),
+       |btot AS (SELECT sum(len(ts) - 1)::BIGINT AS n_big FROM d
+       |         WHERE len(ts) >= 2)
+       |SELECT big.bigram, big.n_pair::BIGINT AS n_pair,
+       |  (round(ln(big.n_pair::DOUBLE) * 1e6)::BIGINT
+       |   + 2 * round(ln(n_uni::DOUBLE) * 1e6)::BIGINT
+       |   - round(ln(n_big::DOUBLE) * 1e6)::BIGINT
+       |   - round(ln(ua.c::DOUBLE) * 1e6)::BIGINT
+       |   - round(ln(ub.c::DOUBLE) * 1e6)::BIGINT) AS pmi_micros
+       |FROM big
+       |JOIN uni ua ON ua.tok = split_part(big.bigram, ' ', 1)
+       |JOIN uni ub ON ub.tok = split_part(big.bigram, ' ', 2)
+       |CROSS JOIN tot CROSS JOIN btot
+       |ORDER BY pmi_micros DESC, big.bigram LIMIT $topM""".stripMargin
+
+  /** Corpus token-frequency ranks: (tok, c, rank) with rank = 1 the
+    * most frequent, ties broken on the token's binary string order
+    * (both engines' default). The row_number is a GLOBAL window — a
+    * single-partition sort over the VOCABULARY digest, which Heaps'
+    * law bounds far below corpus size (the [[graft.ops.Curation]]
+    * X113 cumulative-walk argument; the corpus itself only ever rides
+    * the partial-agg count shuffle).
+    */
+  private def tokenRanks(docs: DataFrame, textCol: String): DataFrame = {
+    val uc = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    uc.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("tok").asc))
+        .cast("long"))
+  }
+
+  private def tokenRanksSql(text: String, table: String): String =
+    s"""SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok)::BIGINT AS rank
+       |FROM (
+       |  SELECT tok, count(*) AS c FROM (
+       |    SELECT unnest(${tokensSql(text)}) AS tok FROM $table
+       |    WHERE $text IS NOT NULL AND length($text) > 0)
+       |  GROUP BY 1)""".stripMargin
+
+  /** X136 vocabulary coverage curve: for each candidate vocabulary
+    * size s, the fraction of all token OCCURRENCES covered by the s
+    * most frequent types — the curve that prices a tokenizer/vocab
+    * budget before training one (coverage(s) = 1 − OOV rate at size
+    * s). Output (vocab_size, n_types, coverage_micros); n_types =
+    * min(s, |vocab|) makes saturated sizes visible.
+    *
+    * Scale: the corpus pays ONE partial-agg count shuffle; the
+    * ranking and the conditional sums run over the Heaps-bounded
+    * vocab digest ([[tokenRanks]]); one row per requested size.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      sizes: Seq[Int]): DataFrame = {
+    val ranked = tokenRanks(docs, textCol)
+    val one = ranked.agg(
+      sum(col("c")).as("n_total"),
+      (count(lit(1)).as("n_vocab") +: sizes.map(s =>
+        sum(when(col("rank") <= s, col("c"))).as(s"cov_$s"))): _*)
+    one.select(explode(array(sizes.map(s =>
+        struct(lit(s.toLong).as("vocab_size"),
+          least(lit(s.toLong), col("n_vocab")).as("n_types"),
+          round(coalesce(col(s"cov_$s"), lit(0L)).cast("double")
+            / col("n_total") * 1e6).cast("long").as("coverage_micros"))): _*))
+        .as("r"))
+      .select(col("r.vocab_size"), col("r.n_types"),
+        col("r.coverage_micros"))
+  }
+
+  def vocabCoverageSql(text: String, table: String,
+      sizes: Seq[Int]): String = {
+    val covs = sizes.map(s =>
+      s"coalesce(sum(CASE WHEN rank <= $s THEN c END), 0) AS cov_$s")
+      .mkString(", ")
+    val rows = sizes.map(s =>
+      s"""SELECT ${s}::BIGINT AS vocab_size,
+         |  least($s, n_vocab)::BIGINT AS n_types,
+         |  round(cov_$s::DOUBLE / n_total * 1e6)::BIGINT AS coverage_micros
+         |FROM agg""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH rk AS (${tokenRanksSql(text, table)}),
+       |agg AS (
+       |  SELECT sum(c)::BIGINT AS n_total, count(*)::BIGINT AS n_vocab, $covs
+       |  FROM rk)
+       |$rows""".stripMargin
+  }
+
+  /** X137 Zipf rank-frequency fit: least-squares slope/intercept of
+    * ln(freq) on ln(rank) over the top `topR` token ranks — the
+    * one-row "is this corpus natural text" diagnostic (natural
+    * language sits near slope −1; templated/synthetic corpora flatten
+    * toward 0, and a slope shift between two snapshots is the same
+    * early-warning [[graft.ops.Diagnostics]] drift gives embeddings).
+    *
+    * Integer math: ln(rank)/ln(freq) quantize to MILLIS (not micros —
+    * the sums of products must stay in long range: at millis,
+    * x·y ≤ ~4.5e8, so topR up to ~1e5 is safe, documented bound), all
+    * moment sums are exact long arithmetic, and the only doubles are
+    * the final two divisions — identical expression trees on both
+    * engines, hence bit-identical after rounding. Output
+    * (n_ranks, slope_micros, intercept_micros), intercept in
+    * micro-ln-units at ln(rank) = 0.
+    *
+    * Scale: one count shuffle, then a top-R rank filter over the
+    * vocab digest and a 5-moment aggregate — one output row.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topR: Int): DataFrame = {
+    require(topR >= 2 && topR <= 100000, "topR in [2, 1e5]")
+    def lnMillis(x: Column): Column =
+      round(log(x.cast("double")) * 1e3).cast("long")
+    val pts = tokenRanks(docs, textCol).filter(col("rank") <= topR)
+      .select(lnMillis(col("rank")).as("x"), lnMillis(col("c")).as("y"))
+    val m = pts.agg(count(lit(1)).as("n_ranks"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val num = (col("n_ranks") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = (col("n_ranks") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val slopeRaw = num / den
+    m.select(col("n_ranks"),
+      round(slopeRaw * 1e6).cast("long").as("slope_micros"),
+      round((col("sy").cast("double") - slopeRaw * col("sx").cast("double"))
+        / col("n_ranks") * 1e3).cast("long").as("intercept_micros"))
+  }
+
+  def zipfFitSql(text: String, table: String, topR: Int): String =
+    s"""WITH rk AS (${tokenRanksSql(text, table)}),
+       |pts AS (
+       |  SELECT round(ln(rank::DOUBLE) * 1e3)::BIGINT AS x,
+       |    round(ln(c::DOUBLE) * 1e3)::BIGINT AS y
+       |  FROM rk WHERE rank <= $topR),
+       |m AS (
+       |  SELECT count(*)::BIGINT AS n_ranks,
+       |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+       |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+       |  FROM pts)
+       |SELECT n_ranks,
+       |  round((n_ranks * sxy - sx * sy)::DOUBLE
+       |    / (n_ranks * sxx - sx * sx)::DOUBLE * 1e6)::BIGINT AS slope_micros,
+       |  round((sy::DOUBLE - (n_ranks * sxy - sx * sy)::DOUBLE
+       |      / (n_ranks * sxx - sx * sx)::DOUBLE * sx::DOUBLE)
+       |    / n_ranks * 1e3)::BIGINT AS intercept_micros
+       |FROM m""".stripMargin
 }

@@ -2114,4 +2114,82 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.nonEmpty, "fixture must straddle the split to test anything")
   }
+
+  test("pmi collocations == plain reference; minCount suppresses hapax pairs") {
+    val corpus = Seq(
+      (0L, "new york is far from san francisco"),
+      (1L, "new york has a new mayor"),
+      (2L, "san francisco is far from new york"),
+      (3L, "the mayor of new york visited san francisco"))
+      .toDF("doc_id", "text")
+    def lnm(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    // plain reference over the same tokenization
+    val toks = corpus.as[(Long, String)].collect()
+      .map(_._2.split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val bgs = toks.filter(_.size >= 2)
+      .flatMap(ts => ts.sliding(2).map(p => (p(0), p(1))))
+    val bc = bgs.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val nU = uni.values.sum
+    val nB = bgs.size.toLong
+    val minCount = 2
+    val want = bc.filter(_._2 >= minCount).map { case ((a, b), cab) =>
+      (s"$a $b", cab,
+        lnm(cab) + 2 * lnm(nU) - lnm(nB) - lnm(uni(a)) - lnm(uni(b)))
+    }.toSeq.sortBy(r => (-r._3, r._1)).take(10)
+    val got = TextAnalysis.pmiCollocations(corpus, "text", minCount, 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+    // "san francisco" (always adjacent, parts never apart) must beat
+    // "new york" (whose parts also occur separately)
+    val rank = got.map(_._1).zipWithIndex.toMap
+    assert(rank("san francisco") < rank("new york"))
+    // hapax pairs are gone entirely
+    assert(got.forall(_._2 >= minCount))
+  }
+
+  test("vocab coverage: hand-computed curve, saturation visible in n_types") {
+    val corpus = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(corpus, "text", Seq(1, 2, 3, 10))
+      .orderBy("vocab_size")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 500000L),   // top-1 type "a" covers 3/6
+      (2L, 2L, 833333L),   // +"b" covers 5/6
+      (3L, 3L, 1000000L),
+      (10L, 3L, 1000000L))) // saturated: only 3 types exist
+  }
+
+  test("zipf fit == plain least-squares over quantized ln moments") {
+    // counts a=4, b=2, c=1 -> ranks 1, 2, 3
+    val corpus = Seq((0L, "a a a a b b c")).toDF("doc_id", "text")
+    val pts = Seq((1L, 4L), (2L, 2L), (3L, 1L)).map { case (r, c) =>
+      (math.round(math.log(r.toDouble) * 1e3),
+        math.round(math.log(c.toDouble) * 1e3))
+    }
+    val n = pts.size.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slopeRaw = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val want = (n, math.round(slopeRaw * 1e6),
+      math.round((sy.toDouble - slopeRaw * sx.toDouble) / n * 1e3))
+    val got = TextAnalysis.zipfFit(corpus, "text", topR = 256)
+      .as[(Long, Long, Long)].head()
+    assert(got == want)
+    assert(got._2 < 0, "zipfian corpus must fit a negative slope")
+  }
+
+  test("minhash lsh recall: found is a subset of truth; exact dups always recalled") {
+    val out = Dedup.minhashLshRecall(docs, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // truth on this fixture is 3 pairs (proven by the ngram test):
+    // (0,2) identical at 1e6 -> bucket 10; (0,1), (1,2) share a bucket
+    assert(out.map(_._2).sum == 3L)
+    assert(out.forall(r => r._3 <= r._2), "found must be a subset of truth")
+    val b10 = out.find(_._1 == 10L).get
+    assert(b10._3 == b10._2 && b10._4 == 1000000L,
+      "identical docs have identical signatures -> always recalled")
+  }
 }

@@ -603,4 +603,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!ht.contains("BatchEvalPython") && !ht.contains("ScalaUDF"),
       "extraction must stay native")
   }
+
+  test("corpus vocab stats (X135-X137) keep their scale shapes") {
+    // X135 PMI: the corpus leaves through partial-agg count shuffles;
+    // corpus totals ride broadcast one-row frames; the global top-m is
+    // TakeOrderedAndProject (per-partition top-m, never a full sort)
+    val pmi = plan("q_text_pmi")
+    assert(pmi.contains("TakeOrderedAndProject"), s"PMI not TakeOrdered:\n$pmi")
+    assert(pmi.contains("BroadcastExchange"), s"PMI totals not broadcast:\n$pmi")
+    assert(pmi.contains("HashAggregate"), s"PMI counts not partial-agg:\n$pmi")
+    // X136/X137 rank over the vocab DIGEST: the only columns read from
+    // documents are the text itself — and the corpus never rides the
+    // rank window (it leaves through the count aggregation first)
+    for (q <- Seq("q_text_vocab_coverage", "q_text_zipf")) {
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q counts not partial-agg:\n$p")
+      assert(!p.contains("n_chars") && !p.contains("lang#"),
+        s"$q scanned unreferenced documents columns:\n$p")
+    }
+    // X138 recall curve: truth and found sides are both equi-join
+    // pipelines; the bucket rollup must never degenerate to a pair
+    // cartesian
+    val mr = plan("q_dedup_minhash_recall")
+    assert(!mr.contains("CartesianProduct"), s"recall join degenerated:\n$mr")
+  }
 }

@@ -523,4 +523,60 @@ class PropertySpec extends AnyFunSuite {
       !allPrefixesLive || got == truth
     }, cases = 8)
   }
+
+  test("corpus vocab stats (X135-X137) == plain references on random corpora (fuzz)") {
+    import graft.ops.TextAnalysis
+    val wordGen = Gen.oneOf("a", "b", "c", "dd", "ee", "ff", "gg", "zz")
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.take(10).mkString(" "))
+    val corpusGen = Gen.nonEmptyListOf(docGen).map(_.take(6))
+    def lnm(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    check(Prop.forAll(corpusGen, Gen.chooseNum(1, 8)) { (texts, s) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val toks = texts.map(_.split("\\s+").toSeq)
+      val counts = toks.flatten.groupBy(identity)
+        .map { case (t, g) => t -> g.size.toLong }
+      val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      val nTotal = counts.values.sum
+      // X136: exact curve + monotone coverage + saturation
+      val sizes = Seq(s, s + 2)
+      val gotCov = TextAnalysis.vocabCoverage(df, "text", sizes)
+        .orderBy("vocab_size").as[(Long, Long, Long)].collect().toSeq
+      val wantCov = sizes.map { sz =>
+        (sz.toLong, math.min(sz, ranked.size).toLong,
+          math.round(ranked.take(sz).map(_._2).sum.toDouble / nTotal * 1e6))
+      }
+      // X137: the op on its own token ranks == plain least squares
+      val pts = ranked.take(256).zipWithIndex.map { case ((_, c), i) =>
+        (math.round(math.log((i + 1).toDouble) * 1e3),
+          math.round(math.log(c.toDouble) * 1e3))
+      }
+      val n = pts.size.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val den = n * sxx - sx * sx
+      val zipfHolds = if (den == 0) true else {
+        val slopeRaw = (n * sxy - sx * sy).toDouble / den.toDouble
+        val want = (n, math.round(slopeRaw * 1e6),
+          math.round((sy.toDouble - slopeRaw * sx.toDouble) / n * 1e3))
+        TextAnalysis.zipfFit(df, "text", topR = 256)
+          .as[(Long, Long, Long)].head() == want
+      }
+      // X135: full PMI output == plain reference (minCount 1 = no cut)
+      val bgs = toks.filter(_.size >= 2)
+        .flatMap(ts => ts.sliding(2).map(p => (p(0), p(1))))
+      val bc = bgs.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      val nB = bgs.size.toLong
+      val wantPmi = bc.map { case ((a, b), cab) =>
+        (s"$a $b", cab,
+          lnm(cab) + 2 * lnm(nTotal) - lnm(nB) - lnm(counts(a)) - lnm(counts(b)))
+      }.toSeq.sortBy(r => (-r._3, r._1))
+      val gotPmi = TextAnalysis.pmiCollocations(df, "text",
+          minCount = 1, topM = 1000)
+        .as[(String, Long, Long)].collect().toSeq
+      gotCov == wantCov && gotCov(0)._3 <= gotCov(1)._3 &&
+        zipfHolds && gotPmi == wantPmi
+    }, cases = 8)
+  }
 }
