@@ -511,6 +511,22 @@ object SparkEntry {
     "q_text_zipf" -> ((s, dir) =>
       TextAnalysis.zipfFit(T(s, dir, "documents"), "text", topR = 256)),
 
+    // X139 Unicode-script profile: per-doc dominant writing system
+    // (fixed-order first-max tie-break) rolled up to (script, n_docs,
+    // mean dominant share) — the mixed-script/mojibake tripwire.
+    "q_text_scripts" -> ((s, dir) =>
+      TextAnalysis.scriptProfile(T(s, dir, "documents"), "doc_id",
+        "text")),
+
+    // X140 frozen-vocab OOV scoring (freeze-on-self: the top-512
+    // vocab is trained in-plan, the oracle-provable twin; the frozen
+    // serve is the streaming gate Pipeline.oovGate).
+    "q_text_oov" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextAnalysis.oovScore(docs, "doc_id", "text",
+        TextAnalysis.freezeVocab(docs, "text", s = 512))
+    }),
+
     // BPE vocabulary induction (X92): 12 merge rounds trained on the
     // top-2000 word histogram — the tokenizer-training step. The
     // corpus-sized work is ONE histogram pass; every round then
@@ -755,6 +771,19 @@ object SparkEntry {
     "q_sim_sq_recall" -> ((s, dir) =>
       Sq.recall(T(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 8, k = 5, rerank = 40)),
+
+    // X141 SQ4 (nibble) tier: 16-level scalar quantization — half
+    // SQ8's bytes, completing the 32->8->4->1 bit representation
+    // ladder; wider rerank absorbs the coarser candidate cut.
+    "q_sim_sq4" -> ((s, dir) =>
+      Sq.topK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, rerank = 80, levels = 16)),
+
+    // X141 quality half: SQ4 recall@5 vs the brute-force truth at the
+    // same rerank — prices the extra 2x byte cut in measured recall.
+    "q_sim_sq4_recall" -> ((s, dir) =>
+      Sq.recall(T(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 8, k = 5, rerank = 80, levels = 16)),
 
     // Binary quantization (sign bits): the 64-dim vector packs into
     // ONE long, candidates cut by xor+popcount Hamming — the 32×
@@ -1982,6 +2011,14 @@ object SparkEntry {
     "q_text_zipf" ->
       TextAnalysis.zipfFitSql("text", "documents", topR = 256),
 
+    "q_text_scripts" ->
+      (TextAnalysis.scriptProfileSql("doc_id", "text", "documents")
+        + " ORDER BY script"),
+
+    "q_text_oov" ->
+      (TextAnalysis.oovScoreSql("doc_id", "text", "documents", s = 512)
+        + " ORDER BY doc_id"),
+
     "q_text_bpe" ->
       (Bpe.mergesSql("text", "documents", rounds = 12, maxWords = 2000)
         + " ORDER BY round"),
@@ -2134,6 +2171,15 @@ object SparkEntry {
     "q_sim_sq" ->
       (Sq.topKSql("vec_id", "embedding", "embeddings",
         "id < 8", k = 5, rerank = 40) + " ORDER BY qid, rank"),
+
+    "q_sim_sq4" ->
+      (Sq.topKSql("vec_id", "embedding", "embeddings",
+        "id < 8", k = 5, rerank = 80, levels = 16)
+        + " ORDER BY qid, rank"),
+
+    "q_sim_sq4_recall" ->
+      (Sq.recallSql("vec_id", "embedding", "embeddings",
+        "id < 8", k = 5, rerank = 80, levels = 16) + " ORDER BY qid"),
 
     "q_sim_bq" ->
       (Bq.topKSql("vec_id", "embedding", "embeddings",

@@ -65,15 +65,20 @@ object ArrayExprs {
   def lmEventBuckets(tokens: Column, nBuckets: Int): Column =
     Bridge.column(LmEventBuckets(Bridge.expression(tokens), nBuckets))
 
-  /** SQ8 encode — fast path of ops.Sq's code HOF. */
-  def sqEncode(v: Column, los: Column, his: Column, clamp: Boolean): Column =
+  /** SQ encode — fast path of ops.Sq's code HOF. `maxCode` = 255 is
+    * the SQ8 tier, 15 the SQ4 (nibble) tier; same exactness argument
+    * at any smaller code range (the quotient gap only widens).
+    */
+  def sqEncode(v: Column, los: Column, his: Column, clamp: Boolean,
+      maxCode: Double = 255.0): Column =
     Bridge.column(SqEncode(Bridge.expression(v), Bridge.expression(los),
-      Bridge.expression(his), clamp))
+      Bridge.expression(his), clamp, maxCode))
 
-  /** SQ8 midpoint reconstruction — fast path of ops.Sq's recon HOF. */
-  def sqRecon(code: Column, los: Column, his: Column): Column =
+  /** SQ midpoint reconstruction — fast path of ops.Sq's recon HOF. */
+  def sqRecon(code: Column, los: Column, his: Column,
+      maxCode: Double = 255.0): Column =
     Bridge.column(SqRecon(Bridge.expression(code), Bridge.expression(los),
-      Bridge.expression(his)))
+      Bridge.expression(his), maxCode))
 
   /** Exact set-Jaccard (in micros) of two distinct-element long
     * arrays — fast path of ops.Dedup.jaccardMicros over hashed
@@ -299,9 +304,10 @@ case class Hash60Array(child: Expression)
     copy(child = newChild)
 }
 
-/** SQ8 encode of a double vector against per-dim [lo, hi] MICRO
-  * ranges: code[i] = floor((round(v[i]·1e6) − los[i]) · 255 /
-  * max(1, his[i] − los[i])), optionally clamped to [0, 255] (encoding
+/** SQ encode of a double vector against per-dim [lo, hi] MICRO
+  * ranges: code[i] = floor((round(v[i]·1e6) − los[i]) · maxCode /
+  * max(1, his[i] − los[i])), optionally clamped to [0, maxCode]
+  * (maxCode 255 = SQ8, 15 = SQ4; encoding
   * NEW vectors at FIXED stored ranges). Bit-compatible with the
   * composed catalyst round/floor/greatest HOF form it replaces — the
   * half-up round goes through BigDecimal.valueOf exactly like Spark's
@@ -312,7 +318,7 @@ case class Hash60Array(child: Expression)
   * sf0.1. One compiled pass here.
   */
 case class SqEncode(v: Expression, los: Expression, his: Expression,
-    clamp: Boolean)
+    clamp: Boolean, maxCode: Double = 255.0)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
 
   override def first: Expression = v
@@ -338,8 +344,8 @@ case class SqEncode(v: Expression, los: Expression, his: Expression,
           .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
       val lo = larr.getDouble(i)
       val span = math.max(1.0, harr.getDouble(i) - lo)
-      var c = math.floor((xm - lo) * 255.0 / span)
-      if (clamp) c = math.max(0.0, math.min(255.0, c))
+      var c = math.floor((xm - lo) * maxCode / span)
+      if (clamp) c = math.max(0.0, math.min(maxCode, c))
       out(i) = c
       i += 1
     }
@@ -359,11 +365,12 @@ case class SqEncode(v: Expression, los: Expression, his: Expression,
       t: Expression): SqEncode = copy(v = f, los = s, his = t)
 }
 
-/** SQ8 midpoint reconstruction in micro units:
-  * r[i] = los[i] + (code[i] + ½) · max(1, his[i] − los[i]) / 255.
+/** SQ midpoint reconstruction in micro units:
+  * r[i] = los[i] + (code[i] + ½) · max(1, his[i] − los[i]) / maxCode.
   * Bit-compatible with the HOF form (same per-element op order).
   */
-case class SqRecon(code: Expression, los: Expression, his: Expression)
+case class SqRecon(code: Expression, los: Expression, his: Expression,
+    maxCode: Double = 255.0)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
 
   override def first: Expression = code
@@ -382,7 +389,7 @@ case class SqRecon(code: Expression, los: Expression, his: Expression)
     while (i < n) {
       val lo = larr.getDouble(i)
       out(i) = lo + (carr.getDouble(i) + 0.5) *
-        math.max(1.0, harr.getDouble(i) - lo) / 255.0
+        math.max(1.0, harr.getDouble(i) - lo) / maxCode
       i += 1
     }
     new GenericArrayData(out)

@@ -87,8 +87,10 @@ object Sq {
     * element_at lambda call — and O(dim³) once the reconstruction
     * referenced the code column (measured 45× at sf0.1).
     */
-  private[ops] def codeCol(dim: Int, clamp: Boolean): Column =
-    graft.functions.ArrayExprs.sqEncode(col("v"), col("los"), col("his"), clamp)
+  private[ops] def codeCol(dim: Int, clamp: Boolean,
+      maxCode: Double = 255.0): Column =
+    graft.functions.ArrayExprs.sqEncode(col("v"), col("los"), col("his"),
+      clamp, maxCode)
 
   /** (id, v, nrm, code, los, his): the corpus with its SQ8 code array
     * attached — a narrow map against the broadcast range row. The
@@ -96,9 +98,10 @@ object Sq {
     * once per corpus row at build time; the search-time hot loop is
     * the native codegen'd code dot.
     */
-  private def encoded(base: DataFrame, ranges: DataFrame, dim: Int): DataFrame =
+  private def encoded(base: DataFrame, ranges: DataFrame, dim: Int,
+      maxCode: Double = 255.0): DataFrame =
     base.join(broadcast(ranges))
-      .withColumn("code", codeCol(dim, clamp = false))
+      .withColumn("code", codeCol(dim, clamp = false, maxCode))
       .select(col("id"), col("v"), col("nrm"), col("code"),
         col("los"), col("his"))
 
@@ -107,10 +110,11 @@ object Sq {
     * only the candidate cut (by code-dot, top-`rerank`) is approximate.
     */
   def topK(embs: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, rerank: Int, dim: Int = 64): DataFrame = {
+      queryPred: Column, k: Int, rerank: Int, dim: Int = 64,
+      levels: Int = 256): DataFrame = {
     val base = baseOf(embs, idCol, vecCol)
     val ranges = rangesOf(base, dim)
-    val c = encoded(base, ranges, dim)
+    val c = encoded(base, ranges, dim, maxCode = (levels - 1).toDouble)
     // asymmetric search: queries keep their EXACT vectors (only the
     // corpus side is quantized) — the standard SQ distance computer
     val queries = base.filter(queryPred)
@@ -118,7 +122,7 @@ object Sq {
 
     // the 1-byte-scan stage: score EVERY corpus code (brute-force SQ)
     cutAndRerank(base, queries,
-      withRecon(c, dim)
+      withRecon(c, dim, maxCode = (levels - 1).toDouble)
         .join(broadcast(queries.select(col("qid"), col("qv"), col("qnrm"))),
           col("id") =!= col("qid")),
       k, rerank)
@@ -173,8 +177,9 @@ object Sq {
     * scope. Native codegen'd (same CollapseProject trap as
     * [[codeCol]]).
     */
-  private[ops] def reconCol(dim: Int): Column =
-    graft.functions.ArrayExprs.sqRecon(col("code"), col("los"), col("his"))
+  private[ops] def reconCol(dim: Int, maxCode: Double = 255.0): Column =
+    graft.functions.ArrayExprs.sqRecon(col("code"), col("los"), col("his"),
+      maxCode)
 
   /** Attach (rv, nrv) — the reconstruction and its norm — ONCE per
     * corpus row. Reconstruction depends only on the row's code and the
@@ -183,8 +188,9 @@ object Sq {
     * PAIR — measured 2-3× slower at sf0.1. The pair-side hot loop is
     * then just the native codegen'd dot.
     */
-  private[ops] def withRecon(c: DataFrame, dim: Int): DataFrame =
-    c.withColumn("rv", reconCol(dim))
+  private[ops] def withRecon(c: DataFrame, dim: Int,
+      maxCode: Double = 255.0): DataFrame =
+    c.withColumn("rv", reconCol(dim, maxCode))
       .withColumn("nrv", Vectors.norm(col("rv")))
       .select(col("id"), col("rv"), col("nrv"))
 
@@ -223,10 +229,11 @@ object Sq {
     * the quality audit ([[Similarity]]/[[Pq]] recall contract).
     */
   def recall(embs: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, rerank: Int, dim: Int = 64): DataFrame = {
+      queryPred: Column, k: Int, rerank: Int, dim: Int = 64,
+      levels: Int = 256): DataFrame = {
     val truth = Similarity.bruteForceTopK(embs, idCol, vecCol, queryPred, k)
       .select(col("qid"), col("neighbor_id"))
-    val got = topK(embs, idCol, vecCol, queryPred, k, rerank, dim)
+    val got = topK(embs, idCol, vecCol, queryPred, k, rerank, dim, levels)
       .select(col("qid"), col("neighbor_id"))
     truth.join(got, Seq("qid", "neighbor_id"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
@@ -237,15 +244,17 @@ object Sq {
 
   // ------------------------------------------------------------ oracle
 
-  private def codeSql(xm: String, los: String, his: String, dim: Int): String =
-    s"[floor(($xm[i] - $los[i]) * 255.0 / greatest(1.0, $his[i] - $los[i])) " +
+  private def codeSql(xm: String, los: String, his: String, dim: Int,
+      maxCode: Double = 255.0): String =
+    s"[floor(($xm[i] - $los[i]) * $maxCode / greatest(1.0, $his[i] - $los[i])) " +
       s"for i in range(1, ${dim + 1})]"
 
   /** Shared CTE prefix: encode, score by code dot, cut to `rerank`,
     * exact-cosine the candidates (CTE `f`).
     */
   private def prefixSql(id: String, vec: String, table: String,
-      queryPredSql: String, rerank: Int, dim: Int): String =
+      queryPredSql: String, rerank: Int, dim: Int,
+      maxCode: Double = 255.0): String =
     s"""WITH e AS (SELECT $id AS id, ${Vectors.toDoubleSql(vec)} AS v FROM $table),
        |x AS (SELECT id, v, [round(y * 1e6) for y in v] AS xm FROM e),
        |mm AS (
@@ -253,7 +262,7 @@ object Sq {
        |  FROM x CROSS JOIN range(0, $dim) t(d) GROUP BY 1),
        |a AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his
        |      FROM mm),
-       |c AS (SELECT id, v, ${codeSql("xm", "los", "his", dim)} AS code,
+       |c AS (SELECT id, v, ${codeSql("xm", "los", "his", dim, maxCode)} AS code,
        |        los, his
        |      FROM x, a),
        |q AS (SELECT id AS qid, v AS qv, ${Vectors.normSql("v")} AS qnrm
@@ -263,7 +272,7 @@ object Sq {
        |      (qnrm * ${Vectors.normSql("rv")}) * 1e6) AS akey
        |  FROM (
        |    SELECT qid, c.id AS id, qv, qnrm, c.v AS nv,
-       |      [c.los[i] + (c.code[i] + 0.5) * greatest(1.0, c.his[i] - c.los[i]) / 255.0
+       |      [c.los[i] + (c.code[i] + 0.5) * greatest(1.0, c.his[i] - c.los[i]) / $maxCode
        |       for i in range(1, ${dim + 1})] AS rv
        |    FROM q JOIN c ON c.id <> qid)),
        |cand AS (
@@ -277,8 +286,10 @@ object Sq {
        |        PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM f)""".stripMargin
 
   def topKSql(id: String, vec: String, table: String,
-      queryPredSql: String, k: Int, rerank: Int, dim: Int = 64): String =
-    s"""${prefixSql(id, vec, table, queryPredSql, rerank, dim)}
+      queryPredSql: String, k: Int, rerank: Int, dim: Int = 64,
+      levels: Int = 256): String =
+    s"""${prefixSql(id, vec, table, queryPredSql, rerank, dim,
+          (levels - 1).toDouble)}
        |SELECT qid, rank::BIGINT AS rank, neighbor_id,
        |  round(cos * 1e6)::BIGINT AS cos_micros
        |FROM r WHERE rank <= $k""".stripMargin
@@ -336,8 +347,10 @@ object Sq {
     * engines — the Spark semi-join + groupBy does the same).
     */
   def recallSql(id: String, vec: String, table: String,
-      queryPredSql: String, k: Int, rerank: Int, dim: Int = 64): String =
-    s"""${prefixSql(id, vec, table, queryPredSql, rerank, dim)},
+      queryPredSql: String, k: Int, rerank: Int, dim: Int = 64,
+      levels: Int = 256): String =
+    s"""${prefixSql(id, vec, table, queryPredSql, rerank, dim,
+          (levels - 1).toDouble)},
        |got AS (SELECT qid, neighbor_id FROM r WHERE rank <= $k),
        |tsc AS (
        |  SELECT qid, e.id AS neighbor_id, ${Vectors.cosineSql("qv", "e.v")} AS cos

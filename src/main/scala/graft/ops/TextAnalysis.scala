@@ -878,4 +878,144 @@ object TextAnalysis {
        |      / (n_ranks * sxx - sx * sx)::DOUBLE * sx::DOUBLE)
        |    / n_ranks * 1e3)::BIGINT AS intercept_micros
        |FROM m""".stripMargin
+
+  // ------------------------------------ Script profile + OOV gate (X139-X140)
+
+  /** Script classes in a FIXED order (the tie-break order), each a
+    * disjoint BMP code-point range rendered as LITERAL characters
+    * (built from code points, so no source-encoding ambiguity) — the
+    * identical pattern string runs in both Java regex and RE2.
+    * "other" (anything unclassified: punctuation, space, unlisted
+    * scripts) is derived as length − Σclasses, never matched.
+    */
+  private def rangeClass(lo: Int, hi: Int): String =
+    s"[${new String(Character.toChars(lo))}-${new String(Character.toChars(hi))}]"
+
+  private[ops] val Scripts: Seq[(String, String)] = Seq(
+    "latin" -> "[a-zA-Z]",
+    "digit" -> "[0-9]",
+    "cyrillic" -> rangeClass(0x0400, 0x04FF),
+    "greek" -> rangeClass(0x0370, 0x03FF),
+    "arabic" -> rangeClass(0x0600, 0x06FF),
+    "devanagari" -> rangeClass(0x0900, 0x097F),
+    "cjk" -> rangeClass(0x4E00, 0x9FFF),
+    "kana" -> rangeClass(0x3040, 0x30FF),
+    "hangul" -> rangeClass(0xAC00, 0xD7AF))
+
+  private[ops] val ScriptNames: Seq[String] = Scripts.map(_._1) :+ "other"
+
+  /** X139 Unicode-script profile: classify every code point into a
+    * fixed script-range family, take each doc's DOMINANT script
+    * (first-max tie-break over the fixed class order — both engines'
+    * list-position rule), and roll up per script: how many docs, and
+    * the mean share the dominant script holds of the doc's characters.
+    * The cheap precursor to model-based language ID ([[langId]] sees
+    * words; this sees writing systems) and the standard mixed-script
+    * spam / mojibake tripwire: natural single-script text sits near
+    * share 1e6, misdecoded or injected text sags.
+    *
+    * Scale: per-doc counting is |Scripts| codegen'd regexp_count
+    * passes — narrow, scan-speed; the only shuffle is the final
+    * partial-agg rollup to ≤ |Scripts|+1 rows.
+    */
+  def scriptProfile(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val counts = array(Scripts.map { case (_, p) =>
+      regexp_count(col("text"), lit(p)).cast("long") }: _*)
+    val names = array(ScriptNames.map(lit): _*)
+    docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("cs0", counts)
+      .withColumn("cs", concat(col("cs0"),
+        array(length(col("text")).cast("long")
+          - aggregate(col("cs0"), lit(0L), (a, x) => a + x))))
+      .withColumn("idx", array_position(col("cs"), array_max(col("cs"))))
+      .select(
+        element_at(names, col("idx").cast("int")).as("script"),
+        round(array_max(col("cs")).cast("double")
+          / length(col("text")) * 1e6).cast("long").as("share_micros"))
+      .groupBy(col("script"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("share_micros")).as("s"))
+      .select(col("script"), col("n_docs"),
+        round(col("s").cast("double") / col("n_docs")).cast("long")
+          .as("mean_share_micros"))
+  }
+
+  def scriptProfileSql(id: String, text: String, table: String): String = {
+    val cs0 = Scripts.map { case (_, p) =>
+      s"len(regexp_extract_all(text, '$p'))::BIGINT" }.mkString(", ")
+    val names = ScriptNames.map(n => s"'$n'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT $id AS doc_id, $text AS text FROM $table
+       |  WHERE $text IS NOT NULL AND length($text) > 0),
+       |c0 AS (SELECT doc_id, text, [$cs0] AS cs0 FROM d),
+       |c AS (SELECT doc_id, text,
+       |        list_append(cs0, length(text)::BIGINT - list_sum(cs0)) AS cs
+       |      FROM c0),
+       |e AS (
+       |  SELECT ([$names])[list_position(cs, list_max(cs))] AS script,
+       |    round(list_max(cs)::DOUBLE / length(text) * 1e6)::BIGINT
+       |      AS share_micros
+       |  FROM c)
+       |SELECT script, count(*)::BIGINT AS n_docs,
+       |  round(sum(share_micros)::DOUBLE / count(*))::BIGINT
+       |    AS mean_share_micros
+       |FROM e GROUP BY 1""".stripMargin
+  }
+
+  /** X140 frozen vocabulary: the top-s token types by corpus
+    * frequency ([[tokenRanks]] order), frozen as the model artifact —
+    * s strings IS the model, the [[vocabCoverage]] curve priced it.
+    */
+  final case class FrozenVocab(vocab: Seq[String])
+
+  def freezeVocab(docs: DataFrame, textCol: String, s: Int): FrozenVocab = {
+    import org.apache.spark.sql.Encoders
+    FrozenVocab(tokenRanks(docs, textCol).filter(col("rank") <= s)
+      .orderBy(col("rank")).select(col("tok"))
+      .as[String](Encoders.STRING).collect().toSeq)
+  }
+
+  /** Score docs against a frozen vocabulary: per doc, token count,
+    * OOV occurrence count and OOV rate in micros. The scorer is the
+    * codegen'd hash-set membership counter
+    * ([[graft.functions.ArrayExprs.stopwordHits]]) — O(|tokens|) per
+    * row regardless of vocab size, zero shuffle, zero state: the
+    * ingest-time gate shape ([[graft.streaming.Pipeline]] `oovGate`),
+    * riding the scan at scan speed while the vocab ranking stays a
+    * batch job. High OOV = noise, mojibake, or out-of-domain text —
+    * the cheap twin of the [[lmScore]] perplexity gate.
+    */
+  def oovScore(docs: DataFrame, idCol: String, textCol: String,
+      frozen: FrozenVocab): DataFrame =
+    docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+        (size(col("ts")).cast("long") -
+          graft.functions.ArrayExprs.stopwordHits(col("ts"), frozen.vocab))
+          .as("n_oov"))
+      .withColumn("oov_micros",
+        round(col("n_oov").cast("double") / col("n_tokens") * 1e6)
+          .cast("long"))
+
+  /** DuckDB twin of freeze-on-self [[oovScore]]: the oracle
+    * recomputes the top-s vocab from the same table (the standing
+    * frozen-twin oracle pattern) and counts OOV occurrences by join.
+    */
+  def oovScoreSql(id: String, text: String, table: String,
+      s: Int): String =
+    s"""WITH rk AS (${tokenRanksSql(text, table)}),
+       |voc AS (SELECT tok FROM rk WHERE rank <= $s),
+       |d AS (
+       |  SELECT $id AS doc_id, ${tokensSql(text)} AS ts FROM $table
+       |  WHERE $text IS NOT NULL AND length($text) > 0),
+       |tk AS (SELECT doc_id, unnest(ts) AS t FROM d),
+       |h AS (
+       |  SELECT tk.doc_id AS hid, count(*) AS n_in
+       |  FROM tk JOIN voc ON voc.tok = tk.t GROUP BY 1)
+       |SELECT d.doc_id, len(d.ts)::BIGINT AS n_tokens,
+       |  (len(d.ts) - coalesce(h.n_in, 0))::BIGINT AS n_oov,
+       |  round((len(d.ts) - coalesce(h.n_in, 0))::DOUBLE / len(d.ts) * 1e6)
+       |    ::BIGINT AS oov_micros
+       |FROM d LEFT JOIN h ON h.hid = d.doc_id""".stripMargin
 }

@@ -223,6 +223,22 @@ object Pipeline {
         "source", frozen)
       .filter(col("fused_micros") >= minFusedMicros)
 
+  /** Streaming OOV gate (X140's live half): score arriving docs
+    * against a FROZEN vocabulary ([[graft.ops.TextAnalysis
+    * .freezeVocab]] — s strings IS the model, embedded in the
+    * codegen'd hash-set membership counter) and keep docs under the
+    * OOV-rate ceiling. Pure narrow map: no state, no shuffle, no
+    * broadcast even — the vocab rides the compiled plan. Frozen
+    * -on-self == the batch [[graft.ops.TextAnalysis.oovScore]]
+    * exactly (spec-pinned); a vocab shift is a model-refresh event,
+    * the standing frozen-twin contract.
+    */
+  def oovGate(docs: DataFrame,
+      frozen: graft.ops.TextAnalysis.FrozenVocab,
+      maxOovMicros: Long): DataFrame =
+    graft.ops.TextAnalysis.oovScore(docs, "doc_id", "text", frozen)
+      .filter(col("oov_micros") <= maxOovMicros)
+
   /** Streaming cluster-balanced sample (X127's live twin): arriving
     * vectors assign to FROZEN k-means centroids
     * ([[graft.ops.Similarity.freezeCentroids]] — nlist·(dim+2)

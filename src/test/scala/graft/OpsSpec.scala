@@ -2180,6 +2180,81 @@ class OpsSpec extends AnyFunSuite {
     assert(got._2 < 0, "zipfian corpus must fit a negative slope")
   }
 
+  test("sq4: nibble codes span exactly [0, 15]; exact rerank recovers brute force") {
+    // the encode at maxCode 15: range ends map to code 0 and 15
+    val enc = Seq((Seq(0.0, 1.0, 0.5), Seq(0.0, 0.0, 0.0),
+        Seq(1000000.0, 1000000.0, 1000000.0)))
+      .toDF("v", "los", "his")
+      .select(ArrayExprs.sqEncode(col("v"), col("los"), col("his"),
+        clamp = false, maxCode = 15.0))
+      .as[Seq[Double]].head()
+    assert(enc == Seq(0.0, 15.0, 7.0))
+    // corpus-covering rerank: the exact-rerank contract holds at any
+    // level count — SQ4 output == brute force
+    val embs = (0L until 6L)
+      .map(i => (i, Array.tabulate(4)(d => ((i + d) % 5).toFloat - 2f)))
+      .toDF("vec_id", "embedding")
+    val r = Sq.recall(embs, "vec_id", "embedding", col("vec_id") < 2,
+        k = 3, rerank = 10, dim = 4, levels = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 1000000L, 1L -> 1000000L))
+  }
+
+  test("script profile: dominant script per doc, fixed-order first-max tie-break") {
+    def s(cps: Int*): String = cps.toArray.flatMap(Character.toChars).mkString
+    val cyr = s(0x0436, 0x0438) // 2 Cyrillic letters
+    val cjk = s(0x4E2D, 0x6587) // 2 CJK ideographs
+    val corpus = Seq(
+      (0L, "hello world"),      // latin 10 of 11 chars
+      (1L, s"$cyr $cyr $cyr"),  // cyrillic 6 of 8
+      (2L, cjk + cjk),          // cjk 4 of 4 -> share exactly 1e6
+      (3L, "ab" + cyr),         // latin 2 == cyrillic 2 -> tie -> latin
+      (4L, "12345"))            // digit
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(corpus, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "latin" -> ((2L, math.round((909091.0 + 500000.0) / 2))),
+      "cyrillic" -> ((1L, 750000L)),
+      "cjk" -> ((1L, 1000000L)),
+      "digit" -> ((1L, 1000000L))))
+  }
+
+  test("oov: frozen vocab counts occurrences; gate stream == batch") {
+    val freeze = Seq(
+      (0L, "a a a b b c d"))   // top-2 vocab: a, b
+      .toDF("doc_id", "text")
+    val frozen = TextAnalysis.freezeVocab(freeze, "text", s = 2)
+    assert(frozen.vocab == Seq("a", "b"))
+    val arrivals = Seq(
+      (10L, "a b c"),   // 1 of 3 OOV
+      (11L, "c d"),     // all OOV
+      (12L, "a a"))     // none OOV
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.oovScore(arrivals, "doc_id", "text", frozen)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      10L -> ((3L, 1L, 333333L)),
+      11L -> ((2L, 2L, 1000000L)),
+      12L -> ((2L, 0L, 0L))))
+    // the streaming gate is the same narrow map
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    in.addData(Seq((10L, "a b c"), (11L, "c d"), (12L, "a a")))
+    val q = streaming.Pipeline.oovGate(
+        in.toDF().toDF("doc_id", "text"), frozen, maxOovMicros = 400000L)
+      .writeStream.format("memory").queryName("oov_gate").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("oov_gate").select("doc_id").as[Long]
+        .collect().toSet
+      assert(kept == Set(10L, 12L))
+    } finally q.stop()
+  }
+
   test("minhash lsh recall: found is a subset of truth; exact dups always recalled") {
     val out = Dedup.minhashLshRecall(docs, "doc_id", "text",
         k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)

@@ -627,4 +627,23 @@ class PlanSpec extends AnyFunSuite {
     val mr = plan("q_dedup_minhash_recall")
     assert(!mr.contains("CartesianProduct"), s"recall join degenerated:\n$mr")
   }
+
+  test("script profile and frozen-OOV serve (X139-X140) stay narrow") {
+    // X139: per-doc counting is codegen'd regexp passes; the only
+    // exchange is the final rollup to <= |Scripts|+1 rows
+    val sp = plan("q_text_scripts")
+    assert(sp.contains("HashAggregate"), s"rollup not partial-agg:\n$sp")
+    assert(!sp.contains("n_chars") && !sp.contains("lang#"),
+      s"scanned unreferenced documents columns:\n$sp")
+    assert(!sp.contains("ScalaUDF"), "script counting must stay native")
+    // X140 SERVE path (the streaming-gate shape): with the vocab
+    // frozen, scoring is a pure narrow map — zero exchanges; the
+    // vocab lives inside the compiled expression, not even a broadcast
+    val docs = graft.cdc.Io.table(spark, sf, "documents")
+    val frozen = graft.ops.TextAnalysis.FrozenVocab(Seq("the", "a", "of"))
+    val serve = plan(graft.ops.TextAnalysis.oovScore(
+      docs, "doc_id", "text", frozen))
+    assert(!serve.contains("Exchange"), s"frozen-OOV serve shuffles:\n$serve")
+    assert(!serve.contains("ScalaUDF"), "OOV counter must stay native")
+  }
 }
