@@ -414,7 +414,24 @@ object Plans {
         |documents scan; the per-source min/max ranges enter the
         |fusion as a tiny BroadcastExchange (six longs per source —
         |the reason this is min-max fusion and not rank fusion); the
-        |per-source top-n compiles to WindowGroupLimit.""".stripMargin)
+        |per-source top-n compiles to WindowGroupLimit.""".stripMargin,
+    "q_text_pmi" ->
+      """PMI collocations (round 12): the corpus leaves through two
+        |partial-agg count shuffles (unigrams, bigrams); the scoring
+        |joins key on tokens over COUNT DIGESTS, never token
+        |instances; corpus totals ride two one-row BroadcastExchanges;
+        |the global top-m is TakeOrderedAndProject — per-partition
+        |top-m, the driver merges m·partitions rows, no full
+        |sort.""".stripMargin,
+    "q_text_oov" ->
+      """Frozen-vocab OOV scoring (round 12): the freeze half (top-s
+        |ranking) runs over the Heaps-bounded vocab digest — the
+        |single-partition window warns, on ≤ |vocab| count rows, never
+        |the corpus. The SERVE half is the plan to check: scoring is
+        |one narrow codegen'd projection whose stopword_hits carries
+        |the whole vocab inside the compiled expression — zero
+        |exchanges, not even a broadcast (PlanSpec pins the serve-only
+        |plan).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

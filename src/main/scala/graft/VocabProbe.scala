@@ -85,7 +85,18 @@ object VocabProbe {
       graft.ops.Dedup.ngramJaccardPairsPrefix(grown, "doc_id", "text",
         k = 3, threshold = 0.8).count()
     }
-    println(f"""{"metric":"vocabprobe","sf":"$sfDir","overlap_fixed_sec":$oFixed%.1f,"overlap_grown_sec":$oGrown%.1f,"ngram_fixed_sec":$nFixed%.1f,"ngram_grown_sec":$nGrown%.1f}""")
+    // X138: the LSH recall harness's truth pass is the same Σdf²
+    // posting join — the fixed/grow pair prices the HARNESS, the
+    // found pass (the production LSH) is banded and ~linear either way
+    val rFixed = timed("minhash lsh recall, fixed vocab") {
+      graft.ops.Dedup.minhashLshRecall(fixed, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2).count()
+    }
+    val rGrown = timed("minhash lsh recall, growing vocab") {
+      graft.ops.Dedup.minhashLshRecall(grown, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2).count()
+    }
+    println(f"""{"metric":"vocabprobe","sf":"$sfDir","overlap_fixed_sec":$oFixed%.1f,"overlap_grown_sec":$oGrown%.1f,"ngram_fixed_sec":$nFixed%.1f,"ngram_grown_sec":$nGrown%.1f,"lshrecall_fixed_sec":$rFixed%.1f,"lshrecall_grown_sec":$rGrown%.1f}""")
     spark.stop()
   }
 }

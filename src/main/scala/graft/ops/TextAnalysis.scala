@@ -918,7 +918,12 @@ object TextAnalysis {
     * passes — narrow, scan-speed; the only shuffle is the final
     * partial-agg rollup to ≤ |Scripts|+1 rows.
     */
-  def scriptProfile(docs: DataFrame, idCol: String,
+  /** Per-doc half of [[scriptProfile]]: (doc_id, script,
+    * share_micros) — the dominant script and its character share,
+    * as a pure narrow map (the ingest-gate shape,
+    * [[graft.streaming.Pipeline]] `scriptGate`).
+    */
+  def scriptOf(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val counts = array(Scripts.map { case (_, p) =>
       regexp_count(col("text"), lit(p)).cast("long") }: _*)
@@ -930,16 +935,20 @@ object TextAnalysis {
         array(length(col("text")).cast("long")
           - aggregate(col("cs0"), lit(0L), (a, x) => a + x))))
       .withColumn("idx", array_position(col("cs"), array_max(col("cs"))))
-      .select(
+      .select(col("doc_id"),
         element_at(names, col("idx").cast("int")).as("script"),
         round(array_max(col("cs")).cast("double")
           / length(col("text")) * 1e6).cast("long").as("share_micros"))
+  }
+
+  def scriptProfile(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    scriptOf(docs, idCol, textCol)
       .groupBy(col("script"))
       .agg(count(lit(1)).as("n_docs"), sum(col("share_micros")).as("s"))
       .select(col("script"), col("n_docs"),
         round(col("s").cast("double") / col("n_docs")).cast("long")
           .as("mean_share_micros"))
-  }
 
   def scriptProfileSql(id: String, text: String, table: String): String = {
     val cs0 = Scripts.map { case (_, p) =>

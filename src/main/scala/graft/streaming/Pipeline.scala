@@ -239,6 +239,19 @@ object Pipeline {
     graft.ops.TextAnalysis.oovScore(docs, "doc_id", "text", frozen)
       .filter(col("oov_micros") <= maxOovMicros)
 
+  /** Streaming script gate (X139's live half): keep docs whose
+    * dominant Unicode script ([[graft.ops.TextAnalysis.scriptOf]])
+    * is in the allowed set AND holds at least `minShareMicros` of
+    * the doc's characters — the ingest-time mojibake/mixed-script
+    * filter. Pure narrow map: the script ranges are plan constants,
+    * no state, no shuffle.
+    */
+  def scriptGate(docs: DataFrame, allowed: Seq[String],
+      minShareMicros: Long): DataFrame =
+    graft.ops.TextAnalysis.scriptOf(docs, "doc_id", "text")
+      .filter(col("script").isin(allowed: _*) &&
+        col("share_micros") >= minShareMicros)
+
   /** Streaming cluster-balanced sample (X127's live twin): arriving
     * vectors assign to FROZEN k-means centroids
     * ([[graft.ops.Similarity.freezeCentroids]] — nlist·(dim+2)

@@ -2219,6 +2219,23 @@ class OpsSpec extends AnyFunSuite {
       "cyrillic" -> ((1L, 750000L)),
       "cjk" -> ((1L, 1000000L)),
       "digit" -> ((1L, 1000000L))))
+    // the streaming gate is the same narrow map: keep latin docs
+    // above a dominant-share floor (doc 3's tie-win at 50% is cut)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    in.addData(Seq((0L, "hello world"), (1L, s"$cyr $cyr $cyr"),
+      (3L, "ab" + cyr)))
+    val q = streaming.Pipeline.scriptGate(
+        in.toDF().toDF("doc_id", "text"), Seq("latin"),
+        minShareMicros = 600000L)
+      .writeStream.format("memory").queryName("script_gate").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("script_gate").select("doc_id").as[Long]
+        .collect().toSet
+      assert(kept == Set(0L))
+    } finally q.stop()
   }
 
   test("oov: frozen vocab counts occurrences; gate stream == batch") {
