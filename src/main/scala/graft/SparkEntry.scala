@@ -653,6 +653,16 @@ object SparkEntry {
       Dedup.minhashLshRecall(T(s, dir, "documents"), "doc_id", "text",
         k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)),
 
+    // X142 curation-recipe composite: quality gate -> exact-dup rep
+    // (normalized key) -> near-dup cluster rep (MinHash+CC) -> PII
+    // redact -> clean fingerprint, in ONE query — proves the
+    // individually-proven stages COMPOSE (the oracle runs the same
+    // chain nested).
+    "q_pipe_curate" -> ((s, dir) =>
+      Curation.curationPipeline(T(s, dir, "documents"), "doc_id",
+        "text", "source", minQualityMicros = 550000, k = 3,
+        numHashes = 32, bands = 8, rows = 4, threshold = 0.5)),
+
     // SimHash(60-bit) near-dup pairs, hamming ≤ 5 via the full-recall
     // pigeonhole chunk join (6 chunks of 10 bits).
     "q_dedup_simhash" -> ((s, dir) =>
@@ -2089,6 +2099,11 @@ object SparkEntry {
       (Dedup.minhashLshRecallSql("doc_id", "text", "documents",
         k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)
         + " ORDER BY bucket"),
+
+    "q_pipe_curate" ->
+      (Curation.curationPipelineSql("doc_id", "text", "source",
+        "documents", minQualityMicros = 550000, k = 3, numHashes = 32,
+        bands = 8, rows = 4, threshold = 0.5) + " ORDER BY doc_id"),
 
     "q_dedup_simhash" ->
       (Dedup.simhashPairsSql("doc_id", "text", "documents", maxDist = 5)

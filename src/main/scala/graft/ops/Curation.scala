@@ -1972,6 +1972,74 @@ object Curation {
        |SELECT source, rank::BIGINT AS rank, doc_id, fused_micros
        |FROM r WHERE rank <= $n""".stripMargin
 
+  /** X142 curation-recipe composite: the public web-corpus recipe
+    * shape (CCNet / RefinedWeb / FineWeb-style) as ONE query —
+    * quality gate → exact-dup representative on the normalized key
+    * → near-dup CLUSTER representative (MinHash+LSH pairs contracted
+    * by connected components) → PII redaction → content fingerprint
+    * of the clean text. Every stage is an already-oracle-proven
+    * operator; this query proves they COMPOSE (the oracle runs the
+    * identical chain as nested SQL, so any cross-stage contract
+    * drift — column naming, tie rules, null handling — breaks the
+    * hash).
+    *
+    * Output: (doc_id, source, clean_fp) — the survivors a trainer
+    * would ingest, with the fingerprint standing in for the redacted
+    * text (hash-comparable across engines).
+    *
+    * Scale: the gates are narrow scans; the exact-rep window
+    * partitions on the normalized key (dup-group-sized partitions);
+    * the near-dup stage is the banded LSH (~linear in true dups);
+    * the anti-join ships only loser ids. No stage shuffles the
+    * corpus more than its standalone twin already does.
+    */
+  def curationPipeline(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minQualityMicros: Long, k: Int, numHashes: Int,
+      bands: Int, rows: Int, threshold: Double): DataFrame = {
+    val t = col(textCol)
+    val gated = docs
+      .filter(t.isNotNull && length(t) > 0)
+      .filter(TextAnalysis.qualityMicros(t) >= minQualityMicros)
+    val w = Window.partitionBy(col("nk")).orderBy(col(idCol).asc)
+    val exactReps = Caching.cachedOnce(gated
+      .withColumn("nk", TextAnalysis.normalizedKey(t))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        t.as("text")))
+    val losers = Dedup.dupClusters(Dedup.minhashPairs(exactReps,
+        "doc_id", "text", k, numHashes, bands, rows, threshold))
+      .filter(col("id") =!= col("rep_id")).select(col("id"))
+    exactReps.join(losers, exactReps("doc_id") === losers("id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.md5Fingerprint(
+          TextAnalysis.piiRedact(col("text"))).as("clean_fp"))
+  }
+
+  def curationPipelineSql(id: String, text: String, source: String,
+      table: String, minQualityMicros: Long, k: Int, numHashes: Int,
+      bands: Int, rows: Int, threshold: Double): String = {
+    val gated =
+      s"""(SELECT $id AS doc_id, $source AS source, $text AS text
+         |  FROM $table
+         |  WHERE $text IS NOT NULL AND length($text) > 0
+         |    AND ${TextAnalysis.qualityMicrosSql(text)} >= $minQualityMicros)""".stripMargin
+    val exact =
+      s"""(SELECT doc_id, source, text FROM (
+         |  SELECT doc_id, source, text, row_number() OVER (
+         |      PARTITION BY ${TextAnalysis.normalizedKeySql("text")}
+         |      ORDER BY doc_id) AS rn
+         |  FROM $gated g) WHERE rn = 1)""".stripMargin
+    val labels = Dedup.dupClustersSql(Dedup.minhashPairsSql(
+      "doc_id", "text", s"$exact er", k, numHashes, bands, rows, threshold))
+    s"""SELECT e.doc_id, e.source,
+       |  ${TextAnalysis.md5FingerprintSql(
+             TextAnalysis.piiRedactSql("e.text"))} AS clean_fp
+       |FROM $exact e
+       |WHERE e.doc_id NOT IN (
+       |  SELECT id FROM ($labels) WHERE id <> rep_id)""".stripMargin
+  }
+
   def contaminationSql(id: String, text: String, table: String,
       evalPredSql: String, k: Int): String =
     s"""WITH base AS (

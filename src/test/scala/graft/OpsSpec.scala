@@ -2180,6 +2180,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got._2 < 0, "zipfian corpus must fit a negative slope")
   }
 
+  test("curation pipeline composite: each stage's cut visible in the survivors") {
+    val base = "The quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = Seq(
+      (0L, s"$base today", "s0"),        // keeper, cluster rep
+      (1L, s"$base today!!", "s0"),      // exact dup of 0 by normalized key
+      (2L, s"$base tonight", "s1"),      // near dup of 0 -> cluster loser
+      (3L, "the the the the", "s1"),     // fails the quality gate
+      (4L, "Contact me at john@example.com about the project timeline scope and budget", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.curationPipeline(corpus, "doc_id", "text",
+        "source", minQualityMicros = 550000, k = 3, numHashes = 32,
+        bands = 8, rows = 4, threshold = 0.5)
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 4L),
+      s"survivors were ${got.map(_._1).toSeq}")
+    // the fingerprint is of the REDACTED text: recompute it from the
+    // hand-redacted string through the fingerprint alone
+    val wantFp = Seq(
+      ("Contact me at <EMAIL> about the project timeline scope and budget", 1))
+      .toDF("t", "x")
+      .select(TextAnalysis.md5Fingerprint(col("t"))).as[String].head()
+    assert(got.find(_._1 == 4L).get._3 == wantFp)
+  }
+
   test("sq4: nibble codes span exactly [0, 15]; exact rerank recovers brute force") {
     // the encode at maxCode 15: range ends map to code 0 and 15
     val enc = Seq((Seq(0.0, 1.0, 0.5), Seq(0.0, 0.0, 0.0),

@@ -646,4 +646,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!serve.contains("Exchange"), s"frozen-OOV serve shuffles:\n$serve")
     assert(!serve.contains("ScalaUDF"), "OOV counter must stay native")
   }
+
+  test("curation composite (X142): exact-rep cut is partial, no stage degenerates") {
+    val p = plan("q_pipe_curate")
+    // the rn = 1 exact-rep cut must compile to WindowGroupLimit
+    // (per-partition top-1 ahead of the normalized-key exchange)
+    assert(p.contains("WindowGroupLimit"), s"exact-rep cut not partial:\n$p")
+    // no stage may degenerate to a cartesian — the LSH band join,
+    // the verify joins and the loser anti-join are all equi-joins
+    assert(!p.contains("CartesianProduct"), s"a stage degenerated:\n$p")
+  }
 }
