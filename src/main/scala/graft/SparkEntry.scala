@@ -574,6 +574,14 @@ object SparkEntry {
       Diagnostics.embeddingSnapshotDrift(T(s, dir, "embeddings"),
         "embedding", "label", col("vec_id") % 2 === 0)),
 
+    // X143 Count-Min sketch: depth x width counter matrix over the
+    // token stream, probed at the exact top-20 tokens — the measured
+    // overestimate profile (est >= true structurally; MG under-
+    // estimates heavy hitters, CMS over-estimates any key).
+    "q_diag_cms" -> ((s, dir) =>
+      Diagnostics.cmsEstimates(T(s, dir, "documents"), "text",
+        depth = 4, width = 512, topN = 20)),
+
     // The embedding-space companion of X93: per-label centroid cosine
     // vs the corpus centroid (integer-exact quantized means — no
     // transcendentals). Catches semantic drift the token gauge can't.
@@ -2051,6 +2059,10 @@ object SparkEntry {
     "q_diag_embdrift" ->
       (Diagnostics.embeddingSnapshotDriftSql("embedding", "label",
         "embeddings", "vec_id % 2 = 0") + " ORDER BY label"),
+
+    "q_diag_cms" ->
+      (Diagnostics.cmsEstimatesSql("text", "documents", depth = 4,
+        width = 512, topN = 20) + " ORDER BY tok"),
 
     "q_sim_drift" ->
       (Drift.embeddingDriftSql("vec_id", "embedding", "label",

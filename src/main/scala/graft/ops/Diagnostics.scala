@@ -322,6 +322,70 @@ object Diagnostics {
           .as("centroid_cos_micros"))
   }
 
+  /** X143 Count-Min sketch: the depth×width counter matrix over the
+    * token stream, probed at the exact top-`topN` tokens — est_n is
+    * the CMS point estimate (min over depth rows of the key's bucket
+    * counter), true_n the exact count, so the output IS the sketch's
+    * measured overestimate profile on this corpus. est ≥ true always
+    * (every occurrence of a key lands in its own buckets); the
+    * classic bound est − true ≤ 2N/width w.h.p. per row. Completes
+    * the sketch family's query surface: [[graft.ops.TextAnalysis
+    * .mgSummary]] (Misra-Gries) UNDER-estimates and only answers
+    * heavy hitters; CMS OVER-estimates and answers ANY key — the two
+    * standard mergeable frequency summaries, both by plain addition.
+    *
+    * Deterministic: row d hashes tok through hash60("d:" + tok) mod
+    * width — both engines compute identical cells, so est matches
+    * bit-for-bit (no probabilistic anything at fixed seeds).
+    *
+    * Scale: the corpus leaves through ONE partial-agg shuffle of
+    * (d, bucket) cells (depth·width rows — the SKETCH, by definition
+    * bounded); the probe side is topN keys × depth joined against
+    * that digest. Merging shards/streams is cell-wise addition — the
+    * [[graft.streaming.TopKStore]]-family contract.
+    */
+  def cmsEstimates(docs: DataFrame, textCol: String, depth: Int,
+      width: Int, topN: Int): DataFrame = {
+    val toks = Caching.cachedOnce(docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok")))
+    def bucketOf(d: Int, t: Column): Column =
+      pmod(Hashing.hash60(concat(lit(s"$d:"), t)), lit(width.toLong))
+    val cells = (0 until depth).map(d =>
+        toks.select(lit(d.toLong).as("d"), bucketOf(d, col("tok")).as("b")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+    val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("tok").asc).limit(topN)
+    val probes = (0 until depth).map(d =>
+        truth.select(col("tok"), col("true_n"), lit(d.toLong).as("d"),
+          bucketOf(d, col("tok")).as("b")))
+      .reduce(_.unionByName(_))
+    probes.join(cells, Seq("d", "b"))
+      .groupBy(col("tok"), col("true_n")).agg(min(col("c")).as("est_n"))
+      .select(col("tok"), col("true_n"), col("est_n"))
+  }
+
+  def cmsEstimatesSql(text: String, table: String, depth: Int,
+      width: Int, topN: Int): String =
+    s"""WITH toks AS (
+       |  SELECT unnest(${TextAnalysis.tokensSql(text)}) AS tok FROM $table
+       |  WHERE $text IS NOT NULL AND length($text) > 0),
+       |cells AS (
+       |  SELECT d, ${Hashing.hash60Sql("d || ':' || tok")} % $width AS b,
+       |    count(*) AS c
+       |  FROM toks CROSS JOIN range(0, $depth) t(d) GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT tok, count(*) AS true_n FROM toks GROUP BY 1
+       |  ORDER BY true_n DESC, tok LIMIT $topN),
+       |probes AS (
+       |  SELECT tok, true_n, d,
+       |    ${Hashing.hash60Sql("d || ':' || tok")} % $width AS b
+       |  FROM truth CROSS JOIN range(0, $depth) t(d))
+       |SELECT p.tok, p.true_n::BIGINT AS true_n, min(c)::BIGINT AS est_n
+       |FROM probes p JOIN cells USING (d, b)
+       |GROUP BY 1, 2""".stripMargin
+
   def embeddingSnapshotDriftSql(vec: String, label: String, table: String,
       predSql: String): String = {
     val t1 = s"(SELECT * FROM $table WHERE $predSql)"

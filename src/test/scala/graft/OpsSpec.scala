@@ -2180,6 +2180,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got._2 < 0, "zipfian corpus must fit a negative slope")
   }
 
+  test("cms: overestimate law on every key; collision-free width is exact") {
+    // tiny corpus, probe ALL tokens (topN covers the vocab)
+    val corpus = Seq((0L, "a a a b b c the the the the the")).toDF("doc_id", "text")
+    val out = Diagnostics.cmsEstimates(corpus, "text", depth = 4,
+        width = 1024, topN = 100)
+      .as[(String, Long, Long)].collect()
+    assert(out.map(_._1).toSet == Set("a", "b", "c", "the"))
+    // est >= true structurally; at width 1024 over 4 keys collisions
+    // are (deterministically) absent, so est == true
+    assert(out.forall(r => r._3 >= r._2))
+    assert(out.forall(r => r._3 == r._2), s"unexpected collision: ${out.toSeq}")
+    // a deliberately tiny width forces collisions: est strictly above
+    // true for at least one key, never below
+    val tight = Diagnostics.cmsEstimates(corpus, "text", depth = 1,
+        width = 2, topN = 100)
+      .as[(String, Long, Long)].collect()
+    assert(tight.forall(r => r._3 >= r._2))
+    assert(tight.exists(r => r._3 > r._2),
+      "width 2 over 4 keys must collide somewhere")
+  }
+
   test("curation pipeline composite: each stage's cut visible in the survivors") {
     val base = "The quick brown fox jumps over the lazy dog near the river bank"
     val corpus = Seq(
