@@ -344,22 +344,41 @@ object Diagnostics {
     * that digest. Merging shards/streams is cell-wise addition — the
     * [[graft.streaming.TopKStore]]-family contract.
     */
+  private def cmsBucketOf(d: Int, t: Column, width: Int): Column =
+    pmod(Hashing.hash60(concat(lit(s"$d:"), t)), lit(width.toLong))
+
+  /** The CMS matrix itself: (d, b, c) cells. Public because the merge
+    * law — cms(A ∪ B) == cms(A) + cms(B) cell-wise — is the sketch's
+    * whole point (shard/stream roll-ups) and is spec-pinned on this
+    * frame.
+    */
+  def cmsCells(docs: DataFrame, textCol: String, depth: Int,
+      width: Int): DataFrame = {
+    val toks = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    (0 until depth).map(d =>
+        toks.select(lit(d.toLong).as("d"),
+          cmsBucketOf(d, col("tok"), width).as("b")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+  }
+
   def cmsEstimates(docs: DataFrame, textCol: String, depth: Int,
       width: Int, topN: Int): DataFrame = {
     val toks = Caching.cachedOnce(docs
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("tok")))
-    def bucketOf(d: Int, t: Column): Column =
-      pmod(Hashing.hash60(concat(lit(s"$d:"), t)), lit(width.toLong))
     val cells = (0 until depth).map(d =>
-        toks.select(lit(d.toLong).as("d"), bucketOf(d, col("tok")).as("b")))
+        toks.select(lit(d.toLong).as("d"),
+          cmsBucketOf(d, col("tok"), width).as("b")))
       .reduce(_.unionByName(_))
       .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
     val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
       .orderBy(col("true_n").desc, col("tok").asc).limit(topN)
     val probes = (0 until depth).map(d =>
         truth.select(col("tok"), col("true_n"), lit(d.toLong).as("d"),
-          bucketOf(d, col("tok")).as("b")))
+          cmsBucketOf(d, col("tok"), width).as("b")))
       .reduce(_.unionByName(_))
     probes.join(cells, Seq("d", "b"))
       .groupBy(col("tok"), col("true_n")).agg(min(col("c")).as("est_n"))

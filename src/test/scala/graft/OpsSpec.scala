@@ -2199,6 +2199,19 @@ class OpsSpec extends AnyFunSuite {
     assert(tight.forall(r => r._3 >= r._2))
     assert(tight.exists(r => r._3 > r._2),
       "width 2 over 4 keys must collide somewhere")
+    // merge law: the sketch of a concatenated corpus equals the
+    // cell-wise SUM of the halves' sketches — the shard/stream
+    // roll-up contract
+    val a = Seq((0L, "a a b the")).toDF("doc_id", "text")
+    val b = Seq((1L, "b c the the")).toDF("doc_id", "text")
+    val both = a.unionByName(b)
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      Diagnostics.cmsCells(df, "text", depth = 3, width = 8)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val summed = (cellMap(a).toSeq ++ cellMap(b).toSeq)
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    assert(cellMap(both) == summed)
   }
 
   test("curation pipeline composite: each stage's cut visible in the survivors") {
