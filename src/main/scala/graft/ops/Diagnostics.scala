@@ -364,6 +364,17 @@ object Diagnostics {
       .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
   }
 
+  /** Probe rows for a key frame: (tok, d, b) — the key's bucket in
+    * every sketch row. Shared by the batch estimate query and the
+    * [[graft.streaming.CmsStore]] serve path.
+    */
+  def cmsProbes(keys: DataFrame, tokCol: String, depth: Int,
+      width: Int): DataFrame =
+    (0 until depth).map(d =>
+        keys.select(col(tokCol).as("tok"), lit(d.toLong).as("d"),
+          cmsBucketOf(d, col(tokCol), width).as("b")))
+      .reduce(_.unionByName(_))
+
   def cmsEstimates(docs: DataFrame, textCol: String, depth: Int,
       width: Int, topN: Int): DataFrame = {
     val toks = Caching.cachedOnce(docs
