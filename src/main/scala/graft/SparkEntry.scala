@@ -861,6 +861,14 @@ object SparkEntry {
         "label", col("vec_id") < 8, k = 5, nprobe = 4, itersIvf = 4,
         massign = 2, rerank = 40)),
 
+    // X141's composed tier: IVF probing x SQ4 nibble codes (the
+    // FAISS IVF_SQ4 shape) — probed-list candidates scored from
+    // 4-bit reconstructions, wider rerank absorbing the coarser cut.
+    "q_sim_ivfsq4" -> ((s, dir) =>
+      Sq.ivfSqTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", col("vec_id") < 8, k = 5, nprobe = 4, itersIvf = 4,
+        massign = 2, rerank = 80, levels = 16)),
+
     // The persisted-index build/search split (ops.Index): the SAME
     // IVF×PQ search as q_sim_ivfpq, but served from a prebuilt
     // bucketed artifact — the query's returned plan contains NO
@@ -2230,6 +2238,11 @@ object SparkEntry {
       (Sq.ivfSqTopKSql("vec_id", "embedding", "label", "embeddings",
         "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
         rerank = 40) + " ORDER BY qid, rank"),
+
+    "q_sim_ivfsq4" ->
+      (Sq.ivfSqTopKSql("vec_id", "embedding", "label", "embeddings",
+        "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
+        rerank = 80, levels = 16) + " ORDER BY qid, rank"),
 
     "q_sim_rplsh_recall" ->
       (Similarity.rpLshRecallSweepSql("vec_id", "embedding", "embeddings",

@@ -141,10 +141,11 @@ object Sq {
     */
   def ivfSqTopK(embs: DataFrame, idCol: String, vecCol: String,
       seedCol: String, queryPred: Column, k: Int, nprobe: Int,
-      itersIvf: Int, massign: Int, rerank: Int, dim: Int = 64): DataFrame = {
+      itersIvf: Int, massign: Int, rerank: Int, dim: Int = 64,
+      levels: Int = 256): DataFrame = {
     val base = baseOf(embs, idCol, vecCol)
     val ranges = rangesOf(base, dim)
-    val c = encoded(base, ranges, dim)
+    val c = encoded(base, ranges, dim, maxCode = (levels - 1).toDouble)
     val queries = base.filter(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val cents = Similarity.withCNorm(
@@ -166,7 +167,7 @@ object Sq {
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id")).distinct()
     cutAndRerank(base, queries,
-      candPairs.join(withRecon(c, dim), "id")
+      candPairs.join(withRecon(c, dim, maxCode = (levels - 1).toDouble), "id")
         .join(broadcast(queries.select(col("qid"), col("qv"), col("qnrm"))), "qid"),
       k, rerank)
   }
@@ -301,7 +302,9 @@ object Sq {
     */
   def ivfSqTopKSql(id: String, vec: String, seed: String, table: String,
       queryPredSql: String, k: Int, nprobe: Int, itersIvf: Int,
-      massign: Int, rerank: Int, dim: Int = 64): String =
+      massign: Int, rerank: Int, dim: Int = 64,
+      levels: Int = 256): String = {
+    val maxCode = (levels - 1).toDouble
     s"""${Similarity.ivfTrainedPrefixSql(id, vec, seed, table, queryPredSql,
           k, itersIvf, dim, massign)},
        |x AS (SELECT id, v, [round(y * 1e6) for y in v] AS xm FROM e),
@@ -310,7 +313,7 @@ object Sq {
        |  FROM x CROSS JOIN range(0, $dim) t(d) GROUP BY 1),
        |rng AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his
        |        FROM mm),
-       |sqc AS (SELECT id, v, ${codeSql("xm", "los", "his", dim)} AS code,
+       |sqc AS (SELECT id, v, ${codeSql("xm", "los", "his", dim, maxCode)} AS code,
        |          los, his
        |        FROM x, rng),
        |probes AS (
@@ -326,7 +329,7 @@ object Sq {
        |      (qnrm * ${Vectors.normSql("rv")}) * 1e6) AS akey
        |  FROM (
        |    SELECT cp.qid, cp.id, q.qv, q.qnrm, c.v AS nv,
-       |      [c.los[i] + (c.code[i] + 0.5) * greatest(1.0, c.his[i] - c.los[i]) / 255.0
+       |      [c.los[i] + (c.code[i] + 0.5) * greatest(1.0, c.his[i] - c.los[i]) / $maxCode
        |       for i in range(1, ${dim + 1})] AS rv
        |    FROM candp cp JOIN sqc c ON c.id = cp.id JOIN q ON q.qid = cp.qid)),
        |cand AS (
@@ -341,6 +344,7 @@ object Sq {
        |SELECT qid, rank::BIGINT AS rank, neighbor_id,
        |  round(cos * 1e6)::BIGINT AS cos_micros
        |FROM r WHERE rank <= $k""".stripMargin
+  }
 
   /** Twin of [[recall]]: the truth ranking reuses the prefix's `e`/`q`
     * CTEs; hits join INNER (a zero-hit query drops out on both
