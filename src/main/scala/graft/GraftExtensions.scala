@@ -51,10 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => ArgMinL2(args.head, args(1), args(2)))
     register(ext, "rep_stats", "rep_stats(tokens) - [n_tokens, n_distinct, top_token_n, n_bigrams, top_bigram_n] in one in-row pass",
       args => RepStats(args.head))
-    register(ext, "sq_encode", "sq_encode(v, los, his, clamp) - SQ8 code array against per-dim micro ranges",
-      args => SqEncode(args.head, args(1), args(2), boolArg(args(3), "clamp")))
-    register(ext, "sq_recon", "sq_recon(code, los, his) - SQ8 midpoint reconstruction in micro units",
-      args => SqRecon(args.head, args(1), args(2)))
+    register(ext, "sq_encode", "sq_encode(v, los, his, clamp[, max_code]) - SQ code array against per-dim micro ranges (max_code 255 = SQ8 default, 15 = SQ4)",
+      args => SqEncode(args.head, args(1), args(2), boolArg(args(3), "clamp"),
+        if (args.length > 4) doubleArg(args(4), "max_code") else 255.0))
+    register(ext, "sq_recon", "sq_recon(code, los, his[, max_code]) - SQ midpoint reconstruction in micro units (max_code 255 = SQ8 default)",
+      args => SqRecon(args.head, args(1), args(2),
+        if (args.length > 3) doubleArg(args(3), "max_code") else 255.0))
     register(ext, "char_entropy", "char_entropy(text) - code-point Shannon entropy in micro-nats",
       args => CharEntropy(args.head))
   }
@@ -63,6 +65,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
     case other => throw new IllegalArgumentException(
       s"$name must be a boolean literal, got $other")
+  }
+
+  private def doubleArg(e: Expression, name: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$name must be a numeric literal, got $other")
   }
 
   private def stringArg(e: Expression, name: String): String = e match {

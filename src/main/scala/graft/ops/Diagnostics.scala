@@ -347,22 +347,31 @@ object Diagnostics {
   private def cmsBucketOf(d: Int, t: Column, width: Int): Column =
     pmod(Hashing.hash60(concat(lit(s"$d:"), t)), lit(width.toLong))
 
+  private def cmsToks(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+
+  /** All `depth` (d, b) rows of a token in ONE pass (posexplode over
+    * the per-row bucket array) — a union of per-d branches would
+    * re-read and re-tokenize the input once per sketch row
+    * (self-review finding; matters per micro-batch in the store).
+    */
+  private def cmsCellsOf(toks: DataFrame, depth: Int,
+      width: Int): DataFrame =
+    toks
+      .select(posexplode(array((0 until depth).map(d =>
+        cmsBucketOf(d, col("tok"), width)): _*)).as(Seq("d", "b")))
+      .select(col("d").cast("long").as("d"), col("b"))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+
   /** The CMS matrix itself: (d, b, c) cells. Public because the merge
     * law — cms(A ∪ B) == cms(A) + cms(B) cell-wise — is the sketch's
     * whole point (shard/stream roll-ups) and is spec-pinned on this
     * frame.
     */
   def cmsCells(docs: DataFrame, textCol: String, depth: Int,
-      width: Int): DataFrame = {
-    val toks = docs
-      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-    (0 until depth).map(d =>
-        toks.select(lit(d.toLong).as("d"),
-          cmsBucketOf(d, col("tok"), width).as("b")))
-      .reduce(_.unionByName(_))
-      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
-  }
+      width: Int): DataFrame =
+    cmsCellsOf(cmsToks(docs, textCol), depth, width)
 
   /** Probe rows for a key frame: (tok, d, b) — the key's bucket in
     * every sketch row. Shared by the batch estimate query and the
@@ -377,14 +386,10 @@ object Diagnostics {
 
   def cmsEstimates(docs: DataFrame, textCol: String, depth: Int,
       width: Int, topN: Int): DataFrame = {
-    val toks = Caching.cachedOnce(docs
-      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok")))
-    val cells = (0 until depth).map(d =>
-        toks.select(lit(d.toLong).as("d"),
-          cmsBucketOf(d, col("tok"), width).as("b")))
-      .reduce(_.unionByName(_))
-      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+    // cached: the cell pass and the truth pass both consume the
+    // exploded tokens
+    val toks = Caching.cachedOnce(cmsToks(docs, textCol))
+    val cells = cmsCellsOf(toks, depth, width)
     val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
       .orderBy(col("true_n").desc, col("tok").asc).limit(topN)
     val probes = (0 until depth).map(d =>

@@ -851,13 +851,19 @@ object TextAnalysis {
       sum(col("x") * col("x")).as("sxx"))
     val num = (col("n_ranks") * col("sxy") - col("sx") * col("sy"))
       .cast("double")
-    val den = (col("n_ranks") * col("sxx") - col("sx") * col("sx"))
-      .cast("double")
-    val slopeRaw = num / den
+    val denL = col("n_ranks") * col("sxx") - col("sx") * col("sx")
+    val slopeRaw = num / denL.cast("double")
+    // a single-rank (or otherwise degenerate) corpus has den = 0: the
+    // fit is undefined — emit NULL on BOTH engines instead of letting
+    // Spark's round(NaN) = 0 silently diverge from the SQL twin's
+    // NaN-cast failure (self-review finding, fuzz-pinned)
     m.select(col("n_ranks"),
-      round(slopeRaw * 1e6).cast("long").as("slope_micros"),
-      round((col("sy").cast("double") - slopeRaw * col("sx").cast("double"))
-        / col("n_ranks") * 1e3).cast("long").as("intercept_micros"))
+      when(denL =!= 0, round(slopeRaw * 1e6).cast("long"))
+        .as("slope_micros"),
+      when(denL =!= 0,
+        round((col("sy").cast("double") - slopeRaw * col("sx").cast("double"))
+          / col("n_ranks") * 1e3).cast("long"))
+        .as("intercept_micros"))
   }
 
   def zipfFitSql(text: String, table: String, topR: Int): String =
@@ -872,11 +878,15 @@ object TextAnalysis {
        |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
        |  FROM pts)
        |SELECT n_ranks,
-       |  round((n_ranks * sxy - sx * sy)::DOUBLE
-       |    / (n_ranks * sxx - sx * sx)::DOUBLE * 1e6)::BIGINT AS slope_micros,
-       |  round((sy::DOUBLE - (n_ranks * sxy - sx * sy)::DOUBLE
-       |      / (n_ranks * sxx - sx * sx)::DOUBLE * sx::DOUBLE)
-       |    / n_ranks * 1e3)::BIGINT AS intercept_micros
+       |  CASE WHEN n_ranks * sxx - sx * sx = 0 THEN NULL
+       |    ELSE round((n_ranks * sxy - sx * sy)::DOUBLE
+       |      / (n_ranks * sxx - sx * sx)::DOUBLE * 1e6)::BIGINT
+       |  END AS slope_micros,
+       |  CASE WHEN n_ranks * sxx - sx * sx = 0 THEN NULL
+       |    ELSE round((sy::DOUBLE - (n_ranks * sxy - sx * sy)::DOUBLE
+       |        / (n_ranks * sxx - sx * sx)::DOUBLE * sx::DOUBLE)
+       |      / n_ranks * 1e3)::BIGINT
+       |  END AS intercept_micros
        |FROM m""".stripMargin
 
   // ------------------------------------ Script profile + OOV gate (X139-X140)

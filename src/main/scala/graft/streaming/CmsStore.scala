@@ -46,34 +46,9 @@ object CmsStore {
     */
   def applyBatch(batch: DataFrame, textCol: String, tableDir: String,
       runId: String, batchId: Long, depth: Int, width: Int,
-      nBucketsIfNew: Int, graceCommits: Int = 0): Unit = {
-    val spark = batch.sparkSession
-    val delta = cellDelta(batch, textCol, depth, width)
-    StateTable.mergeBucketedBySource(delta, tableDir, nBucketsIfNew,
-      emptyState = spark.range(0).select(lit("").as("source"),
-        lit(0L).as("bin"), lit(0L).as("cnt"), lit("").as("run_id"),
-        lit(0L).as("last_batch")).limit(0),
-      batchId, graceCommits) { (existing, d) =>
-      val stale = col("sc").isNotNull && col("srid") === lit(runId) &&
-        lit(batchId) <= col("slb")
-      val merged = existing
-        .select(col("source"), col("bin"), col("cnt").as("sc"),
-          col("run_id").as("srid"), col("last_batch").as("slb"))
-        .join(d, Seq("source", "bin"), "full_outer")
-        .select(col("source"), col("bin"),
-          when(col("d_cnt").isNull, col("sc"))
-            .when(stale, col("sc"))
-            .otherwise(coalesce(col("sc"), lit(0L)) + col("d_cnt"))
-            .as("cnt"),
-          when(col("d_cnt").isNull, col("srid"))
-            .when(stale, col("srid"))
-            .otherwise(lit(runId)).as("run_id"),
-          when(col("d_cnt").isNull, col("slb"))
-            .when(stale, col("slb"))
-            .otherwise(lit(batchId)).as("last_batch"))
-      (merged, () => ())
-    }
-  }
+      nBucketsIfNew: Int, graceCommits: Int = 0): Unit =
+    CounterStore.applyDelta(cellDelta(batch, textCol, depth, width),
+      tableDir, runId, batchId, nBucketsIfNew, graceCommits)
 
   /** Run the maintenance query — state only; estimates are SERVED
     * from the store ([[estimates]]).
@@ -100,37 +75,9 @@ object CmsStore {
     * has no doc ids by construction). Cells at zero drop.
     */
   def forget(removals: DataFrame, textCol: String, tableDir: String,
-      depth: Int, width: Int, graceCommits: Int = 0): Unit = {
-    val spark = removals.sparkSession
-    val st = StateTable.loadManifestFull(tableDir)
-    val nBuckets = st.nBuckets.getOrElse(StateTable.DefaultBuckets)
-    val bucket = pmod(hash(col("source")), lit(nBuckets)).cast("int")
-    val delta = cellDelta(removals, textCol, depth, width)
-      .withColumn("b2", bucket)
-      .persist()
-    try {
-      val touched = delta.select(col("b2")).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
-        .filter(st.buckets.contains)
-      if (touched.isEmpty) return
-      val merged = spark.read.option("mergeSchema", "true").parquet(
-          touched.map(b => s"$tableDir/b$b/${st.buckets(b)}"): _*)
-        .join(delta.drop("b2"), Seq("source", "bin"), "left")
-        .select(col("source"), col("bin"),
-          (col("cnt") - coalesce(col("d_cnt"), lit(0L))).as("cnt"),
-          col("run_id"), col("last_batch"))
-        .filter(col("cnt") > 0)
-        .withColumn("b", bucket)
-        .persist()
-      try {
-        val keptBuckets = merged.select(col("b")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        StateTable.commitPartitioned(tableDir, merged, nBuckets, st,
-          s"f${java.util.UUID.randomUUID().toString.take(8)}",
-          graceCommits, emptied = touched.filterNot(keptBuckets))
-      } finally merged.unpersist()
-    } finally delta.unpersist()
-  }
+      depth: Int, width: Int, graceCommits: Int = 0): Unit =
+    CounterStore.subtract(cellDelta(removals, textCol, depth, width),
+      tableDir, graceCommits)
 
   /** The raw maintained matrix: (d, b, cnt). */
   def cells(spark: SparkSession, tableDir: String): DataFrame =

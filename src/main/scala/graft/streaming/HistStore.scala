@@ -38,13 +38,15 @@ object HistStore {
     * public for batch-mode reuse and tests — [[maintain]] is the
     * streaming driver.
     */
-  def applyBatch(batch: DataFrame, textCol: String, sourceCol: String,
-      tableDir: String, runId: String, batchId: Long,
-      nBucketsIfNew: Int, graceCommits: Int = 0): Unit = {
-    val spark = batch.sparkSession
-    // NULL-text docs are excluded (the X97 contract — matches the
-    // batch sketch, so the union-equality law holds)
-    val delta = batch.filter(col(textCol).isNotNull)
+  /** The per-(source, bin) delta a doc set contributes — the only
+    * store-specific piece; the additive protocol (replay guard,
+    * subtract) lives in [[CounterStore]]. NULL-text docs are excluded
+    * (the X97 contract — matches the batch sketch, so the
+    * union-equality law holds).
+    */
+  private def binDelta(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
       .select(coalesce(col(sourceCol).cast("string"), lit("<null>"))
           .as("source"),
         Diagnostics.binId(
@@ -52,34 +54,11 @@ object HistStore {
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).cast("long").as("d_cnt"))
 
-    StateTable.mergeBucketedBySource(delta, tableDir, nBucketsIfNew,
-      emptyState = spark.range(0).select(lit("").as("source"),
-        lit(0L).as("bin"), lit(0L).as("cnt"), lit("").as("run_id"),
-        lit(0L).as("last_batch")).limit(0),
-      batchId, graceCommits) { (existing, d) =>
-      // the CardStore high-water guard, per (source, bin) row: a
-      // replayed batch re-derives the same delta rows, so each stored
-      // row's (run, batch) mark catches its own replay
-      val stale = col("sc").isNotNull && col("srid") === lit(runId) &&
-        lit(batchId) <= col("slb")
-      val merged = existing
-        .select(col("source"), col("bin"), col("cnt").as("sc"),
-          col("run_id").as("srid"), col("last_batch").as("slb"))
-        .join(d, Seq("source", "bin"), "full_outer")
-        .select(col("source"), col("bin"),
-          when(col("d_cnt").isNull, col("sc"))
-            .when(stale, col("sc"))
-            .otherwise(coalesce(col("sc"), lit(0L)) + col("d_cnt"))
-            .as("cnt"),
-          when(col("d_cnt").isNull, col("srid"))
-            .when(stale, col("srid"))
-            .otherwise(lit(runId)).as("run_id"),
-          when(col("d_cnt").isNull, col("slb"))
-            .when(stale, col("slb"))
-            .otherwise(lit(batchId)).as("last_batch"))
-      (merged, () => ())
-    }
-  }
+  def applyBatch(batch: DataFrame, textCol: String, sourceCol: String,
+      tableDir: String, runId: String, batchId: Long,
+      nBucketsIfNew: Int, graceCommits: Int = 0): Unit =
+    CounterStore.applyDelta(binDelta(batch, textCol, sourceCol),
+      tableDir, runId, batchId, nBucketsIfNew, graceCommits)
 
   /** Run the maintenance query — state only; quantiles are SERVED
     * from the store ([[quantiles]]).
@@ -114,47 +93,9 @@ object HistStore {
     * version, the StateTable convention).
     */
   def forget(removals: DataFrame, textCol: String, sourceCol: String,
-      tableDir: String, graceCommits: Int = 0): Unit = {
-    val spark = removals.sparkSession
-    val st = StateTable.loadManifestFull(tableDir)
-    val nBuckets = st.nBuckets.getOrElse(StateTable.DefaultBuckets)
-    val bucket = pmod(hash(col("source")), lit(nBuckets)).cast("int")
-    val delta = removals.filter(col(textCol).isNotNull)
-      .select(coalesce(col(sourceCol).cast("string"), lit("<null>"))
-          .as("source"),
-        Diagnostics.binId(
-          graft.ops.TextAnalysis.tokenCount(col(textCol))).as("bin"))
-      .groupBy(col("source"), col("bin"))
-      .agg(count(lit(1)).cast("long").as("d_cnt"))
-      .withColumn("b", bucket)
-      .persist()
-    try {
-      val touched = delta.select(col("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
-        .filter(st.buckets.contains)
-      if (touched.isEmpty) return
-      // mergeSchema: same straddle-safe protocol as the shared
-      // scaffold (StateTable.mergeBucketedBySource) — touched buckets
-      // can span a store-schema upgrade, and a plain read would
-      // silently drop the newer column and persist the loss here.
-      val merged = spark.read.option("mergeSchema", "true").parquet(
-          touched.map(b => s"$tableDir/b$b/${st.buckets(b)}"): _*)
-        .join(delta.drop("b"), Seq("source", "bin"), "left")
-        .select(col("source"), col("bin"),
-          (col("cnt") - coalesce(col("d_cnt"), lit(0L))).as("cnt"),
-          col("run_id"), col("last_batch"))
-        .filter(col("cnt") > 0)
-        .withColumn("b", bucket)
-        .persist()
-      try {
-        val keptBuckets = merged.select(col("b")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        StateTable.commitPartitioned(tableDir, merged, nBuckets, st,
-          s"f${java.util.UUID.randomUUID().toString.take(8)}",
-          graceCommits, emptied = touched.filterNot(keptBuckets))
-      } finally merged.unpersist()
-    } finally delta.unpersist()
-  }
+      tableDir: String, graceCommits: Int = 0): Unit =
+    CounterStore.subtract(binDelta(removals, textCol, sourceCol),
+      tableDir, graceCommits)
 
   /** The raw maintained histogram: (source, bin, cnt). */
   def histogram(spark: SparkSession, tableDir: String): DataFrame =

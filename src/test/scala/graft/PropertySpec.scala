@@ -556,12 +556,17 @@ class PropertySpec extends AnyFunSuite {
       val sxy = pts.map(p => p._1 * p._2).sum
       val sxx = pts.map(p => p._1 * p._1).sum
       val den = n * sxx - sx * sx
-      val zipfHolds = if (den == 0) true else {
+      val zipfRow = TextAnalysis.zipfFit(df, "text", topR = 256)
+        .collect().head
+      val zipfHolds = if (den == 0) {
+        // degenerate fit (e.g. one distinct token): NULL on both
+        // engines, never round(NaN) = 0 (self-review finding)
+        zipfRow.isNullAt(1) && zipfRow.isNullAt(2)
+      } else {
         val slopeRaw = (n * sxy - sx * sy).toDouble / den.toDouble
         val want = (n, math.round(slopeRaw * 1e6),
           math.round((sy.toDouble - slopeRaw * sx.toDouble) / n * 1e3))
-        TextAnalysis.zipfFit(df, "text", topR = 256)
-          .as[(Long, Long, Long)].head() == want
+        (zipfRow.getLong(0), zipfRow.getLong(1), zipfRow.getLong(2)) == want
       }
       // X135: full PMI output == plain reference (minCount 1 = no cut)
       val bgs = toks.filter(_.size >= 2)
