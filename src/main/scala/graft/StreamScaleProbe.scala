@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{ChunkDupStore, DedupStore, SampleStore, StateTable}
+import graft.streaming.{ChunkDupStore, CmsStore, DedupStore, SampleStore, StateTable}
 
 /** Streaming-store scale probe (VERDICT r11 carry item 5): the
   * "work per trigger ∝ batch + touched buckets, never ∝ history"
@@ -31,6 +31,9 @@ import graft.streaming.{ChunkDupStore, DedupStore, SampleStore, StateTable}
   *  - [[SampleStore]]: bottom-n per source — state BOUNDED by
   *    n·|sources| regardless of history; the flat-by-construction
   *    baseline the growing stores are read against.
+  *  - [[CmsStore]]: the depth×width counter matrix — state bounded
+  *    by the SKETCH's definition (depth·width cells) at any history;
+  *    per-trigger work is the batch's token pass + the cell merge.
   *
   * Usage: `runMain graft.StreamScaleProbe [sfDir] [nTriggers]`
   */
@@ -56,7 +59,7 @@ object StreamScaleProbe {
     }
 
     println("[streamprobe] trigger batch_rows dedup_s chunk_s sample_s " +
-      "dedup_fps chunk_fps sample_rows")
+      "cms_s dedup_fps chunk_fps sample_rows cms_cells")
     (0 until nTriggers).foreach { i =>
       spark.catalog.clearCache()
       val batch = docs.filter(pmod(col("doc_id"), lit(nTriggers)) === i)
@@ -75,11 +78,17 @@ object StreamScaleProbe {
         SampleStore.applyBatch(batch, "doc_id", "source",
           dir("sample_tbl"), i, n = 100, nBucketsIfNew = 64)
       }
+      val tCms = timed {
+        CmsStore.applyBatch(batch, "text", dir("cms_tbl"),
+          runId = "probe", batchId = i, depth = 4, width = 1024,
+          nBucketsIfNew = 8)
+      }
       // history sizes AFTER the trigger (what the NEXT trigger reads)
       def size(d: String) = StateTable.read(spark, d).count()
       println(f"[streamprobe] ${i + 1}%7d $rows%10d $tDedup%7.2f " +
-        f"$tChunk%7.2f $tSample%8.2f ${size(dir("dedup_tbl"))}%9d " +
-        f"${size(dir("chunk_tbl"))}%9d ${size(dir("sample_tbl"))}%11d")
+        f"$tChunk%7.2f $tSample%8.2f $tCms%6.2f ${size(dir("dedup_tbl"))}%9d " +
+        f"${size(dir("chunk_tbl"))}%9d ${size(dir("sample_tbl"))}%11d " +
+        f"${size(dir("cms_tbl"))}%9d")
     }
     spark.stop()
   }
