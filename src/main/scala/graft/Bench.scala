@@ -53,15 +53,32 @@ object Bench {
     // total overstated steady-state ~25% and needed a judge re-run to
     // attribute; `value` stays the cold total (the driver contract).
     // SPARK_GRAFT_BENCH_WARM=0 opts out.
+    //
+    // The warm figure is the MIN over SPARK_GRAFT_BENCH_WARM_RUNS
+    // (default 3) back-to-back executions, NOT the single 2nd run:
+    // DriftProbe measured ×2.2–×3 within-session spreads on identical
+    // plans settling only after ~5-7 executions (JIT re-compilation of
+    // wide WSCG methods), and four queries across rounds 10-12 tripped
+    // the per-query bench lock on byte-identical code because a single
+    // 2nd-run sample measures JIT state, not plan cost. min-of-N is
+    // the standard noise-rejection estimator here: every upward
+    // excursion (compile, GC, box contention) can only RAISE a sample,
+    // so the min converges on the plan's settled floor and cross-sweep
+    // ratios compare plans again.
     val warmPass = !sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("0")
+    val warmRuns = sys.env.get("SPARK_GRAFT_BENCH_WARM_RUNS")
+      .map(_.toInt).getOrElse(3).max(1)
     def runWarm(name: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed warm: ${e.getMessage}")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed warm: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      (System.nanoTime() - t0) / 1e9
+      (1 to warmRuns).map(_ => once()).min
     }
 
     run("q_cdc_changes") // warmup, untimed

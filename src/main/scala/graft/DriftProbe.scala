@@ -20,12 +20,20 @@ import org.apache.spark.sql.SparkSession
   *    of N identical serves bounds how much of the delta a single
   *    sampled pair can carry.
   *
-  * Usage: `runMain graft.DriftProbe [sfDir] [iters]`
+  * Round 12 extended the same probe to `q_text_bpe` (lock FAIL ×5.10
+  * with a warm>cold inversion on untouched code) and `q_text_rm3`
+  * (×2.37) — the query list is now an argument so every future
+  * unattributed lock trip runs through the identical instrument.
+  *
+  * Usage: `runMain graft.DriftProbe [sfDir] [iters] [q1,q2,...]`
   */
 object DriftProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val iters = args.lift(1).map(_.toInt).getOrElse(8)
+    val queryNames = args.lift(2)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("q_mm_audio", "q_text_rm3_frozen_serve"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,7 +55,7 @@ object DriftProbe {
       }
     }
 
-    Seq("q_mm_audio", "q_text_rm3_frozen_serve").foreach { name =>
+    queryNames.foreach { name =>
       val ts = series(name)
       val warm = ts.drop(1) // iter 1 pays the freeze / first-plan cost
       val mn = warm.min; val mx = warm.max

@@ -71,6 +71,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toDouble
+    // Spark SQL parses a fractional literal like `15.0` as Decimal —
+    // without this branch `sq_encode(v, los, his, false, 15.0)` from
+    // SQL rejects a perfectly numeric argument
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
     case other => throw new IllegalArgumentException(
       s"$name must be a numeric literal, got $other")
   }

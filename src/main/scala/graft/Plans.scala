@@ -431,7 +431,24 @@ object Plans {
         |one narrow codegen'd projection whose stopword_hits carries
         |the whole vocab inside the compiled expression — zero
         |exchanges, not even a broadcast (PlanSpec pins the serve-only
-        |plan).""".stripMargin)
+        |plan).""".stripMargin,
+    "q_pipe_cdc" ->
+      """X145 CDC end-to-end composite (round 13): the reference's
+        |main() as one plan. What to check: the rlike filter (F1) sits
+        |directly on the events scan (pre-decode prune, main.rs parity);
+        |the WHOLE composition pays exactly ONE key Exchange — the LWW
+        |merge window on the union — and everything downstream
+        |(Debezium/BigQuery transforms, topic routing) is a narrow
+        |codegen'd projection over the merged rows: the composition adds
+        |NO shuffle over its costliest stage.""".stripMargin,
+    "q_dedup_minhash_recall_sampled" ->
+      """X146 fixed-budget sampled recall harness (round 13): the
+        |deterministic hash-sample predicate sits ON THE SCAN of every
+        |pass (truth postings, banding, verify all read the documents
+        |scan with the pushed sample filter), so the Σdf² truth join
+        |runs over the ~targetDocs sample, never the corpus — the
+        |measurement budget, not the data size, prices the
+        |harness.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -215,6 +215,41 @@ object SparkEntry {
       Merge.strictPairwise(bf, live)
     }),
 
+    // X145 CDC end-to-end composite (VERDICT r12 missing #2): the
+    // reference's main() as ONE oracle-gated composition
+    // (reference/src/main.rs:123-191): decode (S4) → regex filter
+    // (F1) → backfill ⊎ live LWW merge (M1/M2) → Debezium op +
+    // BigQuery change type (T4/T5) → topic routing (T3) — each stage
+    // the SAME fragment its per-stage gate proves, so cross-stage
+    // contract drift breaks this hash the way q_pipe_curate breaks
+    // for the curation recipe.
+    "q_pipe_cdc" -> ((s, dir) => {
+      val bf = Backfill.snapshot(T(s, dir, "customer"), "db0", "customer",
+          "c_custkey", Seq("c_custkey", "c_acctbal"))
+        .select(col("c_custkey").cast("string").as("key"),
+          col("op"), col("db"), col("table"), col("ts_sec"),
+          lit(-1L).as("seq"), col("c_acctbal").as("bal"),
+          lit(null).cast("string").as("payload"))
+      val live = Filters.regexFilter(
+          ChangeSource.fromEvents(T(s, dir, "events")),
+          """^db[0-2]\.(users|orders)$""")
+        .select((col("event_id") % 150 + 1).cast("string").as("key"),
+          col("op"), col("db"), col("table"),
+          col("ts").cast("long").as("ts_sec"),
+          col("event_id").as("seq"),
+          lit(null).cast("double").as("bal"),
+          col("after").as("payload"))
+      Routing.withTopic(Merge.lww(bf, live))
+        .select(col("key").cast("long").as("custkey"),
+          col("topic"),
+          Transforms.debeziumOp(col("op")).as("payload_op"),
+          Transforms.bigqueryChangeType(col("op")).as("_CHANGE_TYPE"),
+          col("ts_sec"),
+          when(col("precedence") === 1, "live").otherwise("backfill")
+            .as("src"),
+          col("bal"), col("payload"))
+    }),
+
     // §2.6: the MySQL wire-value → string type-mapping library
     // (reference/src/main.rs:442-507): DATE/DATETIME(+micros)
     // formatting, signed 3-digit-hour TIME, uppercase-hex bytes, and
@@ -660,6 +695,18 @@ object SparkEntry {
     "q_dedup_minhash_recall" -> ((s, dir) =>
       Dedup.minhashLshRecall(T(s, dir, "documents"), "doc_id", "text",
         k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)),
+
+    // X146 fixed-budget sampled recall harness — the SCALE default
+    // for X138: truth pass on a deterministic salted-hash doc sample
+    // whose RATE derives from the corpus size (target 250 docs), so
+    // measurement cost is flat in corpus size (the unsampled truth
+    // pass rode the corpus to a 31.7x sf1.0 ratio); per-decile recall
+    // on the sample is an unbiased estimator (pairs survive at rate^2
+    // independent of their Jaccard).
+    "q_dedup_minhash_recall_sampled" -> ((s, dir) =>
+      Dedup.minhashLshRecallSampled(T(s, dir, "documents"), "doc_id",
+        "text", k = 3, numHashes = 32, bands = 8, rows = 4,
+        threshold = 0.2, targetDocs = 250)),
 
     // X142 curation-recipe composite: quality gate -> exact-dup rep
     // (normalized key) -> near-dup cluster rep (MinHash+CC) -> PII
@@ -1858,6 +1905,34 @@ object SparkEntry {
          |  CASE WHEN take THEN 'live' ELSE 'backfill' END AS src
          |FROM j""".stripMargin,
 
+    "q_pipe_cdc" ->
+      s"""WITH b AS (
+         |  SELECT c_custkey::VARCHAR AS key, 'Backfill' AS op, 'db0' AS db,
+         |    'customer' AS "table", 1::BIGINT AS ts_sec, -1::BIGINT AS seq,
+         |    c_acctbal AS bal, NULL::VARCHAR AS payload, 0 AS prec
+         |  FROM customer),
+         |l AS (
+         |  SELECT (event_id % 150 + 1)::VARCHAR AS key, $opSql AS op,
+         |    $dbSql AS db, $tableSql AS "table",
+         |    epoch_ns(ts) // 1000000000 AS ts_sec, event_id AS seq,
+         |    NULL::DOUBLE AS bal, $afterSql AS payload, 1 AS prec
+         |  FROM events
+         |  WHERE regexp_matches($dbSql || '.' || $tableSql,
+         |    '^db[0-2]\\.(users|orders)$$')),
+         |u AS (SELECT * FROM b UNION ALL SELECT * FROM l),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY key
+         |        ORDER BY ts_sec DESC, prec DESC, seq DESC) AS rn FROM u)
+         |SELECT key::BIGINT AS custkey,
+         |  'projects/my-project-id/topics/all_pims.' || "table" AS topic,
+         |  CASE WHEN op IN ('Insert','Backfill') THEN 'c'
+         |       WHEN op = 'Update' THEN 'u' ELSE 'd' END AS payload_op,
+         |  CASE WHEN op = 'Delete' THEN 'DELETE' ELSE 'UPSERT' END
+         |    AS "_CHANGE_TYPE",
+         |  ts_sec,
+         |  CASE WHEN prec = 1 THEN 'live' ELSE 'backfill' END AS src,
+         |  bal, payload
+         |FROM r WHERE rn = 1 AND op <> 'Delete' ORDER BY custkey""".stripMargin,
+
     "q_cdc_typemap" ->
       """SELECT event_id,
         |  strftime(ts, '%Y-%m-%d') AS my_date,
@@ -2118,6 +2193,12 @@ object SparkEntry {
     "q_dedup_minhash_recall" ->
       (Dedup.minhashLshRecallSql("doc_id", "text", "documents",
         k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2)
+        + " ORDER BY bucket"),
+
+    "q_dedup_minhash_recall_sampled" ->
+      (Dedup.minhashLshRecallSampledSql("doc_id", "text", "documents",
+        k = 3, numHashes = 32, bands = 8, rows = 4, threshold = 0.2,
+        targetDocs = 250)
         + " ORDER BY bucket"),
 
     "q_pipe_curate" ->

@@ -1041,4 +1041,51 @@ object Dedup {
        |    / count(*) * 1e6)::BIGINT AS recall_micros
        |FROM truth t LEFT JOIN found f ON t.id1 = f.id1 AND t.id2 = f.id2
        |GROUP BY 1""".stripMargin
+
+  /** The SCALE form of [[minhashLshRecall]] (X146): the recall curve
+    * measured on a deterministic salted-hash DOC sample of FIXED
+    * BUDGET instead of the full corpus. The sample rate is derived
+    * from the corpus size (rate = targetDocs/|docs|, capped at 1), so
+    * the truth pass's Σdf² cost is FLAT in corpus size — recall
+    * estimation is a statistics problem, and its cost should scale
+    * with the measurement budget, never with the corpus (the 31.7×
+    * sf1.0 super-linearity of the unsampled harness was exactly the
+    * truth pass riding the corpus). Sampling docs uniformly keeps
+    * every PAIR with probability rate² independent of its Jaccard, so
+    * the per-decile recall ratio on the sample is an unbiased
+    * estimator of the full-corpus curve. The salt is fixed ("lshrs:")
+    * so both engines sample identical docs; the found pass is the
+    * production banding run on the same sample, so found ⊆ truth
+    * still holds row-wise. This is the default harness at full corpus
+    * scale; the unsampled twin stays the exact gate at test SFs.
+    *
+    * The corpus count is one bounded count job (the only full-corpus
+    * touch — a scan, no shuffle); floor division in both engines
+    * keeps the threshold bit-identical.
+    */
+  def minhashLshRecallSampled(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, numHashes: Int, bands: Int, rows: Int,
+      threshold: Double, targetDocs: Long): DataFrame = {
+    val n = docs.count()
+    val thr =
+      if (n == 0) 1000000L
+      else math.min(1000000L, targetDocs * 1000000L / n)
+    minhashLshRecall(
+      docs.filter(pmod(Hashing.hash60(
+        concat(lit("lshrs:"), col(idCol).cast("string"))),
+        lit(1000000L)) < thr),
+      idCol, textCol, k, numHashes, bands, rows, threshold)
+  }
+
+  def minhashLshRecallSampledSql(id: String, text: String,
+      table: String, k: Int, numHashes: Int, bands: Int, rows: Int,
+      threshold: Double, targetDocs: Long): String = {
+    val sampled = s"""(SELECT * FROM $table
+       | WHERE ${Hashing.hash60Sql(s"'lshrs:' || ($id)::VARCHAR")}
+       |   % 1000000 <
+       |   (SELECT least(1000000, $targetDocs * 1000000 // count(*))
+       |    FROM $table))""".stripMargin
+    minhashLshRecallSql(id, text, sampled, k, numHashes, bands, rows,
+      threshold)
+  }
 }

@@ -379,10 +379,14 @@ object Diagnostics {
     */
   def cmsProbes(keys: DataFrame, tokCol: String, depth: Int,
       width: Int): DataFrame =
-    (0 until depth).map(d =>
-        keys.select(col(tokCol).as("tok"), lit(d.toLong).as("d"),
-          cmsBucketOf(d, col(tokCol), width).as("b")))
-      .reduce(_.unionByName(_))
+    // all depth rows per key in ONE pass (posexplode, the cmsCellsOf
+    // shape) — the former depth-way union re-evaluated the key frame
+    // once per sketch row (ADVICE r12)
+    keys
+      .select(col(tokCol).as("tok"),
+        posexplode(array((0 until depth).map(d =>
+          cmsBucketOf(d, col(tokCol), width)): _*)).as(Seq("d", "b")))
+      .select(col("tok"), col("d").cast("long").as("d"), col("b"))
 
   def cmsEstimates(docs: DataFrame, textCol: String, depth: Int,
       width: Int, topN: Int): DataFrame = {
@@ -392,10 +396,15 @@ object Diagnostics {
     val cells = cmsCellsOf(toks, depth, width)
     val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
       .orderBy(col("true_n").desc, col("tok").asc).limit(topN)
-    val probes = (0 until depth).map(d =>
-        truth.select(col("tok"), col("true_n"), lit(d.toLong).as("d"),
-          cmsBucketOf(d, col("tok"), width).as("b")))
-      .reduce(_.unionByName(_))
+    // one pass over truth (posexplode) — the former depth-way union
+    // re-ran the full-vocab groupBy + top-N once per sketch row
+    // (ADVICE r12)
+    val probes = truth
+      .select(col("tok"), col("true_n"),
+        posexplode(array((0 until depth).map(d =>
+          cmsBucketOf(d, col("tok"), width)): _*)).as(Seq("d", "b")))
+      .select(col("tok"), col("true_n"),
+        col("d").cast("long").as("d"), col("b"))
     probes.join(cells, Seq("d", "b"))
       .groupBy(col("tok"), col("true_n")).agg(min(col("c")).as("est_n"))
       .select(col("tok"), col("true_n"), col("est_n"))

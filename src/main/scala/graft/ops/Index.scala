@@ -282,6 +282,17 @@ object Index {
     Seq("cents", "codebooks", "sq_ranges", "postings", "codes", "sq_codes",
       "bq_codes", "meta")
   /** The bucketed (key-clustered) parts and their bucket keys. */
+  /** Bucket id of a bucketed-writer data file, from the `_NNNNN` tag
+    * the writer embeds in the name (`part-00000-<uuid>_00003.c000…`) —
+    * the same pattern Spark's own scan uses to group a bucketed
+    * table's files. None when the name carries no tag.
+    */
+  private val BucketedFileName = """.*_(\d+)(?:\..*)?$""".r
+  private def bucketIdOf(fileName: String): Option[Int] = fileName match {
+    case BucketedFileName(b) => Some(b.toInt)
+    case _ => None
+  }
+
   private val BucketedParts =
     Seq("postings" -> "cl", "codes" -> "id", "sq_codes" -> "id",
       "bq_codes" -> "id")
@@ -684,15 +695,20 @@ object Index {
     * Retraining cadence stays an offline, coordinated act
     * ([[build]]).
     *
-    * Cost: one anti-join rewrite per part (the [[compact]] shape —
-    * reads resolve through the state file, so link-mode AND
-    * manifest-mode parts both collapse to a plain bucketed dir); the
-    * four rewrites land concurrently ([[Par.jobs]]). At 100 TB the
-    * refinement is bucket pruning (only ~|delIds| of the nBuckets
-    * id-keyed buckets actually change — link untouched bucket files,
-    * rewrite touched ones), the same file-surgery [[appendCommitted]]
-    * does; the postings part is full-touch either way (deleted ids
-    * scatter across cluster buckets).
+    * Cost: BUCKET-PRUNED on the id-keyed parts (codes/sq_codes/
+    * bq_codes — the [[appendCommitted]] file-surgery shape in
+    * reverse): the deleted ids hash to ≤ |delIds| of the nBuckets
+    * id-buckets, so only the FILES of those buckets are read,
+    * anti-joined and rewritten; every untouched bucket file is
+    * hard-linked into the new generation byte-identical (IndexSpec
+    * proves name + content identity). At 100 TB a single-document
+    * takedown therefore rewrites ~1/nBuckets of each codes table, not
+    * the whole table. The postings part is full-touch by necessity —
+    * it is bucketed by `cl`, and deleted ids scatter across cluster
+    * buckets (finding which would read all postings anyway). The four
+    * part rewrites land concurrently ([[Par.jobs]]); reads resolve
+    * through the state file, so link-mode AND manifest-mode parts
+    * both collapse to a plain bucketed dir.
     */
   def delete(spark: SparkSession, name: String, delIds: DataFrame,
       idCol: String, graceCommits: Int = 0): Unit = {
@@ -700,24 +716,59 @@ object Index {
     val meta = readMeta(spark, name)
     val del = Caching.cachedOnce(
       delIds.select(col(idCol).cast("long").as("__del_id")).distinct())
+    // the touched id-buckets — bucketBy's own hash family
+    // (functions.hash IS HashPartitioning's Murmur3 seed-42
+    // expression, pmod nBuckets). ≤ nBuckets values: a bounded
+    // driver-side digest, not a corpus collect.
+    val touched = del
+      .select(pmod(hash(col("__del_id")), lit(meta.nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
     val parts = BucketedParts.map { case (p, key) =>
       (p, key, s"${p}_d${java.util.UUID.randomUUID().toString.take(8)}")
     }
-    // phase 1, CONCURRENT: the four anti-join rewrites (distinct
-    // stage tables and target dirs; readers still serve the old
-    // generations)
+    // phase 1, CONCURRENT: per-part rewrites into fresh generation
+    // dirs (distinct stage tables and target dirs; readers still
+    // serve the old generations). id-keyed parts rewrite ONLY the
+    // files of touched buckets and link the rest; postings rewrites
+    // fully.
     Par.jobs(parts.map { case (p, key, newName) => () =>
-      val segs = segmentsOf(dir, loadPart(dir, p).current)
-        .map(s => s"$dir/$s")
-      val stageTbl = s"${part(name, p)}_stage_${newName.takeRight(8)}"
-      Bucketing.writeBucketed(
-        spark.read.parquet(segs: _*)
-          .join(del, col("id") === col("__del_id"), "left_anti")
-          .repartition(meta.nBuckets, col(key)),
-        stageTbl, key, meta.nBuckets, Some(s"$dir/$newName"))
-      spark.sql(s"DROP TABLE $stageTbl")
+      val segDirs = segmentsOf(dir, loadPart(dir, p).current)
+        .map(s => java.nio.file.Paths.get(dir, s))
+      val files = segDirs.flatMap(listDir).filter { f =>
+        val n = f.getFileName.toString
+        java.nio.file.Files.isRegularFile(f) &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+      // a file with no parseable bucket tag is conservatively treated
+      // as touched (rewritten) — never silently kept
+      val (rewrite, keep) =
+        if (key != "id") (files, Seq.empty[java.nio.file.Path])
+        else files.partition(f =>
+          bucketIdOf(f.getFileName.toString).forall(touched.contains))
+      val newDir = java.nio.file.Paths.get(dir, newName)
+      java.nio.file.Files.createDirectories(newDir)
+      if (rewrite.nonEmpty) {
+        val stageTbl = s"${part(name, p)}_stage_${newName.takeRight(8)}"
+        val stage = java.nio.file.Paths.get(dir, ".staging", newName)
+        Bucketing.writeBucketed(
+          spark.read.parquet(rewrite.map(_.toString): _*)
+            .join(del, col("id") === col("__del_id"), "left_anti")
+            .repartition(meta.nBuckets, col(key)),
+          stageTbl, key, meta.nBuckets, Some(stage.toString))
+        spark.sql(s"DROP TABLE $stageTbl")
+        linkInto(newDir, stage)
+      }
+      keep.foreach { f =>
+        val t = newDir.resolve(f.getFileName.toString)
+        try java.nio.file.Files.createLink(t, f)
+        catch {
+          case _: UnsupportedOperationException =>
+            java.nio.file.Files.copy(f, t)
+        }
+      }
     })
-    // phase 2, SEQUENTIAL: re-attach + atomic per-part commits
+    // phase 2, SEQUENTIAL: re-attach + atomic per-part commits (the
+    // staged rewrite dirs are swept by commitPart once linked)
     for ((p, key, newName) <- parts) {
       attachBucketed(spark, name, p, key, meta.nBuckets, s"$dir/$newName")
       commitPart(dir, p, newName, graceCommits)

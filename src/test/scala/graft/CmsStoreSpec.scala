@@ -85,6 +85,16 @@ class CmsStoreSpec extends AnyFunSuite {
     CmsStore.forget(removed.toDF("doc_id", "text"), "text", dir,
       Depth, Width)
     assert(storeCells(dir) == batchCells((b0 ++ b1).diff(removed)))
+    // a REPLAYED forget (counters would go negative) fails loudly
+    // and commits nothing — the exactly-subtractable law is already
+    // broken at the caller, so silent flooring would corrupt counters
+    val before = storeCells(dir)
+    val e = intercept[IllegalStateException] {
+      CmsStore.forget(removed.toDF("doc_id", "text"), "text", dir,
+        Depth, Width)
+    }
+    assert(e.getMessage.contains("forget"))
+    assert(storeCells(dir) == before)
   }
 
   test("streaming maintenance equals the batch matrix on the union") {

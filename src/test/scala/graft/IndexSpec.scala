@@ -457,4 +457,53 @@ class IndexSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(res2.toSet == res.toSet)
   }
+
+  test("delete is bucket-pruned: untouched id-bucket files survive byte-identical, touched buckets are rewritten") {
+    val dir = tmpBase("delprune")
+    Index.build(spark, embs, "vec_id", "embedding", "label", "idx_dp",
+      itersIvf = 2, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(dir))
+    val idxDir = s"$dir/idx_dp"
+    // ONE deleted id → exactly one touched id-bucket, computed with
+    // bucketBy's own hash family (murmur3 seed 42 pmod nBuckets)
+    val delId = embs.select(col("vec_id").cast("long")).as[Long].head()
+    val touchedBucket =
+      spark.range(1).select(pmod(hash(lit(delId)), lit(4))).as[Int].head()
+    val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+    def bucketOf(n: String): Int =
+      n match { case bucketRe(b) => b.toInt; case _ => -1 }
+    val idParts = Seq("codes", "sq_codes", "bq_codes")
+    val before = idParts.map { p =>
+      p -> fileHashes(s"$idxDir/${Index.loadPart(idxDir, p).current}")
+    }.toMap
+    val rowsBefore = idParts.map { p =>
+      p -> spark.table(s"idx_dp_$p").collect().map(_.toSeq).toSet
+    }.toMap
+
+    Index.delete(spark, "idx_dp", Seq(delId).toDF("vec_id"), "vec_id")
+
+    for (p <- idParts) {
+      val after =
+        fileHashes(s"$idxDir/${Index.loadPart(idxDir, p).current}")
+      val (wasTouched, wasKept) =
+        before(p).partition { case (n, _) => bucketOf(n) == touchedBucket }
+      assert(wasTouched.nonEmpty && wasKept.nonEmpty,
+        s"$p fixture must populate both touched and untouched buckets")
+      // every untouched bucket file survives under the SAME NAME with
+      // the SAME BYTES (hard-linked, never rewritten)
+      for ((n, h) <- wasKept)
+        assert(after.get(n).contains(h), s"$p untouched file $n changed")
+      // the touched bucket's old files are gone — rewritten fresh
+      for ((n, _) <- wasTouched)
+        assert(!after.contains(n), s"$p touched file $n not rewritten")
+      // and the committed rows are exactly the survivors
+      val idIdx = spark.table(s"idx_dp_$p").columns.indexOf("id")
+      val expected = rowsBefore(p).filterNot(_(idIdx) == delId)
+      assert(spark.table(s"idx_dp_$p").collect().map(_.toSeq).toSet
+        == expected, s"$p rows diverge after pruned delete")
+    }
+    // the postings part (cl-keyed, full-touch) also lost exactly the id
+    val posts = spark.table("idx_dp_postings")
+    assert(posts.filter(col("id") === delId).count() == 0)
+  }
 }

@@ -748,6 +748,17 @@ class OpsSpec extends AnyFunSuite {
         |    array(1000000.0d, 1000000.0d)) AS rv""".stripMargin).head()
     assert(sq.getSeq[Double](0) == Seq(255.0, 0.0))
     assert(sq.getSeq[Double](1) == Seq((255.5) * 1000000.0 / 255.0, 0.5 * 1000000.0 / 255.0))
+
+    // fractional max_code literal: SQL parses `15.0` as a DECIMAL
+    // literal — the function-builder must accept it as numeric
+    // (ADVICE r12), and it must equal the integer-literal spelling
+    val sq4 = spark.sql(
+      """SELECT sq_encode(array(1.0d), array(0.0d),
+        |    array(1000000.0d), false, 15.0) AS frac,
+        |  sq_encode(array(1.0d), array(0.0d),
+        |    array(1000000.0d), false, 15) AS int""".stripMargin).head()
+    assert(sq4.getSeq[Double](0) == sq4.getSeq[Double](1))
+    assert(sq4.getSeq[Double](0) == Seq(15.0))
   }
 
   test("repetition stats: top-token/bigram shares and duplicate fraction on known text") {
