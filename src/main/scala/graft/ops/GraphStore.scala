@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.collection.JavaConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -261,6 +263,26 @@ object GraphStore {
     *  - blocks and labels drop the deleted ids (rewrites into fresh
     *    sibling dirs, catalog re-pointed, old dirs swept — the
     *    artifact's single-writer maintenance contract).
+    *
+    * BUCKET-PRUNED writes (round 13, the [[graft.ops.Index.delete]]
+    * refinement applied here): each part rewrites only the FILES of
+    * buckets that can change, hard-linking every other bucket file
+    * into its fresh directory byte-identical —
+    *
+    *  - `edges` (by src_id): buckets of (deleted ids ∪ re-ranked
+    *    sources) — kept buckets hold only sources that neither died
+    *    nor lost a neighbor, so their files are exact;
+    *  - `labels` (by id): buckets of the deleted ids, read by FILE
+    *    PATH (the only part whose scan prunes too — edges/blocks must
+    *    be scanned anyway to find touched sources / deleted members);
+    *  - `blocks` (by cl): buckets of the CLUSTERS the deleted ids were
+    *    assigned to (known from the stored assignments) — a cl list
+    *    with no deleted member is unchanged by definition.
+    *
+    * At 100 TB a one-document takedown thus rewrites ~massign/nBuckets
+    * of blocks, ~(1+|touched srcs|)/nBuckets of edges and 1/nBuckets
+    * of labels instead of all three tables. The touched-bucket sets
+    * are ≤ nBuckets driver digests, never corpus collects.
     */
   def delete(spark: SparkSession, name: String, delIds: DataFrame,
       idCol: String): Unit = {
@@ -302,18 +324,78 @@ object GraphStore {
     val dir = edgesDir.getParent.toString
     def fresh(p: String) =
       s"${p}_d${java.util.UUID.randomUUID().toString.take(8)}"
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(hash(c), lit(nBuckets))
+    // per-part touched-bucket digests (≤ nBuckets values each)
+    def bktSet(df: DataFrame): Set[Int] =
+      df.distinct().collect().map(_.getInt(0)).toSet
+    val edgeBkts = bktSet(
+      del.select(bucketOf(col("__del")).as("b")).unionByName(
+        touched.select(bucketOf(col("src_id")).as("b"))))
+    val labelBkts = bktSet(del.select(bucketOf(col("__del")).as("b")))
+    val blockBkts = bktSet(
+      blocks.join(del, blocks("id") === col("__del"), "left_semi")
+        .select(bucketOf(col("cl")).as("b")))
+    def dataFiles(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.toVector.filter { f =>
+        val n = f.getFileName.toString
+        java.nio.file.Files.isRegularFile(f) &&
+          !n.startsWith("_") && !n.startsWith(".")
+      } finally s.close()
+    }
+    // the files of UNTOUCHED buckets, to hard-link byte-identical
+    // into the fresh dir (copy fallback for linkless stores); a file
+    // with no parseable bucket tag is conservatively rewritten
+    def keptFiles(d: java.nio.file.Path, bkts: Set[Int]) =
+      dataFiles(d).filterNot(f =>
+        Index.bucketIdOf(f.getFileName.toString).forall(bkts.contains))
+    def linkAll(files: Seq[java.nio.file.Path], dstDir: String): Unit = {
+      val dst = java.nio.file.Paths.get(dstDir)
+      java.nio.file.Files.createDirectories(dst)
+      files.foreach { f =>
+        val t = dst.resolve(f.getFileName.toString)
+        try java.nio.file.Files.createLink(t, f)
+        catch {
+          case _: UnsupportedOperationException =>
+            java.nio.file.Files.copy(f, t)
+        }
+      }
+    }
+    def inBkts(c: org.apache.spark.sql.Column, bkts: Set[Int]) =
+      if (bkts.isEmpty) lit(false) else bucketOf(c).isInCollection(bkts)
     // edges rewrite first (it reads keptBlocks, which reads the OLD
-    // blocks files by path — so the blocks rewrite must come after)
-    Bucketing.writeBucketed(untouched.unionByName(reranked), edgesTbl,
-      "src_id", nBuckets, Some(s"$dir/${fresh("edges")}"))
-    val labels = spark.read.parquet(labelsDir.toString)
+    // blocks files by path — so the blocks rewrite must come after).
+    // Only rows of touched buckets are written; kept bucket files are
+    // linked in afterwards (scans list the directory per query, so
+    // the linked files join the table without a catalog touch).
+    val edgesNew = fresh("edges")
+    Bucketing.writeBucketed(
+      untouched.filter(inBkts(col("src_id"), edgeBkts))
+        .unionByName(reranked),
+      edgesTbl, "src_id", nBuckets, Some(s"$dir/$edgesNew"))
+    linkAll(keptFiles(edgesDir, edgeBkts), s"$dir/$edgesNew")
+    val labelKept = keptFiles(labelsDir, labelBkts)
+    val labelTouched = dataFiles(labelsDir).diff(labelKept)
+    val (blocksNew, labelsNew) = (fresh("blocks"), fresh("labels"))
     Par.jobs(Seq(
       () => Bucketing.writeBucketed(
-        keptBlocks, blocksTbl, "cl", nBuckets,
-        Some(s"$dir/${fresh("blocks")}")),
-      () => Bucketing.writeBucketed(
-        labels.join(del, labels("id") === col("__del"), "left_anti"),
-        labelsTbl, "id", nBuckets, Some(s"$dir/${fresh("labels")}"))))
+        keptBlocks.filter(inBkts(col("cl"), blockBkts)),
+        blocksTbl, "cl", nBuckets, Some(s"$dir/$blocksNew")),
+      () => {
+        // labels: the one part whose SCAN prunes too — only the
+        // touched buckets' files are read for the anti-join
+        val touchedLabels =
+          if (labelTouched.isEmpty)
+            spark.read.parquet(labelsDir.toString).limit(0)
+          else spark.read.parquet(labelTouched.map(_.toString): _*)
+        Bucketing.writeBucketed(
+          touchedLabels.join(del, touchedLabels("id") === col("__del"),
+            "left_anti"),
+          labelsTbl, "id", nBuckets, Some(s"$dir/$labelsNew"))
+      }))
+    linkAll(keptFiles(blocksDir, blockBkts), s"$dir/$blocksNew")
+    linkAll(labelKept, s"$dir/$labelsNew")
     Seq(edgesDir, blocksDir, labelsDir).foreach(deleteDir)
   }
 

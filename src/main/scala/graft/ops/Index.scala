@@ -288,7 +288,7 @@ object Index {
     * table's files. None when the name carries no tag.
     */
   private val BucketedFileName = """.*_(\d+)(?:\..*)?$""".r
-  private def bucketIdOf(fileName: String): Option[Int] = fileName match {
+  private[ops] def bucketIdOf(fileName: String): Option[Int] = fileName match {
     case BucketedFileName(b) => Some(b.toInt)
     case _ => None
   }

@@ -177,6 +177,75 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(cls.count() == embs.count() - delSet.size)
   }
 
+  test("delete is bucket-pruned: untouched bucket files survive byte-identical in all three parts") {
+    val dir = tmpBase("delprune")
+    GraphStore.build(spark, embs, "vec_id", "embedding", "label",
+      "g_dp", k = 4, iters = 2, massign = 2, nBuckets = 4,
+      baseDir = Some(dir))
+    val gdir = s"$dir/g_dp"
+    val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+    def bOf(n: String): Int =
+      n match { case bucketRe(b) => b.toInt; case _ => -1 }
+    // pick a deleted id whose edge-touch set leaves ≥1 bucket kept
+    // (a very popular neighbor could touch all 4 buckets)
+    val ownBkt = embs.select(col("vec_id").cast("long").as("id"),
+        pmod(hash(col("vec_id").cast("long")), lit(4)).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val srcBktsPerNeighbor = spark.table("g_dp_edges")
+      .filter(col("src_id") =!= col("neighbor_id"))
+      .groupBy(col("neighbor_id"))
+      .agg(collect_set(pmod(hash(col("src_id")), lit(4))).as("bs"))
+      .as[(Long, Seq[Int])].collect().toMap
+    def edgeBktsOf(id: Long): Set[Int] =
+      srcBktsPerNeighbor.getOrElse(id, Seq.empty).toSet + ownBkt(id)
+    val delId = ownBkt.keys.toSeq.sorted
+      .find(id => edgeBktsOf(id).size < 4).get
+    val edgeBkts = edgeBktsOf(delId)
+    val labelBkts = Set(ownBkt(delId))
+    val blockBkts = spark.table("g_dp_blocks")
+      .filter(col("id") === delId)
+      .select(pmod(hash(col("cl")), lit(4))).distinct()
+      .as[Int].collect().toSet
+    val before = Seq(("edges", edgeBkts), ("labels", labelBkts),
+      ("blocks", blockBkts)).map { case (p, bkts) =>
+      (p, fileHashes(s"$gdir/$p"), bkts)
+    }
+
+    GraphStore.delete(spark, "g_dp", Seq(delId).toDF("vec_id"), "vec_id")
+
+    for ((p, beforeHashes, bkts) <- before) {
+      val newDir = Files.list(java.nio.file.Paths.get(gdir))
+        .iterator().asScala
+        .find(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith(s"${p}_d"))
+        .getOrElse(fail(s"no fresh $p dir after delete"))
+      val after = fileHashes(newDir.toString)
+      val (wasTouched, wasKept) =
+        beforeHashes.partition { case (n, _) => bkts.contains(bOf(n)) }
+      assert(wasTouched.nonEmpty && wasKept.nonEmpty,
+        s"$p fixture must populate touched and kept buckets " +
+          s"(touched $bkts)")
+      for ((n, h) <- wasKept)
+        assert(after.get(n).contains(h), s"$p untouched file $n changed")
+      for ((n, _) <- wasTouched)
+        assert(!after.contains(n), s"$p touched file $n not rewritten")
+    }
+    // the pruned path still satisfies the delete law: edges equal a
+    // fixed-centroid rebuild over the survivors
+    val base = embs.filter(col("vec_id") =!= delId)
+      .select(col("vec_id").as("id"),
+        Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val rebuilt = Similarity.knnGraphAt(base,
+        spark.table("g_dp_cents"), k = 4, massign = 2)
+      .select(col("src_id"), col("rank"), col("neighbor_id"),
+        col("cos_micros"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val after = GraphStore.edges(spark, "g_dp")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(after.nonEmpty && after == rebuilt)
+  }
+
   test("streaming retraction: micro-batched deletes + a replay equal one batch delete") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
