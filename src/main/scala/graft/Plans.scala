@@ -448,7 +448,16 @@ object Plans {
         |scan with the pushed sample filter), so the Σdf² truth join
         |runs over the ~targetDocs sample, never the corpus — the
         |measurement budget, not the data size, prices the
-        |harness.""".stripMargin)
+        |harness.""".stripMargin,
+    "q_text_retrieval_metrics" ->
+      """X147 retrieval quality metrics (round 13): qrels cost ∝ the
+        |query terms' postings — the (doc, tok) stream joins a
+        |BroadcastExchange of the query terms before any aggregation;
+        |the metric aggregates run over |queries|·k ranked rows and
+        |per-qid digests; the nDCG discount/idcg tables ride inside the
+        |compiled expressions as literals (no join, no broadcast). No
+        |corpus-wide shuffle beyond the BM25 index build the ranker
+        |itself owns.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -1696,6 +1696,16 @@ object SparkEntry {
       Retrieval.bm25PrunedRecall(T(s, dir, "documents"), "doc_id", "text",
         k = 10, m = 15)),
 
+    // X147 retrieval quality metrics: the served BM25 ranking scored
+    // against deterministic conjunctive qrels (doc relevant iff it
+    // contains EVERY query term) — per query MRR, precision@10,
+    // recall@10, nDCG@10 in integer micros; the nDCG discount table
+    // is a Scala-precomputed literal shared by both engines (a
+    // runtime log2 could differ by an ulp and flip a rounding).
+    "q_text_retrieval_metrics" -> ((s, dir) =>
+      Retrieval.bm25Metrics(T(s, dir, "documents"), "doc_id", "text",
+        k = 10)),
+
     // X104 pseudo-relevance feedback: BM25 top-5 as pseudo-relevant,
     // harvest the 5 most characteristic non-query terms, rescore the
     // weighted expanded query. One shared index build; both scoring
@@ -2718,6 +2728,10 @@ object SparkEntry {
     "q_text_bm25_pruned" ->
       (Retrieval.bm25PrunedTopKSql("doc_id", "text", "documents",
         k = 10, m = 15) + " ORDER BY qid, rank"),
+
+    "q_text_retrieval_metrics" ->
+      (Retrieval.bm25MetricsSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY 1"),
 
     "q_text_bm25_pruned_recall" ->
       (Retrieval.bm25PrunedRecallSql("doc_id", "text", "documents",

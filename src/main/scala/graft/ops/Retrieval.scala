@@ -252,6 +252,137 @@ object Retrieval {
        |  ON t.qid = a.qid AND t.doc_id = a.doc_id
        |GROUP BY 1""".stripMargin
 
+  // ----------------------------------------- X147 retrieval quality metrics
+
+  /** Per-rank nDCG discount weights in integer micros,
+    * w(r) = round(1e6 / log2(r + 1)), PRECOMPUTED in Scala and
+    * inlined into BOTH engines — a runtime log2 could differ by an
+    * ulp between JVMs/DuckDB and flip a rounding; a shared literal
+    * table cannot. idcg(m) = Σ_{r≤m} w(r) is its prefix sum (exact
+    * long addition).
+    */
+  private def dcgWeights(k: Int): IndexedSeq[Long] =
+    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  private def idcgPrefix(k: Int): IndexedSeq[Long] =
+    dcgWeights(k).scanLeft(0L)(_ + _).tail
+
+  /** Deterministic relevance fixture for the [[Queries]] set: a doc
+    * is relevant to a query iff it contains EVERY term of the query
+    * (boolean conjunctive retrieval — the classic binary qrel a
+    * ranker is scored against when no human judgments exist). Cost ∝
+    * the query terms' postings: the distinct (doc, tok) stream joins
+    * the broadcast query terms and a doc survives on matching the
+    * full term count — no corpus-wide work beyond the token scan.
+    */
+  def relevanceConjunctive(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .distinct()
+    val qdf = queryDf(docs)
+    val qn = Queries.map { case (qid, ts) => (qid, ts.distinct.size.toLong) }
+    val qnDf = docs.sparkSession.createDataFrame(qn).toDF("qid", "n_terms")
+    toks.join(broadcast(qdf), "tok")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("nt"))
+      .join(broadcast(qnDf), "qid")
+      .filter(col("nt") === col("n_terms"))
+      .select(col("qid"), col("doc_id"))
+  }
+
+  /** Ranking-quality metrics of `ranked` (qid, rank, doc_id — any
+    * ranker's top-k contract) against a binary relevance set rel
+    * (qid, doc_id): per query MRR, precision@k, recall@k and nDCG@k,
+    * all in integer micros from long-exact intermediate sums (the
+    * discount table is a shared literal — see [[dcgWeights]]).
+    * Queries with no relevant doc at all are omitted (nothing to
+    * score against); a query whose top-k missed every relevant doc
+    * reports zeros. Scale: `rel` aggregates to one (qid, n_rel)
+    * digest; the hit join is |ranked| = |queries|·k rows against the
+    * relevance keys — per-query digests all the way, no corpus
+    * shuffle.
+    */
+  def retrievalMetrics(ranked: DataFrame, rel: DataFrame,
+      k: Int): DataFrame = {
+    val ws = dcgWeights(k)
+    val wMap = typedLit(ws.zipWithIndex.map { case (w, i) => (i + 1) -> w }.toMap)
+    val idcgMap = typedLit(idcgPrefix(k).zipWithIndex
+      .map { case (c, i) => (i + 1) -> c }.toMap)
+    val relC = Caching.cachedOnce(rel.select(col("qid"), col("doc_id")))
+    val nRel = relC.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val perQ = ranked
+      .join(relC, Seq("qid", "doc_id"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(min(col("rank")).as("frr"),
+        count(lit(1)).as("hits"),
+        sum(element_at(wMap, col("rank").cast("int"))).as("dcg"))
+    nRel.join(perQ, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("frr"), lit(0L)).as("first_rel_rank"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        when(col("frr").isNull, 0L)
+          .otherwise(round(lit(1e6) / col("frr")).cast("long"))
+          .as("mrr_micros"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") * 1e6 / k)
+          .cast("long").as("precision_micros"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") * 1e6
+          / col("n_rel")).cast("long").as("recall_micros"),
+        when(col("dcg").isNull, 0L)
+          .otherwise(round(col("dcg").cast("double") * 1e6 /
+            element_at(idcgMap, least(col("n_rel"), lit(k.toLong)).cast("int"))))
+          .cast("long").as("ndcg_micros"))
+  }
+
+  /** The gate composition: [[bm25TopK]] scored against the
+    * conjunctive qrels — "how good is the ranker we actually serve",
+    * measured, per query. Output: (qid, n_rel, first_rel_rank, hits,
+    * mrr_micros, precision_micros, recall_micros, ndcg_micros).
+    */
+  def bm25Metrics(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    retrievalMetrics(bm25TopK(docs, idCol, textCol, k),
+      relevanceConjunctive(docs, idCol, textCol), k)
+
+  def bm25MetricsSql(id: String, text: String, table: String,
+      k: Int): String = {
+    val wCase = dcgWeights(k).zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+    val idcgCase = idcgPrefix(k).zipWithIndex
+      .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }.mkString(" ")
+    s"""WITH ranked AS (${bm25TopKSql(id, text, table, k)}),
+       |rtoks AS (
+       |  SELECT DISTINCT $id AS doc_id,
+       |    unnest(${TextAnalysis.tokensSql(text)}) AS tok FROM $table),
+       |rqs(qid, tok) AS (VALUES $queriesValuesSql),
+       |rqn AS (SELECT qid, count(DISTINCT tok) AS n_terms FROM rqs GROUP BY 1),
+       |rel AS (
+       |  SELECT m.qid, m.doc_id FROM (
+       |    SELECT rqs.qid, rtoks.doc_id, count(*) AS nt
+       |    FROM rtoks JOIN rqs ON rqs.tok = rtoks.tok GROUP BY 1, 2) m
+       |  JOIN rqn ON rqn.qid = m.qid AND m.nt = rqn.n_terms),
+       |nrel AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY 1),
+       |perq AS (
+       |  SELECT r.qid, min(r.rank) AS frr, count(*) AS hits,
+       |    sum(CASE r.rank $wCase END)::BIGINT AS dcg
+       |  FROM ranked r JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+       |  GROUP BY 1)
+       |SELECT n.qid, n.n_rel::BIGINT AS n_rel,
+       |  coalesce(p.frr, 0)::BIGINT AS first_rel_rank,
+       |  coalesce(p.hits, 0)::BIGINT AS hits,
+       |  CASE WHEN p.frr IS NULL THEN 0
+       |       ELSE round(1e6 / p.frr) END::BIGINT AS mrr_micros,
+       |  round(coalesce(p.hits, 0)::DOUBLE * 1e6 / $k)::BIGINT
+       |    AS precision_micros,
+       |  round(coalesce(p.hits, 0)::DOUBLE * 1e6 / n.n_rel)::BIGINT
+       |    AS recall_micros,
+       |  CASE WHEN p.dcg IS NULL THEN 0
+       |       ELSE round(p.dcg::DOUBLE * 1e6 /
+       |         (CASE least(n.n_rel, $k) $idcgCase END)) END::BIGINT
+       |    AS ndcg_micros
+       |FROM nrel n LEFT JOIN perq p ON p.qid = n.qid""".stripMargin
+  }
+
   /** Reciprocal-rank fusion of two rankings (qid, rank, doc col):
     * fused score = Σ round(1e9 / (RrfK + rank)) over the lists a doc
     * appears in — integer nanos, so the cross-list sum is exact.

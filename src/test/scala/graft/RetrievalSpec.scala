@@ -698,4 +698,36 @@ class RetrievalSpec extends AnyFunSuite {
     assert(graft.streaming.Pipeline.ccnetGate(short, model, cuts)
       .select("bucket").as[String].head() == "unscored")
   }
+
+  test("retrieval metrics (X147): MRR/precision/recall/nDCG on a hand-scored fixture") {
+    // k=3 weights: w1=1e6, w2=round(1e6/log2(3))=630930, w3=500000;
+    // the fixture is chosen so every expected metric is an exact
+    // integer regardless of w2 (qid 1's dcg == idcg; qid 0 hits only
+    // rank 3; qid 2 hits nothing)
+    val ranked = Seq(
+      (0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L),
+      (1L, 1L, 20L), (1L, 2L, 21L), (1L, 3L, 22L),
+      (2L, 1L, 30L), (2L, 2L, 31L), (2L, 3L, 32L))
+      .toDF("qid", "rank", "doc_id")
+    val rel = Seq((0L, 12L), (1L, 20L), (1L, 21L), (1L, 22L), (1L, 23L),
+      (2L, 99L)).toDF("qid", "doc_id")
+    val out = Retrieval.retrievalMetrics(ranked, rel, k = 3)
+      .orderBy("qid")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      // qid, n_rel, first_rel_rank, hits, mrr, precision, recall, ndcg
+      (0L, 1L, 3L, 1L, 333333L, 333333L, 1000000L, 500000L),
+      (1L, 4L, 1L, 3L, 1000000L, 1000000L, 750000L, 1000000L),
+      (2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("conjunctive relevance (X147): a doc is relevant iff it contains EVERY query term") {
+    // query 0 = ("dup", "spark"): docs 0 and 4 carry both; doc 1 has
+    // only "spark", doc 5 neither
+    val rel = Retrieval.relevanceConjunctive(docs, "doc_id", "text")
+      .filter(col("qid") === 0L)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(rel == Set(0L, 4L))
+  }
 }
