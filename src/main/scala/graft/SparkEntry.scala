@@ -718,6 +718,15 @@ object SparkEntry {
         "text", "source", minQualityMicros = 550000, k = 3,
         numHashes = 32, bands = 8, rows = 4, threshold = 0.5)),
 
+    // X148 curation provenance: every input doc's (outcome, keeper)
+    // verdict from the SAME stage fragments as q_pipe_curate — the
+    // "why did my doc disappear and who absorbed it" audit a deployed
+    // recipe owes its operators; outcomes partition the input.
+    "q_pipe_curate_audit" -> ((s, dir) =>
+      Curation.curationAudit(T(s, dir, "documents"), "doc_id",
+        "text", "source", minQualityMicros = 550000, k = 3,
+        numHashes = 32, bands = 8, rows = 4, threshold = 0.5)),
+
     // SimHash(60-bit) near-dup pairs, hamming ≤ 5 via the full-recall
     // pigeonhole chunk join (6 chunks of 10 bits).
     "q_dedup_simhash" -> ((s, dir) =>
@@ -1696,6 +1705,21 @@ object SparkEntry {
       Retrieval.bm25PrunedRecall(T(s, dir, "documents"), "doc_id", "text",
         k = 10, m = 15)),
 
+    // X147b the same metrics harness over the HYBRID (RRF-fused)
+    // ranking — the point of an eval harness is COMPARING rankers on
+    // one qrel set: BM25-only vs BM25⊕embedding fusion, same
+    // conjunctive qrels, same k.
+    "q_text_retrieval_metrics_rrf" -> ((s, dir) =>
+      Retrieval.retrievalMetrics(
+        Retrieval.rrfFuse(
+          Retrieval.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
+            k = 10), "doc_id",
+          Similarity.bruteForceTopK(T(s, dir, "embeddings"), "vec_id",
+            "embedding", col("vec_id") < 4, k = 10),
+          "neighbor_id", k = 10),
+        Retrieval.relevanceConjunctive(T(s, dir, "documents"),
+          "doc_id", "text"), k = 10)),
+
     // X147 retrieval quality metrics: the served BM25 ranking scored
     // against deterministic conjunctive qrels (doc relevant iff it
     // contains EVERY query term) — per query MRR, precision@10,
@@ -2216,6 +2240,12 @@ object SparkEntry {
         "documents", minQualityMicros = 550000, k = 3, numHashes = 32,
         bands = 8, rows = 4, threshold = 0.5) + " ORDER BY doc_id"),
 
+    "q_pipe_curate_audit" ->
+      (Curation.curationAuditSql("doc_id", "text", "source",
+        "documents", minQualityMicros = 550000, k = 3, numHashes = 32,
+        bands = 8, rows = 4, threshold = 0.5)
+        + " ORDER BY doc_id, outcome"),
+
     "q_dedup_simhash" ->
       (Dedup.simhashPairsSql("doc_id", "text", "documents", maxDist = 5)
         + " ORDER BY id1, id2"),
@@ -2732,6 +2762,16 @@ object SparkEntry {
     "q_text_retrieval_metrics" ->
       (Retrieval.bm25MetricsSql("doc_id", "text", "documents", k = 10)
         + " ORDER BY 1"),
+
+    "q_text_retrieval_metrics_rrf" ->
+      (Retrieval.retrievalMetricsSql(
+        Retrieval.rrfFuseSql(
+          Retrieval.bm25TopKSql("doc_id", "text", "documents", k = 10),
+          "doc_id",
+          Similarity.bruteForceTopKSql("vec_id", "embedding",
+            "embeddings", "id < 4", k = 10),
+          "neighbor_id", k = 10),
+        "doc_id", "text", "documents", k = 10) + " ORDER BY 1"),
 
     "q_text_bm25_pruned_recall" ->
       (Retrieval.bm25PrunedRecallSql("doc_id", "text", "documents",

@@ -2040,6 +2040,100 @@ object Curation {
        |  SELECT id FROM ($labels) WHERE id <> rep_id)""".stripMargin
   }
 
+  /** X148 curation provenance — the audit trail the X142 recipe owes
+    * its operators: EVERY input doc gets exactly one (outcome,
+    * keeper) verdict, so "why did my doc disappear, and who absorbed
+    * it" is a query, not an investigation:
+    *
+    *  - `empty`     — null/zero-length text (no keeper);
+    *  - `quality`   — failed the quality gate (no keeper);
+    *  - `exact_dup` — lost the normalized-key cut; keeper = the
+    *    group's min-id representative (the rank-1 doc the pipeline
+    *    keeps);
+    *  - `near_dup`  — lost the MinHash cluster cut; keeper = the
+    *    cluster's rep_id;
+    *  - `kept`      — survived every stage; keeper = itself.
+    *
+    * The stages are the SAME fragments [[curationPipeline]] runs
+    * (same gates, same window, same banding), so the audit's `kept`
+    * set equals the pipeline's survivors BY CONSTRUCTION — OpsSpec
+    * pins that, plus that the outcomes PARTITION the input (every
+    * doc exactly once). Scale: one extra min-over-window on the nk
+    * exchange the pipeline already pays; the outcome legs are
+    * anti-join projections of the same cached frames — no new corpus
+    * shuffle.
+    */
+  def curationAudit(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minQualityMicros: Long, k: Int, numHashes: Int,
+      bands: Int, rows: Int, threshold: Double): DataFrame = {
+    val base = Caching.cachedOnce(docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"), col(textCol).as("text")))
+    val nonEmpty = base.filter(col("text").isNotNull &&
+      length(col("text")) > 0)
+    val gated = nonEmpty.filter(
+      TextAnalysis.qualityMicros(col("text")) >= minQualityMicros)
+    val ranked = Caching.cachedOnce(gated
+      .withColumn("nk", TextAnalysis.normalizedKey(col("text")))
+      .withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy(col("nk")))))
+    val exactReps = ranked.filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val clusters = Caching.cachedOnce(
+      Dedup.dupClusters(Dedup.minhashPairs(exactReps, "doc_id", "text",
+        k, numHashes, bands, rows, threshold)))
+    val nearLosers = clusters.filter(col("id") =!= col("rep_id"))
+    def leg(df: DataFrame, outcome: String, keeper: Column) =
+      df.select(col("doc_id"), lit(outcome).as("outcome"),
+        keeper.cast("long").as("keeper_id"))
+    val noKeeper = lit(null).cast("long")
+    leg(base.join(nonEmpty.select(col("doc_id")), Seq("doc_id"),
+        "left_anti"), "empty", noKeeper)
+      .unionByName(leg(nonEmpty.join(gated.select(col("doc_id")),
+        Seq("doc_id"), "left_anti"), "quality", noKeeper))
+      .unionByName(leg(ranked.filter(col("doc_id") =!= col("keeper")),
+        "exact_dup", col("keeper")))
+      .unionByName(nearLosers.select(col("id").as("doc_id"),
+        lit("near_dup").as("outcome"), col("rep_id").cast("long")
+          .as("keeper_id")))
+      .unionByName(leg(exactReps.join(
+        nearLosers.select(col("id").as("doc_id")), Seq("doc_id"),
+        "left_anti"), "kept", col("doc_id")))
+  }
+
+  def curationAuditSql(id: String, text: String, source: String,
+      table: String, minQualityMicros: Long, k: Int, numHashes: Int,
+      bands: Int, rows: Int, threshold: Double): String = {
+    val base = s"(SELECT $id AS doc_id, $source AS source, $text AS text FROM $table)"
+    val ne = s"(SELECT * FROM $base b WHERE text IS NOT NULL AND length(text) > 0)"
+    val gated =
+      s"""(SELECT * FROM $ne n
+         |  WHERE ${TextAnalysis.qualityMicrosSql("text")} >= $minQualityMicros)""".stripMargin
+    val ranked =
+      s"""(SELECT doc_id, source, text, min(doc_id) OVER (
+         |    PARTITION BY ${TextAnalysis.normalizedKeySql("text")})
+         |    AS keeper FROM $gated g)""".stripMargin
+    val exact =
+      s"(SELECT doc_id, source, text FROM $ranked r WHERE doc_id = keeper)"
+    val labels = Dedup.dupClustersSql(Dedup.minhashPairsSql(
+      "doc_id", "text", s"$exact er", k, numHashes, bands, rows,
+      threshold))
+    s"""SELECT doc_id, 'empty' AS outcome, NULL::BIGINT AS keeper_id
+       |FROM $base b
+       |WHERE doc_id NOT IN (SELECT doc_id FROM $ne n2)
+       |UNION ALL
+       |SELECT doc_id, 'quality', NULL::BIGINT FROM $ne n
+       |WHERE doc_id NOT IN (SELECT doc_id FROM $gated g2)
+       |UNION ALL
+       |SELECT doc_id, 'exact_dup', keeper::BIGINT FROM $ranked r
+       |WHERE doc_id <> keeper
+       |UNION ALL
+       |SELECT id, 'near_dup', rep_id::BIGINT FROM ($labels) l
+       |WHERE id <> rep_id
+       |UNION ALL
+       |SELECT doc_id, 'kept', doc_id::BIGINT FROM $exact e
+       |WHERE doc_id NOT IN (SELECT id FROM ($labels) l2 WHERE id <> rep_id)""".stripMargin
+  }
+
   def contaminationSql(id: String, text: String, table: String,
       evalPredSql: String, k: Int): String =
     s"""WITH base AS (

@@ -345,12 +345,22 @@ object Retrieval {
       relevanceConjunctive(docs, idCol, textCol), k)
 
   def bm25MetricsSql(id: String, text: String, table: String,
-      k: Int): String = {
+      k: Int): String =
+    retrievalMetricsSql(bm25TopKSql(id, text, table, k), id, text,
+      table, k)
+
+  /** DuckDB twin of [[retrievalMetrics]] over any ranker SQL emitting
+    * (qid, rank, doc_id, ...), scored against the conjunctive qrels
+    * of `table` — the same generated weight/idcg literals as the
+    * Spark side.
+    */
+  def retrievalMetricsSql(rankedSql: String, id: String, text: String,
+      table: String, k: Int): String = {
     val wCase = dcgWeights(k).zipWithIndex
       .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
     val idcgCase = idcgPrefix(k).zipWithIndex
       .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }.mkString(" ")
-    s"""WITH ranked AS (${bm25TopKSql(id, text, table, k)}),
+    s"""WITH ranked AS ($rankedSql),
        |rtoks AS (
        |  SELECT DISTINCT $id AS doc_id,
        |    unnest(${TextAnalysis.tokensSql(text)}) AS tok FROM $table),

@@ -2249,6 +2249,38 @@ class OpsSpec extends AnyFunSuite {
     assert(got.find(_._1 == 4L).get._3 == wantFp)
   }
 
+  test("curation audit (X148): every doc exactly one verdict; kept == pipeline survivors") {
+    val base = "The quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = Seq(
+      (0L, s"$base today", "s0"),        // kept (exact keeper + cluster rep)
+      (1L, s"$base today!!", "s0"),      // exact dup of 0
+      (2L, s"$base tonight", "s1"),      // near dup of 0
+      (3L, "the the the the", "s1"),     // quality-gated
+      (4L, "Contact me at john@example.com about the project timeline scope and budget", "s2"),
+      (5L, "", "s2"))                    // empty
+      .toDF("doc_id", "text", "source")
+    val audit = Curation.curationAudit(corpus, "doc_id", "text",
+        "source", minQualityMicros = 550000, k = 3, numHashes = 32,
+        bands = 8, rows = 4, threshold = 0.5)
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+    // partition law: every input doc exactly once
+    assert(audit.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    val byId = audit.map(a => a._1 -> ((a._2, a._3))).toMap
+    assert(byId(0L) == (("kept", Some(0L))))
+    assert(byId(1L) == (("exact_dup", Some(0L))))
+    assert(byId(2L) == (("near_dup", Some(0L))))
+    assert(byId(3L) == (("quality", None)))
+    assert(byId(4L) == (("kept", Some(4L))))
+    assert(byId(5L) == (("empty", None)))
+    // the audit's kept set equals the pipeline's survivors
+    val kept = audit.filter(_._2 == "kept").map(_._1).toSet
+    val surv = Curation.curationPipeline(corpus, "doc_id", "text",
+        "source", minQualityMicros = 550000, k = 3, numHashes = 32,
+        bands = 8, rows = 4, threshold = 0.5)
+      .as[(Long, String, String)].collect().map(_._1).toSet
+    assert(kept == surv)
+  }
+
   test("sq4: nibble codes span exactly [0, 15]; exact rerank recovers brute force") {
     // the encode at maxCode 15: range ends map to code 0 and 15
     val enc = Seq((Seq(0.0, 1.0, 0.5), Seq(0.0, 0.0, 0.0),

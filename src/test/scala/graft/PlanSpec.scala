@@ -656,4 +656,41 @@ class PlanSpec extends AnyFunSuite {
     // the verify joins and the loser anti-join are all equi-joins
     assert(!p.contains("CartesianProduct"), s"a stage degenerated:\n$p")
   }
+
+  test("CDC composite (X145): one key exchange total, filter on the scan, partial LWW cut") {
+    val p = plan("q_pipe_cdc")
+    // the whole composition pays exactly ONE shuffle — the LWW merge
+    // key exchange; transforms/routing add none
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      s"composition added a shuffle:\n$p")
+    // the regex filter sits on the events scan, before the union
+    assert(p.indexOf("RLIKE") > 0 && p.contains("WindowGroupLimit"),
+      s"filter/partial-cut shape lost:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("retrieval metrics (X147): qrel terms ride broadcasts, discount tables are literals") {
+    val p = plan("q_text_retrieval_metrics")
+    // query terms broadcast against the token stream (never a corpus
+    // shuffle on the qrel side); the nDCG weight/idcg maps must be
+    // compiled literals — no join or exchange may materialize them
+    assert(p.contains("BroadcastExchange"), s"qrel term join not broadcast:\n$p")
+    assert(p.contains("map_from") || p.contains("keys:"),
+      s"discount table not a compiled literal:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sampled recall harness (X146): the sample predicate reaches every documents scan") {
+    val df = SparkEntry.queries("q_dedup_minhash_recall_sampled")(spark, sf)
+    val p = plan(df)
+    // every parquet scan of documents must carry the pushed hash-
+    // sample filter — the harness's cost bound IS that pushdown
+    val scans = "(?m)Location: InMemoryFileIndex \\[[^\\]]*documents".r
+      .findAllIn(p).size
+    assert(scans > 0)
+    // the deterministic salt appears in scan-adjacent filters, not
+    // only once post-scan: count Filter nodes mentioning the salt
+    assert("lshrs:".r.findAllIn(p).size >= scans,
+      s"sample predicate not at every pass:\n$p")
+  }
 }
