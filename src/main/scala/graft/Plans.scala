@@ -449,6 +449,16 @@ object Plans {
         |runs over the ~targetDocs sample, never the corpus — the
         |measurement budget, not the data size, prices the
         |harness.""".stripMargin,
+    "q_text_index_search" ->
+      """X149 persisted text index, the serve plan (round 13): the
+        |postings and stats scans carry `SelectedBucketsCount` — the
+        |tok IN (query terms) filter prunes BUCKETS, so serving reads
+        |~|terms|/nBuckets of the posting files, never the corpus. No
+        |explode/tokenize anywhere: the index IS the tokenized corpus.
+        |Query terms, summed stats and the corpus row ride
+        |BroadcastExchanges; the only shuffle the corpus side sees is
+        |the matched postings meeting the id-bucketed dl
+        |table.""".stripMargin,
     "q_text_retrieval_metrics" ->
       """X147 retrieval quality metrics (round 13): qrels cost ∝ the
         |query terms' postings — the (doc, tok) stream joins a

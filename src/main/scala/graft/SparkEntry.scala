@@ -1705,6 +1705,46 @@ object SparkEntry {
       Retrieval.bm25PrunedRecall(T(s, dir, "documents"), "doc_id", "text",
         k = 10, m = 15)),
 
+    // X149 persisted inverted text index — the ANN Index's
+    // build/serve split applied to BM25 (tokenize/count ONCE, serve
+    // ranked searches with no corpus recount in the plan; postings
+    // and stats bucket-pruned to the query terms). Output shares
+    // q_text_bm25's oracle VERBATIM: the artifact serves the exact
+    // in-plan ranking.
+    "q_text_index_search" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      if (!TextIndex.exists(s, "graft_tidx"))
+        TextIndex.build(s, docs, "doc_id", "text", "graft_tidx",
+          nBuckets = 8)
+      TextIndex.search(s, "graft_tidx", k = 10)
+    }),
+
+    // X149 EXACT append: build on half the corpus, append the other
+    // half, search — against the FULL-corpus oracle. BM25's global
+    // stats (df, N, avgdl) are sums, so maintenance is exact by
+    // additivity: no fixed-parameter compromise, unlike the ANN
+    // artifact's fixed-centroid append.
+    "q_text_index_append" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextIndex.build(s, docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "graft_tidx_app", nBuckets = 8)
+      TextIndex.append(s, "graft_tidx_app",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      TextIndex.search(s, "graft_tidx_app", k = 10)
+    }),
+
+    // X149 EXACT takedown: bucket-pruned posting/dl rewrites +
+    // negative stats deltas — against the survivor-corpus oracle.
+    "q_text_index_delete" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextIndex.build(s, docs, "doc_id", "text", "graft_tidx_del",
+        nBuckets = 8)
+      TextIndex.delete(s, "graft_tidx_del",
+        docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")),
+        "doc_id")
+      TextIndex.search(s, "graft_tidx_del", k = 10)
+    }),
+
     // X147b the same metrics harness over the HYBRID (RRF-fused)
     // ranking — the point of an eval harness is COMPARING rankers on
     // one qrel set: BM25-only vs BM25⊕embedding fusion, same
@@ -2762,6 +2802,22 @@ object SparkEntry {
     "q_text_retrieval_metrics" ->
       (Retrieval.bm25MetricsSql("doc_id", "text", "documents", k = 10)
         + " ORDER BY 1"),
+
+    // X149: the artifact serves the EXACT in-plan ranking — all three
+    // lifecycle gates run against plain bm25TopKSql over the corpus
+    // the maintained artifact should equal (full / union / survivors)
+    "q_text_index_search" ->
+      (Retrieval.bm25TopKSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY qid, rank"),
+
+    "q_text_index_append" ->
+      (Retrieval.bm25TopKSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY qid, rank"),
+
+    "q_text_index_delete" ->
+      (Retrieval.bm25TopKSql("doc_id", "text",
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", k = 10)
+        + " ORDER BY qid, rank"),
 
     "q_text_retrieval_metrics_rrf" ->
       (Retrieval.retrievalMetricsSql(

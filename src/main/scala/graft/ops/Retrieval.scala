@@ -61,7 +61,7 @@ object Retrieval {
     * idf(term) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with
     * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (always positive).
     */
-  private def contribMicros(tf: Column, df: Column, dl: Column,
+  private[ops] def contribMicros(tf: Column, df: Column, dl: Column,
       n: Column, avgdl: Column): Column = {
     val idf = log(lit(1.0) +
       (n.cast("double") - df.cast("double") + 0.5) / (df.cast("double") + 0.5))

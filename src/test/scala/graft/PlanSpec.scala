@@ -680,6 +680,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("text index (X149): serving scans are bucket-pruned; the serve plan never re-tokenizes") {
+    val p = plan("q_text_index_search")
+    // the tok IN (query terms) filter must prune BUCKETS at the scan
+    // (the artifact's whole point: serving reads ~terms/nBuckets of
+    // the postings files, never the corpus)
+    assert(p.contains("SelectedBucketsCount"),
+      s"posting scan not bucket-pruned:\n$p")
+    // no corpus-wide tokenize in the serve plan — the index IS the
+    // tokenized corpus
+    assert(!p.toLowerCase.contains("explode"),
+      s"serve plan re-tokenizes:\n$p")
+    assert(p.contains("BroadcastExchange"))
+  }
+
   test("sampled recall harness (X146): the sample predicate reaches every documents scan") {
     val df = SparkEntry.queries("q_dedup_minhash_recall_sampled")(spark, sf)
     val p = plan(df)
