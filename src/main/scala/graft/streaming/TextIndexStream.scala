@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.TextIndex
+
+/** Streaming maintenance for the persisted inverted text index
+  * ([[graft.ops.TextIndex]]) — the [[IndexStream]] pattern on the
+  * retrieval artifact: documents arrive, the index stays EXACTLY the
+  * index a from-scratch build over everything-so-far would produce
+  * (TextIndex's additive-stats law), and serving keeps reading the
+  * same bucketed tables.
+  *
+  * Both feeds run their batch maintenance op inside `foreachBatch`;
+  * the stream's checkpoint serializes triggers, matching the
+  * artifact's single-writer contract. At-least-once is SAFE here by
+  * construction, not by cleanup:
+  *
+  *  - a replayed ingest batch is dropped up front by [[graft.ops
+  *    .TextIndex.append]]'s known-id anti-join (nothing appended, no
+  *    stats delta);
+  *  - a replayed takedown batch finds no posting rows for the
+  *    already-removed ids, so the rewrite links everything unchanged
+  *    and the negative stats delta is zero.
+  *
+  * TextIndexStreamSpec proves micro-batched ingest (+ a replay)
+  * serves the one-shot build's ranking bit-for-bit, and micro-batched
+  * retraction (+ a replay) the survivor build's.
+  */
+object TextIndexStream {
+
+  /** Ingest feed: rows of (`idCol`, `textCol`) append into `name`
+    * per micro-batch — cost ∝ batch (per-bucket delta files + delta
+    * stats rows), committed files byte-untouched.
+    */
+  def maintain(docs: DataFrame, idCol: String, textCol: String,
+      name: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          TextIndex.append(batch.sparkSession, name, batch, idCol,
+            textCol)
+      }
+      .start()
+
+  /** Takedown feed: rows of `idCol` delete from `name` per
+    * micro-batch through the bucket-pruned rewrite + negative stats
+    * deltas.
+    */
+  def retract(delIds: DataFrame, idCol: String, name: String,
+      checkpointDir: String): StreamingQuery =
+    delIds.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          TextIndex.delete(batch.sparkSession, name, batch, idCol)
+      }
+      .start()
+}
