@@ -141,6 +141,52 @@ object TextIndex {
     spark.table(part(name, "meta")).select(col("nBuckets"))
       .head().getInt(0)
 
+  /** Re-attach an index BUILT BY A PREVIOUS SESSION from its files —
+    * the [[Index.register]] analog: recreates the catalog entries
+    * INCLUDING the bucketing spec (without it the pruned serving scan
+    * and the exchange-free layouts would silently degrade to full
+    * scans). Each bucketed part resolves to its single live directory
+    * (build writes the canonical name; maintenance rewrites into a
+    * `_d`-suffixed sibling and deletes the old one, so exactly one
+    * exists). nBuckets comes from the persisted meta rows.
+    */
+  def register(spark: SparkSession, name: String,
+      baseDir: String): Unit = {
+    val dir = s"$baseDir/$name"
+    def dropEntry(tbl: String): Unit =
+      if (spark.catalog.tableExists(tbl))
+        spark.sql(s"DROP TABLE $tbl")
+    dropEntry(part(name, "meta"))
+    spark.sql(
+      s"""CREATE TABLE ${part(name, "meta")}
+         |(n BIGINT, sumdl BIGINT, nBuckets INT)
+         |USING parquet LOCATION '$dir/meta'""".stripMargin)
+    val nBuckets = metaOf(spark, name)
+    for ((p, key) <- Seq("postings" -> "tok", "dl" -> "id",
+        "stats" -> "tok")) {
+      val live = dataFiles0(java.nio.file.Paths.get(dir))
+        .filter { d =>
+          val n = d.getFileName.toString
+          java.nio.file.Files.isDirectory(d) &&
+            (n == p || n.startsWith(s"${p}_d"))
+        }
+      require(live.size == 1,
+        s"expected exactly one live dir for part $p, found $live")
+      val loc = live.head.toString
+      dropEntry(part(name, p))
+      val cols = spark.read.parquet(loc).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE ${part(name, p)} ($cols) USING parquet
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+    }
+  }
+
+  private def dataFiles0(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(d)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
   /** Incremental ingest — pure appends, exact by additivity: the new
     * docs' postings/dl land as per-bucket delta files (committed
     * files never rewritten — TextIndexSpec pins byte identity), their

@@ -118,5 +118,17 @@ class TextIndexSpec extends AnyFunSuite {
     val got = searchOf("tidx_del")
     assert(got.nonEmpty &&
       got == inPlan(docs.filter(col("doc_id") % 3 =!= 0)))
+    // cross-session portability: drop every catalog entry, re-attach
+    // from files (bucketing spec included), serve identically — and
+    // the re-attached serving scan is still bucket-pruned
+    for (p <- Seq("postings", "dl", "stats", "meta"))
+      spark.sql(s"DROP TABLE IF EXISTS tidx_del_$p")
+    TextIndex.register(spark, "tidx_del", dir)
+    assert(searchOf("tidx_del") == got)
+    val servePlan = TextIndex.search(spark, "tidx_del", k = 10)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(servePlan.contains("SelectedBucketsCount"),
+      "re-attached serving scan lost bucket pruning")
   }
 }
