@@ -141,6 +141,50 @@ object TextIndex {
     spark.table(part(name, "meta")).select(col("nBuckets"))
       .head().getInt(0)
 
+  /** Offline compaction — the [[Index.compact]] analog: every
+    * [[append]] adds one file per touched bucket and one stats/meta
+    * delta row, every [[delete]] adds negative rows, so after many
+    * deltas the artifact holds (deltas × buckets) small files and a
+    * delta chain the serving aggregation must re-sum. Rewrites each
+    * bucketed part as ONE file per occupied bucket (stats MERGED to
+    * one row per term, zero-sum terms dropped — a fully-deleted
+    * term's +df/−df pair is dead weight), collapses meta to one row,
+    * re-points the catalog and sweeps the old dirs. Search output
+    * unchanged (sums are sums); single-writer like all maintenance.
+    */
+  def compact(spark: SparkSession, name: String): Unit = {
+    import spark.implicits._
+    val nBuckets = metaOf(spark, name)
+    // collapse meta FIRST from the catalog table, before any rewrite
+    val (n, sumdl) = spark.table(part(name, "meta"))
+      .agg(sum(col("n")), sum(col("sumdl")))
+      .as[(Long, Long)].head()
+    for ((p, key) <- Seq("postings" -> "tok", "dl" -> "id",
+        "stats" -> "tok")) {
+      val tbl = part(name, p)
+      val d = dirOf(spark, tbl)
+      val dir = d.getParent.toString
+      val freshName = s"${p}_c${java.util.UUID.randomUUID().toString.take(8)}"
+      val rows0 = spark.read.parquet(d.toString)
+      val rows =
+        if (p == "stats")
+          rows0.groupBy(col("tok")).agg(sum(col("df")).as("df"))
+            .filter(col("df") =!= 0)
+        else rows0
+      Bucketing.writeBucketed(rows.repartition(nBuckets, col(key)),
+        tbl, key, nBuckets, Some(s"$dir/$freshName"))
+      deleteDir(d)
+    }
+    val metaTbl = part(name, "meta")
+    val metaDir = dirOf(spark, metaTbl)
+    val dir = metaDir.getParent.toString
+    val freshMeta = s"meta_c${java.util.UUID.randomUUID().toString.take(8)}"
+    Seq((n, sumdl, nBuckets)).toDF("n", "sumdl", "nBuckets")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$dir/$freshMeta").saveAsTable(metaTbl)
+    deleteDir(metaDir)
+  }
+
   /** Re-attach an index BUILT BY A PREVIOUS SESSION from its files —
     * the [[Index.register]] analog: recreates the catalog entries
     * INCLUDING the bucketing spec (without it the pruned serving scan
@@ -156,23 +200,29 @@ object TextIndex {
     def dropEntry(tbl: String): Unit =
       if (spark.catalog.tableExists(tbl))
         spark.sql(s"DROP TABLE $tbl")
-    dropEntry(part(name, "meta"))
-    spark.sql(
-      s"""CREATE TABLE ${part(name, "meta")}
-         |(n BIGINT, sumdl BIGINT, nBuckets INT)
-         |USING parquet LOCATION '$dir/meta'""".stripMargin)
-    val nBuckets = metaOf(spark, name)
-    for ((p, key) <- Seq("postings" -> "tok", "dl" -> "id",
-        "stats" -> "tok")) {
+    // a part's single live dir: the canonical build name, a delete
+    // rewrite (`_d`), or a compact output (`_c`) — maintenance always
+    // deletes the superseded dir, so exactly one exists
+    def liveDir(p: String): String = {
       val live = dataFiles0(java.nio.file.Paths.get(dir))
         .filter { d =>
           val n = d.getFileName.toString
           java.nio.file.Files.isDirectory(d) &&
-            (n == p || n.startsWith(s"${p}_d"))
+            (n == p || n.startsWith(s"${p}_d") || n.startsWith(s"${p}_c"))
         }
       require(live.size == 1,
         s"expected exactly one live dir for part $p, found $live")
-      val loc = live.head.toString
+      live.head.toString
+    }
+    dropEntry(part(name, "meta"))
+    spark.sql(
+      s"""CREATE TABLE ${part(name, "meta")}
+         |(n BIGINT, sumdl BIGINT, nBuckets INT)
+         |USING parquet LOCATION '${liveDir("meta")}'""".stripMargin)
+    val nBuckets = metaOf(spark, name)
+    for ((p, key) <- Seq("postings" -> "tok", "dl" -> "id",
+        "stats" -> "tok")) {
+      val loc = liveDir(p)
       dropEntry(part(name, p))
       val cols = spark.read.parquet(loc).schema.toDDL
       spark.sql(

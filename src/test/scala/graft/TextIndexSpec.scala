@@ -131,4 +131,52 @@ class TextIndexSpec extends AnyFunSuite {
     assert(servePlan.contains("SelectedBucketsCount"),
       "re-attached serving scan lost bucket pruning")
   }
+
+  test("compact collapses delta files and the stats chain; search unchanged; register still resolves") {
+    val dir = tmpBase("cmp")
+    val third = docs.filter(col("doc_id") % 3 === 0)
+    TextIndex.build(spark, docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", "tidx_cmp", nBuckets = 4, baseDir = Some(dir))
+    TextIndex.append(spark, "tidx_cmp",
+      docs.filter(col("doc_id") % 3 === 2), "doc_id", "text")
+    TextIndex.append(spark, "tidx_cmp", third, "doc_id", "text")
+    TextIndex.delete(spark, "tidx_cmp", third.select(col("doc_id")),
+      "doc_id")
+    val before = searchOf("tidx_cmp")
+    val statsRowsBefore = spark.table("tidx_cmp_stats").count()
+
+    TextIndex.compact(spark, "tidx_cmp")
+
+    // search byte-for-byte unchanged (sums are sums)
+    assert(searchOf("tidx_cmp") == before)
+    // the stats delta chain merged: one row per live term, all df > 0
+    // (the deleted third's +df/-df pairs cancelled and were dropped)
+    val stats = spark.table("tidx_cmp_stats")
+    assert(stats.count() < statsRowsBefore)
+    assert(stats.groupBy("tok").count().filter(col("count") > 1).count() == 0)
+    assert(stats.filter(col("df") <= 0).count() == 0)
+    // meta collapsed to one row carrying the same sums
+    assert(spark.table("tidx_cmp_meta").count() == 1)
+    // file count re-pinned: ≤ one file per bucket per part
+    for (p <- Seq("postings", "dl", "stats")) {
+      import scala.collection.JavaConverters._
+      val loc = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$dir/tidx_cmp"))
+        .iterator().asScala
+        .find(d => d.getFileName.toString.startsWith(s"${p}_c"))
+        .getOrElse(fail(s"no compacted dir for $p"))
+      val files = java.nio.file.Files.list(loc).iterator().asScala
+        .count { f =>
+          val n = f.getFileName.toString
+          java.nio.file.Files.isRegularFile(f) &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }
+      assert(files <= 4, s"$p has $files files after compact")
+    }
+    // a fresh catalog resolves the compacted layout
+    for (p <- Seq("postings", "dl", "stats", "meta"))
+      spark.sql(s"DROP TABLE IF EXISTS tidx_cmp_$p")
+    TextIndex.register(spark, "tidx_cmp", dir)
+    assert(searchOf("tidx_cmp") == before)
+  }
 }
