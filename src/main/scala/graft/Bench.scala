@@ -69,16 +69,26 @@ object Bench {
     val warmRuns = sys.env.get("SPARK_GRAFT_BENCH_WARM_RUNS")
       .map(_.toInt).getOrElse(3).max(1)
     def runWarm(name: String): Double = {
-      def once(): Double = {
+      // a FAILED run fails fast — its short elapsed time must not
+      // compete in the min against honest samples (it would lock in a
+      // bogus floor); only when every run failed does the failed time
+      // stand, keeping the artifact self-describing
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir)
-          .write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed warm: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.mode("overwrite").format("noop").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed warm: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (1 to warmRuns).map(_ => once()).min
+      val samples = (1 to warmRuns).map(_ => once())
+      val good = samples.filter(_._2).map(_._1)
+      if (good.nonEmpty) good.min else samples.map(_._1).min
     }
 
     run("q_cdc_changes") // warmup, untimed

@@ -1,0 +1,63 @@
+package graft.ops
+
+import scala.collection.JavaConverters._
+
+/** The ONE copy of the bucketed-artifact file contract shared by the
+  * persisted-artifact maintainers ([[Index]], [[GraphStore]],
+  * [[TextIndex]]): bucket-tag parsing, data-file listing, hard-link
+  * fan-out (copy fallback for linkless stores) and recursive delete.
+  * Before this object each maintainer re-declared the `_NNNNN`
+  * regex and its own fs helpers — a future change to Spark's bucket
+  * file naming or the link-fallback policy would have had to be found
+  * in every copy.
+  */
+private[ops] object ArtifactFiles {
+
+  /** Bucket id of a bucketed-writer data file, from the `_NNNNN` tag
+    * the writer embeds in the name (`part-00000-<uuid>_00003.c000…`) —
+    * the same pattern Spark's own scan uses to group a bucketed
+    * table's files. None when the name carries no tag.
+    */
+  private val BucketedFileName = """.*_(\d+)(?:\..*)?$""".r
+  def bucketIdOf(fileName: String): Option[Int] = fileName match {
+    case BucketedFileName(b) => Some(b.toInt)
+    case _ => None
+  }
+
+  /** The data files of a directory (committed parquet parts — no
+    * `_SUCCESS` markers, no hidden sidecars).
+    */
+  def dataFiles(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(d)
+    try s.iterator().asScala.toVector.filter { f =>
+      val n = f.getFileName.toString
+      java.nio.file.Files.isRegularFile(f) &&
+        !n.startsWith("_") && !n.startsWith(".")
+    } finally s.close()
+  }
+
+  /** Hard-link `files` into `dstDir` under their own names (copy
+    * fallback for stores without link support). Parquet files are
+    * immutable once committed, so links are safe shared references.
+    */
+  def linkFiles(files: Seq[java.nio.file.Path],
+      dstDir: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(dstDir)
+    files.foreach { f =>
+      val t = dstDir.resolve(f.getFileName.toString)
+      try java.nio.file.Files.createLink(t, f)
+      catch {
+        case _: UnsupportedOperationException =>
+          java.nio.file.Files.copy(f, t)
+      }
+    }
+  }
+
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally s.close()
+    }
+}

@@ -289,114 +289,125 @@ object GraphStore {
     val metaRow = spark.table(part(name, "meta")).collect()(0)
     val (k, massign, nBuckets) = (metaRow.getAs[Int]("k"),
       metaRow.getAs[Int]("massign"), metaRow.getAs[Int]("nBuckets"))
-    val del = Caching.cachedOnce(
-      delIds.select(col(idCol).cast("long").as("__del")).distinct())
+    // explicit persist + finally-unpersist: GraphStream.retract calls
+    // this once per micro-batch with batch-unique plans (self-review
+    // r13 — the CounterStore-family cache discipline)
+    val del =
+      delIds.select(col(idCol).cast("long").as("__del")).distinct().persist()
+    try {
+      val edgesTbl = part(name, "edges")
+      val blocksTbl = part(name, "blocks")
+      val labelsTbl = part(name, "labels")
+      val (edgesDir, blocksDir, labelsDir) =
+        (dirOf(spark, edgesTbl), dirOf(spark, blocksTbl), dirOf(spark, labelsTbl))
+      val blocks = spark.read.parquet(blocksDir.toString)
+      val keptBlocks =
+        blocks.join(del, blocks("id") === col("__del"), "left_anti").persist()
+      val stored = spark.read.parquet(edgesDir.toString)
+      val survivors = stored
+        .join(del, stored("src_id") === col("__del"), "left_anti")
+      val touched = survivors
+        .join(del, survivors("neighbor_id") === col("__del"), "left_semi")
+        .select(col("src_id")).distinct().persist()
+      try {
+        def cos = (Vectors.dot(col("sv"), col("v"))
+          / (col("snrm") * col("nrm"))).as("cos")
+        val srcBlocks = keptBlocks
+          .join(touched, keptBlocks("id") === touched("src_id"), "left_semi")
+        val pairs = srcBlocks.select(col("cl"), col("id").as("src_id"),
+            col("v").as("sv"), col("nrm").as("snrm"))
+          .join(keptBlocks.select(col("cl"), col("id").as("neighbor_id"),
+            col("v"), col("nrm")), Seq("cl"))
+          .filter(col("src_id") =!= col("neighbor_id"))
+          .select(col("src_id"), col("neighbor_id"), cos)
+        val reranked = Similarity.knnRankPairs(pairs, k, dedup = massign > 1)
 
-    val edgesTbl = part(name, "edges")
-    val blocksTbl = part(name, "blocks")
-    val labelsTbl = part(name, "labels")
-    val (edgesDir, blocksDir, labelsDir) =
-      (dirOf(spark, edgesTbl), dirOf(spark, blocksTbl), dirOf(spark, labelsTbl))
-    val blocks = spark.read.parquet(blocksDir.toString)
-    val keptBlocks = Caching.cachedOnce(
-      blocks.join(del, blocks("id") === col("__del"), "left_anti"))
-
-    val stored = spark.read.parquet(edgesDir.toString)
-    val survivors = stored
-      .join(del, stored("src_id") === col("__del"), "left_anti")
-    val touched = Caching.cachedOnce(survivors
-      .join(del, survivors("neighbor_id") === col("__del"), "left_semi")
-      .select(col("src_id")).distinct())
-    val untouched = survivors.join(touched, Seq("src_id"), "left_anti")
-
-    def cos = (Vectors.dot(col("sv"), col("v"))
-      / (col("snrm") * col("nrm"))).as("cos")
-    val srcBlocks = keptBlocks
-      .join(touched, keptBlocks("id") === touched("src_id"), "left_semi")
-    val pairs = srcBlocks.select(col("cl"), col("id").as("src_id"),
-        col("v").as("sv"), col("nrm").as("snrm"))
-      .join(keptBlocks.select(col("cl"), col("id").as("neighbor_id"),
-        col("v"), col("nrm")), Seq("cl"))
-      .filter(col("src_id") =!= col("neighbor_id"))
-      .select(col("src_id"), col("neighbor_id"), cos)
-    val reranked = Similarity.knnRankPairs(pairs, k, dedup = massign > 1)
-
-    val dir = edgesDir.getParent.toString
-    def fresh(p: String) =
-      s"${p}_d${java.util.UUID.randomUUID().toString.take(8)}"
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      pmod(hash(c), lit(nBuckets))
-    // per-part touched-bucket digests (≤ nBuckets values each)
-    def bktSet(df: DataFrame): Set[Int] =
-      df.distinct().collect().map(_.getInt(0)).toSet
-    val edgeBkts = bktSet(
-      del.select(bucketOf(col("__del")).as("b")).unionByName(
-        touched.select(bucketOf(col("src_id")).as("b"))))
-    val labelBkts = bktSet(del.select(bucketOf(col("__del")).as("b")))
-    val blockBkts = bktSet(
-      blocks.join(del, blocks("id") === col("__del"), "left_semi")
-        .select(bucketOf(col("cl")).as("b")))
-    def dataFiles(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
-      val s = java.nio.file.Files.list(d)
-      try s.iterator().asScala.toVector.filter { f =>
-        val n = f.getFileName.toString
-        java.nio.file.Files.isRegularFile(f) &&
-          !n.startsWith("_") && !n.startsWith(".")
-      } finally s.close()
-    }
-    // the files of UNTOUCHED buckets, to hard-link byte-identical
-    // into the fresh dir (copy fallback for linkless stores); a file
-    // with no parseable bucket tag is conservatively rewritten
-    def keptFiles(d: java.nio.file.Path, bkts: Set[Int]) =
-      dataFiles(d).filterNot(f =>
-        Index.bucketIdOf(f.getFileName.toString).forall(bkts.contains))
-    def linkAll(files: Seq[java.nio.file.Path], dstDir: String): Unit = {
-      val dst = java.nio.file.Paths.get(dstDir)
-      java.nio.file.Files.createDirectories(dst)
-      files.foreach { f =>
-        val t = dst.resolve(f.getFileName.toString)
-        try java.nio.file.Files.createLink(t, f)
-        catch {
-          case _: UnsupportedOperationException =>
-            java.nio.file.Files.copy(f, t)
+        val dir = edgesDir.getParent.toString
+        def fresh(p: String) =
+          s"${p}_d${java.util.UUID.randomUUID().toString.take(8)}"
+        def bucketOf(c: org.apache.spark.sql.Column) =
+          pmod(hash(c), lit(nBuckets))
+        // per-part touched-bucket digests (≤ nBuckets values each)
+        def bktSet(df: DataFrame): Set[Int] =
+          df.distinct().collect().map(_.getInt(0)).toSet
+        val edgeBkts = bktSet(
+          del.select(bucketOf(col("__del")).as("b")).unionByName(
+            touched.select(bucketOf(col("src_id")).as("b"))))
+        val labelBkts = bktSet(del.select(bucketOf(col("__del")).as("b")))
+        val blockBkts = bktSet(
+          blocks.join(del, blocks("id") === col("__del"), "left_semi")
+            .select(bucketOf(col("cl")).as("b")))
+        // untagged files join the REWRITE read-set (never silently
+        // kept or row-filtered away); kept files hard-link
+        // byte-identical
+        def split(d: java.nio.file.Path, bkts: Set[Int]) =
+          ArtifactFiles.dataFiles(d).partition(f =>
+            ArtifactFiles.bucketIdOf(f.getFileName.toString)
+              .forall(bkts.contains))
+        val (rewE, keptE) = split(edgesDir, edgeBkts)
+        val (rewB, keptB) = split(blocksDir, blockBkts)
+        val (rewL, keptL) = split(labelsDir, labelBkts)
+        val (eNew, bNew, lNew) =
+          (fresh("edges"), fresh("blocks"), fresh("labels"))
+        def readFiles(files: Seq[java.nio.file.Path]) =
+          spark.read.parquet(files.map(_.toString): _*)
+        def stageWrite(df: DataFrame, p: String, key: String,
+            newName: String): Unit = {
+          val stageTbl = s"${part(name, p)}_stage_${newName.takeRight(8)}"
+          Bucketing.writeBucketed(df, stageTbl, key, nBuckets,
+            Some(s"$dir/$newName"))
+          spark.sql(s"DROP TABLE $stageTbl")
         }
-      }
-    }
-    def inBkts(c: org.apache.spark.sql.Column, bkts: Set[Int]) =
-      if (bkts.isEmpty) lit(false) else bucketOf(c).isInCollection(bkts)
-    // edges rewrite first (it reads keptBlocks, which reads the OLD
-    // blocks files by path — so the blocks rewrite must come after).
-    // Only rows of touched buckets are written; kept bucket files are
-    // linked in afterwards (scans list the directory per query, so
-    // the linked files join the table without a catalog touch).
-    val edgesNew = fresh("edges")
-    Bucketing.writeBucketed(
-      untouched.filter(inBkts(col("src_id"), edgeBkts))
-        .unionByName(reranked),
-      edgesTbl, "src_id", nBuckets, Some(s"$dir/$edgesNew"))
-    linkAll(keptFiles(edgesDir, edgeBkts), s"$dir/$edgesNew")
-    val labelKept = keptFiles(labelsDir, labelBkts)
-    val labelTouched = dataFiles(labelsDir).diff(labelKept)
-    val (blocksNew, labelsNew) = (fresh("blocks"), fresh("labels"))
-    Par.jobs(Seq(
-      () => Bucketing.writeBucketed(
-        keptBlocks.filter(inBkts(col("cl"), blockBkts)),
-        blocksTbl, "cl", nBuckets, Some(s"$dir/$blocksNew")),
-      () => {
-        // labels: the one part whose SCAN prunes too — only the
-        // touched buckets' files are read for the anti-join
-        val touchedLabels =
-          if (labelTouched.isEmpty)
-            spark.read.parquet(labelsDir.toString).limit(0)
-          else spark.read.parquet(labelTouched.map(_.toString): _*)
-        Bucketing.writeBucketed(
-          touchedLabels.join(del, touchedLabels("id") === col("__del"),
-            "left_anti"),
-          labelsTbl, "id", nBuckets, Some(s"$dir/$labelsNew"))
-      }))
-    linkAll(keptFiles(blocksDir, blockBkts), s"$dir/$blocksNew")
-    linkAll(labelKept, s"$dir/$labelsNew")
-    Seq(edgesDir, blocksDir, labelsDir).foreach(deleteDir)
+        // phase 1, CONCURRENT: the pruned rewrites land in fresh dirs
+        // through throwaway stage tables — the real catalog entries
+        // still serve the old generation, so a crash here leaves the
+        // served graph intact (orphans swept by the next build)
+        Par.jobs(Seq(
+          () => if (rewE.nonEmpty) {
+            // rows of the touched edge files whose src neither died
+            // nor re-ranks, plus every re-ranked src's fresh top-k
+            val t = readFiles(rewE)
+            stageWrite(
+              t.join(del, t("src_id") === col("__del"), "left_anti")
+                .join(touched, Seq("src_id"), "left_anti")
+                .unionByName(reranked),
+              "edges", "src_id", eNew)
+          },
+          () => if (rewB.nonEmpty) {
+            val t = readFiles(rewB)
+            stageWrite(t.join(del, t("id") === col("__del"), "left_anti"),
+              "blocks", "cl", bNew)
+          },
+          () => if (rewL.nonEmpty) {
+            val t = readFiles(rewL)
+            stageWrite(t.join(del, t("id") === col("__del"), "left_anti"),
+              "labels", "id", lNew)
+          }))
+        ArtifactFiles.linkFiles(keptE, java.nio.file.Paths.get(dir, eNew))
+        ArtifactFiles.linkFiles(keptB, java.nio.file.Paths.get(dir, bNew))
+        ArtifactFiles.linkFiles(keptL, java.nio.file.Paths.get(dir, lNew))
+        // phase 2: catalog swaps over the COMPLETE fresh dirs, then
+        // the old dirs go
+        attachBucketed(spark, edgesTbl, "src_id", nBuckets, s"$dir/$eNew")
+        attachBucketed(spark, blocksTbl, "cl", nBuckets, s"$dir/$bNew")
+        attachBucketed(spark, labelsTbl, "id", nBuckets, s"$dir/$lNew")
+        Seq(edgesDir, blocksDir, labelsDir)
+          .foreach(ArtifactFiles.deleteRecursively)
+      } finally { touched.unpersist(); keptBlocks.unpersist() }
+    } finally del.unpersist()
+  }
+
+  /** (Re-)create the catalog entry of a bucketed part over `location`
+    * (schema recovered from the files' own footer — metadata-only).
+    */
+  private def attachBucketed(spark: SparkSession, tbl: String,
+      key: String, nBuckets: Int, location: String): Unit = {
+    if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
+    val cols = spark.read.parquet(location).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE $tbl ($cols) USING parquet
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
+         |LOCATION '$location'""".stripMargin)
   }
 
   /** Offline file-count maintenance — [[Index.compact]]'s graph

@@ -282,16 +282,11 @@ object Index {
     Seq("cents", "codebooks", "sq_ranges", "postings", "codes", "sq_codes",
       "bq_codes", "meta")
   /** The bucketed (key-clustered) parts and their bucket keys. */
-  /** Bucket id of a bucketed-writer data file, from the `_NNNNN` tag
-    * the writer embeds in the name (`part-00000-<uuid>_00003.c000…`) —
-    * the same pattern Spark's own scan uses to group a bucketed
-    * table's files. None when the name carries no tag.
+  /** Bucket id of a bucketed-writer data file — delegated to the one
+    * shared copy of the file contract ([[ArtifactFiles.bucketIdOf]]).
     */
-  private val BucketedFileName = """.*_(\d+)(?:\..*)?$""".r
-  private[ops] def bucketIdOf(fileName: String): Option[Int] = fileName match {
-    case BucketedFileName(b) => Some(b.toInt)
-    case _ => None
-  }
+  private[ops] def bucketIdOf(fileName: String): Option[Int] =
+    ArtifactFiles.bucketIdOf(fileName)
 
   private val BucketedParts =
     Seq("postings" -> "cl", "codes" -> "id", "sq_codes" -> "id",

@@ -88,11 +88,20 @@ object TextIndex {
         nBuckets, Some(s"$dir/dl")),
       () => Bucketing.writeBucketed(dfT, part(name, "stats"), "tok",
         nBuckets, Some(s"$dir/stats"))))
+    // Option: sum is NULL over an empty/all-empty-text corpus — an
+    // empty index is legal (self-review r13), not a crash after the
+    // three writes already landed
     val (n, sumdl) = dl.agg(count(lit(1)), sum(col("dl")))
-      .as[(Long, Long)].head()
-    Seq((n, sumdl, nBuckets)).toDF("n", "sumdl", "nBuckets")
+      .as[(Long, Option[Long])].head()
+    Seq((n, sumdl.getOrElse(0L), nBuckets)).toDF("n", "sumdl", "nBuckets")
       .write.mode("overwrite").format("parquet")
       .option("path", s"$dir/meta").saveAsTable(part(name, "meta"))
+    // build re-establishes the canonical layout, so it owns the sweep
+    // of superseded/crashed maintenance generations (`_d`/`_c`
+    // siblings) — repeated build+delete cycles (the gate queries
+    // rebuild per execution) would otherwise leak a corpus-sized
+    // orphan per cycle and break register's one-live-dir invariant
+    sweepOrphans(dir)
   }
 
   /** Ranked BM25 top-k from the artifact — output bit-identical to
@@ -173,7 +182,7 @@ object TextIndex {
         else rows0
       Bucketing.writeBucketed(rows.repartition(nBuckets, col(key)),
         tbl, key, nBuckets, Some(s"$dir/$freshName"))
-      deleteDir(d)
+      ArtifactFiles.deleteRecursively(d)
     }
     val metaTbl = part(name, "meta")
     val metaDir = dirOf(spark, metaTbl)
@@ -182,7 +191,7 @@ object TextIndex {
     Seq((n, sumdl, nBuckets)).toDF("n", "sumdl", "nBuckets")
       .write.mode("overwrite").format("parquet")
       .option("path", s"$dir/$freshMeta").saveAsTable(metaTbl)
-    deleteDir(metaDir)
+    ArtifactFiles.deleteRecursively(metaDir)
   }
 
   /** Re-attach an index BUILT BY A PREVIOUS SESSION from its files —
@@ -237,6 +246,22 @@ object TextIndex {
     try s.iterator().asScala.toVector finally s.close()
   }
 
+  /** Sibling dirs that are not one of the live part dirs — crashed
+    * or superseded maintenance generations. Build owns the sweep
+    * (the [[GraphStore]] pattern): it re-establishes the canonical
+    * layout, so every `_d`/`_c` sibling is garbage at that point.
+    */
+  private def sweepOrphans(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return
+    val canonical = Set("postings", "dl", "stats", "meta")
+    dataFiles0(p).foreach { d =>
+      if (java.nio.file.Files.isDirectory(d) &&
+          !canonical.contains(d.getFileName.toString))
+        ArtifactFiles.deleteRecursively(d)
+    }
+  }
+
   /** Incremental ingest — pure appends, exact by additivity: the new
     * docs' postings/dl land as per-bucket delta files (committed
     * files never rewritten — TextIndexSpec pins byte identity), their
@@ -253,30 +278,35 @@ object TextIndex {
     val fresh = newDocs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .join(known, Seq("id"), "left_anti")
-    val tf = Caching.cachedOnce(tokTf(fresh, "id", "text"))
-    val dl = Caching.cachedOnce(
-      tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")))
-    // FORCE the delta snapshot BEFORE any table write: `fresh`
-    // anti-joins the dl TABLE this method appends into, so a lazy
-    // re-evaluation after phase 1 would see the just-appended ids and
-    // report an EMPTY delta (observed: the meta row silently skipped,
-    // leaving N stale and idf negative). The agg below materializes
-    // dl — and through it tf — into the cache while the tables still
-    // hold only the pre-append state.
-    val (n, sumdl) = dl.agg(count(lit(1)), sum(col("dl")))
-      .as[(Long, Option[Long])].head() // sum is NULL on an all-known replay
-    if (n == 0) return
-    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    Par.jobs(Seq(
-      () => Bucketing.appendBucketed(tf, part(name, "postings"), "tok",
-        nBuckets),
-      () => Bucketing.appendBucketed(dl, part(name, "dl"), "id",
-        nBuckets),
-      () => Bucketing.appendBucketed(dfT, part(name, "stats"), "tok",
-        nBuckets)))
-    Seq((n, sumdl.getOrElse(0L), nBuckets)).toDF("n", "sumdl", "nBuckets")
-      .write.mode("append").format("parquet")
-      .saveAsTable(part(name, "meta"))
+    // explicit persist + finally-unpersist (NOT cachedOnce): the
+    // streaming maintainer calls this once per micro-batch with a
+    // batch-unique plan, so leaked entries would grow without bound
+    // (self-review r13 — the CounterStore-family discipline)
+    val tf = tokTf(fresh, "id", "text").persist()
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")).persist()
+    try {
+      // FORCE the delta snapshot BEFORE any table write: `fresh`
+      // anti-joins the dl TABLE this method appends into, so a lazy
+      // re-evaluation after phase 1 would see the just-appended ids and
+      // report an EMPTY delta (observed: the meta row silently skipped,
+      // leaving N stale and idf negative). The agg below materializes
+      // dl — and through it tf — into the cache while the tables still
+      // hold only the pre-append state.
+      val (n, sumdl) = dl.agg(count(lit(1)), sum(col("dl")))
+        .as[(Long, Option[Long])].head() // sum is NULL on an all-known replay
+      if (n == 0) return
+      val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      Par.jobs(Seq(
+        () => Bucketing.appendBucketed(tf, part(name, "postings"), "tok",
+          nBuckets),
+        () => Bucketing.appendBucketed(dl, part(name, "dl"), "id",
+          nBuckets),
+        () => Bucketing.appendBucketed(dfT, part(name, "stats"), "tok",
+          nBuckets)))
+      Seq((n, sumdl.getOrElse(0L), nBuckets)).toDF("n", "sumdl", "nBuckets")
+        .write.mode("append").format("parquet")
+        .saveAsTable(part(name, "meta"))
+    } finally { dl.unpersist(); tf.unpersist() }
   }
 
   private def dirOf(spark: SparkSession, tbl: String): java.nio.file.Path = {
@@ -288,108 +318,114 @@ object TextIndex {
     java.nio.file.Paths.get(scan.location.rootPaths.head.toUri.getPath)
   }
 
-  private def dataFiles(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val s = java.nio.file.Files.list(d)
-    try s.iterator().asScala.toVector.filter { f =>
-      val nm = f.getFileName.toString
-      java.nio.file.Files.isRegularFile(f) &&
-        !nm.startsWith("_") && !nm.startsWith(".")
-    } finally s.close()
-  }
-
-  private def linkAll(files: Seq[java.nio.file.Path],
-      dstDir: java.nio.file.Path): Unit = {
-    java.nio.file.Files.createDirectories(dstDir)
-    files.foreach { f =>
-      val t = dstDir.resolve(f.getFileName.toString)
-      try java.nio.file.Files.createLink(t, f)
-      catch {
-        case _: UnsupportedOperationException =>
-          java.nio.file.Files.copy(f, t)
-      }
-    }
-  }
-
-  private def deleteDir(d: java.nio.file.Path): Unit = {
-    val s = java.nio.file.Files.walk(d)
-    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(f => java.nio.file.Files.delete(f))
-    finally s.close()
-  }
-
   /** Takedown — bucket-pruned and stats-exact: the deleted docs'
     * posting rows (read BEFORE the rewrite) name both the negative
     * stats deltas AND the touched `tok` buckets; only those buckets'
-    * posting files are rewritten (untouched files hard-link
-    * byte-identical), dl rewrites only the deleted ids' buckets, and
-    * the df/(n, sumdl) corrections land as appended negative-delta
-    * rows. Search-after-delete == build over the survivors,
-    * bit-for-bit. Ordering: the data rewrites land before the stats
-    * corrections — a crash between them leaves scores computed at
-    * slightly-stale df (over-estimates), never phantom documents;
-    * re-running the delete with the same ids is NOT idempotent for
-    * stats (the posting read finds nothing the second time, so the
-    * correction is 0 — actually safe), single-writer like all
+    * posting FILES are read and rewritten (a file with no parseable
+    * bucket tag joins the rewrite set — never silently kept or
+    * dropped), every other file hard-links byte-identical, dl
+    * rewrites only the deleted ids' buckets, and the df/(n, sumdl)
+    * corrections land as appended negative-delta rows.
+    * Search-after-delete == build over the survivors, bit-for-bit.
+    *
+    * Crash ordering (self-review r13): the fresh generation dirs are
+    * fully populated (stage write + kept-file links) BEFORE the
+    * catalog swap, so a crash mid-delete leaves the OLD index served
+    * intact — the orphaned fresh dirs are swept by the next [[build]];
+    * a crash between the swap and the stats corrections leaves scores
+    * at slightly-stale df (over-estimates), never phantom or missing
+    * documents. Re-running the delete with the same ids is a no-op
+    * (the posting read finds nothing). Single-writer like all
     * artifact maintenance.
     */
   def delete(spark: SparkSession, name: String, delIds: DataFrame,
       idCol: String): Unit = {
     import spark.implicits._
     val nBuckets = metaOf(spark, name)
-    val del = Caching.cachedOnce(
-      delIds.select(col(idCol).cast("long").as("__del")).distinct())
-    val postingsTbl = part(name, "postings")
-    val dlTbl = part(name, "dl")
-    val (postingsDir, dlDir) = (dirOf(spark, postingsTbl), dirOf(spark, dlTbl))
-    val dir = postingsDir.getParent.toString
-    val postings = spark.read.parquet(postingsDir.toString)
-    val dlT = spark.read.parquet(dlDir.toString)
-    // the deleted docs' rows, BEFORE any rewrite: they carry the
-    // negative deltas and the touched tok-bucket set
-    val delPost = Caching.cachedOnce(
-      postings.join(del, postings("id") === col("__del"), "left_semi"))
-    val delDl = Caching.cachedOnce(
-      dlT.join(del, dlT("id") === col("__del"), "left_semi"))
-    def bucketOf(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(nBuckets))
-    val tokBkts = delPost.select(bucketOf(col("tok")).as("b"))
-      .distinct().as[Int].collect().toSet
-    val idBkts = del.select(bucketOf(col("__del")).as("b"))
-      .distinct().as[Int].collect().toSet
-    val bucketRe = """.*_(\d+)(?:\..*)?$""".r
-    def kept(d: java.nio.file.Path, bkts: Set[Int]) =
-      dataFiles(d).filterNot(f => (f.getFileName.toString match {
-        case bucketRe(b) => Some(b.toInt)
-        case _ => None
-      }).forall(bkts.contains))
-    def inBkts(c: org.apache.spark.sql.Column, bkts: Set[Int]) =
-      if (bkts.isEmpty) lit(false) else bucketOf(c).isInCollection(bkts)
-    def fresh(p: String) =
-      s"${p}_d${java.util.UUID.randomUUID().toString.take(8)}"
-    val (pNew, dNew) = (fresh("postings"), fresh("dl"))
-    // phase 1: the two pruned rewrites (reads resolve by path, so the
-    // rewrite and the delta reads cannot race the catalog re-attach)
-    Par.jobs(Seq(
-      () => Bucketing.writeBucketed(
-        postings.filter(inBkts(col("tok"), tokBkts))
-          .join(del, postings("id") === col("__del"), "left_anti"),
-        postingsTbl, "tok", nBuckets, Some(s"$dir/$pNew")),
-      () => Bucketing.writeBucketed(
-        dlT.filter(inBkts(col("id"), idBkts))
-          .join(del, dlT("id") === col("__del"), "left_anti"),
-        dlTbl, "id", nBuckets, Some(s"$dir/$dNew"))))
-    linkAll(kept(postingsDir, tokBkts), java.nio.file.Paths.get(dir, pNew))
-    linkAll(kept(dlDir, idBkts), java.nio.file.Paths.get(dir, dNew))
-    // phase 2: the exact negative-delta corrections
-    Bucketing.appendBucketed(
-      delPost.groupBy(col("tok")).agg((-count(lit(1))).as("df")),
-      part(name, "stats"), "tok", nBuckets)
-    val (nGone, dlGone) = delDl.agg(count(lit(1)), sum(col("dl")))
-      .as[(Long, Option[Long])].head()
-    if (nGone > 0)
-      Seq((-nGone, -dlGone.getOrElse(0L), nBuckets))
-        .toDF("n", "sumdl", "nBuckets")
-        .write.mode("append").format("parquet")
-        .saveAsTable(part(name, "meta"))
-    Seq(postingsDir, dlDir).foreach(deleteDir)
+    val del =
+      delIds.select(col(idCol).cast("long").as("__del")).distinct().persist()
+    try {
+      val postingsTbl = part(name, "postings")
+      val dlTbl = part(name, "dl")
+      val (postingsDir, dlDir) = (dirOf(spark, postingsTbl), dirOf(spark, dlTbl))
+      val dir = postingsDir.getParent.toString
+      val postings = spark.read.parquet(postingsDir.toString)
+      val dlT = spark.read.parquet(dlDir.toString)
+      // the deleted docs' rows, BEFORE any rewrite: they carry the
+      // negative deltas and the touched tok-bucket set
+      val delPost =
+        postings.join(del, postings("id") === col("__del"), "left_semi")
+          .persist()
+      val delDl =
+        dlT.join(del, dlT("id") === col("__del"), "left_semi").persist()
+      try {
+        def bucketOf(c: org.apache.spark.sql.Column) =
+          pmod(hash(c), lit(nBuckets))
+        val tokBkts = delPost.select(bucketOf(col("tok")).as("b"))
+          .distinct().as[Int].collect().toSet
+        val idBkts = del.select(bucketOf(col("__del")).as("b"))
+          .distinct().as[Int].collect().toSet
+        // untagged files land in the REWRITE set (read + rewritten),
+        // never the kept set — rows can't be silently dropped
+        def split(d: java.nio.file.Path, bkts: Set[Int]) =
+          ArtifactFiles.dataFiles(d).partition(f =>
+            ArtifactFiles.bucketIdOf(f.getFileName.toString)
+              .forall(bkts.contains))
+        val (rewriteP, keptP) = split(postingsDir, tokBkts)
+        val (rewriteD, keptD) = split(dlDir, idBkts)
+        def fresh(p: String) =
+          s"${p}_d${java.util.UUID.randomUUID().toString.take(8)}"
+        val (pNew, dNew) = (fresh("postings"), fresh("dl"))
+        // phase 1: rewrite the touched FILES (read by path) minus the
+        // deleted ids, into fresh dirs via throwaway stage tables —
+        // the real catalog entries still serve the old generation
+        def rewrite(files: Seq[java.nio.file.Path], p: String,
+            key: String, newName: String): Unit =
+          if (files.nonEmpty) {
+            val stageTbl = s"${part(name, p)}_stage_${newName.takeRight(8)}"
+            Bucketing.writeBucketed(
+              spark.read.parquet(files.map(_.toString): _*)
+                .join(del, col("id") === col("__del"), "left_anti"),
+              stageTbl, key, nBuckets, Some(s"$dir/$newName"))
+            spark.sql(s"DROP TABLE $stageTbl")
+          }
+        Par.jobs(Seq(
+          () => rewrite(rewriteP, "postings", "tok", pNew),
+          () => rewrite(rewriteD, "dl", "id", dNew)))
+        ArtifactFiles.linkFiles(keptP, java.nio.file.Paths.get(dir, pNew))
+        ArtifactFiles.linkFiles(keptD, java.nio.file.Paths.get(dir, dNew))
+        // phase 2: the atomic-ish publication — catalog swaps over the
+        // COMPLETE fresh dirs, then the exact negative-delta
+        // corrections, then the old dirs go
+        attachBucketed(spark, name, "postings", "tok", nBuckets,
+          s"$dir/$pNew")
+        attachBucketed(spark, name, "dl", "id", nBuckets, s"$dir/$dNew")
+        Bucketing.appendBucketed(
+          delPost.groupBy(col("tok")).agg((-count(lit(1))).as("df")),
+          part(name, "stats"), "tok", nBuckets)
+        val (nGone, dlGone) = delDl.agg(count(lit(1)), sum(col("dl")))
+          .as[(Long, Option[Long])].head()
+        if (nGone > 0)
+          Seq((-nGone, -dlGone.getOrElse(0L), nBuckets))
+            .toDF("n", "sumdl", "nBuckets")
+            .write.mode("append").format("parquet")
+            .saveAsTable(part(name, "meta"))
+        Seq(postingsDir, dlDir).foreach(ArtifactFiles.deleteRecursively)
+      } finally { delPost.unpersist(); delDl.unpersist() }
+    } finally del.unpersist()
+  }
+
+  /** (Re-)create the catalog entry of a bucketed part over `location`
+    * (schema recovered from the files' own footer — metadata-only).
+    */
+  private def attachBucketed(spark: SparkSession, name: String,
+      p: String, key: String, nBuckets: Int, location: String): Unit = {
+    val tbl = part(name, p)
+    if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
+    val cols = spark.read.parquet(location).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE $tbl ($cols) USING parquet
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
+         |LOCATION '$location'""".stripMargin)
   }
 }
