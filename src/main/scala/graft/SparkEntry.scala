@@ -1719,6 +1719,20 @@ object SparkEntry {
       TextIndex.search(s, "graft_tidx", k = 10)
     }),
 
+    // X149 ⊕ X147: the metrics harness over the ARTIFACT-SERVED
+    // ranking — the full serve-and-evaluate loop as one gate. The
+    // oracle is the in-plan bm25 metrics SQL: serving is bit-identical
+    // by X149's contract, so the evaluation must be too.
+    "q_text_index_metrics" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      if (!TextIndex.exists(s, "graft_tidx"))
+        TextIndex.build(s, docs, "doc_id", "text", "graft_tidx",
+          nBuckets = 8)
+      Retrieval.retrievalMetrics(
+        TextIndex.search(s, "graft_tidx", k = 10),
+        Retrieval.relevanceConjunctive(docs, "doc_id", "text"), k = 10)
+    }),
+
     // X149 EXACT append: build on half the corpus, append the other
     // half, search — against the FULL-corpus oracle. BM25's global
     // stats (df, N, avgdl) are sums, so maintenance is exact by
@@ -2813,6 +2827,10 @@ object SparkEntry {
     "q_text_index_append" ->
       (Retrieval.bm25TopKSql("doc_id", "text", "documents", k = 10)
         + " ORDER BY qid, rank"),
+
+    "q_text_index_metrics" ->
+      (Retrieval.bm25MetricsSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY 1"),
 
     "q_text_index_delete" ->
       (Retrieval.bm25TopKSql("doc_id", "text",
