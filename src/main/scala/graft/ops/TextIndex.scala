@@ -64,10 +64,16 @@ object TextIndex {
   def exists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(part(name, "meta"))
 
+  /** EXACTLY [[Retrieval.bm25TopK]]'s tokenization — no extra
+    * pre-filter: a null text drops (explode of a null array), but an
+    * EMPTY text is one ""-token document that counts toward N and
+    * avgdl in the in-plan ranking, so it must count here too
+    * (PropertySpec's random-corpus fuzz caught the divergence: a
+    * pre-filter on empty texts shifted N and every idf with it).
+    */
   private def tokTf(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
-      .select(col(idCol).cast("long").as("id"),
+    docs.select(col(idCol).cast("long").as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
 

@@ -584,4 +584,44 @@ class PropertySpec extends AnyFunSuite {
         zipfHolds && gotPmi == wantPmi
     }, cases = 8)
   }
+
+  test("text index maintenance laws hold on random corpora (fuzz, reduced cases)") {
+    // X149's exactness contract, fuzzed: for ANY corpus (including
+    // empty texts, single-word docs, all-duplicate tokens), build
+    // half + append half + delete a third serves the EXACT in-plan
+    // BM25 ranking over the survivors. Randomized corpora catch
+    // tokenizer/stat edges the fixed gate corpus can't (zero-length
+    // docs in dl, query terms with df 0, all-known appends).
+    import graft.ops.{Retrieval, TextIndex}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_tidx_fuzz").toString
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "dup", "spark", "hash", "join")
+    val docGen = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(4, 10)
+      .flatMap(n => Gen.listOfN(n, docGen))
+    check(Prop.forAll(corpusGen) { texts =>
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      import org.apache.spark.sql.functions.col
+      // rebuild under ONE name: build owns the orphan sweep, so the
+      // prior case's delete generation is reclaimed each round
+      TextIndex.build(spark, df.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "tidx_fz", nBuckets = 2, baseDir = Some(base))
+      TextIndex.append(spark, "tidx_fz",
+        df.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      TextIndex.delete(spark, "tidx_fz",
+        df.filter(col("doc_id") % 3 === 0).select(col("doc_id")),
+        "doc_id")
+      val got = TextIndex.search(spark, "tidx_fz", k = 5)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+      val want = Retrieval.bm25TopK(df.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", k = 5)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+      got == want
+    }, cases = 4)
+  }
 }
