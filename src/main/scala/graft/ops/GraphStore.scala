@@ -61,9 +61,16 @@ object GraphStore {
   def exists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(part(name, "edges"))
 
+  /** id cast to long at the artifact boundary — same rationale as
+    * [[Index.baseOf]] (advice r13): [[delete]]'s touched-bucket
+    * digests hash the del ids as long, and Murmur3(int) ≠
+    * Murmur3(long), so an int-typed source id would compute the
+    * kept/rewrite partition in the wrong hash family.
+    */
   private def baseOf(embs: DataFrame, idCol: String, vecCol: String) =
     Caching.cachedOnce(
-      embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+      embs.select(col(idCol).cast("long").as("id"),
+          Vectors.toDouble(col(vecCol)).as("v"))
         .withColumn("nrm", Vectors.norm(col("v"))))
 
   /** Train + block-join + persist: one [[Similarity.knnGraphAt]] pass
@@ -82,7 +89,7 @@ object GraphStore {
     val edges = Similarity.knnGraphAt(base, cents, k, massign)
     val blocks = Similarity.assignToNearest(base, cents, massign)
       .join(base, "id").select(col("cl"), col("id"), col("v"), col("nrm"))
-    val labels = embs.select(col(idCol).as("id"),
+    val labels = embs.select(col(idCol).cast("long").as("id"),
       col(seedCol).cast("long").as("label"))
     // the three bucketed writes are independent (distinct tables and
     // dirs; `base` materializes once under the block manager's
@@ -221,7 +228,7 @@ object GraphStore {
       () => Bucketing.appendBucketed(newBlocks, part(name, "blocks"), "cl",
         nBuckets),
       () => Bucketing.appendBucketed(
-        fresh.select(col(idCol).as("id"),
+        fresh.select(col(idCol).cast("long").as("id"),
           col(seedCol).cast("long").as("label")),
         part(name, "labels"), "id", nBuckets)))
     deleteDir(oldDir)

@@ -196,9 +196,19 @@ object Index {
     sweepStale(dir, p)
   }
 
+  /** The id column is CAST TO LONG at the artifact boundary (advice
+    * r13): [[delete]]'s touched-bucket digest hashes the del ids as
+    * long, and Spark's Murmur3 hashes IntegerType and LongType
+    * DIFFERENTLY — an int-typed source id would put the digest in the
+    * wrong hash family and deleted rows could silently survive in
+    * "kept" files. One cast here makes every bucketed part uniformly
+    * long-keyed (the [[TextIndex.tokTf]] convention), so bucketBy and
+    * the digest always agree.
+    */
   private[graft] def baseOf(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
     Caching.cachedOnce(
-      embs.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+      embs.select(col(idCol).cast("long").as("id"),
+          Vectors.toDouble(col(vecCol)).as("v"))
         .withColumn("nrm", Vectors.norm(col("v"))))
 
   /** Train + encode + persist. One corpus-wide training pass (IVF

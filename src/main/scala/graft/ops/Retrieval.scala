@@ -276,12 +276,20 @@ object Retrieval {
     * full term count — no corpus-wide work beyond the token scan.
     */
   def relevanceConjunctive(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      queries: Seq[(Long, Seq[String])] = Queries): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .distinct()
-    val qdf = queryDf(docs)
-    val qn = Queries.map { case (qid, ts) => (qid, ts.distinct.size.toLong) }
+    // distinct (qid, tok): a query with a REPEATED term would
+    // otherwise count the duplicate into nt while n_terms below is
+    // the distinct size — nt > n_terms and no doc could ever be
+    // relevant (advice r13; the fixed Queries set has no duplicate
+    // terms, so committed hashes were never wrong — latent only)
+    val qrows = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+    val qdf = docs.sparkSession.createDataFrame(qrows).toDF("qid", "tok")
+      .distinct()
+    val qn = queries.map { case (qid, ts) => (qid, ts.distinct.size.toLong) }
     val qnDf = docs.sparkSession.createDataFrame(qn).toDF("qid", "n_terms")
     toks.join(broadcast(qdf), "tok")
       .groupBy(col("qid"), col("doc_id"))
@@ -365,11 +373,12 @@ object Retrieval {
        |  SELECT DISTINCT $id AS doc_id,
        |    unnest(${TextAnalysis.tokensSql(text)}) AS tok FROM $table),
        |rqs(qid, tok) AS (VALUES $queriesValuesSql),
+       |rqsd AS (SELECT DISTINCT qid, tok FROM rqs),
        |rqn AS (SELECT qid, count(DISTINCT tok) AS n_terms FROM rqs GROUP BY 1),
        |rel AS (
        |  SELECT m.qid, m.doc_id FROM (
-       |    SELECT rqs.qid, rtoks.doc_id, count(*) AS nt
-       |    FROM rtoks JOIN rqs ON rqs.tok = rtoks.tok GROUP BY 1, 2) m
+       |    SELECT rqsd.qid, rtoks.doc_id, count(*) AS nt
+       |    FROM rtoks JOIN rqsd ON rqsd.tok = rtoks.tok GROUP BY 1, 2) m
        |  JOIN rqn ON rqn.qid = m.qid AND m.nt = rqn.n_terms),
        |nrel AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY 1),
        |perq AS (

@@ -506,4 +506,35 @@ class IndexSpec extends AnyFunSuite {
     val posts = spark.table("idx_dp_postings")
     assert(posts.filter(col("id") === delId).count() == 0)
   }
+
+  test("delete is exact for an INT-typed source id column (advice r13: one hash family)") {
+    // Murmur3(int) != Murmur3(long) for the same value, so before the
+    // boundary cast an int-keyed artifact put delete's touched-bucket
+    // digest in the wrong hash family and deleted rows could survive
+    // in "kept" files. Pick a del id whose int- and long-hash buckets
+    // DIFFER, so the old code would demonstrably mis-prune.
+    val intEmbs = embs.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding"), col("label"))
+    val ids = intEmbs.select(col("vec_id")).as[Int].collect().toSeq
+    val delId = ids.find { i =>
+      val (bi, bl) = spark.range(1)
+        .select(pmod(hash(lit(i)), lit(4)), pmod(hash(lit(i.toLong)), lit(4)))
+        .as[(Int, Int)].head()
+      bi != bl
+    }.getOrElse(fail("fixture has no id with divergent int/long buckets"))
+    val dir = tmpBase("delint")
+    Index.build(spark, intEmbs, "vec_id", "embedding", "label", "idx_di",
+      itersIvf = 2, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(dir))
+    Index.delete(spark, "idx_di", Seq(delId).toDF("vec_id"), "vec_id")
+    for (p <- Seq("postings", "codes", "sq_codes", "bq_codes"))
+      assert(spark.table(s"idx_di_$p")
+          .filter(col("id") === delId.toLong).count() == 0,
+        s"deleted int id survived in $p")
+    val res = Index.search(spark, "idx_di", intEmbs, "vec_id", "embedding",
+        col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(res.nonEmpty)
+    assert(res.forall { case (_, _, n, _) => n != delId.toLong })
+  }
 }

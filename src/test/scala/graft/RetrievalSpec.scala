@@ -730,4 +730,15 @@ class RetrievalSpec extends AnyFunSuite {
       .select(col("doc_id")).as[Long].collect().toSet
     assert(rel == Set(0L, 4L))
   }
+
+  test("conjunctive relevance: a query with a REPEATED term counts it once (advice r13)") {
+    // before the fix, the duplicate "dup" row inflated nt above
+    // n_terms = |distinct terms| and NO doc could ever be relevant;
+    // relevance is a distinct-terms predicate: same qrels as the
+    // deduplicated query
+    val rel = Retrieval.relevanceConjunctive(docs, "doc_id", "text",
+        queries = Seq(7L -> Seq("dup", "dup", "spark")))
+      .select(col("qid"), col("doc_id")).as[(Long, Long)].collect().toSet
+    assert(rel == Set((7L, 0L), (7L, 4L)))
+  }
 }
