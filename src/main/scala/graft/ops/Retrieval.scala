@@ -117,6 +117,96 @@ object Retrieval {
     Queries.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
       .mkString(", ")
 
+  // --------------------------------------------- X150 phrase search
+
+  /** Fixed phrase set for the gate queries: pid → adjacent-token
+    * phrase over the documents vocabulary. Includes a REPEATED-token
+    * phrase (1) — "order order order" must count TWO overlapping
+    * occurrences — and a trigram (2).
+    */
+  val Phrases: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("hash", "join"),
+    1L -> Seq("order", "order"),
+    2L -> Seq("big", "order", "scan"),
+    3L -> Seq("data", "slow"))
+
+  /** Rank phrase matches from a positional token table (id, tok,
+    * pos) — shared by the in-plan [[phraseTopK]] and the
+    * artifact-served [[TextIndex.searchPhrase]] so the two are
+    * bit-identical by construction. A phrase t0…t(m−1) matches at
+    * `start` iff term j sits at position start+j for every j: each
+    * term's (pruned) position list shifts left by its offset and the
+    * lists equi-join on (id, start) — cost ∝ the PHRASE TERMS'
+    * postings, never the corpus, and overlapping occurrences (the
+    * repeated-token phrase) fall out naturally because every start
+    * is its own row. Output: (pid, rank, doc_id, n_occ), ranked by
+    * occurrence count with doc id tie-break.
+    */
+  private[graft] def phraseRank(ptoks: DataFrame,
+      phrases: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    val matches = phrases.map { case (pid, terms) =>
+      terms.zipWithIndex.map { case (t, j) =>
+        ptoks.filter(col("tok") === t)
+          .select(col("id"), (col("pos") - j).as("start"))
+      }.reduce((a, b) => a.join(b, Seq("id", "start")))
+        .select(lit(pid).as("pid"), col("id"), col("start"))
+    }.reduce(_ unionByName _)
+    val counts = matches.groupBy(col("pid"), col("id"))
+      .agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("n_occ").desc, col("id").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("id").as("doc_id"),
+        col("n_occ"))
+  }
+
+  /** Exact adjacent-token phrase search, in-plan: posexplode the
+    * corpus ONCE pruned to the phrases' terms, then [[phraseRank]].
+    * The artifact twin ([[TextIndex.searchPhrase]] over the
+    * positional part) serves the identical output with the tokenize
+    * pass paid at build time.
+    */
+  def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, phrases: Seq[(Long, Seq[String])] = Phrases): DataFrame = {
+    val terms = phrases.flatMap(_._2).distinct
+    val ptoks = Caching.cachedOnce(
+      docs.select(col(idCol).cast("long").as("id"),
+          posexplode(TextAnalysis.tokens(col(textCol)))
+            .as(Seq("pos", "tok")))
+        .filter(col("tok").isin(terms: _*)))
+    phraseRank(ptoks, phrases, k)
+  }
+
+  /** DuckDB twin of [[phraseTopK]]: unnest + generate_subscripts
+    * zip to the same 0/1-based-irrelevant positional stream (only
+    * position DIFFERENCES matter), the same per-term shifted
+    * self-joins, the same (n_occ desc, doc_id) ranking.
+    */
+  def phraseTopKSql(id: String, text: String, table: String, k: Int,
+      phrases: Seq[(Long, Seq[String])] = Phrases): String = {
+    val legs = phrases.map { case (pid, terms) =>
+      val sides = terms.zipWithIndex.map { case (t, j) =>
+        s"(SELECT doc_id, pos - $j AS start FROM ptoks WHERE tok = '$t') a$j"
+      }
+      val from = sides.head +
+        sides.tail.map(s => s" JOIN $s USING (doc_id, start)").mkString
+      s"SELECT $pid::BIGINT AS pid, a0.doc_id AS doc_id, a0.start AS start FROM $from"
+    }
+    s"""WITH ptoks AS (
+       |  SELECT $id AS doc_id,
+       |    unnest(${TextAnalysis.tokensSql(text)}) AS tok,
+       |    generate_subscripts(${TextAnalysis.tokensSql(text)}, 1) AS pos
+       |  FROM $table),
+       |pm AS (${legs.mkString(" UNION ALL ")}),
+       |pc AS (SELECT pid, doc_id, count(*) AS n_occ FROM pm GROUP BY 1, 2)
+       |SELECT pid, rank, doc_id, n_occ FROM (
+       |  SELECT pid, doc_id, n_occ,
+       |    row_number() OVER (PARTITION BY pid
+       |      ORDER BY n_occ DESC, doc_id ASC) AS rank
+       |  FROM pc) WHERE rank <= $k""".stripMargin
+  }
+
   /** DuckDB twin of [[bm25TopK]] — same constants, same micro
     * quantization before the sum, same (score desc, id) ranking.
     */

@@ -731,6 +731,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rel == Set(0L, 4L))
   }
 
+  test("phrase search (X150): adjacent-token matches on a hand corpus; overlapping occurrences of a repeated-token phrase count") {
+    // doc0: hash@2 join@3 → 1; doc1: "spark spark spark" → 2 starts,
+    // "hash hash join" → 1; doc4: "dup dup dup" → 2 overlapping
+    // starts; doc2: trigram at 0 and 3 (position 6 has no vector
+    // after "window agg")
+    val got = Retrieval.phraseTopK(docs, "doc_id", "text", k = 10,
+        phrases = Seq(
+          0L -> Seq("hash", "join"),
+          1L -> Seq("dup", "dup"),
+          2L -> Seq("window", "agg", "vector"),
+          3L -> Seq("spark", "spark")))
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (0L, 1L, 0L, 1L), (0L, 2L, 1L, 1L),
+      (1L, 1L, 4L, 2L),
+      (2L, 1L, 2L, 2L),
+      (3L, 1L, 1L, 2L)))
+  }
+
   test("conjunctive relevance: a query with a REPEATED term counts it once (advice r13)") {
     // before the fix, the duplicate "dup" row inflated nt above
     // n_terms = |distinct terms| and NO doc could ever be relevant;
