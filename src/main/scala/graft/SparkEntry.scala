@@ -1759,6 +1759,44 @@ object SparkEntry {
       TextIndex.search(s, "graft_tidx_del", k = 10)
     }),
 
+    // X150 exact phrase search, in-plan: adjacent-token phrase
+    // occurrences from a posexploded token stream pruned to the
+    // phrases' terms — each term's shifted position list equi-joins
+    // on (id, start); overlapping matches of a repeated-token phrase
+    // ("order order") count separately.
+    "q_text_phrase" -> ((s, dir) =>
+      Retrieval.phraseTopK(T(s, dir, "documents"), "doc_id", "text",
+        k = 10)),
+
+    // X150 artifact serving: the positional part of the text index
+    // (bucket-pruned to the phrases' terms, NO tokenize in the plan)
+    // serves the identical ranking — shares q_text_phrase's oracle.
+    "q_text_index_phrase" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      if (!TextIndex.exists(s, "graft_tidx_pos"))
+        TextIndex.build(s, docs, "doc_id", "text", "graft_tidx_pos",
+          nBuckets = 8, positions = true)
+      TextIndex.searchPhrase(s, "graft_tidx_pos", k = 10)
+    }),
+
+    // X150 EXACT positional maintenance: build half with positions,
+    // append the other half, take down a third — phrase serving
+    // equals the in-plan phrase search over the survivors (positions
+    // are rows, so maintenance is exact by construction, and the
+    // takedown shares the postings' tok-bucket pruning).
+    "q_text_index_phrase_upd" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextIndex.build(s, docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "graft_tidx_posu", nBuckets = 8,
+        positions = true)
+      TextIndex.append(s, "graft_tidx_posu",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      TextIndex.delete(s, "graft_tidx_posu",
+        docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")),
+        "doc_id")
+      TextIndex.searchPhrase(s, "graft_tidx_posu", k = 10)
+    }),
+
     // X147b the same metrics harness over the HYBRID (RRF-fused)
     // ranking — the point of an eval harness is COMPARING rankers on
     // one qrel set: BM25-only vs BM25⊕embedding fusion, same
@@ -2836,6 +2874,21 @@ object SparkEntry {
       (Retrieval.bm25TopKSql("doc_id", "text",
         "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", k = 10)
         + " ORDER BY qid, rank"),
+
+    // X150: the artifact-served twins share the in-plan phrase oracle
+    // (serving is bit-identical by construction)
+    "q_text_phrase" ->
+      (Retrieval.phraseTopKSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY pid, rank"),
+
+    "q_text_index_phrase" ->
+      (Retrieval.phraseTopKSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY pid, rank"),
+
+    "q_text_index_phrase_upd" ->
+      (Retrieval.phraseTopKSql("doc_id", "text",
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", k = 10)
+        + " ORDER BY pid, rank"),
 
     "q_text_retrieval_metrics_rrf" ->
       (Retrieval.retrievalMetricsSql(

@@ -22,17 +22,20 @@ package graft.ops
   */
 object Par {
 
-  def jobs(tasks: Seq[() => Unit]): Unit =
-    if (tasks.sizeIs <= 1) tasks.foreach(_.apply())
+  def jobs(tasks: Seq[() => Unit]): Unit = { collect(tasks); () }
+
+  /** [[jobs]] returning each task's result in input order. */
+  def collect[A](tasks: Seq[() => A]): Seq[A] =
+    if (tasks.sizeIs <= 1) tasks.map(_.apply())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
       try {
         val fs = tasks.map { t =>
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = t()
+          pool.submit(new java.util.concurrent.Callable[A] {
+            def call(): A = t()
           })
         }
-        fs.foreach { f =>
+        fs.map { f =>
           try f.get()
           catch {
             case e: java.util.concurrent.ExecutionException =>

@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   *    delta rows make maintenance append-only AND exact.
   *  - `meta`: additive delta rows (n, sumdl, nBuckets) — corpus size
   *    and total length as sums, for the same reason.
+  *  - `pos` (tok, id, pos), bucketed by `tok` — OPTIONAL
+  *    (`build(..., positions = true)`): the positional stream behind
+  *    [[searchPhrase]]; shares the postings' tok-bucket pruning for
+  *    serving AND takedown (a doc's positions live under its own
+  *    terms' buckets).
   *
   * == The exactness contract (stronger than the ANN artifact's) ==
   *
@@ -41,18 +46,60 @@ import org.apache.spark.sql.functions._
   * `q_text_bm25`'s oracle verbatim). Contrast [[Index.append]], which
   * holds trained centroids fixed because k-means is not additive.
   *
+  * == The commit protocol: ONE atomic swap across all four tables ==
+  *
+  * Exactness only holds for states where the four tables agree —
+  * postings landed without their stats row would serve a wrong idf,
+  * dl landed without postings would make a replay's known-id guard
+  * hide the docs forever (advice r13). So every maintenance op
+  * ([[append]], [[delete]], [[compact]]) commits through a single
+  * state file `index.current` naming ALL FOUR current generation
+  * directories (the [[Index.PartState]] machinery, collapsed to one
+  * file because TextIndex maintenance always touches the four tables
+  * together):
+  *
+  *  1. the op's delta/rewrite files land under `.staging/` and the
+  *     fresh generation directories are populated (hard links of the
+  *     current generation's files plus the staged ones — metadata
+  *     only; parquet files are immutable);
+  *  2. one atomic tmp-write + move of `index.current` makes the new
+  *     generation current FOR ALL FOUR TABLES AT ONCE;
+  *  3. the per-batch commit marker is written (see below), the
+  *     catalog entries re-attach, superseded generations are swept.
+  *
+  * A crash before step 2 leaves the OLD index served, fully
+  * consistent (orphans are swept by the next commit or [[build]]); a
+  * crash after step 2 has already committed everything, including
+  * the stats/meta corrections — there is no window where the four
+  * tables disagree. [[register]] resolves generations through the
+  * state file, so a crashed maintenance run can never strand a
+  * cross-session reader on `require(one live dir)`.
+  *
+  * == Replay detection (at-least-once maintenance) ==
+  *
+  * [[append]]/[[delete]] take an optional `batchId`
+  * ([[graft.streaming.TextIndexStream]] passes the foreachBatch
+  * epoch): a batch whose commit marker `_commits/<batchId>` exists is
+  * an O(1) no-op — the marker is written right after the state swap,
+  * so at-least-once redelivery re-runs exactly the batches that did
+  * not fully commit. The content-level guards (append's known-id
+  * anti-join, delete's empty-posting no-op) remain as the SEMANTIC
+  * dedup for overlapping un-tagged inputs; they are sound precisely
+  * because visibility is all-or-nothing — the dl table can never be
+  * ahead of postings/stats/meta, so the anti-join either sees none of
+  * a crashed batch's ids (full re-run) or all of them (no-op).
+  *
   * == Maintenance cost ==
   *
-  * [[append]] is append-only: per-bucket delta files into postings/
-  * dl, delta rows into stats/meta — committed files byte-untouched.
-  * [[delete]] is bucket-pruned like [[Index.delete]]: postings
-  * rewrites only the buckets of the DELETED DOCS' TERMS (known from
-  * their own posting rows), dl only the deleted ids' buckets; every
-  * untouched bucket file hard-links into the fresh directory
-  * byte-identical, and the stats/meta correction is two appended
-  * negative-delta writes. Single-writer, in-session visibility (the
-  * [[Index.appendCommitted]] generation machinery is the upgrade
-  * path if reader snapshots are ever needed here).
+  * [[append]] moves only the delta's bytes (per-bucket delta files +
+  * delta stats/meta rows) plus O(#files) link metadata. [[delete]] is
+  * bucket-pruned like [[Index.delete]]: postings rewrites only the
+  * buckets of the DELETED DOCS' TERMS (known from their own posting
+  * rows), dl only the deleted ids' buckets; every untouched bucket
+  * file hard-links into the fresh generation byte-identical, and the
+  * df/(n, sumdl) corrections are staged negative-delta files
+  * committed IN THE SAME swap. Single-writer, like all artifact
+  * maintenance.
   */
 object TextIndex {
 
@@ -63,6 +110,214 @@ object TextIndex {
 
   def exists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(part(name, "meta"))
+
+  // --------------------------------------------- state file + commit layer
+
+  /** The base tables; `pos` joins them when the index is built with
+    * `positions = true` (X150 phrase serving). The state file lists
+    * whichever parts the artifact actually has.
+    */
+  private val PartNames = Seq("postings", "dl", "stats", "meta")
+  private val AllPartNames = PartNames :+ "pos"
+  private val BucketKeys =
+    Map("postings" -> "tok", "dl" -> "id", "stats" -> "tok",
+      "pos" -> "tok")
+  private val StateFile = "index.current"
+
+  /** The committed state: one monotone generation counter and the
+    * four tables' current directory names — swapped as ONE atomic
+    * file move, so the four can never disagree.
+    */
+  private[graft] final case class IndexState(gen: Long,
+      parts: Map[String, String])
+
+  private[graft] def loadState(dir: String): Option[IndexState] = {
+    val f = java.nio.file.Paths.get(dir, StateFile)
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(f))
+      val parts = node.fieldNames.asScala.filter(_ != "gen")
+        .map(p => p -> node.get(p).asText).toMap
+      Some(IndexState(node.get("gen").asLong, parts))
+    }
+  }
+
+  private def writeState(dir: String, st: IndexState): Unit = {
+    val body = st.parts.toSeq.sortBy(_._1)
+      .map { case (p, d) => s""""$p": "$d"""" }.mkString(", ")
+    val tmp = java.nio.file.Paths.get(dir,
+      s".$StateFile.tmp.${uid8()}")
+    java.nio.file.Files.writeString(tmp, s"""{"gen": ${st.gen}, $body}""")
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(dir, StateFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The committed state, or — for a pre-state-file artifact — each
+    * part's single live directory (the legacy layout guaranteed
+    * exactly one of canonical / `_d` rewrite / `_c` compact output).
+    */
+  private def stateOf(dir: String): IndexState =
+    loadState(dir).getOrElse(
+      IndexState(0L, PartNames.map(p => p -> legacyLiveDir(dir, p)).toMap))
+
+  private def legacyLiveDir(dir: String, p: String): String = {
+    val live = listDir(java.nio.file.Paths.get(dir)).filter { d =>
+      val n = d.getFileName.toString
+      java.nio.file.Files.isDirectory(d) &&
+        (n == p || n.startsWith(s"${p}_d") || n.startsWith(s"${p}_c"))
+    }
+    require(live.size == 1,
+      s"no state file and not exactly one live dir for part $p: $live")
+    live.head.getFileName.toString
+  }
+
+  private def uid8(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  private def listDir(d: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+
+  /** Data files of the part's CURRENT generation directory. */
+  private def currentFiles(dir: String, st: IndexState,
+      p: String): Seq[java.nio.file.Path] =
+    ArtifactFiles.dataFiles(java.nio.file.Paths.get(dir, st.parts(p)))
+
+  // ------------------------------------------------------ commit markers
+
+  private def commitMarker(dir: String, batchId: String): java.nio.file.Path = {
+    require(batchId.matches("[A-Za-z0-9._-]+"),
+      s"batch id must be filesystem-safe: '$batchId'")
+    java.nio.file.Paths.get(dir, "_commits", batchId)
+  }
+
+  private def batchCommitted(dir: String, batchId: String): Boolean =
+    java.nio.file.Files.exists(commitMarker(dir, batchId))
+
+  private def markBatch(dir: String, batchId: String): Unit = {
+    val m = commitMarker(dir, batchId)
+    java.nio.file.Files.createDirectories(m.getParent)
+    if (!java.nio.file.Files.exists(m)) java.nio.file.Files.createFile(m)
+  }
+
+  /** THE commit: populate the four fresh generation directories from
+    * `newFiles` (hard links — metadata only), one atomic state swap,
+    * then marker / catalog / sweep. Everything before the swap is
+    * invisible; everything after it is fully consistent.
+    */
+  private def commitGeneration(spark: SparkSession, name: String,
+      dir: String, st: IndexState, nBuckets: Int,
+      newFiles: Map[String, Seq[java.nio.file.Path]],
+      batchId: Option[String]): Unit = {
+    val gen = st.gen + 1
+    val u = uid8()
+    val newParts = newFiles.keys.toSeq.map { p =>
+      val newName = s"${p}_g${gen}_$u"
+      ArtifactFiles.linkFiles(newFiles(p),
+        java.nio.file.Paths.get(dir, newName))
+      p -> newName
+    }.toMap
+    val newSt = IndexState(gen, newParts)
+    writeState(dir, newSt) // the atomic commit point
+    batchId.foreach(markBatch(dir, _))
+    attachAll(spark, name, dir, newSt, nBuckets)
+    sweep(dir, newSt)
+  }
+
+  /** Delete every part-prefixed sibling directory the state does not
+    * name (superseded generations, crashed attempts) and the whole
+    * staging area (single-writer: nothing is legitimately in flight
+    * at a commit point).
+    */
+  private def sweep(dir: String, st: IndexState): Unit = {
+    val keep = st.parts.values.toSet
+    listDir(java.nio.file.Paths.get(dir)).foreach { d =>
+      val n = d.getFileName.toString
+      if (java.nio.file.Files.isDirectory(d) && !keep.contains(n) &&
+          AllPartNames.exists(p => n == p || n.startsWith(s"${p}_")))
+        ArtifactFiles.deleteRecursively(d)
+    }
+    ArtifactFiles.deleteRecursively(
+      java.nio.file.Paths.get(dir, ".staging"))
+  }
+
+  private def attachAll(spark: SparkSession, name: String, dir: String,
+      st: IndexState, nBuckets: Int): Unit = {
+    for (p <- st.parts.keys if p != "meta")
+      attachBucketed(spark, name, p, BucketKeys(p), nBuckets,
+        s"$dir/${st.parts(p)}")
+    attachMeta(spark, name, s"$dir/${st.parts("meta")}")
+  }
+
+  /** The four tables' DECLARED schemas — attach never infers from
+    * files, so a legally-EMPTY generation directory (a takedown that
+    * removed a whole bucket, an all-cancelled stats chain) still
+    * attaches instead of failing parquet schema inference.
+    */
+  private val PartSchemas = Map(
+    "postings" -> "tok STRING, id BIGINT, tf BIGINT",
+    "dl" -> "id BIGINT, dl BIGINT",
+    "stats" -> "tok STRING, df BIGINT",
+    "pos" -> "tok STRING, id BIGINT, pos INT",
+    "meta" -> "n BIGINT, sumdl BIGINT, nBuckets INT")
+
+  /** (Re-)create the catalog entry of a bucketed part over `location`
+    * (declared schema — metadata-only).
+    */
+  private def attachBucketed(spark: SparkSession, name: String,
+      p: String, key: String, nBuckets: Int, location: String): Unit = {
+    val tbl = part(name, p)
+    if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl (${PartSchemas(p)}) USING parquet
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
+         |LOCATION '$location'""".stripMargin)
+  }
+
+  private def attachMeta(spark: SparkSession, name: String,
+      location: String): Unit = {
+    val tbl = part(name, "meta")
+    if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl (${PartSchemas("meta")})
+         |USING parquet LOCATION '$location'""".stripMargin)
+  }
+
+  /** Bucket-write `df` into `.staging/<p>_<u>` through a throwaway
+    * external stage table (the only way to bucketBy-write to a path);
+    * returns the staged data files. An empty delta stages zero files.
+    */
+  private def stageBucketed(spark: SparkSession, name: String,
+      dir: String, df: DataFrame, p: String, nBuckets: Int,
+      u: String): java.nio.file.Path = {
+    val target = java.nio.file.Paths.get(dir, ".staging", s"${p}_$u")
+    val stageTbl = s"${part(name, p)}_stage_$u"
+    Bucketing.writeBucketed(df, stageTbl, BucketKeys(p), nBuckets,
+      Some(target.toString))
+    spark.sql(s"DROP TABLE $stageTbl")
+    target
+  }
+
+  private def stageMeta(spark: SparkSession, dir: String,
+      rows: Seq[(Long, Long, Int)], u: String): java.nio.file.Path = {
+    import spark.implicits._
+    val target = java.nio.file.Paths.get(dir, ".staging", s"meta_$u")
+    rows.toDF("n", "sumdl", "nBuckets")
+      .coalesce(1).write.mode("overwrite").parquet(target.toString)
+    target
+  }
+
+  private def stagedFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+    else ArtifactFiles.dataFiles(p)
+
+  // ------------------------------------------------------------ tokenize
 
   /** EXACTLY [[Retrieval.bm25TopK]]'s tokenization — no extra
     * pre-filter: a null text drops (explode of a null array), but an
@@ -77,23 +332,46 @@ object TextIndex {
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
 
-  /** Tokenize + count once, land the four tables. */
+  /** Positional token stream (tok, id, pos) — [[tokTf]]'s
+    * tokenization with posexplode instead of the count, for the
+    * optional `pos` part ([[searchPhrase]]). Same null/empty-text
+    * semantics by construction.
+    */
+  private def tokPos(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "tok")))
+      .select(col("tok"), col("id"), col("pos"))
+
+  /** Tokenize + count once, land the four tables, write the initial
+    * state. A rebuild re-establishes the canonical layout, so it owns
+    * the sweep of superseded generations AND the commit-marker reset
+    * (a rebuilt index is a NEW index — old batch ids must not
+    * short-circuit against it).
+    */
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, name: String, nBuckets: Int = 8,
-      baseDir: Option[String] = None): Unit = {
+      baseDir: Option[String] = None,
+      positions: Boolean = false): Unit = {
     import spark.implicits._
     val dir = indexDir(baseDir, name)
     val tf = Caching.cachedOnce(tokTf(docs, idCol, textCol))
     val dl = Caching.cachedOnce(
       tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")))
     val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val posJob =
+      if (!positions) Seq.empty
+      else Seq(() => Bucketing.writeBucketed(
+        tokPos(docs, idCol, textCol), part(name, "pos"), "tok",
+        nBuckets, Some(s"$dir/pos")))
     Par.jobs(Seq(
       () => Bucketing.writeBucketed(tf, part(name, "postings"), "tok",
         nBuckets, Some(s"$dir/postings")),
       () => Bucketing.writeBucketed(dl, part(name, "dl"), "id",
         nBuckets, Some(s"$dir/dl")),
       () => Bucketing.writeBucketed(dfT, part(name, "stats"), "tok",
-        nBuckets, Some(s"$dir/stats"))))
+        nBuckets, Some(s"$dir/stats"))) ++ posJob)
     // Option: sum is NULL over an empty/all-empty-text corpus — an
     // empty index is legal (self-review r13), not a crash after the
     // three writes already landed
@@ -102,12 +380,12 @@ object TextIndex {
     Seq((n, sumdl.getOrElse(0L), nBuckets)).toDF("n", "sumdl", "nBuckets")
       .write.mode("overwrite").format("parquet")
       .option("path", s"$dir/meta").saveAsTable(part(name, "meta"))
-    // build re-establishes the canonical layout, so it owns the sweep
-    // of superseded/crashed maintenance generations (`_d`/`_c`
-    // siblings) — repeated build+delete cycles (the gate queries
-    // rebuild per execution) would otherwise leak a corpus-sized
-    // orphan per cycle and break register's one-live-dir invariant
-    sweepOrphans(dir)
+    val names = if (positions) AllPartNames else PartNames
+    val st = IndexState(0L, names.map(p => p -> p).toMap)
+    writeState(dir, st)
+    ArtifactFiles.deleteRecursively(
+      java.nio.file.Paths.get(dir, "_commits"))
+    sweep(dir, st)
   }
 
   /** Ranked BM25 top-k from the artifact — output bit-identical to
@@ -152,6 +430,22 @@ object TextIndex {
         col("score_micros"))
   }
 
+  /** Exact phrase search from the artifact's positional part —
+    * bit-identical to the in-plan [[Retrieval.phraseTopK]] on the
+    * same corpus (the ranking is literally [[Retrieval.phraseRank]]
+    * over the same positional stream), with NO tokenize pass in the
+    * plan: the pos table is BUCKET-PRUNED to the phrases' terms, so
+    * serving cost ∝ those terms' position lists, never the corpus.
+    * Requires `build(..., positions = true)`.
+    */
+  def searchPhrase(spark: SparkSession, name: String, k: Int,
+      phrases: Seq[(Long, Seq[String])] = Retrieval.Phrases): DataFrame = {
+    val terms = phrases.flatMap(_._2).distinct
+    val ptoks = spark.table(part(name, "pos"))
+      .filter(col("tok").isin(terms: _*))
+    Retrieval.phraseRank(ptoks, phrases, k)
+  }
+
   private def metaOf(spark: SparkSession, name: String): Int =
     spark.table(part(name, "meta")).select(col("nBuckets"))
       .head().getInt(0)
@@ -164,122 +458,89 @@ object TextIndex {
     * bucketed part as ONE file per occupied bucket (stats MERGED to
     * one row per term, zero-sum terms dropped — a fully-deleted
     * term's +df/−df pair is dead weight), collapses meta to one row,
-    * re-points the catalog and sweeps the old dirs. Search output
-    * unchanged (sums are sums); single-writer like all maintenance.
+    * and commits all four through the same atomic state swap as
+    * every other maintenance op. Search output unchanged (sums are
+    * sums); single-writer like all maintenance.
     */
   def compact(spark: SparkSession, name: String): Unit = {
     import spark.implicits._
     val nBuckets = metaOf(spark, name)
-    // collapse meta FIRST from the catalog table, before any rewrite
+    val dir = rootDirOf(spark, name)
+    val st = stateOf(dir)
     val (n, sumdl) = spark.table(part(name, "meta"))
       .agg(sum(col("n")), sum(col("sumdl")))
       .as[(Long, Long)].head()
-    for ((p, key) <- Seq("postings" -> "tok", "dl" -> "id",
-        "stats" -> "tok")) {
-      val tbl = part(name, p)
-      val d = dirOf(spark, tbl)
-      val dir = d.getParent.toString
-      val freshName = s"${p}_c${java.util.UUID.randomUUID().toString.take(8)}"
-      val rows0 = spark.read.parquet(d.toString)
-      val rows =
-        if (p == "stats")
-          rows0.groupBy(col("tok")).agg(sum(col("df")).as("df"))
-            .filter(col("df") =!= 0)
-        else rows0
-      Bucketing.writeBucketed(rows.repartition(nBuckets, col(key)),
-        tbl, key, nBuckets, Some(s"$dir/$freshName"))
-      ArtifactFiles.deleteRecursively(d)
-    }
-    val metaTbl = part(name, "meta")
-    val metaDir = dirOf(spark, metaTbl)
-    val dir = metaDir.getParent.toString
-    val freshMeta = s"meta_c${java.util.UUID.randomUUID().toString.take(8)}"
-    Seq((n, sumdl, nBuckets)).toDF("n", "sumdl", "nBuckets")
-      .write.mode("overwrite").format("parquet")
-      .option("path", s"$dir/$freshMeta").saveAsTable(metaTbl)
-    ArtifactFiles.deleteRecursively(metaDir)
+    val u = uid8()
+    def partDf(p: String): DataFrame =
+      spark.read.parquet(s"$dir/${st.parts(p)}")
+    val hasPos = st.parts.contains("pos")
+    val posJob =
+      if (!hasPos) Seq.empty
+      else Seq(() => stageBucketed(spark, name, dir,
+        partDf("pos").repartition(nBuckets, col("tok")),
+        "pos", nBuckets, u))
+    val staged = Par.collect(Seq(
+      () => stageBucketed(spark, name, dir,
+        partDf("postings").repartition(nBuckets, col("tok")),
+        "postings", nBuckets, u),
+      () => stageBucketed(spark, name, dir,
+        partDf("dl").repartition(nBuckets, col("id")),
+        "dl", nBuckets, u),
+      () => stageBucketed(spark, name, dir,
+        partDf("stats").groupBy(col("tok")).agg(sum(col("df")).as("df"))
+          .filter(col("df") =!= 0)
+          .repartition(nBuckets, col("tok")),
+        "stats", nBuckets, u)) ++ posJob)
+    val mS = stageMeta(spark, dir, Seq((n, sumdl, nBuckets)), u)
+    val base = Map(
+      "postings" -> stagedFiles(staged(0)),
+      "dl" -> stagedFiles(staged(1)),
+      "stats" -> stagedFiles(staged(2)),
+      "meta" -> stagedFiles(mS))
+    val withPos =
+      if (hasPos) base + ("pos" -> stagedFiles(staged(3))) else base
+    commitGeneration(spark, name, dir, st, nBuckets, withPos,
+      batchId = None)
   }
 
   /** Re-attach an index BUILT BY A PREVIOUS SESSION from its files —
     * the [[Index.register]] analog: recreates the catalog entries
     * INCLUDING the bucketing spec (without it the pruned serving scan
     * and the exchange-free layouts would silently degrade to full
-    * scans). Each bucketed part resolves to its single live directory
-    * (build writes the canonical name; maintenance rewrites into a
-    * `_d`-suffixed sibling and deletes the old one, so exactly one
-    * exists). nBuckets comes from the persisted meta rows.
+    * scans). Generations resolve through the committed state file —
+    * leftover directories of a crashed maintenance run cannot confuse
+    * it (pre-state-file artifacts fall back to the single-live-dir
+    * rule). nBuckets comes from the persisted meta rows.
     */
   def register(spark: SparkSession, name: String,
       baseDir: String): Unit = {
     val dir = s"$baseDir/$name"
-    def dropEntry(tbl: String): Unit =
-      if (spark.catalog.tableExists(tbl))
-        spark.sql(s"DROP TABLE $tbl")
-    // a part's single live dir: the canonical build name, a delete
-    // rewrite (`_d`), or a compact output (`_c`) — maintenance always
-    // deletes the superseded dir, so exactly one exists
-    def liveDir(p: String): String = {
-      val live = dataFiles0(java.nio.file.Paths.get(dir))
-        .filter { d =>
-          val n = d.getFileName.toString
-          java.nio.file.Files.isDirectory(d) &&
-            (n == p || n.startsWith(s"${p}_d") || n.startsWith(s"${p}_c"))
-        }
-      require(live.size == 1,
-        s"expected exactly one live dir for part $p, found $live")
-      live.head.toString
-    }
-    dropEntry(part(name, "meta"))
-    spark.sql(
-      s"""CREATE TABLE ${part(name, "meta")}
-         |(n BIGINT, sumdl BIGINT, nBuckets INT)
-         |USING parquet LOCATION '${liveDir("meta")}'""".stripMargin)
+    val st = stateOf(dir)
+    attachMeta(spark, name, s"$dir/${st.parts("meta")}")
     val nBuckets = metaOf(spark, name)
-    for ((p, key) <- Seq("postings" -> "tok", "dl" -> "id",
-        "stats" -> "tok")) {
-      val loc = liveDir(p)
-      dropEntry(part(name, p))
-      val cols = spark.read.parquet(loc).schema.toDDL
-      spark.sql(
-        s"""CREATE TABLE ${part(name, p)} ($cols) USING parquet
-           |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
-           |LOCATION '$loc'""".stripMargin)
-    }
-  }
-
-  private def dataFiles0(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val s = java.nio.file.Files.list(d)
-    try s.iterator().asScala.toVector finally s.close()
-  }
-
-  /** Sibling dirs that are not one of the live part dirs — crashed
-    * or superseded maintenance generations. Build owns the sweep
-    * (the [[GraphStore]] pattern): it re-establishes the canonical
-    * layout, so every `_d`/`_c` sibling is garbage at that point.
-    */
-  private def sweepOrphans(dir: String): Unit = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(p)) return
-    val canonical = Set("postings", "dl", "stats", "meta")
-    dataFiles0(p).foreach { d =>
-      if (java.nio.file.Files.isDirectory(d) &&
-          !canonical.contains(d.getFileName.toString))
-        ArtifactFiles.deleteRecursively(d)
-    }
+    for (p <- st.parts.keys if p != "meta")
+      attachBucketed(spark, name, p, BucketKeys(p), nBuckets,
+        s"$dir/${st.parts(p)}")
   }
 
   /** Incremental ingest — pure appends, exact by additivity: the new
-    * docs' postings/dl land as per-bucket delta files (committed
-    * files never rewritten — TextIndexSpec pins byte identity), their
-    * df and (n, sumdl) land as positive delta ROWS. Ids already
-    * indexed are dropped up front, so at-least-once delivery cannot
-    * double-count. Search-after-append == build over the union,
-    * bit-for-bit.
+    * docs' postings/dl land as per-bucket delta files, their df and
+    * (n, sumdl) as positive delta ROWS, all four committed in ONE
+    * atomic generation swap (committed files are never rewritten —
+    * TextIndexSpec pins byte identity). Replay safety is layered:
+    * a `batchId` whose commit marker exists is an O(1) no-op, and
+    * ids already indexed are dropped up front (sound because
+    * visibility is all-or-nothing — see the object doc).
+    * Search-after-append == build over the union, bit-for-bit.
     */
   def append(spark: SparkSession, name: String, newDocs: DataFrame,
-      idCol: String, textCol: String): Unit = {
+      idCol: String, textCol: String,
+      batchId: Option[String] = None): Unit = {
     import spark.implicits._
     val nBuckets = metaOf(spark, name)
+    val dir = rootDirOf(spark, name)
+    if (batchId.exists(batchCommitted(dir, _))) return
+    val st = stateOf(dir)
     val known = spark.table(part(name, "dl")).select(col("id"))
     val fresh = newDocs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
@@ -291,37 +552,61 @@ object TextIndex {
     val tf = tokTf(fresh, "id", "text").persist()
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")).persist()
     try {
-      // FORCE the delta snapshot BEFORE any table write: `fresh`
-      // anti-joins the dl TABLE this method appends into, so a lazy
-      // re-evaluation after phase 1 would see the just-appended ids and
-      // report an EMPTY delta (observed: the meta row silently skipped,
-      // leaving N stale and idf negative). The agg below materializes
-      // dl — and through it tf — into the cache while the tables still
-      // hold only the pre-append state.
+      // FORCE the delta snapshot into the cache BEFORE any write:
+      // `fresh` anti-joins the dl TABLE whose catalog entry this
+      // method re-attaches at commit, so a lazy re-evaluation after
+      // the commit would see the just-appended ids and report an
+      // EMPTY delta. The agg materializes dl — and through it tf —
+      // while the catalog still serves the pre-append generation.
       val (n, sumdl) = dl.agg(count(lit(1)), sum(col("dl")))
         .as[(Long, Option[Long])].head() // sum is NULL on an all-known replay
-      if (n == 0) return
+      if (n == 0) { batchId.foreach(markBatch(dir, _)); return }
       val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      Par.jobs(Seq(
-        () => Bucketing.appendBucketed(tf, part(name, "postings"), "tok",
-          nBuckets),
-        () => Bucketing.appendBucketed(dl, part(name, "dl"), "id",
-          nBuckets),
-        () => Bucketing.appendBucketed(dfT, part(name, "stats"), "tok",
-          nBuckets)))
-      Seq((n, sumdl.getOrElse(0L), nBuckets)).toDF("n", "sumdl", "nBuckets")
-        .write.mode("append").format("parquet")
-        .saveAsTable(part(name, "meta"))
+      val u = uid8()
+      val hasPos = st.parts.contains("pos")
+      // phase 1 (concurrent): stage the deltas — invisible to
+      // readers until the swap. The positional delta recomputes from
+      // `fresh` (still reading the pre-commit catalog — the attach
+      // only happens inside commitGeneration).
+      val posJob =
+        if (!hasPos) Seq.empty
+        else Seq(() => stageBucketed(spark, name, dir,
+          tokPos(fresh, "id", "text"), "pos", nBuckets, u))
+      val staged = Par.collect(Seq(
+        () => stageBucketed(spark, name, dir, tf, "postings", nBuckets, u),
+        () => stageBucketed(spark, name, dir, dl, "dl", nBuckets, u),
+        () => stageBucketed(spark, name, dir, dfT, "stats", nBuckets, u))
+        ++ posJob)
+      val mS = stageMeta(spark, dir, Seq((n, sumdl.getOrElse(0L), nBuckets)), u)
+      // phase 2: fresh generations = current files + delta files, one
+      // atomic swap across all parts
+      val base = Map(
+        "postings" -> (currentFiles(dir, st, "postings") ++ stagedFiles(staged(0))),
+        "dl" -> (currentFiles(dir, st, "dl") ++ stagedFiles(staged(1))),
+        "stats" -> (currentFiles(dir, st, "stats") ++ stagedFiles(staged(2))),
+        "meta" -> (currentFiles(dir, st, "meta") ++ stagedFiles(mS)))
+      val withPos =
+        if (hasPos)
+          base + ("pos" -> (currentFiles(dir, st, "pos")
+            ++ stagedFiles(staged(3))))
+        else base
+      commitGeneration(spark, name, dir, st, nBuckets, withPos, batchId)
     } finally { dl.unpersist(); tf.unpersist() }
   }
 
-  private def dirOf(spark: SparkSession, tbl: String): java.nio.file.Path = {
+  /** The index's base directory, resolved from the (file-backed) meta
+    * table — never caller-supplied, so maintenance always acts on the
+    * directory the catalog actually serves.
+    */
+  private def rootDirOf(spark: SparkSession, name: String): String = {
+    val tbl = part(name, "meta")
     val scan = spark.table(tbl).queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation.asInstanceOf[
           org.apache.spark.sql.execution.datasources.HadoopFsRelation]
     }.getOrElse(sys.error(s"$tbl is not file-backed"))
     java.nio.file.Paths.get(scan.location.rootPaths.head.toUri.getPath)
+      .getParent.toString
   }
 
   /** Takedown — bucket-pruned and stats-exact: the deleted docs'
@@ -331,30 +616,26 @@ object TextIndex {
     * bucket tag joins the rewrite set — never silently kept or
     * dropped), every other file hard-links byte-identical, dl
     * rewrites only the deleted ids' buckets, and the df/(n, sumdl)
-    * corrections land as appended negative-delta rows.
+    * corrections are staged negative-delta files committed IN THE
+    * SAME atomic swap as the rewrites — a crash can leave either the
+    * old index (fully consistent, orphans swept later) or the new one
+    * (corrections included); never phantom documents, never stale
+    * stats. Re-running the delete with the same ids is a no-op (the
+    * posting read finds nothing); a `batchId` makes the replay O(1).
     * Search-after-delete == build over the survivors, bit-for-bit.
-    *
-    * Crash ordering (self-review r13): the fresh generation dirs are
-    * fully populated (stage write + kept-file links) BEFORE the
-    * catalog swap, so a crash mid-delete leaves the OLD index served
-    * intact — the orphaned fresh dirs are swept by the next [[build]];
-    * a crash between the swap and the stats corrections leaves scores
-    * at slightly-stale df (over-estimates), never phantom or missing
-    * documents. Re-running the delete with the same ids is a no-op
-    * (the posting read finds nothing). Single-writer like all
-    * artifact maintenance.
     */
   def delete(spark: SparkSession, name: String, delIds: DataFrame,
-      idCol: String): Unit = {
+      idCol: String, batchId: Option[String] = None): Unit = {
     import spark.implicits._
     val nBuckets = metaOf(spark, name)
+    val dir = rootDirOf(spark, name)
+    if (batchId.exists(batchCommitted(dir, _))) return
+    val st = stateOf(dir)
     val del =
       delIds.select(col(idCol).cast("long").as("__del")).distinct().persist()
     try {
-      val postingsTbl = part(name, "postings")
-      val dlTbl = part(name, "dl")
-      val (postingsDir, dlDir) = (dirOf(spark, postingsTbl), dirOf(spark, dlTbl))
-      val dir = postingsDir.getParent.toString
+      val postingsDir = java.nio.file.Paths.get(dir, st.parts("postings"))
+      val dlDir = java.nio.file.Paths.get(dir, st.parts("dl"))
       val postings = spark.read.parquet(postingsDir.toString)
       val dlT = spark.read.parquet(dlDir.toString)
       // the deleted docs' rows, BEFORE any rewrite: they carry the
@@ -365,6 +646,12 @@ object TextIndex {
       val delDl =
         dlT.join(del, dlT("id") === col("__del"), "left_semi").persist()
       try {
+        val (nGone, dlGone) = delDl.agg(count(lit(1)), sum(col("dl")))
+          .as[(Long, Option[Long])].head()
+        if (nGone == 0 && delPost.isEmpty) {
+          // unknown ids or a replayed takedown: nothing to remove
+          batchId.foreach(markBatch(dir, _)); return
+        }
         def bucketOf(c: org.apache.spark.sql.Column) =
           pmod(hash(c), lit(nBuckets))
         val tokBkts = delPost.select(bucketOf(col("tok")).as("b"))
@@ -379,59 +666,52 @@ object TextIndex {
               .forall(bkts.contains))
         val (rewriteP, keptP) = split(postingsDir, tokBkts)
         val (rewriteD, keptD) = split(dlDir, idBkts)
-        def fresh(p: String) =
-          s"${p}_d${java.util.UUID.randomUUID().toString.take(8)}"
-        val (pNew, dNew) = (fresh("postings"), fresh("dl"))
-        // phase 1: rewrite the touched FILES (read by path) minus the
-        // deleted ids, into fresh dirs via throwaway stage tables —
-        // the real catalog entries still serve the old generation
-        def rewrite(files: Seq[java.nio.file.Path], p: String,
-            key: String, newName: String): Unit =
-          if (files.nonEmpty) {
-            val stageTbl = s"${part(name, p)}_stage_${newName.takeRight(8)}"
-            Bucketing.writeBucketed(
-              spark.read.parquet(files.map(_.toString): _*)
-                .join(del, col("id") === col("__del"), "left_anti"),
-              stageTbl, key, nBuckets, Some(s"$dir/$newName"))
-            spark.sql(s"DROP TABLE $stageTbl")
-          }
-        Par.jobs(Seq(
-          () => rewrite(rewriteP, "postings", "tok", pNew),
-          () => rewrite(rewriteD, "dl", "id", dNew)))
-        ArtifactFiles.linkFiles(keptP, java.nio.file.Paths.get(dir, pNew))
-        ArtifactFiles.linkFiles(keptD, java.nio.file.Paths.get(dir, dNew))
-        // phase 2: the atomic-ish publication — catalog swaps over the
-        // COMPLETE fresh dirs, then the exact negative-delta
-        // corrections, then the old dirs go
-        attachBucketed(spark, name, "postings", "tok", nBuckets,
-          s"$dir/$pNew")
-        attachBucketed(spark, name, "dl", "id", nBuckets, s"$dir/$dNew")
-        Bucketing.appendBucketed(
-          delPost.groupBy(col("tok")).agg((-count(lit(1))).as("df")),
-          part(name, "stats"), "tok", nBuckets)
-        val (nGone, dlGone) = delDl.agg(count(lit(1)), sum(col("dl")))
-          .as[(Long, Option[Long])].head()
-        if (nGone > 0)
-          Seq((-nGone, -dlGone.getOrElse(0L), nBuckets))
-            .toDF("n", "sumdl", "nBuckets")
-            .write.mode("append").format("parquet")
-            .saveAsTable(part(name, "meta"))
-        Seq(postingsDir, dlDir).foreach(ArtifactFiles.deleteRecursively)
+        // the pos part shares the postings' tok-bucket pruning: the
+        // deleted docs' positions live under their own terms' buckets
+        val hasPos = st.parts.contains("pos")
+        val (rewriteX, keptX) =
+          if (!hasPos) (Seq.empty[java.nio.file.Path], Seq.empty[java.nio.file.Path])
+          else split(java.nio.file.Paths.get(dir, st.parts("pos")), tokBkts)
+        val u = uid8()
+        // phase 1 (concurrent): pruned rewrites + the negative stats
+        // delta, all staged — readers still serve the old generation
+        def rewrite(files: Seq[java.nio.file.Path],
+            p: String): java.nio.file.Path =
+          stageBucketed(spark, name, dir,
+            spark.read.parquet(files.map(_.toString): _*)
+              .join(del, col("id") === col("__del"), "left_anti"),
+            p, nBuckets, u)
+        val posJob =
+          if (!hasPos) Seq.empty
+          else Seq(() => if (rewriteX.nonEmpty) Some(rewrite(rewriteX, "pos"))
+            else None)
+        val staged = Par.collect(Seq(
+          () => if (rewriteP.nonEmpty) Some(rewrite(rewriteP, "postings"))
+            else None,
+          () => if (rewriteD.nonEmpty) Some(rewrite(rewriteD, "dl"))
+            else None,
+          () => Some(stageBucketed(spark, name, dir,
+            delPost.groupBy(col("tok")).agg((-count(lit(1))).as("df")),
+            "stats", nBuckets, u))) ++ posJob)
+        val mS =
+          if (nGone > 0)
+            Seq(stageMeta(spark, dir,
+              Seq((-nGone, -dlGone.getOrElse(0L), nBuckets)), u))
+          else Seq.empty
+        // phase 2: one atomic swap commits rewrites AND corrections
+        val base = Map(
+          "postings" -> (keptP ++ staged(0).toSeq.flatMap(stagedFiles)),
+          "dl" -> (keptD ++ staged(1).toSeq.flatMap(stagedFiles)),
+          "stats" -> (currentFiles(dir, st, "stats")
+            ++ staged(2).toSeq.flatMap(stagedFiles)),
+          "meta" -> (currentFiles(dir, st, "meta")
+            ++ mS.flatMap(stagedFiles)))
+        val withPos =
+          if (hasPos)
+            base + ("pos" -> (keptX ++ staged(3).toSeq.flatMap(stagedFiles)))
+          else base
+        commitGeneration(spark, name, dir, st, nBuckets, withPos, batchId)
       } finally { delPost.unpersist(); delDl.unpersist() }
     } finally del.unpersist()
-  }
-
-  /** (Re-)create the catalog entry of a bucketed part over `location`
-    * (schema recovered from the files' own footer — metadata-only).
-    */
-  private def attachBucketed(spark: SparkSession, name: String,
-      p: String, key: String, nBuckets: Int, location: String): Unit = {
-    val tbl = part(name, p)
-    if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
-    val cols = spark.read.parquet(location).schema.toDDL
-    spark.sql(
-      s"""CREATE TABLE $tbl ($cols) USING parquet
-         |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
-         |LOCATION '$location'""".stripMargin)
   }
 }

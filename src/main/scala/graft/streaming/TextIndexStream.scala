@@ -15,14 +15,21 @@ import graft.ops.TextIndex
   * Both feeds run their batch maintenance op inside `foreachBatch`;
   * the stream's checkpoint serializes triggers, matching the
   * artifact's single-writer contract. At-least-once is SAFE here by
-  * construction, not by cleanup:
+  * construction, not by cleanup — on two layers (advice r13):
   *
-  *  - a replayed ingest batch is dropped up front by [[graft.ops
-  *    .TextIndex.append]]'s known-id anti-join (nothing appended, no
-  *    stats delta);
-  *  - a replayed takedown batch finds no posting rows for the
-  *    already-removed ids, so the rewrite links everything unchanged
-  *    and the negative stats delta is zero.
+  *  - each trigger passes its epoch as the maintenance op's
+  *    `batchId`; TextIndex commits all four tables in ONE atomic
+  *    state swap and writes the batch's commit marker right after
+  *    it, so a redelivered epoch that fully committed is an O(1)
+  *    no-op and one that crashed mid-write left NO visible trace
+  *    (the old generation still served) and re-runs cleanly;
+  *  - the content guards back the un-tagged path: a replayed ingest
+  *    batch is dropped by the known-id anti-join, a replayed
+  *    takedown finds no posting rows — both sound because the four
+  *    tables are never partially visible.
+  *
+  * The two feeds use distinct marker prefixes ("ing"/"del"): their
+  * checkpoints number epochs independently.
   *
   * TextIndexStreamSpec proves micro-batched ingest (+ a replay)
   * serves the one-shot build's ranking bit-for-bit, and micro-batched
@@ -38,10 +45,10 @@ object TextIndexStream {
       name: String, checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty)
           TextIndex.append(batch.sparkSession, name, batch, idCol,
-            textCol)
+            textCol, batchId = Some(s"ing$bid"))
       }
       .start()
 
@@ -53,9 +60,10 @@ object TextIndexStream {
       checkpointDir: String): StreamingQuery =
     delIds.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty)
-          TextIndex.delete(batch.sparkSession, name, batch, idCol)
+          TextIndex.delete(batch.sparkSession, name, batch, idCol,
+            batchId = Some(s"del$bid"))
       }
       .start()
 }
