@@ -1797,6 +1797,24 @@ object SparkEntry {
       TextIndex.searchPhrase(s, "graft_tidx_posu", k = 10)
     }),
 
+    // X151 proximity search, in-plan: within-window co-occurrence
+    // counts of a term pair from the pruned positional stream — the
+    // SpanNear operator; n_occ counts pairs, so dense mention
+    // clusters outrank stray hits.
+    "q_text_near" -> ((s, dir) =>
+      Retrieval.nearTopK(T(s, dir, "documents"), "doc_id", "text",
+        k = 10)),
+
+    // X151 artifact serving from the same positional part — shares
+    // q_text_near's oracle (bit-identical by shared nearRank).
+    "q_text_index_near" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      if (!TextIndex.exists(s, "graft_tidx_pos"))
+        TextIndex.build(s, docs, "doc_id", "text", "graft_tidx_pos",
+          nBuckets = 8, positions = true)
+      TextIndex.searchNear(s, "graft_tidx_pos", k = 10)
+    }),
+
     // X147b the same metrics harness over the HYBRID (RRF-fused)
     // ranking — the point of an eval harness is COMPARING rankers on
     // one qrel set: BM25-only vs BM25⊕embedding fusion, same
@@ -2889,6 +2907,14 @@ object SparkEntry {
       (Retrieval.phraseTopKSql("doc_id", "text",
         "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", k = 10)
         + " ORDER BY pid, rank"),
+
+    "q_text_near" ->
+      (Retrieval.nearTopKSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY qid, rank"),
+
+    "q_text_index_near" ->
+      (Retrieval.nearTopKSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY qid, rank"),
 
     "q_text_retrieval_metrics_rrf" ->
       (Retrieval.retrievalMetricsSql(

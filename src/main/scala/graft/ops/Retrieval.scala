@@ -178,6 +178,96 @@ object Retrieval {
     phraseRank(ptoks, phrases, k)
   }
 
+  // ----------------------------------------- X151 proximity search
+
+  /** Fixed proximity query set for the gate queries: qid → (a, b)
+    * term pair, scored by how often the two terms co-occur within
+    * [[NearWindow]] positions (unordered, distinct terms).
+    */
+  val NearPairs: Seq[(Long, (String, String))] = Seq(
+    0L -> ("hash", "join"),
+    1L -> ("spark", "window"),
+    2L -> ("data", "slow"),
+    3L -> ("big", "scan"))
+
+  /** Default proximity window (|pa − pb| ≤ w, positions distinct). */
+  val NearWindow = 3
+
+  /** Rank within-window co-occurrences from a positional token table
+    * (id, tok, pos) — shared by the in-plan [[nearTopK]] and the
+    * artifact-served [[TextIndex.searchNear]], like [[phraseRank]].
+    * For each (qid, a, b): the two terms' (pruned) position lists
+    * equi-join on id and keep pairs with 1 ≤ |pa − pb| ≤ w — the
+    * classic SpanNear/proximity operator. n_occ counts co-occurrence
+    * PAIRS (a dense cluster of mentions outranks one stray hit),
+    * which is why the pair join, not an exists, is the right shape.
+    * Pairs are expected term-distinct (an identical-term pair would
+    * count each unordered co-occurrence in both orders).
+    */
+  private[graft] def nearRank(ptoks: DataFrame,
+      pairs: Seq[(Long, (String, String))], w: Int, k: Int): DataFrame = {
+    val matches = pairs.map { case (qid, (a, b)) =>
+      val pa = ptoks.filter(col("tok") === a)
+        .select(col("id"), col("pos").as("pa"))
+      val pb = ptoks.filter(col("tok") === b)
+        .select(col("id"), col("pos").as("pb"))
+      pa.join(pb, Seq("id"))
+        .filter(abs(col("pa") - col("pb")).between(1, w))
+        .select(lit(qid).as("qid"), col("id"))
+    }.reduce(_ unionByName _)
+    val counts = matches.groupBy(col("qid"), col("id"))
+      .agg(count(lit(1)).as("n_occ"))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("n_occ").desc, col("id").asc)
+    counts.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("doc_id"),
+        col("n_occ"))
+  }
+
+  /** Proximity search, in-plan: posexplode ONCE pruned to the pairs'
+    * terms, then [[nearRank]]. Cost ∝ the terms' position lists plus
+    * the within-doc pair join — never corpus-wide.
+    */
+  def nearTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int = NearWindow,
+      pairs: Seq[(Long, (String, String))] = NearPairs): DataFrame = {
+    val terms = pairs.flatMap { case (_, (a, b)) => Seq(a, b) }.distinct
+    val ptoks = Caching.cachedOnce(
+      docs.select(col(idCol).cast("long").as("id"),
+          posexplode(TextAnalysis.tokens(col(textCol)))
+            .as(Seq("pos", "tok")))
+        .filter(col("tok").isin(terms: _*)))
+    nearRank(ptoks, pairs, w, k)
+  }
+
+  /** DuckDB twin of [[nearTopK]] — same positional stream, same
+    * range predicate, same (n_occ desc, doc_id) ranking.
+    */
+  def nearTopKSql(id: String, text: String, table: String, k: Int,
+      w: Int = NearWindow,
+      pairs: Seq[(Long, (String, String))] = NearPairs): String = {
+    val legs = pairs.map { case (qid, (a, b)) =>
+      s"""SELECT $qid::BIGINT AS qid, pa.doc_id AS doc_id
+         |  FROM (SELECT doc_id, pos FROM ptoks WHERE tok = '$a') pa
+         |  JOIN (SELECT doc_id, pos FROM ptoks WHERE tok = '$b') pb
+         |    ON pa.doc_id = pb.doc_id
+         |   AND abs(pa.pos - pb.pos) BETWEEN 1 AND $w""".stripMargin
+    }
+    s"""WITH ptoks AS (
+       |  SELECT $id AS doc_id,
+       |    unnest(${TextAnalysis.tokensSql(text)}) AS tok,
+       |    generate_subscripts(${TextAnalysis.tokensSql(text)}, 1) AS pos
+       |  FROM $table),
+       |nm AS (${legs.mkString(" UNION ALL ")}),
+       |nc AS (SELECT qid, doc_id, count(*) AS n_occ FROM nm GROUP BY 1, 2)
+       |SELECT qid, rank, doc_id, n_occ FROM (
+       |  SELECT qid, doc_id, n_occ,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY n_occ DESC, doc_id ASC) AS rank
+       |  FROM nc) WHERE rank <= $k""".stripMargin
+  }
+
   /** DuckDB twin of [[phraseTopK]]: unnest + generate_subscripts
     * zip to the same 0/1-based-irrelevant positional stream (only
     * position DIFFERENCES matter), the same per-term shifted

@@ -446,6 +446,22 @@ object TextIndex {
     Retrieval.phraseRank(ptoks, phrases, k)
   }
 
+  /** Proximity (within-window co-occurrence) search from the same
+    * positional part — bit-identical to the in-plan
+    * [[Retrieval.nearTopK]] (shared [[Retrieval.nearRank]]), pos scan
+    * bucket-pruned to the pairs' terms. Requires
+    * `build(..., positions = true)`.
+    */
+  def searchNear(spark: SparkSession, name: String, k: Int,
+      w: Int = Retrieval.NearWindow,
+      pairs: Seq[(Long, (String, String))] = Retrieval.NearPairs)
+      : DataFrame = {
+    val terms = pairs.flatMap { case (_, (a, b)) => Seq(a, b) }.distinct
+    val ptoks = spark.table(part(name, "pos"))
+      .filter(col("tok").isin(terms: _*))
+    Retrieval.nearRank(ptoks, pairs, w, k)
+  }
+
   private def metaOf(spark: SparkSession, name: String): Int =
     spark.table(part(name, "meta")).select(col("nBuckets"))
       .head().getInt(0)

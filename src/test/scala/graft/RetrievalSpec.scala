@@ -751,6 +751,24 @@ class RetrievalSpec extends AnyFunSuite {
       (3L, 1L, 1L, 2L)))
   }
 
+  test("proximity search (X151): within-window pair counts on a hand corpus") {
+    // w=3. (hash,join): doc1 hash@3,4 join@5 -> 2 pairs, doc0 -> 1;
+    // (dup,spark): doc4 dup@0,1,2 spark@3 -> 3 pairs (all within 3),
+    // doc0 -> 1; (merge,hash): doc0 |4-2|=2 -> 1, doc3 |6-7|=1 -> 1,
+    // tie broken by doc id
+    val got = Retrieval.nearTopK(docs, "doc_id", "text", k = 10, w = 3,
+        pairs = Seq(
+          0L -> ("hash", "join"),
+          1L -> ("dup", "spark"),
+          2L -> ("merge", "hash")))
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (0L, 1L, 1L, 2L), (0L, 2L, 0L, 1L),
+      (1L, 1L, 4L, 3L), (1L, 2L, 0L, 1L),
+      (2L, 1L, 0L, 1L), (2L, 2L, 3L, 1L)))
+  }
+
   test("conjunctive relevance: a query with a REPEATED term counts it once (advice r13)") {
     // before the fix, the duplicate "dup" row inflated nt above
     // n_terms = |distinct terms| and NO doc could ever be relevant;

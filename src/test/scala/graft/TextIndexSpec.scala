@@ -319,5 +319,15 @@ class TextIndexSpec extends AnyFunSuite {
       "phrase serve plan lost bucket pruning")
     assert(!plan.toLowerCase.contains("posexplode"),
       "phrase serve plan re-tokenizes the corpus")
+    // the proximity serve (X151) reads the same part and equals the
+    // in-plan operator over the survivors
+    val gotNear = TextIndex.searchNear(spark, "tidx_pos", k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val wantNear = Retrieval.nearTopK(survivors, "doc_id", "text",
+        k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(gotNear.nonEmpty && gotNear == wantNear)
   }
 }
