@@ -459,6 +459,28 @@ object Plans {
         |BroadcastExchanges; the only shuffle the corpus side sees is
         |the matched postings meeting the id-bucketed dl
         |table.""".stripMargin,
+    "q_text_phrase" ->
+      """X150 in-plan phrase search (round 14): ONE posexplode pass
+        |whose `tok IN (phrase terms)` filter sits on the generated
+        |stream, cached once and reused by every per-term leg; each
+        |phrase is an equi-join chain on (id, start) over those pruned
+        |position lists, the counts aggregate on (pid, id), and the
+        |top-k is the usual partial WindowGroupLimit. Cost ∝ the
+        |phrase terms' position lists, never the corpus.""".stripMargin,
+    "q_text_index_phrase" ->
+      """X150 artifact phrase serving (round 14): the positional part's
+        |scan carries `SelectedBucketsCount` — the phrases' terms prune
+        |tok-buckets — and there is NO explode anywhere: the tokenize
+        |pass was paid at build. The ranking subtree is byte-identical
+        |to q_text_phrase's (shared phraseRank), so the gate shares its
+        |oracle.""".stripMargin,
+    "q_text_near" ->
+      """X151 proximity search (round 14): same pruned positional
+        |stream as X150; per query pair the two position lists
+        |equi-join on the doc id and the window predicate |pa−pb| ≤ w
+        |evaluates as a codegen'd post-join filter — no range-join
+        |blowup because both sides are single-term position lists, not
+        |the corpus.""".stripMargin,
     "q_text_retrieval_metrics" ->
       """X147 retrieval quality metrics (round 13): qrels cost ∝ the
         |query terms' postings — the (doc, tok) stream joins a

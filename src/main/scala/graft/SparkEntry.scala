@@ -1815,6 +1815,20 @@ object SparkEntry {
       TextIndex.searchNear(s, "graft_tidx_pos", k = 10)
     }),
 
+    // X152 phrase-targeted takedown: one bucket-pruned positional
+    // scan names every doc containing the phrase, the exact delete
+    // takes them down (atomic commit, stats corrected) — BM25 serving
+    // afterwards equals a build over the non-matching docs. The
+    // "remove every document quoting X" compliance composite.
+    "q_text_index_takedown" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextIndex.build(s, docs, "doc_id", "text", "graft_tidx_tk",
+        nBuckets = 8, positions = true)
+      TextIndex.deleteMatchingPhrase(s, "graft_tidx_tk",
+        Seq("hash", "join"))
+      TextIndex.search(s, "graft_tidx_tk", k = 10)
+    }),
+
     // X147b the same metrics harness over the HYBRID (RRF-fused)
     // ranking — the point of an eval harness is COMPARING rankers on
     // one qrel set: BM25-only vs BM25⊕embedding fusion, same
@@ -2910,6 +2924,13 @@ object SparkEntry {
 
     "q_text_near" ->
       (Retrieval.nearTopKSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY qid, rank"),
+
+    // X152: BM25 over the corpus minus every phrase-matching doc
+    "q_text_index_takedown" ->
+      (Retrieval.bm25TopKSql("doc_id", "text",
+        Retrieval.phraseExcludeSql("doc_id", "text", "documents",
+          Seq("hash", "join")), k = 10)
         + " ORDER BY qid, rank"),
 
     "q_text_index_near" ->

@@ -178,6 +178,27 @@ object Retrieval {
     phraseRank(ptoks, phrases, k)
   }
 
+  /** DuckDB table expression for "`table` minus every doc containing
+    * `phrase`" — the oracle side of the phrase-targeted takedown
+    * (X152): the same positional join chain as [[phraseTopKSql]],
+    * collapsed to a NOT IN exclusion.
+    */
+  def phraseExcludeSql(id: String, text: String, table: String,
+      phrase: Seq[String]): String = {
+    val ptoks =
+      s"""SELECT $id AS doc_id,
+         |    unnest(${TextAnalysis.tokensSql(text)}) AS tok,
+         |    generate_subscripts(${TextAnalysis.tokensSql(text)}, 1) AS pos
+         |  FROM $table""".stripMargin
+    val sides = phrase.zipWithIndex.map { case (t, j) =>
+      s"(SELECT doc_id, pos - $j AS start FROM ($ptoks) WHERE tok = '$t') a$j"
+    }
+    val from = sides.head +
+      sides.tail.map(sd => s" JOIN $sd USING (doc_id, start)").mkString
+    s"""(SELECT * FROM $table WHERE $id NOT IN (
+       |  SELECT DISTINCT a0.doc_id FROM $from))""".stripMargin
+  }
+
   // ----------------------------------------- X151 proximity search
 
   /** Fixed proximity query set for the gate queries: qid → (a, b)

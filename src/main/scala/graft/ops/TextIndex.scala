@@ -446,6 +446,37 @@ object TextIndex {
     Retrieval.phraseRank(ptoks, phrases, k)
   }
 
+  /** EVERY doc containing `phrase` (no top-k cut), from the
+    * positional part — the compliance scan behind
+    * [[deleteMatchingPhrase]]: the same shifted equi-join chain as
+    * [[searchPhrase]], collapsed to distinct matching ids. Cost ∝ the
+    * phrase terms' position lists (bucket-pruned scan).
+    */
+  def phraseMatchIds(spark: SparkSession, name: String,
+      phrase: Seq[String]): DataFrame = {
+    val ptoks = spark.table(part(name, "pos"))
+      .filter(col("tok").isin(phrase.distinct: _*))
+    phrase.zipWithIndex.map { case (t, j) =>
+      ptoks.filter(col("tok") === t)
+        .select(col("id"), (col("pos") - j).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("id", "start")))
+      .select(col("id")).distinct()
+  }
+
+  /** Phrase-targeted takedown (X152) — "remove every document quoting
+    * X": one bucket-pruned positional scan names the matching ids,
+    * then the standard exact [[delete]] takes them down through the
+    * same atomic commit (stats corrected, untouched buckets linked,
+    * replay-safe via `batchId`). Search-after equals a build over the
+    * non-matching docs — the compliance proof is the oracle gate.
+    */
+  def deleteMatchingPhrase(spark: SparkSession, name: String,
+      phrase: Seq[String], batchId: Option[String] = None): Unit =
+    delete(spark, name,
+      phraseMatchIds(spark, name, phrase)
+        .withColumnRenamed("id", "__match_id"),
+      "__match_id", batchId)
+
   /** Proximity (within-window co-occurrence) search from the same
     * positional part — bit-identical to the in-plan
     * [[Retrieval.nearTopK]] (shared [[Retrieval.nearRank]]), pos scan

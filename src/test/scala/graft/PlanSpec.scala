@@ -694,6 +694,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"))
   }
 
+  test("phrase + proximity (X150/X151): artifact serving is bucket-pruned and never re-tokenizes; in-plan prunes to the terms") {
+    // artifact phrase serve: pos scan prunes tok-buckets, no explode
+    val ap = plan("q_text_index_phrase")
+    assert(ap.contains("SelectedBucketsCount"),
+      s"pos scan not bucket-pruned:\n$ap")
+    assert(!ap.toLowerCase.contains("explode"),
+      s"phrase serve plan re-tokenizes:\n$ap")
+    // artifact proximity serve: same properties from the same part
+    val an = plan("q_text_index_near")
+    assert(an.contains("SelectedBucketsCount"))
+    assert(!an.toLowerCase.contains("explode"))
+    // in-plan phrase: the terms filter must reach the generated
+    // positional stream (one tokenize pass, pruned before any join)
+    val ip = plan("q_text_phrase")
+    assert(ip.contains("Generate"), s"no posexplode stage:\n$ip")
+    assert(ip.contains("tok#") && ip.contains("INSET") ||
+      ip.contains(" IN ("), s"terms prune missing:\n$ip")
+  }
+
   test("sampled recall harness (X146): the sample predicate reaches every documents scan") {
     val df = SparkEntry.queries("q_dedup_minhash_recall_sampled")(spark, sf)
     val p = plan(df)

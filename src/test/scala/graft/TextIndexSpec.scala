@@ -330,4 +330,27 @@ class TextIndexSpec extends AnyFunSuite {
       .sortBy(r => (r._1, r._2)).toSeq
     assert(gotNear.nonEmpty && gotNear == wantNear)
   }
+
+  test("phrase-targeted takedown (X152): matching docs leave, serving equals a build over the rest") {
+    val dir = tmpBase("tk")
+    TextIndex.build(spark, docs, "doc_id", "text", "tidx_tk",
+      nBuckets = 4, baseDir = Some(dir), positions = true)
+    val phrase = Seq("data", "slow")
+    val matches = TextIndex.phraseMatchIds(spark, "tidx_tk", phrase)
+      .as[Long].collect().toSet
+    assert(matches.nonEmpty, "fixture phrase matches nothing")
+    TextIndex.deleteMatchingPhrase(spark, "tidx_tk", phrase,
+      batchId = Some("tk1"))
+    // the matching docs are gone from serving; BM25 equals a build
+    // over the non-matching docs, and the phrase now matches nothing
+    assert(TextIndex.phraseMatchIds(spark, "tidx_tk", phrase)
+      .as[Long].collect().isEmpty)
+    val rest = docs.filter(!col("doc_id").isin(matches.toSeq: _*))
+    assert(searchOf("tidx_tk") == inPlan(rest))
+    // replaying the takedown batch is an O(1) no-op
+    val hashes = fileHashes(s"$dir/tidx_tk")
+    TextIndex.deleteMatchingPhrase(spark, "tidx_tk", phrase,
+      batchId = Some("tk1"))
+    assert(fileHashes(s"$dir/tidx_tk") == hashes)
+  }
 }

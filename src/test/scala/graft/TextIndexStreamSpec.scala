@@ -75,4 +75,43 @@ class TextIndexStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty &&
       got == inPlan(docs.filter(col("doc_id") % 3 =!= 0)))
   }
+
+  test("streaming maintenance of a POSITIONAL index: phrase serving equals the one-shot build (ingest + takedown + replays)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("tidxs_pos").toString
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (seed, rest) = rows.splitAt(rows.length / 2)
+    TextIndex.build(spark, seed.toDF("doc_id", "text"), "doc_id",
+      "text", "tidxs_pos", nBuckets = 4, baseDir = Some(dir),
+      positions = true)
+
+    val ckpt = Files.createTempDirectory("tidxs_pos_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = TextIndexStream.maintain(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      "tidxs_pos", ckpt)
+    input.addData(rest: _*); q.processAllAvailable()
+    input.addData(rest.take(15): _*); q.processAllAvailable() // replay
+    q.stop()
+
+    val ckptD = Files.createTempDirectory("tidxs_posd_ckpt").toString
+    val delRows = rows.map(_._1).filter(_ % 3 == 0)
+    val inputD = MemoryStream[Long]
+    val qd = TextIndexStream.retract(inputD.toDF().toDF("doc_id"),
+      "doc_id", "tidxs_pos", ckptD)
+    inputD.addData(delRows: _*); qd.processAllAvailable()
+    inputD.addData(delRows.take(10): _*); qd.processAllAvailable()
+    qd.stop()
+
+    val survivors = docs.filter(col("doc_id") % 3 =!= 0)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    assert(sorted(TextIndex.searchPhrase(spark, "tidxs_pos", k = 10)) ==
+      sorted(Retrieval.phraseTopK(survivors, "doc_id", "text", k = 10)))
+    assert(sorted(TextIndex.searchNear(spark, "tidxs_pos", k = 10)) ==
+      sorted(Retrieval.nearTopK(survivors, "doc_id", "text", k = 10)))
+    assert(searchOf("tidxs_pos") == inPlan(survivors))
+  }
 }
