@@ -142,13 +142,23 @@ object Retrieval {
     * is its own row. Output: (pid, rank, doc_id, n_occ), ranked by
     * occurrence count with doc id tie-break.
     */
+  /** (id, start) of every occurrence of `terms` as an adjacent
+    * phrase in a positional stream — the ONE copy of the shifted
+    * equi-join chain, shared by [[phraseRank]] and the takedown scan
+    * ([[graft.ops.TextIndex.phraseMatchIds]]) so "matches the
+    * phrase" cannot silently diverge between serving and compliance.
+    */
+  private[graft] def phraseStarts(ptoks: DataFrame,
+      terms: Seq[String]): DataFrame =
+    terms.zipWithIndex.map { case (t, j) =>
+      ptoks.filter(col("tok") === t)
+        .select(col("id"), (col("pos") - j).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("id", "start")))
+
   private[graft] def phraseRank(ptoks: DataFrame,
       phrases: Seq[(Long, Seq[String])], k: Int): DataFrame = {
     val matches = phrases.map { case (pid, terms) =>
-      terms.zipWithIndex.map { case (t, j) =>
-        ptoks.filter(col("tok") === t)
-          .select(col("id"), (col("pos") - j).as("start"))
-      }.reduce((a, b) => a.join(b, Seq("id", "start")))
+      phraseStarts(ptoks, terms)
         .select(lit(pid).as("pid"), col("id"), col("start"))
     }.reduce(_ unionByName _)
     val counts = matches.groupBy(col("pid"), col("id"))

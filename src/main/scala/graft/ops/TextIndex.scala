@@ -260,6 +260,16 @@ object TextIndex {
     * removed a whole bucket, an all-cancelled stats chain) still
     * attaches instead of failing parquet schema inference.
     */
+  /** Read a generation directory with the part's DECLARED schema —
+    * a legally-empty directory (full takedown) must not fail parquet
+    * schema inference (review r14).
+    */
+  private def readPart(spark: SparkSession, p: String,
+      paths: Seq[String]): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(PartSchemas(p)))
+      .parquet(paths: _*)
+
   private val PartSchemas = Map(
     "postings" -> "tok STRING, id BIGINT, tf BIGINT",
     "dl" -> "id BIGINT, dl BIGINT",
@@ -356,14 +366,20 @@ object TextIndex {
       positions: Boolean = false): Unit = {
     import spark.implicits._
     val dir = indexDir(baseDir, name)
-    val tf = Caching.cachedOnce(tokTf(docs, idCol, textCol))
+    // one tokenize pass either way: with positions the cached
+    // positional stream is the source and tf aggregates it (review
+    // r14 — tokPos(docs) next to tokTf(docs) tokenized twice)
+    val ptoks =
+      if (positions) Some(Caching.cachedOnce(tokPos(docs, idCol, textCol)))
+      else None
+    val tf = Caching.cachedOnce(ptoks
+      .map(_.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf")))
+      .getOrElse(tokTf(docs, idCol, textCol)))
     val dl = Caching.cachedOnce(
       tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")))
     val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val posJob =
-      if (!positions) Seq.empty
-      else Seq(() => Bucketing.writeBucketed(
-        tokPos(docs, idCol, textCol), part(name, "pos"), "tok",
+    val posJob = ptoks.toSeq.map(pt =>
+      () => Bucketing.writeBucketed(pt, part(name, "pos"), "tok",
         nBuckets, Some(s"$dir/pos")))
     Par.jobs(Seq(
       () => Bucketing.writeBucketed(tf, part(name, "postings"), "tok",
@@ -383,6 +399,12 @@ object TextIndex {
     val names = if (positions) AllPartNames else PartNames
     val st = IndexState(0L, names.map(p => p -> p).toMap)
     writeState(dir, st)
+    // a rebuild WITHOUT positions over a previously positional index
+    // must also retire the catalog entry (the sweep below removes its
+    // files; a dangling table would report positional support and
+    // fail at scan time — review r14)
+    if (!positions && spark.catalog.tableExists(part(name, "pos")))
+      spark.sql(s"DROP TABLE ${part(name, "pos")}")
     ArtifactFiles.deleteRecursively(
       java.nio.file.Paths.get(dir, "_commits"))
     sweep(dir, st)
@@ -456,11 +478,7 @@ object TextIndex {
       phrase: Seq[String]): DataFrame = {
     val ptoks = spark.table(part(name, "pos"))
       .filter(col("tok").isin(phrase.distinct: _*))
-    phrase.zipWithIndex.map { case (t, j) =>
-      ptoks.filter(col("tok") === t)
-        .select(col("id"), (col("pos") - j).as("start"))
-    }.reduce((a, b) => a.join(b, Seq("id", "start")))
-      .select(col("id")).distinct()
+    Retrieval.phraseStarts(ptoks, phrase).select(col("id")).distinct()
   }
 
   /** Phrase-targeted takedown (X152) — "remove every document quoting
@@ -519,7 +537,7 @@ object TextIndex {
       .as[(Long, Long)].head()
     val u = uid8()
     def partDf(p: String): DataFrame =
-      spark.read.parquet(s"$dir/${st.parts(p)}")
+      readPart(spark, p, Seq(s"$dir/${st.parts(p)}"))
     val hasPos = st.parts.contains("pos")
     val posJob =
       if (!hasPos) Seq.empty
@@ -568,6 +586,12 @@ object TextIndex {
     for (p <- st.parts.keys if p != "meta")
       attachBucketed(spark, name, p, BucketKeys(p), nBuckets,
         s"$dir/${st.parts(p)}")
+    // retire catalog entries for parts the committed state does NOT
+    // have (a stale pos table from an earlier positional build would
+    // report support and fail at scan time — review r14)
+    for (p <- AllPartNames if !st.parts.contains(p))
+      if (spark.catalog.tableExists(part(name, p)))
+        spark.sql(s"DROP TABLE ${part(name, p)}")
   }
 
   /** Incremental ingest — pure appends, exact by additivity: the new
@@ -595,8 +619,17 @@ object TextIndex {
     // explicit persist + finally-unpersist (NOT cachedOnce): the
     // streaming maintainer calls this once per micro-batch with a
     // batch-unique plan, so leaked entries would grow without bound
-    // (self-review r13 — the CounterStore-family discipline)
-    val tf = tokTf(fresh, "id", "text").persist()
+    // (self-review r13 — the CounterStore-family discipline).
+    // One tokenize pass: with a positional part the persisted delta
+    // positional stream is the source and tf aggregates it (review
+    // r14 — a separate tokPos(fresh) re-ran the anti-join AND the
+    // tokenize per micro-batch)
+    val hasPos = st.parts.contains("pos")
+    val ptoksDelta =
+      if (hasPos) Some(tokPos(fresh, "id", "text").persist()) else None
+    val tf = ptoksDelta
+      .map(_.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf")))
+      .getOrElse(tokTf(fresh, "id", "text")).persist()
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")).persist()
     try {
       // FORCE the delta snapshot into the cache BEFORE any write:
@@ -610,15 +643,10 @@ object TextIndex {
       if (n == 0) { batchId.foreach(markBatch(dir, _)); return }
       val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val u = uid8()
-      val hasPos = st.parts.contains("pos")
       // phase 1 (concurrent): stage the deltas — invisible to
-      // readers until the swap. The positional delta recomputes from
-      // `fresh` (still reading the pre-commit catalog — the attach
-      // only happens inside commitGeneration).
-      val posJob =
-        if (!hasPos) Seq.empty
-        else Seq(() => stageBucketed(spark, name, dir,
-          tokPos(fresh, "id", "text"), "pos", nBuckets, u))
+      // readers until the swap
+      val posJob = ptoksDelta.toSeq.map(pt =>
+        () => stageBucketed(spark, name, dir, pt, "pos", nBuckets, u))
       val staged = Par.collect(Seq(
         () => stageBucketed(spark, name, dir, tf, "postings", nBuckets, u),
         () => stageBucketed(spark, name, dir, dl, "dl", nBuckets, u),
@@ -638,7 +666,9 @@ object TextIndex {
             ++ stagedFiles(staged(3))))
         else base
       commitGeneration(spark, name, dir, st, nBuckets, withPos, batchId)
-    } finally { dl.unpersist(); tf.unpersist() }
+    } finally {
+      dl.unpersist(); tf.unpersist(); ptoksDelta.foreach(_.unpersist())
+    }
   }
 
   /** The index's base directory, resolved from the (file-backed) meta
@@ -683,8 +713,8 @@ object TextIndex {
     try {
       val postingsDir = java.nio.file.Paths.get(dir, st.parts("postings"))
       val dlDir = java.nio.file.Paths.get(dir, st.parts("dl"))
-      val postings = spark.read.parquet(postingsDir.toString)
-      val dlT = spark.read.parquet(dlDir.toString)
+      val postings = readPart(spark, "postings", Seq(postingsDir.toString))
+      val dlT = readPart(spark, "dl", Seq(dlDir.toString))
       // the deleted docs' rows, BEFORE any rewrite: they carry the
       // negative deltas and the touched tok-bucket set
       val delPost =
@@ -725,7 +755,7 @@ object TextIndex {
         def rewrite(files: Seq[java.nio.file.Path],
             p: String): java.nio.file.Path =
           stageBucketed(spark, name, dir,
-            spark.read.parquet(files.map(_.toString): _*)
+            readPart(spark, p, files.map(_.toString))
               .join(del, col("id") === col("__del"), "left_anti"),
             p, nBuckets, u)
         val posJob =

@@ -28,14 +28,29 @@ import graft.ops.TextIndex
   *    takedown finds no posting rows — both sound because the four
   *    tables are never partially visible.
   *
-  * The two feeds use distinct marker prefixes ("ing"/"del"): their
-  * checkpoints number epochs independently.
+  * Marker keys are namespaced by a digest of the CHECKPOINT
+  * DIRECTORY (plus the "ing"/"del" feed prefix): epochs are only
+  * unique per checkpoint, so a replacement stream with a fresh
+  * checkpoint attached to the same index must not collide with a
+  * retired stream's markers (its epoch numbering restarts at 0 — a
+  * bare-epoch key would silently skip its batches; review r14). A
+  * RESTART of the same checkpoint keeps the same namespace, which is
+  * exactly when replay dedup must hold.
   *
   * TextIndexStreamSpec proves micro-batched ingest (+ a replay)
   * serves the one-shot build's ranking bit-for-bit, and micro-batched
   * retraction (+ a replay) the survivor build's.
   */
 object TextIndexStream {
+
+  /** Stable per-stream marker namespace: the checkpoint directory is
+    * the stream's durable identity (same across restarts, different
+    * for a replacement stream).
+    */
+  private def ns(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
 
   /** Ingest feed: rows of (`idCol`, `textCol`) append into `name`
     * per micro-batch — cost ∝ batch (per-bucket delta files + delta
@@ -48,7 +63,7 @@ object TextIndexStream {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty)
           TextIndex.append(batch.sparkSession, name, batch, idCol,
-            textCol, batchId = Some(s"ing$bid"))
+            textCol, batchId = Some(s"ing${ns(checkpointDir)}_$bid"))
       }
       .start()
 
@@ -63,7 +78,7 @@ object TextIndexStream {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty)
           TextIndex.delete(batch.sparkSession, name, batch, idCol,
-            batchId = Some(s"del$bid"))
+            batchId = Some(s"del${ns(checkpointDir)}_$bid"))
       }
       .start()
 }

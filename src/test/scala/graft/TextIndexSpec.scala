@@ -353,4 +353,43 @@ class TextIndexSpec extends AnyFunSuite {
       batchId = Some("tk1"))
     assert(fileHashes(s"$dir/tidx_tk") == hashes)
   }
+
+  test("full takedown leaves a legal EMPTY index: replayed delete and compact survive zero-file generations (review r14)") {
+    val dir = tmpBase("empty")
+    TextIndex.build(spark, docs.filter(col("doc_id") < 30), "doc_id",
+      "text", "tidx_mt", nBuckets = 4, baseDir = Some(dir),
+      positions = true)
+    val all = docs.filter(col("doc_id") < 30).select(col("doc_id"))
+    TextIndex.delete(spark, "tidx_mt", all, "doc_id")
+    assert(searchOf("tidx_mt").isEmpty)
+    // a replayed takedown reads the (legally empty) generation dirs —
+    // schema inference would throw here; declared-schema reads no-op
+    TextIndex.delete(spark, "tidx_mt", all, "doc_id")
+    assert(searchOf("tidx_mt").isEmpty)
+    // compact over the emptied index is legal too
+    TextIndex.compact(spark, "tidx_mt")
+    assert(searchOf("tidx_mt").isEmpty)
+    // and the emptied index still accepts new docs exactly
+    TextIndex.append(spark, "tidx_mt",
+      docs.filter(col("doc_id").between(30, 59)), "doc_id", "text")
+    assert(searchOf("tidx_mt") ==
+      inPlan(docs.filter(col("doc_id").between(30, 59))))
+  }
+
+  test("a rebuild without positions retires the stale pos table; register drops parts absent from the state (review r14)") {
+    val dir = tmpBase("stale")
+    TextIndex.build(spark, docs, "doc_id", "text", "tidx_st",
+      nBuckets = 4, baseDir = Some(dir), positions = true)
+    assert(spark.catalog.tableExists("tidx_st_pos"))
+    TextIndex.build(spark, docs, "doc_id", "text", "tidx_st",
+      nBuckets = 4, baseDir = Some(dir))
+    // the catalog must not report positional support the files lost
+    assert(!spark.catalog.tableExists("tidx_st_pos"))
+    assert(searchOf("tidx_st") == inPlan(docs))
+    // register path: plant a stale pos entry, re-attach from files
+    spark.sql("CREATE TABLE tidx_st_pos (tok STRING, id BIGINT, pos INT) USING parquet " +
+      s"LOCATION '$dir/tidx_st/goneland'")
+    TextIndex.register(spark, "tidx_st", dir)
+    assert(!spark.catalog.tableExists("tidx_st_pos"))
+  }
 }

@@ -114,4 +114,29 @@ class TextIndexStreamSpec extends AnyFunSuite {
       sorted(Retrieval.nearTopK(survivors, "doc_id", "text", k = 10)))
     assert(searchOf("tidxs_pos") == inPlan(survivors))
   }
+
+  test("a replacement stream with a FRESH checkpoint is not deduped against the retired stream's epochs (review r14)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("tidxs_ns").toString
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (seed, rest) = rows.splitAt(rows.length / 2)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    TextIndex.build(spark, seed.toDF("doc_id", "text"), "doc_id",
+      "text", "tidxs_ns", nBuckets = 4, baseDir = Some(dir))
+    // stream A ingests b1 as ITS epoch 0+, then retires
+    val ckA = Files.createTempDirectory("tidxs_ns_ckA").toString
+    val inA = MemoryStream[(Long, String)]
+    val qA = TextIndexStream.maintain(inA.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", "tidxs_ns", ckA)
+    inA.addData(b1: _*); qA.processAllAvailable(); qA.stop()
+    // replacement stream B (new checkpoint): its epoch numbering
+    // restarts at 0 — bare-epoch markers would silently skip b2
+    val ckB = Files.createTempDirectory("tidxs_ns_ckB").toString
+    val inB = MemoryStream[(Long, String)]
+    val qB = TextIndexStream.maintain(inB.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", "tidxs_ns", ckB)
+    inB.addData(b2: _*); qB.processAllAvailable(); qB.stop()
+    assert(searchOf("tidxs_ns") == inPlan(docs))
+  }
 }
