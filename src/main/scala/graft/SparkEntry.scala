@@ -1829,6 +1829,22 @@ object SparkEntry {
       TextIndex.search(s, "graft_tidx_tk", k = 10)
     }),
 
+    // X153 keyword-in-context snippets: per term the docs with the
+    // most hits, each carrying the FIRST hit's ±2-token window — the
+    // RAG-citation/snippet operator; in-plan and artifact-served.
+    "q_text_kwic" -> ((s, dir) =>
+      Retrieval.kwicTopK(T(s, dir, "documents"), "doc_id", "text",
+        k = 5)),
+
+    "q_text_index_kwic" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      if (!TextIndex.exists(s, "graft_tidx_pos"))
+        TextIndex.build(s, docs, "doc_id", "text", "graft_tidx_pos",
+          nBuckets = 8, positions = true)
+      TextIndex.searchKwic(s, "graft_tidx_pos", docs, "doc_id", "text",
+        k = 5)
+    }),
+
     // X147b the same metrics harness over the HYBRID (RRF-fused)
     // ranking — the point of an eval harness is COMPARING rankers on
     // one qrel set: BM25-only vs BM25⊕embedding fusion, same
@@ -2924,6 +2940,14 @@ object SparkEntry {
 
     "q_text_near" ->
       (Retrieval.nearTopKSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY qid, rank"),
+
+    "q_text_kwic" ->
+      (Retrieval.kwicTopKSql("doc_id", "text", "documents", k = 5)
+        + " ORDER BY qid, rank"),
+
+    "q_text_index_kwic" ->
+      (Retrieval.kwicTopKSql("doc_id", "text", "documents", k = 5)
         + " ORDER BY qid, rank"),
 
     // X152: BM25 over the corpus minus every phrase-matching doc

@@ -299,6 +299,95 @@ object Retrieval {
        |  FROM nc) WHERE rank <= $k""".stripMargin
   }
 
+  // --------------------------------------------- X153 KWIC snippets
+
+  /** Fixed term set for the snippet gates: qid → single term. */
+  val KwicTerms: Seq[(Long, String)] = Seq(
+    0L -> "dup", 1L -> "vector", 2L -> "hash", 3L -> "scan")
+
+  /** Snippet window half-width (tokens either side of the hit). */
+  val KwicWindow = 2
+
+  /** Rank keyword-in-context snippets from a positional stream plus
+    * the matched docs' token arrays — shared by the in-plan
+    * [[kwicTopK]] and the artifact-served [[TextIndex.searchKwic]].
+    * Per (term, doc): tf and the FIRST occurrence's ±w token window
+    * (deterministic: min position), ranked by (tf desc, doc id).
+    * `base` is (id, ts); only MATCHED ids' arrays are ever fetched —
+    * the snippet join is match-set-sized, never corpus-sized.
+    */
+  private[graft] def kwicRank(ptoks: DataFrame, base: DataFrame,
+      terms: Seq[(Long, String)], w: Int, k: Int): DataFrame = {
+    val matches = terms.map { case (qid, t) =>
+      ptoks.filter(col("tok") === t)
+        .groupBy(col("id"))
+        .agg(min(col("pos")).as("p0"), count(lit(1)).as("tf"))
+        .select(lit(qid).as("qid"), col("id"), col("p0"), col("tf"))
+    }.reduce(_ unionByName _)
+    // 0-based min pos → 1-based slice window [p−w, p+w] clamped
+    val p1 = col("p0") + 1
+    val start = greatest(p1 - w, lit(1))
+    val stop = least(p1 + w, size(col("ts")))
+    val snip = matches.join(base, "id")
+      .select(col("qid"), col("id"), col("tf"),
+        array_join(slice(col("ts"), start, stop - start + 1), " ")
+          .as("snippet"))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("tf").desc, col("id").asc)
+    snip.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("doc_id"),
+        col("tf"), col("snippet"))
+  }
+
+  /** Keyword-in-context top-k, in-plan: the RAG-citation/snippet
+    * operator — for each term the docs with the most hits, each with
+    * the first hit's ±w token window as text.
+    */
+  def kwicTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int = KwicWindow,
+      terms: Seq[(Long, String)] = KwicTerms): DataFrame = {
+    val base = Caching.cachedOnce(
+      docs.select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("ts")))
+    val ptoks = base
+      .select(col("id"), posexplode(col("ts")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(terms.map(_._2).distinct: _*))
+    kwicRank(ptoks, base, terms, w, k)
+  }
+
+  /** DuckDB twin of [[kwicTopK]] — 1-based positions throughout, the
+    * same clamped [p−w, p+w] window and (tf desc, doc) ranking.
+    */
+  def kwicTopKSql(id: String, text: String, table: String, k: Int,
+      w: Int = KwicWindow,
+      terms: Seq[(Long, String)] = KwicTerms): String = {
+    val legs = terms.map { case (qid, t) =>
+      s"""SELECT $qid::BIGINT AS qid, doc_id, min(pos) AS p1,
+         |  count(*)::BIGINT AS tf
+         |FROM ptoks WHERE tok = '$t' GROUP BY 1, 2""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT $id AS doc_id, ${TextAnalysis.tokensSql(text)} AS ts
+       |  FROM $table),
+       |ptoks AS (
+       |  SELECT doc_id, unnest(ts) AS tok,
+       |    generate_subscripts(ts, 1) AS pos
+       |  FROM base),
+       |m AS (${legs.mkString(" UNION ALL ")}),
+       |snip AS (
+       |  SELECT m.qid, m.doc_id, m.tf,
+       |    array_to_string(
+       |      b.ts[greatest(m.p1 - $w, 1):least(m.p1 + $w, len(b.ts))],
+       |      ' ') AS snippet
+       |  FROM m JOIN base b ON b.doc_id = m.doc_id)
+       |SELECT qid, rank, doc_id, tf, snippet FROM (
+       |  SELECT qid, doc_id, tf, snippet,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY tf DESC, doc_id ASC) AS rank
+       |  FROM snip) WHERE rank <= $k""".stripMargin
+  }
+
   /** DuckDB twin of [[phraseTopK]]: unnest + generate_subscripts
     * zip to the same 0/1-based-irrelevant positional stream (only
     * position DIFFERENCES matter), the same per-term shifted

@@ -429,10 +429,16 @@ object TextIndex {
     val stats = spark.table(part(name, "stats"))
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    // n == 0 is a LEGAL corpus state (full takedown) — the scored
+    // stream is empty then, but ANSI mode would still fault the
+    // avgdl division whenever this broadcast side materializes
+    // first (AQE empty-relation timing made it a heisen-failure)
     val corpus = spark.table(part(name, "meta"))
       .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
       .select(col("n"),
-        (col("sumdl").cast("double") / col("n")).as("avgdl"))
+        when(col("n") === 0, lit(null).cast("double"))
+          .otherwise(col("sumdl").cast("double") / col("n"))
+          .as("avgdl"))
     val dl = spark.table(part(name, "dl"))
     val scored = postings
       .join(broadcast(qdf), "tok")
@@ -494,6 +500,24 @@ object TextIndex {
       phraseMatchIds(spark, name, phrase)
         .withColumnRenamed("id", "__match_id"),
       "__match_id", batchId)
+
+  /** Keyword-in-context snippets from the positional part — the
+    * artifact side of [[Retrieval.kwicTopK]] (shared
+    * [[Retrieval.kwicRank]], bit-identical): min-position and tf come
+    * from the bucket-pruned pos scan; the token arrays are fetched
+    * ONLY for the matched ids (`docs` join — match-set-sized, never a
+    * corpus read). Requires `build(..., positions = true)`.
+    */
+  def searchKwic(spark: SparkSession, name: String, docs: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      w: Int = Retrieval.KwicWindow,
+      terms: Seq[(Long, String)] = Retrieval.KwicTerms): DataFrame = {
+    val ptoks = spark.table(part(name, "pos"))
+      .filter(col("tok").isin(terms.map(_._2).distinct: _*))
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.tokens(col(textCol)).as("ts"))
+    Retrieval.kwicRank(ptoks, base, terms, w, k)
+  }
 
   /** Proximity (within-window co-occurrence) search from the same
     * positional part — bit-identical to the in-plan

@@ -769,6 +769,23 @@ class RetrievalSpec extends AnyFunSuite {
       (2L, 1L, 0L, 1L), (2L, 2L, 3L, 1L)))
   }
 
+  test("KWIC snippets (X153): first-hit window, clamped at both edges, ranked by tf") {
+    // doc4 "dup dup dup spark merge": first 'dup' at 0 → window
+    // clamps left: "dup dup dup"; doc0 first 'dup' at 0 → "dup spark
+    // hash"; tf ranks doc4 first. 'merge' in doc0 at 4 → full ±2
+    // window; doc3 at 6 → clamps right; doc4 at 4 (last) → clamps.
+    val got = Retrieval.kwicTopK(docs, "doc_id", "text", k = 5, w = 2,
+        terms = Seq(0L -> "dup", 1L -> "merge"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (0L, 1L, 4L, 3L, "dup dup dup"),
+      (0L, 2L, 0L, 1L, "dup spark hash"),
+      (1L, 1L, 0L, 1L, "hash join merge window agg"),
+      (1L, 2L, 3L, 1L, "query scan merge hash"),
+      (1L, 3L, 4L, 1L, "dup spark merge")))
+  }
+
   test("conjunctive relevance: a query with a REPEATED term counts it once (advice r13)") {
     // before the fix, the duplicate "dup" row inflated nt above
     // n_terms = |distinct terms| and NO doc could ever be relevant;

@@ -329,6 +329,16 @@ class TextIndexSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect()
       .sortBy(r => (r._1, r._2)).toSeq
     assert(gotNear.nonEmpty && gotNear == wantNear)
+    // KWIC serving (X153) from the same part — snippets included
+    val gotKwic = TextIndex.searchKwic(spark, "tidx_pos", survivors,
+        "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val wantKwic = Retrieval.kwicTopK(survivors, "doc_id", "text",
+        k = 5)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(gotKwic.nonEmpty && gotKwic == wantKwic)
   }
 
   test("phrase-targeted takedown (X152): matching docs leave, serving equals a build over the rest") {
