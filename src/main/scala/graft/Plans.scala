@@ -481,6 +481,13 @@ object Plans {
         |evaluates as a codegen'd post-join filter — no range-join
         |blowup because both sides are single-term position lists, not
         |the corpus.""".stripMargin,
+    "q_text_index_kwic" ->
+      """X153 artifact KWIC serving (round 14): min-position and tf
+        |come from the bucket-pruned pos scan (`SelectedBucketsCount`);
+        |the documents scan feeds ONLY the snippet join on the matched
+        |ids — the corpus text is never exploded, and the only
+        |tokenize in the plan is the narrow split() that builds the
+        |matched rows' token arrays for slicing.""".stripMargin,
     "q_text_retrieval_metrics" ->
       """X147 retrieval quality metrics (round 13): qrels cost ∝ the
         |query terms' postings — the (doc, tok) stream joins a
