@@ -124,12 +124,21 @@ object TextIndex {
       "pos" -> "tok")
   private val StateFile = "index.current"
 
-  /** The committed state: one monotone generation counter and the
-    * four tables' current directory names — swapped as ONE atomic
-    * file move, so the four can never disagree.
+  /** The committed state: one monotone generation counter, the
+    * tables' current directory names — swapped as ONE atomic file
+    * move, so they can never disagree — plus the retired generations
+    * still inside their grace window and the committed grace policy
+    * (the [[Index.PartState]] reader-snapshot contract, whole-index
+    * because TextIndex always commits every table together): a
+    * cross-session reader that resolved a recent state keeps its
+    * file set for `grace` further commits.
     */
   private[graft] final case class IndexState(gen: Long,
-      parts: Map[String, String])
+      parts: Map[String, String],
+      retired: Seq[(Long, Map[String, String])] = Seq.empty,
+      grace: Int = 0)
+
+  private val MetaFields = Set("gen", "grace", "retired")
 
   private[graft] def loadState(dir: String): Option[IndexState] = {
     val f = java.nio.file.Paths.get(dir, StateFile)
@@ -137,18 +146,29 @@ object TextIndex {
     else {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(f))
-      val parts = node.fieldNames.asScala.filter(_ != "gen")
-        .map(p => p -> node.get(p).asText).toMap
-      Some(IndexState(node.get("gen").asLong, parts))
+      def partsOf(n: com.fasterxml.jackson.databind.JsonNode)
+          : Map[String, String] =
+        n.fieldNames.asScala.filterNot(MetaFields.contains)
+          .map(p => p -> n.get(p).asText).toMap
+      val retired = Option(node.get("retired")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(r => (r.get("gen").asLong, partsOf(r)))
+      Some(IndexState(node.get("gen").asLong, partsOf(node), retired,
+        Option(node.get("grace")).map(_.asInt).getOrElse(0)))
     }
   }
 
   private def writeState(dir: String, st: IndexState): Unit = {
-    val body = st.parts.toSeq.sortBy(_._1)
-      .map { case (p, d) => s""""$p": "$d"""" }.mkString(", ")
+    def partsJson(parts: Map[String, String]): String =
+      parts.toSeq.sortBy(_._1)
+        .map { case (p, d) => s""""$p": "$d"""" }.mkString(", ")
+    val retired = st.retired
+      .map { case (g, ps) => s"""{"gen": $g, ${partsJson(ps)}}""" }
+      .mkString(", ")
     val tmp = java.nio.file.Paths.get(dir,
       s".$StateFile.tmp.${uid8()}")
-    java.nio.file.Files.writeString(tmp, s"""{"gen": ${st.gen}, $body}""")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"gen": ${st.gen}, "grace": ${st.grace}, "retired": [$retired], ${partsJson(st.parts)}}""")
     java.nio.file.Files.move(tmp,
       java.nio.file.Paths.get(dir, StateFile),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -214,7 +234,7 @@ object TextIndex {
   private def commitGeneration(spark: SparkSession, name: String,
       dir: String, st: IndexState, nBuckets: Int,
       newFiles: Map[String, Seq[java.nio.file.Path]],
-      batchId: Option[String]): Unit = {
+      batchId: Option[String], graceCommits: Int = 0): Unit = {
     val gen = st.gen + 1
     val u = uid8()
     val newParts = newFiles.keys.toSeq.map { p =>
@@ -223,7 +243,15 @@ object TextIndex {
         java.nio.file.Paths.get(dir, newName))
       p -> newName
     }.toMap
-    val newSt = IndexState(gen, newParts)
+    // the effective grace is the larger of the call's value and the
+    // committed policy (a default-grace maintainer can never expire
+    // versions a previous one promised — the Index.commitPart rule);
+    // retirees past their window leave the list and the sweep below
+    // reclaims their directories
+    val grace = math.max(graceCommits, st.grace)
+    val kept = (st.retired :+ (gen, st.parts))
+      .filter { case (g, _) => gen - g < grace }
+    val newSt = IndexState(gen, newParts, kept, grace)
     writeState(dir, newSt) // the atomic commit point
     batchId.foreach(markBatch(dir, _))
     attachAll(spark, name, dir, newSt, nBuckets)
@@ -236,7 +264,8 @@ object TextIndex {
     * at a commit point).
     */
   private def sweep(dir: String, st: IndexState): Unit = {
-    val keep = st.parts.values.toSet
+    val keep = st.parts.values.toSet ++
+      st.retired.flatMap(_._2.values)
     listDir(java.nio.file.Paths.get(dir)).foreach { d =>
       val n = d.getFileName.toString
       if (java.nio.file.Files.isDirectory(d) && !keep.contains(n) &&
@@ -276,6 +305,28 @@ object TextIndex {
     "stats" -> "tok STRING, df BIGINT",
     "pos" -> "tok STRING, id BIGINT, pos INT",
     "meta" -> "n BIGINT, sumdl BIGINT, nBuckets INT")
+
+  /** Operational snapshot of the artifact — the [[Index.describe]]
+    * analog: one row per part with the committed state (current
+    * generation dir, gen counter, grace policy, still-graced retiree
+    * count) and the CURRENT generation's file count/bytes, straight
+    * from the filesystem — no data read, no job. What an operator
+    * checks before/after append chains, compact, takedowns and grace
+    * tuning.
+    */
+  def describe(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val dir = rootDirOf(spark, name)
+    val st = stateOf(dir)
+    val rows = st.parts.toSeq.sortBy(_._1).map { case (p, d) =>
+      val files = ArtifactFiles.dataFiles(java.nio.file.Paths.get(dir, d))
+      (p, d, st.gen, st.grace, st.retired.size.toLong,
+        files.size.toLong,
+        files.map(java.nio.file.Files.size(_)).sum)
+    }
+    rows.toDF("part", "current", "gen", "grace", "n_retired",
+      "n_files", "bytes")
+  }
 
   /** (Re-)create the catalog entry of a bucketed part over `location`
     * (declared schema — metadata-only).
@@ -551,7 +602,8 @@ object TextIndex {
     * every other maintenance op. Search output unchanged (sums are
     * sums); single-writer like all maintenance.
     */
-  def compact(spark: SparkSession, name: String): Unit = {
+  def compact(spark: SparkSession, name: String,
+      graceCommits: Int = 0): Unit = {
     import spark.implicits._
     val nBuckets = metaOf(spark, name)
     val dir = rootDirOf(spark, name)
@@ -589,7 +641,7 @@ object TextIndex {
     val withPos =
       if (hasPos) base + ("pos" -> stagedFiles(staged(3))) else base
     commitGeneration(spark, name, dir, st, nBuckets, withPos,
-      batchId = None)
+      batchId = None, graceCommits = graceCommits)
   }
 
   /** Re-attach an index BUILT BY A PREVIOUS SESSION from its files —
@@ -630,7 +682,7 @@ object TextIndex {
     */
   def append(spark: SparkSession, name: String, newDocs: DataFrame,
       idCol: String, textCol: String,
-      batchId: Option[String] = None): Unit = {
+      batchId: Option[String] = None, graceCommits: Int = 0): Unit = {
     import spark.implicits._
     val nBuckets = metaOf(spark, name)
     val dir = rootDirOf(spark, name)
@@ -689,7 +741,8 @@ object TextIndex {
           base + ("pos" -> (currentFiles(dir, st, "pos")
             ++ stagedFiles(staged(3))))
         else base
-      commitGeneration(spark, name, dir, st, nBuckets, withPos, batchId)
+      commitGeneration(spark, name, dir, st, nBuckets, withPos, batchId,
+        graceCommits)
     } finally {
       dl.unpersist(); tf.unpersist(); ptoksDelta.foreach(_.unpersist())
     }
@@ -726,7 +779,8 @@ object TextIndex {
     * Search-after-delete == build over the survivors, bit-for-bit.
     */
   def delete(spark: SparkSession, name: String, delIds: DataFrame,
-      idCol: String, batchId: Option[String] = None): Unit = {
+      idCol: String, batchId: Option[String] = None,
+      graceCommits: Int = 0): Unit = {
     import spark.implicits._
     val nBuckets = metaOf(spark, name)
     val dir = rootDirOf(spark, name)
@@ -811,7 +865,8 @@ object TextIndex {
           if (hasPos)
             base + ("pos" -> (keptX ++ staged(3).toSeq.flatMap(stagedFiles)))
           else base
-        commitGeneration(spark, name, dir, st, nBuckets, withPos, batchId)
+        commitGeneration(spark, name, dir, st, nBuckets, withPos, batchId,
+          graceCommits)
       } finally { delPost.unpersist(); delDl.unpersist() }
     } finally del.unpersist()
   }

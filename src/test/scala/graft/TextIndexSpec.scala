@@ -402,4 +402,48 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.register(spark, "tidx_st", dir)
     assert(!spark.catalog.tableExists("tidx_st_pos"))
   }
+
+  test("grace windows + describe: retired generations survive exactly `grace` further commits; serving always current") {
+    val dir = tmpBase("grace")
+    def quarter(q: Int) = docs.filter(col("doc_id") % 4 === q)
+    TextIndex.build(spark, quarter(0), "doc_id", "text", "tidx_gr",
+      nBuckets = 4, baseDir = Some(dir))
+    val idx = s"$dir/tidx_gr"
+    def dirsOf(st: TextIndex.IndexState) = st.parts.values.toSet
+    def onDisk(names: Set[String]) = names.forall(n =>
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(idx, n)))
+    val gen0 = dirsOf(TextIndex.loadState(idx).get)
+
+    // commit 1 carries grace=2: gen0 is retired but KEPT — a reader
+    // that resolved the old state keeps a complete file set
+    TextIndex.append(spark, "tidx_gr", quarter(1), "doc_id", "text",
+      graceCommits = 2)
+    val gen1 = dirsOf(TextIndex.loadState(idx).get)
+    assert(onDisk(gen0), "graced generation swept early")
+    val d1 = TextIndex.describe(spark, "tidx_gr").collect()
+    assert(d1.length == 4)
+    assert(d1.forall(r => r.getAs[Long]("gen") == 1 &&
+      r.getAs[Int]("grace") == 2 && r.getAs[Long]("n_retired") == 1 &&
+      r.getAs[Long]("n_files") > 0))
+
+    // commit 2 at DEFAULT grace: the committed policy (2) wins — a
+    // default-grace maintainer cannot expire a promised snapshot
+    TextIndex.append(spark, "tidx_gr", quarter(2), "doc_id", "text")
+    assert(onDisk(gen0) && onDisk(gen1))
+
+    // commit 3: gen0 leaves the window and is reclaimed; gen1/gen2
+    // stay; serving is the full union throughout
+    val gen2 = dirsOf(TextIndex.loadState(idx).get)
+    TextIndex.append(spark, "tidx_gr", quarter(3), "doc_id", "text")
+    assert(!gen0.exists(n =>
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(idx, n))),
+      "expired generation not reclaimed")
+    assert(onDisk(gen1) && onDisk(gen2))
+    assert(searchOf("tidx_gr") == inPlan(docs))
+    // register still resolves the CURRENT generation under retirees
+    for (p <- Seq("postings", "dl", "stats", "meta"))
+      spark.sql(s"DROP TABLE IF EXISTS tidx_gr_$p")
+    TextIndex.register(spark, "tidx_gr", dir)
+    assert(searchOf("tidx_gr") == inPlan(docs))
+  }
 }
