@@ -318,10 +318,16 @@ object Retrieval {
     */
   private[graft] def kwicRank(ptoks: DataFrame, base: DataFrame,
       terms: Seq[(Long, String)], w: Int, k: Int): DataFrame = {
+    // ONE (tok, id) aggregation over the pruned stream, then
+    // per-term filters of the digest — grouping on (tok, id) is
+    // satisfied by the artifact's tok-bucketing, so the serve plan
+    // keeps the bucket-pruned scan AND skips the exchange (a
+    // per-term groupBy(id) made DisableUnnecessaryBucketedScan drop
+    // the bucketed scan entirely — PlanSpec caught it)
+    val perDoc = ptoks.groupBy(col("tok"), col("id"))
+      .agg(min(col("pos")).as("p0"), count(lit(1)).as("tf"))
     val matches = terms.map { case (qid, t) =>
-      ptoks.filter(col("tok") === t)
-        .groupBy(col("id"))
-        .agg(min(col("pos")).as("p0"), count(lit(1)).as("tf"))
+      perDoc.filter(col("tok") === t)
         .select(lit(qid).as("qid"), col("id"), col("p0"), col("tf"))
     }.reduce(_ unionByName _)
     // 0-based min pos → 1-based slice window [p−w, p+w] clamped

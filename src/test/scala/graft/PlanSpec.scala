@@ -713,6 +713,16 @@ class PlanSpec extends AnyFunSuite {
       ip.contains(" IN ("), s"terms prune missing:\n$ip")
   }
 
+  test("KWIC serving (X153): pos scan bucket-pruned; corpus text never exploded") {
+    val p = plan("q_text_index_kwic")
+    assert(p.contains("SelectedBucketsCount"),
+      s"pos scan not bucket-pruned:\n$p")
+    // the only tokenize is the narrow split() building the MATCHED
+    // rows' arrays for slicing — no posexplode of the corpus
+    assert(!p.toLowerCase.contains("posexplode"),
+      s"kwic serve plan re-explodes the corpus:\n$p")
+  }
+
   test("sampled recall harness (X146): the sample predicate reaches every documents scan") {
     val df = SparkEntry.queries("q_dedup_minhash_recall_sampled")(spark, sf)
     val p = plan(df)
