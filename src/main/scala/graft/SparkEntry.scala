@@ -1845,6 +1845,91 @@ object SparkEntry {
         k = 5)
     }),
 
+    // X154 sloppy ordered phrase, in-plan: terms in order within a
+    // slop-widened window (p(m−1) − p0 ≤ m−1+slop) — the
+    // near-verbatim-quote matcher contamination/quote-detection
+    // users need where X150's exact adjacency misses (an interposed
+    // token breaks the equi-join; RetrievalSpec pins one).
+    "q_text_phrase_sloppy" -> ((s, dir) =>
+      Retrieval.sloppyTopK(T(s, dir, "documents"), "doc_id", "text",
+        k = 10)),
+
+    // X154 artifact serving from the same positional part — shares
+    // q_text_phrase_sloppy's oracle (bit-identical by shared
+    // sloppyRank).
+    "q_text_index_phrase_sloppy" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      if (!TextIndex.exists(s, "graft_tidx_pos"))
+        TextIndex.build(s, docs, "doc_id", "text", "graft_tidx_pos",
+          nBuckets = 8, positions = true)
+      TextIndex.searchSloppy(s, "graft_tidx_pos", k = 10)
+    }),
+
+    // X155 KWIC over the BM25 ranking, in-plan: the
+    // serve-and-cite loop as one operator — each top-k hit carries
+    // the ±2-token window around the first occurrence of any of its
+    // query's terms (X153's window extraction ∘ X68's ranking).
+    "q_text_kwic_multi" -> ((s, dir) =>
+      Retrieval.kwicMultiTopK(T(s, dir, "documents"), "doc_id", "text",
+        k = 10)),
+
+    // X155 artifact serving: the ranked ids come from the bucketed
+    // postings (X149 search), the windows from the positional part —
+    // token arrays fetched only for the k ranked ids per query.
+    "q_text_index_kwic_multi" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      if (!TextIndex.exists(s, "graft_tidx_pos"))
+        TextIndex.build(s, docs, "doc_id", "text", "graft_tidx_pos",
+          nBuckets = 8, positions = true)
+      TextIndex.searchKwicMulti(s, "graft_tidx_pos", docs, "doc_id",
+        "text", k = 10)
+    }),
+
+    // X156 CDC → retrieval-index composite (VERDICT r14 missing #2):
+    // the reference's end state — a maintained downstream table
+    // (reference/README.md:11) — re-expressed as a maintained
+    // RETRIEVAL artifact. Decode (S4) → regex filter (F1) → LWW
+    // merge vs the backfill corpus (M1/M2) → the live winners applied
+    // to a built text index as delete+append (X149's atomic
+    // maintenance: an upsert replaces, a tombstone removes) → BM25
+    // serving. Oracle: plain bm25TopKSql over the SQL-merged
+    // surviving corpus — search-after-maintenance must equal a build
+    // over the merged state, bit-for-bit.
+    "q_pipe_cdc_index" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bf = docs.select(col("doc_id").cast("long").as("key"),
+        col("text"), lit(ChangeOp.Backfill).as("op"),
+        lit(Backfill.PlaceholderTs).as("ts_sec"), lit(-1L).as("seq"),
+        lit(0).as("precedence"))
+      // the %37 sparsifier keeps the change stream a DELTA (a few
+      // hundred touched keys against the corpus) — the realistic CDC
+      // shape, and the one where delta-proportional maintenance cost
+      // actually shows (an every-key stream is just a rebuild)
+      val live = Filters.regexFilter(
+          ChangeSource.fromEvents(T(s, dir, "events")),
+          """^db[0-2]\.(users|orders)$""")
+        .filter(col("event_id") % 37 === 0)
+        .select((col("event_id") % 700 + 1).as("key"),
+          concat(lit("revised "), col("table"),
+            lit(" entry hash join scan "),
+            coalesce(col("after"), lit(""))).as("text"),
+          col("op"), col("ts").cast("long").as("ts_sec"),
+          col("event_id").as("seq"), lit(1).as("precedence"))
+      val winners = Merge.winners(bf.unionByName(live))
+      // keys the live stream won: upserts must REPLACE their indexed
+      // doc, tombstones must remove it — both start with the delete
+      val touched = Caching.cachedOnce(
+        winners.filter(col("precedence") === 1))
+      TextIndex.build(s, docs, "doc_id", "text", "graft_tidx_cdc",
+        nBuckets = 8)
+      TextIndex.delete(s, "graft_tidx_cdc", touched.select(col("key")),
+        "key")
+      TextIndex.append(s, "graft_tidx_cdc",
+        Merge.current(touched).select(col("key"), col("text")),
+        "key", "text")
+      TextIndex.search(s, "graft_tidx_cdc", k = 10)
+    }),
+
     // X147b the same metrics harness over the HYBRID (RRF-fused)
     // ranking — the point of an eval harness is COMPARING rankers on
     // one qrel set: BM25-only vs BM25⊕embedding fusion, same
@@ -2948,6 +3033,51 @@ object SparkEntry {
 
     "q_text_index_kwic" ->
       (Retrieval.kwicTopKSql("doc_id", "text", "documents", k = 5)
+        + " ORDER BY qid, rank"),
+
+    // X154: in-plan and artifact-served share the oracle
+    "q_text_phrase_sloppy" ->
+      (Retrieval.sloppyTopKSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY pid, rank"),
+
+    "q_text_index_phrase_sloppy" ->
+      (Retrieval.sloppyTopKSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY pid, rank"),
+
+    // X155: bm25TopKSql as the ranking subquery + the same
+    // first-hit-window extraction
+    "q_text_kwic_multi" ->
+      (Retrieval.kwicMultiTopKSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY qid, rank"),
+
+    "q_text_index_kwic_multi" ->
+      (Retrieval.kwicMultiTopKSql("doc_id", "text", "documents", k = 10)
+        + " ORDER BY qid, rank"),
+
+    // X156: BM25 over the LWW-merged surviving corpus (backfill docs
+    // ⊎ regex-filtered live changes, winner per key by (ts, prec,
+    // seq), tombstones out) — the maintained index must serve exactly
+    // this corpus's ranking
+    "q_pipe_cdc_index" ->
+      (Retrieval.bm25TopKSql("doc_id", "text",
+        s"""(SELECT key AS doc_id, text FROM (
+           |  SELECT u.*, row_number() OVER (PARTITION BY key
+           |      ORDER BY ts_sec DESC, prec DESC, seq DESC) AS rn
+           |  FROM (
+           |    SELECT doc_id::BIGINT AS key, text, 'Backfill' AS op,
+           |      1::BIGINT AS ts_sec, -1::BIGINT AS seq, 0 AS prec
+           |    FROM documents
+           |    UNION ALL
+           |    SELECT (event_id % 700 + 1)::BIGINT AS key,
+           |      'revised ' || $tableSql || ' entry hash join scan ' ||
+           |        coalesce($afterSql, '') AS text,
+           |      $opSql AS op, epoch_ns(ts) // 1000000000 AS ts_sec,
+           |      event_id AS seq, 1 AS prec
+           |    FROM events
+           |    WHERE event_id % 37 = 0
+           |      AND regexp_matches($dbSql || '.' || $tableSql,
+           |      '^db[0-2]\\.(users|orders)$$')) u)
+           | WHERE rn = 1 AND op <> 'Delete')""".stripMargin, k = 10)
         + " ORDER BY qid, rank"),
 
     // X152: BM25 over the corpus minus every phrase-matching doc

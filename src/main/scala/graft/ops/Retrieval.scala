@@ -52,8 +52,9 @@ object Retrieval {
     2L -> Seq("window", "agg", "vector"),
     3L -> Seq("fast", "query", "scan"))
 
-  private def queryDf(docs: DataFrame): DataFrame = {
-    val rows = Queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+  private def queryDf(docs: DataFrame,
+      queries: Seq[(Long, Seq[String])] = Queries): DataFrame = {
+    val rows = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
     docs.sparkSession.createDataFrame(rows).toDF("qid", "tok")
   }
 
@@ -75,13 +76,13 @@ object Retrieval {
     * Output: (qid, rank, doc_id, score_micros).
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, queries: Seq[(Long, Seq[String])] = Queries): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val tf = Caching.cachedOnce(
       toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-    val qdf = queryDf(docs)
+    val qdf = queryDf(docs, queries)
     // df stats restricted to the query vocabulary BEFORE the broadcast:
     // the scored stream below only ever consumes df rows for query
     // terms (its qdf join restricts it first), and a corpus-wide df
@@ -392,6 +393,206 @@ object Retrieval {
        |    row_number() OVER (PARTITION BY qid
        |      ORDER BY tf DESC, doc_id ASC) AS rank
        |  FROM snip) WHERE rank <= $k""".stripMargin
+  }
+
+  // -------------------------------------- X154 sloppy ordered phrase
+
+  /** Fixed sloppy-phrase set for the gate queries: (pid, terms,
+    * slop). The semantics (documented at [[sloppyMatches]]) make
+    * slop 0 coincide with the exact phrase, so the set deliberately
+    * pairs phrases X150 provably misses — near-verbatim quotes whose
+    * tokens are separated by an interposed word, the contamination /
+    * quote-detection case (RetrievalSpec pins one).
+    */
+  val SloppyPhrases: Seq[(Long, Seq[String], Int)] = Seq(
+    (0L, Seq("hash", "join"), 2),
+    (1L, Seq("big", "scan"), 3),
+    (2L, Seq("data", "query", "slow"), 4),
+    (3L, Seq("order", "scan"), 1))
+
+  /** Every ordered in-window occurrence of `terms` in a positional
+    * stream — the sloppy-phrase match core (Lucene PhraseQuery-slop
+    * flavored, with an exactly-specified oracle-matchable rule):
+    * positions p0 < p1 < … < p(m−1), term j at pj, total width
+    * p(m−1) − p0 ≤ (m−1) + slop. Slop 0 degenerates to the exact
+    * adjacent phrase ([[phraseStarts]]).
+    *
+    * Shape: each term's (pruned) position list joins the chain on id
+    * with the order predicate AND the per-step width bound
+    * pj − p0 ≤ j + slop — which is NECESSARY (the remaining terms
+    * need m−1−j strictly-increasing slots) and at j = m−1 exactly
+    * the final constraint, so the chain prunes maximally without
+    * changing the match set. One row per position TUPLE: n_occ
+    * counts distinct in-window orderings, identically in both
+    * engines. Cost ∝ the phrase terms' position lists (bucket-pruned
+    * when served from the artifact), never the corpus.
+    */
+  private[graft] def sloppyMatches(ptoks: DataFrame,
+      terms: Seq[String], slop: Int): DataFrame = {
+    val legs = terms.zipWithIndex.map { case (t, j) =>
+      ptoks.filter(col("tok") === t)
+        .select(col("id"), col("pos").as(s"p$j"))
+    }
+    legs.zipWithIndex.tail.foldLeft(legs.head) { case (acc, (leg, j)) =>
+      acc.join(leg, Seq("id"))
+        .filter(col(s"p$j") > col(s"p${j - 1}") &&
+          col(s"p$j") - col("p0") <= lit(j + slop))
+    }
+  }
+
+  /** Rank sloppy-phrase matches — shared by the in-plan
+    * [[sloppyTopK]] and the artifact-served
+    * [[TextIndex.searchSloppy]], like [[phraseRank]]. Output:
+    * (pid, rank, doc_id, n_occ), (n_occ desc, doc_id) ranking.
+    */
+  private[graft] def sloppyRank(ptoks: DataFrame,
+      phrases: Seq[(Long, Seq[String], Int)], k: Int): DataFrame = {
+    val matches = phrases.map { case (pid, terms, slop) =>
+      sloppyMatches(ptoks, terms, slop)
+        .select(lit(pid).as("pid"), col("id"))
+    }.reduce(_ unionByName _)
+    val counts = matches.groupBy(col("pid"), col("id"))
+      .agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("n_occ").desc, col("id").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("id").as("doc_id"),
+        col("n_occ"))
+  }
+
+  /** Sloppy ordered-phrase search, in-plan: posexplode ONCE pruned
+    * to the phrases' terms, then [[sloppyRank]].
+    */
+  def sloppyTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int,
+      phrases: Seq[(Long, Seq[String], Int)] = SloppyPhrases): DataFrame = {
+    val terms = phrases.flatMap(_._2).distinct
+    val ptoks = Caching.cachedOnce(
+      docs.select(col(idCol).cast("long").as("id"),
+          posexplode(TextAnalysis.tokens(col(textCol)))
+            .as(Seq("pos", "tok")))
+        .filter(col("tok").isin(terms: _*)))
+    sloppyRank(ptoks, phrases, k)
+  }
+
+  /** DuckDB twin of [[sloppyTopK]] — the same join chain with the
+    * same order + per-step width predicates, the same tuple
+    * counting and (n_occ desc, doc_id) ranking.
+    */
+  def sloppyTopKSql(id: String, text: String, table: String, k: Int,
+      phrases: Seq[(Long, Seq[String], Int)] = SloppyPhrases): String = {
+    val legs = phrases.map { case (pid, terms, slop) =>
+      val sides = terms.zipWithIndex.map { case (t, j) =>
+        s"(SELECT doc_id, pos AS p$j FROM ptoks WHERE tok = '$t') a$j"
+      }
+      val from = sides.head + terms.indices.tail.map { j =>
+        s" JOIN ${sides(j)} ON a$j.doc_id = a0.doc_id" +
+          s" AND a$j.p$j > a${j - 1}.p${j - 1}" +
+          s" AND a$j.p$j - a0.p0 <= ${j + slop}"
+      }.mkString
+      s"SELECT $pid::BIGINT AS pid, a0.doc_id AS doc_id FROM $from"
+    }
+    s"""WITH ptoks AS (
+       |  SELECT $id AS doc_id,
+       |    unnest(${TextAnalysis.tokensSql(text)}) AS tok,
+       |    generate_subscripts(${TextAnalysis.tokensSql(text)}, 1) AS pos
+       |  FROM $table),
+       |pm AS (${legs.mkString(" UNION ALL ")}),
+       |pc AS (SELECT pid, doc_id, count(*) AS n_occ FROM pm GROUP BY 1, 2)
+       |SELECT pid, rank, doc_id, n_occ FROM (
+       |  SELECT pid, doc_id, n_occ,
+       |    row_number() OVER (PARTITION BY pid
+       |      ORDER BY n_occ DESC, doc_id ASC) AS rank
+       |  FROM pc) WHERE rank <= $k""".stripMargin
+  }
+
+  // ------------------------------------ X155 KWIC over a ranking
+
+  /** Snippets for an existing per-query RANKING — X153's window
+    * extraction composed with X68's BM25 ranking: each ranked
+    * (qid, doc) row gains the ±w token window around the FIRST
+    * occurrence (min position) of ANY of the query's terms in the
+    * doc. Deterministic (min over positions), match-set-sized (the
+    * token arrays join only the k ranked ids per query), shared by
+    * the in-plan [[kwicMultiTopK]] and the artifact-served
+    * [[TextIndex.searchKwicMulti]]. Every BM25-ranked doc matches at
+    * least one query term (a no-term doc cannot score), so the
+    * first-hit join is total over the ranking.
+    */
+  private[graft] def kwicForRanking(ranked: DataFrame, ptoks: DataFrame,
+      base: DataFrame, queries: Seq[(Long, Seq[String])],
+      w: Int): DataFrame = {
+    val qrows = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+    val qdf = ptoks.sparkSession.createDataFrame(qrows).toDF("qid", "tok")
+    val firstHit = ptoks.join(broadcast(qdf), "tok")
+      .groupBy(col("qid"), col("id")).agg(min(col("pos")).as("p0"))
+    val hits = ranked.join(firstHit,
+      ranked("qid") === firstHit("qid") &&
+        ranked("doc_id") === firstHit("id"))
+      .select(ranked("qid"), col("rank"), col("doc_id"),
+        col("score_micros"), col("p0"))
+    val p1 = col("p0") + 1
+    val start = greatest(p1 - w, lit(1))
+    val stop = least(p1 + w, size(col("ts")))
+    hits.join(base, col("doc_id") === base("id"))
+      .select(col("qid"), col("rank"), col("doc_id"),
+        col("score_micros"),
+        array_join(slice(col("ts"), start, stop - start + 1), " ")
+          .as("snippet"))
+  }
+
+  /** BM25 top-k WITH snippets, in-plan: the serve-and-cite loop as
+    * one operator — rank with [[bm25TopK]], snippet each hit from
+    * the same corpus. Output: (qid, rank, doc_id, score_micros,
+    * snippet).
+    */
+  def kwicMultiTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int = KwicWindow,
+      queries: Seq[(Long, Seq[String])] = Queries): DataFrame = {
+    val ranked = bm25TopK(docs, idCol, textCol, k, queries)
+    val base = Caching.cachedOnce(
+      docs.select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("ts")))
+    val ptoks = base
+      .select(col("id"), posexplode(col("ts")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(queries.flatMap(_._2).distinct: _*))
+    kwicForRanking(ranked, ptoks, base, queries, w)
+  }
+
+  /** DuckDB twin of [[kwicMultiTopK]] — [[bm25TopKSql]] as the
+    * ranking subquery, the same min-position-of-any-query-term
+    * window extraction (1-based throughout).
+    */
+  def kwicMultiTopKSql(id: String, text: String, table: String,
+      k: Int, w: Int = KwicWindow,
+      queries: Seq[(Long, Seq[String])] = Queries): String = {
+    val qvals = queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH kbase AS (
+       |  SELECT $id AS doc_id, ${TextAnalysis.tokensSql(text)} AS ts
+       |  FROM $table),
+       |kptoks AS (
+       |  SELECT doc_id, unnest(ts) AS tok,
+       |    generate_subscripts(ts, 1) AS pos
+       |  FROM kbase),
+       |kqs(qid, tok) AS (VALUES $qvals),
+       |fh AS (
+       |  SELECT kqs.qid, kptoks.doc_id, min(pos) AS p1
+       |  FROM kptoks JOIN kqs ON kqs.tok = kptoks.tok
+       |  GROUP BY 1, 2),
+       |rk AS (${bm25TopKSql(id, text, table, k)}),
+       |out AS (
+       |  SELECT rk.qid AS qid, rk.rank AS rank, rk.doc_id AS doc_id,
+       |    rk.score_micros AS score_micros,
+       |    array_to_string(
+       |      b.ts[greatest(fh.p1 - $w, 1):least(fh.p1 + $w, len(b.ts))],
+       |      ' ') AS snippet
+       |  FROM rk
+       |  JOIN fh ON fh.qid = rk.qid AND fh.doc_id = rk.doc_id
+       |  JOIN kbase b ON b.doc_id = rk.doc_id)
+       |SELECT qid, rank, doc_id, score_micros, snippet FROM out""".stripMargin
   }
 
   /** DuckDB twin of [[phraseTopK]]: unnest + generate_subscripts

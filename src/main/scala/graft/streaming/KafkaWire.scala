@@ -1,0 +1,356 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.cdc.{Routing, Transform, Transforms}
+
+/** Minimal Kafka PRODUCER over the wire protocol — the network half
+  * of the publish sink, written against the public Apache Kafka
+  * protocol spec the way [[graft.sources.BinlogClient]] is written
+  * against the MySQL replication protocol. The sandbox ships no Kafka
+  * connector jar, so [[Sink.kafkaSink]]'s `format("kafka")` path can
+  * never run here; this client closes that gap end-to-end: the SAME
+  * [[Sink.kafkaFrame]] record contract ((key, value, topic) binary
+  * rows), published straight onto a broker socket, spec-verified
+  * against a scripted broker (KafkaWireSpec) exactly as the binlog
+  * client is against a scripted master.
+  *
+  * Protocol surface (pinned versions, all public):
+  *  - Metadata v1 (api 3): topic → partition count discovery;
+  *  - Produce v3 (api 0): record batches, acks=-1, per-partition
+  *    error/baseOffset response;
+  *  - RecordBatch magic 2: CRC32C (castagnoli) over
+  *    attributes..records, zigzag-varint record framing — the v2
+  *    on-disk/wire format every modern broker requires.
+  *
+  * Partitioning matches Kafka's DefaultPartitioner for keyed records
+  * (murmur2 & 0x7fffffff mod partitions), so a "db.table" routing key
+  * lands on the same partition a stock producer would pick — one
+  * table's changes keep partition ORDER either way.
+  *
+  * == Scale shape ==
+  *
+  * [[publishFrame]] publishes from `foreachPartition` — every
+  * EXECUTOR task opens its own broker connection and ships only its
+  * partition's rows (records grouped into one batch per (topic,
+  * partition) per task): no driver collect, no cross-executor
+  * funnel, exactly how the real connector's per-task producers
+  * behave. Produce requests go to the bootstrap broker; leader
+  * routing across a multi-broker cluster is deliberately out of
+  * scope (single-broker target, documented — the FORMAT layer, which
+  * is where correctness lives, is complete).
+  */
+object KafkaWire {
+
+  // ------------------------------------------------- wire primitives
+
+  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+
+  private def writeVarLong(b: ByteBuffer, v0: Long): Unit = {
+    var v = zigzag(v0)
+    while ((v & ~0x7fL) != 0) {
+      b.put(((v & 0x7f) | 0x80).toByte); v >>>= 7
+    }
+    b.put(v.toByte)
+  }
+
+  private def varLen(v0: Long): Int = {
+    var v = zigzag(v0); var n = 1
+    while ((v & ~0x7fL) != 0) { n += 1; v >>>= 7 }
+    n
+  }
+
+  private def putString(b: ByteBuffer, s: String): Unit = {
+    val bytes = s.getBytes(UTF_8)
+    b.putShort(bytes.length.toShort); b.put(bytes)
+  }
+
+  private def putNullableString(b: ByteBuffer, s: Option[String]): Unit =
+    s match {
+      case Some(v) => putString(b, v)
+      case None => b.putShort(-1)
+    }
+
+  private def readString(b: ByteBuffer): String = {
+    val n = b.getShort
+    val a = new Array[Byte](n); b.get(a); new String(a, UTF_8)
+  }
+
+  private def readNullableString(b: ByteBuffer): Option[String] = {
+    val n = b.getShort
+    if (n < 0) None
+    else { val a = new Array[Byte](n); b.get(a); Some(new String(a, UTF_8)) }
+  }
+
+  /** Kafka's murmur2 (DefaultPartitioner seed/final mix) — public
+    * algorithm, needed so keyed records land where a stock producer
+    * puts them.
+    */
+  private[graft] def murmur2(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    var h = seed ^ data.length
+    val n4 = data.length / 4
+    var i = 0
+    while (i < n4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) | ((data(i4 + 1) & 0xff) << 8) |
+        ((data(i4 + 2) & 0xff) << 16) | ((data(i4 + 3) & 0xff) << 24)
+      k *= m; k ^= k >>> r; k *= m
+      h *= m; h ^= k
+      i += 1
+    }
+    val tail = data.length % 4
+    val base = n4 * 4
+    if (tail >= 3) h ^= (data(base + 2) & 0xff) << 16
+    if (tail >= 2) h ^= (data(base + 1) & 0xff) << 8
+    if (tail >= 1) { h ^= data(base) & 0xff; h *= m }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h
+  }
+
+  private[graft] def partitionFor(key: Array[Byte],
+      nPartitions: Int): Int =
+    if (key == null || key.isEmpty || nPartitions <= 1) 0
+    else (murmur2(key) & 0x7fffffff) % nPartitions
+
+  // --------------------------------------------- record batch (v2)
+
+  /** One RecordBatch, magic 2: all records at `timestampMs`, no
+    * compression, idempotence off (producerId −1 — this client
+    * offers at-least-once like the reference's relay; exactly-once
+    * belongs to the checkpoint layer above).
+    */
+  private[graft] def encodeRecordBatch(
+      records: Seq[(Array[Byte], Array[Byte])],
+      timestampMs: Long): Array[Byte] = {
+    val recBytes = records.zipWithIndex.map { case ((k, v), i) =>
+      val keyLen = if (k == null) -1 else k.length
+      val valLen = if (v == null) -1 else v.length
+      val body = 1 + varLen(0L) + varLen(i.toLong) +
+        varLen(keyLen.toLong) + math.max(keyLen, 0) +
+        varLen(valLen.toLong) + math.max(valLen, 0) + varLen(0L)
+      val b = ByteBuffer.allocate(varLen(body.toLong) + body)
+      writeVarLong(b, body.toLong)
+      b.put(0.toByte)          // attributes
+      writeVarLong(b, 0L)      // timestampDelta
+      writeVarLong(b, i.toLong) // offsetDelta
+      writeVarLong(b, keyLen.toLong)
+      if (keyLen > 0) b.put(k)
+      writeVarLong(b, valLen.toLong)
+      if (valLen > 0) b.put(v)
+      writeVarLong(b, 0L)      // headers
+      b.array()
+    }
+    val recsLen = recBytes.map(_.length).sum
+    // attributes(2) lastOffsetDelta(4) baseTs(8) maxTs(8) pid(8)
+    // pEpoch(2) baseSeq(4) count(4) = 40 bytes crc'd before records
+    val crcRegion = ByteBuffer.allocate(40 + recsLen)
+    crcRegion.putShort(0)                           // attributes
+    crcRegion.putInt(records.size - 1)              // lastOffsetDelta
+    crcRegion.putLong(timestampMs)                  // baseTimestamp
+    crcRegion.putLong(timestampMs)                  // maxTimestamp
+    crcRegion.putLong(-1L)                          // producerId
+    crcRegion.putShort(-1)                          // producerEpoch
+    crcRegion.putInt(-1)                            // baseSequence
+    crcRegion.putInt(records.size)
+    recBytes.foreach(crcRegion.put)
+    val crc = new java.util.zip.CRC32C
+    crc.update(crcRegion.array())
+    // baseOffset(8) batchLength(4) leaderEpoch(4) magic(1) crc(4) + region
+    val batchLen = 4 + 1 + 4 + crcRegion.capacity()
+    val out = ByteBuffer.allocate(8 + 4 + batchLen)
+    out.putLong(0L)                                 // baseOffset
+    out.putInt(batchLen)
+    out.putInt(-1)                                  // partitionLeaderEpoch
+    out.put(2.toByte)                               // magic
+    out.putInt(crc.getValue.toInt)
+    out.put(crcRegion.array())
+    out.array()
+  }
+
+  // ------------------------------------------------ request framing
+
+  private def framed(apiKey: Short, apiVersion: Short, corrId: Int,
+      clientId: String, body: ByteBuffer): Array[Byte] = {
+    val header = ByteBuffer.allocate(2 + 2 + 4 + 2 +
+      clientId.getBytes(UTF_8).length)
+    header.putShort(apiKey); header.putShort(apiVersion)
+    header.putInt(corrId); putString(header, clientId)
+    val out = ByteBuffer.allocate(4 + header.position() + body.position())
+    out.putInt(header.position() + body.position())
+    out.put(header.array(), 0, header.position())
+    out.put(body.array(), 0, body.position())
+    out.array()
+  }
+
+  private def exchange(out: DataOutputStream, in: DataInputStream,
+      frame: Array[Byte], expectCorrId: Int): ByteBuffer = {
+    out.write(frame); out.flush()
+    val size = in.readInt()
+    val resp = new Array[Byte](size)
+    in.readFully(resp)
+    val b = ByteBuffer.wrap(resp)
+    val corr = b.getInt
+    require(corr == expectCorrId,
+      s"correlation id mismatch: sent $expectCorrId got $corr")
+    b
+  }
+
+  // ---------------------------------------------------- metadata v1
+
+  /** topic → partition count, via one Metadata v1 round trip. */
+  private def topicPartitions(out: DataOutputStream, in: DataInputStream,
+      clientId: String, topics: Seq[String]): Map[String, Int] = {
+    val body = ByteBuffer.allocate(4 + topics.map(2 + _.length).sum)
+    body.putInt(topics.size)
+    topics.foreach(putString(body, _))
+    val resp = exchange(out, in, framed(3, 1, 1, clientId, body), 1)
+    val nBrokers = resp.getInt
+    (0 until nBrokers).foreach { _ =>
+      resp.getInt; readString(resp); resp.getInt // node, host, port
+      readNullableString(resp)                   // rack
+    }
+    resp.getInt // controller id
+    val nTopics = resp.getInt
+    (0 until nTopics).map { _ =>
+      val err = resp.getShort
+      val topic = readString(resp)
+      resp.get() // is_internal
+      val nParts = resp.getInt
+      (0 until nParts).foreach { _ =>
+        resp.getShort; resp.getInt; resp.getInt // err, partition, leader
+        val nr = resp.getInt; (0 until nr).foreach(_ => resp.getInt)
+        val ni = resp.getInt; (0 until ni).foreach(_ => resp.getInt)
+      }
+      require(err == 0, s"metadata error $err for topic $topic")
+      topic -> nParts
+    }.toMap
+  }
+
+  // ----------------------------------------------------- produce v3
+
+  /** One Produce v3 round trip for pre-encoded batches; returns
+    * (topic, partition) → baseOffset and throws on any partition
+    * error (at-least-once: the caller's batch replays).
+    */
+  private def produce(out: DataOutputStream, in: DataInputStream,
+      clientId: String, corrId: Int,
+      batches: Map[(String, Int), Array[Byte]],
+      timeoutMs: Int): Map[(String, Int), Long] = {
+    val byTopic = batches.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1)
+    val bodySize = 2 + 2 + 4 + 4 + byTopic.map { case (t, ps) =>
+      2 + t.length + 4 + ps.map(4 + 4 + _._2.length).sum
+    }.sum
+    val body = ByteBuffer.allocate(bodySize)
+    putNullableString(body, None) // transactional_id
+    body.putShort(-1)             // acks: full ISR
+    body.putInt(timeoutMs)
+    body.putInt(byTopic.size)
+    byTopic.foreach { case (t, ps) =>
+      putString(body, t)
+      body.putInt(ps.size)
+      ps.foreach { case ((_, p), batch) =>
+        body.putInt(p); body.putInt(batch.length); body.put(batch)
+      }
+    }
+    val resp = exchange(out, in,
+      framed(0, 3, corrId, clientId, body), corrId)
+    val nTopics = resp.getInt
+    val offsets = (0 until nTopics).flatMap { _ =>
+      val topic = readString(resp)
+      val nParts = resp.getInt
+      (0 until nParts).map { _ =>
+        val partition = resp.getInt
+        val err = resp.getShort
+        val baseOffset = resp.getLong
+        resp.getLong // log_append_time
+        require(err == 0, s"produce error $err on $topic/$partition")
+        (topic, partition) -> baseOffset
+      }
+    }.toMap
+    resp.getInt // throttle_time_ms
+    offsets
+  }
+
+  // ------------------------------------------------------ public API
+
+  /** Publish (key, value, topic) records onto `host:port` — one
+    * socket, one Metadata v1 exchange, one Produce v3 per call, one
+    * record batch per (topic, murmur2 partition). Returns (topic,
+    * partition) → baseOffset as acked by the broker.
+    */
+  def publish(host: String, port: Int,
+      records: Seq[(Array[Byte], Array[Byte], String)],
+      timestampMs: Long, clientId: String = "graft-wire",
+      timeoutMs: Int = 30000): Map[(String, Int), Long] = {
+    if (records.isEmpty) return Map.empty
+    val sock = new Socket(host, port)
+    try {
+      sock.setTcpNoDelay(true)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      val topics = records.map(_._3).distinct
+      val parts = topicPartitions(out, in, clientId, topics)
+      val batches = records
+        .groupBy(r => (r._3, partitionFor(r._1, parts.getOrElse(r._3, 1))))
+        .map { case (tp, rs) =>
+          tp -> encodeRecordBatch(rs.map(r => (r._1, r._2)), timestampMs)
+        }
+      produce(out, in, clientId, 2, batches, timeoutMs)
+    } finally sock.close()
+  }
+
+  /** Publish a [[Sink.kafkaFrame]]-shaped frame ((key, value, topic)
+    * rows) from the EXECUTORS: each partition task ships its own rows
+    * over its own connection — no driver funnel. `timestampMs` is
+    * caller-supplied (one batch-constant stamp keeps replays
+    * byte-identical).
+    */
+  def publishFrame(frame: DataFrame, brokers: String,
+      timestampMs: Long): Unit = {
+    val (host, port) = hostPort(brokers)
+    frame.select("key", "value", "topic").foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        val recs = rows.map(r => (r.getAs[Array[Byte]](0),
+          r.getAs[Array[Byte]](1), r.getString(2))).toSeq
+        if (recs.nonEmpty) { publish(host, port, recs, timestampMs); () }
+    }
+  }
+
+  private def hostPort(brokers: String): (String, Int) = {
+    val first = brokers.split(",").head.trim
+    val i = first.lastIndexOf(':')
+    require(i > 0, s"broker must be host:port, got '$brokers'")
+    (first.take(i), first.drop(i + 1).toInt)
+  }
+
+  /** The [[Sink.kafkaSink]] twin that needs NO connector jar: the
+    * same integration gate (`SPARK_GRAFT_KAFKA_BROKERS`), the same
+    * [[Sink.kafkaFrame]] record contract, published per micro-batch
+    * through [[publishFrame]]. At-least-once: a replayed epoch
+    * re-publishes its records (Kafka consumers dedup on (key,
+    * offset) or idempotent reads downstream), matching the
+    * reference's relay semantics.
+    */
+  def wireSink(changes: DataFrame, checkpointDir: String,
+      brokers: Option[String] = sys.env.get("SPARK_GRAFT_KAFKA_BROKERS"),
+      topic: Column = Routing.topicByTable(),
+      transform: Transform = Transforms.DebeziumEnvelope)
+      : Option[StreamingQuery] =
+    brokers.map { bs =>
+      Sink.kafkaFrame(changes, topic, transform).writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          publishFrame(batch, bs, timestampMs = bid)
+        }
+        .start()
+    }
+}

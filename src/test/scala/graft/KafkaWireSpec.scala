@@ -1,0 +1,234 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.ServerSocket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{KafkaWire, Sink}
+
+/** The Kafka wire producer against a SCRIPTED BROKER — the
+  * [[BinlogMasterFixture]] pattern on the publish side: an in-process
+  * server speaks just enough broker (Metadata v1, Produce v3) to
+  * accept the client's frames, and the spec DECODES the captured
+  * record batches with its OWN independent reader (header layout,
+  * CRC32C re-computation, zigzag varints) — the encoder never checks
+  * itself. What this pins end-to-end:
+  *
+  *  - the [[Sink.kafkaFrame]] record contract survives the socket:
+  *    (key, value, topic) rows arrive as Kafka records byte-for-byte;
+  *  - the batch format is the real magic-2 layout (a stock broker's
+  *    first validation step is exactly the CRC this spec recomputes);
+  *  - partitioning matches Kafka's DefaultPartitioner (murmur2).
+  */
+class KafkaWireSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------ scripted broker
+
+  private final case class Produced(topic: String, partition: Int,
+      batch: Array[Byte])
+
+  /** One-connection scripted broker: answers Metadata v1 with itself
+    * as sole leader of `nPartitions` per topic, captures Produce v3
+    * record sets, acks with a running base offset.
+    */
+  private class ScriptedBroker(nPartitions: Int) {
+    val server = new ServerSocket(0)
+    val produced = mutable.ArrayBuffer.empty[Produced]
+    @volatile private var running = true
+    private var offset = 0L
+
+    private def readString(b: ByteBuffer): String = {
+      val n = b.getShort
+      val a = new Array[Byte](n); b.get(a); new String(a, UTF_8)
+    }
+
+    private def putString(b: ByteBuffer, s: String): Unit = {
+      val x = s.getBytes(UTF_8); b.putShort(x.length.toShort); b.put(x)
+    }
+
+    val thread = new Thread(() => {
+      try {
+        while (running) {
+          val sock = server.accept()
+          val in = new DataInputStream(sock.getInputStream)
+          val out = new DataOutputStream(sock.getOutputStream)
+          try {
+            while (true) {
+              val size = in.readInt()
+              val frame = new Array[Byte](size)
+              in.readFully(frame)
+              val b = ByteBuffer.wrap(frame)
+              val apiKey = b.getShort
+              val apiVersion = b.getShort
+              val corrId = b.getInt
+              readString(b) // client id
+              apiKey match {
+                case 3 => // Metadata v1
+                  assert(apiVersion == 1)
+                  val n = b.getInt
+                  val topics = (0 until n).map(_ => readString(b))
+                  val resp = ByteBuffer.allocate(4096)
+                  resp.putInt(corrId)
+                  resp.putInt(1) // one broker: ourselves
+                  resp.putInt(0); putString(resp, "localhost")
+                  resp.putInt(server.getLocalPort); resp.putShort(-1)
+                  resp.putInt(0) // controller
+                  resp.putInt(topics.size)
+                  topics.foreach { t =>
+                    resp.putShort(0); putString(resp, t); resp.put(0.toByte)
+                    resp.putInt(nPartitions)
+                    (0 until nPartitions).foreach { p =>
+                      resp.putShort(0); resp.putInt(p); resp.putInt(0)
+                      resp.putInt(1); resp.putInt(0) // replicas [0]
+                      resp.putInt(1); resp.putInt(0) // isr [0]
+                    }
+                  }
+                  out.writeInt(resp.position())
+                  out.write(resp.array(), 0, resp.position()); out.flush()
+                case 0 => // Produce v3
+                  assert(apiVersion == 3)
+                  val txn = b.getShort; if (txn > 0) b.position(b.position() + txn)
+                  b.getShort // acks
+                  b.getInt   // timeout
+                  val nTopics = b.getInt
+                  val acks = (0 until nTopics).map { _ =>
+                    val topic = readString(b)
+                    val nParts = b.getInt
+                    topic -> (0 until nParts).map { _ =>
+                      val partition = b.getInt
+                      val len = b.getInt
+                      val batch = new Array[Byte](len); b.get(batch)
+                      produced.synchronized {
+                        produced += Produced(topic, partition, batch)
+                      }
+                      val base = offset
+                      offset += 1000 // opaque; client only reports it
+                      (partition, base)
+                    }
+                  }
+                  val resp = ByteBuffer.allocate(4096)
+                  resp.putInt(corrId)
+                  resp.putInt(acks.size)
+                  acks.foreach { case (t, ps) =>
+                    putString(resp, t); resp.putInt(ps.size)
+                    ps.foreach { case (p, base) =>
+                      resp.putInt(p); resp.putShort(0)
+                      resp.putLong(base); resp.putLong(-1L)
+                    }
+                  }
+                  resp.putInt(0) // throttle_time_ms
+                  out.writeInt(resp.position())
+                  out.write(resp.array(), 0, resp.position()); out.flush()
+                case k => fail(s"unscripted api key $k")
+              }
+            }
+          } catch { case _: java.io.EOFException => () } // client done
+          finally sock.close()
+        }
+      } catch { case _: java.net.SocketException => () } // stopped
+    })
+    thread.setDaemon(true); thread.start()
+
+    def stop(): Unit = { running = false; server.close() }
+  }
+
+  // -------------------------------- independent record-batch reader
+
+  /** Decodes a magic-2 batch with its own layout/varint/CRC logic —
+    * deliberately NOT KafkaWire's encoder run backwards.
+    */
+  private def decodeBatch(bytes: Array[Byte])
+      : Seq[(Array[Byte], Array[Byte])] = {
+    val b = ByteBuffer.wrap(bytes)
+    assert(b.getLong == 0L) // baseOffset
+    val batchLen = b.getInt
+    assert(batchLen == bytes.length - 12, "batchLength covers the rest")
+    b.getInt // partitionLeaderEpoch
+    assert(b.get() == 2, "magic 2")
+    val crc = b.getInt
+    val crcCheck = new java.util.zip.CRC32C
+    crcCheck.update(bytes, 21, bytes.length - 21)
+    assert(crc == crcCheck.getValue.toInt, "CRC32C over attributes..end")
+    assert(b.getShort == 0) // attributes: uncompressed, CreateTime
+    val lastOffsetDelta = b.getInt
+    b.getLong; b.getLong // timestamps
+    assert(b.getLong == -1L) // producerId: idempotence off
+    assert(b.getShort == -1)
+    assert(b.getInt == -1)
+    val n = b.getInt
+    assert(lastOffsetDelta == n - 1)
+    def varLong(): Long = {
+      var v = 0L; var shift = 0; var x = 0
+      do { x = b.get(); v |= (x & 0x7fL) << shift; shift += 7 }
+      while ((x & 0x80) != 0)
+      (v >>> 1) ^ -(v & 1) // un-zigzag
+    }
+    (0 until n).map { i =>
+      varLong() // record length
+      assert(b.get() == 0) // attributes
+      varLong() // timestampDelta
+      assert(varLong() == i, "offsetDelta is the record index")
+      val kl = varLong().toInt
+      val k = new Array[Byte](math.max(kl, 0)); if (kl > 0) b.get(k)
+      val vl = varLong().toInt
+      val v = new Array[Byte](math.max(vl, 0)); if (vl > 0) b.get(v)
+      assert(varLong() == 0, "no headers")
+      (k, v)
+    }
+  }
+
+  // ------------------------------------------------------- the spec
+
+  test("publishFrame ships the kafkaFrame contract through Metadata+Produce, batches decode byte-identical") {
+    val broker = new ScriptedBroker(nPartitions = 3)
+    try {
+      val changes = cdc.ChangeSource.fromEvents(
+        cdc.Io.table(spark, "/root/testdata/sf0.001", "events"))
+        .limit(40)
+      val frame = Sink.kafkaFrame(changes).cache()
+      val want = frame.select("key", "value", "topic")
+        .as[(Array[Byte], Array[Byte], String)].collect()
+        .map(r => (new String(r._1, UTF_8), new String(r._2, UTF_8), r._3))
+        .sorted.toSeq
+
+      KafkaWire.publishFrame(frame,
+        s"localhost:${broker.server.getLocalPort}", timestampMs = 7L)
+
+      val got = broker.produced.synchronized {
+        broker.produced.flatMap { p =>
+          decodeBatch(p.batch).map { case (k, v) =>
+            // every record must sit on the partition Kafka's own
+            // partitioner picks for its key
+            assert(p.partition == KafkaWire.partitionFor(k, 3))
+            (new String(k, UTF_8), new String(v, UTF_8), p.topic)
+          }
+        }.sorted.toSeq
+      }
+      assert(got.nonEmpty && got == want)
+      frame.unpersist()
+    } finally broker.stop()
+  }
+
+  test("murmur2 matches Kafka's published test vectors") {
+    // vectors from the public Kafka client test suite
+    // (org.apache.kafka.common.utils.UtilsTest)
+    assert(KafkaWire.murmur2("21".getBytes(UTF_8)) == -973932308)
+    assert(KafkaWire.murmur2("foobar".getBytes(UTF_8)) == -790332482)
+    assert(KafkaWire.murmur2(
+      "a-little-bit-long-string".getBytes(UTF_8)) == -985981536)
+  }
+
+  test("wireSink is integration-gated exactly like kafkaSink: None without a broker env") {
+    val changes = cdc.ChangeSource.fromEvents(
+      cdc.Io.table(spark, "/root/testdata/sf0.001", "events"))
+    assert(KafkaWire.wireSink(changes, "/tmp/unused", brokers = None).isEmpty)
+  }
+}

@@ -723,6 +723,25 @@ class PlanSpec extends AnyFunSuite {
       s"kwic serve plan re-explodes the corpus:\n$p")
   }
 
+  test("sloppy phrase + ranked KWIC (X154/X155): artifact serving bucket-pruned; corpus never re-tokenized on the pruned paths") {
+    // sloppy serve: pos scan prunes to the phrases' terms' buckets,
+    // and the slop predicates are post-join filters — no explode
+    val sp = plan("q_text_index_phrase_sloppy")
+    assert(sp.contains("SelectedBucketsCount"),
+      s"sloppy pos scan not bucket-pruned:\n$sp")
+    assert(!sp.toLowerCase.contains("explode"),
+      s"sloppy serve plan re-tokenizes:\n$sp")
+    // ranked-KWIC serve: the ranking side reads the bucketed postings
+    // (pruned), the snippet side the pruned pos part; the only
+    // tokenize is the narrow split() building the k matched rows'
+    // arrays — no posexplode of the corpus
+    val km = plan("q_text_index_kwic_multi")
+    assert(km.contains("SelectedBucketsCount"),
+      s"ranked-kwic scans not bucket-pruned:\n$km")
+    assert(!km.toLowerCase.contains("posexplode"),
+      s"ranked-kwic serve plan re-explodes the corpus:\n$km")
+  }
+
   test("sampled recall harness (X146): the sample predicate reaches every documents scan") {
     val df = SparkEntry.queries("q_dedup_minhash_recall_sampled")(spark, sf)
     val p = plan(df)

@@ -796,4 +796,55 @@ class RetrievalSpec extends AnyFunSuite {
       .select(col("qid"), col("doc_id")).as[(Long, Long)].collect().toSet
     assert(rel == Set((7L, 0L), (7L, 4L)))
   }
+
+  test("sloppy phrase (X154): ordered in-window matches; slop 0 is the exact phrase; pins a near-verbatim quote X150 provably misses") {
+    // doc1 "spark spark spark hash hash join fast query scan":
+    //   ("hash","query") slop 3 → (3,7),(4,7) = 2 matches, but the
+    //   EXACT phrase finds nothing (tokens interleaved by 'join fast')
+    // ("hash","join") slop 0 ≡ exact: doc0 (2,3), doc1 (4,5)
+    // ("fast","query","scan") slop 2: doc3 (0,1,2),(3,4,5) — (0,4,5)
+    //   is pruned by the per-step width bound; doc1 (6,7,8)
+    // ("query","fast") slop 1: ORDER matters — only doc3's (1,3)
+    val phrases = Seq(
+      (0L, Seq("hash", "query"), 3),
+      (1L, Seq("hash", "join"), 0),
+      (2L, Seq("fast", "query", "scan"), 2),
+      (3L, Seq("query", "fast"), 1))
+    val got = Retrieval.sloppyTopK(docs, "doc_id", "text", k = 10,
+        phrases = phrases)
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (0L, 1L, 1L, 2L),
+      (1L, 1L, 0L, 1L), (1L, 2L, 1L, 1L),
+      (2L, 1L, 3L, 2L), (2L, 2L, 1L, 1L),
+      (3L, 1L, 3L, 1L)))
+    // the divergence pin: the exact phrase misses the interleaved case
+    assert(Retrieval.phraseTopK(docs, "doc_id", "text", k = 10,
+      phrases = Seq(0L -> Seq("hash", "query"))).count() == 0)
+  }
+
+  test("KWIC over the ranking (X155): rows ARE the bm25 ranking; each carries the window around the first hit of ANY query term") {
+    val qs = Seq(0L -> Seq("dup", "spark"), 1L -> Seq("merge", "hash"))
+    val got = Retrieval.kwicMultiTopK(docs, "doc_id", "text", k = 10,
+        w = 2, queries = qs)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val ranked = Retrieval.bm25TopK(docs, "doc_id", "text", k = 10,
+        queries = qs)
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) == ranked)
+    val snippets = got.map(r => (r._1, r._3) -> r._5).toMap
+    // q0 {dup, spark}: first hits at position 0 in all three docs
+    assert(snippets((0L, 0L)) == "dup spark hash")
+    assert(snippets((0L, 1L)) == "spark spark spark")
+    assert(snippets((0L, 4L)) == "dup dup dup")
+    // q1 {merge, hash}: doc0 hash@2 (full ±2 window), doc1 hash@3,
+    // doc3 merge@6 (right-clamped), doc4 merge@4 (last token)
+    assert(snippets((1L, 0L)) == "dup spark hash join merge")
+    assert(snippets((1L, 1L)) == "spark spark hash hash join")
+    assert(snippets((1L, 3L)) == "query scan merge hash")
+    assert(snippets((1L, 4L)) == "dup spark merge")
+  }
 }

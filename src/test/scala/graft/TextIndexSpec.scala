@@ -446,4 +446,110 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.register(spark, "tidx_gr", dir)
     assert(searchOf("tidx_gr") == inPlan(docs))
   }
+
+  test("compact(resetGrace) lowers the committed grace ratchet; retirees outside the new window are reclaimed (advice r14)") {
+    val dir = tmpBase("grl")
+    TextIndex.build(spark, docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", "tidx_grl", nBuckets = 4, baseDir = Some(dir))
+    val idx = s"$dir/tidx_grl"
+    TextIndex.append(spark, "tidx_grl",
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      graceCommits = 3)
+    assert(TextIndex.loadState(idx).get.grace == 3)
+    // the ratchet still holds for every NON-reset op
+    TextIndex.compact(spark, "tidx_grl")
+    assert(TextIndex.loadState(idx).get.grace == 3)
+    assert(TextIndex.loadState(idx).get.retired.nonEmpty)
+    // the explicit operator action lowers it — and the sweep reclaims
+    // everything the narrower window no longer covers
+    TextIndex.compact(spark, "tidx_grl", graceCommits = 0,
+      resetGrace = true)
+    val st = TextIndex.loadState(idx).get
+    assert(st.grace == 0 && st.retired.isEmpty)
+    assert(searchOf("tidx_grl") == inPlan(docs))
+  }
+
+  test("replay markers stay bounded: per-namespace high-watermark pruning + compact's horizon reclaim (advice r14)") {
+    val dir = tmpBase("mk")
+    TextIndex.build(spark, docs.filter(col("doc_id") < 10), "doc_id",
+      "text", "tidx_mk", nBuckets = 4, baseDir = Some(dir))
+    val commits = java.nio.file.Paths.get(s"$dir/tidx_mk", "_commits")
+    def markers() = Files.list(commits).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    // 7 epochs on one namespace + 1 on another: the first namespace
+    // keeps only its newest 4 markers, the other is untouched
+    (0 until 7).foreach { e =>
+      TextIndex.append(spark, "tidx_mk",
+        docs.filter(col("doc_id") === (10 + e)), "doc_id", "text",
+        batchId = Some(s"ingaaaa_$e"))
+    }
+    TextIndex.append(spark, "tidx_mk",
+      docs.filter(col("doc_id") === 20), "doc_id", "text",
+      batchId = Some(s"delbbbb_0"))
+    assert(markers() == Seq("delbbbb_0", "ingaaaa_3", "ingaaaa_4",
+      "ingaaaa_5", "ingaaaa_6"))
+    // a replay of a PRUNED epoch is still safe — the content guards
+    // drop the already-known ids (the marker was only the fast path)
+    val before = searchOf("tidx_mk")
+    TextIndex.append(spark, "tidx_mk",
+      docs.filter(col("doc_id") === 11), "doc_id", "text",
+      batchId = Some(s"ingaaaa_1"))
+    assert(searchOf("tidx_mk") == before)
+    // compact's horizon pass reclaims abandoned namespaces wholesale
+    TextIndex.compact(spark, "tidx_mk", markerHorizonMs = 0L)
+    assert(markers().isEmpty)
+  }
+
+  test("a legacy (pre-state-file) artifact migrates ON REGISTER; maintenance without a state file is refused (r14 verdict #3)") {
+    val dir = tmpBase("leg")
+    TextIndex.build(spark, docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", "tidx_leg", nBuckets = 4, baseDir = Some(dir))
+    val idx = s"$dir/tidx_leg"
+    // forge the legacy layout: canonical part dirs, NO state file
+    Files.delete(java.nio.file.Paths.get(idx, "index.current"))
+    // maintenance must refuse directory-guessing outright
+    val e = intercept[RuntimeException] {
+      TextIndex.append(spark, "tidx_leg",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("register"))
+    // register migrates once: resolves the single live dirs, COMMITS a
+    // state file, and everything downstream works the modern way
+    for (p <- Seq("postings", "dl", "stats", "meta"))
+      spark.sql(s"DROP TABLE IF EXISTS tidx_leg_$p")
+    TextIndex.register(spark, "tidx_leg", dir)
+    val st = TextIndex.loadState(idx)
+    assert(st.isDefined && st.get.gen == 0L &&
+      st.get.parts("postings") == "postings")
+    TextIndex.append(spark, "tidx_leg",
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    assert(searchOf("tidx_leg") == inPlan(docs))
+  }
+
+  test("maybeCompact: over-threshold delta chains collapse through the same atomic commit; serving bit-identical; under-threshold is a no-op") {
+    val dir = tmpBase("ac")
+    TextIndex.build(spark, docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", "tidx_ac", nBuckets = 4, baseDir = Some(dir))
+    (1 to 3).foreach { q =>
+      TextIndex.append(spark, "tidx_ac",
+        docs.filter(col("doc_id") % 4 === q), "doc_id", "text")
+    }
+    val idx = s"$dir/tidx_ac"
+    def maxFiles(): Int = TextIndex.loadState(idx).get.parts.values.map {
+      d => Files.list(java.nio.file.Paths.get(idx, d)).iterator().asScala
+        .count { f =>
+          val n = f.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+    }.max
+    assert(maxFiles() > 6, "delta chain should have accreted files")
+    val before = searchOf("tidx_ac")
+    assert(TextIndex.maybeCompact(spark, "tidx_ac", maxFilesPerPart = 6))
+    assert(maxFiles() <= 4, "compact leaves ≤ one file per bucket")
+    assert(searchOf("tidx_ac") == before)
+    // now under threshold: the check is a filesystem-metadata no-op
+    val gen = TextIndex.loadState(idx).get.gen
+    assert(!TextIndex.maybeCompact(spark, "tidx_ac", maxFilesPerPart = 6))
+    assert(TextIndex.loadState(idx).get.gen == gen)
+  }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.collection.JavaConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -138,5 +140,95 @@ class TextIndexStreamSpec extends AnyFunSuite {
       "doc_id", "text", "tidxs_ns", ckB)
     inB.addData(b2: _*); qB.processAllAvailable(); qB.stop()
     assert(searchOf("tidxs_ns") == inPlan(docs))
+  }
+
+  test("CDC feed (X156): micro-batched upserts + tombstones (+ a replay) serve the LWW-merged corpus's ranking") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("tidxs_cdc").toString
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    TextIndex.build(spark, rows.toDF("doc_id", "text"), "doc_id",
+      "text", "tidxs_cdc", nBuckets = 4, baseDir = Some(dir))
+
+    // the change log, in commit order: every %3==0 key gets an upsert
+    // with NEW text, every %5==1 key a tombstone; key -1 and -2 are
+    // inserts of brand-new docs; key 6 is upserted TWICE in one batch
+    // (the within-batch LWW must keep only the later edit) and once
+    // more in a later batch (cross-batch log order must win)
+    def change(key: Long, op: String, text: String, seq: Long) =
+      (key, op, text, 100L + seq, seq)
+    val ups = rows.map(_._1).filter(_ % 3 == 0).map(k =>
+      change(k, cdc.ChangeOp.Update, s"fresh vector scan doc $k", k))
+    val dels = rows.map(_._1).filter(_ % 5 == 1).map(k =>
+      change(k, cdc.ChangeOp.Delete, "", 1000 + k))
+    val news = Seq(change(-1L, cdc.ChangeOp.Insert,
+      "brand new hash join doc", 2000),
+      change(-2L, cdc.ChangeOp.Insert, "another vector doc", 2001))
+    val dupA = change(6L, cdc.ChangeOp.Update, "stale edit six", 3000)
+    val dupB = change(6L, cdc.ChangeOp.Update, "final edit six spark", 3001)
+    val late = change(9L, cdc.ChangeOp.Update, "late nine window", 4000)
+
+    val ckpt = Files.createTempDirectory("tidxs_cdc_ckpt").toString
+    val input = MemoryStream[(Long, String, String, Long, Long)]
+    val q = TextIndexStream.applyChanges(
+      input.toDF().toDF("doc_id", "op", "text", "ts_sec", "seq"),
+      "doc_id", "op", "text", "tidxs_cdc", ckpt)
+    input.addData((ups ++ dels :+ dupA :+ dupB): _*)
+    q.processAllAvailable()
+    input.addData((news :+ late): _*); q.processAllAvailable()
+    input.addData(news.take(1): _*); q.processAllAvailable() // replay
+    q.stop()
+
+    // the LWW-merged expected corpus, computed independently: per key
+    // the (ts, seq)-max change wins (key 6's tombstone loses to its
+    // later same-batch edit; key 21's upsert loses to its tombstone)
+    val allChanges = ups ++ dels ++ news ++ Seq(dupA, dupB, late)
+    val winnerByKey = allChanges.groupBy(_._1).map { case (k, cs) =>
+      k -> cs.maxBy(c => (c._4, c._5))
+    }
+    val mergedRows = (rows.toMap ++
+        winnerByKey.collect { case (k, w)
+          if w._2 != cdc.ChangeOp.Delete => k -> w._3 })
+      .filterNot { case (k, _) =>
+        winnerByKey.get(k).exists(_._2 == cdc.ChangeOp.Delete) }
+      .toSeq.sortBy(_._1)
+    val got = searchOf("tidxs_cdc")
+    assert(got.nonEmpty &&
+      got == inPlan(mergedRows.toDF("doc_id", "text")))
+  }
+
+  test("autoCompactFiles keeps a long micro-batch run's file count bounded; serving stays the one-shot build's") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("tidxs_ac").toString
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (seed, rest) = rows.splitAt(10)
+    TextIndex.build(spark, seed.toDF("doc_id", "text"), "doc_id",
+      "text", "tidxs_ac", nBuckets = 4, baseDir = Some(dir))
+
+    val ckpt = Files.createTempDirectory("tidxs_ac_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = TextIndexStream.maintain(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      "tidxs_ac", ckpt, autoCompactFiles = Some(8))
+    // 8 single-doc epochs: without the policy, postings would accrete
+    // a delta file set per epoch; with it, every over-threshold check
+    // compacts back to ≤ one file per bucket
+    rest.take(8).foreach { r =>
+      input.addData(r); q.processAllAvailable()
+    }
+    q.stop()
+
+    val idx = s"$dir/tidxs_ac"
+    val maxFiles = TextIndex.loadState(idx).get.parts.values.map { d =>
+      Files.list(java.nio.file.Paths.get(idx, d)).iterator().asScala
+        .count { f =>
+          val n = f.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+    }.max
+    assert(maxFiles <= 8, s"file count unbounded: $maxFiles")
+    assert(searchOf("tidxs_ac") ==
+      inPlan((seed ++ rest.take(8)).toDF("doc_id", "text")))
   }
 }
