@@ -566,6 +566,36 @@ object Index {
       "n_segments", "n_files", "bytes")
   }
 
+  /** Consult-and-compact — the [[TextIndex.maybeCompact]] analog for
+    * the ANN artifact (r14 verdict #7 named BOTH indexes' delta
+    * chains): every [[appendCommitted]] adds one file set per batch
+    * (manifest commits accrete whole segments), so a long-lived
+    * maintenance stream grows the file count without bound unless
+    * some cron compacts. If any bucketed part's CURRENT generation
+    * holds more than `maxFilesPerPart` data files, run [[compact]]
+    * (which also reclaims at-least-once replays' duplicate rows);
+    * filesystem metadata only while under threshold. Search output
+    * unchanged either way. Returns whether it compacted.
+    */
+  def maybeCompact(spark: SparkSession, name: String,
+      maxFilesPerPart: Int): Boolean = {
+    val dir = indexDirOf(spark, name)
+    val over = BucketedParts.exists { case (p, _) =>
+      val n = segmentsOf(dir, loadPart(dir, p).current).map { s =>
+        val d = java.nio.file.Paths.get(dir, s)
+        if (!java.nio.file.Files.isDirectory(d)) 0
+        else listDir(d).count { f =>
+          val fn = f.getFileName.toString
+          java.nio.file.Files.isRegularFile(f) &&
+            !fn.startsWith("_") && !fn.startsWith(".")
+        }
+      }.sum
+      n > maxFilesPerPart
+    }
+    if (over) compact(spark, name)
+    over
+  }
+
   private def indexDirOf(spark: SparkSession, name: String): String = {
     val scan = spark.table(part(name, "meta")).queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>

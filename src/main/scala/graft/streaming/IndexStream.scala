@@ -122,13 +122,20 @@ object IndexStream {
     */
   def maintain(embs: DataFrame, idCol: String, vecCol: String,
       indexName: String, checkpointDir: String,
-      graceCommits: Int = 0, manifestCommit: Boolean = false): StreamingQuery =
+      graceCommits: Int = 0, manifestCommit: Boolean = false,
+      autoCompactFiles: Option[Int] = None): StreamingQuery =
     embs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           Index.appendCommitted(batch.sparkSession, indexName, batch,
             idCol, vecCol, graceCommits, manifestCommit)
+          // r14 verdict #7: a long-lived stream accretes one file set
+          // (or manifest segment) per batch — the threshold check
+          // keeps the artifact bounded without an operator cron
+          autoCompactFiles.foreach(
+            Index.maybeCompact(batch.sparkSession, indexName, _))
+        }
       }
       .start()
 
@@ -142,13 +149,17 @@ object IndexStream {
     * by default — the takedown retention bound.
     */
   def retract(delIds: DataFrame, idCol: String, indexName: String,
-      checkpointDir: String, graceCommits: Int = 0): StreamingQuery =
+      checkpointDir: String, graceCommits: Int = 0,
+      autoCompactFiles: Option[Int] = None): StreamingQuery =
     delIds.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           Index.delete(batch.sparkSession, indexName, batch, idCol,
             graceCommits)
+          autoCompactFiles.foreach(
+            Index.maybeCompact(batch.sparkSession, indexName, _))
+        }
       }
       .start()
 }

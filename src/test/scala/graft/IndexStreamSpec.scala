@@ -214,4 +214,44 @@ class IndexStreamSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(res.nonEmpty && res.forall { case (_, _, n, _) => n % 3 != 0 })
   }
+
+  test("autoCompactFiles bounds a long maintenance run's file count; search equals the clean batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val embs = cdc.Io.table(spark, sf, "embeddings")
+    val seed = embs.filter(col("vec_id") < 8)
+    val restRows = embs.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val base = Files.createTempDirectory("graft_idx_ac").toString
+    Index.build(spark, seed, "vec_id", "embedding", "label", "idx_ac",
+      itersIvf = 1, massign = 2, m = 16, ksub = 32, itersPq = 1,
+      nBuckets = 4, baseDir = Some(base))
+
+    val ckpt = Files.createTempDirectory("idx_ac_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = IndexStream.maintain(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "idx_ac", ckpt,
+      autoCompactFiles = Some(8))
+    // 6 small epochs: unbounded, postings would hold ~6×buckets delta
+    // files; the policy compacts whenever a part crosses 8
+    restRows.take(18).grouped(3).foreach { g =>
+      input.addData(g.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val counts = Index.describe(spark, "idx_ac")
+      .select("part", "n_files").as[(String, Long)].collect().toMap
+    assert(counts.values.max <= 8,
+      s"file count unbounded under the policy: $counts")
+    // the maintained index equals one encode of everything-so-far
+    val streamedIds = restRows.take(18).map(_._1)
+    val all = embs.filter(col("vec_id") < 8 ||
+      col("vec_id").isin(streamedIds: _*))
+    val (expPost, _, _, _) = Index.encode(spark, "idx_ac", all,
+      "vec_id", "embedding")
+    assert(spark.table("idx_ac_postings").as[(Long, Long)]
+      .collect().sorted.toSeq
+      == expPost.select(col("cl").cast("long"), col("id")).as[(Long, Long)]
+        .collect().sorted.toSeq)
+  }
 }

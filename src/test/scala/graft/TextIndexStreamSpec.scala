@@ -197,6 +197,55 @@ class TextIndexStreamSpec extends AnyFunSuite {
       got == inPlan(mergedRows.toDF("doc_id", "text")))
   }
 
+  test("end-to-end: the DSv2 change-log stream maintains the index — snapshot segment + live segment serve the merged corpus's ranking") {
+    // the reference's snapshot-then-stream shape on the RETRIEVAL
+    // artifact: log segment 1 is the backfill (op=Backfill, ts=1
+    // placeholder), segment 2 the live tail (edit, tombstone,
+    // insert) — read through the real DSv2 source, applied through
+    // applyChanges, served from the maintained index.
+    val logDir = Files.createTempDirectory("tidx_cl").toString
+    def row(id: Int, text: String) = s"""{"id":"$id","text":"$text"}"""
+    def line(op: String, before: String, after: String, ts: Long) =
+      s"""{"op":"$op","db":"d","table":"docs","before":$before,"after":$after,"ts":$ts,"pkey":"id"}"""
+    val snap = Map(1 -> "hash join merge", 2 -> "spark window agg",
+      3 -> "dup vector scan", 4 -> "fast query scan",
+      5 -> "big order scan", 6 -> "data slow query")
+    Files.write(java.nio.file.Paths.get(logDir, "log.000001.jsonl"),
+      snap.toSeq.sortBy(_._1)
+        .map { case (i, t) => line("Backfill", "null", row(i, t), 1L) }
+        .mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(logDir, "log.000002.jsonl"),
+      Seq(
+        line("Update", row(2, snap(2)), row(2, "fresh spark vector text"), 100L),
+        line("Delete", row(3, snap(3)), "null", 101L),
+        line("Insert", "null", row(9, "brand new hash doc"), 102L))
+        .mkString("\n").getBytes)
+
+    val dir = Files.createTempDirectory("tidx_cl_idx").toString
+    TextIndex.build(spark, Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", "tidx_cl", nBuckets = 4, baseDir = Some(dir))
+
+    val changes = spark.readStream.format("graft-changelog")
+      .option("path", logDir).load()
+    val docsStream = changes.select(
+      coalesce(get_json_object(col("after"), "$.id"),
+        get_json_object(col("before"), "$.id")).cast("long").as("doc_id"),
+      col("op"),
+      coalesce(get_json_object(col("after"), "$.text"), lit("")).as("text"),
+      unix_timestamp(col("ts")).as("ts_sec"), col("seq"))
+    val ckpt = Files.createTempDirectory("tidx_cl_ckpt").toString
+    val q = TextIndexStream.applyChanges(docsStream, "doc_id", "op",
+      "text", "tidx_cl", ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    val merged = (snap - 3 + (2 -> "fresh spark vector text") +
+      (9 -> "brand new hash doc"))
+      .toSeq.map { case (i, t) => (i.toLong, t) }.sortBy(_._1)
+    val got = searchOf("tidx_cl")
+    assert(got.nonEmpty && got == inPlan(merged.toDF("doc_id", "text")))
+  }
+
   test("autoCompactFiles keeps a long micro-batch run's file count bounded; serving stays the one-shot build's") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("tidxs_ac").toString
