@@ -1922,11 +1922,14 @@ object SparkEntry {
         winners.filter(col("precedence") === 1))
       TextIndex.build(s, docs, "doc_id", "text", "graft_tidx_cdc",
         nBuckets = 8)
-      TextIndex.delete(s, "graft_tidx_cdc", touched.select(col("key")),
-        "key")
-      TextIndex.append(s, "graft_tidx_cdc",
+      // ONE atomic commit: upserts replace their indexed docs,
+      // tombstones take theirs down, stats corrected together
+      TextIndex.upsert(s, "graft_tidx_cdc",
         Merge.current(touched).select(col("key"), col("text")),
-        "key", "text")
+        "key", "text",
+        delIds = Some(touched.filter(col("op") === ChangeOp.Delete)
+          .select(col("key"))),
+        delCol = "key")
       TextIndex.search(s, "graft_tidx_cdc", k = 10)
     }),
 

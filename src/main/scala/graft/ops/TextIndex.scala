@@ -912,6 +912,137 @@ object TextIndex {
     }
   }
 
+  /** Upsert — replace-or-insert `docs` and take down `delIds`, in ONE
+    * atomic generation commit (X156's per-batch shape: the CDC feed
+    * previously ran [[delete]] then [[append]] as TWO commits — twice
+    * the staging/link/swap machinery and a two-marker replay dance).
+    * Semantics: every id in `docs` ∪ `delIds` leaves the index, then
+    * `docs` is ingested — search-after == build over
+    * (corpus \ (docs.ids ∪ delIds)) ∪ docs, bit-for-bit
+    * (TextIndexSpec).
+    *
+    * The delete side reads the CURRENT generation by PATH (no lazy
+    * catalog re-read hazard), rewrites only the touched buckets, and
+    * stages negative stats/meta deltas; the ingest side stages the
+    * new docs' per-bucket deltas and positive stats/meta rows; the
+    * fresh generation links kept + rewritten + delta files and ONE
+    * swap publishes everything. Replay is O(1) via the single
+    * `batchId` marker — and idempotent even without it: a replayed
+    * upsert removes the rows it itself added and re-adds the same
+    * content.
+    */
+  def upsert(spark: SparkSession, name: String, docs: DataFrame,
+      idCol: String, textCol: String,
+      delIds: Option[DataFrame] = None, delCol: String = "id",
+      batchId: Option[String] = None, graceCommits: Int = 0): Unit = {
+    import spark.implicits._
+    val nBuckets = metaOf(spark, name)
+    val dir = rootDirOf(spark, name)
+    if (batchId.exists(batchCommitted(dir, _))) return
+    val st = stateOf(dir)
+    val newDocs = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .persist()
+    val del = newDocs.select(col("id").as("__del"))
+      .unionByName(delIds.map(_.select(col(delCol).cast("long").as("__del")))
+        .getOrElse(spark.emptyDataset[Long].toDF("__del")))
+      .distinct().persist()
+    try {
+      val postingsDir = java.nio.file.Paths.get(dir, st.parts("postings"))
+      val dlDir = java.nio.file.Paths.get(dir, st.parts("dl"))
+      val postings = readPart(spark, "postings", Seq(postingsDir.toString))
+      val dlT = readPart(spark, "dl", Seq(dlDir.toString))
+      val delPost =
+        postings.join(del, postings("id") === col("__del"), "left_semi")
+          .persist()
+      val delDl =
+        dlT.join(del, dlT("id") === col("__del"), "left_semi").persist()
+      // ingest side: one tokenize pass (positional stream first when
+      // the artifact has a pos part, tf aggregated from it)
+      val hasPos = st.parts.contains("pos")
+      val ptoksDelta =
+        if (hasPos) Some(tokPos(newDocs, "id", "text").persist()) else None
+      val tf = ptoksDelta
+        .map(_.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf")))
+        .getOrElse(tokTf(newDocs, "id", "text")).persist()
+      val dlNew = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")).persist()
+      try {
+        val (nGone, dlGone) = delDl.agg(count(lit(1)), sum(col("dl")))
+          .as[(Long, Option[Long])].head()
+        val (nNew, dlNewSum) = dlNew.agg(count(lit(1)), sum(col("dl")))
+          .as[(Long, Option[Long])].head()
+        if (nGone == 0 && nNew == 0 && delPost.isEmpty) {
+          batchId.foreach(markBatch(dir, _)); return
+        }
+        def bucketOf(c: org.apache.spark.sql.Column) =
+          pmod(hash(c), lit(nBuckets))
+        val tokBkts = delPost.select(bucketOf(col("tok")).as("b"))
+          .distinct().as[Int].collect().toSet
+        val idBkts = del.select(bucketOf(col("__del")).as("b"))
+          .distinct().as[Int].collect().toSet
+        def split(d: java.nio.file.Path, bkts: Set[Int]) =
+          ArtifactFiles.dataFiles(d).partition(f =>
+            ArtifactFiles.bucketIdOf(f.getFileName.toString)
+              .forall(bkts.contains))
+        val (rewriteP, keptP) = split(postingsDir, tokBkts)
+        val (rewriteD, keptD) = split(dlDir, idBkts)
+        val (rewriteX, keptX) =
+          if (!hasPos) (Seq.empty[java.nio.file.Path], Seq.empty[java.nio.file.Path])
+          else split(java.nio.file.Paths.get(dir, st.parts("pos")), tokBkts)
+        val u = uid8()
+        // stage EVERYTHING concurrently: pruned removal rewrites, the
+        // ingest deltas, and both stats corrections — all invisible
+        // until the one swap
+        def rewrite(files: Seq[java.nio.file.Path],
+            p: String): Option[java.nio.file.Path] =
+          if (files.isEmpty) None
+          else Some(stageBucketed(spark, name, dir,
+            readPart(spark, p, files.map(_.toString))
+              .join(del, col("id") === col("__del"), "left_anti"),
+            p, nBuckets, s"rw_$u"))
+        val dfNeg = delPost.groupBy(col("tok"))
+          .agg((-count(lit(1))).as("df"))
+        val dfPos = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val posJobs =
+          if (!hasPos) Seq.empty
+          else Seq(
+            () => rewrite(rewriteX, "pos"),
+            () => Some(stageBucketed(spark, name, dir, ptoksDelta.get,
+              "pos", nBuckets, s"new_$u")))
+        val staged = Par.collect(Seq(
+          () => rewrite(rewriteP, "postings"),
+          () => rewrite(rewriteD, "dl"),
+          () => Some(stageBucketed(spark, name, dir,
+            dfNeg.unionByName(dfPos), "stats", nBuckets, u)),
+          () => Some(stageBucketed(spark, name, dir, tf, "postings",
+            nBuckets, s"new_$u")),
+          () => Some(stageBucketed(spark, name, dir, dlNew, "dl",
+            nBuckets, s"new_$u"))) ++ posJobs)
+        val mS = stageMeta(spark, dir,
+          Seq((nNew - nGone,
+            dlNewSum.getOrElse(0L) - dlGone.getOrElse(0L), nBuckets)), u)
+        val base = Map(
+          "postings" -> (keptP ++ staged(0).toSeq.flatMap(stagedFiles)
+            ++ staged(3).toSeq.flatMap(stagedFiles)),
+          "dl" -> (keptD ++ staged(1).toSeq.flatMap(stagedFiles)
+            ++ staged(4).toSeq.flatMap(stagedFiles)),
+          "stats" -> (currentFiles(dir, st, "stats")
+            ++ staged(2).toSeq.flatMap(stagedFiles)),
+          "meta" -> (currentFiles(dir, st, "meta") ++ stagedFiles(mS)))
+        val withPos =
+          if (hasPos)
+            base + ("pos" -> (keptX ++ staged(5).toSeq.flatMap(stagedFiles)
+              ++ staged(6).toSeq.flatMap(stagedFiles)))
+          else base
+        commitGeneration(spark, name, dir, st, nBuckets, withPos, batchId,
+          graceCommits)
+      } finally {
+        delPost.unpersist(); delDl.unpersist()
+        dlNew.unpersist(); tf.unpersist(); ptoksDelta.foreach(_.unpersist())
+      }
+    } finally { del.unpersist(); newDocs.unpersist() }
+  }
+
   /** The index's base directory, resolved from the (file-backed) meta
     * table — never caller-supplied, so maintenance always acts on the
     * directory the catalog actually serves.

@@ -116,20 +116,21 @@ object TextIndexStream {
     *  1. within-batch LWW — several changes to one key collapse to
     *     the batch's (ts, seq)-winner BEFORE touching the artifact
     *     (the [[graft.cdc.Merge.winners]] window, per batch);
-    *  2. [[TextIndex.delete]] of every winner key (an upsert of an
-    *     indexed doc must replace it — append alone would anti-join
-    *     it away; an unknown key's delete is a no-op);
-    *  3. [[TextIndex.append]] of the non-tombstone winners' texts.
+    *  2. ONE [[TextIndex.upsert]] commit: every winner key leaves the
+    *     index (an upsert of an indexed doc must replace it; an
+    *     unknown key's removal is a no-op) and the non-tombstone
+    *     winners' texts are ingested — removal rewrites, ingest
+    *     deltas, and both stats corrections publish in a single
+    *     atomic generation swap.
     *
     * Applying batches in log order IS last-writer-wins: the binlog is
     * the serialized source of truth, so a key's changes arrive in
-    * commit order across batches. Replay safety: the two commits
-    * carry distinct per-feed batch ids (`cdcD`/`cdcA`); a crash
-    * between them redelivers the epoch, the delete short-circuits on
-    * its marker, the append re-runs — and the content guards hold
-    * either way. Serving after the stream == a build over the
-    * LWW-merged surviving corpus, bit-for-bit
-    * (TextIndexStreamSpec).
+    * commit order across batches. Replay safety: the single `cdc`
+    * batch id makes a redelivered epoch an O(1) no-op, and even an
+    * un-marked replay converges (the upsert removes the rows it
+    * itself added and re-adds the same content). Serving after the
+    * stream == a build over the LWW-merged surviving corpus,
+    * bit-for-bit (TextIndexStreamSpec).
     */
   def applyChanges(changes: DataFrame, keyCol: String, opCol: String,
       textCol: String, name: String, checkpointDir: String,
@@ -145,13 +146,14 @@ object TextIndexStream {
           val winners = batch.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn").persist()
           try {
-            TextIndex.delete(s, name, winners.select(col(keyCol)),
-              keyCol, batchId = Some(s"cdcD${ns(checkpointDir)}_$bid"))
-            TextIndex.append(s, name,
+            TextIndex.upsert(s, name,
               winners.filter(col(opCol) =!= ChangeOp.Delete)
                 .select(col(keyCol), col(textCol)),
               keyCol, textCol,
-              batchId = Some(s"cdcA${ns(checkpointDir)}_$bid"))
+              delIds = Some(winners.filter(col(opCol) === ChangeOp.Delete)
+                .select(col(keyCol))),
+              delCol = keyCol,
+              batchId = Some(s"cdc${ns(checkpointDir)}_$bid"))
             autoCompactFiles.foreach(TextIndex.maybeCompact(s, name, _))
           } finally winners.unpersist()
         }

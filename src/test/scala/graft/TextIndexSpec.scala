@@ -526,6 +526,55 @@ class TextIndexSpec extends AnyFunSuite {
     assert(searchOf("tidx_leg") == inPlan(docs))
   }
 
+  test("upsert (X156): replace + insert + takedown land in ONE atomic commit equal to the rebuild; marked replay is a no-op, un-marked replay converges") {
+    val dir = tmpBase("ups")
+    TextIndex.build(spark, docs, "doc_id", "text", "tidx_ups",
+      nBuckets = 4, baseDir = Some(dir), positions = true)
+    val idx = s"$dir/tidx_ups"
+
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // %4==0 keys get replacement text, two brand-new ids are inserted,
+    // %5==1 keys are tombstoned; id 16 is BOTH (%4==0 and %5==1) — the
+    // ingest side wins by the documented order (remove all, then add)
+    val replaced = rows.collect { case (i, t) if i % 4 == 0 =>
+      (i, s"updated vector text $i") }
+    val inserted = Seq((9001L, "brand new hash doc"),
+      (9002L, "another fresh scan doc"))
+    val ups = (replaced ++ inserted).toDF("doc_id", "text")
+    val dels = rows.map(_._1).filter(_ % 5 == 1).toDF("doc_id")
+
+    val gen0 = TextIndex.loadState(idx).get.gen
+    TextIndex.upsert(spark, "tidx_ups", ups, "doc_id", "text",
+      delIds = Some(dels), delCol = "doc_id", batchId = Some("ups_1"))
+    assert(TextIndex.loadState(idx).get.gen == gen0 + 1,
+      "upsert must be exactly ONE generation commit")
+
+    val expected = (rows.toMap -- rows.map(_._1).filter(_ % 5 == 1)
+      ++ replaced ++ inserted).toSeq.sortBy(_._1)
+    val got = searchOf("tidx_ups")
+    assert(got.nonEmpty && got == inPlan(expected.toDF("doc_id", "text")))
+    // the positional part moved in the SAME commit: phrase serving
+    // over the upserted corpus
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    assert(sorted(TextIndex.searchPhrase(spark, "tidx_ups", k = 10)) ==
+      sorted(Retrieval.phraseTopK(expected.toDF("doc_id", "text"),
+        "doc_id", "text", k = 10)))
+
+    // marked replay: O(1) no-op, generation unchanged
+    TextIndex.upsert(spark, "tidx_ups", ups, "doc_id", "text",
+      delIds = Some(dels), delCol = "doc_id", batchId = Some("ups_1"))
+    assert(TextIndex.loadState(idx).get.gen == gen0 + 1)
+    // un-marked replay: removes its own rows, re-adds the same content
+    // — one more generation, identical serving
+    TextIndex.upsert(spark, "tidx_ups", ups, "doc_id", "text",
+      delIds = Some(dels), delCol = "doc_id")
+    assert(TextIndex.loadState(idx).get.gen == gen0 + 2)
+    assert(searchOf("tidx_ups") == got)
+  }
+
   test("maybeCompact: over-threshold delta chains collapse through the same atomic commit; serving bit-identical; under-threshold is a no-op") {
     val dir = tmpBase("ac")
     TextIndex.build(spark, docs.filter(col("doc_id") % 4 === 0),
