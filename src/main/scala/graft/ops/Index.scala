@@ -580,6 +580,10 @@ object Index {
   def maybeCompact(spark: SparkSession, name: String,
       maxFilesPerPart: Int): Boolean = {
     val dir = indexDirOf(spark, name)
+    // clamp to the post-compact floor (compact leaves one file per
+    // bucket): an unsatisfiable threshold would otherwise re-run a
+    // full compact after EVERY batch (review r15)
+    val threshold = math.max(maxFilesPerPart, readMeta(spark, name).nBuckets)
     val over = BucketedParts.exists { case (p, _) =>
       val n = segmentsOf(dir, loadPart(dir, p).current).map { s =>
         val d = java.nio.file.Paths.get(dir, s)
@@ -590,7 +594,7 @@ object Index {
             !fn.startsWith("_") && !fn.startsWith(".")
         }
       }.sum
-      n > maxFilesPerPart
+      n > threshold
     }
     if (over) compact(spark, name)
     over

@@ -114,8 +114,10 @@ object Retrieval {
         col("score_micros"))
   }
 
-  private def queriesValuesSql: String =
-    Queries.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+  private def queriesValuesSql: String = queriesValuesSqlOf(Queries)
+
+  private def queriesValuesSqlOf(qs: Seq[(Long, Seq[String])]): String =
+    qs.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
       .mkString(", ")
 
   // --------------------------------------------- X150 phrase search
@@ -523,9 +525,7 @@ object Retrieval {
   private[graft] def kwicForRanking(ranked: DataFrame, ptoks: DataFrame,
       base: DataFrame, queries: Seq[(Long, Seq[String])],
       w: Int): DataFrame = {
-    val qrows = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-    val qdf = ptoks.sparkSession.createDataFrame(qrows).toDF("qid", "tok")
-    val firstHit = ptoks.join(broadcast(qdf), "tok")
+    val firstHit = ptoks.join(broadcast(queryDf(ptoks, queries)), "tok")
       .groupBy(col("qid"), col("id")).agg(min(col("pos")).as("p0"))
     val hits = ranked.join(firstHit,
       ranked("qid") === firstHit("qid") &&
@@ -567,9 +567,7 @@ object Retrieval {
   def kwicMultiTopKSql(id: String, text: String, table: String,
       k: Int, w: Int = KwicWindow,
       queries: Seq[(Long, Seq[String])] = Queries): String = {
-    val qvals = queries
-      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
-      .mkString(", ")
+    val qvals = queriesValuesSqlOf(queries)
     s"""WITH kbase AS (
        |  SELECT $id AS doc_id, ${TextAnalysis.tokensSql(text)} AS ts
        |  FROM $table),
@@ -582,7 +580,7 @@ object Retrieval {
        |  SELECT kqs.qid, kptoks.doc_id, min(pos) AS p1
        |  FROM kptoks JOIN kqs ON kqs.tok = kptoks.tok
        |  GROUP BY 1, 2),
-       |rk AS (${bm25TopKSql(id, text, table, k)}),
+       |rk AS (${bm25TopKSql(id, text, table, k, queries)}),
        |out AS (
        |  SELECT rk.qid AS qid, rk.rank AS rank, rk.doc_id AS doc_id,
        |    rk.score_micros AS score_micros,
@@ -627,7 +625,8 @@ object Retrieval {
   /** DuckDB twin of [[bm25TopK]] — same constants, same micro
     * quantization before the sum, same (score desc, id) ranking.
     */
-  def bm25TopKSql(id: String, text: String, table: String, k: Int): String =
+  def bm25TopKSql(id: String, text: String, table: String, k: Int,
+      queries: Seq[(Long, Seq[String])] = Queries): String =
     s"""WITH toks AS (
        |  SELECT $id AS id, unnest(${TextAnalysis.tokensSql(text)}) AS tok
        |  FROM $table),
@@ -635,7 +634,7 @@ object Retrieval {
        |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
        |corpus AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
-       |qs(qid, tok) AS (VALUES $queriesValuesSql),
+       |qs(qid, tok) AS (VALUES ${queriesValuesSqlOf(queries)}),
        |scored AS (
        |  SELECT qs.qid, tf.id,
        |    sum(round(ln(1.0 + (n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))

@@ -796,9 +796,14 @@ object TextIndex {
       maxFilesPerPart: Int): Boolean = {
     val dir = rootDirOf(spark, name)
     val st = stateOf(dir)
+    // clamp to the post-compact floor (one file per occupied bucket):
+    // a threshold below nBuckets could never be satisfied, so every
+    // check would re-run a full O(corpus) compact — the fast path
+    // must stay delta-proportional (review r15)
+    val threshold = math.max(maxFilesPerPart, metaOf(spark, name))
     val over = st.parts.exists { case (_, d) =>
       ArtifactFiles.dataFiles(java.nio.file.Paths.get(dir, d)).size >
-        maxFilesPerPart
+        threshold
     }
     if (over) compact(spark, name)
     over
@@ -1077,92 +1082,12 @@ object TextIndex {
       idCol: String, batchId: Option[String] = None,
       graceCommits: Int = 0): Unit = {
     import spark.implicits._
-    val nBuckets = metaOf(spark, name)
-    val dir = rootDirOf(spark, name)
-    if (batchId.exists(batchCommitted(dir, _))) return
-    val st = stateOf(dir)
-    val del =
-      delIds.select(col(idCol).cast("long").as("__del")).distinct().persist()
-    try {
-      val postingsDir = java.nio.file.Paths.get(dir, st.parts("postings"))
-      val dlDir = java.nio.file.Paths.get(dir, st.parts("dl"))
-      val postings = readPart(spark, "postings", Seq(postingsDir.toString))
-      val dlT = readPart(spark, "dl", Seq(dlDir.toString))
-      // the deleted docs' rows, BEFORE any rewrite: they carry the
-      // negative deltas and the touched tok-bucket set
-      val delPost =
-        postings.join(del, postings("id") === col("__del"), "left_semi")
-          .persist()
-      val delDl =
-        dlT.join(del, dlT("id") === col("__del"), "left_semi").persist()
-      try {
-        val (nGone, dlGone) = delDl.agg(count(lit(1)), sum(col("dl")))
-          .as[(Long, Option[Long])].head()
-        if (nGone == 0 && delPost.isEmpty) {
-          // unknown ids or a replayed takedown: nothing to remove
-          batchId.foreach(markBatch(dir, _)); return
-        }
-        def bucketOf(c: org.apache.spark.sql.Column) =
-          pmod(hash(c), lit(nBuckets))
-        val tokBkts = delPost.select(bucketOf(col("tok")).as("b"))
-          .distinct().as[Int].collect().toSet
-        val idBkts = del.select(bucketOf(col("__del")).as("b"))
-          .distinct().as[Int].collect().toSet
-        // untagged files land in the REWRITE set (read + rewritten),
-        // never the kept set — rows can't be silently dropped
-        def split(d: java.nio.file.Path, bkts: Set[Int]) =
-          ArtifactFiles.dataFiles(d).partition(f =>
-            ArtifactFiles.bucketIdOf(f.getFileName.toString)
-              .forall(bkts.contains))
-        val (rewriteP, keptP) = split(postingsDir, tokBkts)
-        val (rewriteD, keptD) = split(dlDir, idBkts)
-        // the pos part shares the postings' tok-bucket pruning: the
-        // deleted docs' positions live under their own terms' buckets
-        val hasPos = st.parts.contains("pos")
-        val (rewriteX, keptX) =
-          if (!hasPos) (Seq.empty[java.nio.file.Path], Seq.empty[java.nio.file.Path])
-          else split(java.nio.file.Paths.get(dir, st.parts("pos")), tokBkts)
-        val u = uid8()
-        // phase 1 (concurrent): pruned rewrites + the negative stats
-        // delta, all staged — readers still serve the old generation
-        def rewrite(files: Seq[java.nio.file.Path],
-            p: String): java.nio.file.Path =
-          stageBucketed(spark, name, dir,
-            readPart(spark, p, files.map(_.toString))
-              .join(del, col("id") === col("__del"), "left_anti"),
-            p, nBuckets, u)
-        val posJob =
-          if (!hasPos) Seq.empty
-          else Seq(() => if (rewriteX.nonEmpty) Some(rewrite(rewriteX, "pos"))
-            else None)
-        val staged = Par.collect(Seq(
-          () => if (rewriteP.nonEmpty) Some(rewrite(rewriteP, "postings"))
-            else None,
-          () => if (rewriteD.nonEmpty) Some(rewrite(rewriteD, "dl"))
-            else None,
-          () => Some(stageBucketed(spark, name, dir,
-            delPost.groupBy(col("tok")).agg((-count(lit(1))).as("df")),
-            "stats", nBuckets, u))) ++ posJob)
-        val mS =
-          if (nGone > 0)
-            Seq(stageMeta(spark, dir,
-              Seq((-nGone, -dlGone.getOrElse(0L), nBuckets)), u))
-          else Seq.empty
-        // phase 2: one atomic swap commits rewrites AND corrections
-        val base = Map(
-          "postings" -> (keptP ++ staged(0).toSeq.flatMap(stagedFiles)),
-          "dl" -> (keptD ++ staged(1).toSeq.flatMap(stagedFiles)),
-          "stats" -> (currentFiles(dir, st, "stats")
-            ++ staged(2).toSeq.flatMap(stagedFiles)),
-          "meta" -> (currentFiles(dir, st, "meta")
-            ++ mS.flatMap(stagedFiles)))
-        val withPos =
-          if (hasPos)
-            base + ("pos" -> (keptX ++ staged(3).toSeq.flatMap(stagedFiles)))
-          else base
-        commitGeneration(spark, name, dir, st, nBuckets, withPos, batchId,
-          graceCommits)
-      } finally { delPost.unpersist(); delDl.unpersist() }
-    } finally del.unpersist()
+    // the empty-ingest specialization of [[upsert]] — ONE removal
+    // path in the codebase (review r15: delete and upsert had
+    // duplicated the pruned-rewrite scaffolding and begun to drift)
+    upsert(spark, name,
+      spark.emptyDataset[(Long, String)].toDF("id", "text"),
+      "id", "text", delIds = Some(delIds), delCol = idCol,
+      batchId = batchId, graceCommits = graceCommits)
   }
 }

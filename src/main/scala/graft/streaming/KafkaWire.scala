@@ -116,9 +116,15 @@ object KafkaWire {
     h
   }
 
+  /** Kafka's DefaultPartitioner for KEYED records: hash(key) mod N —
+    * including the EMPTY key (murmur2 of zero bytes), which a stock
+    * producer hashes like any other (review r15). Null keys (the
+    * sticky/round-robin regime) are out of scope — this sink's keys
+    * are always "db.table" — and pin to partition 0, documented.
+    */
   private[graft] def partitionFor(key: Array[Byte],
       nPartitions: Int): Int =
-    if (key == null || key.isEmpty || nPartitions <= 1) 0
+    if (key == null || nPartitions <= 1) 0
     else (murmur2(key) & 0x7fffffff) % nPartitions
 
   // --------------------------------------------- record batch (v2)
@@ -206,10 +212,16 @@ object KafkaWire {
 
   // ---------------------------------------------------- metadata v1
 
+  /** Buffer-sizing twin of putString: UTF-8 BYTES, not UTF-16 chars —
+    * a multi-byte topic name must size what putString writes
+    * (review r15: String.length under-allocated and overflowed).
+    */
+  private def strLen(s: String): Int = 2 + s.getBytes(UTF_8).length
+
   /** topic → partition count, via one Metadata v1 round trip. */
   private def topicPartitions(out: DataOutputStream, in: DataInputStream,
       clientId: String, topics: Seq[String]): Map[String, Int] = {
-    val body = ByteBuffer.allocate(4 + topics.map(2 + _.length).sum)
+    val body = ByteBuffer.allocate(4 + topics.map(strLen).sum)
     body.putInt(topics.size)
     topics.foreach(putString(body, _))
     val resp = exchange(out, in, framed(3, 1, 1, clientId, body), 1)
@@ -247,7 +259,7 @@ object KafkaWire {
       timeoutMs: Int): Map[(String, Int), Long] = {
     val byTopic = batches.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1)
     val bodySize = 2 + 2 + 4 + 4 + byTopic.map { case (t, ps) =>
-      2 + t.length + 4 + ps.map(4 + 4 + _._2.length).sum
+      strLen(t) + 4 + ps.map(4 + 4 + _._2.length).sum
     }.sum
     val body = ByteBuffer.allocate(bodySize)
     putNullableString(body, None) // transactional_id
@@ -338,7 +350,11 @@ object KafkaWire {
     * through [[publishFrame]]. At-least-once: a replayed epoch
     * re-publishes its records (Kafka consumers dedup on (key,
     * offset) or idempotent reads downstream), matching the
-    * reference's relay semantics.
+    * reference's relay semantics. Record CreateTime is the batch's
+    * max change event time — a REAL clock value (review r15: the
+    * epoch number stamped ~1970 timestamps, which a stock broker's
+    * time-based retention would delete immediately), and still a
+    * pure function of batch content so replays stay byte-identical.
     */
   def wireSink(changes: DataFrame, checkpointDir: String,
       brokers: Option[String] = sys.env.get("SPARK_GRAFT_KAFKA_BROKERS"),
@@ -346,10 +362,15 @@ object KafkaWire {
       transform: Transform = Transforms.DebeziumEnvelope)
       : Option[StreamingQuery] =
     brokers.map { bs =>
-      Sink.kafkaFrame(changes, topic, transform).writeStream
+      changes.writeStream
         .option("checkpointLocation", checkpointDir)
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
-          publishFrame(batch, bs, timestampMs = bid)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            import org.apache.spark.sql.functions.{col, max, unix_millis}
+            val ts = batch.agg(max(unix_millis(col("ts"))))
+              .head().getLong(0)
+            publishFrame(Sink.kafkaFrame(batch, topic, transform), bs, ts)
+          }
         }
         .start()
     }
