@@ -939,18 +939,33 @@ object TextIndex {
   def upsert(spark: SparkSession, name: String, docs: DataFrame,
       idCol: String, textCol: String,
       delIds: Option[DataFrame] = None, delCol: String = "id",
-      batchId: Option[String] = None, graceCommits: Int = 0): Unit = {
+      batchId: Option[String] = None, graceCommits: Int = 0): Unit =
+    upsertImpl(spark, name, Some((docs, idCol, textCol)), delIds, delCol,
+      batchId, graceCommits)
+
+  /** The one removal+ingest commit path behind [[upsert]] AND
+    * [[delete]]: the ingest side is an Option so a pure takedown pays
+    * ZERO ingest jobs (review r15: delegating delete through the
+    * public upsert tokenized/aggregated/staged empty frames — several
+    * whole Spark jobs per takedown).
+    */
+  private def upsertImpl(spark: SparkSession, name: String,
+      ingest: Option[(DataFrame, String, String)],
+      delIds: Option[DataFrame], delCol: String,
+      batchId: Option[String], graceCommits: Int): Unit = {
     import spark.implicits._
     val nBuckets = metaOf(spark, name)
     val dir = rootDirOf(spark, name)
     if (batchId.exists(batchCommitted(dir, _))) return
     val st = stateOf(dir)
-    val newDocs = docs
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .persist()
-    val del = newDocs.select(col("id").as("__del"))
-      .unionByName(delIds.map(_.select(col(delCol).cast("long").as("__del")))
-        .getOrElse(spark.emptyDataset[Long].toDF("__del")))
+    val newDocs = ingest.map { case (docs, idCol, textCol) =>
+      docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("text")).persist()
+    }
+    val del = (newDocs.map(_.select(col("id").as("__del"))).toSeq ++
+        delIds.map(_.select(col(delCol).cast("long").as("__del"))).toSeq)
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[Long].toDF("__del"))
       .distinct().persist()
     try {
       val postingsDir = java.nio.file.Paths.get(dir, st.parts("postings"))
@@ -962,20 +977,27 @@ object TextIndex {
           .persist()
       val delDl =
         dlT.join(del, dlT("id") === col("__del"), "left_semi").persist()
-      // ingest side: one tokenize pass (positional stream first when
-      // the artifact has a pos part, tf aggregated from it)
+      // ingest side (absent for a pure takedown): one tokenize pass —
+      // positional stream first when the artifact has a pos part, tf
+      // aggregated from it
       val hasPos = st.parts.contains("pos")
       val ptoksDelta =
-        if (hasPos) Some(tokPos(newDocs, "id", "text").persist()) else None
-      val tf = ptoksDelta
-        .map(_.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf")))
-        .getOrElse(tokTf(newDocs, "id", "text")).persist()
-      val dlNew = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")).persist()
+        if (hasPos) newDocs.map(nd => tokPos(nd, "id", "text").persist())
+        else None
+      val tf = newDocs.map { nd =>
+        ptoksDelta
+          .map(_.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf")))
+          .getOrElse(tokTf(nd, "id", "text")).persist()
+      }
+      val dlNew = tf.map(
+        _.groupBy(col("id")).agg(sum(col("tf")).as("dl")).persist())
       try {
         val (nGone, dlGone) = delDl.agg(count(lit(1)), sum(col("dl")))
           .as[(Long, Option[Long])].head()
-        val (nNew, dlNewSum) = dlNew.agg(count(lit(1)), sum(col("dl")))
-          .as[(Long, Option[Long])].head()
+        val (nNew, dlNewSum) = dlNew
+          .map(_.agg(count(lit(1)), sum(col("dl")))
+            .as[(Long, Option[Long])].head())
+          .getOrElse((0L, None: Option[Long]))
         if (nGone == 0 && nNew == 0 && delPost.isEmpty) {
           batchId.foreach(markBatch(dir, _)); return
         }
@@ -1007,45 +1029,56 @@ object TextIndex {
             p, nBuckets, s"rw_$u"))
         val dfNeg = delPost.groupBy(col("tok"))
           .agg((-count(lit(1))).as("df"))
-        val dfPos = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        val posJobs =
-          if (!hasPos) Seq.empty
-          else Seq(
-            () => rewrite(rewriteX, "pos"),
-            () => Some(stageBucketed(spark, name, dir, ptoksDelta.get,
-              "pos", nBuckets, s"new_$u")))
-        val staged = Par.collect(Seq(
-          () => rewrite(rewriteP, "postings"),
-          () => rewrite(rewriteD, "dl"),
-          () => Some(stageBucketed(spark, name, dir,
-            dfNeg.unionByName(dfPos), "stats", nBuckets, u)),
-          () => Some(stageBucketed(spark, name, dir, tf, "postings",
-            nBuckets, s"new_$u")),
-          () => Some(stageBucketed(spark, name, dir, dlNew, "dl",
-            nBuckets, s"new_$u"))) ++ posJobs)
+        val hasNew = nNew > 0
+        def dfPos = tf.get.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        // an EMPTY side stages nothing: a delete-only upsert (the
+        // delete specialization) must not pay the ingest side's write
+        // jobs, and a pure ingest must not pay empty rewrites — each
+        // skipped stage is a whole Spark job (review r15: the first
+        // draft staged three empty frames per delete and the suite
+        // paid minutes for it)
+        val stats = if (hasNew) dfNeg.unionByName(dfPos) else dfNeg
+        val jobs: Seq[(String, () => Option[java.nio.file.Path])] =
+          Seq(
+            "rwP" -> (() => rewrite(rewriteP, "postings")),
+            "rwD" -> (() => rewrite(rewriteD, "dl")),
+            "st" -> (() => Some(stageBucketed(spark, name, dir, stats,
+              "stats", nBuckets, u)))) ++
+          (if (hasNew) Seq(
+            "newP" -> (() => Some(stageBucketed(spark, name, dir, tf.get,
+              "postings", nBuckets, s"new_$u"))),
+            "newD" -> (() => Some(stageBucketed(spark, name, dir,
+              dlNew.get, "dl", nBuckets, s"new_$u")))) else Seq.empty) ++
+          (if (hasPos) Seq(
+            "rwX" -> (() => rewrite(rewriteX, "pos"))) else Seq.empty) ++
+          (if (hasPos && hasNew) Seq(
+            "newX" -> (() => Some(stageBucketed(spark, name, dir,
+              ptoksDelta.get, "pos", nBuckets, s"new_$u"))))
+           else Seq.empty)
+        val staged = jobs.map(_._1)
+          .zip(Par.collect(jobs.map(_._2))).toMap
+        def filesOf(k: String): Seq[java.nio.file.Path] =
+          staged.get(k).flatten.toSeq.flatMap(stagedFiles)
         val mS = stageMeta(spark, dir,
           Seq((nNew - nGone,
             dlNewSum.getOrElse(0L) - dlGone.getOrElse(0L), nBuckets)), u)
         val base = Map(
-          "postings" -> (keptP ++ staged(0).toSeq.flatMap(stagedFiles)
-            ++ staged(3).toSeq.flatMap(stagedFiles)),
-          "dl" -> (keptD ++ staged(1).toSeq.flatMap(stagedFiles)
-            ++ staged(4).toSeq.flatMap(stagedFiles)),
-          "stats" -> (currentFiles(dir, st, "stats")
-            ++ staged(2).toSeq.flatMap(stagedFiles)),
+          "postings" -> (keptP ++ filesOf("rwP") ++ filesOf("newP")),
+          "dl" -> (keptD ++ filesOf("rwD") ++ filesOf("newD")),
+          "stats" -> (currentFiles(dir, st, "stats") ++ filesOf("st")),
           "meta" -> (currentFiles(dir, st, "meta") ++ stagedFiles(mS)))
         val withPos =
           if (hasPos)
-            base + ("pos" -> (keptX ++ staged(5).toSeq.flatMap(stagedFiles)
-              ++ staged(6).toSeq.flatMap(stagedFiles)))
+            base + ("pos" -> (keptX ++ filesOf("rwX") ++ filesOf("newX")))
           else base
         commitGeneration(spark, name, dir, st, nBuckets, withPos, batchId,
           graceCommits)
       } finally {
         delPost.unpersist(); delDl.unpersist()
-        dlNew.unpersist(); tf.unpersist(); ptoksDelta.foreach(_.unpersist())
+        dlNew.foreach(_.unpersist()); tf.foreach(_.unpersist())
+        ptoksDelta.foreach(_.unpersist())
       }
-    } finally { del.unpersist(); newDocs.unpersist() }
+    } finally { del.unpersist(); newDocs.foreach(_.unpersist()) }
   }
 
   /** The index's base directory, resolved from the (file-backed) meta
@@ -1080,14 +1113,11 @@ object TextIndex {
     */
   def delete(spark: SparkSession, name: String, delIds: DataFrame,
       idCol: String, batchId: Option[String] = None,
-      graceCommits: Int = 0): Unit = {
-    import spark.implicits._
-    // the empty-ingest specialization of [[upsert]] — ONE removal
-    // path in the codebase (review r15: delete and upsert had
-    // duplicated the pruned-rewrite scaffolding and begun to drift)
-    upsert(spark, name,
-      spark.emptyDataset[(Long, String)].toDF("id", "text"),
-      "id", "text", delIds = Some(delIds), delCol = idCol,
-      batchId = batchId, graceCommits = graceCommits)
-  }
+      graceCommits: Int = 0): Unit =
+    // the no-ingest specialization of [[upsert]] — ONE removal path
+    // in the codebase (review r15: delete and upsert had duplicated
+    // the pruned-rewrite scaffolding and begun to drift), with the
+    // ingest side absent so a pure takedown pays zero ingest jobs
+    upsertImpl(spark, name, ingest = None, delIds = Some(delIds),
+      delCol = idCol, batchId = batchId, graceCommits = graceCommits)
 }
