@@ -261,21 +261,34 @@ object TextIndex {
     pruneMarkers(dir)
   }
 
-  /** Enforce the per-namespace high-watermark rule: a marker name
-    * `<ns>_<epoch>` keeps only the newest [[MarkersKeptPerNs]] epochs
-    * of its namespace. Unparseable names are left alone. O(#markers),
-    * which this very rule keeps bounded.
+  /** The ONLY marker shape the high-watermark rule may prune:
+    * `<feed><ns8hex>_<epoch>` — exactly what the
+    * [[graft.streaming.TextIndexStream]] feeds write. The epoch
+    * argument (foreachBatch serializes epochs; only the LAST
+    * uncommitted one redelivers) holds for those namespaces alone; a
+    * MANUAL caller's batchIds ("job_1".."job_7") carry no ordering
+    * contract, so pruning them after 4 newer same-prefix markers
+    * would silently drop the documented O(1) replay guarantee — a
+    * late retry of a pruned batch would re-apply stale content over
+    * newer upserts (advice r15). Manual markers are reclaimed only by
+    * the age horizon ([[pruneMarkersOlderThan]], run from compact).
+    */
+  private val StreamMarker = "^(ing|del|cdc)([0-9a-f]{8})_(\\d{1,18})$".r
+
+  /** Enforce the per-namespace high-watermark rule for STREAM-FEED
+    * markers only (see [[StreamMarker]]): a marker `<ns>_<epoch>`
+    * keeps the newest [[MarkersKeptPerNs]] epochs of its namespace.
+    * Every other name is left alone. O(#markers), which this very
+    * rule (plus the compact-time horizon) keeps bounded.
     */
   private def pruneMarkers(dir: String): Unit = {
     val cd = java.nio.file.Paths.get(dir, "_commits")
     val parsed = listDir(cd).flatMap { f =>
-      val n = f.getFileName.toString
-      val i = n.lastIndexOf('_')
-      val suffix = if (i > 0) n.drop(i + 1) else ""
-      if (suffix.nonEmpty && suffix.length <= 18 &&
-          suffix.forall(_.isDigit))
-        Some((n.take(i), suffix.toLong, f))
-      else None
+      f.getFileName.toString match {
+        case StreamMarker(feed, ns, epoch) =>
+          Some((feed + ns, epoch.toLong, f))
+        case _ => None
+      }
     }
     parsed.groupBy(_._1).valuesIterator.foreach { ms =>
       ms.sortBy(-_._2).drop(MarkersKeptPerNs).foreach(m =>

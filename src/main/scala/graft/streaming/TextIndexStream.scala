@@ -58,11 +58,35 @@ object TextIndexStream {
   /** Stable per-stream marker namespace: the checkpoint directory is
     * the stream's durable identity (same across restarts, different
     * for a replacement stream). Canonicalized so path SPELLING is not
-    * part of the identity.
+    * part of the identity — but ONLY along each location's own rules
+    * (advice r15):
+    *
+    *  - URI-style locations (`hdfs://nn/ckpt`, `s3a://bucket/ckpt`)
+    *    normalize as URIs, scheme + authority intact —
+    *    `java.nio.file.Paths` would have collapsed them to a relative
+    *    path with the JVM cwd baked in, making the namespace differ
+    *    per driver host;
+    *  - scheme-less local paths resolve against the cwd (a relative
+    *    checkpoint IS a cwd-relative directory, so the absolute path
+    *    is its identity) and normalize `..`/`.`/trailing-slash.
+    *
+    * A malformed URI falls back to the raw string — a stable (if
+    * spelling-sensitive) namespace beats a crash in a foreachBatch
+    * closure. Worst case of any namespace change across upgrades is
+    * ONE content-guard re-run (foreachBatch redelivers at most the
+    * last uncommitted epoch), which the guards make a no-op.
     */
-  private def ns(checkpointDir: String): String = {
-    val canon = java.nio.file.Paths.get(checkpointDir)
-      .toAbsolutePath.normalize.toString
+  private[graft] def ns(checkpointDir: String): String = {
+    val canon =
+      if (checkpointDir.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
+        try {
+          val u = new java.net.URI(checkpointDir).normalize()
+          val s = u.toString
+          if (s.length > 1 && s.endsWith("/")) s.dropRight(1) else s
+        } catch { case _: java.net.URISyntaxException => checkpointDir }
+      else
+        java.nio.file.Paths.get(checkpointDir)
+          .toAbsolutePath.normalize.toString
     java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString

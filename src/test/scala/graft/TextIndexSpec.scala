@@ -476,28 +476,84 @@ class TextIndexSpec extends AnyFunSuite {
     val commits = java.nio.file.Paths.get(s"$dir/tidx_mk", "_commits")
     def markers() = Files.list(commits).iterator().asScala
       .map(_.getFileName.toString).toSeq.sorted
-    // 7 epochs on one namespace + 1 on another: the first namespace
-    // keeps only its newest 4 markers, the other is untouched
+    // 7 epochs on one STREAM namespace + 1 on another: the first
+    // namespace keeps only its newest 4 markers, the other untouched
     (0 until 7).foreach { e =>
       TextIndex.append(spark, "tidx_mk",
         docs.filter(col("doc_id") === (10 + e)), "doc_id", "text",
-        batchId = Some(s"ingaaaa_$e"))
+        batchId = Some(s"ingaaaa0000_$e"))
     }
     TextIndex.append(spark, "tidx_mk",
       docs.filter(col("doc_id") === 20), "doc_id", "text",
-      batchId = Some(s"delbbbb_0"))
-    assert(markers() == Seq("delbbbb_0", "ingaaaa_3", "ingaaaa_4",
-      "ingaaaa_5", "ingaaaa_6"))
+      batchId = Some(s"delbbbb0000_0"))
+    assert(markers() == Seq("delbbbb0000_0", "ingaaaa0000_3",
+      "ingaaaa0000_4", "ingaaaa0000_5", "ingaaaa0000_6"))
     // a replay of a PRUNED epoch is still safe — the content guards
     // drop the already-known ids (the marker was only the fast path)
     val before = searchOf("tidx_mk")
     TextIndex.append(spark, "tidx_mk",
       docs.filter(col("doc_id") === 11), "doc_id", "text",
-      batchId = Some(s"ingaaaa_1"))
+      batchId = Some(s"ingaaaa0000_1"))
     assert(searchOf("tidx_mk") == before)
     // compact's horizon pass reclaims abandoned namespaces wholesale
     TextIndex.compact(spark, "tidx_mk", markerHorizonMs = 0L)
     assert(markers().isEmpty)
+  }
+
+  test("manual batchIds are NOT high-watermark pruned: a late retry of an old job cannot re-apply stale content (advice r15)") {
+    val dir = tmpBase("mb")
+    TextIndex.build(spark, docs.filter(col("doc_id") < 10), "doc_id",
+      "text", "tidx_mb", nBuckets = 4, baseDir = Some(dir))
+    val commits = java.nio.file.Paths.get(s"$dir/tidx_mb", "_commits")
+    def markers() = Files.list(commits).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    // job_1 upserts doc 3 with STALE content, then 6 newer same-prefix
+    // jobs land — under the old any-`<prefix>_<digits>` rule job_1's
+    // marker would be pruned here, and because upsert REPLACES, a late
+    // retry would overwrite job_7's fresh content with job_1's stale
+    // copy (the content guards can't catch a replace)
+    val stale = spark.range(1).select(lit(3L).as("doc_id"),
+      lit("stale content from job one").as("text"))
+    TextIndex.upsert(spark, "tidx_mb", stale, "doc_id", "text",
+      batchId = Some("job_1"))
+    (2 to 6).foreach { j =>
+      TextIndex.append(spark, "tidx_mb",
+        docs.filter(col("doc_id") === (10 + j)), "doc_id", "text",
+        batchId = Some(s"job_$j"))
+    }
+    val fresh = spark.range(1).select(lit(3L).as("doc_id"),
+      lit("fresh content from job seven").as("text"))
+    TextIndex.upsert(spark, "tidx_mb", fresh, "doc_id", "text",
+      batchId = Some("job_7"))
+    // all seven manual markers survive (only stream-shaped names are
+    // high-watermark pruned)
+    assert(markers() == (1 to 7).map(j => s"job_$j"))
+    // the late retry of job_1 is an O(1) marker no-op: doc 3 still
+    // serves job_7's content
+    val before = searchOf("tidx_mb")
+    TextIndex.upsert(spark, "tidx_mb", stale, "doc_id", "text",
+      batchId = Some("job_1"))
+    assert(searchOf("tidx_mb") == before)
+    // the age-horizon reclaim (an explicit operator action with a
+    // documented horizon) still bounds manual markers
+    TextIndex.compact(spark, "tidx_mb", markerHorizonMs = 0L)
+    assert(markers().isEmpty)
+  }
+
+  test("stream-namespace identity: URI checkpoints keep scheme+authority, local spellings collapse (advice r15)") {
+    val ns = graft.streaming.TextIndexStream.ns _
+    // URI-style locations normalize as URIs — Paths.get would have
+    // collapsed scheme+authority into a cwd-relative path
+    assert(ns("hdfs://nn:8020/ckpt/a/../b/") == ns("hdfs://nn:8020/ckpt/b"))
+    assert(ns("s3a://bucket/ckpt") != ns("s3a://other/ckpt"))
+    // the namespace must NOT depend on the JVM cwd for URI locations
+    assert(ns("hdfs://nn:8020/ckpt") ==
+      ns("hdfs://nn:8020/x/../ckpt"))
+    // scheme-less local paths: relative resolves against the cwd (it
+    // IS a cwd-relative directory), spellings of one dir collapse
+    val cwd = java.nio.file.Paths.get("").toAbsolutePath.toString
+    assert(ns("ckpt/sub") == ns(s"$cwd/ckpt/sub"))
+    assert(ns(s"$cwd/ckpt/./sub/") == ns(s"$cwd/ckpt/sub"))
   }
 
   test("a legacy (pre-state-file) artifact migrates ON REGISTER; maintenance without a state file is refused (r14 verdict #3)") {
