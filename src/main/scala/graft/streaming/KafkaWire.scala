@@ -41,10 +41,15 @@ import graft.cdc.{Routing, Transform, Transforms}
   * partition's rows (records grouped into one batch per (topic,
   * partition) per task): no driver collect, no cross-executor
   * funnel, exactly how the real connector's per-task producers
-  * behave. Produce requests go to the bootstrap broker; leader
-  * routing across a multi-broker cluster is deliberately out of
-  * scope (single-broker target, documented — the FORMAT layer, which
-  * is where correctness lives, is complete).
+  * behave. Produce requests are LEADER-ROUTED (r16): the Metadata v1
+  * exchange on the bootstrap broker reports every partition's leader
+  * node and every node's advertised address; each task groups its
+  * batches by leader and opens one connection per (task, leader) —
+  * the same per-task fan-out a stock producer's NetworkClient keeps.
+  * A topic missing from the Metadata response or a partition with no
+  * elected leader fails the task loudly (advice r15: silently
+  * assuming 1 partition pinned records to partition 0, breaking
+  * keyed placement once the topic exists with more).
   */
 object KafkaWire {
 
@@ -218,33 +223,55 @@ object KafkaWire {
     */
   private def strLen(s: String): Int = 2 + s.getBytes(UTF_8).length
 
-  /** topic → partition count, via one Metadata v1 round trip. */
-  private def topicPartitions(out: DataOutputStream, in: DataInputStream,
-      clientId: String, topics: Seq[String]): Map[String, Int] = {
+  /** Everything Produce routing needs from one Metadata v1 round
+    * trip: each node's advertised address, each topic's partition
+    * count, each partition's leader node.
+    */
+  private final case class ClusterMeta(
+      brokers: Map[Int, (String, Int)],
+      partitions: Map[String, Int],
+      leaders: Map[(String, Int), Int])
+
+  /** One Metadata v1 round trip on the bootstrap connection. */
+  private def clusterMeta(out: DataOutputStream, in: DataInputStream,
+      clientId: String, topics: Seq[String]): ClusterMeta = {
     val body = ByteBuffer.allocate(4 + topics.map(strLen).sum)
     body.putInt(topics.size)
     topics.foreach(putString(body, _))
     val resp = exchange(out, in, framed(3, 1, 1, clientId, body), 1)
     val nBrokers = resp.getInt
-    (0 until nBrokers).foreach { _ =>
-      resp.getInt; readString(resp); resp.getInt // node, host, port
-      readNullableString(resp)                   // rack
-    }
+    val brokers = (0 until nBrokers).map { _ =>
+      val node = resp.getInt
+      val host = readString(resp)
+      val port = resp.getInt
+      readNullableString(resp) // rack
+      node -> (host, port)
+    }.toMap
     resp.getInt // controller id
     val nTopics = resp.getInt
-    (0 until nTopics).map { _ =>
+    val perTopic = (0 until nTopics).map { _ =>
       val err = resp.getShort
       val topic = readString(resp)
       resp.get() // is_internal
       val nParts = resp.getInt
-      (0 until nParts).foreach { _ =>
-        resp.getShort; resp.getInt; resp.getInt // err, partition, leader
+      val leaders = (0 until nParts).map { _ =>
+        val perr = resp.getShort
+        val partition = resp.getInt
+        val leader = resp.getInt
         val nr = resp.getInt; (0 until nr).foreach(_ => resp.getInt)
         val ni = resp.getInt; (0 until ni).foreach(_ => resp.getInt)
+        require(perr == 0,
+          s"metadata error $perr for $topic/$partition")
+        require(leader >= 0,
+          s"no elected leader for $topic/$partition — retry after " +
+            "leader election (at-least-once: the batch replays)")
+        (topic, partition) -> leader
       }
       require(err == 0, s"metadata error $err for topic $topic")
-      topic -> nParts
-    }.toMap
+      (topic -> nParts, leaders)
+    }
+    ClusterMeta(brokers, perTopic.map(_._1).toMap,
+      perTopic.flatMap(_._2).toMap)
   }
 
   // ----------------------------------------------------- produce v3
@@ -294,10 +321,16 @@ object KafkaWire {
 
   // ------------------------------------------------------ public API
 
-  /** Publish (key, value, topic) records onto `host:port` — one
-    * socket, one Metadata v1 exchange, one Produce v3 per call, one
-    * record batch per (topic, murmur2 partition). Returns (topic,
-    * partition) → baseOffset as acked by the broker.
+  /** Publish (key, value, topic) records via the cluster reachable
+    * at bootstrap `host:port` — one Metadata v1 exchange on the
+    * bootstrap connection, then one record batch per (topic, murmur2
+    * partition) LEADER-ROUTED: batches group by their partition's
+    * leader node and each leader gets one connection and one Produce
+    * v3 (the bootstrap connection is reused when it IS the leader's
+    * advertised address). A topic the Metadata response omits fails
+    * fast — silently assuming one partition would pin records to
+    * partition 0 and break DefaultPartitioner placement (advice r15).
+    * Returns (topic, partition) → baseOffset as acked by the leaders.
     */
   def publish(host: String, port: Int,
       records: Seq[(Array[Byte], Array[Byte], String)],
@@ -310,13 +343,38 @@ object KafkaWire {
       val out = new DataOutputStream(sock.getOutputStream)
       val in = new DataInputStream(sock.getInputStream)
       val topics = records.map(_._3).distinct
-      val parts = topicPartitions(out, in, clientId, topics)
+      val meta = clusterMeta(out, in, clientId, topics)
+      topics.foreach { t =>
+        require(meta.partitions.contains(t),
+          s"metadata response omits topic '$t' — cannot place records " +
+            "(auto-creation pending? retry; at-least-once: the batch " +
+            "replays)")
+      }
       val batches = records
-        .groupBy(r => (r._3, partitionFor(r._1, parts.getOrElse(r._3, 1))))
+        .groupBy(r => (r._3, partitionFor(r._1, meta.partitions(r._3))))
         .map { case (tp, rs) =>
           tp -> encodeRecordBatch(rs.map(r => (r._1, r._2)), timestampMs)
         }
-      produce(out, in, clientId, 2, batches, timeoutMs)
+      // route each batch to its partition's leader; one connection +
+      // one Produce per leader (corrIds stay per-connection)
+      val byLeader = batches.groupBy { case (tp, _) => meta.leaders(tp) }
+      byLeader.toSeq.sortBy(_._1).zipWithIndex.flatMap {
+        case ((leader, lb), i) =>
+          val (lh, lp) = meta.brokers.getOrElse(leader,
+            throw new IllegalArgumentException(
+              s"metadata names leader $leader but lists no such broker"))
+          if (lh == host && lp == port)
+            produce(out, in, clientId, 2 + i, lb, timeoutMs)
+          else {
+            val ls = new Socket(lh, lp)
+            try {
+              ls.setTcpNoDelay(true)
+              produce(new DataOutputStream(ls.getOutputStream),
+                new DataInputStream(ls.getInputStream), clientId, 2,
+                lb, timeoutMs)
+            } finally ls.close()
+          }
+      }.toMap
     } finally sock.close()
   }
 
@@ -365,13 +423,23 @@ object KafkaWire {
       changes.writeStream
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            import org.apache.spark.sql.functions.{col, max, unix_millis}
-            val ts = batch.agg(max(unix_millis(col("ts"))))
-              .head().getLong(0)
-            publishFrame(Sink.kafkaFrame(batch, topic, transform), bs, ts)
-          }
+          if (!batch.isEmpty)
+            publishFrame(Sink.kafkaFrame(batch, topic, transform), bs,
+              batchCreateTime(batch))
         }
         .start()
     }
+
+  /** The batch's CreateTime stamp: max change event time — a REAL
+    * clock value (review r15) and a pure function of batch content so
+    * replays stay byte-identical. A non-empty batch whose `ts` values
+    * are ALL null has no event time; it stamps epoch 0 instead of
+    * NPE-ing the micro-batch permanently on every replay (advice
+    * r15) — retention risk is confined to that pathological batch.
+    */
+  private[graft] def batchCreateTime(batch: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, max, unix_millis}
+    val r = batch.agg(max(unix_millis(col("ts")))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 }
