@@ -1933,6 +1933,64 @@ object SparkEntry {
       TextIndex.search(s, "graft_tidx_cdc", k = 10)
     }),
 
+    // X158 the CDC→ANN composite — q_pipe_cdc_index's shape on the
+    // VECTOR artifact: decode (S4) → regex filter (F1) → LWW merge
+    // (M1/M2) → the live winners applied to a built+appended ANN
+    // index as ONE upsert per part (re-embedded keys replace their
+    // codes, tombstones remove; X158's atomic maintenance) → IVF×PQ
+    // serving over the merged corpus. Training is pinned to the
+    // UNTOUCHED id<250 half (the CDC key domain is [250,500)), so
+    // upsert's fixed-trained-params contract is what the oracle
+    // checks: the in-plan IVF×PQ twin over the SQL-merged corpus,
+    // trained on the same id<250 rows. The %37 sparsifier keeps the
+    // stream a DELTA (~100 touched keys) — the regime where
+    // delta-proportional maintenance cost shows.
+    "q_pipe_cdc_ann" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+      val bf = embs.select(col("vec_id").cast("long").as("key"),
+        col("embedding").cast("array<double>").as("vec"),
+        lit(ChangeOp.Backfill).as("op"),
+        lit(Backfill.PlaceholderTs).as("ts_sec"), lit(-1L).as("seq"),
+        lit(0).as("precedence"))
+      // the change's payload vector: the donor row key%250's embedding
+      // (deterministic and SQL-expressible — standing in for the
+      // re-embedded row a real feed would carry)
+      val donors = embs.select(col("vec_id").cast("long").as("dkey"),
+        col("embedding").cast("array<double>").as("dvec"))
+      val live = Filters.regexFilter(
+          ChangeSource.fromEvents(T(s, dir, "events")),
+          """^db[0-2]\.(users|orders)$""")
+        .filter(col("event_id") % 37 === 0)
+        .select((col("event_id") % 250 + 250).as("key"),
+          col("op"), col("ts").cast("long").as("ts_sec"),
+          col("event_id").as("seq"), lit(1).as("precedence"))
+        .join(donors, col("key") % 250 === col("dkey"))
+        .select(col("key"), col("dvec").as("vec"), col("op"),
+          col("ts_sec"), col("seq"), col("precedence"))
+      val winners = Caching.cachedOnce(
+        Merge.winners(bf.unionByName(live)))
+      val touched = winners.filter(col("precedence") === 1)
+      Index.build(s, embs.filter(col("vec_id") < 250), "vec_id",
+        "embedding", "label", "graft_idx_cdc",
+        itersIvf = 4, massign = 2, m = 16, ksub = 32, itersPq = 2,
+        nBuckets = 8)
+      Index.appendCommitted(s, "graft_idx_cdc",
+        embs.filter(col("vec_id") >= 250), "vec_id", "embedding")
+      // ONE generation commit per part: upserted keys' codes replaced,
+      // tombstoned keys' removed
+      Index.upsert(s, "graft_idx_cdc",
+        Merge.current(touched).select(col("key"), col("vec")),
+        "key", "vec",
+        delIds = Some(touched.filter(col("op") === ChangeOp.Delete)
+          .select(col("key"))),
+        delCol = "key")
+      // serve over the merged corpus (the exact rerank needs the keys'
+      // CURRENT vectors)
+      Index.search(s, "graft_idx_cdc",
+        Merge.current(winners).select(col("key").as("id"), col("vec")),
+        "id", "vec", col("id") < 8, k = 5, nprobe = 4, rerank = 40)
+    }),
+
     // X147b the same metrics harness over the HYBRID (RRF-fused)
     // ranking — the point of an eval harness is COMPARING rankers on
     // one qrel set: BM25-only vs BM25⊕embedding fusion, same
@@ -3083,6 +3141,17 @@ object SparkEntry {
            | WHERE rn = 1 AND op <> 'Delete')""".stripMargin, k = 10)
         + " ORDER BY qid, rank"),
 
+    // X158: the in-plan IVF×PQ twin over the LWW-merged corpus
+    // (originals minus touched keys ⊎ upserted keys carrying their
+    // donor key%250's vector), TRAINED on the untouched id<250 half —
+    // exactly upsert's fixed-trained-params contract
+    "q_pipe_cdc_ann" ->
+      (Pq.ivfPqTopKSql("id", "vec", "label", cdcAnnMergedSql,
+        "id < 8", k = 5, nprobe = 4, itersIvf = 4, massign = 2,
+        m = 16, ksub = 32, itersPq = 2, rerank = 40,
+        trainPredSql = "id < 250")
+        + " ORDER BY qid, rank"),
+
     // X152: BM25 over the corpus minus every phrase-matching doc
     "q_text_index_takedown" ->
       (Retrieval.bm25TopKSql("doc_id", "text",
@@ -3165,6 +3234,35 @@ object SparkEntry {
   private val beforeSql =
     "CASE WHEN event_type IN ('click','view','error') THEN props END"
   private val afterSql = "CASE WHEN event_type <> 'error' THEN props END"
+
+  /** The q_pipe_cdc_ann LWW winners over the live change stream —
+    * key ∈ [250,500), per-key (ts, seq)-max (backfill always loses:
+    * its placeholder ts_sec=1 predates every event).
+    */
+  private lazy val cdcAnnWinnersSql =
+    s"""SELECT key, op FROM (
+       |  SELECT (event_id % 250 + 250)::BIGINT AS key, $opSql AS op,
+       |    row_number() OVER (PARTITION BY (event_id % 250 + 250)
+       |      ORDER BY epoch_ns(ts) // 1000000000 DESC, event_id DESC) AS rn
+       |  FROM events
+       |  WHERE event_id % 37 = 0
+       |    AND regexp_matches($dbSql || '.' || $tableSql,
+       |    '^db[0-2]\\.(users|orders)$$')) w
+       | WHERE rn = 1""".stripMargin
+
+  /** The merged ANN corpus: untouched originals ⊎ upserted keys with
+    * their donor key%250's vector; tombstoned keys absent. One row
+    * per surviving id — the table the IVF×PQ oracle runs over.
+    */
+  private lazy val cdcAnnMergedSql =
+    s"""(SELECT e.vec_id AS id, e.embedding AS vec, e.label
+       | FROM embeddings e
+       | WHERE e.vec_id NOT IN (SELECT key FROM ($cdcAnnWinnersSql))
+       | UNION ALL
+       | SELECT w.key AS id, d.embedding AS vec, d.label
+       | FROM ($cdcAnnWinnersSql) w
+       | JOIN embeddings d ON d.vec_id = w.key % 250
+       | WHERE w.op <> 'Delete')""".stripMargin
 
   private lazy val asofOracle =
     s"""WITH c AS (

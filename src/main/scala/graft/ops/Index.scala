@@ -750,11 +750,76 @@ object Index {
     * both collapse to a plain bucketed dir.
     */
   def delete(spark: SparkSession, name: String, delIds: DataFrame,
-      idCol: String, graceCommits: Int = 0): Unit = {
+      idCol: String, graceCommits: Int = 0): Unit =
+    upsertImpl(spark, name, None, Some(delIds), idCol, graceCommits)
+
+  /** Upsert — replace-or-insert `embs` and take down `delIds`, in ONE
+    * generation commit per part (the [[TextIndex.upsert]] shape on
+    * the vector artifact, r15 verdict #3: the CDC feed would
+    * otherwise run [[delete]] then [[appendCommitted]] as TWO commit
+    * rounds — twice the staging/link/swap machinery, and a window
+    * where a re-embedded id is absent from the served index).
+    * Semantics: every id in `embs` ∪ `delIds` leaves the encoded
+    * parts, then `embs` is encoded at the FIXED trained
+    * centroids/codebooks ([[append]]'s contract) and ingested —
+    * search-after == the same search over
+    * (corpus \ (embs.ids ∪ delIds)) ∪ embs (`q_pipe_cdc_ann` proves
+    * it through the in-plan IVF×PQ oracle over the merged corpus).
+    *
+    * Replay-idempotent WITHOUT markers: a replayed upsert removes
+    * exactly the rows it itself added (the removal set is its own
+    * ingest ids) and re-encodes the same vectors at the same fixed
+    * params — byte-equal state, so the streaming CDC feed
+    * ([[graft.streaming.IndexStream.applyChanges]]) needs no marker
+    * table (unlike [[TextIndex]], whose append-side content guards
+    * made un-marked replays observable in the stats).
+    *
+    * Cost: the removal side is bucket-pruned exactly like [[delete]]
+    * (id-keyed parts rewrite only the touched buckets' files;
+    * postings full-touch by necessity); the ingest side stages only
+    * the delta's encoded bytes; untouched files hard-link into the
+    * fresh generation byte-identical (IndexSpec).
+    */
+  def upsert(spark: SparkSession, name: String, embs: DataFrame,
+      idCol: String, vecCol: String,
+      delIds: Option[DataFrame] = None, delCol: String = "id",
+      graceCommits: Int = 0): Unit =
+    upsertImpl(spark, name, Some((embs, idCol, vecCol)), delIds, delCol,
+      graceCommits)
+
+  /** The one removal+ingest commit path behind [[upsert]] AND
+    * [[delete]] (delete is its empty-ingest specialization — one
+    * removal path, the [[TextIndex.upsertImpl]] discipline). Phase 1
+    * stages everything concurrently per part: the bucket-pruned
+    * removal rewrite AND the encoded ingest delta land under
+    * `.staging`, kept files hard-link — readers still serve the old
+    * generations. Phase 2 commits each part through its atomic state
+    * swap; a crash between part commits degrades to "delta not yet
+    * visible on the later parts" (the [[appendCommitted]] window),
+    * never to a half-applied removal within a part.
+    */
+  private def upsertImpl(spark: SparkSession, name: String,
+      ingest: Option[(DataFrame, String, String)],
+      delIds: Option[DataFrame], delCol: String,
+      graceCommits: Int): Unit = {
     val dir = indexDirOf(spark, name)
     val meta = readMeta(spark, name)
-    val del = Caching.cachedOnce(
-      delIds.select(col(idCol).cast("long").as("__del_id")).distinct())
+    // removal set: every ingested id leaves first (an upsert of an
+    // indexed id must REPLACE it), plus the explicit tombstones
+    val removalSrcs =
+      ingest.map { case (df, ic, _) =>
+        df.select(col(ic).cast("long").as("__del_id")) }.toSeq ++
+      delIds.map(_.select(col(delCol).cast("long").as("__del_id"))).toSeq
+    if (removalSrcs.isEmpty) return
+    // explicit persist + finally-unpersist (NOT cachedOnce): the CDC
+    // feed calls this once per micro-batch with batch-unique plans,
+    // so leaked entries would grow without bound (the
+    // TextIndex.append r13 discipline). ingestBase pins the SAME
+    // cache entry encode's internal baseOf resolves (cachedOnce
+    // dedups by canonicalized plan), so it too is released here.
+    val del = removalSrcs.reduce(_ union _).distinct().persist()
+    val ingestBase = ingest.map { case (df, ic, vc) => baseOf(df, ic, vc) }
+    try {
     // the touched id-buckets — bucketBy's own hash family
     // (functions.hash IS HashPartitioning's Murmur3 seed-42
     // expression, pmod nBuckets). ≤ nBuckets values: a bounded
@@ -762,14 +827,22 @@ object Index {
     val touched = del
       .select(pmod(hash(col("__del_id")), lit(meta.nBuckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
+    // encode the ingest delta at the FIXED trained params (lazy
+    // frames — materialized by the phase-1 staging writes, before any
+    // catalog re-attach)
+    val deltaOf: Map[String, DataFrame] = ingest.map { case (df, ic, vc) =>
+      val (po, co, sq, bq) = encode(spark, name, df, ic, vc)
+      Map("postings" -> po, "codes" -> co, "sq_codes" -> sq,
+        "bq_codes" -> bq)
+    }.getOrElse(Map.empty)
     val parts = BucketedParts.map { case (p, key) =>
-      (p, key, s"${p}_d${java.util.UUID.randomUUID().toString.take(8)}")
+      (p, key, s"${p}_u${java.util.UUID.randomUUID().toString.take(8)}")
     }
-    // phase 1, CONCURRENT: per-part rewrites into fresh generation
-    // dirs (distinct stage tables and target dirs; readers still
-    // serve the old generations). id-keyed parts rewrite ONLY the
-    // files of touched buckets and link the rest; postings rewrites
-    // fully.
+    // phase 1, CONCURRENT: per-part removal rewrites + ingest delta
+    // stages into fresh generation dirs (distinct stage tables and
+    // target dirs; readers still serve the old generations). id-keyed
+    // parts rewrite ONLY the files of touched buckets and link the
+    // rest; postings rewrites fully.
     Par.jobs(parts.map { case (p, key, newName) => () =>
       val segDirs = segmentsOf(dir, loadPart(dir, p).current)
         .map(s => java.nio.file.Paths.get(dir, s))
@@ -797,6 +870,17 @@ object Index {
         spark.sql(s"DROP TABLE $stageTbl")
         linkInto(newDir, stage)
       }
+      // the ingest delta: its own staged bucket-write, linked into the
+      // SAME generation dir — removal and ingest publish in one swap
+      deltaOf.get(p).foreach { df =>
+        val stageTbl = s"${part(name, p)}_stage_i${newName.takeRight(8)}"
+        val stage = java.nio.file.Paths.get(dir, ".staging",
+          s"${newName}_delta")
+        Bucketing.writeBucketed(df, stageTbl, key, meta.nBuckets,
+          Some(stage.toString))
+        spark.sql(s"DROP TABLE $stageTbl")
+        linkInto(newDir, stage)
+      }
       keep.foreach { f =>
         val t = newDir.resolve(f.getFileName.toString)
         try java.nio.file.Files.createLink(t, f)
@@ -812,6 +896,7 @@ object Index {
       attachBucketed(spark, name, p, key, meta.nBuckets, s"$dir/$newName")
       commitPart(dir, p, newName, graceCommits)
     }
+    } finally { del.unpersist(); ingestBase.foreach(_.unpersist()) }
   }
 
   /** Search the persisted index for the corpus rows selected by

@@ -162,4 +162,57 @@ object IndexStream {
         }
       }
       .start()
+
+  /** CDC feed (X158) — [[graft.streaming.TextIndexStream.applyChanges]]
+    * on the VECTOR artifact: decoded change rows (`keyCol`, `opCol` ∈
+    * [[graft.cdc.ChangeOp]], `vecCol` the row's current embedding,
+    * `tsCol`, `seqCol`) maintain the index as upserts + tombstones.
+    * Per micro-batch:
+    *
+    *  1. within-batch LWW — several changes to one key collapse to
+    *     the batch's (ts, seq)-winner BEFORE touching the artifact;
+    *  2. ONE [[graft.ops.Index.upsert]]: every winner key leaves the
+    *     encoded parts (an upsert of an indexed id must replace its
+    *     codes; an unknown key's removal is a no-op) and the
+    *     non-tombstone winners' vectors are encoded at the FIXED
+    *     trained params and ingested — removal rewrites and ingest
+    *     deltas publish in one generation swap per part.
+    *
+    * Applying batches in log order IS last-writer-wins (the binlog
+    * serializes a key's changes). Replay safety needs no marker
+    * table: a replayed upsert removes exactly the rows it itself
+    * added and re-encodes the same vectors at the same fixed params —
+    * byte-equal state (IndexStreamSpec proves replay == single
+    * application, and the stream == one batch upsert of the
+    * LWW-collapsed winners).
+    */
+  def applyChanges(changes: DataFrame, keyCol: String, opCol: String,
+      vecCol: String, indexName: String, checkpointDir: String,
+      tsCol: String = "ts_sec", seqCol: String = "seq",
+      graceCommits: Int = 0,
+      autoCompactFiles: Option[Int] = None): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(keyCol))
+            .orderBy(col(tsCol).desc, col(seqCol).desc)
+          val winners = batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn").persist()
+          try {
+            Index.upsert(s, indexName,
+              winners.filter(col(opCol) =!= graft.cdc.ChangeOp.Delete)
+                .select(col(keyCol), col(vecCol)),
+              keyCol, vecCol,
+              delIds = Some(
+                winners.filter(col(opCol) === graft.cdc.ChangeOp.Delete)
+                  .select(col(keyCol))),
+              delCol = keyCol, graceCommits = graceCommits)
+            autoCompactFiles.foreach(Index.maybeCompact(s, indexName, _))
+          } finally winners.unpersist()
+        }
+      }
+      .start()
 }

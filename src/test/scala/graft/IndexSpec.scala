@@ -537,4 +537,85 @@ class IndexSpec extends AnyFunSuite {
     assert(res.nonEmpty)
     assert(res.forall { case (_, _, n, _) => n != delId.toLong })
   }
+
+  test("upsert = delete+append fused into ONE generation commit per part: replaces, inserts, tombstones; untouched files byte-identical; replay idempotent") {
+    val dirA = tmpBase("upsa"); val dirB = tmpBase("upsb")
+    val evens = embs.filter(col("vec_id") % 2 === 0)
+    for ((n, d) <- Seq("idx_upa" -> dirA, "idx_upb" -> dirB))
+      Index.build(spark, evens, "vec_id", "embedding", "label", n,
+        itersIvf = 2, massign = 2, m = 16, ksub = 32, itersPq = 1,
+        nBuckets = 8, baseDir = Some(d))
+    // the ingest frame: ids 0,2,4 RE-EMBEDDED with their id+1
+    // neighbor's vector (replace), ids 7,9 new (insert); 6,12
+    // tombstoned — one upsert call carries all three cases
+    val ingest = embs.filter(col("vec_id").isin(1, 3, 5, 8, 10))
+      .select((col("vec_id") - 1).cast("long").as("vec_id"),
+        col("embedding"))
+    val tomb = Seq(6L, 12L).toDF("vec_id")
+    val removalIds = Set(0L, 2L, 4L, 7L, 9L, 6L, 12L)
+    val idxDirA = s"$dirA/idx_upa"
+    val idParts = Seq("codes", "sq_codes", "bq_codes")
+    val beforeFiles = idParts.map { p =>
+      p -> fileHashes(s"$idxDirA/${Index.loadPart(idxDirA, p).current}")
+    }.toMap
+    val gensBefore = (idParts :+ "postings").map(p =>
+      p -> Index.loadPart(idxDirA, p).gen).toMap
+
+    Index.upsert(spark, "idx_upa", ingest, "vec_id", "embedding",
+      delIds = Some(tomb), delCol = "vec_id")
+
+    // ONE commit per part (delete-then-append would be two)
+    for ((p, g) <- gensBefore)
+      assert(Index.loadPart(idxDirA, p).gen == g + 1,
+        s"$p advanced ${Index.loadPart(idxDirA, p).gen - g} generations")
+    // row-equal to the same maintenance as explicit delete + append
+    Index.delete(spark, "idx_upb",
+      ingest.select(col("vec_id")).union(tomb), "vec_id")
+    Index.appendCommitted(spark, "idx_upb", ingest, "vec_id", "embedding")
+    for (p <- idParts :+ "postings") {
+      val a = spark.table(s"idx_upa_$p").collect().map(_.toSeq).toSet
+      val b = spark.table(s"idx_upb_$p").collect().map(_.toSeq).toSet
+      assert(a == b, s"part $p diverges from delete+append")
+    }
+    // bucket-pruned: id-bucket files the removal set doesn't touch
+    // survive under the same name with the same bytes
+    val touchedBuckets = removalIds.map(i =>
+      spark.range(1).select(pmod(hash(lit(i)), lit(8))).as[Int].head())
+    val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+    def bucketOf(n: String): Int =
+      n match { case bucketRe(b) => b.toInt; case _ => -1 }
+    for (p <- idParts) {
+      val after =
+        fileHashes(s"$idxDirA/${Index.loadPart(idxDirA, p).current}")
+      val kept = beforeFiles(p).filter { case (n, _) =>
+        !touchedBuckets.contains(bucketOf(n)) }
+      assert(kept.nonEmpty, s"$p fixture must leave an untouched bucket")
+      for ((n, h) <- kept)
+        assert(after.get(n).contains(h), s"$p untouched file $n changed")
+    }
+    // search serves the merged state, over the merged corpus (the
+    // rerank needs the CURRENT vectors)
+    val merged = evens
+      .filter(!col("vec_id").isin(0, 2, 4, 6, 12))
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .unionByName(ingest)
+    def searchOf(n: String) =
+      Index.search(spark, n, merged, "vec_id", "embedding",
+          col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val got = searchOf("idx_upa")
+    assert(got.nonEmpty && got == searchOf("idx_upb"))
+    assert(got.forall { case (_, _, n, _) => n != 6L && n != 12L })
+    // replay idempotency WITHOUT markers: the same upsert re-applied
+    // removes exactly the rows it itself added and re-encodes the
+    // same vectors — row-equal state, search unchanged
+    val rowsBefore = (idParts :+ "postings").map(p =>
+      p -> spark.table(s"idx_upa_$p").collect().map(_.toSeq).toSet).toMap
+    Index.upsert(spark, "idx_upa", ingest, "vec_id", "embedding",
+      delIds = Some(tomb), delCol = "vec_id")
+    for (p <- idParts :+ "postings")
+      assert(spark.table(s"idx_upa_$p").collect().map(_.toSeq).toSet
+        == rowsBefore(p), s"$p rows changed under replay")
+    assert(searchOf("idx_upa") == got)
+  }
 }

@@ -254,4 +254,65 @@ class IndexStreamSpec extends AnyFunSuite {
       == expPost.select(col("cl").cast("long"), col("id")).as[(Long, Long)]
         .collect().sorted.toSeq)
   }
+
+  test("CDC feed (X158): micro-batched upserts/tombstones + a replay equal ONE batch upsert of the LWW winners") {
+    implicit val sqlCtx = spark.sqlContext
+    val embs = cdc.Io.table(spark, sf, "embeddings")
+    val evens = embs.filter(col("vec_id") % 2 === 0)
+    // two indexes trained on the SAME rows: deterministic k-means ⇒
+    // identical centroids/codebooks, so maintained state is comparable
+    for (n <- Seq("idx_cdcs", "idx_cdcr"))
+      Index.build(spark, evens, "vec_id", "embedding", "label", n,
+        itersIvf = 1, massign = 2, m = 16, ksub = 32, itersPq = 1,
+        nBuckets = 4,
+        baseDir = Some(Files.createTempDirectory(s"graft_$n").toString))
+    val vecOf = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // batch 1 carries an INTRA-batch conflict on key 2 (the (ts, seq)
+    // winner is the later edit); batch 2 re-upserts key 0 (cross-batch
+    // LWW by log order) and tombstones the batch-1 insert; batch 2
+    // then redelivers whole (at-least-once replay — upsert's
+    // marker-free idempotency)
+    val b1 = Seq(
+      (0L, cdc.ChangeOp.Update, vecOf(1L), 100L, 1L),
+      (2L, cdc.ChangeOp.Update, vecOf(5L), 100L, 2L),
+      (2L, cdc.ChangeOp.Update, vecOf(9L), 100L, 3L),
+      (7L, cdc.ChangeOp.Insert, vecOf(8L), 100L, 4L),
+      (6L, cdc.ChangeOp.Delete, vecOf(6L), 100L, 5L))
+    val b2 = Seq(
+      (0L, cdc.ChangeOp.Update, vecOf(3L), 200L, 6L),
+      (7L, cdc.ChangeOp.Delete, vecOf(8L), 200L, 7L))
+    val ckpt = Files.createTempDirectory("idx_cdc_ckpt").toString
+    val input = MemoryStream[(Long, String, Seq[Double], Long, Long)]
+    val q = IndexStream.applyChanges(
+      input.toDF().toDF("key", "op", "vec", "ts_sec", "seq"),
+      "key", "op", "vec", "idx_cdcs", ckpt)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable() // replay
+    q.stop()
+    // the reference: ONE upsert of the overall LWW winners
+    Index.upsert(spark, "idx_cdcr",
+      Seq((0L, vecOf(3L)), (2L, vecOf(9L))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding",
+      delIds = Some(Seq(6L, 7L).toDF("vec_id")), delCol = "vec_id")
+    for (p <- Seq("postings", "codes", "sq_codes", "bq_codes"))
+      assert(spark.table(s"idx_cdcs_$p").collect().map(_.toSeq).toSet
+        == spark.table(s"idx_cdcr_$p").collect().map(_.toSeq).toSet,
+        s"part $p diverges from the one-batch upsert")
+    // search over the merged corpus is identical and tombstone-free
+    val merged = evens.filter(!col("vec_id").isin(0L, 2L, 6L))
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(Seq((0L, vecOf(3L)), (2L, vecOf(9L)))
+        .toDF("vec_id", "embedding"))
+    def searchOf(n: String) =
+      Index.search(spark, n, merged, "vec_id", "embedding",
+          col("vec_id") < 4, k = 3, nprobe = 3, rerank = 20)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val got = searchOf("idx_cdcs")
+    assert(got.nonEmpty && got == searchOf("idx_cdcr"))
+    assert(got.forall { case (_, _, nb, _) => nb != 6L && nb != 7L })
+  }
 }
