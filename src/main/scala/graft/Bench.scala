@@ -68,6 +68,24 @@ object Bench {
     val warmPass = !sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("0")
     val warmRuns = sys.env.get("SPARK_GRAFT_BENCH_WARM_RUNS")
       .map(_.toInt).getOrElse(3).max(1)
+    // The HIGH-VARIANCE family gets min-of-≥5 (r15 verdict #1): the
+    // pair-join/vector-bound queries measured ×2–2.8 spreads on
+    // identical code and identical plans (r15's cross-HEAD worktree
+    // attribution), so a 3-sample min still tripped the per-query
+    // lock on byte-identical plans across rounds 10–15. Five samples
+    // cost ~2 extra warm executions on ~20 queries (~2 min at sf0.1)
+    // and pull the min onto the settled floor.
+    val highVarRe =
+      ("^q_sim_|^q_dedup_(cosine|semantic)|^q_hybrid_" +
+        "|^q_pipe_cdc_ann$|^q_curate_(semleak|leakage)").r
+    def warmRunsFor(name: String): Int =
+      if (highVarRe.findFirstIn(name).isDefined) warmRuns.max(5)
+      else warmRuns
+    // per-query measured variance band (max/min over the good warm
+    // samples), recorded in the detail so tools/bench_lock.py can
+    // widen THAT query's per-query tolerance by its own measured
+    // noise instead of a prose allowlist entry
+    val warmSpread = scala.collection.mutable.Map.empty[String, Double]
     def runWarm(name: String): Double = {
       // a FAILED run fails fast — its short elapsed time must not
       // compete in the min against honest samples (it would lock in a
@@ -86,9 +104,12 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val samples = (1 to warmRuns).map(_ => once())
+      val samples = (1 to warmRunsFor(name)).map(_ => once())
       val good = samples.filter(_._2).map(_._1)
-      if (good.nonEmpty) good.min else samples.map(_._1).min
+      if (good.nonEmpty) {
+        warmSpread(name) = good.max / good.min
+        good.min
+      } else samples.map(_._1).min
     }
 
     run("q_cdc_changes") // warmup, untimed
@@ -119,8 +140,12 @@ object Bench {
     val cold = results.map(r => r._1 -> r._2)
     val warm = if (warmPass) results.map(r => r._1 -> r._3.get) else Nil
     val totalWarm = warm.map(_._2).sum
+    val spread = warm.map(r => r._1 -> warmSpread.getOrElse(r._1, 1.0))
     val detailJson = s"""{"metric":"bench_detail","queries":${fmtRaw(cold)}${
-      if (warmPass) s""","queries_warm":${fmtRaw(warm)}""" else ""},"sf":"$sfDir"}"""
+      if (warmPass)
+        s""","queries_warm":${fmtRaw(warm)},"queries_warm_spread":${
+          fmt(spread, 3)}"""
+      else ""},"sf":"$sfDir"}"""
     println(detailJson)
     // the stdout tail the driver keeps has truncated this line every
     // round (sample-limited judge comparisons) — persist the full

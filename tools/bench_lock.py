@@ -30,9 +30,20 @@ Usage: python3 tools/bench_lock.py NEW_DETAIL PREV_DETAIL [--tol 0.25]
   printed as a cross-check; raw ratio is still enforced at 2*tol as a
   sanity backstop.
 - Compares WARM-vs-WARM per query: any shared query whose normalized
-  warm time regressed more than --per-query-tol (default 2.0x, floor
-  0.5 s) is listed and fails the lock — a single-query regression can
-  no longer hide inside a flat total.
+  warm time regressed more than its EFFECTIVE tolerance (floor 0.5 s)
+  is listed and fails the lock — a single-query regression can no
+  longer hide inside a flat total.
+
+- VARIANCE BANDS: when a detail carries `queries_warm_spread` (the
+  max/min ratio over that query's own warm samples, recorded by
+  graft.Bench), the per-query effective tolerance becomes
+  max(--per-query-tol, min(--band-cap, band)) with band the larger of
+  the two details' recorded spreads for that query. A query that
+  measurably swings x2.8 on identical plans (the embedding family's
+  box-state variance, attributed r15) no longer needs a prose
+  allowlist entry — its own instrument-recorded noise widens its
+  lock, while --band-cap (default 3.0) stops a runaway spread from
+  waiving a real regression. The shared-total lock ignores bands.
 - Checks the new detail for warm-over-cold inversions (warm > 1.5x
   cold AND warm - cold > 2 s): warm runs immediately after cold with
   caches resident, so a big inversion means the measurement itself is
@@ -63,6 +74,9 @@ def main():
     ap.add_argument("--tol", type=float, default=0.25)
     ap.add_argument("--calib", default="q_text_stats")
     ap.add_argument("--per-query-tol", type=float, default=2.0)
+    ap.add_argument("--band-cap", type=float, default=3.0,
+                    help="upper bound on a variance-band-widened "
+                         "per-query tolerance")
     ap.add_argument("--allow", default=None,
                     help="JSON {query: reason} waiving named per-query "
                          "regressions/inversions (default: "
@@ -123,13 +137,26 @@ def main():
         failed = True
 
     # -- per-query warm-vs-warm lock ----------------------------------
+    # effective tolerance per query: the base tol, widened to the
+    # query's own instrument-recorded variance band (capped)
+    spread_new = new.get("queries_warm_spread", {})
+    spread_prev = prev.get("queries_warm_spread", {})
+
+    def tol_for(q):
+        band = max(spread_new.get(q, 1.0), spread_prev.get(q, 1.0))
+        return max(a.per_query_tol, min(a.band_cap, band))
+
     per_bad = []
     for q in shared:
         if pw[q] < 0.5 and nw[q] < 0.5:
             continue  # noise floor
         r = (nw[q] / calib) / pw[q] if pw[q] > 0 else float("inf")
-        if r > a.per_query_tol and nw[q] / calib - pw[q] > 0.5:
+        if r > tol_for(q) and nw[q] / calib - pw[q] > 0.5:
             per_bad.append((r, q))
+        elif r > a.per_query_tol and nw[q] / calib - pw[q] > 0.5:
+            print(f"BAND per-query: {q} {pw[q]:.2f} -> {nw[q]:.2f}s "
+                  f"(normalized x{r:.2f}) within its measured band "
+                  f"x{tol_for(q):.2f}")
     for r, q in sorted(per_bad, reverse=True):
         if q in allow:
             waived.add(q)
@@ -137,7 +164,7 @@ def main():
                   f"(normalized x{r:.2f}) — {allow[q]}")
         else:
             print(f"FAIL per-query: {q} {pw[q]:.2f} -> {nw[q]:.2f}s "
-                  f"(normalized x{r:.2f} > x{a.per_query_tol:.1f})")
+                  f"(normalized x{r:.2f} > x{tol_for(q):.1f})")
             failed = True
 
     # -- warm-over-cold inversion check on the NEW detail -------------
