@@ -2003,6 +2003,58 @@ object SparkEntry {
         "id", "vec", col("id") < 8, k = 5, nprobe = 4, rerank = 40)
     }),
 
+    // X159 the CDC→kNN-graph composite — the trilogy's third leg
+    // (text index X156, ANN index X158, graph here): the same change
+    // stream maintains the persisted kNN graph as delete(all winner
+    // keys) + append(non-tombstone winners at the STORED centroids) —
+    // a re-embedded key's own edges AND its appearances in other
+    // sources' top-k both correct (delete re-ranks survivors that
+    // lost it; append re-merges it as a candidate). Oracle: the
+    // in-plan fixed-centroid kNN graph over the SQL-merged corpus,
+    // trained on the untouched id<250 half. The composition is
+    // idempotent across re-executions (delete of absent ids touches
+    // no source; append drops already-present ids), so the base
+    // build+append is session-wide pay-once like the other composites.
+    "q_pipe_cdc_graph" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+        .withColumn("seed", pmod(col("vec_id"), lit(64L)))
+      val bf = embs.select(col("vec_id").cast("long").as("key"),
+        col("embedding").cast("array<double>").as("vec"),
+        lit(ChangeOp.Backfill).as("op"),
+        lit(Backfill.PlaceholderTs).as("ts_sec"), lit(-1L).as("seq"),
+        lit(0).as("precedence"))
+      val donors = embs.select(col("vec_id").cast("long").as("dkey"),
+        col("embedding").cast("array<double>").as("dvec"))
+      val live = Filters.regexFilter(
+          ChangeSource.fromEvents(T(s, dir, "events")),
+          """^db[0-2]\.(users|orders)$""")
+        .filter(col("event_id") % 37 === 0)
+        .select((col("event_id") % 250 + 250).as("key"),
+          col("op"), col("ts").cast("long").as("ts_sec"),
+          col("event_id").as("seq"), lit(1).as("precedence"))
+        .join(donors, col("key") % 250 === col("dkey"))
+        .select(col("key"), col("dvec").as("vec"), col("op"),
+          col("ts_sec"), col("seq"), col("precedence"))
+      val touched = Caching.cachedOnce(
+        Merge.winners(bf.unionByName(live))
+          .filter(col("precedence") === 1))
+      if (!GraphStore.exists(s, "graft_knng_cdc")) {
+        GraphStore.build(s, embs.filter(col("vec_id") < 250), "vec_id",
+          "embedding", "seed", "graft_knng_cdc", k = 5, iters = 2,
+          massign = 2, nBuckets = 8)
+        GraphStore.append(s, "graft_knng_cdc",
+          embs.filter(col("vec_id") >= 250), "vec_id", "embedding",
+          "seed")
+      }
+      GraphStore.delete(s, "graft_knng_cdc",
+        touched.select(col("key")), "key")
+      GraphStore.append(s, "graft_knng_cdc",
+        Merge.current(touched).select(col("key"), col("vec"),
+          pmod(col("key"), lit(64L)).as("seed")),
+        "key", "vec", "seed")
+      GraphStore.edges(s, "graft_knng_cdc")
+    }),
+
     // X147b the same metrics harness over the HYBRID (RRF-fused)
     // ranking — the point of an eval harness is COMPARING rankers on
     // one qrel set: BM25-only vs BM25⊕embedding fusion, same
@@ -3163,6 +3215,15 @@ object SparkEntry {
         m = 16, ksub = 32, itersPq = 2, rerank = 40,
         trainPredSql = "id < 250")
         + " ORDER BY qid, rank"),
+
+    // X159: the in-plan fixed-centroid kNN graph over the same merged
+    // corpus, trained on the untouched id<250 half — delete+append's
+    // composition must land on the full rebuild at stored centroids
+    "q_pipe_cdc_graph" ->
+      (Similarity.knnGraphSql("id", "vec", "(id % 64)",
+        cdcAnnMergedSql, k = 5, iters = 2, dim = 64, massign = 2,
+        trainPredSql = "id < 250")
+        + " ORDER BY src_id, rank"),
 
     // X152: BM25 over the corpus minus every phrase-matching doc
     "q_text_index_takedown" ->

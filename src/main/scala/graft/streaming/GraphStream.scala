@@ -50,4 +50,61 @@ object GraphStream {
           GraphStore.delete(batch.sparkSession, graphName, batch, idCol)
       }
       .start()
+
+  /** CDC feed (X159) — the change-stream composite on the GRAPH
+    * artifact, completing the trilogy
+    * ([[TextIndexStream.applyChanges]] / [[IndexStream.applyChanges]]):
+    * decoded change rows (`keyCol`, `opCol` ∈ [[graft.cdc.ChangeOp]],
+    * `vecCol` the row's current embedding, `seedCol` its label,
+    * `tsCol`, `seqCol`) maintain the graph as upserts + tombstones.
+    * Per micro-batch:
+    *
+    *  1. within-batch LWW — several changes to one key collapse to
+    *     the batch's (ts, seq)-winner;
+    *  2. [[GraphStore.delete]] of EVERY winner key (an upsert of a
+    *     graphed id must replace its vector — its own edges AND its
+    *     appearances in other sources' top-k; an unknown key's
+    *     removal is a no-op), then [[GraphStore.append]] of the
+    *     non-tombstone winners at the stored centroids.
+    *
+    * Unlike the index artifacts this is TWO commits per batch (the
+    * graph's edge merge has no single-swap upsert path — a fused
+    * rewrite would re-derive delete's re-rank and append's merge in
+    * one pass for no semantic gain): the crash window between them
+    * degrades to "re-embedded key absent until the replay", and the
+    * replay CONVERGES — delete of already-absent ids touches no
+    * source, append's idempotence gate drops already-present ids, so
+    * a redelivered epoch lands on exactly the merged state
+    * (GraphStoreSpec proves stream + replay == the one-batch
+    * application). Applying batches in log order IS last-writer-wins.
+    */
+  def applyChanges(changes: DataFrame, keyCol: String, opCol: String,
+      vecCol: String, seedCol: String, graphName: String,
+      checkpointDir: String, tsCol: String = "ts_sec",
+      seqCol: String = "seq"): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(keyCol))
+            .orderBy(col(tsCol).desc, col(seqCol).desc)
+          val winners = batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn").persist()
+          try {
+            GraphStore.delete(s, graphName,
+              winners.select(col(keyCol)), keyCol)
+            val ups = winners
+              .filter(col(opCol) =!= graft.cdc.ChangeOp.Delete)
+              .select(col(keyCol), col(vecCol), col(seedCol))
+            if (!ups.isEmpty)
+              GraphStore.append(s, graphName, ups, keyCol, vecCol,
+                seedCol)
+          } finally winners.unpersist()
+        }
+      }
+      .start()
+  }
 }

@@ -351,4 +351,64 @@ class GraphStoreSpec extends AnyFunSuite {
     GraphStore.append(spark, "g_cp", odd1, "vec_id", "embedding", "label")
     assert(serve() == before)
   }
+
+  test("CDC feed (X159): micro-batched upserts/tombstones + a replay equal the fixed-centroid rebuild over the merged state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmpBase("cdc")
+    val even = embs.filter(col("vec_id") % 2 === 0)
+    GraphStore.build(spark, even, "vec_id", "embedding", "label",
+      "g_cdc", k = 4, iters = 1, massign = 2, nBuckets = 4,
+      baseDir = Some(dir))
+    val vecOf = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // batch 1: re-embed key 0 (donor 1) with an INTRA-batch conflict
+    // on key 2 (later (ts, seq) edit wins: donor 9 over donor 5),
+    // insert key 7 (donor 8), tombstone key 6; batch 2: re-embed key
+    // 0 AGAIN (donor 3 — cross-batch LWW by log order) and tombstone
+    // the batch-1 insert; then batch 2 redelivers whole (the
+    // at-least-once replay — delete of absent ids touches no source,
+    // append's idempotence gate drops the present ones)
+    type Chg = (Long, String, Seq[Double], Long, Long, Long)
+    val b1: Seq[Chg] = Seq(
+      (0L, cdc.ChangeOp.Update, vecOf(1L), 100L, 1L, 0L),
+      (2L, cdc.ChangeOp.Update, vecOf(5L), 100L, 2L, 2L),
+      (2L, cdc.ChangeOp.Update, vecOf(9L), 100L, 3L, 2L),
+      (7L, cdc.ChangeOp.Insert, vecOf(8L), 100L, 4L, 7L),
+      (6L, cdc.ChangeOp.Delete, vecOf(6L), 100L, 5L, 6L))
+    val b2: Seq[Chg] = Seq(
+      (0L, cdc.ChangeOp.Update, vecOf(3L), 200L, 6L, 0L),
+      (7L, cdc.ChangeOp.Delete, vecOf(8L), 200L, 7L, 7L))
+    val ckpt = Files.createTempDirectory("g_cdc_ckpt").toString
+    val input =
+      MemoryStream[(Long, String, Seq[Double], Long, Long, Long)]
+    val q = graft.streaming.GraphStream.applyChanges(
+      input.toDF().toDF("key", "op", "vec", "ts_sec", "seq", "label"),
+      "key", "op", "vec", "label", "g_cdc", ckpt)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable() // replay
+    q.stop()
+    // merged state: evens minus {0,2,6} plus 0→vec(3), 2→vec(9);
+    // 7 inserted then tombstoned → absent
+    val merged = even.filter(!col("vec_id").isin(0L, 2L, 6L))
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .unionByName(Seq((0L, vecOf(3L)), (2L, vecOf(9L)))
+        .toDF("id", "emb"))
+    val base = merged.select(col("id"),
+        Vectors.toDouble(col("emb")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val rebuilt = Similarity.knnGraphAt(base,
+        spark.table("g_cdc_cents"), k = 4, massign = 2)
+      .select(col("src_id"), col("rank"), col("neighbor_id"),
+        col("cos_micros"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val streamed = GraphStore.edges(spark, "g_cdc")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed.nonEmpty && streamed == rebuilt)
+    assert(streamed.forall { case (s_, _, n, _) =>
+      s_ != 6L && s_ != 7L && n != 6L && n != 7L })
+  }
 }
