@@ -76,8 +76,8 @@ object Bench {
     // cost ~2 extra warm executions on ~20 queries (~2 min at sf0.1)
     // and pull the min onto the settled floor.
     val highVarRe =
-      ("^q_sim_|^q_dedup_(cosine|semantic)|^q_hybrid_" +
-        "|^q_pipe_cdc_ann$|^q_curate_(semleak|leakage)").r
+      ("^q_sim_|^q_dedup_(embed|semantic)|^q_hybrid_" +
+        "|^q_pipe_cdc_(ann|graph)$|^q_curate_(semleak|leakage)").r
     def warmRunsFor(name: String): Int =
       if (highVarRe.findFirstIn(name).isDefined) warmRuns.max(5)
       else warmRuns

@@ -349,6 +349,9 @@ object KafkaWire {
           s"metadata response omits topic '$t' — cannot place records " +
             "(auto-creation pending? retry; at-least-once: the batch " +
             "replays)")
+        require(meta.partitions(t) > 0,
+          s"topic '$t' reports 0 partitions — creation in progress? " +
+            "retry")
       }
       val batches = records
         .groupBy(r => (r._3, partitionFor(r._1, meta.partitions(r._3))))
