@@ -61,6 +61,90 @@ object GraphStore {
   def exists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(part(name, "edges"))
 
+  /** Re-attach a graph BUILT BY A PREVIOUS SESSION from its files —
+    * the [[Index.register]]/[[TextIndex.register]] analog, closing
+    * the artifact-lifecycle gap (build once, serve from any number of
+    * later sessions). This artifact has no pointer files: every
+    * maintenance op writes its fresh sibling directory and sweeps the
+    * superseded one IN THE SAME CALL, so a quiesced artifact holds
+    * exactly ONE directory per part (`p` or `p_<tag>`). Resolution is
+    * therefore by uniqueness, and an ambiguous layout (two dirs for
+    * one part — a maintenance run crashed between its rewrite and its
+    * sweep) is REFUSED loudly with both names rather than guessed at:
+    * finish the interrupted op from the original session or rebuild.
+    * Bucket specs come from the persisted meta (a caller-supplied
+    * count could declare a false spec and silently drop join
+    * candidates — the [[Index.register]] rationale). Metadata-only:
+    * no data read beyond schema footers.
+    */
+  def register(spark: SparkSession, name: String, baseDir: String): Unit = {
+    val dir = java.nio.file.Paths.get(graphDir(Some(baseDir), name))
+    require(java.nio.file.Files.isDirectory(dir),
+      s"no graph artifact at $dir")
+    def resolve(p: String): String = {
+      val s = java.nio.file.Files.list(dir)
+      val cands = try {
+        s.iterator().asScala.filter { c =>
+          val n = c.getFileName.toString
+          java.nio.file.Files.isDirectory(c) &&
+            (n == p || n.startsWith(s"${p}_"))
+        }.toVector
+      } finally s.close()
+      require(cands.nonEmpty, s"part $p missing under $dir")
+      require(cands.size == 1,
+        s"part $p is ambiguous under $dir (${cands.map(_.getFileName)
+          .mkString(", ")}) — a maintenance run crashed between its " +
+          "rewrite and its sweep; finish it from the original session " +
+          "or rebuild")
+      cands.head.toString
+    }
+    def attachPlain(tbl: String, location: String): Unit = {
+      if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
+      val cols = spark.read.parquet(location).schema.toDDL
+      spark.sql(
+        s"CREATE TABLE $tbl ($cols) USING parquet LOCATION '$location'")
+    }
+    attachPlain(part(name, "meta"), resolve("meta"))
+    attachPlain(part(name, "cents"), resolve("cents"))
+    val nBuckets =
+      spark.table(part(name, "meta")).collect()(0).getAs[Int]("nBuckets")
+    for ((p, key) <- Seq(("edges", "src_id"), ("blocks", "cl"),
+        ("labels", "id")))
+      attachBucketed(spark, part(name, p), key, nBuckets, resolve(p))
+  }
+
+  /** Auto-compaction policy hook — [[Index.maybeCompact]]'s graph
+    * analog for the streaming feeds: [[append]] delta-appends
+    * blocks/labels (one file set per batch), so a long-lived
+    * maintenance stream grows file counts without bound unless some
+    * cron compacts. If any of the three big tables holds more than
+    * `maxFilesPerPart` data files, run [[compact]]; filesystem
+    * metadata only while under threshold. The threshold clamps to the
+    * post-compact floor (one file per bucket) — an unsatisfiable
+    * value would otherwise re-run a full compact after every batch.
+    * Returns whether it compacted.
+    */
+  def maybeCompact(spark: SparkSession, name: String,
+      maxFilesPerPart: Int): Boolean = {
+    val nBuckets =
+      spark.table(part(name, "meta")).collect()(0).getAs[Int]("nBuckets")
+    val threshold = math.max(maxFilesPerPart, nBuckets)
+    val over = Seq("edges", "blocks", "labels").exists { p =>
+      val d = dirOf(spark, part(name, p))
+      val s = java.nio.file.Files.list(d)
+      val n = try {
+        s.iterator().asScala.count { f =>
+          val fn = f.getFileName.toString
+          java.nio.file.Files.isRegularFile(f) &&
+            !fn.startsWith("_") && !fn.startsWith(".")
+        }
+      } finally s.close()
+      n > threshold
+    }
+    if (over) compact(spark, name)
+    over
+  }
+
   /** id cast to long at the artifact boundary — same rationale as
     * [[Index.baseOf]] (advice r13): [[delete]]'s touched-bucket
     * digests hash the del ids as long, and Murmur3(int) ≠
@@ -239,6 +323,12 @@ object GraphStore {
     * re-targets the same catalog name.
     */
   private def dirOf(spark: SparkSession, tbl: String): java.nio.file.Path = {
+    // drop any cached relation first: maintenance runs inside
+    // foreachBatch's CLONED session, whose DROP/CREATE re-points the
+    // shared external catalog but leaves the PARENT session's relation
+    // cache holding the superseded location — a post-stream describe/
+    // compact in the parent would walk a swept directory (r16 spec)
+    spark.catalog.refreshTable(tbl)
     val scan = spark.table(tbl).queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation.asInstanceOf[

@@ -22,14 +22,17 @@ import graft.ops.GraphStore
 object GraphStream {
 
   def maintain(embs: DataFrame, idCol: String, vecCol: String,
-      seedCol: String, graphName: String,
-      checkpointDir: String): StreamingQuery =
+      seedCol: String, graphName: String, checkpointDir: String,
+      autoCompactFiles: Option[Int] = None): StreamingQuery =
     embs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           GraphStore.append(batch.sparkSession, graphName, batch,
             idCol, vecCol, seedCol)
+          autoCompactFiles.foreach(
+            GraphStore.maybeCompact(batch.sparkSession, graphName, _))
+        }
       }
       .start()
 
@@ -42,12 +45,16 @@ object GraphStream {
     * the served graph.
     */
   def retract(delIds: DataFrame, idCol: String, graphName: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      autoCompactFiles: Option[Int] = None): StreamingQuery =
     delIds.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           GraphStore.delete(batch.sparkSession, graphName, batch, idCol)
+          autoCompactFiles.foreach(
+            GraphStore.maybeCompact(batch.sparkSession, graphName, _))
+        }
       }
       .start()
 
@@ -81,7 +88,8 @@ object GraphStream {
   def applyChanges(changes: DataFrame, keyCol: String, opCol: String,
       vecCol: String, seedCol: String, graphName: String,
       checkpointDir: String, tsCol: String = "ts_sec",
-      seqCol: String = "seq"): StreamingQuery = {
+      seqCol: String = "seq",
+      autoCompactFiles: Option[Int] = None): StreamingQuery = {
     import org.apache.spark.sql.functions._
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -102,6 +110,8 @@ object GraphStream {
             if (!ups.isEmpty)
               GraphStore.append(s, graphName, ups, keyCol, vecCol,
                 seedCol)
+            autoCompactFiles.foreach(
+              GraphStore.maybeCompact(s, graphName, _))
           } finally winners.unpersist()
         }
       }

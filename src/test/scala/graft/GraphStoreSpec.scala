@@ -352,6 +352,88 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(serve() == before)
   }
 
+  test("register re-attaches a graph from files in a fresh catalog; ambiguity is refused, maintenance still lands") {
+    val dir = tmpBase("reg")
+    val even = embs.filter(col("vec_id") % 2 === 0)
+    GraphStore.build(spark, even, "vec_id", "embedding", "label",
+      "g_reg", k = 4, iters = 1, massign = 2, nBuckets = 4,
+      baseDir = Some(dir))
+    // maintenance first, so register resolves a REWRITTEN part dir
+    // (edges_aXXXX), not just the canonical build layout
+    val odd = embs.filter(col("vec_id") % 2 === 1)
+    GraphStore.append(spark, "g_reg", odd, "vec_id", "embedding",
+      "label")
+    def serve() = GraphStore.edges(spark, "g_reg")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val before = serve()
+    for (p <- Seq("edges", "labels", "blocks", "cents", "meta"))
+      spark.sql(s"DROP TABLE IF EXISTS g_reg_$p")
+    GraphStore.register(spark, "g_reg", dir)
+    assert(serve() == before)
+    // the re-attached tables carry the bucket spec: maintenance still
+    // lands (a replayed append is a clean no-op through the bucketed
+    // anti-join), and describe resolves every part
+    GraphStore.append(spark, "g_reg", odd, "vec_id", "embedding",
+      "label")
+    assert(serve() == before)
+    assert(GraphStore.describe(spark, "g_reg").count() == 5)
+    // an ambiguous layout (crashed-mid-maintenance leftovers) is
+    // refused loudly, never guessed at
+    val fake = java.nio.file.Paths.get(s"$dir/g_reg/edges_zzcrashed")
+    java.nio.file.Files.createDirectories(fake)
+    val e = intercept[IllegalArgumentException] {
+      GraphStore.register(spark, "g_reg", dir)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+    java.nio.file.Files.delete(fake)
+    GraphStore.register(spark, "g_reg", dir) // clean again
+    assert(serve() == before)
+  }
+
+  test("maybeCompact bounds a long CDC-feed run's file count; serving unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmpBase("mc")
+    val seed = embs.filter(col("vec_id") < 8)
+    GraphStore.build(spark, seed, "vec_id", "embedding", "label",
+      "g_mc", k = 4, iters = 1, massign = 2, nBuckets = 4,
+      baseDir = Some(dir))
+    // under threshold: metadata-only, no compact
+    assert(!GraphStore.maybeCompact(spark, "g_mc", 64))
+    val restRows = embs.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label"))
+      .as[(Long, Seq[Double], Int)].collect().sortBy(_._1)
+    val ckpt = Files.createTempDirectory("g_mc_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    val q = graft.streaming.GraphStream.maintain(
+      input.toDF().toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label", "g_mc", ckpt,
+      autoCompactFiles = Some(8))
+    restRows.take(18).grouped(3).foreach { g =>
+      input.addData(g.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val counts = GraphStore.describe(spark, "g_mc")
+      .select("part", "n_files").as[(String, Long)].collect().toMap
+    assert(Seq("edges", "blocks", "labels").forall(counts(_) <= 8),
+      s"file count unbounded under the policy: $counts")
+    // the maintained graph equals one rebuild at the stored centroids
+    val streamedIds = restRows.take(18).map(_._1)
+    val all = embs.filter(col("vec_id") < 8 ||
+      col("vec_id").isin(streamedIds: _*))
+    val base = all.select(col("vec_id").as("id"),
+        Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val rebuilt = Similarity.knnGraphAt(base,
+        spark.table("g_mc_cents"), k = 4, massign = 2)
+      .select(col("src_id"), col("rank"), col("neighbor_id"),
+        col("cos_micros"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(GraphStore.edges(spark, "g_mc")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq == rebuilt)
+  }
+
   test("CDC feed (X159): micro-batched upserts/tombstones + a replay equal the fixed-centroid rebuild over the merged state") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
