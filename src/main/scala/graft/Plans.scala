@@ -441,6 +441,24 @@ object Plans {
         |(Debezium/BigQuery transforms, topic routing) is a narrow
         |codegen'd projection over the merged rows: the composition adds
         |NO shuffle over its costliest stage.""".stripMargin,
+    "q_pipe_cdc_ann" ->
+      """X158 CDC→ANN composite (round 16): the change stream maintains
+        |the persisted IVF×PQ index through ONE upsert per part, then
+        |serves. The plan shown is the SERVE stage over the maintained
+        |artifact (the build/upsert are actions that ran before this
+        |explain): what to check — NO training stage anywhere (no Lloyd
+        |checkpoint scans), centroids/codebooks/LUT ride
+        |BroadcastExchange, the bucketed postings/codes scans carry no
+        |Exchange before their joins, and the LWW merge feeding the
+        |query corpus pays its one window Exchange on the key.""".stripMargin,
+    "q_pipe_cdc_graph" ->
+      """X159 CDC→kNN-graph composite (round 16): the same change
+        |stream maintains the persisted graph (delete + append at
+        |stored centroids), then serves the edge list. What to check:
+        |the serve is ONE bucketed scan of the edges table — no
+        |training stage, no Exchange at all (the harness sorts rows
+        |itself); all maintenance cost happened in the upsert actions,
+        |leaving the artifact pre-ranked.""".stripMargin,
     "q_dedup_minhash_recall_sampled" ->
       """X146 fixed-budget sampled recall harness (round 13): the
         |deterministic hash-sample predicate sits ON THE SCAN of every
