@@ -13,6 +13,24 @@ import scala.collection.JavaConverters._
   */
 private[ops] object ArtifactFiles {
 
+  /** SQL string-literal escaping for the DDL the artifact maintainers
+    * build by interpolation (`CREATE TABLE … LOCATION '<path>'`): a
+    * baseDir or artifact name containing a quote — or a backslash,
+    * which Spark's default literal parser treats as an escape — must
+    * not break out of (or corrupt) the literal (advice r16). Doubling
+    * the quote is standard SQL; doubling the backslash round-trips it
+    * under Spark's C-style escape handling.
+    */
+  def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
+
+  /** Backtick-quoted identifier for interpolated DDL — `DROP TABLE
+    * $tbl` with an artifact name containing SQL-significant
+    * characters must parse as ONE identifier (advice r16).
+    */
+  def ident(t: String): String =
+    "`" + t.replace("`", "``") + "`"
+
   /** Bucket id of a bucketed-writer data file, from the `_NNNNN` tag
     * the writer embeds in the name (`part-00000-<uuid>_00003.c000…`) —
     * the same pattern Spark's own scan uses to group a bucketed

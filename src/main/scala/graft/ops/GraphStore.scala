@@ -99,10 +99,12 @@ object GraphStore {
       cands.head.toString
     }
     def attachPlain(tbl: String, location: String): Unit = {
-      if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
+      if (spark.catalog.tableExists(tbl)) spark.sql(
+        s"DROP TABLE ${ArtifactFiles.ident(tbl)}")
       val cols = spark.read.parquet(location).schema.toDDL
       spark.sql(
-        s"CREATE TABLE $tbl ($cols) USING parquet LOCATION '$location'")
+        s"CREATE TABLE ${ArtifactFiles.ident(tbl)} ($cols) USING parquet " +
+          s"LOCATION '${ArtifactFiles.sqlLit(location)}'")
     }
     attachPlain(part(name, "meta"), resolve("meta"))
     attachPlain(part(name, "cents"), resolve("cents"))
@@ -499,12 +501,13 @@ object GraphStore {
     */
   private def attachBucketed(spark: SparkSession, tbl: String,
       key: String, nBuckets: Int, location: String): Unit = {
-    if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
+    if (spark.catalog.tableExists(tbl)) spark.sql(
+      s"DROP TABLE ${ArtifactFiles.ident(tbl)}")
     val cols = spark.read.parquet(location).schema.toDDL
     spark.sql(
-      s"""CREATE TABLE $tbl ($cols) USING parquet
+      s"""CREATE TABLE ${ArtifactFiles.ident(tbl)} ($cols) USING parquet
          |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
-         |LOCATION '$location'""".stripMargin)
+         |LOCATION '${ArtifactFiles.sqlLit(location)}'""".stripMargin)
   }
 
   /** Offline file-count maintenance — [[Index.compact]]'s graph

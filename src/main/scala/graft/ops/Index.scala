@@ -352,9 +352,11 @@ object Index {
     val dir = s"$baseDir/$name"
     def loc(p: String): String = s"$dir/${readPointer(dir, p)}"
     for (p <- Seq("cents", "codebooks", "sq_ranges", "meta")) {
-      spark.sql(s"DROP TABLE IF EXISTS ${part(name, p)}")
-      spark.sql(s"""CREATE TABLE ${part(name, p)} USING parquet
-                   |LOCATION '${loc(p)}'""".stripMargin)
+      spark.sql(
+        s"DROP TABLE IF EXISTS ${ArtifactFiles.ident(part(name, p))}")
+      spark.sql(
+        s"""CREATE TABLE ${ArtifactFiles.ident(part(name, p))} USING parquet
+           |LOCATION '${ArtifactFiles.sqlLit(loc(p))}'""".stripMargin)
     }
     val nBuckets = readMeta(spark, name).nBuckets
     for ((p, key) <- BucketedParts) {
@@ -648,9 +650,10 @@ object Index {
     dropEntry(spark, part(name, p))
     val cols = spark.read.parquet(location).schema.toDDL
     spark.sql(
-      s"""CREATE TABLE ${part(name, p)} ($cols) USING parquet
+      s"""CREATE TABLE ${ArtifactFiles.ident(part(name, p))} ($cols)
+         |USING parquet
          |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
-         |LOCATION '$location'""".stripMargin)
+         |LOCATION '${ArtifactFiles.sqlLit(location)}'""".stripMargin)
   }
 
   /** Catalog entry for a MANIFEST generation: a view unioning
@@ -820,6 +823,27 @@ object Index {
     val del = removalSrcs.reduce(_ union _).distinct().persist()
     val ingestBase = ingest.map { case (df, ic, vc) => baseOf(df, ic, vc) }
     try {
+    // UNIQUE-id precondition on the ingest frame, enforced (advice
+    // r16): the removal side is distinct()-ed, but two ingest rows
+    // for one id would BOTH encode and land — search could then
+    // return the same neighbor id twice with different vectors.
+    // Callers with multi-version batches LWW-collapse first
+    // ([[graft.streaming.IndexStream.applyChanges]]); the check is
+    // one id-column aggregation on the (persisted) delta, ∝ batch.
+    ingestBase.foreach { b =>
+      val dup = b.groupBy(col("id")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"upsert ingest contains duplicate ids (e.g. ${dup.headOption
+          .map(_.get(0)).getOrElse("")}) — collapse to one row per id " +
+          "(last-writer-wins) before upserting")
+    }
+    // a PRESENT-but-empty ingest frame is a pure takedown (verdict
+    // r16 #2: it used to bucket-write and link four empty delta files
+    // per generation — a delete-heavy CDC stream accreted files
+    // faster than necessary); the removal path already handles
+    // ingest = None, so empty collapses to it
+    val hasIngest = ingestBase.exists(b => !b.isEmpty)
     // the touched id-buckets — bucketBy's own hash family
     // (functions.hash IS HashPartitioning's Murmur3 seed-42
     // expression, pmod nBuckets). ≤ nBuckets values: a bounded
@@ -827,14 +851,19 @@ object Index {
     val touched = del
       .select(pmod(hash(col("__del_id")), lit(meta.nBuckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
+    // a batch with nothing to remove AND nothing to ingest advances
+    // no generation at all (every id hashes to a bucket, so an empty
+    // touched set ⟹ an empty removal set)
+    if (touched.isEmpty && !hasIngest) return
     // encode the ingest delta at the FIXED trained params (lazy
     // frames — materialized by the phase-1 staging writes, before any
     // catalog re-attach)
-    val deltaOf: Map[String, DataFrame] = ingest.map { case (df, ic, vc) =>
-      val (po, co, sq, bq) = encode(spark, name, df, ic, vc)
-      Map("postings" -> po, "codes" -> co, "sq_codes" -> sq,
-        "bq_codes" -> bq)
-    }.getOrElse(Map.empty)
+    val deltaOf: Map[String, DataFrame] =
+      (if (hasIngest) ingest else None).map { case (df, ic, vc) =>
+        val (po, co, sq, bq) = encode(spark, name, df, ic, vc)
+        Map("postings" -> po, "codes" -> co, "sq_codes" -> sq,
+          "bq_codes" -> bq)
+      }.getOrElse(Map.empty)
     val parts = BucketedParts.map { case (p, key) =>
       (p, key, s"${p}_u${java.util.UUID.randomUUID().toString.take(8)}")
     }

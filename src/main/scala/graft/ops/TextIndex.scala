@@ -438,21 +438,24 @@ object TextIndex {
     */
   private def attachBucketed(spark: SparkSession, name: String,
       p: String, key: String, nBuckets: Int, location: String): Unit = {
-    val tbl = part(name, p)
-    if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
+    val tbl = ArtifactFiles.ident(part(name, p))
+    if (spark.catalog.tableExists(part(name, p)))
+      spark.sql(s"DROP TABLE $tbl")
     spark.sql(
       s"""CREATE TABLE $tbl (${PartSchemas(p)}) USING parquet
          |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
-         |LOCATION '$location'""".stripMargin)
+         |LOCATION '${ArtifactFiles.sqlLit(location)}'""".stripMargin)
   }
 
   private def attachMeta(spark: SparkSession, name: String,
       location: String): Unit = {
-    val tbl = part(name, "meta")
-    if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
+    val tbl = ArtifactFiles.ident(part(name, "meta"))
+    if (spark.catalog.tableExists(part(name, "meta")))
+      spark.sql(s"DROP TABLE $tbl")
     spark.sql(
       s"""CREATE TABLE $tbl (${PartSchemas("meta")})
-         |USING parquet LOCATION '$location'""".stripMargin)
+         |USING parquet LOCATION '${ArtifactFiles.sqlLit(location)}'"""
+        .stripMargin)
   }
 
   /** Bucket-write `df` into `.staging/<p>_<u>` through a throwaway
@@ -981,6 +984,19 @@ object TextIndex {
       .getOrElse(spark.emptyDataset[Long].toDF("__del"))
       .distinct().persist()
     try {
+      // UNIQUE-id precondition on the ingest frame, enforced (advice
+      // r16, the [[Index.upsertImpl]] twin): two ingest rows for one
+      // id would merge their token counts into one phantom document
+      // (double-counted tf/dl). Multi-version batches LWW-collapse
+      // first ([[graft.streaming.TextIndexStream.applyChanges]]).
+      newDocs.foreach { nd =>
+        val dup = nd.groupBy(col("id")).agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"upsert ingest contains duplicate ids (e.g. ${dup.headOption
+            .map(_.get(0)).getOrElse("")}) — collapse to one row per " +
+            "id (last-writer-wins) before upserting")
+      }
       val postingsDir = java.nio.file.Paths.get(dir, st.parts("postings"))
       val dlDir = java.nio.file.Paths.get(dir, st.parts("dl"))
       val postings = readPart(spark, "postings", Seq(postingsDir.toString))

@@ -225,12 +225,25 @@ object KafkaWire {
 
   /** Everything Produce routing needs from one Metadata v1 round
     * trip: each node's advertised address, each topic's partition
-    * count, each partition's leader node.
+    * count, each partition's leader node (−1 when none elected) and
+    * error code. Per-partition health is NOT enforced here — only
+    * [[publish]] knows which partitions it actually routes batches
+    * to, and a healthy cluster reports non-fatal codes (e.g.
+    * REPLICA_NOT_AVAILABLE) on partitions a produce never touches
+    * (advice r16: the parse-time require failed the whole publish
+    * while the cluster was fully serviceable).
     */
   private final case class ClusterMeta(
       brokers: Map[Int, (String, Int)],
       partitions: Map[String, Int],
-      leaders: Map[(String, Int), Int])
+      leaders: Map[(String, Int), Int],
+      partErrors: Map[(String, Int), Short])
+
+  /** Partition-metadata codes a stock producer ignores when a leader
+    * is elected: REPLICA_NOT_AVAILABLE (9) — one replica offline on an
+    * otherwise healthy partition. Produce still routes to the leader.
+    */
+  private val NonFatalPartErrors: Set[Short] = Set(9)
 
   /** One Metadata v1 round trip on the bootstrap connection. */
   private def clusterMeta(out: DataOutputStream, in: DataInputStream,
@@ -254,24 +267,21 @@ object KafkaWire {
       val topic = readString(resp)
       resp.get() // is_internal
       val nParts = resp.getInt
-      val leaders = (0 until nParts).map { _ =>
+      val parts = (0 until nParts).map { _ =>
         val perr = resp.getShort
         val partition = resp.getInt
         val leader = resp.getInt
         val nr = resp.getInt; (0 until nr).foreach(_ => resp.getInt)
         val ni = resp.getInt; (0 until ni).foreach(_ => resp.getInt)
-        require(perr == 0,
-          s"metadata error $perr for $topic/$partition")
-        require(leader >= 0,
-          s"no elected leader for $topic/$partition — retry after " +
-            "leader election (at-least-once: the batch replays)")
-        (topic, partition) -> leader
+        // health is judged per ROUTED partition in publish, not here
+        ((topic, partition) -> leader, (topic, partition) -> perr)
       }
       require(err == 0, s"metadata error $err for topic $topic")
-      (topic -> nParts, leaders)
+      (topic -> nParts, parts)
     }
     ClusterMeta(brokers, perTopic.map(_._1).toMap,
-      perTopic.flatMap(_._2).toMap)
+      perTopic.flatMap(_._2.map(_._1)).toMap,
+      perTopic.flatMap(_._2.map(_._2)).toMap)
   }
 
   // ----------------------------------------------------- produce v3
@@ -358,6 +368,21 @@ object KafkaWire {
         .map { case (tp, rs) =>
           tp -> encodeRecordBatch(rs.map(r => (r._1, r._2)), timestampMs)
         }
+      // leader/error checks for exactly the partitions this call
+      // ROUTES batches to (advice r16): a non-fatal code on a routed
+      // partition (replica offline, leader fine) is tolerated like a
+      // stock producer does; a leaderless or hard-errored routed
+      // partition fails loud (at-least-once: the batch replays); an
+      // unhealthy partition receiving no records is irrelevant
+      batches.keys.foreach { case tp @ (t, p) =>
+        val perr = meta.partErrors.getOrElse(tp, 0: Short)
+        val leader = meta.leaders.getOrElse(tp, -1)
+        require(perr == 0 || (NonFatalPartErrors(perr) && leader >= 0),
+          s"metadata error $perr for routed partition $t/$p")
+        require(leader >= 0,
+          s"no elected leader for routed partition $t/$p — retry " +
+            "after leader election (at-least-once: the batch replays)")
+      }
       // route each batch to its partition's leader; one connection +
       // one Produce per leader (corrIds stay per-connection)
       val byLeader = batches.groupBy { case (tp, _) => meta.leaders(tp) }

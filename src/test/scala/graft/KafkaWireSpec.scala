@@ -44,7 +44,8 @@ class KafkaWireSpec extends AnyFunSuite {
     */
   private class ScriptedBroker(nPartitions: Int,
       meta: Option[() => (Seq[(Int, String, Int)], Int => Int)] = None,
-      omitTopics: Boolean = false) {
+      omitTopics: Boolean = false,
+      partScript: Option[Int => (Short, Int)] = None) {
     val server = new ServerSocket(0)
     val produced = mutable.ArrayBuffer.empty[Produced]
     @volatile private var running = true
@@ -97,10 +98,14 @@ class KafkaWireSpec extends AnyFunSuite {
                     resp.putShort(0); putString(resp, t); resp.put(0.toByte)
                     resp.putInt(nPartitions)
                     (0 until nPartitions).foreach { p =>
-                      resp.putShort(0); resp.putInt(p)
-                      resp.putInt(leaderFor(p))
-                      resp.putInt(1); resp.putInt(leaderFor(p)) // replicas
-                      resp.putInt(1); resp.putInt(leaderFor(p)) // isr
+                      // partScript overrides (errorCode, leader) per
+                      // partition — scripts degraded-cluster metadata
+                      val (perr, ldr) = partScript.map(_(p))
+                        .getOrElse((0: Short, leaderFor(p)))
+                      resp.putShort(perr); resp.putInt(p)
+                      resp.putInt(ldr)
+                      resp.putInt(1); resp.putInt(math.max(ldr, 0)) // replicas
+                      resp.putInt(1); resp.putInt(math.max(ldr, 0)) // isr
                     }
                   }
                   out.writeInt(resp.position())
@@ -290,6 +295,51 @@ class KafkaWireSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("omits topic 'ghost'"))
       assert(broker.produced.synchronized(broker.produced.isEmpty))
+    } finally broker.stop()
+  }
+
+  test("non-fatal partition metadata (REPLICA_NOT_AVAILABLE with an elected leader) does not fail a publish (advice r16)") {
+    // every partition reports code 9 — one replica offline — but the
+    // leader is elected: a stock producer routes anyway; the old
+    // parse-time require failed the whole publish on a serviceable
+    // cluster
+    val broker = new ScriptedBroker(nPartitions = 3,
+      partScript = Some(_ => (9: Short, 0)))
+    try {
+      val recs = (0 until 6).map { i =>
+        (s"key$i".getBytes(UTF_8), s"val$i".getBytes(UTF_8), "t")
+      }
+      val offsets = KafkaWire.publish("localhost",
+        broker.server.getLocalPort, recs, timestampMs = 7L)
+      assert(offsets.nonEmpty)
+      val decoded = broker.produced.synchronized {
+        broker.produced.flatMap(p => decodeBatch(p.batch))
+      }.map { case (k, v) => (new String(k, UTF_8), new String(v, UTF_8)) }
+        .sorted
+      assert(decoded == recs.map(r =>
+        (new String(r._1, UTF_8), new String(r._2, UTF_8))).sorted)
+    } finally broker.stop()
+  }
+
+  test("leader/error enforcement applies only to ROUTED partitions; a routed leaderless partition still fails loud (advice r16)") {
+    // partition 0: healthy, leader elected. partition 1: hard error,
+    // no leader (mid-election). A publish whose records all land on
+    // partition 0 must succeed; one keyed onto partition 1 must fail.
+    val broker = new ScriptedBroker(nPartitions = 2,
+      partScript = Some(p =>
+        if (p == 0) (0: Short, 0) else (5: Short, -1)))
+    try {
+      def keyFor(target: Int): Array[Byte] =
+        (0 until 100).map(i => s"k$i".getBytes(UTF_8))
+          .find(k => KafkaWire.partitionFor(k, 2) == target).get
+      val ok = KafkaWire.publish("localhost", broker.server.getLocalPort,
+        Seq((keyFor(0), "v".getBytes(UTF_8), "t")), timestampMs = 7L)
+      assert(ok.keySet == Set(("t", 0)))
+      val e = intercept[IllegalArgumentException] {
+        KafkaWire.publish("localhost", broker.server.getLocalPort,
+          Seq((keyFor(1), "v".getBytes(UTF_8), "t")), timestampMs = 7L)
+      }
+      assert(e.getMessage.contains("routed partition t/1"))
     } finally broker.stop()
   }
 

@@ -89,6 +89,35 @@ class TextIndexSpec extends AnyFunSuite {
     assert(searchOf("tidx_app") == got)
   }
 
+  test("pure-tombstone upsert (present-but-empty docs) matches the delete twin's file counts; duplicate ingest ids are refused (advice r16)") {
+    val dirA = tmpBase("eupa"); val dirB = tmpBase("eupb")
+    for ((n, d) <- Seq("tidx_eua" -> dirA, "tidx_eub" -> dirB))
+      TextIndex.build(spark, docs, "doc_id", "text", n,
+        nBuckets = 4, baseDir = Some(d))
+    val emptyDocs = docs.filter(col("doc_id") < 0)
+    val tomb = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+
+    TextIndex.upsert(spark, "tidx_eua", emptyDocs, "doc_id", "text",
+      delIds = Some(tomb), delCol = "doc_id")
+    TextIndex.delete(spark, "tidx_eub", tomb, "doc_id")
+    for (p <- Seq("postings", "dl", "stats", "meta")) {
+      assert(
+        fileHashes(currentDir(dirA, "tidx_eua", p)).size ==
+          fileHashes(currentDir(dirB, "tidx_eub", p)).size,
+        s"$p file count diverges from the delete twin (empty ingest " +
+          "deltas staged?)")
+    }
+    assert(searchOf("tidx_eua") == searchOf("tidx_eub"))
+    // two ingest rows for one id would merge into one phantom doc
+    // with double-counted tf/dl — refused loudly
+    val one = docs.filter(col("doc_id") === 1)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.upsert(spark, "tidx_eua", one.union(one), "doc_id",
+        "text")
+    }
+    assert(e.getMessage.contains("duplicate ids"))
+  }
+
   test("delete equals a rebuild over survivors; untouched tok-bucket files byte-identical") {
     val dir = tmpBase("del")
     TextIndex.build(spark, docs, "doc_id", "text", "tidx_del",

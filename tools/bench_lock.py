@@ -37,8 +37,11 @@ Usage: python3 tools/bench_lock.py NEW_DETAIL PREV_DETAIL [--tol 0.25]
 - VARIANCE BANDS: when a detail carries `queries_warm_spread` (the
   max/min ratio over that query's own warm samples, recorded by
   graft.Bench), the per-query effective tolerance becomes
-  max(--per-query-tol, min(--band-cap, band)) with band the larger of
-  the two details' recorded spreads for that query. A query that
+  max(--per-query-tol, min(--band-cap, band)) with band the BASELINE
+  (prev) detail's recorded spread for that query — never the new
+  detail's, which a fresh regression could inflate to waive itself
+  (advice r16); a pre-instrument baseline falls back to the new
+  detail's spreads with a printed warning. A query that
   measurably swings x2.8 on identical plans (the embedding family's
   box-state variance, attributed r15) no longer needs a prose
   allowlist entry — its own instrument-recorded noise widens its
@@ -139,11 +142,24 @@ def main():
     # -- per-query warm-vs-warm lock ----------------------------------
     # effective tolerance per query: the base tol, widened to the
     # query's own instrument-recorded variance band (capped)
+    # The band comes from the BASELINE (prev) detail's recorded spread
+    # only: a code change that makes a query intermittently slower
+    # would inflate its own new-detail spread and thereby widen the
+    # very lock meant to catch it (advice r16 — the max(prev, new)
+    # version was self-waiving). A pre-instrument baseline (no
+    # queries_warm_spread key at all) falls back to the new detail's
+    # spreads — the only variance data that exists for that pair —
+    # and says so.
     spread_new = new.get("queries_warm_spread", {})
-    spread_prev = prev.get("queries_warm_spread", {})
+    spread_prev = prev.get("queries_warm_spread")
+    if spread_prev is None and spread_new:
+        print("note: baseline detail records no variance bands; "
+              "falling back to the NEW detail's (weaker: a regression "
+              "can widen its own band)")
+    spread = spread_prev if spread_prev is not None else spread_new
 
     def tol_for(q):
-        band = max(spread_new.get(q, 1.0), spread_prev.get(q, 1.0))
+        band = spread.get(q, 1.0)
         return max(a.per_query_tol, min(a.band_cap, band))
 
     per_bad = []
