@@ -384,16 +384,95 @@ object GraphStore {
     * are ≤ nBuckets driver digests, never corpus collects.
     */
   def delete(spark: SparkSession, name: String, delIds: DataFrame,
-      idCol: String): Unit = {
+      idCol: String): Unit =
+    upsertImpl(spark, name, None, Some(delIds), idCol)
+
+  /** Upsert — replace-or-insert `embs` and take down `delIds` in ONE
+    * generation advance per part (the [[Index.upsert]] shape on the
+    * graph artifact, r16 verdict #1: the CDC feed used to run
+    * [[delete]] then [[append]] as TWO commit rounds, and the crash
+    * window between them served a graph missing the re-embedded keys
+    * until the replay converged it). Semantics: every id in
+    * `embs` ∪ `delIds` leaves the graph — its own rows, its block
+    * membership, its appearances in other sources' top-k — then
+    * `embs` is assigned at the STORED centroids and merged; the
+    * result equals a fixed-centroid rebuild over
+    * (corpus \ (embs.ids ∪ delIds)) ∪ embs (GraphStoreSpec proves
+    * it; `q_pipe_cdc_graph` proves it end-to-end). Edge derivation
+    * fuses [[delete]]'s survivor re-rank with [[append]]'s merge:
+    *
+    *  - survivors that LOST a stored neighbor re-rank from their full
+    *    candidate set (kept ∪ new blocks) — exact, and it already
+    *    sees the ingested vectors;
+    *  - survivors that only GAINED candidates merge their stored
+    *    top-k (unrounded `cos_raw`) with the new pairs —
+    *    topk(A∪B) ⊆ topk(A) ∪ B;
+    *  - ingested sources take the top-k of their full candidate set;
+    *  - every other source keeps its stored rows, and untouched
+    *    bucket FILES hard-link into the fresh generation
+    *    byte-identical ([[delete]]'s pruning, extended with the
+    *    ingest's own buckets).
+    *
+    * Replay-idempotent WITHOUT markers (the [[Index.upsert]]
+    * argument): a replayed upsert removes exactly the ids it itself
+    * ingested and re-derives the same rows at the same fixed
+    * centroids — survivors that now hold an ingested id in their
+    * top-k re-enter the full re-rank, so the stored-row merge never
+    * sees a pair twice (GraphStoreSpec's CDC case proves
+    * stream + replay == the one-batch application).
+    */
+  def upsert(spark: SparkSession, name: String, embs: DataFrame,
+      idCol: String, vecCol: String, seedCol: String,
+      delIds: Option[DataFrame] = None, delCol: String = "id"): Unit =
+    upsertImpl(spark, name, Some((embs, idCol, vecCol, seedCol)), delIds,
+      delCol)
+
+  /** The one removal+ingest commit path behind [[upsert]] AND
+    * [[delete]] (delete is its empty-ingest specialization — the
+    * [[Index.upsertImpl]] discipline). Phase 1 stages the three
+    * bucket-pruned rewrites concurrently into fresh sibling dirs
+    * while the catalog still serves the old generation — a crash
+    * anywhere in phase 1 leaves the served graph untouched; phase 2
+    * swaps the catalog over the complete fresh dirs and sweeps the
+    * old ones.
+    */
+  private def upsertImpl(spark: SparkSession, name: String,
+      ingest: Option[(DataFrame, String, String, String)],
+      delIds: Option[DataFrame], delCol: String): Unit = {
     val metaRow = spark.table(part(name, "meta")).collect()(0)
     val (k, massign, nBuckets) = (metaRow.getAs[Int]("k"),
       metaRow.getAs[Int]("massign"), metaRow.getAs[Int]("nBuckets"))
-    // explicit persist + finally-unpersist: GraphStream.retract calls
-    // this once per micro-batch with batch-unique plans (self-review
-    // r13 — the CounterStore-family cache discipline)
-    val del =
-      delIds.select(col(idCol).cast("long").as("__del")).distinct().persist()
+    // removal set: every ingested id leaves first (an upsert of a
+    // graphed id must REPLACE its vector), plus the explicit
+    // tombstones. Explicit persist + finally-unpersist: the streaming
+    // feeds call this once per micro-batch with batch-unique plans
+    // (self-review r13 — the CounterStore-family cache discipline).
+    val removalSrcs =
+      ingest.map { case (df, ic, _, _) =>
+        df.select(col(ic).cast("long").as("__del")) }.toSeq ++
+      delIds.map(_.select(col(delCol).cast("long").as("__del"))).toSeq
+    if (removalSrcs.isEmpty) return
+    val del = removalSrcs.reduce(_ unionByName _).distinct().persist()
+    val ingestBase = ingest.map { case (df, ic, vc, _) => baseOf(df, ic, vc) }
     try {
+      // UNIQUE-id precondition on the ingest frame, enforced (advice
+      // r16, the [[Index.upsertImpl]] twin): two ingest rows for one
+      // id would both land in blocks and double-appear as candidates.
+      // Multi-version batches LWW-collapse first
+      // ([[graft.streaming.GraphStream.applyChanges]]).
+      ingestBase.foreach { b =>
+        val dup = b.groupBy(col("id")).agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"upsert ingest contains duplicate ids (e.g. ${dup.headOption
+            .map(_.get(0)).getOrElse("")}) — collapse to one row per " +
+            "id (last-writer-wins) before upserting")
+      }
+      // a present-but-empty ingest frame is a pure takedown (the
+      // r16 verdict-#2 discipline: no empty delta staging)
+      val hasIngest = ingestBase.exists(b => !b.isEmpty)
+      if (!hasIngest && del.isEmpty) return
+      val cents = spark.table(part(name, "cents"))
       val edgesTbl = part(name, "edges")
       val blocksTbl = part(name, "blocks")
       val labelsTbl = part(name, "labels")
@@ -402,40 +481,99 @@ object GraphStore {
       val blocks = spark.read.parquet(blocksDir.toString)
       val keptBlocks =
         blocks.join(del, blocks("id") === col("__del"), "left_anti").persist()
+      // the ingest delta's assignments at the STORED centroids —
+      // [[append]]'s fixed-parameter contract
+      val newBlocks = if (hasIngest) Some(Caching.cachedOnce(
+        Similarity.assignToNearest(ingestBase.get, cents, massign)
+          .join(ingestBase.get, "id")
+          .select(col("cl"), col("id"), col("v"), col("nrm")))) else None
       val stored = spark.read.parquet(edgesDir.toString)
       val survivors = stored
         .join(del, stored("src_id") === col("__del"), "left_anti")
+      // survivors that LOST a stored neighbor — full re-rank
       val touched = survivors
         .join(del, survivors("neighbor_id") === col("__del"), "left_semi")
         .select(col("src_id")).distinct().persist()
+      // survivors that only GAINED candidates from the ingest —
+      // stored-top-k ∪ new-pairs merge (disjoint from `touched`)
+      def dstSide(df: DataFrame) = df.select(col("cl"),
+        col("id").as("neighbor_id"), col("v"), col("nrm"))
+      def srcSide(df: DataFrame) = df.select(col("cl"),
+        col("id").as("src_id"), col("v").as("sv"), col("nrm").as("snrm"))
+      def cos = (Vectors.dot(col("sv"), col("v"))
+        / (col("snrm") * col("nrm"))).as("cos")
+      val oldNewDedup = newBlocks.map { nb =>
+        val p = srcSide(keptBlocks).join(dstSide(nb), Seq("cl"))
+          .filter(col("src_id") =!= col("neighbor_id"))
+          .select(col("src_id"), col("neighbor_id"), cos)
+        Caching.cachedOnce(if (massign > 1) p.distinct() else p)
+      }
+      val gainedOnly = oldNewDedup.map(p =>
+        p.select(col("src_id")).distinct()
+          .join(touched, Seq("src_id"), "left_anti").persist())
       try {
-        def cos = (Vectors.dot(col("sv"), col("v"))
-          / (col("snrm") * col("nrm"))).as("cos")
+        // full candidate set: kept blocks ∪ the ingest's assignments
+        val allDst = newBlocks
+          .map(nb => dstSide(keptBlocks).unionByName(dstSide(nb)))
+          .getOrElse(dstSide(keptBlocks))
         val srcBlocks = keptBlocks
           .join(touched, keptBlocks("id") === touched("src_id"), "left_semi")
-        val pairs = srcBlocks.select(col("cl"), col("id").as("src_id"),
-            col("v").as("sv"), col("nrm").as("snrm"))
-          .join(keptBlocks.select(col("cl"), col("id").as("neighbor_id"),
-            col("v"), col("nrm")), Seq("cl"))
+        val pairs = srcSide(srcBlocks).join(allDst, Seq("cl"))
           .filter(col("src_id") =!= col("neighbor_id"))
           .select(col("src_id"), col("neighbor_id"), cos)
         val reranked = Similarity.knnRankPairs(pairs, k, dedup = massign > 1)
+        // gained-only survivors: stored rows (all still valid — no
+        // lost neighbor) merged with the new pairs on the unrounded
+        // ranking key; stored rows and new pairs are disjoint sets
+        val merged = (oldNewDedup, gainedOnly) match {
+          case (Some(onp), Some(g)) =>
+            Some(Similarity.knnRankPairs(
+              stored.join(g, Seq("src_id"), "left_semi")
+                .select(col("src_id"), col("neighbor_id"),
+                  col("cos_raw").as("cos"))
+                .unionByName(onp.join(g, Seq("src_id"), "left_semi")),
+              k, dedup = false))
+          case _ => None
+        }
+        // ingested sources: top-k of their full candidate set
+        val newEdges = newBlocks.map { nb =>
+          Similarity.knnRankPairs(
+            srcSide(nb).join(allDst, Seq("cl"))
+              .filter(col("src_id") =!= col("neighbor_id"))
+              .select(col("src_id"), col("neighbor_id"), cos),
+            k, dedup = massign > 1)
+        }
+        val newLabels = ingest.map { case (df, ic, _, sc) =>
+          df.select(col(ic).cast("long").as("id"),
+            col(sc).cast("long").as("label"))
+        }.filter(_ => hasIngest)
 
         val dir = edgesDir.getParent.toString
+        val tag = if (hasIngest) "u" else "d"
         def fresh(p: String) =
-          s"${p}_d${java.util.UUID.randomUUID().toString.take(8)}"
+          s"${p}_$tag${java.util.UUID.randomUUID().toString.take(8)}"
         def bucketOf(c: org.apache.spark.sql.Column) =
           pmod(hash(c), lit(nBuckets))
-        // per-part touched-bucket digests (≤ nBuckets values each)
+        // per-part touched-bucket digests (≤ nBuckets values each);
+        // the ingest's own ids/clusters join the touched sets, so
+        // every staged row hashes into a rewritten bucket
         def bktSet(df: DataFrame): Set[Int] =
           df.distinct().collect().map(_.getInt(0)).toSet
         val edgeBkts = bktSet(
-          del.select(bucketOf(col("__del")).as("b")).unionByName(
-            touched.select(bucketOf(col("src_id")).as("b"))))
-        val labelBkts = bktSet(del.select(bucketOf(col("__del")).as("b")))
+          (Seq(del.select(bucketOf(col("__del")).as("b")),
+            touched.select(bucketOf(col("src_id")).as("b"))) ++
+          gainedOnly.map(_.select(bucketOf(col("src_id")).as("b"))) ++
+          newBlocks.map(_.select(bucketOf(col("id")).as("b"))))
+            .reduce(_ unionByName _))
+        val labelBkts = bktSet(
+          (Seq(del.select(bucketOf(col("__del")).as("b"))) ++
+          newBlocks.map(_.select(bucketOf(col("id")).as("b"))))
+            .reduce(_ unionByName _))
         val blockBkts = bktSet(
-          blocks.join(del, blocks("id") === col("__del"), "left_semi")
-            .select(bucketOf(col("cl")).as("b")))
+          (Seq(blocks.join(del, blocks("id") === col("__del"), "left_semi")
+            .select(bucketOf(col("cl")).as("b"))) ++
+          newBlocks.map(_.select(bucketOf(col("cl")).as("b"))))
+            .reduce(_ unionByName _))
         // untagged files join the REWRITE read-set (never silently
         // kept or row-filtered away); kept files hard-link
         // byte-identical
@@ -455,45 +593,59 @@ object GraphStore {
           val stageTbl = s"${part(name, p)}_stage_${newName.takeRight(8)}"
           Bucketing.writeBucketed(df, stageTbl, key, nBuckets,
             Some(s"$dir/$newName"))
-          spark.sql(s"DROP TABLE $stageTbl")
+          spark.sql(s"DROP TABLE ${ArtifactFiles.ident(stageTbl)}")
         }
-        // phase 1, CONCURRENT: the pruned rewrites land in fresh dirs
-        // through throwaway stage tables — the real catalog entries
-        // still serve the old generation, so a crash here leaves the
-        // served graph intact (orphans swept by the next build)
+        // phase 1, CONCURRENT: the pruned rewrites (removal + ingest
+        // fused per part) land in fresh dirs through throwaway stage
+        // tables — the real catalog entries still serve the old
+        // generation, so a crash here leaves the served graph intact
+        // (orphans swept by the next build)
         Par.jobs(Seq(
-          () => if (rewE.nonEmpty) {
-            // rows of the touched edge files whose src neither died
-            // nor re-ranks, plus every re-ranked src's fresh top-k
-            val t = readFiles(rewE)
-            stageWrite(
-              t.join(del, t("src_id") === col("__del"), "left_anti")
+          () => if (rewE.nonEmpty || hasIngest) {
+            // rows of the touched edge files whose src neither died,
+            // re-ranks nor merges, plus the recomputed top-ks
+            val kept = if (rewE.isEmpty) None else Some {
+              val t = readFiles(rewE)
+              val k0 = t.join(del, t("src_id") === col("__del"), "left_anti")
                 .join(touched, Seq("src_id"), "left_anti")
-                .unionByName(reranked),
+              gainedOnly.map(g => k0.join(g, Seq("src_id"), "left_anti"))
+                .getOrElse(k0)
+            }
+            stageWrite(
+              (kept.toSeq ++ Seq(reranked) ++ merged.toSeq ++ newEdges.toSeq)
+                .reduce(_ unionByName _),
               "edges", "src_id", eNew)
           },
-          () => if (rewB.nonEmpty) {
-            val t = readFiles(rewB)
-            stageWrite(t.join(del, t("id") === col("__del"), "left_anti"),
-              "blocks", "cl", bNew)
+          () => if (rewB.nonEmpty || hasIngest) {
+            val kept = if (rewB.isEmpty) None else Some {
+              val t = readFiles(rewB)
+              t.join(del, t("id") === col("__del"), "left_anti")
+            }
+            stageWrite((kept.toSeq ++ newBlocks.toSeq)
+              .reduce(_ unionByName _), "blocks", "cl", bNew)
           },
-          () => if (rewL.nonEmpty) {
-            val t = readFiles(rewL)
-            stageWrite(t.join(del, t("id") === col("__del"), "left_anti"),
-              "labels", "id", lNew)
+          () => if (rewL.nonEmpty || hasIngest) {
+            val kept = if (rewL.isEmpty) None else Some {
+              val t = readFiles(rewL)
+              t.join(del, t("id") === col("__del"), "left_anti")
+            }
+            stageWrite((kept.toSeq ++ newLabels.toSeq)
+              .reduce(_ unionByName _), "labels", "id", lNew)
           }))
         ArtifactFiles.linkFiles(keptE, java.nio.file.Paths.get(dir, eNew))
         ArtifactFiles.linkFiles(keptB, java.nio.file.Paths.get(dir, bNew))
         ArtifactFiles.linkFiles(keptL, java.nio.file.Paths.get(dir, lNew))
         // phase 2: catalog swaps over the COMPLETE fresh dirs, then
-        // the old dirs go
+        // the old dirs go — one generation advance per part
         attachBucketed(spark, edgesTbl, "src_id", nBuckets, s"$dir/$eNew")
         attachBucketed(spark, blocksTbl, "cl", nBuckets, s"$dir/$bNew")
         attachBucketed(spark, labelsTbl, "id", nBuckets, s"$dir/$lNew")
         Seq(edgesDir, blocksDir, labelsDir)
           .foreach(ArtifactFiles.deleteRecursively)
-      } finally { touched.unpersist(); keptBlocks.unpersist() }
-    } finally del.unpersist()
+      } finally { touched.unpersist(); keptBlocks.unpersist()
+        gainedOnly.foreach(_.unpersist()); oldNewDedup.foreach(_.unpersist())
+        newBlocks.foreach(_.unpersist()) }
+    } finally { del.unpersist(); ingestBase.foreach(_.unpersist()) }
   }
 
   /** (Re-)create the catalog entry of a bucketed part over `location`

@@ -68,22 +68,20 @@ object GraphStream {
     *
     *  1. within-batch LWW — several changes to one key collapse to
     *     the batch's (ts, seq)-winner;
-    *  2. [[GraphStore.delete]] of EVERY winner key (an upsert of a
-    *     graphed id must replace its vector — its own edges AND its
-    *     appearances in other sources' top-k; an unknown key's
-    *     removal is a no-op), then [[GraphStore.append]] of the
-    *     non-tombstone winners at the stored centroids.
+    *  2. ONE [[GraphStore.upsert]]: every winner key leaves the graph
+    *     (an upsert of a graphed id must replace its vector — its own
+    *     edges AND its appearances in other sources' top-k; an
+    *     unknown key's removal is a no-op) and the non-tombstone
+    *     winners merge in at the stored centroids, fused into a
+    *     single generation advance per part (r16 verdict #1 — the
+    *     former delete-then-append pair left a crash window that
+    *     served a graph missing the re-embedded keys until replay).
     *
-    * Unlike the index artifacts this is TWO commits per batch (the
-    * graph's edge merge has no single-swap upsert path — a fused
-    * rewrite would re-derive delete's re-rank and append's merge in
-    * one pass for no semantic gain): the crash window between them
-    * degrades to "re-embedded key absent until the replay", and the
-    * replay CONVERGES — delete of already-absent ids touches no
-    * source, append's idempotence gate drops already-present ids, so
-    * a redelivered epoch lands on exactly the merged state
-    * (GraphStoreSpec proves stream + replay == the one-batch
-    * application). Applying batches in log order IS last-writer-wins.
+    * Replay CONVERGES without markers: a redelivered epoch removes
+    * exactly the keys it itself upserted and re-derives the same
+    * rows at the same fixed centroids (GraphStoreSpec proves
+    * stream + replay == the one-batch application). Applying batches
+    * in log order IS last-writer-wins.
     */
   def applyChanges(changes: DataFrame, keyCol: String, opCol: String,
       vecCol: String, seedCol: String, graphName: String,
@@ -102,14 +100,14 @@ object GraphStream {
           val winners = batch.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn").persist()
           try {
-            GraphStore.delete(s, graphName,
-              winners.select(col(keyCol)), keyCol)
             val ups = winners
               .filter(col(opCol) =!= graft.cdc.ChangeOp.Delete)
               .select(col(keyCol), col(vecCol), col(seedCol))
-            if (!ups.isEmpty)
-              GraphStore.append(s, graphName, ups, keyCol, vecCol,
-                seedCol)
+            val tombs = winners
+              .filter(col(opCol) === graft.cdc.ChangeOp.Delete)
+              .select(col(keyCol))
+            GraphStore.upsert(s, graphName, ups, keyCol, vecCol,
+              seedCol, delIds = Some(tombs), delCol = keyCol)
             autoCompactFiles.foreach(
               GraphStore.maybeCompact(s, graphName, _))
           } finally winners.unpersist()

@@ -434,6 +434,131 @@ class GraphStoreSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().sorted.toSeq == rebuilt)
   }
 
+  test("upsert fuses delete+append into ONE generation advance per part; equals the two-call twin AND the fixed-centroid rebuild; kept files byte-identical (verdict r16 #1)") {
+    val dirA = tmpBase("upsa"); val dirB = tmpBase("upsb")
+    val even = embs.filter(col("vec_id") % 2 === 0)
+    for ((n, d) <- Seq("g_upa" -> dirA, "g_upb" -> dirB))
+      GraphStore.build(spark, even, "vec_id", "embedding", "label",
+        n, k = 4, iters = 2, massign = 2, nBuckets = 4,
+        baseDir = Some(d))
+    val vecOf = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // re-embed graphed id 0 (donor 1), insert new id 7 (donor 8),
+    // tombstone id 6 — one batch exercising all three CDC shapes
+    val ups = Seq((0L, vecOf(1L), 0L), (7L, vecOf(8L), 7L))
+      .toDF("vec_id", "embedding", "label")
+    val tomb = Seq(6L).toDF("vec_id")
+    val gdirA = s"$dirA/g_upa"
+    val beforeFiles = Seq("edges", "blocks", "labels")
+      .map(p => p -> fileHashes(s"$gdirA/$p")).toMap
+
+    GraphStore.upsert(spark, "g_upa", ups, "vec_id", "embedding",
+      "label", delIds = Some(tomb), delCol = "vec_id")
+    // the two-call twin: the pre-fusion CDC feed's delete-then-append
+    GraphStore.delete(spark, "g_upb", Seq(0L, 6L, 7L).toDF("vec_id"),
+      "vec_id")
+    GraphStore.append(spark, "g_upb", ups, "vec_id", "embedding",
+      "label")
+
+    def edgesOf(n: String) = GraphStore.edges(spark, n)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(edgesOf("g_upa").nonEmpty &&
+      edgesOf("g_upa") == edgesOf("g_upb"))
+    def classifyOf(n: String) = GraphStore.classify(spark, n)
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(classifyOf("g_upa") == classifyOf("g_upb"))
+    // ...and the stronger law: a fixed-centroid rebuild over the
+    // merged corpus (evens minus {0,6} plus 0→vec(1), 7→vec(8))
+    val merged = even.filter(!col("vec_id").isin(0L, 6L))
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .unionByName(Seq((0L, vecOf(1L)), (7L, vecOf(8L)))
+        .toDF("id", "emb"))
+    val base = merged.select(col("id"),
+        Vectors.toDouble(col("emb")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val rebuilt = Similarity.knnGraphAt(base,
+        spark.table("g_upa_cents"), k = 4, massign = 2)
+      .select(col("src_id"), col("rank"), col("neighbor_id"),
+        col("cos_micros"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(edgesOf("g_upa") == rebuilt)
+    // ONE generation advance per part: exactly one dir per part,
+    // freshly `_u`-tagged — not delete's `_d` followed by append's
+    // `_a` (the two-commit crash window this fusion closes)
+    val dirsAfter = Files.list(java.nio.file.Paths.get(gdirA))
+      .iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+    for (p <- Seq("edges", "blocks", "labels")) {
+      val of = dirsAfter.filter(d => d == p || d.startsWith(s"${p}_"))
+      assert(of.size == 1 && of.head.startsWith(s"${p}_u"),
+        s"$p advanced ${of.mkString(",")} — expected one _u generation")
+    }
+    // kept bucket files hard-link byte-identical: every file name
+    // surviving into the fresh generation carries its exact bytes
+    for (p <- Seq("edges", "blocks", "labels")) {
+      val newDir = dirsAfter.find(_.startsWith(s"${p}_u")).get
+      val after = fileHashes(s"$gdirA/$newDir")
+      val common = beforeFiles(p).keySet intersect after.keySet
+      for (n <- common)
+        assert(beforeFiles(p)(n) == after(n),
+          s"$p kept file $n changed bytes")
+    }
+  }
+
+  test("a crashed upsert attempt (phase-1 failure) leaves the served graph untouched; the retry lands the merged state") {
+    val dir = tmpBase("upsc")
+    val even = embs.filter(col("vec_id") % 2 === 0)
+    GraphStore.build(spark, even, "vec_id", "embedding", "label",
+      "g_upc", k = 4, iters = 1, massign = 2, nBuckets = 4,
+      baseDir = Some(dir))
+    val vecOf = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val before = GraphStore.edges(spark, "g_upc")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    // poison the SEED column: only the labels staging write evaluates
+    // it, so the failure fires INSIDE phase 1 — after the removal/
+    // ingest derivation, possibly after sibling parts staged — the
+    // worst-case crash point for the old two-commit feed
+    val boom = udf((l: Long) =>
+      { if (l >= 0) sys.error("injected phase-1 crash"); l })
+    val ups = Seq((0L, vecOf(1L), 0L), (7L, vecOf(8L), 7L))
+      .toDF("vec_id", "embedding", "label")
+    intercept[Exception] {
+      GraphStore.upsert(spark, "g_upc",
+        ups.withColumn("label", boom(col("label"))),
+        "vec_id", "embedding", "label",
+        delIds = Some(Seq(6L).toDF("vec_id")), delCol = "vec_id")
+    }
+    // crashed-attempt invisibility: the catalog still serves the old
+    // generation in full — no key missing, no half-applied removal
+    val served = GraphStore.edges(spark, "g_upc")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(served == before)
+    // the retried batch (the at-least-once contract) lands the whole
+    // merged state
+    GraphStore.upsert(spark, "g_upc", ups, "vec_id", "embedding",
+      "label", delIds = Some(Seq(6L).toDF("vec_id")), delCol = "vec_id")
+    val merged = even.filter(!col("vec_id").isin(0L, 6L))
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .unionByName(Seq((0L, vecOf(1L)), (7L, vecOf(8L)))
+        .toDF("id", "emb"))
+    val base = merged.select(col("id"),
+        Vectors.toDouble(col("emb")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val rebuilt = Similarity.knnGraphAt(base,
+        spark.table("g_upc_cents"), k = 4, massign = 2)
+      .select(col("src_id"), col("rank"), col("neighbor_id"),
+        col("cos_micros"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val after = GraphStore.edges(spark, "g_upc")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(after.nonEmpty && after == rebuilt)
+  }
+
   test("CDC feed (X159): micro-batched upserts/tombstones + a replay equal the fixed-centroid rebuild over the merged state") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
