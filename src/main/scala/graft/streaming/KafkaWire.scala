@@ -44,8 +44,12 @@ import graft.cdc.{Routing, Transform, Transforms}
   * behave. Produce requests are LEADER-ROUTED (r16): the Metadata v1
   * exchange on the bootstrap broker reports every partition's leader
   * node and every node's advertised address; each task groups its
-  * batches by leader and opens one connection per (task, leader) —
-  * the same per-task fan-out a stock producer's NetworkClient keeps.
+  * batches by leader and exchanges with each leader over the
+  * executor's POOLED connection to it (r17) — one cached socket per
+  * (executor, broker), invalidated on failure and re-dialed through
+  * fresh metadata, the same (node → channel) cache a stock
+  * producer's NetworkClient keeps. A long-running [[wireSink]] thus
+  * dials each broker once, not once per trigger.
   * A topic missing from the Metadata response or a partition with no
   * elected leader fails the task loudly (advice r15: silently
   * assuming 1 partition pinned records to partition 0, breaking
@@ -215,6 +219,79 @@ object KafkaWire {
     b
   }
 
+  // ------------------------------------------------ connection pool
+
+  /** One live broker connection: socket + streams + its own monotonic
+    * correlation-id counter (corrIds are a per-connection protocol
+    * sequence; a shared counter across sockets would be harmless but
+    * non-standard). All request/response exchanges on a connection
+    * run under its lock — concurrent `foreachPartition` tasks of one
+    * executor share pooled connections, and interleaving two frames
+    * on one socket would corrupt both.
+    */
+  private final class Conn(val host: String, val port: Int) {
+    val sock = new Socket(host, port)
+    sock.setTcpNoDelay(true)
+    val out = new DataOutputStream(sock.getOutputStream)
+    val in = new DataInputStream(sock.getInputStream)
+    private var corrId = 0
+    def nextCorr(): Int = { corrId += 1; corrId }
+    def close(): Unit =
+      try sock.close() catch { case _: java.io.IOException => () }
+  }
+
+  /** Per-JVM (= per-executor) broker-connection cache keyed by
+    * advertised address — the NetworkClient shape (r16 verdict #3): a
+    * long-running [[wireSink]] re-used to open one Metadata exchange
+    * AND one socket per leader per trigger, doubling broker accept
+    * load at high trigger rates. Now a trigger's publish reuses the
+    * executor's open sockets; a connection is invalidated (closed +
+    * dropped) on ANY failure during its exchange — IO errors leave
+    * the stream mid-frame, and a produce error aborts the response
+    * parse — so the caller's retry dials fresh through fresh
+    * metadata.
+    */
+  private object ConnPool {
+    private val conns =
+      scala.collection.concurrent.TrieMap.empty[(String, Int), Conn]
+
+    @scala.annotation.tailrec
+    def withConn[A](host: String, port: Int)(f: Conn => A): A = {
+      val c = conns.getOrElseUpdate((host, port), new Conn(host, port))
+      // a pooled connection another thread invalidated between our
+      // lookup and lock arrives here closed: dial a replacement
+      val r: Option[A] = c.synchronized {
+        if (c.sock.isClosed) { conns.remove((host, port), c); None }
+        else Some(
+          try f(c)
+          catch {
+            case e: Throwable =>
+              conns.remove((host, port), c); c.close(); throw e
+          })
+      }
+      r match {
+        case Some(a) => a
+        case None => withConn(host, port)(f)
+      }
+    }
+
+    def clear(): Unit = {
+      conns.values.foreach(_.close()); conns.clear()
+    }
+  }
+
+  /** Test/operational hook: drop every pooled broker connection. */
+  private[graft] def poolClear(): Unit = ConnPool.clear()
+
+  /** Produce error codes a fresh-metadata redial can cure:
+    * LEADER_NOT_AVAILABLE (5), NOT_LEADER_FOR_PARTITION (6) — the
+    * partition moved; the current metadata is stale, not the batch.
+    */
+  private val RetriableProduceErrors: Set[Short] = Set(5, 6)
+
+  private[graft] final class RetriableProduceError(msg: String)
+    extends RuntimeException(msg)
+
   // ---------------------------------------------------- metadata v1
 
   /** Buffer-sizing twin of putString: UTF-8 BYTES, not UTF-16 chars —
@@ -247,11 +324,11 @@ object KafkaWire {
 
   /** One Metadata v1 round trip on the bootstrap connection. */
   private def clusterMeta(out: DataOutputStream, in: DataInputStream,
-      clientId: String, topics: Seq[String]): ClusterMeta = {
+      clientId: String, topics: Seq[String], corrId: Int): ClusterMeta = {
     val body = ByteBuffer.allocate(4 + topics.map(strLen).sum)
     body.putInt(topics.size)
     topics.foreach(putString(body, _))
-    val resp = exchange(out, in, framed(3, 1, 1, clientId, body), 1)
+    val resp = exchange(out, in, framed(3, 1, corrId, clientId, body), corrId)
     val nBrokers = resp.getInt
     val brokers = (0 until nBrokers).map { _ =>
       val node = resp.getInt
@@ -321,7 +398,15 @@ object KafkaWire {
         val err = resp.getShort
         val baseOffset = resp.getLong
         resp.getLong // log_append_time
-        require(err == 0, s"produce error $err on $topic/$partition")
+        if (err != 0) {
+          val msg = s"produce error $err on $topic/$partition"
+          // stale-leader codes are cured by a fresh-metadata redial
+          // (the caller retries once); anything else fails the batch
+          // loud (at-least-once: the epoch replays)
+          if (RetriableProduceErrors(err))
+            throw new RetriableProduceError(msg)
+          else throw new IllegalArgumentException(msg)
+        }
         (topic, partition) -> baseOffset
       }
     }.toMap
@@ -347,13 +432,13 @@ object KafkaWire {
       timestampMs: Long, clientId: String = "graft-wire",
       timeoutMs: Int = 30000): Map[(String, Int), Long] = {
     if (records.isEmpty) return Map.empty
-    val sock = new Socket(host, port)
-    try {
-      sock.setTcpNoDelay(true)
-      val out = new DataOutputStream(sock.getOutputStream)
-      val in = new DataInputStream(sock.getInputStream)
-      val topics = records.map(_._3).distinct
-      val meta = clusterMeta(out, in, clientId, topics)
+    val topics = records.map(_._3).distinct
+    def attempt(): Map[(String, Int), Long] = {
+      // fresh metadata on the POOLED bootstrap connection — no dial
+      // on the steady path; a broken pooled socket re-dials inside
+      // the pool
+      val meta = ConnPool.withConn(host, port)(c =>
+        clusterMeta(c.out, c.in, clientId, topics, c.nextCorr()))
       topics.foreach { t =>
         require(meta.partitions.contains(t),
           s"metadata response omits topic '$t' — cannot place records " +
@@ -383,27 +468,30 @@ object KafkaWire {
           s"no elected leader for routed partition $t/$p — retry " +
             "after leader election (at-least-once: the batch replays)")
       }
-      // route each batch to its partition's leader; one connection +
-      // one Produce per leader (corrIds stay per-connection)
+      // route each batch to its partition's leader; one POOLED
+      // connection + one Produce per leader (corrIds are
+      // per-connection; the bootstrap connection is shared when it
+      // leads)
       val byLeader = batches.groupBy { case (tp, _) => meta.leaders(tp) }
-      byLeader.toSeq.sortBy(_._1).zipWithIndex.flatMap {
-        case ((leader, lb), i) =>
-          val (lh, lp) = meta.brokers.getOrElse(leader,
-            throw new IllegalArgumentException(
-              s"metadata names leader $leader but lists no such broker"))
-          if (lh == host && lp == port)
-            produce(out, in, clientId, 2 + i, lb, timeoutMs)
-          else {
-            val ls = new Socket(lh, lp)
-            try {
-              ls.setTcpNoDelay(true)
-              produce(new DataOutputStream(ls.getOutputStream),
-                new DataInputStream(ls.getInputStream), clientId, 2,
-                lb, timeoutMs)
-            } finally ls.close()
-          }
+      byLeader.toSeq.sortBy(_._1).flatMap { case (leader, lb) =>
+        val (lh, lp) = meta.brokers.getOrElse(leader,
+          throw new IllegalArgumentException(
+            s"metadata names leader $leader but lists no such broker"))
+        ConnPool.withConn(lh, lp)(c =>
+          produce(c.out, c.in, clientId, c.nextCorr(), lb, timeoutMs))
       }.toMap
-    } finally sock.close()
+    }
+    try attempt()
+    catch {
+      // stale leadership or a dead pooled socket: the failing
+      // connection was invalidated by the pool — ONE retry through
+      // fresh metadata re-dials the (possibly moved) leaders.
+      // At-least-once: leaders that already acked this attempt's
+      // batches see them again on the retry, exactly like a replayed
+      // epoch. Anything non-retriable (hard produce error, metadata
+      // require) propagates — the stream's own replay handles it.
+      case _: RetriableProduceError | _: java.io.IOException => attempt()
+    }
   }
 
   /** Publish a [[Sink.kafkaFrame]]-shaped frame ((key, value, topic)

@@ -45,9 +45,15 @@ class KafkaWireSpec extends AnyFunSuite {
   private class ScriptedBroker(nPartitions: Int,
       meta: Option[() => (Seq[(Int, String, Int)], Int => Int)] = None,
       omitTopics: Boolean = false,
-      partScript: Option[Int => (Short, Int)] = None) {
+      partScript: Option[Int => (Short, Int)] = None,
+      produceScript: Option[Int => Short] = None) {
     val server = new ServerSocket(0)
     val produced = mutable.ArrayBuffer.empty[Produced]
+    // connection/request counters — pin the pooled-connection
+    // contract (one dial per broker, metadata refresh on retry)
+    val accepted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val metaServed = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val produceReqs = new java.util.concurrent.atomic.AtomicInteger(0)
     @volatile private var running = true
     private var offset = 0L
 
@@ -64,6 +70,7 @@ class KafkaWireSpec extends AnyFunSuite {
       try {
         while (running) {
           val sock = server.accept()
+          accepted.incrementAndGet()
           val in = new DataInputStream(sock.getInputStream)
           val out = new DataOutputStream(sock.getOutputStream)
           try {
@@ -79,6 +86,7 @@ class KafkaWireSpec extends AnyFunSuite {
               apiKey match {
                 case 3 => // Metadata v1
                   assert(apiVersion == 1)
+                  metaServed.incrementAndGet()
                   val n = b.getInt
                   val topics = (0 until n).map(_ => readString(b))
                   val (brokers, leaderFor) = meta.map(_()).getOrElse(
@@ -112,6 +120,11 @@ class KafkaWireSpec extends AnyFunSuite {
                   out.write(resp.array(), 0, resp.position()); out.flush()
                 case 0 => // Produce v3
                   assert(apiVersion == 3)
+                  // produceScript errors the whole request (per its
+                  // index) WITHOUT storing — scripts a stale-leader
+                  // NACK whose batch must land on the retry
+                  val reqErr = produceScript.map(_(produceReqs
+                    .getAndIncrement())).getOrElse(0: Short)
                   val txn = b.getShort; if (txn > 0) b.position(b.position() + txn)
                   b.getShort // acks
                   b.getInt   // timeout
@@ -123,7 +136,7 @@ class KafkaWireSpec extends AnyFunSuite {
                       val partition = b.getInt
                       val len = b.getInt
                       val batch = new Array[Byte](len); b.get(batch)
-                      produced.synchronized {
+                      if (reqErr == 0) produced.synchronized {
                         produced += Produced(topic, partition, batch)
                       }
                       val base = offset
@@ -137,7 +150,7 @@ class KafkaWireSpec extends AnyFunSuite {
                   acks.foreach { case (t, ps) =>
                     putString(resp, t); resp.putInt(ps.size)
                     ps.foreach { case (p, base) =>
-                      resp.putInt(p); resp.putShort(0)
+                      resp.putInt(p); resp.putShort(reqErr)
                       resp.putLong(base); resp.putLong(-1L)
                     }
                   }
@@ -283,6 +296,73 @@ class KafkaWireSpec extends AnyFunSuite {
       assert(offsets.keySet ==
         (gotA ++ gotB).map(p => (p.topic, p.partition)).toSet)
     } finally { bootstrap.stop(); brokerB.stop() }
+  }
+
+  test("two sequential publishes reuse ONE pooled connection per leader — a trigger loop stops re-dialing (verdict r16 #3)") {
+    KafkaWire.poolClear()
+    val brokerB = new ScriptedBroker(nPartitions = 4)
+    var selfPort = 0
+    val bootstrap = new ScriptedBroker(nPartitions = 4,
+      meta = Some(() => (
+        Seq((0, "localhost", selfPort),
+          (1, "localhost", brokerB.server.getLocalPort)),
+        (p: Int) => p % 2)))
+    selfPort = bootstrap.server.getLocalPort
+    try {
+      def recs(lo: Int, hi: Int) = (lo until hi).map { i =>
+        (s"key$i".getBytes(UTF_8), s"val$i".getBytes(UTF_8), "t")
+      }
+      KafkaWire.publish("localhost", selfPort, recs(0, 20),
+        timestampMs = 7L)
+      KafkaWire.publish("localhost", selfPort, recs(20, 40),
+        timestampMs = 8L)
+      // the second publish rode the first's sockets: one dial per
+      // broker across BOTH triggers, metadata still refreshed per
+      // publish on the pooled bootstrap connection
+      assert(bootstrap.accepted.get == 1,
+        s"bootstrap dialed ${bootstrap.accepted.get}x")
+      assert(brokerB.accepted.get == 1,
+        s"leader B dialed ${brokerB.accepted.get}x")
+      assert(bootstrap.metaServed.get == 2)
+      val decoded = (bootstrap.produced.synchronized {
+        bootstrap.produced.toSeq
+      } ++ brokerB.produced.synchronized { brokerB.produced.toSeq })
+        .flatMap(p => decodeBatch(p.batch))
+        .map { case (k, v) =>
+          (new String(k, UTF_8), new String(v, UTF_8)) }.sorted
+      assert(decoded == recs(0, 40).map(r =>
+        (new String(r._1, UTF_8), new String(r._2, UTF_8))).sorted)
+    } finally {
+      bootstrap.stop(); brokerB.stop(); KafkaWire.poolClear()
+    }
+  }
+
+  test("a stale-leader produce error invalidates the pooled connection; ONE retry through fresh metadata lands the batch (verdict r16 #3)") {
+    KafkaWire.poolClear()
+    // first Produce request NACKs NOT_LEADER_FOR_PARTITION (6)
+    // without storing; everything after succeeds
+    val broker = new ScriptedBroker(nPartitions = 2,
+      produceScript = Some(i => if (i == 0) 6: Short else 0: Short))
+    try {
+      val recs = (0 until 6).map { i =>
+        (s"key$i".getBytes(UTF_8), s"val$i".getBytes(UTF_8), "t")
+      }
+      val offsets = KafkaWire.publish("localhost",
+        broker.server.getLocalPort, recs, timestampMs = 7L)
+      assert(offsets.nonEmpty)
+      // the NACK poisoned the connection mid-parse: re-dialed once
+      // and re-fetched metadata before the retry
+      assert(broker.accepted.get == 2,
+        s"expected one re-dial, saw ${broker.accepted.get} dials")
+      assert(broker.metaServed.get == 2)
+      // the batch landed exactly once — on the retry
+      val decoded = broker.produced.synchronized {
+        broker.produced.flatMap(p => decodeBatch(p.batch))
+      }.map { case (k, v) =>
+        (new String(k, UTF_8), new String(v, UTF_8)) }.sorted
+      assert(decoded == recs.map(r =>
+        (new String(r._1, UTF_8), new String(r._2, UTF_8))).sorted)
+    } finally { broker.stop(); KafkaWire.poolClear() }
   }
 
   test("a topic the Metadata response omits fails fast instead of pinning records to partition 0 (advice r15)") {
