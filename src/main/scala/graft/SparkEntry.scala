@@ -2005,16 +2005,17 @@ object SparkEntry {
 
     // X159 the CDC→kNN-graph composite — the trilogy's third leg
     // (text index X156, ANN index X158, graph here): the same change
-    // stream maintains the persisted kNN graph as delete(all winner
-    // keys) + append(non-tombstone winners at the STORED centroids) —
-    // a re-embedded key's own edges AND its appearances in other
-    // sources' top-k both correct (delete re-ranks survivors that
-    // lost it; append re-merges it as a candidate). Oracle: the
-    // in-plan fixed-centroid kNN graph over the SQL-merged corpus,
-    // trained on the untouched id<250 half. The composition is
-    // idempotent across re-executions (delete of absent ids touches
-    // no source; append drops already-present ids), so the base
-    // build+append is session-wide pay-once like the other composites.
+    // stream maintains the persisted kNN graph as ONE
+    // GraphStore.upsert (r17 — formerly delete-then-append, two
+    // commits with a crash window between them): every winner key
+    // leaves the graph — its own edges AND its appearances in other
+    // sources' top-k — and the non-tombstone winners merge in at the
+    // STORED centroids, all published in a single generation advance
+    // per part. Oracle: the in-plan fixed-centroid kNN graph over the
+    // SQL-merged corpus, trained on the untouched id<250 half. upsert
+    // is replay-idempotent (removes exactly the keys it ingests), so
+    // the base build+append is session-wide pay-once like the other
+    // composites.
     "q_pipe_cdc_graph" -> ((s, dir) => {
       val embs = T(s, dir, "embeddings")
         .withColumn("seed", pmod(col("vec_id"), lit(64L)))
@@ -2046,13 +2047,122 @@ object SparkEntry {
           embs.filter(col("vec_id") >= 250), "vec_id", "embedding",
           "seed")
       }
-      GraphStore.delete(s, "graft_knng_cdc",
-        touched.select(col("key")), "key")
-      GraphStore.append(s, "graft_knng_cdc",
+      GraphStore.upsert(s, "graft_knng_cdc",
         Merge.current(touched).select(col("key"), col("vec"),
           pmod(col("key"), lit(64L)).as("seed")),
-        "key", "vec", "seed")
+        "key", "vec", "seed",
+        delIds = Some(touched.filter(col("op") === ChangeOp.Delete)
+          .select(col("key"))),
+        delCol = "key")
       GraphStore.edges(s, "graft_knng_cdc")
+    }),
+
+    // X160 the ONE-STREAM trilogy composite (r16 verdict #6): a
+    // single decoded change stream — one decode, one LWW collapse —
+    // maintains ALL THREE artifacts (text index, ANN index, kNN
+    // graph) and serves all three surfaces in one frame. This is the
+    // deployment shape: a CDC row carries the document's text AND its
+    // embedding, and the three feeds share the decode instead of
+    // re-reading the log three times. The vector artifacts are the
+    // X158/X159 ones (same stream, same winners — the upserts are
+    // idempotent, so sharing is exact); the text artifact is its own
+    // (its corpus keys revisions in the embeddings domain [250,500),
+    // unlike X156's). Oracle: the three serve oracles UNION ALL'd
+    // with aligned (fam, q, rank, hit, score) columns.
+    "q_pipe_cdc_all" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val embs = T(s, dir, "embeddings")
+      val donors = embs.select(col("vec_id").cast("long").as("dkey"),
+        col("embedding").cast("array<double>").as("dvec"))
+      // ONE decoded/filtered/sparsified stream carrying BOTH payloads
+      val live = Filters.regexFilter(
+          ChangeSource.fromEvents(T(s, dir, "events")),
+          """^db[0-2]\.(users|orders)$""")
+        .filter(col("event_id") % 37 === 0)
+        .select((col("event_id") % 250 + 250).as("key"),
+          concat(lit("revised "), col("table"),
+            lit(" entry hash join scan "),
+            coalesce(col("after"), lit(""))).as("text"),
+          col("op"), col("ts").cast("long").as("ts_sec"),
+          col("event_id").as("seq"))
+        .join(donors, col("key") % 250 === col("dkey"))
+        .select(col("key"), col("text"), col("dvec").as("vec"),
+          col("op"), col("ts_sec"), col("seq"))
+      // ONE LWW collapse, shared by all three upserts
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"))
+        .orderBy(col("ts_sec").desc, col("seq").desc)
+      val winners = Caching.cachedOnce(
+        live.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn"))
+      val ups = winners.filter(col("op") =!= ChangeOp.Delete)
+      val tombs = winners.filter(col("op") === ChangeOp.Delete)
+        .select(col("key"))
+      // pay-once bases (the vector ones shared with X158/X159)
+      if (!TextIndex.exists(s, "graft_tidx_all"))
+        TextIndex.build(s, docs, "doc_id", "text", "graft_tidx_all",
+          nBuckets = 8)
+      if (!Index.exists(s, "graft_idx_cdc")) {
+        Index.build(s, embs.filter(col("vec_id") < 250), "vec_id",
+          "embedding", "label", "graft_idx_cdc",
+          itersIvf = 4, massign = 2, m = 16, ksub = 32, itersPq = 2,
+          nBuckets = 8)
+        Index.appendCommitted(s, "graft_idx_cdc",
+          embs.filter(col("vec_id") >= 250), "vec_id", "embedding")
+      }
+      if (!GraphStore.exists(s, "graft_knng_cdc")) {
+        GraphStore.build(s, embs.filter(col("vec_id") < 250)
+            .withColumn("seed", pmod(col("vec_id"), lit(64L))),
+          "vec_id", "embedding", "seed", "graft_knng_cdc", k = 5,
+          iters = 2, massign = 2, nBuckets = 8)
+        GraphStore.append(s, "graft_knng_cdc",
+          embs.filter(col("vec_id") >= 250)
+            .withColumn("seed", pmod(col("vec_id"), lit(64L))),
+          "vec_id", "embedding", "seed")
+      }
+      // three upserts from the one winners frame — concurrent,
+      // exactly the TrilogyStream.applyChanges batch body
+      graft.ops.Par.jobs(Seq(
+        () => TextIndex.upsert(s, "graft_tidx_all",
+          ups.select(col("key"), col("text")), "key", "text",
+          delIds = Some(tombs), delCol = "key"),
+        () => Index.upsert(s, "graft_idx_cdc",
+          ups.select(col("key"), col("vec")), "key", "vec",
+          delIds = Some(tombs), delCol = "key"),
+        () => GraphStore.upsert(s, "graft_knng_cdc",
+          ups.select(col("key"), col("vec"),
+            pmod(col("key"), lit(64L)).as("seed")),
+          "key", "vec", "seed",
+          delIds = Some(tombs), delCol = "key")))
+      // three serves, one aligned frame
+      val text = TextIndex.search(s, "graft_tidx_all", k = 10)
+        .select(lit("text").as("fam"), col("qid").cast("long").as("q"),
+          col("rank").cast("long").as("rank"),
+          col("doc_id").cast("long").as("hit"),
+          col("score_micros").cast("long").as("score"))
+      // the MERGED corpus view (originals minus touched keys ⊎ the
+      // upserted vectors): the exact rerank scores candidates' CURRENT
+      // vectors — raw embeddings would rerank re-embedded keys with
+      // their stale originals
+      val mergedCorpus = embs
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .join(winners.select(col("key").as("id")), Seq("id"),
+          "left_anti")
+        .unionByName(ups.select(col("key").as("id"), col("vec")))
+      val ann = Index.search(s, "graft_idx_cdc", mergedCorpus,
+          "id", "vec", col("id") < 8, k = 5, nprobe = 4, rerank = 40)
+        .select(lit("ann").as("fam"), col("qid").cast("long").as("q"),
+          col("rank").cast("long").as("rank"),
+          col("neighbor_id").cast("long").as("hit"),
+          col("cos_micros").cast("long").as("score"))
+      val graph = GraphStore.edges(s, "graft_knng_cdc")
+        .select(lit("graph").as("fam"),
+          col("src_id").cast("long").as("q"),
+          col("rank").cast("long").as("rank"),
+          col("neighbor_id").cast("long").as("hit"),
+          col("cos_micros").cast("long").as("score"))
+      text.unionByName(ann).unionByName(graph)
     }),
 
     // X147b the same metrics harness over the HYBRID (RRF-fused)
@@ -3224,6 +3334,51 @@ object SparkEntry {
         cdcAnnMergedSql, k = 5, iters = 2, dim = 64, massign = 2,
         trainPredSql = "id < 250")
         + " ORDER BY src_id, rank"),
+
+    // X160: the three serve oracles UNION ALL'd with aligned columns —
+    // the text twin's merged corpus keys revisions in the embeddings
+    // domain (%250+250); the ANN/graph twins are X158/X159's verbatim
+    // (same stream, same winners, shared artifacts)
+    "q_pipe_cdc_all" -> {
+      val textSql = Retrieval.bm25TopKSql("doc_id", "text",
+        s"""(SELECT key AS doc_id, text FROM (
+           |  SELECT u.*, row_number() OVER (PARTITION BY key
+           |      ORDER BY ts_sec DESC, prec DESC, seq DESC) AS rn
+           |  FROM (
+           |    SELECT doc_id::BIGINT AS key, text, 'Backfill' AS op,
+           |      1::BIGINT AS ts_sec, -1::BIGINT AS seq, 0 AS prec
+           |    FROM documents
+           |    UNION ALL
+           |    SELECT (event_id % 250 + 250)::BIGINT AS key,
+           |      'revised ' || $tableSql || ' entry hash join scan ' ||
+           |        coalesce($afterSql, '') AS text,
+           |      $opSql AS op, epoch_ns(ts) // 1000000000 AS ts_sec,
+           |      event_id AS seq, 1 AS prec
+           |    FROM events
+           |    WHERE event_id % 37 = 0
+           |      AND regexp_matches($dbSql || '.' || $tableSql,
+           |      '^db[0-2]\\.(users|orders)$$')) u)
+           | WHERE rn = 1 AND op <> 'Delete')""".stripMargin, k = 10)
+      val annSql = Pq.ivfPqTopKSql("id", "vec", "label",
+        cdcAnnMergedSql, "id < 8", k = 5, nprobe = 4, itersIvf = 4,
+        massign = 2, m = 16, ksub = 32, itersPq = 2, rerank = 40,
+        trainPredSql = "id < 250")
+      val graphSql = Similarity.knnGraphSql("id", "vec", "(id % 64)",
+        cdcAnnMergedSql, k = 5, iters = 2, dim = 64, massign = 2,
+        trainPredSql = "id < 250")
+      s"""SELECT 'text' AS fam, qid::BIGINT AS q, rank::BIGINT AS rank,
+         |  doc_id::BIGINT AS hit, score_micros::BIGINT AS score
+         |FROM ($textSql)
+         |UNION ALL
+         |SELECT 'ann' AS fam, qid::BIGINT, rank::BIGINT,
+         |  neighbor_id::BIGINT, cos_micros::BIGINT
+         |FROM ($annSql)
+         |UNION ALL
+         |SELECT 'graph' AS fam, src_id::BIGINT, rank::BIGINT,
+         |  neighbor_id::BIGINT, cos_micros::BIGINT
+         |FROM ($graphSql)
+         |ORDER BY fam, q, rank""".stripMargin
+    },
 
     // X152: BM25 over the corpus minus every phrase-matching doc
     "q_text_index_takedown" ->
