@@ -78,6 +78,7 @@ object GraphStore {
     * no data read beyond schema footers.
     */
   def register(spark: SparkSession, name: String, baseDir: String): Unit = {
+    ArtifactFiles.requireArtifactName(name)
     val dir = java.nio.file.Paths.get(graphDir(Some(baseDir), name))
     require(java.nio.file.Files.isDirectory(dir),
       s"no graph artifact at $dir")
@@ -167,6 +168,7 @@ object GraphStore {
       vecCol: String, seedCol: String, name: String, k: Int, iters: Int,
       massign: Int = 1, nBuckets: Int = 8,
       baseDir: Option[String] = None): Unit = {
+    ArtifactFiles.requireArtifactName(name)
     import spark.implicits._
     val dir = graphDir(baseDir, name)
     val base = baseOf(embs, idCol, vecCol)
@@ -455,19 +457,9 @@ object GraphStore {
     val del = removalSrcs.reduce(_ unionByName _).distinct().persist()
     val ingestBase = ingest.map { case (df, ic, vc, _) => baseOf(df, ic, vc) }
     try {
-      // UNIQUE-id precondition on the ingest frame, enforced (advice
-      // r16, the [[Index.upsertImpl]] twin): two ingest rows for one
-      // id would both land in blocks and double-appear as candidates.
-      // Multi-version batches LWW-collapse first
-      // ([[graft.streaming.GraphStream.applyChanges]]).
-      ingestBase.foreach { b =>
-        val dup = b.groupBy(col("id")).agg(count(lit(1)).as("__c"))
-          .filter(col("__c") > 1).limit(1).collect()
-        require(dup.isEmpty,
-          s"upsert ingest contains duplicate ids (e.g. ${dup.headOption
-            .map(_.get(0)).getOrElse("")}) — collapse to one row per " +
-            "id (last-writer-wins) before upserting")
-      }
+      // unique-ingest-id precondition (advice r16; multi-version
+      // batches LWW-collapse first in GraphStream.applyChanges)
+      ingestBase.foreach(ArtifactFiles.requireUniqueIds)
       // a present-but-empty ingest frame is a pure takedown (the
       // r16 verdict-#2 discipline: no empty delta staging)
       val hasIngest = ingestBase.exists(b => !b.isEmpty)

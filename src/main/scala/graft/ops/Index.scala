@@ -220,6 +220,7 @@ object Index {
       itersIvf: Int = 4, massign: Int = 2, m: Int = 16, ksub: Int = 32,
       itersPq: Int = 2, nBuckets: Int = 8,
       baseDir: Option[String] = None): Unit = {
+    ArtifactFiles.requireArtifactName(name)
     require(64 % m == 0, "subspaces must divide the dimension")
     val subDim = 64 / m
     import spark.implicits._
@@ -349,6 +350,7 @@ object Index {
     * artifact: build once, serve from any number of later sessions.
     */
   def register(spark: SparkSession, name: String, baseDir: String): Unit = {
+    ArtifactFiles.requireArtifactName(name)
     val dir = s"$baseDir/$name"
     def loc(p: String): String = s"$dir/${readPointer(dir, p)}"
     for (p <- Seq("cents", "codebooks", "sq_ranges", "meta")) {
@@ -823,21 +825,9 @@ object Index {
     val del = removalSrcs.reduce(_ union _).distinct().persist()
     val ingestBase = ingest.map { case (df, ic, vc) => baseOf(df, ic, vc) }
     try {
-    // UNIQUE-id precondition on the ingest frame, enforced (advice
-    // r16): the removal side is distinct()-ed, but two ingest rows
-    // for one id would BOTH encode and land — search could then
-    // return the same neighbor id twice with different vectors.
-    // Callers with multi-version batches LWW-collapse first
-    // ([[graft.streaming.IndexStream.applyChanges]]); the check is
-    // one id-column aggregation on the (persisted) delta, ∝ batch.
-    ingestBase.foreach { b =>
-      val dup = b.groupBy(col("id")).agg(count(lit(1)).as("__c"))
-        .filter(col("__c") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"upsert ingest contains duplicate ids (e.g. ${dup.headOption
-          .map(_.get(0)).getOrElse("")}) — collapse to one row per id " +
-          "(last-writer-wins) before upserting")
-    }
+    // unique-ingest-id precondition (advice r16; multi-version
+    // batches LWW-collapse first in IndexStream.applyChanges)
+    ingestBase.foreach(ArtifactFiles.requireUniqueIds)
     // a PRESENT-but-empty ingest frame is a pure takedown (verdict
     // r16 #2: it used to bucket-write and link four empty delta files
     // per generation — a delete-heavy CDC stream accreted files

@@ -523,6 +523,7 @@ object TextIndex {
       textCol: String, name: String, nBuckets: Int = 8,
       baseDir: Option[String] = None,
       positions: Boolean = false): Unit = {
+    ArtifactFiles.requireArtifactName(name)
     import spark.implicits._
     val dir = indexDir(baseDir, name)
     // one tokenize pass either way: with positions the cached
@@ -840,6 +841,7 @@ object TextIndex {
     */
   def register(spark: SparkSession, name: String,
       baseDir: String): Unit = {
+    ArtifactFiles.requireArtifactName(name)
     val dir = s"$baseDir/$name"
     val st = loadState(dir).getOrElse(migrateLegacy(dir))
     attachMeta(spark, name, s"$dir/${st.parts("meta")}")
@@ -984,19 +986,9 @@ object TextIndex {
       .getOrElse(spark.emptyDataset[Long].toDF("__del"))
       .distinct().persist()
     try {
-      // UNIQUE-id precondition on the ingest frame, enforced (advice
-      // r16, the [[Index.upsertImpl]] twin): two ingest rows for one
-      // id would merge their token counts into one phantom document
-      // (double-counted tf/dl). Multi-version batches LWW-collapse
-      // first ([[graft.streaming.TextIndexStream.applyChanges]]).
-      newDocs.foreach { nd =>
-        val dup = nd.groupBy(col("id")).agg(count(lit(1)).as("__c"))
-          .filter(col("__c") > 1).limit(1).collect()
-        require(dup.isEmpty,
-          s"upsert ingest contains duplicate ids (e.g. ${dup.headOption
-            .map(_.get(0)).getOrElse("")}) — collapse to one row per " +
-            "id (last-writer-wins) before upserting")
-      }
+      // unique-ingest-id precondition (advice r16; multi-version
+      // batches LWW-collapse first in TextIndexStream.applyChanges)
+      newDocs.foreach(ArtifactFiles.requireUniqueIds)
       val postingsDir = java.nio.file.Paths.get(dir, st.parts("postings"))
       val dlDir = java.nio.file.Paths.get(dir, st.parts("dl"))
       val postings = readPart(spark, "postings", Seq(postingsDir.toString))

@@ -230,7 +230,16 @@ object KafkaWire {
     * on one socket would corrupt both.
     */
   private final class Conn(val host: String, val port: Int) {
-    val sock = new Socket(host, port)
+    val sock = new Socket()
+    // explicit timeouts (review r17): pooled exchanges serialize
+    // under the connection lock, so a broker that hangs AFTER the
+    // request is written would otherwise block every producing task
+    // on this executor forever (readFully never returns, the lock
+    // never releases, invalidation never fires). A timed-out read
+    // throws (SocketTimeoutException IS an IOException) → the pool
+    // invalidates and the retry path re-dials.
+    sock.connect(new java.net.InetSocketAddress(host, port), 10000)
+    sock.setSoTimeout(120000)
     sock.setTcpNoDelay(true)
     val out = new DataOutputStream(sock.getOutputStream)
     val in = new DataInputStream(sock.getInputStream)
@@ -255,23 +264,55 @@ object KafkaWire {
     private val conns =
       scala.collection.concurrent.TrieMap.empty[(String, Int), Conn]
 
-    @scala.annotation.tailrec
-    def withConn[A](host: String, port: Int)(f: Conn => A): A = {
-      val c = conns.getOrElseUpdate((host, port), new Conn(host, port))
-      // a pooled connection another thread invalidated between our
-      // lookup and lock arrives here closed: dial a replacement
-      val r: Option[A] = c.synchronized {
-        if (c.sock.isClosed) { conns.remove((host, port), c); None }
-        else Some(
-          try f(c)
+    /** Racing first-users of one broker both dial (the concurrent-map
+      * contract: the default may evaluate more than once); exactly one
+      * socket enters the pool and the loser's closes instead of
+      * leaking a connection per race (review r17).
+      */
+    private def connFor(host: String, port: Int): Conn =
+      conns.get((host, port)) match {
+        case Some(c) => c
+        case None =>
+          val fresh = new Conn(host, port)
+          conns.putIfAbsent((host, port), fresh) match {
+            case None => fresh
+            case Some(winner) => fresh.close(); winner
+          }
+      }
+
+    /** Run `f` on the pooled connection; on an IO failure the stale
+      * socket is invalidated and ONE fresh dial replays `f` — a quiet
+      * period longer than the broker's idle-connection reaper leaves
+      * EVERY pooled socket half-open, and a single publish-level
+      * retry could cure only one of them (review r17). Replaying an
+      * exchange whose first send may have been applied is the
+      * at-least-once contract. Non-IO failures (produce NACKs,
+      * protocol asserts) invalidate and propagate — fresh METADATA,
+      * not a fresh socket, is their cure.
+      */
+    def withConn[A](host: String, port: Int, ioRetries: Int = 1)
+        (f: Conn => A): A = {
+      val c = connFor(host, port)
+      // Left(budget) = go around again with that retry budget: a
+      // conn another thread invalidated between our lookup and lock
+      // arrives closed (free redial), an IO failure spends one
+      val r: Either[Int, A] = c.synchronized {
+        if (c.sock.isClosed) { conns.remove((host, port), c); Left(ioRetries) }
+        else
+          try Right(f(c))
           catch {
             case e: Throwable =>
-              conns.remove((host, port), c); c.close(); throw e
-          })
+              conns.remove((host, port), c); c.close()
+              e match {
+                case _: java.io.IOException if ioRetries > 0 =>
+                  Left(ioRetries - 1)
+                case _ => throw e
+              }
+          }
       }
       r match {
-        case Some(a) => a
-        case None => withConn(host, port)(f)
+        case Right(a) => a
+        case Left(n) => withConn(host, port, n)(f)
       }
     }
 
