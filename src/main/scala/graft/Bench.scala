@@ -77,7 +77,7 @@ object Bench {
     // and pull the min onto the settled floor.
     val highVarRe =
       ("^q_sim_|^q_dedup_(embed|semantic)|^q_hybrid_" +
-        "|^q_pipe_cdc_(ann|graph)$|^q_curate_(semleak|leakage)").r
+        "|^q_pipe_cdc_(ann|graph|all)$|^q_curate_(semleak|leakage)").r
     def warmRunsFor(name: String): Int =
       if (highVarRe.findFirstIn(name).isDefined) warmRuns.max(5)
       else warmRuns

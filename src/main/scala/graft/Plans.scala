@@ -452,13 +452,26 @@ object Plans {
         |Exchange before their joins, and the LWW merge feeding the
         |query corpus pays its one window Exchange on the key.""".stripMargin,
     "q_pipe_cdc_graph" ->
-      """X159 CDC→kNN-graph composite (round 16): the same change
-        |stream maintains the persisted graph (delete + append at
-        |stored centroids), then serves the edge list. What to check:
-        |the serve is ONE bucketed scan of the edges table — no
-        |training stage, no Exchange at all (the harness sorts rows
-        |itself); all maintenance cost happened in the upsert actions,
-        |leaving the artifact pre-ranked.""".stripMargin,
+      """X159 CDC→kNN-graph composite (round 16; r17: ONE fused
+        |GraphStore.upsert per batch instead of delete+append): the
+        |change stream maintains the persisted graph, then serves the
+        |edge list. What to check: the serve is ONE bucketed scan of
+        |the edges table — no training stage, no Exchange at all (the
+        |harness sorts rows itself); all maintenance cost happened in
+        |the upsert actions, leaving the artifact pre-ranked.""".stripMargin,
+    "q_pipe_cdc_all" ->
+      """X160 one-stream trilogy composite (round 17): ONE decoded
+        |change stream maintains the text index, the ANN index and the
+        |kNN graph (one LWW collapse, three concurrent upserts), then
+        |serves all three surfaces as one union frame. The plan shown
+        |is the three SERVE subtrees unioned: what to check — the BM25
+        |leg's postings/stats scans carry `SelectedBucketsCount`
+        |(tok-bucket pruning), the ANN leg broadcasts
+        |centroids/codebooks with no Exchange on the bucketed
+        |postings/codes side, the graph leg is a bare bucketed edges
+        |scan, and NO training stage appears anywhere — the union adds
+        |no shuffle of its own (each leg keeps its independent
+        |exchanges; unionByName is plan-level concatenation).""".stripMargin,
     "q_dedup_minhash_recall_sampled" ->
       """X146 fixed-budget sampled recall harness (round 13): the
         |deterministic hash-sample predicate sits ON THE SCAN of every
