@@ -214,15 +214,29 @@ object Similarity {
     * oracle: float-sum nondeterminism can never compound across
     * rounds.
     */
-  def centroidsExact(assigned: DataFrame): DataFrame =
+  def centroidsExact(assigned: DataFrame, dim: Int = 64): DataFrame = {
+    // ONE partial-aggregated exchange (r17, guide §2.3/§2.4): the old
+    // shape exploded every vector to `dim` (cl, d, x) rows and paid
+    // THREE exchanges per Lloyd round — (cl, d) partial→final, then a
+    // collect_list ObjectHashAggregate pair to re-assemble the array
+    // (interpreted, not codegen). Aggregating the per-element integer
+    // micro-sums as `dim` LONG columns in a single groupBy(cl) keeps
+    // the round inside whole-stage codegen, shuffles nlist·(dim+2)
+    // longs instead of corpus·dim exploded rows, and needs no
+    // re-assembly sort. Values are bit-identical: same per-element
+    // round(x·1e6) long, same associative integer sum, same
+    // round(sum/count)/1e6 re-quantization (the SQL twin already
+    // hardcodes the dimension — `centroidsExactSql(…, dim)`).
+    val sums = (0 until dim).map(d =>
+      sum(round(element_at(col("v"), d + 1) * 1e6).cast("long"))
+        .as(s"__s$d"))
     assigned
-      .select(col("cl"), posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy(col("cl"), col("d"))
-      .agg((round(sum(round(col("x") * 1e6).cast("long")).cast("double")
-        / count(lit(1))) / 1e6).as("cx"))
       .groupBy(col("cl"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
-        s => s.getField("cx")).as("cent"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
+      .select(col("cl"), array((0 until dim).map(d =>
+        round(col(s"__s$d").cast("double") / col("__n")) / 1e6): _*)
+        .as("cent"))
+  }
 
   def centroidsExactSql(assign: String, dim: Int): String =
     s"""SELECT cl, list(cx ORDER BY d) AS cent FROM (
