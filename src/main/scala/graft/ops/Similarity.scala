@@ -214,7 +214,7 @@ object Similarity {
     * oracle: float-sum nondeterminism can never compound across
     * rounds.
     */
-  def centroidsExact(assigned: DataFrame, dim: Int = 64): DataFrame = {
+  def centroidsExact(assigned: DataFrame, dim: Int): DataFrame = {
     // ONE partial-aggregated exchange (r17, guide §2.3/§2.4): the old
     // shape exploded every vector to `dim` (cl, d, x) rows and paid
     // THREE exchanges per Lloyd round — (cl, d) partial→final, then a
@@ -238,6 +238,15 @@ object Similarity {
         .as("cent"))
   }
 
+  /** Vector width, read once from the data (one one-row job). Every
+    * corpus these operators see is fixed-width; the ANSI `element_at`
+    * in [[centroidsExact]] fails loud if a row is narrower than the
+    * sampled width rather than silently null-padding.
+    */
+  private[ops] def vecDim(embs: DataFrame, vecCol: String): Int =
+    embs.select(size(col(vecCol)).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+
   def centroidsExactSql(assign: String, dim: Int): String =
     s"""SELECT cl, list(cx ORDER BY d) AS cent FROM (
        |  SELECT cl, d,
@@ -255,13 +264,15 @@ object Similarity {
   def kmeans(embs: DataFrame, idCol: String, vecCol: String,
       seedCol: String, iters: Int): DataFrame = {
     val base = baseOf(embs, idCol, vecCol)
+    val dim = vecDim(embs, vecCol)
     var cents = centroidsExact(
-      embs.select(col(seedCol).as("cl"), Vectors.toDouble(col(vecCol)).as("v")))
+      embs.select(col(seedCol).as("cl"), Vectors.toDouble(col(vecCol)).as("v")),
+      dim)
     for (_ <- 1 to iters) {
       val assigned = assignToNearest(base, withCNorm(cents))
         .join(base, "id")
         .select(col("cl"), col("v"))
-      val computed = centroidsExact(assigned)
+      val computed = centroidsExact(assigned, dim)
       // centroid table is nlist rows — materialize it per round so the
       // next round's plan starts from a flat table instead of
       // replaying every previous round's assignment
@@ -1159,7 +1170,8 @@ object Similarity {
       col(labelCol).cast("long").as("label"))
     val train = base.join(labels, "id").filter(trainPred)
     val cents = withCNorm(
-      centroidsExact(train.select(col("label").as("cl"), col("v"))))
+      centroidsExact(train.select(col("label").as("cl"), col("v")),
+        vecDim(embs, vecCol)))
     assignToNearest(base, cents)
       .join(labels, "id")
       .select(col("id"), col("label"), col("cl").as("pred_label"),
