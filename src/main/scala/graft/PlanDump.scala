@@ -6,9 +6,9 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
-/** Round-17 optimization evidence: dumps `.explain("formatted")` for
-  * the named queries into `plans/r17/<query>_<tag>.txt` (one file per
-  * query), so before/after plan claims in OPTIMIZATION_r17.md are
+/** Round-18 optimization evidence: dumps `.explain("formatted")` for
+  * the named queries into `plans/r18/<query>_<tag>.txt` (one file per
+  * query), so before/after plan claims in OPTIMIZATION_r18.md are
   * checkable without running Spark.
   *
   * Usage: `runMain graft.PlanDump <tag> q_name [q_name...]`
@@ -30,13 +30,13 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Files.createDirectories(Paths.get("plans/r17"))
+    Files.createDirectories(Paths.get("plans/r18"))
     for (name <- names) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
-      Files.write(Paths.get(s"plans/r17/${name}_$tag.txt"),
+      Files.write(Paths.get(s"plans/r18/${name}_$tag.txt"),
         plan.getBytes(StandardCharsets.UTF_8))
-      println(s"[plandump] plans/r17/${name}_$tag.txt")
+      println(s"[plandump] plans/r18/${name}_$tag.txt")
     }
     spark.stop()
   }

@@ -901,7 +901,7 @@ object Dedup {
         .withColumn("nrm", Vectors.norm(col("v"))))
     val cents = Similarity.withCNorm(
       Similarity.kmeans(embs, idCol, vecCol, seedCol, iters))
-    val blocked = Similarity.assignToNearest(base, cents).join(base, "id")
+    val blocked = Similarity.assignWithVec(base, cents)
     blocked.as("l")
       .join(blocked.as("r"),
         col("l.cl") === col("r.cl") && col("l.id") < col("r.id"))

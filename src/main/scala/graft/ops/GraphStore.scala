@@ -175,8 +175,8 @@ object GraphStore {
     val cents = Similarity.withCNorm(
       Similarity.kmeans(embs, idCol, vecCol, seedCol, iters))
     val edges = Similarity.knnGraphAt(base, cents, k, massign)
-    val blocks = Similarity.assignToNearest(base, cents, massign)
-      .join(base, "id").select(col("cl"), col("id"), col("v"), col("nrm"))
+    val blocks = Similarity.assignWithVec(base, cents, massign)
+      .select(col("cl"), col("id"), col("v"), col("nrm"))
     val labels = embs.select(col(idCol).cast("long").as("id"),
       col(seedCol).cast("long").as("label"))
     // the three bucketed writes are independent (distinct tables and
@@ -263,8 +263,8 @@ object GraphStore {
     if (fresh.isEmpty) return
     val newBase = baseOf(fresh, idCol, vecCol)
     val newBlocks = Caching.cachedOnce(
-      Similarity.assignToNearest(newBase, cents, massign)
-        .join(newBase, "id").select(col("cl"), col("id"), col("v"), col("nrm")))
+      Similarity.assignWithVec(newBase, cents, massign)
+        .select(col("cl"), col("id"), col("v"), col("nrm")))
     val oldBlocks = spark.table(part(name, "blocks"))
 
     def cos = (Vectors.dot(col("sv"), col("v"))
@@ -476,8 +476,7 @@ object GraphStore {
       // the ingest delta's assignments at the STORED centroids —
       // [[append]]'s fixed-parameter contract
       val newBlocks = if (hasIngest) Some(Caching.cachedOnce(
-        Similarity.assignToNearest(ingestBase.get, cents, massign)
-          .join(ingestBase.get, "id")
+        Similarity.assignWithVec(ingestBase.get, cents, massign)
           .select(col("cl"), col("id"), col("v"), col("nrm")))) else None
       val stored = spark.read.parquet(edgesDir.toString)
       val survivors = stored
@@ -548,24 +547,32 @@ object GraphStore {
           pmod(hash(c), lit(nBuckets))
         // per-part touched-bucket digests (≤ nBuckets values each);
         // the ingest's own ids/clusters join the touched sets, so
-        // every staged row hashes into a rewritten bucket
-        def bktSet(df: DataFrame): Set[Int] =
-          df.distinct().collect().map(_.getInt(0)).toSet
-        val edgeBkts = bktSet(
-          (Seq(del.select(bucketOf(col("__del")).as("b")),
-            touched.select(bucketOf(col("src_id")).as("b"))) ++
-          gainedOnly.map(_.select(bucketOf(col("src_id")).as("b"))) ++
-          newBlocks.map(_.select(bucketOf(col("id")).as("b"))))
-            .reduce(_ unionByName _))
-        val labelBkts = bktSet(
-          (Seq(del.select(bucketOf(col("__del")).as("b"))) ++
-          newBlocks.map(_.select(bucketOf(col("id")).as("b"))))
-            .reduce(_ unionByName _))
-        val blockBkts = bktSet(
-          (Seq(blocks.join(del, blocks("id") === col("__del"), "left_semi")
-            .select(bucketOf(col("cl")).as("b"))) ++
-          newBlocks.map(_.select(bucketOf(col("cl")).as("b"))))
-            .reduce(_ unionByName _))
+        // every staged row hashes into a rewritten bucket. ONE
+        // tagged-union collect for all three parts (r18: three
+        // separate ~0.1 s digest jobs fused into one — same sets,
+        // same ≤ 3·nBuckets bound)
+        def tagb(df: DataFrame, t: String) =
+          df.select(lit(t).as("t"), col("b"))
+        val digests = (Seq(
+            tagb(del.select(bucketOf(col("__del")).as("b")), "e"),
+            tagb(del.select(bucketOf(col("__del")).as("b")), "l"),
+            tagb(touched.select(bucketOf(col("src_id")).as("b")), "e"),
+            tagb(blocks.join(del, blocks("id") === col("__del"), "left_semi")
+              .select(bucketOf(col("cl")).as("b")), "b")) ++
+          gainedOnly.map(g =>
+            tagb(g.select(bucketOf(col("src_id")).as("b")), "e")) ++
+          newBlocks.map(nb =>
+            tagb(nb.select(bucketOf(col("id")).as("b")), "e")) ++
+          newBlocks.map(nb =>
+            tagb(nb.select(bucketOf(col("id")).as("b")), "l")) ++
+          newBlocks.map(nb =>
+            tagb(nb.select(bucketOf(col("cl")).as("b")), "b")))
+          .reduce(_ unionByName _).distinct().collect()
+          .groupBy(_.getString(0))
+          .map { case (t, rs) => t -> rs.map(_.getInt(1)).toSet }
+        val edgeBkts = digests.getOrElse("e", Set.empty[Int])
+        val labelBkts = digests.getOrElse("l", Set.empty[Int])
+        val blockBkts = digests.getOrElse("b", Set.empty[Int])
         // untagged files join the REWRITE read-set (never silently
         // kept or row-filtered away); kept files hard-link
         // byte-identical

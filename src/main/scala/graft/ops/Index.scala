@@ -232,12 +232,12 @@ object Index {
       .select(col("cl"), col("id"))
 
     val tall = Pq.tallOf(base, "v", m, subDim)
-    val cb = Pq.kmeansL2All(tall, ksub, itersPq)
+    val cb = Pq.kmeansL2All(tall, ksub, itersPq, subDim)
     val codes = Pq.assignL2All(tall, cb)
 
     // SQ tier: per-dim ranges + 1-byte codes — the 4×-memory serving
     // option next to PQ's 16× and flat's none, from the same artifact
-    val sqRanges = Sq.rangesTall(base)
+    val sqRanges = Sq.rangesTall(base, 64)
 
     // BQ tier: one sign-packed long per vector (32×) — the coarsest
     // serving option, an 8-byte full sweep instead of a probe
@@ -246,13 +246,17 @@ object Index {
     val dir = indexDir(baseDir, name)
     def loc(p: String) = s"$dir/$p"
     // trained parameters first (tiny tables; training itself already
-    // ran eagerly through the kmeans localCheckpoints) ...
-    cents.write.mode("overwrite").format("parquet")
-      .option("path", loc("cents")).saveAsTable(part(name, "cents"))
-    cb.write.mode("overwrite").format("parquet")
-      .option("path", loc("codebooks")).saveAsTable(part(name, "codebooks"))
-    sqRanges.write.mode("overwrite").format("parquet")
-      .option("path", loc("sq_ranges")).saveAsTable(part(name, "sq_ranges"))
+    // ran eagerly through the kmeans collects) — the three writes are
+    // independent (distinct tables/dirs), land them concurrently
+    // (r18: they were sequential, three ~0.3 s scheduling latencies
+    // in a row on every build-bearing gate)
+    Par.jobs(Seq(
+      () => cents.write.mode("overwrite").format("parquet")
+        .option("path", loc("cents")).saveAsTable(part(name, "cents")),
+      () => cb.write.mode("overwrite").format("parquet")
+        .option("path", loc("codebooks")).saveAsTable(part(name, "codebooks")),
+      () => sqRanges.write.mode("overwrite").format("parquet")
+        .option("path", loc("sq_ranges")).saveAsTable(part(name, "sq_ranges"))))
     // ... then encode from the WRITTEN ranges (64 rows — re-reading
     // them beats re-aggregating the corpus; micros are integral
     // doubles, so the parquet round trip is exact) and land the four
@@ -825,22 +829,42 @@ object Index {
     val del = removalSrcs.reduce(_ union _).distinct().persist()
     val ingestBase = ingest.map { case (df, ic, vc) => baseOf(df, ic, vc) }
     try {
-    // unique-ingest-id precondition (advice r16; multi-version
-    // batches LWW-collapse first in IndexStream.applyChanges)
-    ingestBase.foreach(ArtifactFiles.requireUniqueIds)
-    // a PRESENT-but-empty ingest frame is a pure takedown (verdict
-    // r16 #2: it used to bucket-write and link four empty delta files
-    // per generation — a delete-heavy CDC stream accreted files
-    // faster than necessary); the removal path already handles
-    // ingest = None, so empty collapses to it
-    val hasIngest = ingestBase.exists(b => !b.isEmpty)
-    // the touched id-buckets — bucketBy's own hash family
-    // (functions.hash IS HashPartitioning's Murmur3 seed-42
-    // expression, pmod nBuckets). ≤ nBuckets values: a bounded
-    // driver-side digest, not a corpus collect.
-    val touched = del
-      .select(pmod(hash(col("__del_id")), lit(meta.nBuckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // ONE bounded probe job (r18: was three ~0.1 s jobs —
+    // requireUniqueIds, ingest isEmpty, touched digest):
+    //  - the touched id-buckets — bucketBy's own hash family
+    //    (functions.hash IS HashPartitioning's Murmur3 seed-42
+    //    expression, pmod nBuckets). ≤ nBuckets values: a bounded
+    //    driver-side digest, not a corpus collect (collect_set is
+    //    restricted to the del side's bucket values);
+    //  - the unique-ingest-id precondition (advice r16;
+    //    multi-version batches LWW-collapse first in
+    //    IndexStream.applyChanges) and "a PRESENT-but-empty ingest
+    //    frame is a pure takedown" (verdict r16 #2: it used to
+    //    bucket-write and link four empty delta files per
+    //    generation) both read off the same aggregate.
+    val probeRows = (Seq(
+        del.select(lit("d").as("t"),
+          pmod(hash(col("__del_id")), lit(meta.nBuckets))
+            .cast("long").as("k"))) ++
+      ingestBase.map(b => b.select(lit("i").as("t"), col("id").as("k"))))
+      .reduce(_ unionByName _)
+      .groupBy(col("t"), col("k")).agg(count(lit(1)).as("c"))
+      .groupBy(col("t")).agg(
+        collect_set(when(col("t") === "d", col("k"))).as("bkts"),
+        count(lit(1)).as("groups"),
+        max(when(col("c") > 1, col("k"))).as("dupk"),
+        sum(when(col("c") > 1, lit(1)).otherwise(lit(0))).as("dups"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    probeRows.get("i").filter(_.getLong(4) > 0).foreach { r =>
+      throw new IllegalArgumentException(
+        s"requirement failed: upsert ingest contains duplicate ids " +
+          s"(e.g. ${r.get(3)}) — collapse to one row per id " +
+          "(last-writer-wins) before upserting")
+    }
+    val hasIngest = probeRows.get("i").exists(_.getLong(2) > 0)
+    val touched = probeRows.get("d")
+      .map(_.getSeq[Long](1).map(_.toInt).toSet)
+      .getOrElse(Set.empty[Int])
     // a batch with nothing to remove AND nothing to ingest advances
     // no generation at all (every id hashes to a bucket, so an empty
     // touched set ⟹ an empty removal set)

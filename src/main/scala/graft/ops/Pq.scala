@@ -61,22 +61,46 @@ object Pq {
     * subspace's Lloyd round runs in one aggregation instead of M
     * sequential jobs. `assigned` holds (m, cl, v).
     */
-  private def centroidsExactByM(assigned: DataFrame): DataFrame =
+  private def centroidsExactByM(assigned: DataFrame, subDim: Int): DataFrame = {
+    // ONE partial-aggregated exchange (r18, guide §2.3/§2.4 — the
+    // [[Similarity.centroidsExact]] r17 shape applied to the (m, cl)
+    // key): the old explode shape shuffled corpus·m·subDim (m, cl, d,
+    // x) rows through a (m, cl, d) aggregation and then re-assembled
+    // arrays via an interpreted collect_list ObjectHashAggregate.
+    // Aggregating the per-element integer micro-sums as `subDim` LONG
+    // columns in a single groupBy(m, cl) stays inside whole-stage
+    // codegen and shuffles m·ksub·(subDim+3) longs instead. Values
+    // are bit-identical: same per-element round(x·1e6) long, same
+    // associative integer sum, same round(sum/count)/1e6
+    // re-quantization. `subDim` comes from the caller ([[tallOf]]
+    // slices are exactly subDim wide by construction).
+    val sums = (0 until subDim).map(d =>
+      sum(round(element_at(col("v"), d + 1) * 1e6).cast("long"))
+        .as(s"__s$d"))
     assigned
-      .select(col("m"), col("cl"), posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy(col("m"), col("cl"), col("d"))
-      .agg((round(sum(round(col("x") * 1e6).cast("long")).cast("double")
-        / count(lit(1))) / 1e6).as("cx"))
       .groupBy(col("m"), col("cl"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
-        s => s.getField("cx")).as("cent"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
+      .select(col("m"), col("cl"), array((0 until subDim).map(d =>
+        round(col(s"__s$d").cast("double") / col("__n")) / 1e6): _*)
+        .as("cent"))
+  }
 
   /** Nearest-centroid-by-L2 code pick for ALL subspaces at once, as a
     * zero-shuffle narrow map (the per-m codebooks collapse to 16
     * broadcast array rows): score = dot(x, c) − ½|c|², ties to the
     * lower cl. `tall` holds (id, m, sv); output (id, m, cl).
     */
-  private[ops] def assignL2All(tall: DataFrame, cents: DataFrame): DataFrame = {
+  private[ops] def assignL2All(tall: DataFrame, cents: DataFrame): DataFrame =
+    assignL2AllWithVec(tall, cents).select(col("id"), col("m"), col("cl"))
+
+  /** [[assignL2All]] carrying the subvector THROUGH the pick:
+    * (id, m, sv, cl) with zero exchange — the Lloyd loop used to
+    * re-join `tall` on (id, m) to recover sv, a per-round shuffle of
+    * the whole tall table at scale (guide §2.4). Plain [[assignL2All]]
+    * projects sv away; column pruning keeps its plan unchanged.
+    */
+  private[ops] def assignL2AllWithVec(tall: DataFrame,
+      cents: DataFrame): DataFrame = {
     // per-m codebooks collapse to 16 broadcast rows of parallel arrays
     // ordered by cl; the pick is the native codegen'd arg_min_l2 —
     // same key (half − dot) and tie-break (position asc ≡ cl asc) as
@@ -91,7 +115,7 @@ object Pq {
         transform(col("cs"), c => c.getField("cent")).as("cmat"),
         transform(col("cs"), c => c.getField("half")).as("halves"))
     tall.join(broadcast(byM), "m")
-      .select(col("id"), col("m"),
+      .select(col("id"), col("m"), col("sv"),
         element_at(col("cls"), graft.functions.ArrayExprs.argMinL2(col("sv"),
           col("cmat"), col("halves")) + 1).as("cl"))
   }
@@ -104,27 +128,43 @@ object Pq {
     * Assignment is L2, not cosine — subvector norms carry signal in
     * PQ; mirror of [[Similarity.kmeans]] otherwise.
     */
-  private[ops] def kmeansL2All(tall: DataFrame, ksub: Int, iters: Int): DataFrame = {
-    // `m` is re-ALIASED (fresh attribute ids) wherever it enters a
-    // centroid table: a localCheckpoint exports its plan's attribute
-    // ids on a LogicalRDD leaf, and ids inherited from `tall`'s
-    // posexplode would then collide with the live `tall` subtree in
-    // the next round's joins — an analyzer conflict the usual
-    // self-join deduplication cannot repair (leaf vs. non-leaf).
-    var cents = centroidsExactByM(tall.select(col("m").as("m"),
-      pmod(col("id"), lit(ksub)).as("cl"), col("sv").as("v")))
+  private[ops] def kmeansL2All(tall: DataFrame, ksub: Int, iters: Int,
+      subDim: Int): DataFrame = {
+    // The codebook table is m·ksub rows (hundreds), so each Lloyd
+    // round's "keep the previous centroid when a cluster empties"
+    // merge lives on the DRIVER: collect the round's aggregate (the
+    // one job a round fundamentally needs) and rebuild a
+    // LocalRelation — the [[Similarity.kmeans]] r18 shape. The old
+    // form did a cents⟗computed join + localCheckpoint per round
+    // (3-4 extra ~0.1 s scheduled jobs each, plus the checkpoint's
+    // attribute-id-collision hazard its comment documented — a
+    // LocalRelation has fresh attributes by construction). Values are
+    // bit-identical: same integer-exact aggregate, same keep-previous
+    // rule; every consumer aggregates the codebook through
+    // array_sort(collect_list(...)), so row order never mattered.
+    val spark = tall.sparkSession
+    val seed = centroidsExactByM(tall.select(col("m").as("m"),
+      pmod(col("id"), lit(ksub)).as("cl"), col("sv").as("v")), subDim)
+    val schema = seed.schema
+    def toDf(rows: Array[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    var centRows = seed.collect()
+      .sortBy(r => (r.get(0).toString, r.get(1).toString))
     for (_ <- 1 to iters) {
-      val assigned = assignL2All(tall, cents)
-        .join(tall, Seq("id", "m"))
+      // assignL2AllWithVec: the round's (m, cl, v) rows come straight
+      // off the narrow broadcast pick — no per-round (id, m) re-join
+      // of the tall table (guide §2.4)
+      val assigned = assignL2AllWithVec(tall, toDf(centRows))
         .select(col("m").as("m"), col("cl").as("cl"), col("sv").as("v"))
-      val computed = centroidsExactByM(assigned)
-      cents = cents.as("o")
-        .join(computed.withColumnRenamed("cent", "ncent"), Seq("m", "cl"), "left")
-        .select(col("m"), col("cl"),
-          coalesce(col("ncent"), col("o.cent")).as("cent"))
-        .localCheckpoint()
+      val computed = centroidsExactByM(assigned, subDim).collect()
+      val byKey = computed.map(r => (r.get(0), r.get(1)) -> r.get(2)).toMap
+      centRows = centRows.map { r =>
+        byKey.get((r.get(0), r.get(1)))
+          .map(c => org.apache.spark.sql.Row(r.get(0), r.get(1), c))
+          .getOrElse(r)
+      }
     }
-    cents
+    toDf(centRows)
   }
 
   /** Shared PQ machinery: base (id, v, nrm), queries, trained
@@ -142,7 +182,7 @@ object Pq {
       .withColumn("nrm", Vectors.norm(col("v")))
 
     val tall = tallOf(base, "v", m, subDim)
-    val cb = kmeansL2All(tall, ksub, iters)
+    val cb = kmeansL2All(tall, ksub, iters, subDim)
     val codes = assignL2All(tall, cb)
 
     val queries = base.filter(queryPred)

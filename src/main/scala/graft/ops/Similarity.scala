@@ -124,6 +124,19 @@ object Similarity {
     * and shared across probe widths (see [[ivfRecallSweep]]).
     */
   private[ops] def assignToNearest(base: DataFrame, cents: DataFrame,
+      massign: Int = 1): DataFrame =
+    assignWithVec(base, cents, massign).select(col("id"), col("cl"))
+
+  /** [[assignToNearest]] carrying the vector THROUGH the pick:
+    * (id, v, nrm, cl) with zero exchange. Callers that need the
+    * assigned vectors used to re-join `base` on id — a broadcast
+    * build locally, but TWO corpus-wide exchanges per call at scale
+    * (guide §2.4: remove shuffles outright). Since the pick itself is
+    * a narrow map over `base`, the vector columns ride along for
+    * free; plain [[assignToNearest]] projects them away and column
+    * pruning keeps its plan unchanged.
+    */
+  private[ops] def assignWithVec(base: DataFrame, cents: DataFrame,
       massign: Int = 1): DataFrame = {
     // the (≤nlist-row) centroid table collapses to ONE broadcast row of
     // parallel arrays ordered by cluster id (array_sort on the struct
@@ -139,10 +152,11 @@ object Similarity {
         transform(col("cs"), c => c.getField("cent")).as("cmat"),
         transform(col("cs"), c => c.getField("cnrm")).as("cnrms"))
     base.join(broadcast(centArr))
-      .select(col("id"), col("cls"),
+      .select(col("id"), col("v"), col("nrm"), col("cls"),
         explode(graft.functions.ArrayExprs.argTopMCos(col("v"), col("nrm"),
           col("cmat"), col("cnrms"), massign)).as("pos"))
-      .select(col("id"), element_at(col("cls"), col("pos") + 1).as("cl"))
+      .select(col("id"), col("v"), col("nrm"),
+        element_at(col("cls"), col("pos") + 1).as("cl"))
   }
 
   /** The IVF probe/rank stage over a prebuilt assignment: each query
@@ -263,25 +277,44 @@ object Similarity {
     */
   def kmeans(embs: DataFrame, idCol: String, vecCol: String,
       seedCol: String, iters: Int): DataFrame = {
+    val spark = embs.sparkSession
     val base = baseOf(embs, idCol, vecCol)
     val dim = vecDim(embs, vecCol)
-    var cents = centroidsExact(
+    val seed = centroidsExact(
       embs.select(col(seedCol).as("cl"), Vectors.toDouble(col(vecCol)).as("v")),
       dim)
+    // The centroid table is ≤ nlist rows (tens), so each Lloyd round's
+    // "keep the previous centroid when a cluster empties" merge lives
+    // on the DRIVER: collect the round's aggregate (the one job a
+    // round fundamentally needs) and rebuild a LocalRelation. The old
+    // shape did the merge as a cents⟗computed join + localCheckpoint —
+    // 3-4 extra scheduled jobs per round of pure overhead (JobProbe:
+    // queries here run 1-task jobs at ~0.1 s fixed cost each) plus
+    // checkpoint blocks the ContextCleaner had to chase (the
+    // Bench System.gc() note). Values are bit-identical: same
+    // integer-exact aggregate, same keep-previous rule, now a Scala
+    // map lookup; downstream consumers broadcast the (sorted)
+    // centroid rows, and every consumer aggregates them through
+    // array_sort(collect_list(...)), so row order never mattered.
+    val schema = seed.schema
+    def toDf(rows: Array[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    var centRows = seed.collect().sortBy(_.get(0).toString)
     for (_ <- 1 to iters) {
-      val assigned = assignToNearest(base, withCNorm(cents))
-        .join(base, "id")
+      // assignWithVec: the round's (cl, v) pairs come straight off the
+      // narrow broadcast pick — no per-round re-join of `base` on id
+      // (guide §2.4: that join is two corpus exchanges at scale)
+      val assigned = assignWithVec(base, withCNorm(toDf(centRows)))
         .select(col("cl"), col("v"))
-      val computed = centroidsExact(assigned, dim)
-      // centroid table is nlist rows — materialize it per round so the
-      // next round's plan starts from a flat table instead of
-      // replaying every previous round's assignment
-      cents = cents.as("o")
-        .join(computed.withColumnRenamed("cent", "ncent"), Seq("cl"), "left")
-        .select(col("cl"), coalesce(col("ncent"), col("o.cent")).as("cent"))
-        .localCheckpoint()
+      val computed = centroidsExact(assigned, dim).collect()
+      val byCl = computed.map(r => r.get(0) -> r.get(1)).toMap
+      centRows = centRows.map { r =>
+        byCl.get(r.get(0))
+          .map(c => org.apache.spark.sql.Row(r.get(0), c))
+          .getOrElse(r)
+      }
     }
-    cents
+    toDf(centRows)
   }
 
   /** IVF search over TRAINED (iterated k-means) centroids; `massign`
@@ -433,7 +466,7 @@ object Similarity {
   private[graft] def knnGraphAt(base: DataFrame, cents: DataFrame,
       k: Int, massign: Int): DataFrame = {
     val assigned = Caching.cachedOnce(
-      assignToNearest(base, cents, massign).join(base, "id"))
+      assignWithVec(base, cents, massign))
     knnRankPairs(
       assigned
         .select(col("cl"), col("id").as("src_id"), col("v").as("sv"),

@@ -58,11 +58,28 @@ object Sq {
     * the persistable form ([[Index]] stores this as the `sq_ranges`
     * part).
     */
-  private[ops] def rangesTall(base: DataFrame): DataFrame =
+  private[ops] def rangesTall(base: DataFrame, dim: Int): DataFrame = {
+    // ONE wide codegen aggregation (r18, guide §2.3/§2.4 — the
+    // centroidsExact discipline): the explode shape fanned every
+    // vector to `dim` (d, x) rows through a hash aggregate; a flat
+    // min/max pair per dimension aggregates in-place (2·dim long
+    // buffers) and the single result row explodes back to the
+    // persisted tall form. Values bit-identical: same round(x·1e6)
+    // micros, same per-dimension min/max.
+    val aggs = (0 until dim).flatMap(d => Seq(
+      min(round(element_at(col("v"), d + 1) * 1e6)).as(s"__lo$d"),
+      max(round(element_at(col("v"), d + 1) * 1e6)).as(s"__hi$d")))
     base
-      .select(posexplode(microsOf(col("v"))).as(Seq("d", "x")))
-      .groupBy(col("d"))
-      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(posexplode(array((0 until dim).map(d =>
+        struct(col(s"__lo$d").as("lo"), col(s"__hi$d").as("hi"))): _*))
+        .as(Seq("d", "r")))
+      .select(col("d"), col("r.lo").as("lo"), col("r.hi").as("hi"))
+      // empty corpus: global agg yields one all-NULL row where the
+      // explode shape yielded none — drop it (an empty range table is
+      // the legal empty-index state)
+      .filter(col("lo").isNotNull)
+  }
 
   /** Collapse tall ranges to ONE broadcastable row of parallel arrays
     * (los, his), ordered by dimension.
@@ -75,7 +92,7 @@ object Sq {
         transform(col("rs"), r => r.getField("hi")).as("his"))
 
   private def rangesOf(base: DataFrame, dim: Int): DataFrame =
-    collapseRanges(rangesTall(base))
+    collapseRanges(rangesTall(base, dim))
 
   /** The SQ8 code array of `v` against broadcast (los, his) columns.
     * `clamp` pins out-of-range values to [0, 255] — needed when
