@@ -457,13 +457,28 @@ object GraphStore {
     val del = removalSrcs.reduce(_ unionByName _).distinct().persist()
     val ingestBase = ingest.map { case (df, ic, vc, _) => baseOf(df, ic, vc) }
     try {
-      // unique-ingest-id precondition (advice r16; multi-version
-      // batches LWW-collapse first in GraphStream.applyChanges)
-      ingestBase.foreach(ArtifactFiles.requireUniqueIds)
-      // a present-but-empty ingest frame is a pure takedown (the
-      // r16 verdict-#2 discipline: no empty delta staging)
-      val hasIngest = ingestBase.exists(b => !b.isEmpty)
-      if (!hasIngest && del.isEmpty) return
+      // ONE bounded probe job (r18: was three — requireUniqueIds,
+      // ingest isEmpty, del isEmpty): the unique-ingest-id
+      // precondition (advice r16; multi-version batches LWW-collapse
+      // first in GraphStream.applyChanges) and "a present-but-empty
+      // ingest frame is a pure takedown" (the r16 verdict-#2
+      // discipline: no empty delta staging) read off one aggregate.
+      val probe = (Seq(del.select(lit("d").as("t"), col("__del").as("k"))) ++
+        ingestBase.map(b => b.select(lit("i").as("t"), col("id").as("k"))))
+        .reduce(_ unionByName _)
+        .groupBy(col("t"), col("k")).agg(count(lit(1)).as("c"))
+        .groupBy(col("t")).agg(count(lit(1)).as("groups"),
+          max(when(col("c") > 1, col("k"))).as("dupk"),
+          sum(when(col("c") > 1, lit(1)).otherwise(lit(0))).as("dups"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      probe.get("i").filter(_.getLong(3) > 0).foreach { r =>
+        throw new IllegalArgumentException(
+          s"requirement failed: upsert ingest contains duplicate ids " +
+            s"(e.g. ${r.get(2)}) — collapse to one row per id " +
+            "(last-writer-wins) before upserting")
+      }
+      val hasIngest = probe.get("i").exists(_.getLong(1) > 0)
+      if (!hasIngest && !probe.contains("d")) return
       val cents = spark.table(part(name, "cents"))
       val edgesTbl = part(name, "edges")
       val blocksTbl = part(name, "blocks")

@@ -237,7 +237,7 @@ object Index {
 
     // SQ tier: per-dim ranges + 1-byte codes — the 4×-memory serving
     // option next to PQ's 16× and flat's none, from the same artifact
-    val sqRanges = Sq.rangesTall(base, 64)
+    val sqRanges = Sq.rangesTall(base)
 
     // BQ tier: one sign-packed long per vector (32×) — the coarsest
     // serving option, an 8-byte full sweep instead of a probe

@@ -58,28 +58,20 @@ object Sq {
     * the persistable form ([[Index]] stores this as the `sq_ranges`
     * part).
     */
-  private[ops] def rangesTall(base: DataFrame, dim: Int): DataFrame = {
-    // ONE wide codegen aggregation (r18, guide §2.3/§2.4 — the
-    // centroidsExact discipline): the explode shape fanned every
-    // vector to `dim` (d, x) rows through a hash aggregate; a flat
-    // min/max pair per dimension aggregates in-place (2·dim long
-    // buffers) and the single result row explodes back to the
-    // persisted tall form. Values bit-identical: same round(x·1e6)
-    // micros, same per-dimension min/max.
-    val aggs = (0 until dim).flatMap(d => Seq(
-      min(round(element_at(col("v"), d + 1) * 1e6)).as(s"__lo$d"),
-      max(round(element_at(col("v"), d + 1) * 1e6)).as(s"__hi$d")))
+  private[ops] def rangesTall(base: DataFrame): DataFrame =
+    // NOTE r18: a fixed-width rewrite (2·dim min/max buffers in one
+    // global agg, the centroidsExact discipline) was tried and
+    // MEASURED SLOWER here — q_sim_sq4 warm 0.51→0.84 s, q_sim_sq
+    // 0.66→1.04 s — because each row then evaluates 2·dim
+    // element_at+round branches against the explode shape's dim rows
+    // through an already partial-aggregated hash agg (the exchange
+    // carries ≤ dim rows per task either way, so there was no shuffle
+    // to win). Reverted to the explode shape; measurement beats
+    // symmetry (guide §1.1).
     base
-      .agg(aggs.head, aggs.tail: _*)
-      .select(posexplode(array((0 until dim).map(d =>
-        struct(col(s"__lo$d").as("lo"), col(s"__hi$d").as("hi"))): _*))
-        .as(Seq("d", "r")))
-      .select(col("d"), col("r.lo").as("lo"), col("r.hi").as("hi"))
-      // empty corpus: global agg yields one all-NULL row where the
-      // explode shape yielded none — drop it (an empty range table is
-      // the legal empty-index state)
-      .filter(col("lo").isNotNull)
-  }
+      .select(posexplode(microsOf(col("v"))).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
 
   /** Collapse tall ranges to ONE broadcastable row of parallel arrays
     * (los, his), ordered by dimension.
@@ -92,7 +84,7 @@ object Sq {
         transform(col("rs"), r => r.getField("hi")).as("his"))
 
   private def rangesOf(base: DataFrame, dim: Int): DataFrame =
-    collapseRanges(rangesTall(base, dim))
+    collapseRanges(rangesTall(base))
 
   /** The SQ8 code array of `v` against broadcast (los, his) columns.
     * `clamp` pins out-of-range values to [0, 255] — needed when
